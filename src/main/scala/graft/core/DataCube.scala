@@ -1,0 +1,119 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dimension classification, mirroring the reference's 4-way typing of cube
+  * dimensions (reference: openeo_processes_dask/process_implementations/cubes/_xr_interop.py:7-37).
+  */
+sealed trait DimType
+object DimType {
+  case object Spatial extends DimType
+  case object Temporal extends DimType
+  case object Bands extends DimType
+  case object Other extends DimType
+}
+
+/** One named dimension of a cube. `labels` is optionally materialised for
+  * operators that must preserve empty labels (aggregate_temporal's gap bins,
+  * trim_cube); otherwise labels are implicit = distinct column values.
+  */
+final case class CubeDim(name: String, dimType: DimType)
+
+/** Cube-level metadata: the dimension list (ordered), an optional CRS string
+  * (e.g. "EPSG:4326"), and the name of the value column.
+  *
+  * Mirrors what the reference hangs off xarray attrs + the `.openeo` accessor
+  * (reference: cubes/_xr_interop.py:61-105, tests/mockdata.py:50-57).
+  */
+final case class CubeMetadata(
+    dims: Seq[CubeDim],
+    crs: Option[String] = None,
+    valueCol: String = "value"
+) {
+  def dimNames: Seq[String] = dims.map(_.name)
+  def has(dim: String): Boolean = dims.exists(_.name == dim)
+  def dimType(dim: String): DimType =
+    dims.find(_.name == dim).map(_.dimType).getOrElse(
+      throw new IllegalArgumentException(
+        s"DimensionNotAvailable: dimension '$dim' not in ${dimNames.mkString(",")}"))
+  def temporalDims: Seq[String] =
+    dims.filter(_.dimType == DimType.Temporal).map(_.name)
+  def spatialDims: Seq[String] =
+    dims.filter(_.dimType == DimType.Spatial).map(_.name)
+  def bandDims: Seq[String] =
+    dims.filter(_.dimType == DimType.Bands).map(_.name)
+  def without(dim: String): CubeMetadata =
+    copy(dims = dims.filterNot(_.name == dim))
+  def renamed(from: String, to: String): CubeMetadata =
+    copy(dims = dims.map(d => if (d.name == from) d.copy(name = to) else d))
+}
+
+/** The Spark-native datacube: a *long/tall* DataFrame — one row per cell,
+  * one column per dimension plus a value column — wrapped with metadata.
+  *
+  * This is the central design decision of the engine (SURVEY.md §1.5): the
+  * reference's dense labeled ND-array (xr.DataArray,
+  * reference: data_model.py:9) becomes a relational table, so every cube
+  * operator becomes a Catalyst-optimizable DataFrame transform, and scale-out
+  * comes from ordinary Spark partitioning instead of dask chunk gymnastics
+  * (cf. the reference's documented OOM limits,
+  * docs/scalability/aggregate-large-spatial-extents.md:9-26).
+  */
+final case class DataCube(df: DataFrame, meta: CubeMetadata) {
+  def value: Column = col(meta.valueCol)
+  def dimCols: Seq[Column] = meta.dimNames.map(col)
+  /** All dimension columns except `dim` — the groupBy set when reducing over
+    * `dim` (reference reduce semantics: cubes/reduce.py:13-46).
+    */
+  def dimColsExcept(dim: String): Seq[Column] =
+    meta.dimNames.filterNot(_ == dim).map(col)
+  def withDf(f: DataFrame => DataFrame): DataCube = copy(df = f(df))
+
+  def temporalDim: String = meta.temporalDims.headOption.getOrElse(
+    throw new IllegalArgumentException("DimensionNotAvailable: no temporal dimension"))
+  def bandDim: String = meta.bandDims.headOption.getOrElse(
+    throw new IllegalArgumentException("DimensionNotAvailable: no bands dimension"))
+
+  def requireDim(dim: String): Unit =
+    if (!meta.has(dim))
+      throw new IllegalArgumentException(
+        s"DimensionNotAvailable: '$dim' not in ${meta.dimNames.mkString(",")}")
+}
+
+object DataCube {
+
+  /** Default dimension-type inference by name, mirroring the reference's
+    * case-folded name guessing (reference: cubes/_xr_interop.py:7-21).
+    */
+  val temporalGuesses: Set[String] =
+    Set("date", "time", "t", "ts", "year", "quarter", "month", "week", "day",
+      "hour", "second")
+  val xGuesses: Set[String] = Set("x", "lon", "longitude")
+  val yGuesses: Set[String] = Set("y", "lat", "latitude")
+  val bandGuesses: Set[String] = Set("b", "bands", "band")
+
+  def inferDimType(name: String): DimType = {
+    val n = name.toLowerCase
+    if (temporalGuesses(n)) DimType.Temporal
+    else if (xGuesses(n) || yGuesses(n)) DimType.Spatial
+    else if (bandGuesses(n)) DimType.Bands
+    else DimType.Other
+  }
+
+  /** Build a cube from any DataFrame by declaring which columns are
+    * dimensions and which is the value. Dim types inferred by name unless
+    * given explicitly.
+    */
+  def fromTable(
+      df: DataFrame,
+      dims: Seq[String],
+      valueCol: String,
+      dimTypes: Map[String, DimType] = Map.empty,
+      crs: Option[String] = None
+  ): DataCube = {
+    val cubeDims = dims.map(d => CubeDim(d, dimTypes.getOrElse(d, inferDimType(d))))
+    val projected = df.select((dims :+ valueCol).map(col): _*)
+    DataCube(projected, CubeMetadata(cubeDims, crs, valueCol))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** OpenEO reducer/aggregate processes as Catalyst aggregate `Column`s.
+  * (reference: openeo_processes_dask/process_implementations/math.py — the
+  * numpy `axis`-aware reducers fed to reduce_dimension, cubes/reduce.py:13-46.)
+  *
+  * `ignoreNodata = true` (the reference default) maps to Spark's native
+  * null-skipping aggregates — a free win. `ignoreNodata = false` mirrors the
+  * numpy non-nan variants: any null in the group nulls the result, expressed
+  * as a `when` guard around the skipping aggregate (still one pass, still
+  * partial-aggregation-friendly: both sub-aggregates are map-side combinable).
+  */
+object Reducers {
+
+  /** count of nulls in group — building block for the strict variants. */
+  private def anyNull(v: Column): Column = count(when(v.isNull, 1)) > 0
+  private def strict(v: Column, agg: Column): Column =
+    when(anyNull(v), lit(null)).otherwise(agg)
+
+  def sumR(v: Column, ignoreNodata: Boolean = true): Column = {
+    // numpy nansum of an all-null slice is 0 in numpy but the openeo spec (and
+    // the reference, math.py:390-398 via nansum on empty) keeps null; Spark
+    // `sum` returns null for all-null groups, matching the spec.
+    if (ignoreNodata) sum(v) else strict(v, sum(v))
+  }
+  def meanR(v: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) avg(v) else strict(v, avg(v))
+  def minR(v: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) min(v) else strict(v, min(v))
+  def maxR(v: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) max(v) else strict(v, max(v))
+  def medianR(v: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) percentile(v, lit(0.5))
+    else strict(v, percentile(v, lit(0.5)))
+
+  /** Sample standard deviation / variance, ddof=1 (reference: math.py:198-209).
+    *
+    * Implemented from exact moment sums rather than Spark's streaming
+    * `stddev_samp` so results are bit-reproducible across partitionings and
+    * engines when inputs are integer-valued — important both for the DuckDB
+    * oracle and for deterministic re-runs on a cluster.
+    */
+  def varianceR(v: Column, ignoreNodata: Boolean = true): Column = {
+    val n = count(v).cast("double")
+    val s = sum(v)
+    val s2 = sum(v * v)
+    val core = when(n > 1, (s2 - s * s / n) / (n - 1))
+    if (ignoreNodata) core else strict(v, core)
+  }
+  def sdR(v: Column, ignoreNodata: Boolean = true): Column =
+    sqrt(varianceR(v, ignoreNodata))
+
+  /** Exact quantiles with linear interpolation — matches
+    * `np.nanquantile(method="linear")` (reference: math.py:341-387).
+    */
+  def quantilesR(v: Column, probabilities: Seq[Double]): Column =
+    percentile(v, array(probabilities.map(lit): _*))
+
+  /** [min, max] pair (reference: math.py:322-329). */
+  def extremaR(v: Column, ignoreNodata: Boolean = true): Column =
+    array(minR(v, ignoreNodata), maxR(v, ignoreNodata))
+
+  /** Product via sign/zero decomposition + exp∘sum∘ln — fully
+    * partial-aggregatable, unlike a naive fold (reference: math.py:401-409).
+    */
+  def productR(v: Column): Column = {
+    val logSum = sum(log(abs(nullif(v, lit(0)))))
+    val zeros = count(when(v === 0, 1))
+    val negs = count(when(v < 0, 1))
+    when(count(v) === 0, lit(null))
+      .when(zeros > 0, lit(0.0))
+      .otherwise(exp(logSum) * when(pmod(negs, lit(2)) === 1, -1.0).otherwise(1.0))
+  }
+
+  /** Exact product for integer-valued (scaled-decimal) inputs: fold over the
+    * collected group — every multiply is exact while the running product
+    * stays under 2^53, so the result is order-independent. Use `productR`
+    * for float inputs at scale; this variant for decimal-exact parity.
+    */
+  def productExactR(v: Column): Column =
+    aggregate(collect_list(v), lit(1L), (acc, x) => acc * x)
+
+  /** count(condition=null→valid values; =true→all; else caller passes a
+    * predicate-filtered column) (reference: arrays.py:587-606).
+    */
+  def countValid(v: Column): Column = count(v)
+  def countAll(): Column = count(lit(1))
+  def countWhere(pred: Column): Column = count(when(pred, 1))
+
+  /** 3-valued any/all over boolean-ish values (reference: logic.py:58-87). */
+  def anyR(v: Column, ignoreNodata: Boolean = true): Column = {
+    val core = max(v.cast("boolean"))
+    if (ignoreNodata) core
+    else when(anyNull(v) && !coalesce(core, lit(false)), lit(null)).otherwise(core)
+  }
+  def allR(v: Column, ignoreNodata: Boolean = true): Column = {
+    val core = min(v.cast("boolean"))
+    if (ignoreNodata) core
+    else when(anyNull(v) && coalesce(core, lit(true)), lit(null)).otherwise(core)
+  }
+
+  /** first/last along an ordering dimension. Spark's min_by/max_by give a
+    * single-pass, shuffle-friendly equivalent of the reference's
+    * scan-past-nodata (reference: arrays.py:461-495): null values are
+    * skipped by filtering before the agg (ignore_nodata=true path).
+    */
+  def firstByOrder(v: Column, ord: Column): Column = min_by(v, when(v.isNotNull, ord))
+  def lastByOrder(v: Column, ord: Column): Column = max_by(v, when(v.isNotNull, ord))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cube filter processes. All are plain Catalyst `Filter` nodes over the
+  * long-form cube, so predicate pushdown to the parquet scan is automatic
+  * (the reference had to hand-roll pushdown only for STAC search,
+  * reference: cubes/load.py:113-156).
+  */
+object FilterOps {
+
+  /** Half-open temporal slice `[start, end)`, dropping null timestamps
+    * (reference: cubes/_filter.py:42-106 — the reference subtracts 1 ms from
+    * the closed end; we express the same interval half-open directly).
+    */
+  def filterTemporal(cube: DataCube, start: String, end: String,
+      dimension: Option[String] = None): DataCube = {
+    val dim = dimension.getOrElse(cube.temporalDim)
+    cube.requireDim(dim)
+    require(start < end, s"TemporalExtentEmpty: [$start, $end)")
+    val t = col(dim)
+    cube.withDf(_.filter(t.isNotNull &&
+      t >= to_timestamp(lit(start)) && t < to_timestamp(lit(end))))
+  }
+
+  /** Spatial bounding-box slice, inclusive on all edges like label-based
+    * xarray slicing (reference: cubes/_filter.py:171-281). CRS reprojection
+    * of the bbox happens driver-side before this is called.
+    */
+  def filterBbox(cube: DataCube, west: Double, east: Double,
+      south: Double, north: Double): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y spatial dims")
+    val (xd, yd) = (sd.head, sd(1))
+    cube.withDf(_.filter(col(xd).between(west, east) && col(yd).between(south, north)))
+  }
+
+  /** Band-label selection; errors if any requested band is absent
+    * (reference: cubes/_filter.py:133-149). The existence check is a cheap
+    * aggregate over the band dim, executed lazily only when validation is on.
+    */
+  def filterBands(cube: DataCube, bands: Seq[String],
+      validate: Boolean = false): DataCube = {
+    val dim = cube.bandDim
+    if (validate) {
+      val present = cube.df.select(col(dim)).distinct().collect().map(_.getString(0)).toSet
+      val missing = bands.filterNot(present)
+      require(missing.isEmpty, s"BandNotFound: ${missing.mkString(",")}")
+    }
+    cube.withDf(_.filter(col(dim).isin(bands: _*)))
+  }
+
+  /** Keep rows whose label on `dimension` satisfies `condition` — the
+    * condition is a compiled Column predicate over the label value
+    * (reference: cubes/_filter.py:109-130, callback over labels).
+    */
+  def filterLabels(cube: DataCube, dimension: String,
+      condition: Column => Column): DataCube = {
+    cube.requireDim(dimension)
+    cube.withDf(_.filter(condition(col(dimension))))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** merge_cubes and mask — cube combination
+  * (reference: openeo_processes_dask/process_implementations/cubes/merge.py,
+  * cubes/mask.py). The reference's coordinate-aligned combination becomes a
+  * relational join on the dimension columns (SURVEY.md §2.3).
+  */
+object MergeOps {
+
+  /** merge_cubes. The reference distinguishes 4 cases by dim/label overlap
+    * (reference: cubes/merge.py:54-295); in the long-form relational model
+    * they collapse into two physical shapes:
+    *
+    *  - dims equal → **full outer join** on the dim columns; where both sides
+    *    have a value the `overlapResolver` combines them, else coalesce.
+    *    (covers reference cases 1-resolver, 2 and 3: concat of disjoint
+    *    labels IS the outer join's non-matching rows.)
+    *  - dims differ (one cube has extra dims) → join on the shared dims only;
+    *    the smaller cube is broadcast when it fits, matching the reference's
+    *    xarray broadcasting (case 4, merge.py:230-295).
+    *
+    * Errors when both sides overlap and no resolver is given
+    * (reference: merge.py:165-168,246-249) are raised lazily via a guard
+    * expression (raise_error) so the check stays distributed.
+    */
+  def mergeCubes(cube1: DataCube, cube2: DataCube,
+      overlapResolver: Option[(Column, Column) => Column] = None): DataCube = {
+    val dims1 = cube1.meta.dimNames
+    val dims2 = cube2.meta.dimNames
+    val shared = dims1.intersect(dims2)
+    require(shared.nonEmpty, "merge_cubes: no shared dimensions")
+    val v = cube1.meta.valueCol
+
+    val l = cube1.df.withColumnRenamed(v, "_v1")
+    val r = cube2.df.withColumnRenamed(cube2.meta.valueCol, "_v2")
+
+    if (dims1.toSet == dims2.toSet) {
+      val joined = l.join(r, shared, "full_outer")
+      val merged = overlapResolver match {
+        case Some(res) =>
+          when(col("_v1").isNotNull && col("_v2").isNotNull, res(col("_v1"), col("_v2")))
+            .otherwise(coalesce(col("_v1"), col("_v2")))
+        case None =>
+          // OverlapResolverMissing iff both non-null (reference: merge.py:165-168)
+          when(col("_v1").isNotNull && col("_v2").isNotNull,
+            raise_error(lit("OverlapResolverMissing")))
+            .otherwise(coalesce(col("_v1"), col("_v2")))
+      }
+      DataCube(joined.withColumn(v, merged).drop("_v1", "_v2"), cube1.meta)
+    } else {
+      // dims differ: join on shared dims; the lower-dimensional side is
+      // broadcast over the missing dims (reference case 4, merge.py:230-295).
+      val (big, small, bigIsLeft) =
+        if (dims1.size >= dims2.size) (l, r, true) else (r, l, false)
+      val joined = big.join(broadcast(small), shared, "left_outer")
+      val res = overlapResolver.getOrElse(
+        throw new IllegalArgumentException("OverlapResolverMissing"))
+      val merged =
+        when(col("_v1").isNotNull && col("_v2").isNotNull,
+          if (bigIsLeft) res(col("_v1"), col("_v2")) else res(col("_v2"), col("_v1")))
+          .otherwise(coalesce(col("_v1"), col("_v2")))
+      val meta = if (bigIsLeft) cube1.meta else cube2.meta
+      DataCube(joined.withColumn(v, merged).drop("_v1", "_v2"), meta)
+    }
+  }
+
+  /** mask: replace data cells where the mask cube is truthy
+    * (reference: cubes/mask.py:21-118). The mask may lack some of the data's
+    * dims — it then broadcasts over them, which in relational form is simply
+    * a join on the mask's dims. A left join keeps unmasked cells; the mask
+    * side is typically small (per-time or per-band flags) → broadcast.
+    */
+  def mask(data: DataCube, maskCube: DataCube,
+      replacement: Column = lit(null)): DataCube = {
+    val shared = data.meta.dimNames.intersect(maskCube.meta.dimNames)
+    require(shared.nonEmpty, "mask: no shared dimensions")
+    val m = maskCube.df.withColumnRenamed(maskCube.meta.valueCol, "_mask")
+    val joined = data.df.join(broadcast(m), shared, "left_outer")
+    val v = data.meta.valueCol
+    val masked = when(coalesce(col("_mask").cast("boolean"), lit(false)), replacement)
+      .otherwise(col(v))
+    DataCube(joined.withColumn(v, masked).drop("_mask"), data.meta)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Resampling operators
+  * (reference: openeo_processes_dask/process_implementations/cubes/resample.py).
+  */
+object ResampleOps {
+
+  /** resample_cube_temporal: for every target timestamp pick the value at
+    * the nearest source timestamp — first (earliest) on ties; values farther
+    * than `validWithin` days become null
+    * (reference: cubes/resample.py:183-222).
+    *
+    * Classic as-of join. The target timestamp list is per-series tiny, so we
+    * broadcast the distinct target labels, cross them with the source rows of
+    * the same series, and keep rank-1 by |Δt| per (series, target) via a
+    * single window — one shuffle keyed by the series dims.
+    */
+  def resampleCubeTemporal(cube: DataCube, targetTimes: Seq[java.sql.Timestamp],
+      dimension: Option[String] = None,
+      validWithinDays: Option[Double] = None): DataCube = {
+    val dim = dimension.getOrElse(cube.temporalDim)
+    cube.requireDim(dim)
+    val spark = cube.df.sparkSession
+    import spark.implicits._
+    val others = cube.meta.dimNames.filterNot(_ == dim)
+
+    val targets = targetTimes.toDF("_target")
+    val crossed = cube.df.join(broadcast(targets))
+    val dist = abs(col(dim).cast("double") - col("_target").cast("double"))
+    val w = Window.partitionBy((col("_target") +: others.map(col)): _*)
+      .orderBy(dist.asc, col(dim).asc) // nearest, earliest-first on ties
+    val ranked = crossed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+
+    val v = cube.meta.valueCol
+    val valued = validWithinDays match {
+      case Some(d) => ranked.withColumn(v,
+        when(dist <= d * 86400.0, col(v)).otherwise(lit(null)))
+      case None => ranked
+    }
+    DataCube(
+      valued.select((others.map(col) :+ col("_target").as(dim) :+ col(v)): _*),
+      cube.meta)
+  }
+
+  /** resample_spatial for aggregating methods (average/min/max/med/q1/q3/
+    * mode/sum) at a coarser resolution: pure grid binning —
+    * `groupBy(floor(x/res), floor(y/res))`, one shuffle, no custom code
+    * (reference: cubes/resample.py:39-113; methods list resample.py:23-36).
+    * Interpolating methods (bilinear/cubic/lanczos) are separate
+    * neighbor-join kernels (KernelOps).
+    */
+  def resampleSpatialAgg(cube: DataCube, xRes: Double, yRes: Double,
+      reducer: Column => Column): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val out = cube.df
+      .withColumn("_bx", floor(col(xd) / xRes) * xRes)
+      .withColumn("_by", floor(col(yd) / yRes) * yRes)
+      .groupBy((col("_bx").alias(xd) +: col("_by").alias(yd) +: others.map(col)): _*)
+      .agg(reducer(cube.value).as(cube.meta.valueCol))
+    DataCube(out, cube.meta)
+  }
+}

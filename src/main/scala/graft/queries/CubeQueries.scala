@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.core._
+import graft.functions.{Reducers, Scalar}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness queries for the cube operator surface (SURVEY.md §2.2-§2.10),
+  * each paired with a DuckDB oracle in [[oracles]].
+  *
+  * Float-determinism discipline: any aggregate whose result depends on
+  * accumulation order (sum/avg of doubles) is computed in an exact integer
+  * domain (cents / scaled bigints) so Spark and DuckDB produce bit-identical
+  * results regardless of partitioning — the same property that makes runs
+  * reproducible across cluster sizes.
+  */
+object CubeQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- filters (§2.2) ----
+    "filter_temporal" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val filtered = FilterOps.filterTemporal(c, "2024-01-10", "2024-01-20")
+      ReduceOps.reduceDimensionMulti(filtered, "t", Seq(
+        "n" -> (_ => Reducers.countAll()),
+        "sum_cents" -> (v => sum(cents(v))))).df
+    },
+    "filter_bands" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir)
+      val filtered = FilterOps.filterBands(c, Seq("A", "N"))
+      ReduceOps.reduceDimensionMulti(filtered, "t", Seq(
+        "n" -> (_ => Reducers.countAll()),
+        "sum_qty" -> (v => sum(v).cast("bigint")))).df
+    },
+    "filter_bbox" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y", "l_linestatus" -> "band"))
+      val filtered = FilterOps.filterBbox(c, 50, 150, 3, 8)
+      filtered.df.groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).cast("bigint").as("sum_qty"))
+    },
+    "filter_labels" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir, extraDims = Seq("user_id"))
+      val filtered = FilterOps.filterLabels(c, "user_id", l => pmod(l, lit(7)) === 0)
+      filtered.df.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- element-wise apply + scalar sub-language (§2.7) ----
+    "apply_math" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir, valueCol = "l_extendedprice")
+      val applied = ApplyOps.apply(c, v =>
+        floor(Scalar.sqrtC(Scalar.linearScaleRange(v, 0, 100000)) * 10000))
+      val extra = ApplyOps.apply(c, v =>
+        floor((Scalar.ln(Scalar.add(v, lit(1))) + pmod(v, lit(7))) * 1000))
+      val a = applied.df.groupBy(col("band"))
+        .agg(sum(col("value")).cast("bigint").as("s_scaled"))
+      val b = extra.df.groupBy(col("band"))
+        .agg(sum(col("value")).cast("bigint").as("s_lnmod"))
+      a.join(b, "band")
+    },
+
+    // ---- reducers (§2.4) ----
+    "reduce_mean" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val centsCube = ApplyOps.apply(c, v => cents(v))
+      val m = ReduceOps.reduceDimension(centsCube, "t", v => Reducers.meanR(v))
+      m.df.select(col("band"), round(col("value") / 100.0, 6).as("avg_v"))
+    },
+    "reduce_stats" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir)
+      ReduceOps.reduceDimensionMulti(c, "t", Seq(
+        "n" -> (v => Reducers.countValid(v)),
+        "min_q" -> (v => Reducers.minR(v)),
+        "max_q" -> (v => Reducers.maxR(v)),
+        "sum_q" -> (v => Reducers.sumR(v).cast("bigint")),
+        "median_q" -> (v => round(Reducers.medianR(v), 6)),
+        "var_q" -> (v => round(Reducers.varianceR(v), 6)),
+        "sd_q" -> (v => round(Reducers.sdR(v), 6)))).df
+    },
+    "reduce_quantiles" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir)
+      val q = ReduceOps.reduceDimension(c, "t",
+        v => Reducers.quantilesR(v, Seq(0.1, 0.25, 0.5, 0.75, 0.9)))
+      q.df.select(col("band"),
+        round(element_at(col("value"), 1), 6).as("q10"),
+        round(element_at(col("value"), 2), 6).as("q25"),
+        round(element_at(col("value"), 3), 6).as("q50"),
+        round(element_at(col("value"), 4), 6).as("q75"),
+        round(element_at(col("value"), 5), 6).as("q90"))
+    },
+    "reduce_product" -> { (s, dir) =>
+      // product reducer, computed in the exact integer domain (1+tax scaled
+      // to 100+cents; Π ≤ 108^7 < 2^53 so every multiply is exact and
+      // order-independent — bit-stable across engines and partitionings).
+      // (okey, ln) coordinates are not unique in the raw table; a cube has one
+      // cell per coordinate, so first collapse duplicates with min.
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
+        .agg((cents(min(col("l_tax"))) + 100).cast("long").as("value"))
+      val c = DataCube.fromTable(base, Seq("okey", "ln"), "value")
+      val p = ReduceOps.reduceDimension(c, "ln", v => Reducers.productExactR(v))
+      p.df.select(col("okey").as("l_orderkey"), col("value").as("prod_scaled"))
+    },
+
+    // ---- merge / mask (§2.3) ----
+    "merge_cubes" -> { (s, dir) =>
+      def half(pred: Column): DataCube = {
+        val df = Tables.lineitem(s, dir).filter(pred)
+          .groupBy(col("l_partkey").as("x"))
+          .agg(sum(col("l_quantity")).as("value"))
+        DataCube(df, CubeMetadata(Seq(CubeDim("x", DimType.Spatial)), valueCol = "value"))
+      }
+      val cut = to_timestamp(lit("1996-01-01"))
+      val merged = MergeOps.mergeCubes(
+        half(col("l_shipdate") < cut), half(col("l_shipdate") >= cut),
+        Some((a, b) => a + b))
+      merged.df.select(col("x").cast("bigint").as("l_partkey"),
+        col("value").cast("bigint").as("total"))
+    },
+    "mask" -> { (s, dir) =>
+      val data = Tables.lineitemCube(s, dir,
+        Seq("l_orderkey" -> "x", "l_returnflag" -> "band"))
+      val maskDf = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("x"), (col("o_orderstatus") === "F").as("value"))
+      val maskCube = DataCube.fromTable(maskDf, Seq("x"), "value")
+      val masked = MergeOps.mask(data, maskCube)
+      masked.df.groupBy(col("band")).agg(
+        count(col("value")).as("n_valid"),
+        sum(col("value")).cast("bigint").as("sum_qty"))
+    },
+
+    // ---- temporal aggregation (§2.4) ----
+    "aggregate_temporal_period" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val centsCube = ApplyOps.apply(c, cents)
+      val agg = AggregateOps.aggregateTemporalPeriod(centsCube, "week",
+        v => Reducers.sumR(v))
+      agg.df.select(col("t").cast("date").as("week"), col("band"),
+        col("value").cast("bigint").as("sum_cents"))
+    },
+    "aggregate_temporal" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val centsCube = ApplyOps.apply(c, cents)
+      val agg = AggregateOps.aggregateTemporal(centsCube, Seq(
+        AggregateOps.Interval("2024-01-01", "2024-01-08", "w1"),
+        AggregateOps.Interval("2024-01-08", "2024-01-20", "mid"),
+        AggregateOps.Interval("2024-01-25", "2024-01-28", "late"),
+        AggregateOps.Interval("2024-02-10", "2024-02-11", "empty")),
+        v => Reducers.sumR(v))
+      agg.df.select(col("t"), col("band"),
+        col("value").cast("bigint").as("sum_cents"))
+    },
+
+    // ---- as-of resample (§2.3) ----
+    "resample_cube_temporal" -> { (s, dir) =>
+      val targets = Seq("2024-01-05", "2024-01-15", "2024-01-25")
+        .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+      val c = Tables.eventsCube(s, dir)
+      val r = ResampleOps.resampleCubeTemporal(c, targets)
+      r.df.select(col("band"), col("t").cast("date").as("t"), col("value"))
+    },
+
+    // ---- dim utilities (§2.9) ----
+    "dim_utils" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val renamed = CubeDimOps.renameLabels(c, "band",
+        Map("click" -> "tap", "view" -> "impression"))
+      val withModel = CubeDimOps.addDimension(renamed, "model", "m1")
+      withModel.df.groupBy(col("band"), col("model")).agg(count(lit(1)).as("n"))
+    },
+    "trim_cube" -> { (s, dir) =>
+      val df = Tables.lineitem(s, dir)
+        .select(col("l_linenumber").cast("bigint").as("x"),
+          when(col("l_quantity") < 3, col("l_extendedprice")).as("value"))
+      val c = DataCube.fromTable(df, Seq("x"), "value")
+      val trimmed = CubeDimOps.trimCube(c, Seq("x"))
+      trimmed.df.groupBy(col("x")).agg(
+        count(lit(1)).as("n"), count(col("value")).as("nv"))
+    },
+
+    // ---- spatial binning resample (§2.10) ----
+    "resample_spatial_agg" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val r = ResampleOps.resampleSpatialAgg(c, 50, 4, v => Reducers.sumR(v))
+      r.df.select(col("x").cast("bigint").as("x"), col("y").cast("bigint").as("y"),
+        col("value").cast("bigint").as("sum_qty"))
+    }
+  )
+
+  /** DuckDB oracles, one per query key. Table names are the bare parquet
+    * names (the driver registers them as views over the same sf dir).
+    */
+  val oracles: Map[String, String] = Map(
+    "filter_temporal" ->
+      """SELECT event_type AS band, count(*) AS n,
+        |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "filter_bands" ->
+      """SELECT l_returnflag AS band, count(*) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A','N') GROUP BY 1""".stripMargin,
+    "filter_bbox" ->
+      """SELECT l_linestatus AS band, count(*) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 3 AND 8
+        |GROUP BY 1""".stripMargin,
+    "filter_labels" ->
+      """SELECT event_type AS band, count(*) AS n
+        |FROM events WHERE user_id % 7 = 0 GROUP BY 1""".stripMargin,
+    "apply_math" ->
+      """SELECT l_returnflag AS band,
+        |  sum(CAST(floor(sqrt(least(greatest(l_extendedprice,0),100000)/100000)*10000) AS BIGINT)) AS s_scaled,
+        |  sum(CAST(floor((ln(l_extendedprice+1) + (l_extendedprice % 7)) * 1000) AS BIGINT)) AS s_lnmod
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "reduce_mean" ->
+      """SELECT event_type AS band,
+        |       round(avg(CAST(round(value*100) AS BIGINT))/100.0, 6) AS avg_v
+        |FROM events GROUP BY 1""".stripMargin,
+    "reduce_stats" ->
+      """SELECT l_returnflag AS band, count(l_quantity) AS n,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_q,
+        |  round((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/count(*)) / (count(*)-1), 6) AS var_q,
+        |  round(sqrt((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/count(*)) / (count(*)-1)), 6) AS sd_q
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "reduce_quantiles" ->
+      """SELECT l_returnflag AS band,
+        |  round(quantile_cont(l_quantity, 0.1), 6) AS q10,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS q90
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "reduce_product" ->
+      """SELECT l_orderkey, CAST(product(m) AS BIGINT) AS prod_scaled
+        |FROM (SELECT l_orderkey, l_linenumber, 100 + round(min(l_tax)*100) AS m
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
+    "merge_cubes" ->
+      """SELECT COALESCE(a.x, b.x) AS l_partkey,
+        |       CAST(COALESCE(a.s, 0) + COALESCE(b.s, 0) AS BIGINT) AS total
+        |FROM (SELECT l_partkey x, sum(l_quantity) s FROM lineitem
+        |      WHERE l_shipdate < TIMESTAMP '1996-01-01' GROUP BY 1) a
+        |FULL OUTER JOIN
+        |     (SELECT l_partkey x, sum(l_quantity) s FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01' GROUP BY 1) b
+        |ON a.x = b.x""".stripMargin,
+    "mask" ->
+      """SELECT l.l_returnflag AS band,
+        |  count(CASE WHEN o.o_orderstatus = 'F' THEN NULL ELSE 1 END) AS n_valid,
+        |  CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN NULL ELSE l.l_quantity END) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "aggregate_temporal_period" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type AS band,
+        |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "aggregate_temporal" ->
+      """WITH iv(s, e, lab) AS (VALUES
+        |  (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08', 'w1'),
+        |  (TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-20', 'mid'),
+        |  (TIMESTAMP '2024-01-25', TIMESTAMP '2024-01-28', 'late'),
+        |  (TIMESTAMP '2024-02-10', TIMESTAMP '2024-02-11', 'empty')),
+        |agg AS (
+        |  SELECT iv.lab, e.event_type AS band,
+        |         sum(CAST(round(e.value*100) AS BIGINT)) AS sum_cents
+        |  FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e
+        |  GROUP BY 1, 2)
+        |SELECT labs.lab AS t, agg.band, agg.sum_cents
+        |FROM (VALUES ('w1'),('mid'),('late'),('empty')) labs(lab)
+        |LEFT JOIN agg ON labs.lab = agg.lab""".stripMargin,
+    "resample_cube_temporal" ->
+      """WITH tgt(g) AS (VALUES (TIMESTAMP '2024-01-05'),
+        |                       (TIMESTAMP '2024-01-15'),
+        |                       (TIMESTAMP '2024-01-25')),
+        |ranked AS (
+        |  SELECT event_type AS band, g, value,
+        |         row_number() OVER (PARTITION BY event_type, g
+        |           ORDER BY abs(epoch_us(ts) - epoch_us(g)), ts) AS rn
+        |  FROM events CROSS JOIN tgt)
+        |SELECT band, CAST(g AS DATE) AS t, value FROM ranked WHERE rn = 1""".stripMargin,
+    "dim_utils" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'tap'
+        |            WHEN 'view' THEN 'impression' ELSE event_type END AS band,
+        |       'm1' AS model, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "trim_cube" ->
+      """SELECT CAST(l_linenumber AS BIGINT) AS x, count(*) AS n,
+        |       count(CASE WHEN l_quantity < 3 THEN 1 END) AS nv
+        |FROM lineitem GROUP BY 1
+        |HAVING count(CASE WHEN l_quantity < 3 THEN 1 END) > 0""".stripMargin,
+    "resample_spatial_agg" ->
+      """SELECT CAST(floor(l_partkey/50)*50 AS BIGINT) AS x,
+        |       CAST(floor(l_suppkey/4)*4 AS BIGINT) AS y,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.core._
+import graft.functions.{Reducers, Scalar}
+import graft.operators._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests on tiny synthetic cubes, mirroring the reference's unit
+  * suites (reference: tests/test_merge.py, test_reduce.py, test_logic.py).
+  */
+class CubeCoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def cube(rows: Seq[(Double, String, java.lang.Double)]): DataCube = {
+    val df = rows.toDF("x", "band", "value")
+    DataCube.fromTable(df, Seq("x", "band"), "value")
+  }
+
+  test("reduce_dimension mean ignores nulls (ignore_nodata default)") {
+    val c = cube(Seq((1.0, "B1", 2.0), (2.0, "B1", 4.0), (3.0, "B1", null),
+      (1.0, "B2", 10.0)))
+    val r = ReduceOps.reduceDimension(c, "x", v => Reducers.meanR(v))
+    val m = r.df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("B1") == 3.0 && m("B2") == 10.0)
+  }
+
+  test("reduce_dimension strict mean nulls group containing nodata") {
+    val c = cube(Seq((1.0, "B1", 2.0), (2.0, "B1", null), (1.0, "B2", 5.0)))
+    val r = ReduceOps.reduceDimension(c, "x",
+      v => Reducers.meanR(v, ignoreNodata = false))
+    val rows = r.df.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("B1").isEmpty && rows("B2").contains(5.0))
+  }
+
+  test("merge_cubes same dims: resolver on overlap, coalesce elsewhere") {
+    val c1 = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0)))
+    val c2 = cube(Seq((2.0, "B1", 5.0), (3.0, "B1", 7.0)))
+    val m = MergeOps.mergeCubes(c1, c2, Some(_ + _))
+    val got = m.df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(2))).toMap
+    assert(got == Map(1.0 -> 10.0, 2.0 -> 25.0, 3.0 -> 7.0))
+  }
+
+  test("merge_cubes without resolver fails on overlap, works when disjoint") {
+    val c1 = cube(Seq((1.0, "B1", 10.0)))
+    val c2 = cube(Seq((2.0, "B1", 5.0)))
+    val ok = MergeOps.mergeCubes(c1, c2, None)
+    assert(ok.df.count() == 2)
+    val c3 = cube(Seq((1.0, "B1", 9.0)))
+    val bad = MergeOps.mergeCubes(c1, c3, None)
+    intercept[Exception] { bad.df.collect() }
+  }
+
+  test("merge_cubes broadcast case: mask-like lower-dim cube") {
+    val c1 = cube(Seq((1.0, "B1", 10.0), (1.0, "B2", 20.0), (2.0, "B1", 30.0)))
+    val perX = DataCube(
+      Seq((1.0, 100.0)).toDF("x", "value"),
+      CubeMetadata(Seq(CubeDim("x", DimType.Spatial))))
+    val m = MergeOps.mergeCubes(c1, perX, Some(_ + _))
+    val got = m.df.collect()
+      .map(r => (r.getDouble(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1.0, "B1") -> 110.0, (1.0, "B2") -> 120.0, (2.0, "B1") -> 30.0))
+  }
+
+  test("mask replaces truthy cells and broadcasts over missing dims") {
+    val data = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0), (1.0, "B2", 30.0)))
+    val m = DataCube(
+      Seq((1.0, true), (2.0, false)).toDF("x", "value"),
+      CubeMetadata(Seq(CubeDim("x", DimType.Spatial))))
+    val out = MergeOps.mask(data, m, lit(-1.0))
+    val got = out.df.collect()
+      .map(r => (r.getDouble(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1.0, "B1") -> -1.0, (2.0, "B1") -> 20.0, (1.0, "B2") -> -1.0))
+  }
+
+  test("scalar comparison null propagation matches reference NaN semantics") {
+    val df = Seq[(java.lang.Double, java.lang.Double)]((1.0, 2.0), (null, 2.0))
+      .toDF("a", "b")
+    val out = df.select(
+      Scalar.eq(col("a"), col("b")).as("eq"),
+      Scalar.lt(col("a"), col("b")).as("lt"),
+      Scalar.between(col("a"), lit(0), lit(3)).as("btw")).collect()
+    assert(out(0).getBoolean(0) == false && out(0).getBoolean(1) == true)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
+  test("three-valued xor and if (reference logic.py semantics)") {
+    val df = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, false), (true, true), (null, true), (null, false))
+      .toDF("p", "q")
+    val out = df.select(Scalar.xor(col("p"), col("q"))).collect()
+    assert(out(0).getBoolean(0) == true)
+    assert(out(1).getBoolean(0) == false)
+    assert(out(2).isNullAt(0)) // null xor true → null (logic.py:35-41)
+    assert(out(3).isNullAt(0))
+  }
+
+  test("aggregate_temporal preserves empty bins as null rows") {
+    val df = Seq(("2024-01-02 00:00:00", "B1", 1.0), ("2024-01-09 00:00:00", "B1", 2.0))
+      .toDF("t", "band", "value")
+      .withColumn("t", to_timestamp(col("t")))
+    val c = DataCube.fromTable(df, Seq("t", "band"), "value")
+    val out = AggregateOps.aggregateTemporal(c, Seq(
+      AggregateOps.Interval("2024-01-01", "2024-01-08", "a"),
+      AggregateOps.Interval("2024-01-08", "2024-01-15", "b"),
+      AggregateOps.Interval("2024-02-01", "2024-02-08", "gap")),
+      v => Reducers.sumR(v))
+    val got = out.df.collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(got("a").contains(1.0) && got("b").contains(2.0) && got("gap").isEmpty)
+  }
+
+  test("dekad and season period binning") {
+    val df = Seq(("2024-01-05 00:00:00", "B1", 1.0), ("2024-01-15 00:00:00", "B1", 2.0),
+      ("2024-01-25 00:00:00", "B1", 3.0), ("2024-02-10 00:00:00", "B1", 4.0),
+      ("2023-12-15 00:00:00", "B1", 5.0))
+      .toDF("t", "band", "value").withColumn("t", to_timestamp(col("t")))
+    val c = DataCube.fromTable(df, Seq("t", "band"), "value")
+    val dekads = AggregateOps.aggregateTemporalPeriod(c, "dekad", Reducers.sumR(_))
+      .df.collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getDouble(2)).toMap
+    assert(dekads == Map("2024-01-01" -> 1.0, "2024-01-11" -> 2.0,
+      "2024-01-21" -> 3.0, "2024-02-01" -> 4.0, "2023-12-11" -> 5.0))
+    val seasons = AggregateOps.aggregateTemporalPeriod(c, "season", Reducers.sumR(_))
+      .df.collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getDouble(2)).toMap
+    // Dec 2023 + Jan/Feb 2024 all belong to DJF starting 2023-12-01
+    assert(seasons == Map("2023-12-01" -> 15.0))
+  }
+}
