@@ -41,24 +41,63 @@ object ApplyOps {
     * express (reference's np.apply_along_axis path).
     */
   def applyDimensionArray(cube: DataCube, dimension: String,
-      process: Column => Column): DataCube = {
+      process: Column => Column): DataCube =
+    applyDimensionArrayWith(cube, dimension, Nil,
+      (arr, _) => process(arr))
+
+  /** Like [[applyDimensionArray]] but with hoisted per-series helper values.
+    *
+    * Spark's higher-order functions are interpreted (no codegen), and an
+    * outer-array capture inside the lambda is re-evaluated per ELEMENT —
+    * `transform(arr, x -> x - element_at(arr, 1))` is O(n²) per series
+    * (measured 113 s vs <1 s on a 100k-row bench). `pre` expressions are
+    * evaluated once per series into columns the lambda then references.
+    */
+  /** Like [[applyDimensionArray]] but with hoisted per-series helper values.
+    *
+    * Implementation notes (both learned from 100×-slowdown measurements):
+    *  - Spark's higher-order functions are interpreted (no codegen) and an
+    *    outer capture like `transform(arr, x -> x - element_at(arr, 1))`
+    *    re-derives the captured expression per ELEMENT once projection
+    *    collapse inlines it — O(n²) per series. `pre` expressions are
+    *    computed once per series into real columns the lambda references.
+    *  - The result is NOT exploded back. `InferFiltersFromGenerate` copies
+    *    the whole lambda pipeline into a `size(...) > 0` filter in front of
+    *    any Generate (and predicate pushdown re-inlines it through any
+    *    barrier), hitting the same O(n²). Instead the per-series output
+    *    array joins back to the original rows and each row picks its
+    *    element by rank — the window and the join share the same hash
+    *    partitioning on the series dims, so this adds no extra shuffle.
+    */
+  def applyDimensionArrayWith(cube: DataCube, dimension: String,
+      pre: Seq[Column => Column],
+      process: (Column, Seq[Column]) => Column): DataCube = {
     cube.requireDim(dimension)
     val others = cube.meta.dimNames.filterNot(_ == dimension)
-    val collected = cube.df
-      .groupBy(others.map(col): _*)
+    val preNames = pre.indices.map(i => s"_pre$i")
+    val grouped =
+      if (others.nonEmpty) cube.df.groupBy(others.map(col): _*)
+      else cube.df.groupBy(lit(1).as("_g"))
+    val withPre = grouped
       .agg(
         sort_array(collect_list(struct(col(dimension).as("_k"),
           cube.value.as("_v")))).as("_series"))
       .withColumn("_vals", expr("transform(_series, s -> s._v)"))
-      .withColumn("_keys", expr("transform(_series, s -> s._k)"))
-      .withColumn("_out", process(col("_vals")))
-    val exploded = collected
-      .select((others.map(col) :+
-        arrays_zip(col("_keys"), col("_out")).as("_zip")): _*)
-      .select((others.map(col) :+ explode(col("_zip")).as("_cell")): _*)
-      .select((others.map(col) :+
-        col("_cell._keys").as(dimension) :+
-        col("_cell._out").as(cube.meta.valueCol)): _*)
-    cube.copy(df = exploded)
+    val arrays = pre.zip(preNames)
+      .foldLeft(withPre) { case (df, (p, n)) => df.withColumn(n, p(col("_vals"))) }
+      .withColumn("_out", process(col("_vals"), preNames.map(col)))
+      .select(((if (others.nonEmpty) others else Seq("_g")).map(col) :+ col("_out")): _*)
+
+    val w = Window.partitionBy(
+        (if (others.nonEmpty) others.map(col) else Seq(lit(1))): _*)
+      .orderBy(col(dimension))
+    val positioned = cube.df.withColumn("_rn", row_number().over(w))
+      .withColumn("_g", lit(1))
+    val joined = positioned
+      .join(arrays, if (others.nonEmpty) others else Seq("_g"))
+      .withColumn(cube.meta.valueCol, element_at(col("_out"), col("_rn")))
+      .drop("_out", "_rn", "_g")
+    cube.copy(df = joined.select(
+      (others.map(col) :+ col(dimension) :+ col(cube.meta.valueCol)): _*))
   }
 }

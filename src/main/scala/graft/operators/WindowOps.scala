@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Along-dimension ordering/cumulative/gap-fill processes, implemented as
+  * window functions over the long-form cube: one shuffle keyed by the series
+  * dims, ordered by the processed dim, arbitrarily many series in parallel —
+  * where the reference must materialise whole arrays on one worker
+  * (dask can't lazy-sort, reference: arrays.py:508-513).
+  */
+object WindowOps {
+
+  private def seriesWindow(cube: DataCube, dim: String) = {
+    val others = cube.dimColsExcept(dim)
+    Window.partitionBy(others: _*).orderBy(col(dim))
+  }
+
+  /** cumulative sum/min/max/product along a dim; null cells stay null but do
+    * not break accumulation (reference: math.py:125-174).
+    */
+  def cumsum(cube: DataCube, dim: String): DataCube = cum(cube, dim, sum)
+  def cummin(cube: DataCube, dim: String): DataCube = cum(cube, dim, min)
+  def cummax(cube: DataCube, dim: String): DataCube = cum(cube, dim, max)
+
+  private def cum(cube: DataCube, dim: String,
+      agg: Column => Column): DataCube = {
+    cube.requireDim(dim)
+    val w = seriesWindow(cube, dim).rowsBetween(Window.unboundedPreceding, 0)
+    val v = cube.value
+    // null cells stay null; aggregates skip nulls so accumulation continues
+    cube.withDf(_.withColumn(cube.meta.valueCol,
+      when(v.isNull, lit(null)).otherwise(agg(v).over(w))))
+  }
+
+  /** order: the 0-based sort permutation of values along a dim — stable,
+    * ties broken by position, with nodata placement
+    * (reference: arrays.py:498-535). Emitted as a rank column next to each
+    * cell; downstream `rearrange`/`sort` consume it relationally.
+    */
+  def orderRank(cube: DataCube, dim: String, ascending: Boolean = true,
+      nullsLast: Boolean = true): DataCube = {
+    cube.requireDim(dim)
+    val others = cube.dimColsExcept(dim)
+    val v = cube.value
+    val ord: Seq[Column] = (ascending, nullsLast) match {
+      case (true, true)   => Seq(v.asc_nulls_last, col(dim).asc)
+      case (true, false)  => Seq(v.asc_nulls_first, col(dim).asc)
+      case (false, true)  => Seq(v.desc_nulls_last, col(dim).asc)
+      case (false, false) => Seq(v.desc_nulls_first, col(dim).asc)
+    }
+    val w = Window.partitionBy(others: _*).orderBy(ord: _*)
+    cube.withDf(_.withColumn("rank", row_number().over(w) - 1))
+  }
+
+  /** sort: values re-assigned in sorted order along the dim
+    * (reference: arrays.py:558-584): rank the values, rank the positions,
+    * and join rank→rank — fully distributed, never collects a series.
+    */
+  def sortAlong(cube: DataCube, dim: String, ascending: Boolean = true): DataCube = {
+    cube.requireDim(dim)
+    val others = cube.meta.dimNames.filterNot(_ == dim)
+    val v = cube.value
+    val posW = Window.partitionBy(others.map(col): _*).orderBy(col(dim))
+    val valW = Window.partitionBy(others.map(col): _*)
+      .orderBy(if (ascending) v.asc_nulls_last else v.desc_nulls_last, col(dim).asc)
+    val positions = cube.df.select((others.map(col) :+ col(dim) :+
+      (row_number().over(posW) - 1).as("_slot")): _*)
+    val values = cube.df.select((others.map(col) :+ v :+
+      (row_number().over(valW) - 1).as("_slot")): _*)
+    val joined = positions.join(values, others :+ "_slot").drop("_slot")
+    cube.copy(df = joined.select((others.map(col) :+ col(dim) :+ v): _*))
+  }
+
+  /** first/last non-null value along a dim, one row per series
+    * (reference: arrays.py:461-495) — min_by/max_by on a null-filtered
+    * ordering key: single-pass, partial-aggregable.
+    */
+  def firstLast(cube: DataCube, dim: String): org.apache.spark.sql.DataFrame = {
+    val others = cube.dimColsExcept(dim)
+    val v = cube.value
+    cube.df.groupBy(others: _*).agg(
+      min_by(v, when(v.isNotNull, col(dim))).as("first_v"),
+      max_by(v, when(v.isNotNull, col(dim))).as("last_v"))
+  }
+
+  /** array_interpolate_linear along a dim: fill null cells by linear
+    * interpolation against the dim coordinate; edge nulls stay null
+    * (reference: arrays.py:405-458). Window gap-fill: previous/next valid
+    * value + coordinate via ignoreNulls last/first, then a linear blend.
+    */
+  def interpolateLinear(cube: DataCube, dim: String,
+      coord: Column => Column = identity): DataCube = {
+    cube.requireDim(dim)
+    val v = cube.value
+    val x = coord(col(dim)).cast("double")
+    val base = seriesWindow(cube, dim)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
+    val filled = when(v.isNotNull, v).otherwise(
+      prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
+    cube.withDf(_.withColumn(cube.meta.valueCol, filled))
+  }
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.core._
+import graft.functions.{ArrayFns, Reducers}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness queries for along-dimension processes (SURVEY.md §2.5, §2.8),
+  * band indices, kernels and curve fitting — the series-shaped half of the
+  * operator inventory. Same float-determinism discipline as CubeQueries.
+  */
+object SeriesQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
+  /** events as an (eid, band) cube of integer cents; `maskMod` nulls every
+    * k-th event to exercise nodata paths.
+    */
+  private def eidCube(s: SparkSession, dir: String, maskMod: Int = 0): DataCube = {
+    val base = Tables.events(s, dir).select(
+      col("event_id").as("eid"), col("event_type").as("band"),
+      cents(col("value")).as("value"))
+    val df = if (maskMod > 0)
+      base.withColumn("value",
+        when(col("eid") % maskMod === 0, lit(null)).otherwise(col("value")))
+    else base
+    DataCube.fromTable(df, Seq("eid", "band"), "value",
+      Map("eid" -> DimType.Other, "band" -> DimType.Bands))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- cumulative (§2.4) ----
+    "cumsum" -> { (s, dir) =>
+      WindowOps.cumsum(eidCube(s, dir, maskMod = 10), "eid")
+        .df.select(col("band"), col("eid"), col("value").as("cum"))
+    },
+    "cummax" -> { (s, dir) =>
+      WindowOps.cummax(eidCube(s, dir, maskMod = 10), "eid")
+        .df.select(col("band"), col("eid"), col("value").as("cum"))
+    },
+
+    // ---- order / sort (§2.5) ----
+    "order" -> { (s, dir) =>
+      WindowOps.orderRank(eidCube(s, dir, maskMod = 10), "eid")
+        .df.select(col("band"), col("eid"), col("rank"))
+    },
+    "sort" -> { (s, dir) =>
+      WindowOps.sortAlong(eidCube(s, dir, maskMod = 10), "eid")
+        .df.select(col("band"), col("eid"), col("value").as("sorted_cents"))
+    },
+    "first_last" -> { (s, dir) =>
+      WindowOps.firstLast(eidCube(s, dir, maskMod = 10), "eid")
+        .select(col("band"), col("first_v"), col("last_v"))
+    },
+
+    // ---- gap fill (§2.8) ----
+    "array_interpolate_linear" -> { (s, dir) =>
+      WindowOps.interpolateLinear(eidCube(s, dir, maskMod = 7), "eid")
+        .df.select(col("band"), col("eid"), col("value").as("interp"))
+    },
+
+    // ---- apply_dimension, window-class callback (§2.7) ----
+    "apply_dimension_center" -> { (s, dir) =>
+      val centered = ApplyOps.applyDimensionWindow(eidCube(s, dir), "eid",
+        (v, w) => {
+          val full = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+          v - sum(v).over(full) / count(v).over(full).cast("double")
+        })
+      centered.df.select(col("band"), col("eid"), col("value").as("centered"))
+    },
+    // ---- apply_dimension, array-class callback (§2.7) ----
+    "apply_dimension_delta" -> { (s, dir) =>
+      val delta = ApplyOps.applyDimensionArrayWith(eidCube(s, dir), "eid",
+        pre = Seq(arr => element_at(arr, 1)),
+        (arr, helpers) => transform(arr, x => x - helpers.head))
+      delta.df.select(col("band"), col("eid"), col("value").as("delta"))
+    },
+
+    // ---- array sub-language HOFs (§2.8) ----
+    "array_hofs" -> { (s, dir) =>
+      val c = eidCube(s, dir)
+      val filtered = FilterOps.filterLabels(c, "eid", l => l % 13 === 0)
+      val arrs = filtered.df.groupBy(col("band")).agg(
+        sort_array(collect_list(struct(col("eid"), col("value")))).as("_s"))
+        .withColumn("arr", expr("transform(_s, p -> p.value)"))
+      arrs.select(
+        col("band"),
+        size(col("arr")).as("n"),
+        ArrayFns.arraySumExact(slice(col("arr"), 1, 3)).as("first3_sum"),
+        ArrayFns.arrayAny(col("arr"), x => x > 20000).as("has_gt"),
+        ArrayFns.arrayFindWhere(col("arr"), x => x > 20000).cast("int").as("find_idx"),
+        ArrayFns.arrayElement(reverse(col("arr")), 0).as("last_e"),
+        ArrayFns.arrayContains(col("arr"), lit(12345L)).as("contains_v"),
+        size(ArrayFns.arrayAppend(col("arr"), lit(0L))).as("appended_n"),
+        ArrayFns.arraySumExact(
+          ArrayFns.arrayModify(col("arr"), array(lit(0L)), 1, 2)).as("mod_sum"))
+    },
+
+    // ---- band indices (§2.7) ----
+    "ndvi" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("t"), col("event_type").as("band"))
+        .agg(sum(cents(col("value"))).as("value"))
+      val c = DataCube.fromTable(daily, Seq("t", "band"), "value")
+      val nd = IndicesOps.ndvi(c, nir = "purchase", red = "click")
+      nd.df.select(col("t").cast("date").as("t"), col("value").as("nd"))
+    },
+
+    // ---- 2-D kernel (§2.5) ----
+    "apply_kernel" -> { (s, dir) =>
+      val grid = Tables.events(s, dir)
+        .groupBy((col("user_id") % 20).as("x"), (col("event_id") % 25).as("y"))
+        .agg(sum(cents(col("value"))).as("value"))
+      val c = DataCube.fromTable(grid, Seq("x", "y"), "value",
+        Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+      val k = KernelOps.applyKernel(c,
+        Seq(Seq(0, 1, 0), Seq(1, 4, 1), Seq(0, 1, 0)))
+      k.df.select(col("x"), col("y"), col("value").cast("bigint").as("ksum"))
+    },
+
+    // ---- curve fitting (§2.11) ----
+    "fit_curve" -> { (s, dir) =>
+      CurveOps.fitLinear(eidCube(s, dir), "eid")
+        .select(col("band"), col("a"), col("b"))
+    },
+    "predict_curve" -> { (s, dir) =>
+      val params = CurveOps.fitLinear(eidCube(s, dir), "eid")
+      CurveOps.predictLinear(params, Seq("band"), Seq(0.0, 5000.0, 10000.0), "x")
+    }
+  )
+
+  private val maskedCents =
+    "CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(round(value*100) AS BIGINT) END"
+
+  val oracles: Map[String, String] = Map(
+    "cumsum" ->
+      s"""WITH c AS (SELECT event_type AS band, event_id AS eid, $maskedCents AS v FROM events)
+         |SELECT band, eid,
+         |  CASE WHEN v IS NULL THEN NULL ELSE
+         |    sum(v) OVER (PARTITION BY band ORDER BY eid
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS cum
+         |FROM c""".stripMargin,
+    "cummax" ->
+      s"""WITH c AS (SELECT event_type AS band, event_id AS eid, $maskedCents AS v FROM events)
+         |SELECT band, eid,
+         |  CASE WHEN v IS NULL THEN NULL ELSE
+         |    max(v) OVER (PARTITION BY band ORDER BY eid
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS cum
+         |FROM c""".stripMargin,
+    "order" ->
+      s"""WITH c AS (SELECT event_type AS band, event_id AS eid, $maskedCents AS v FROM events)
+         |SELECT band, eid,
+         |  row_number() OVER (PARTITION BY band ORDER BY v ASC NULLS LAST, eid) - 1 AS rank
+         |FROM c""".stripMargin,
+    "sort" ->
+      s"""WITH c AS (SELECT event_type AS band, event_id AS eid, $maskedCents AS v FROM events),
+         |pos AS (SELECT band, eid,
+         |          row_number() OVER (PARTITION BY band ORDER BY eid) - 1 AS slot FROM c),
+         |vals AS (SELECT band, v,
+         |          row_number() OVER (PARTITION BY band ORDER BY v ASC NULLS LAST, eid) - 1 AS slot FROM c)
+         |SELECT pos.band, pos.eid, vals.v AS sorted_cents
+         |FROM pos JOIN vals ON pos.band = vals.band AND pos.slot = vals.slot""".stripMargin,
+    "first_last" ->
+      s"""WITH c AS (SELECT event_type AS band, event_id AS eid, $maskedCents AS v FROM events)
+         |SELECT band,
+         |  first(v ORDER BY eid) FILTER (WHERE v IS NOT NULL) AS first_v,
+         |  last(v ORDER BY eid) FILTER (WHERE v IS NOT NULL) AS last_v
+         |FROM c GROUP BY band""".stripMargin,
+    "array_interpolate_linear" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST(round(value*100) AS BIGINT) END AS v
+        |  FROM events),
+        |w AS (SELECT band, eid, v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY band ORDER BY eid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN CAST(eid AS DOUBLE) END IGNORE NULLS) OVER
+        |    (PARTITION BY band ORDER BY eid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS px,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY band ORDER BY eid ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN CAST(eid AS DOUBLE) END IGNORE NULLS) OVER
+        |    (PARTITION BY band ORDER BY eid ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM c)
+        |SELECT band, eid,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |       ELSE pv + (nv - pv) * (CAST(eid AS DOUBLE) - px) / (nx - px) END AS interp
+        |FROM w""".stripMargin,
+    "apply_dimension_center" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |SELECT band, eid, v - sum(v) OVER (PARTITION BY band) / CAST(count(v) OVER (PARTITION BY band) AS DOUBLE) AS centered
+        |FROM c""".stripMargin,
+    "apply_dimension_delta" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |SELECT band, eid,
+        |       v - first_value(v) OVER (PARTITION BY band ORDER BY eid) AS delta
+        |FROM c""".stripMargin,
+    "array_hofs" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |                  CAST(round(value*100) AS BIGINT) AS v
+        |           FROM events WHERE event_id % 13 = 0),
+        |a AS (SELECT band, list(v ORDER BY eid) AS arr FROM c GROUP BY band)
+        |SELECT band,
+        |  len(arr) AS n,
+        |  CAST(list_aggregate(arr[1:3], 'sum') AS BIGINT) AS first3_sum,
+        |  len(list_filter(arr, x -> x > 20000)) > 0 AS has_gt,
+        |  CAST(NULLIF(COALESCE(list_position(list_transform(arr, x -> x > 20000), true), 0), 0) - 1 AS INTEGER) AS find_idx,
+        |  arr[len(arr)] AS last_e,
+        |  list_contains(arr, 12345) AS contains_v,
+        |  len(arr) + 1 AS appended_n,
+        |  CAST(list_aggregate(arr, 'sum') - arr[2] - arr[3] AS BIGINT) AS mod_sum
+        |FROM a""".stripMargin,
+    "ndvi" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t, event_type,
+        |                  sum(CAST(round(value*100) AS BIGINT)) AS v
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT t,
+        |        max(CASE WHEN event_type = 'purchase' THEN v END) AS nir,
+        |        max(CASE WHEN event_type = 'click' THEN v END) AS red
+        |      FROM d GROUP BY t)
+        |SELECT t, (nir - red) / CAST(nir + red AS DOUBLE) AS nd FROM p""".stripMargin,
+    "apply_kernel" ->
+      """WITH g AS (SELECT user_id % 20 AS x, event_id % 25 AS y,
+        |                  sum(CAST(round(value*100) AS BIGINT)) AS v
+        |           FROM events GROUP BY 1, 2),
+        |k(dx, dy, w) AS (VALUES (0,-1,1),(-1,0,1),(0,0,4),(1,0,1),(0,1,1))
+        |SELECT g.x, g.y, CAST(sum(n.v * k.w) AS BIGINT) AS ksum
+        |FROM g CROSS JOIN k JOIN g n ON n.x = g.x + k.dx AND n.y = g.y + k.dy
+        |GROUP BY 1, 2""".stripMargin,
+    "fit_curve" ->
+      """WITH c AS (SELECT event_type AS band, CAST(event_id AS DOUBLE) AS x,
+        |                  CAST(round(value*100) AS BIGINT) AS y FROM events),
+        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy
+        |      FROM c GROUP BY band)
+        |SELECT band,
+        |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b
+        |FROM m""".stripMargin,
+    "predict_curve" ->
+      """WITH c AS (SELECT event_type AS band, CAST(event_id AS DOUBLE) AS x,
+        |                  CAST(round(value*100) AS BIGINT) AS y FROM events),
+        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy
+        |      FROM c GROUP BY band),
+        |p AS (SELECT band,
+        |        (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a,
+        |        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b
+        |      FROM m)
+        |SELECT band, t.x, a + b * t.x AS value
+        |FROM p CROSS JOIN (VALUES (CAST(0 AS DOUBLE)), (CAST(5000 AS DOUBLE)),
+        |                          (CAST(10000 AS DOUBLE))) t(x)""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core._
+import graft.functions.ArrayFns
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Along-dimension operator semantics on tiny series
+  * (mirrors reference: tests/test_arrays.py, test_apply.py).
+  */
+class SeriesOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def series(vals: Seq[java.lang.Double]): DataCube = {
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "B1", v) }
+      .toDF("i", "band", "value")
+    DataCube.fromTable(df, Seq("i", "band"), "value",
+      Map("i" -> DimType.Other, "band" -> DimType.Bands))
+  }
+
+  def collectByI(c: DataCube): Seq[Option[Double]] =
+    c.df.orderBy("i").collect().toSeq
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+
+  test("cumsum skips nulls but preserves null cells (math.py:125-174)") {
+    val out = collectByI(WindowOps.cumsum(series(Seq(1.0, 2.0, null, 4.0)), "i"))
+    assert(out == Seq(Some(1.0), Some(3.0), None, Some(7.0)))
+  }
+
+  test("interpolate_linear fills gaps, leaves edges null (arrays.py:405-458)") {
+    val out = collectByI(WindowOps.interpolateLinear(
+      series(Seq(null, 2.0, null, null, 8.0, null)), "i"))
+    assert(out == Seq(None, Some(2.0), Some(4.0), Some(6.0), Some(8.0), None))
+  }
+
+  test("orderRank: stable, nulls last (arrays.py:498-535)") {
+    val ranked = WindowOps.orderRank(series(Seq(3.0, 1.0, null, 1.0)), "i")
+    val got = ranked.df.orderBy("i").collect().map(_.getInt(3)).toSeq
+    // values [3,1,null,1] → ascending ranks: 3→2, 1(first)→0, null→3, 1(second)→1
+    assert(got == Seq(2, 0, 3, 1))
+  }
+
+  test("sortAlong reassigns sorted values to positions (arrays.py:558-584)") {
+    val out = collectByI(WindowOps.sortAlong(series(Seq(3.0, 1.0, null, 2.0)), "i"))
+    assert(out == Seq(Some(1.0), Some(2.0), Some(3.0), None))
+  }
+
+  test("array HOFs: modify/find/element (arrays.py)") {
+    val df = Seq(Tuple1(Seq(10L, 20L, 30L, 40L))).toDF("arr")
+    val r = df.select(
+      ArrayFns.arrayModify(col("arr"), array(lit(99L)), 1, 2).as("m"),
+      ArrayFns.arrayFind(col("arr"), lit(30L)).as("f"),
+      ArrayFns.arrayFind(col("arr"), lit(77L)).as("nf"),
+      ArrayFns.arrayElement(col("arr"), 2).as("e"),
+      ArrayFns.rearrange(col("arr"), array(lit(3), lit(0))).as("rr")).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(10L, 99L, 40L))
+    assert(r.getLong(1) == 2L && r.isNullAt(2))
+    assert(r.getLong(3) == 30L)
+    assert(r.getSeq[Long](4) == Seq(40L, 10L))
+  }
+
+  test("ndvi collapses the band dim (indices.py:15-59)") {
+    val df = Seq((1.0, "nir", 8.0), (1.0, "red", 2.0), (2.0, "nir", 5.0), (2.0, "red", 5.0))
+      .toDF("x", "band", "value")
+    val c = DataCube.fromTable(df, Seq("x", "band"), "value")
+    val out = IndicesOps.ndvi(c, "nir", "red").df.orderBy("x").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(0.6, 0.0))
+    assert(!out(0).schema.fieldNames.contains("band"))
+  }
+
+  test("apply_kernel 3x3 identity-ish kernel on a 2x2 grid") {
+    val df = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 2.0), (0.0, 1.0, 3.0), (1.0, 1.0, 4.0))
+      .toDF("x", "y", "value")
+    val c = DataCube.fromTable(df, Seq("x", "y"), "value")
+    val out = KernelOps.applyKernel(c, Seq(Seq(0, 1, 0), Seq(1, 1, 1), Seq(0, 1, 0)))
+      .df.orderBy("x", "y").collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    // cell (0,0): self 1 + right 2 + down 3 = 6 (missing neighbors = 0)
+    assert(out((0.0, 0.0)) == 6.0)
+    assert(out((1.0, 1.0)) == 4.0 + 2.0 + 3.0)
+  }
+
+  test("fitLinear recovers exact line") {
+    val c = series(Seq(1.0, 3.0, 5.0, 7.0)) // y = 1 + 2x
+    val r = CurveOps.fitLinear(c, "i").collect()(0)
+    val (a, b) = (r.getDouble(r.fieldIndex("a")), r.getDouble(r.fieldIndex("b")))
+    assert(math.abs(a - 1.0) < 1e-12 && math.abs(b - 2.0) < 1e-12)
+  }
+}
