@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CubeQueries.queries ++ SeriesQueries.queries ++ PipelineQueries.queries
+    CubeQueries.queries ++ SeriesQueries.queries ++
+      PipelineQueries.queries ++ SpatialQueries.queries ++ MLQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CubeQueries.oracles ++ SeriesQueries.oracles ++ PipelineQueries.oracles
+    CubeQueries.oracles ++ SeriesQueries.oracles ++
+      PipelineQueries.oracles ++ SpatialQueries.oracles ++ MLQueries.oracles
 }

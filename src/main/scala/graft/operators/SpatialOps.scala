@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.core._
+import graft.geo.Geo
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Polygon-based raster operators
+  * (reference: openeo_processes_dask cubes/mask_polygon.py:27-163,
+  * cubes/_filter.py:152-168, cubes/aggregate.py:256-323,
+  * cubes/apply.py:185-219, cubes/resample.py:116-180).
+  *
+  * Geometry predicates are unrolled Column expressions (see [[Geo]]), so
+  * every operator here is a scan + filter/aggregate with whole-stage
+  * codegen — the polygon never leaves the plan, and no row leaves the
+  * executors.
+  */
+object SpatialOps {
+
+  private def xy(cube: DataCube): (String, String) = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y spatial dims")
+    (sd.head, sd(1))
+  }
+
+  /** mask_polygon: replace cells outside (default) or inside the polygon
+    * (reference: cubes/mask_polygon.py:27-163; `inside=true` keeps inside).
+    */
+  def maskPolygon(cube: DataCube, ring: Geo.Ring,
+      replacement: Column = lit(null), inside: Boolean = true): DataCube = {
+    val (xd, yd) = xy(cube)
+    val in = Geo.pointInPolygon(col(xd), col(yd), ring)
+    val keep = if (inside) in else !in
+    cube.withDf(_.withColumn(cube.meta.valueCol,
+      when(keep, cube.value).otherwise(replacement)))
+  }
+
+  /** filter_spatial: crop to the polygon's bbox, then polygon-mask — rows
+    * outside are dropped entirely (reference: cubes/_filter.py:152-168).
+    * The bbox pre-filter is what reaches the parquet scan as a pushed
+    * predicate; the polygon test refines the survivors.
+    */
+  def filterSpatial(cube: DataCube, ring: Geo.Ring): DataCube = {
+    val (xd, yd) = xy(cube)
+    val (w, e, s, n) = Geo.envelope(ring)
+    val boxed = FilterOps.filterBbox(cube, w, e, s, n)
+    boxed.withDf(_.filter(Geo.pointInPolygon(col(xd), col(yd), ring)))
+  }
+
+  /** apply_polygon: apply a scalar process only to cells inside the polygon,
+    * leaving the rest untouched (reference: cubes/apply.py:185-219's
+    * mask→apply→merge composite collapses to a single `when`).
+    */
+  def applyPolygon(cube: DataCube, ring: Geo.Ring,
+      process: Column => Column): DataCube = {
+    val (xd, yd) = xy(cube)
+    val in = Geo.pointInPolygon(col(xd), col(yd), ring)
+    cube.withDf(_.withColumn(cube.meta.valueCol,
+      when(in, process(cube.value)).otherwise(cube.value)))
+  }
+
+  /** aggregate_spatial: zonal statistics — reduce all cells inside each
+    * named geometry (reference: cubes/aggregate.py:256-323). Zones become a
+    * unioned filter-tagged scan: one pass over the cube per plan (Catalyst
+    * merges the union branches' scans), one shuffle on (zone, other dims).
+    * A cell inside several zones counts in each, matching zonal_stats.
+    */
+  def aggregateSpatial(cube: DataCube, zones: Seq[(String, Geo.Ring)],
+      reducer: Column => Column): DataFrame = {
+    val (xd, yd) = xy(cube)
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val tagged = zones.map { case (zid, ring) =>
+      cube.df.filter(Geo.pointInPolygon(col(xd), col(yd), ring))
+        .withColumn("zone", lit(zid))
+    }.reduce(_ unionByName _)
+    tagged.groupBy((col("zone") +: others.map(col)): _*)
+      .agg(reducer(cube.value).as(cube.meta.valueCol))
+  }
+
+  /** resample_cube_spatial, method="near": regrid data onto the target
+    * cube's (x, y) grid by per-axis nearest coordinate
+    * (reference: cubes/resample.py:116-180). Correct for axis-aligned
+    * grids, which is all the reference supports. The coordinate maps are
+    * distinct-coord tables (tiny) broadcast against the fact rows: no
+    * fact-side shuffle for the remap, one shuffle for the final regroup.
+    */
+  def resampleCubeSpatialNear(data: DataCube, targetXs: Seq[Double],
+      targetYs: Seq[Double], reducer: Column => Column): DataCube = {
+    val (xd, yd) = xy(data)
+    val others = data.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val spark = data.df.sparkSession
+    import spark.implicits._
+
+    def nearestMap(coords: DataFrame, cName: String, targets: Seq[Double]) = {
+      import org.apache.spark.sql.expressions.Window
+      val t = targets.toDF("_target")
+      val w = Window.partitionBy(col(cName))
+        .orderBy(abs(col(cName) - col("_target")).asc, col("_target").asc)
+      coords.join(broadcast(t))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col(cName), col("_target").as(s"_near_$cName"))
+    }
+
+    val xMap = nearestMap(data.df.select(col(xd)).distinct(), xd, targetXs)
+    val yMap = nearestMap(data.df.select(col(yd)).distinct(), yd, targetYs)
+    val remapped = data.df
+      .join(broadcast(xMap), Seq(xd)).join(broadcast(yMap), Seq(yd))
+    val out = remapped
+      .groupBy((col(s"_near_$xd").as(xd) +: col(s"_near_$yd").as(yd) +:
+        others.map(col)): _*)
+      .agg(reducer(data.value).as(data.meta.valueCol))
+    data.copy(df = out)
+  }
+}

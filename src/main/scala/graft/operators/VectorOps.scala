@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.geo.Geo
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** VectorCube operators
+  * (reference: openeo_processes_dask cubes/geometries.py — load_geojson,
+  * vector_buffer, vector_reproject; cubes/_filter.py:241-281 vector
+  * filter_bbox).
+  *
+  * A VectorCube is a DataFrame with a `geometry` column of
+  * `array<struct<x:double,y:double>>` (a ring for polygons, a single
+  * element for points) plus property columns; the CRS travels in the cube
+  * metadata. Geometry math is Column-expression arithmetic over the vertex
+  * arrays — engine-portable, codegen-friendly, no geometry library.
+  */
+object VectorOps {
+
+  val PointType = "array<struct<x:double,y:double>>"
+
+  /** Minimal inline-GeoJSON loader: accepts a FeatureCollection of Point /
+    * Polygon (outer ring) features; properties become columns
+    * (reference: cubes/geometries.py:24-120). Parsing happens driver-side
+    * on the inline document — the reference does the same via geopandas.
+    */
+  def loadGeoJson(spark: SparkSession, geojson: String,
+      properties: Seq[String]): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val root = JsonMethods.parse(geojson)
+    val features = (root \ "features").extract[List[JValue]]
+    val rows = features.zipWithIndex.map { case (f, i) =>
+      val geomType = (f \ "geometry" \ "type").extract[String]
+      val coords = geomType match {
+        case "Point" =>
+          val c = (f \ "geometry" \ "coordinates").extract[List[Double]]
+          Seq((c(0), c(1)))
+        case "Polygon" =>
+          (f \ "geometry" \ "coordinates").extract[List[List[List[Double]]]]
+            .head.map(c => (c(0), c(1)))
+        case t => throw new IllegalArgumentException(s"unsupported geometry: $t")
+      }
+      val props = properties.map(p =>
+        (f \ "properties" \ p) match {
+          case JNothing | JNull => null
+          case v: JString => v.s
+          case v => JsonMethods.compact(JsonMethods.render(v))
+        })
+      (i.toLong, geomType, coords, props)
+    }
+    import spark.implicits._
+    val base = rows.map { case (i, t, cs, ps) => (i, t, cs) }
+      .toDF("geom_id", "geom_type", "_coords")
+      .withColumn("geometry",
+        expr("transform(_coords, c -> struct(c._1 as x, c._2 as y))"))
+      .drop("_coords")
+    properties.zipWithIndex.foldLeft(base) { case (df, (p, idx)) =>
+      val vals = rows.map { case (i, _, _, ps) => (i, ps(idx)) }.toDF("geom_id", p)
+      df.join(vals, "geom_id")
+    }
+  }
+
+  /** vector_buffer for point geometries: Minkowski buffer approximated by a
+    * regular `segments`-gon around each point
+    * (reference: cubes/geometries.py:123-146 — errors on geographic CRS are
+    * the caller's CRS-metadata check). Pure expression: the circle offsets
+    * are plan-time constants.
+    */
+  def bufferPoints(df: DataFrame, geomCol: String, distance: Double,
+      segments: Int = 16): DataFrame = {
+    val offsets = (0 until segments).map { k =>
+      val a = 2 * math.Pi * k / segments
+      (distance * math.cos(a), distance * math.sin(a))
+    }
+    val px = element_at(col(geomCol), 1).getField("x")
+    val py = element_at(col(geomCol), 1).getField("y")
+    val ring = array(offsets.map { case (dx, dy) =>
+      struct((px + dx).as("x"), (py + dy).as("y"))
+    }: _*)
+    df.withColumn(geomCol, ring)
+  }
+
+  /** vector_reproject EPSG:4326 → EPSG:3857 over every vertex
+    * (reference: cubes/geometries.py:149-170). Vertex-wise Column
+    * arithmetic; metadata CRS update is the caller's.
+    */
+  def reprojectToMercator(df: DataFrame, geomCol: String): DataFrame =
+    df.withColumn(geomCol, transform(col(geomCol), p =>
+      struct(Geo.lonToMercatorX(p.getField("x")).as("x"),
+        Geo.latToMercatorY(p.getField("y")).as("y"))))
+
+  /** Vector filter_bbox: keep non-empty geometries whose envelope
+    * intersects the bbox (reference: cubes/_filter.py:241-281).
+    */
+  def filterBboxVector(df: DataFrame, geomCol: String, west: Double,
+      east: Double, south: Double, north: Double): DataFrame = {
+    val xs = transform(col(geomCol), _.getField("x"))
+    val ys = transform(col(geomCol), _.getField("y"))
+    df.filter(size(col(geomCol)) > 0 &&
+      array_max(xs) >= west && array_min(xs) <= east &&
+      array_max(ys) >= south && array_min(ys) <= north)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.operators.MLOps
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML + streaming queries. `ml_random_forest` has no SQL oracle (MLlib tree
+  * ensembles aren't DuckDB-expressible) → the driver records the weaker
+  * rows-only check; the model run itself is seeded and deterministic.
+  * `streaming_window` runs a real Structured Streaming query to completion
+  * and IS oracle-checked against the batch equivalent.
+  */
+object MLQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "ml_random_forest" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").cast("double").as("f_part"),
+          col("l_suppkey").cast("double").as("f_supp"),
+          col("l_discount").as("f_disc"),
+          col("l_extendedprice").as("f_price"),
+          col("l_quantity"))
+      val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
+      val model = MLOps.fitRandomForest(li, feats, "l_quantity",
+        numTrees = 20, maxDepth = 6)
+      MLOps.predictRandomForest(model, li.limit(200), feats)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 4).as("pred_qty"))
+    },
+    "streaming_window" -> { (s, dir) =>
+      StreamingOps.windowedEventAggregate(s, s"$dir/events.parquet")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // ml_random_forest intentionally omitted (rows-only check)
+    "streaming_window" ->
+      """SELECT epoch_us(ts) // 21600000000 AS bucket, event_type AS band,
+        |       count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.core._
+import graft.functions.{Reducers, Scalar}
+import graft.geo.Geo
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness queries for the polygon/vector/CRS operator family
+  * (SURVEY.md §2.2 filter_spatial, §2.3 mask_polygon + aggregate_spatial +
+  * resample_cube_spatial, §2.10, §2.12) and the text/date scalar functions.
+  *
+  * The point-in-polygon oracles are GENERATED from the same ring constants
+  * as the Spark plans (Geo.pointInPolygonSql), so both engines evaluate
+  * identical arithmetic.
+  */
+object SpatialQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // vertices offset by .5 so no integer grid point lies on an edge
+  private val ring: Geo.Ring = Seq(
+    (20.5, 1.5), (180.5, 0.5), (190.5, 9.5), (100.5, 9.8), (10.5, 8.5))
+
+  private val zoneA: Geo.Ring = Seq((0.5, 0.5), (100.5, 0.5), (50.5, 10.5))
+  private val zoneB: Geo.Ring = Seq((80.5, 0.5), (200.5, 0.5), (200.5, 10.5), (80.5, 10.5))
+
+  private val targetXs: Seq[Double] = (0 until 15).map(i => 3.0 + 14 * i)
+  private val targetYs: Seq[Double] = Seq(2.0, 5.0, 8.0)
+
+  private def gridCube(s: SparkSession, dir: String): DataCube =
+    Tables.lineitemCube(s, dir,
+      Seq("l_partkey" -> "x", "l_suppkey" -> "y", "l_returnflag" -> "band"))
+
+  // inline GeoJSON fixture (mirrors the reference's test fixtures,
+  // tests/conftest.py:142-181: point + polygon features with properties)
+  private val geojson =
+    """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","geometry":{"type":"Point","coordinates":[3.2,4.1]},
+      | "properties":{"class":"a"}},
+      |{"type":"Feature","geometry":{"type":"Point","coordinates":[10.25,-2.5]},
+      | "properties":{"class":"b"}},
+      |{"type":"Feature","geometry":{"type":"Polygon","coordinates":
+      |  [[[0.0,0.0],[4.0,0.0],[4.0,3.0],[0.0,3.0],[0.0,0.0]]]},
+      | "properties":{"class":"c"}}]}""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mask_polygon" -> { (s, dir) =>
+      val masked = SpatialOps.maskPolygon(gridCube(s, dir), ring)
+      masked.df.groupBy(col("band")).agg(
+        count(col("value")).as("n_in"),
+        sum(col("value")).cast("bigint").as("sum_in"))
+    },
+    "filter_spatial" -> { (s, dir) =>
+      val kept = SpatialOps.filterSpatial(gridCube(s, dir), ring)
+      kept.df.groupBy(col("band")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).cast("bigint").as("sum_qty"))
+    },
+    "apply_polygon" -> { (s, dir) =>
+      val doubled = SpatialOps.applyPolygon(gridCube(s, dir), ring,
+        v => Scalar.multiply(v, lit(2)))
+      doubled.df.groupBy(col("band"))
+        .agg(sum(col("value")).cast("bigint").as("sum_v"))
+    },
+    "aggregate_spatial" -> { (s, dir) =>
+      val c = gridCube(s, dir)
+      val sums = SpatialOps.aggregateSpatial(c, Seq("A" -> zoneA, "B" -> zoneB),
+        v => Reducers.sumR(v))
+      val counts = SpatialOps.aggregateSpatial(c, Seq("A" -> zoneA, "B" -> zoneB),
+        _ => Reducers.countAll())
+      sums.withColumnRenamed("value", "sum_qty")
+        .withColumn("sum_qty", col("sum_qty").cast("bigint"))
+        .join(counts.withColumnRenamed("value", "n"), Seq("zone", "band"))
+    },
+    "resample_cube_spatial" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val r = SpatialOps.resampleCubeSpatialNear(c, targetXs, targetYs,
+        v => Reducers.sumR(v))
+      r.df.select(col("x"), col("y"), col("value").cast("bigint").as("sum_qty"))
+    },
+    "vector_reproject" -> { (s, dir) =>
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") % 360 - 180 + 0.25).as("lon"),
+        (col("c_custkey") % 170 - 85 + 0.25).as("lat"))
+      pts.select(col("c_custkey"),
+        round(Geo.lonToMercatorX(col("lon")), 2).as("mx"),
+        round(Geo.latToMercatorY(col("lat")), 2).as("my"))
+    },
+    "vector_geojson_buffer" -> { (s, dir) =>
+      val vc = VectorOps.loadGeoJson(s, geojson, Seq("class"))
+      val pts = VectorOps.bufferPoints(
+        vc.filter(col("geom_type") === "Point"), "geometry", 1.5)
+      val all = pts.unionByName(vc.filter(col("geom_type") === "Polygon"))
+      val filtered = VectorOps.filterBboxVector(all, "geometry", 0.0, 12.0, -6.0, 6.0)
+      filtered.select(col("geom_id"), col("geom_type"), col("class"),
+        size(col("geometry")).as("n_vertices"),
+        round(aggregate(transform(col("geometry"), _.getField("x")),
+          lit(0.0), _ + _), 6).as("sum_x"))
+    },
+    "text_date_fns" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.select(col("o_orderkey"),
+        Scalar.textBegins(col("o_orderpriority"), "1").as("p_begins"),
+        Scalar.textContains(col("o_orderpriority"), "urgent",
+          caseSensitive = false).as("p_urgent"),
+        Scalar.textEnds(col("o_orderpriority"), "NT").as("p_ends"),
+        Scalar.dateShift(col("o_orderdate"), 1, "month").cast("date").as("next_month"),
+        Scalar.dateDifference(to_timestamp(lit("1995-01-01")),
+          col("o_orderdate"), "month").cast("bigint").as("months_since"),
+        Scalar.dateBetween(col("o_orderdate"),
+          to_timestamp(lit("1995-06-01")), to_timestamp(lit("1996-01-01"))).as("in_h2"))
+    }
+  )
+
+  private def pip(px: String, py: String, r: Geo.Ring): String =
+    Geo.pointInPolygonSql(px, py, r)
+
+  val oracles: Map[String, String] = {
+    // expected vector_geojson_buffer rows, computed driver-side with the
+    // exact same double arithmetic the plan constants use
+    val bufferedRows = {
+      val pts = Seq((0L, "a", 3.2, 4.1), (1L, "b", 10.25, -2.5))
+      val offsets = (0 until 16).map { k =>
+        val a = 2 * math.Pi * k / 16
+        (1.5 * math.cos(a), 1.5 * math.sin(a))
+      }
+      val pointRows = pts.map { case (id, cls, px, py) =>
+        val xs = offsets.map { case (dx, dy) => px + dx }
+        val inBbox = {
+          val ys = offsets.map { case (dx, dy) => py + dy }
+          xs.max >= 0.0 && xs.min <= 12.0 && ys.max >= -6.0 && ys.min <= 6.0
+        }
+        // replicate Spark's round(col, 6) exactly: HALF_UP on the decimal
+        val sumX = BigDecimal(xs.foldLeft(0.0)(_ + _))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, "Point", cls, 16, sumX, inBbox)
+      }
+      val polyRow = (2L, "Polygon", "c", 5, 8.0, true)
+      (pointRows :+ polyRow).filter(_._6).map { case (id, t, c, n, sx, _) =>
+        s"($id, '$t', '$c', $n, CAST($sx AS DOUBLE))"
+      }.mkString(",\n  ")
+    }
+    Map(
+      "mask_polygon" ->
+        s"""SELECT l_returnflag AS band,
+           |  count(CASE WHEN ${pip("l_partkey", "l_suppkey", ring)} THEN 1 END) AS n_in,
+           |  CAST(sum(CASE WHEN ${pip("l_partkey", "l_suppkey", ring)} THEN l_quantity END) AS BIGINT) AS sum_in
+           |FROM lineitem GROUP BY 1""".stripMargin,
+      "filter_spatial" ->
+        s"""SELECT l_returnflag AS band, count(*) AS n,
+           |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           |FROM lineitem
+           |WHERE l_partkey BETWEEN 10.5 AND 190.5 AND l_suppkey BETWEEN 0.5 AND 9.8
+           |  AND ${pip("l_partkey", "l_suppkey", ring)}
+           |GROUP BY 1""".stripMargin,
+      "apply_polygon" ->
+        s"""SELECT l_returnflag AS band,
+           |  CAST(sum(CASE WHEN ${pip("l_partkey", "l_suppkey", ring)}
+           |       THEN l_quantity * 2 ELSE l_quantity END) AS BIGINT) AS sum_v
+           |FROM lineitem GROUP BY 1""".stripMargin,
+      "aggregate_spatial" ->
+        s"""WITH z AS (
+           |  SELECT 'A' AS zone, l_returnflag AS band, l_quantity FROM lineitem
+           |  WHERE ${pip("l_partkey", "l_suppkey", zoneA)}
+           |  UNION ALL
+           |  SELECT 'B' AS zone, l_returnflag AS band, l_quantity FROM lineitem
+           |  WHERE ${pip("l_partkey", "l_suppkey", zoneB)})
+           |SELECT zone, band, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           |       count(*) AS n
+           |FROM z GROUP BY 1, 2""".stripMargin,
+      "resample_cube_spatial" ->
+        s"""WITH xm AS (SELECT x, t FROM (
+           |    SELECT x, t, row_number() OVER (PARTITION BY x ORDER BY abs(x - t), t) AS rn
+           |    FROM (SELECT DISTINCT CAST(l_partkey AS DOUBLE) AS x FROM lineitem)
+           |    CROSS JOIN (SELECT 3.0 + 14 * i AS t FROM range(0, 15) r(i))) WHERE rn = 1),
+           |ym AS (SELECT y, t FROM (
+           |    SELECT y, t, row_number() OVER (PARTITION BY y ORDER BY abs(y - t), t) AS rn
+           |    FROM (SELECT DISTINCT CAST(l_suppkey AS DOUBLE) AS y FROM lineitem)
+           |    CROSS JOIN (VALUES (2.0), (5.0), (8.0)) v(t)) WHERE rn = 1)
+           |SELECT xm.t AS x, ym.t AS y, CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+           |FROM lineitem l JOIN xm ON xm.x = l.l_partkey JOIN ym ON ym.y = l.l_suppkey
+           |GROUP BY 1, 2""".stripMargin,
+      "vector_reproject" ->
+        """SELECT c_custkey,
+          |  round(radians(c_custkey % 360 - 180 + 0.25) * 6378137.0, 2) AS mx,
+          |  round(ln(tan(pi()/4 + radians(c_custkey % 170 - 85 + 0.25)/2)) * 6378137.0, 2) AS my
+          |FROM customer""".stripMargin,
+      "vector_geojson_buffer" ->
+        s"""SELECT * FROM (VALUES
+           |  $bufferedRows
+           |) t(geom_id, geom_type, class, n_vertices, sum_x)""".stripMargin,
+      "text_date_fns" ->
+        """SELECT o_orderkey,
+          |  starts_with(o_orderpriority, '1') AS p_begins,
+          |  contains(lower(o_orderpriority), 'urgent') AS p_urgent,
+          |  ends_with(o_orderpriority, 'NT') AS p_ends,
+          |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+          |  (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since,
+          |  o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1996-01-01' AS in_h2
+          |FROM orders""".stripMargin
+    )
+  }
+}

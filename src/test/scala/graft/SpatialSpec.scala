@@ -1,0 +1,87 @@
+package graft
+
+import graft.core._
+import graft.functions.Reducers
+import graft.geo.Geo
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val unitSquare: Geo.Ring = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+
+  def grid: DataCube = {
+    val df = (for { x <- 0 until 20; y <- 0 until 20 }
+      yield (x + 0.5, y + 0.5, 1.0)).toDF("x", "y", "value")
+    DataCube.fromTable(df, Seq("x", "y"), "value")
+  }
+
+  test("pointInPolygon classifies inside/outside for a square") {
+    val pts = Seq((5.0, 5.0, true), (15.0, 5.0, false), (-1.0, 3.0, false),
+      (9.9, 9.9, true)).toDF("px", "py", "expected")
+    val got = pts.withColumn("in", Geo.pointInPolygon(col("px"), col("py"), unitSquare))
+    assert(got.filter(col("in") =!= col("expected")).count() == 0)
+  }
+
+  test("mask_polygon nulls outside; filter_spatial drops outside") {
+    val masked = SpatialOps.maskPolygon(grid, unitSquare)
+    assert(masked.df.filter(col("value").isNotNull).count() == 100)
+    assert(masked.df.count() == 400)
+    val filtered = SpatialOps.filterSpatial(grid, unitSquare)
+    assert(filtered.df.count() == 100)
+  }
+
+  test("aggregate_spatial counts cells per overlapping zone") {
+    val zones = Seq("sq" -> unitSquare,
+      "all" -> Seq((-1.0, -1.0), (21.0, -1.0), (21.0, 21.0), (-1.0, 21.0)))
+    val out = SpatialOps.aggregateSpatial(grid, zones, v => Reducers.sumR(v))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("sq" -> 100.0, "all" -> 400.0))
+  }
+
+  test("resample_cube_spatial near maps to nearest target coords") {
+    val c = DataCube.fromTable(
+      Seq((1.0, 1.0, 10.0), (4.0, 1.0, 20.0), (6.0, 1.0, 30.0))
+        .toDF("x", "y", "value"), Seq("x", "y"), "value")
+    val r = SpatialOps.resampleCubeSpatialNear(c, Seq(0.0, 5.0), Seq(1.0),
+      v => Reducers.sumR(v))
+    val got = r.df.collect().map(row => row.getDouble(0) -> row.getDouble(2)).toMap
+    assert(got == Map(0.0 -> 10.0, 5.0 -> 50.0)) // 4.0 and 6.0 both → 5.0
+  }
+
+  test("mercator round-trips") {
+    val df = Seq((12.5, 47.3)).toDF("lon", "lat")
+    val back = df.select(
+      Geo.mercatorXToLon(Geo.lonToMercatorX(col("lon"))).as("lon2"),
+      Geo.mercatorYToLat(Geo.latToMercatorY(col("lat"))).as("lat2")).collect()(0)
+    assert(math.abs(back.getDouble(0) - 12.5) < 1e-9)
+    assert(math.abs(back.getDouble(1) - 47.3) < 1e-9)
+  }
+
+  test("vector ops: geojson load, point buffer, bbox filter") {
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,1.0]},
+       "properties":{"class":"p"}},
+      {"type":"Feature","geometry":{"type":"Polygon","coordinates":
+        [[[50.0,50.0],[60.0,50.0],[60.0,60.0],[50.0,60.0],[50.0,50.0]]]},
+       "properties":{"class":"far"}}]}"""
+    val vc = VectorOps.loadGeoJson(spark, gj, Seq("class"))
+    assert(vc.count() == 2)
+    val buffered = VectorOps.bufferPoints(
+      vc.filter(col("geom_type") === "Point"), "geometry", 2.0, segments = 8)
+    assert(buffered.select(size(col("geometry"))).collect()(0).getInt(0) == 8)
+    val kept = VectorOps.filterBboxVector(vc, "geometry", 0.0, 10.0, 0.0, 10.0)
+    assert(kept.collect().map(_.getAs[String]("class")).toSeq == Seq("p"))
+  }
+}
