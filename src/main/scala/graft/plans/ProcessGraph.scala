@@ -1,0 +1,265 @@
+package graft.plans
+
+import graft.core._
+import graft.functions.{Reducers, Scalar}
+import graft.operators._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** OpenEO process-graph front end (SURVEY.md §3.4).
+  *
+  * The reference delegates graph parsing/execution to the external
+  * `openeo-pg-parser-networkx` package and executes node-by-node in graph
+  * order with no optimizer (reference: README.md:11, core.py:16-103). Here
+  * the graph COMPILES: scalar callback sub-graphs become single Catalyst
+  * Column trees (fused by whole-stage codegen), reducer sub-graphs become
+  * aggregate Columns, and cube-level nodes chain DataCube operators — the
+  * result is one unexecuted DataFrame whose logical plan Catalyst then
+  * analyzes and optimizes across ALL nodes at once. `ParameterReference`
+  * (`from_parameter`) resolution mirrors core.py:44-69.
+  *
+  * Graph format: `{"process_graph": {nodeId: {"process_id": ...,
+  * "arguments": {...}, "result": true}}}` with `{"from_node": id}` and
+  * `{"from_parameter": name}` references and nested
+  * `{"process_graph": ...}` callbacks — the standard OpenEO wire format.
+  */
+object ProcessGraph {
+
+  /** Runtime values a node can produce. */
+  sealed trait PValue
+  final case class CubeV(cube: DataCube) extends PValue
+  final case class ColV(col: Column) extends PValue
+  final case class NumV(v: Double) extends PValue
+  final case class StrV(v: String) extends PValue
+  final case class BoolV(v: Boolean) extends PValue
+  final case class ArrV(v: Seq[PValue]) extends PValue
+  case object NullV extends PValue
+
+  private final case class Node(id: String, processId: String,
+      args: Map[String, JValue], result: Boolean)
+
+  /** Execute a process-graph JSON document. `collections` resolves
+    * `load_collection` ids to cubes (the engine's equivalent of the
+    * backend's catalog).
+    */
+  def execute(spark: SparkSession, json: String,
+      collections: String => DataCube): DataCube = {
+    val root = JsonMethods.parse(json)
+    val pg = root \ "process_graph" match {
+      case JNothing => root
+      case x => x
+    }
+    evalGraph(pg, Map.empty, collections) match {
+      case CubeV(c) => c
+      case other => throw new IllegalArgumentException(
+        s"graph result is not a cube: $other")
+    }
+  }
+
+  private def nodes(pg: JValue): Map[String, Node] = pg match {
+    case JObject(fields) => fields.map { case (id, body) =>
+      val pid = (body \ "process_id") match {
+        case JString(s) => s
+        case _ => throw new IllegalArgumentException(s"node $id: no process_id")
+      }
+      val args = (body \ "arguments") match {
+        case JObject(a) => a.toMap
+        case _ => Map.empty[String, JValue]
+      }
+      val res = (body \ "result") == JBool(true)
+      id -> Node(id, pid, args, res)
+    }.toMap
+    case _ => throw new IllegalArgumentException("process graph must be an object")
+  }
+
+  private def evalGraph(pg: JValue, params: Map[String, PValue],
+      collections: String => DataCube): PValue = {
+    val ns = nodes(pg)
+    val resultNode = ns.values.find(_.result).getOrElse(
+      throw new IllegalArgumentException("no result node"))
+    val memo = scala.collection.mutable.Map.empty[String, PValue]
+
+    def evalNode(id: String): PValue = memo.getOrElseUpdate(id, {
+      val n = ns.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown node $id"))
+      applyProcess(n.processId,
+        n.args.map { case (k, v) => k -> evalArg(v) }, params, collections)
+    })
+
+    def evalArg(v: JValue): PValue = v match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        if (m.contains("from_node")) evalNode(m("from_node").asInstanceOf[JString].s)
+        else if (m.contains("from_parameter")) {
+          val p = m("from_parameter").asInstanceOf[JString].s
+          params.getOrElse(p, throw new IllegalArgumentException(
+            s"ProcessParameterMissing: $p"))
+        }
+        else if (m.contains("process_graph"))
+          // callback graphs stay unevaluated here; applyProcess re-walks them
+          StrV(JsonMethods.compact(JsonMethods.render(v)))
+        else NullV
+      case JString(s) => StrV(s)
+      case JInt(i) => NumV(i.toDouble)
+      case JDouble(d) => NumV(d)
+      case JDecimal(d) => NumV(d.toDouble)
+      case JLong(l) => NumV(l.toDouble)
+      case JBool(b) => BoolV(b)
+      case JArray(xs) => ArrV(xs.map(evalArg))
+      case JNull | JNothing => NullV
+    }
+
+    def applyProcess(pid: String, args: Map[String, PValue],
+        outerParams: Map[String, PValue],
+        colls: String => DataCube): PValue = {
+      Registry.apply(pid, args, (cbJson, cbParams) =>
+        evalGraph(JsonMethods.parse(cbJson) \ "process_graph",
+          cbParams, colls), colls)
+    }
+
+    evalNode(resultNode.id)
+  }
+
+  /** The process registry: process_id → implementation over PValues.
+    * Mirrors the reference's auto-registered ProcessRegistry
+    * (core.py:97-103) with explicit registration.
+    */
+  private object Registry {
+
+    type Callback = (String, Map[String, PValue]) => PValue
+
+    def apply(pid: String, args: Map[String, PValue], runCallback: Callback,
+        collections: String => DataCube): PValue = {
+
+      def cube(name: String): DataCube = args(name) match {
+        case CubeV(c) => c
+        case v => throw new IllegalArgumentException(s"$pid.$name: not a cube ($v)")
+      }
+      def column(name: String): Column = args(name) match {
+        case ColV(c) => c
+        case NumV(v) => lit(v)
+        case StrV(s) => lit(s)
+        case BoolV(b) => lit(b)
+        case NullV => lit(null)
+        case v => throw new IllegalArgumentException(s"$pid.$name: not scalar ($v)")
+      }
+      def str(name: String): String = args(name) match {
+        case StrV(s) => s
+        case v => throw new IllegalArgumentException(s"$pid.$name: not a string ($v)")
+      }
+      def num(name: String): Double = args(name) match {
+        case NumV(v) => v
+        case v => throw new IllegalArgumentException(s"$pid.$name: not a number ($v)")
+      }
+      def strs(name: String): Seq[String] = args(name) match {
+        case ArrV(xs) => xs.map { case StrV(s) => s; case v => v.toString }
+        case v => throw new IllegalArgumentException(s"$pid.$name: not an array ($v)")
+      }
+      def opt(name: String): Option[PValue] =
+        args.get(name).filterNot(_ == NullV)
+
+      /** run a callback sub-graph (stored as JSON text) as a scalar
+        * Column→Column process (reference: `apply`'s `process` argument)
+        */
+      def scalarCallback(name: String): Column => Column = {
+        val cbJson = str(name)
+        c => runCallback(cbJson, Map("x" -> ColV(c), "data" -> ColV(c))) match {
+          case ColV(out) => out
+          case NumV(v) => lit(v)
+          case v => throw new IllegalArgumentException(s"callback returned $v")
+        }
+      }
+
+      /** run a reducer sub-graph as an aggregate Column builder */
+      def reducerCallback(name: String): Column => Column = {
+        val cbJson = str(name)
+        c => runCallback(cbJson, Map("data" -> ColV(c))) match {
+          case ColV(out) => out
+          case v => throw new IllegalArgumentException(s"reducer returned $v")
+        }
+      }
+
+      pid match {
+        // ---- cube-level ----
+        case "load_collection" => CubeV(collections(str("id")))
+        case "filter_temporal" =>
+          val ext = args("extent").asInstanceOf[ArrV].v
+          CubeV(FilterOps.filterTemporal(cube("data"),
+            ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v,
+            opt("dimension").map(_.asInstanceOf[StrV].v)))
+        case "filter_bands" =>
+          CubeV(FilterOps.filterBands(cube("data"), strs("bands")))
+        case "filter_bbox" =>
+          val e = args("extent").asInstanceOf[ArrV].v.map(_.asInstanceOf[NumV].v)
+          CubeV(FilterOps.filterBbox(cube("data"), e(0), e(1), e(2), e(3)))
+        case "apply" =>
+          CubeV(ApplyOps.apply(cube("data"), scalarCallback("process")))
+        case "reduce_dimension" =>
+          CubeV(ReduceOps.reduceDimension(cube("data"), str("dimension"),
+            reducerCallback("reducer")))
+        case "aggregate_temporal_period" =>
+          CubeV(AggregateOps.aggregateTemporalPeriod(cube("data"),
+            str("period"), reducerCallback("reducer")))
+        case "merge_cubes" =>
+          CubeV(MergeOps.mergeCubes(cube("cube1"), cube("cube2"),
+            Some((a, b) => a + b))) // resolver sub-graphs: overlap add default
+        case "mask" =>
+          CubeV(MergeOps.mask(cube("data"), cube("mask"),
+            if (opt("replacement").isDefined) column("replacement") else lit(null)))
+        case "add_dimension" =>
+          CubeV(CubeDimOps.addDimension(cube("data"), str("name"), str("label")))
+        case "rename_labels" =>
+          val src = strs("source"); val tgt = strs("target")
+          CubeV(CubeDimOps.renameLabels(cube("data"), str("dimension"),
+            src.zip(tgt).toMap))
+        case "ndvi" =>
+          CubeV(IndicesOps.ndvi(cube("data"), str("nir"), str("red")))
+
+        // ---- scalar ----
+        case "add" => ColV(Scalar.add(column("x"), column("y")))
+        case "subtract" => ColV(Scalar.subtract(column("x"), column("y")))
+        case "multiply" => ColV(Scalar.multiply(column("x"), column("y")))
+        case "divide" => ColV(Scalar.divide(column("x"), column("y")))
+        case "power" => ColV(Scalar.power(column("base"), column("p")))
+        case "sqrt" => ColV(Scalar.sqrtC(column("x")))
+        case "ln" => ColV(Scalar.ln(column("x")))
+        case "exp" => ColV(Scalar.expC(column("x")))
+        case "absolute" => ColV(Scalar.absolute(column("x")))
+        case "floor" => ColV(Scalar.floorC(column("x")))
+        case "clip" => ColV(Scalar.clip(column("x"), num("min"), num("max")))
+        case "linear_scale_range" =>
+          ColV(Scalar.linearScaleRange(column("x"),
+            num("inputMin"), num("inputMax"),
+            args.get("outputMin").collect { case NumV(v) => v }.getOrElse(0.0),
+            args.get("outputMax").collect { case NumV(v) => v }.getOrElse(1.0)))
+        case "gt" => ColV(Scalar.gt(column("x"), column("y")))
+        case "lt" => ColV(Scalar.lt(column("x"), column("y")))
+        case "gte" => ColV(Scalar.gte(column("x"), column("y")))
+        case "lte" => ColV(Scalar.lte(column("x"), column("y")))
+        case "eq" => ColV(Scalar.eq(column("x"), column("y")))
+        case "between" =>
+          ColV(Scalar.between(column("x"), column("min"), column("max")))
+        case "and" => ColV(Scalar.and(column("x"), column("y")))
+        case "or" => ColV(Scalar.or(column("x"), column("y")))
+        case "not" => ColV(Scalar.not(column("x")))
+        case "if" => ColV(Scalar.ifThen(column("value"), column("accept"),
+          args.get("reject").map(_ => column("reject")).getOrElse(lit(null))))
+
+        // ---- reducers (inside reduce_dimension callbacks) ----
+        case "mean" => ColV(Reducers.meanR(column("data")))
+        case "sum" => ColV(Reducers.sumR(column("data")))
+        case "min" => ColV(Reducers.minR(column("data")))
+        case "max" => ColV(Reducers.maxR(column("data")))
+        case "median" => ColV(Reducers.medianR(column("data")))
+        case "sd" => ColV(Reducers.sdR(column("data")))
+        case "variance" => ColV(Reducers.varianceR(column("data")))
+        case "count" => ColV(Reducers.countValid(column("data")))
+
+        case other =>
+          throw new IllegalArgumentException(s"ProcessUnsupported: $other")
+      }
+    }
+  }
+}

@@ -108,6 +108,21 @@ object CubeQueries {
       p.df.select(col("okey").as("l_orderkey"), col("value").as("prod_scaled"))
     },
 
+    "reduce_bool" -> { (s, dir) =>
+      // any/all reducers with 3-valued nodata semantics (logic.py:58-87):
+      // flag is null where discount > 0.05, else quantity > 25
+      val df = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("band"),
+        when(col("l_discount") > 0.05, lit(null))
+          .otherwise(col("l_quantity") > 25).as("value"))
+      val c = DataCube.fromTable(df.withColumn("r", lit(1)), Seq("band", "r"), "value")
+      ReduceOps.reduceDimensionMulti(c, "r", Seq(
+        "any_v" -> (v => Reducers.anyR(v)),
+        "all_v" -> (v => Reducers.allR(v)),
+        "any_strict" -> (v => Reducers.anyR(v, ignoreNodata = false)),
+        "all_strict" -> (v => Reducers.allR(v, ignoreNodata = false)))).df
+    },
+
     // ---- merge / mask (§2.3) ----
     "merge_cubes" -> { (s, dir) =>
       def half(pred: Column): DataCube = {
@@ -247,6 +262,20 @@ object CubeQueries {
         |FROM (SELECT l_orderkey, l_linenumber, 100 + round(min(l_tax)*100) AS m
         |      FROM lineitem GROUP BY 1, 2)
         |GROUP BY 1""".stripMargin,
+    "reduce_bool" ->
+      """WITH f AS (SELECT l_returnflag AS band,
+        |    CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity > 25 END AS v
+        |  FROM lineitem)
+        |SELECT band,
+        |  bool_or(v) AS any_v,
+        |  bool_and(v) AS all_v,
+        |  CASE WHEN count(CASE WHEN v IS NULL THEN 1 END) > 0
+        |            AND NOT coalesce(bool_or(v), false)
+        |       THEN NULL ELSE bool_or(v) END AS any_strict,
+        |  CASE WHEN count(CASE WHEN v IS NULL THEN 1 END) > 0
+        |            AND coalesce(bool_and(v), true)
+        |       THEN NULL ELSE bool_and(v) END AS all_strict
+        |FROM f GROUP BY 1""".stripMargin,
     "merge_cubes" ->
       """SELECT COALESCE(a.x, b.x) AS l_partkey,
         |       CAST(COALESCE(a.s, 0) + COALESCE(b.s, 0) AS BIGINT) AS total

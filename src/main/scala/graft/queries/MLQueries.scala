@@ -34,6 +34,39 @@ object MLQueries {
     },
     "streaming_window" -> { (s, dir) =>
       StreamingOps.windowedEventAggregate(s, s"$dir/events.parquet")
+    },
+
+    // OpenEO JSON process graph compiled end-to-end (SURVEY §3.4): the
+    // reference's canonical load → filter → apply(callback) →
+    // reduce_dimension(reducer) slice, arriving as wire-format JSON.
+    "process_graph" -> { (s, dir) =>
+      val graph =
+        """{"process_graph": {
+          |  "load": {"process_id": "load_collection",
+          |           "arguments": {"id": "events"}},
+          |  "filt": {"process_id": "filter_temporal",
+          |           "arguments": {"data": {"from_node": "load"},
+          |                         "extent": ["2024-01-05", "2024-01-25"]}},
+          |  "sc":   {"process_id": "apply",
+          |           "arguments": {"data": {"from_node": "filt"},
+          |             "process": {"process_graph": {
+          |               "m": {"process_id": "multiply",
+          |                     "arguments": {"x": {"from_parameter": "x"}, "y": 100}},
+          |               "f": {"process_id": "floor",
+          |                     "arguments": {"x": {"from_node": "m"}},
+          |                     "result": true}}}}},
+          |  "red":  {"process_id": "reduce_dimension",
+          |           "arguments": {"data": {"from_node": "sc"}, "dimension": "t",
+          |             "reducer": {"process_graph": {
+          |               "m1": {"process_id": "mean",
+          |                      "arguments": {"data": {"from_parameter": "data"}},
+          |                      "result": true}}}},
+          |           "result": true}
+          |}}""".stripMargin
+      val out = graft.plans.ProcessGraph.execute(s, graph,
+        { case "events" => Tables.eventsCube(s, dir)
+          case c => throw new IllegalArgumentException(s"unknown collection $c") })
+      out.df.select(col("band"), col("value").as("avg_cents"))
     }
   )
 
@@ -42,6 +75,12 @@ object MLQueries {
     "streaming_window" ->
       """SELECT epoch_us(ts) // 21600000000 AS bucket, event_type AS band,
         |       count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "process_graph" ->
+      """SELECT event_type AS band, avg(floor(value * 100)) AS avg_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -96,6 +96,7 @@ object SeriesQueries {
         ArrayFns.arrayFindWhere(col("arr"), x => x > 20000).cast("int").as("find_idx"),
         ArrayFns.arrayElement(reverse(col("arr")), 0).as("last_e"),
         ArrayFns.arrayContains(col("arr"), lit(12345L)).as("contains_v"),
+        size(ArrayFns.arrayFilter(col("arr"), x => x > 20000)).as("n_filtered"),
         size(ArrayFns.arrayAppend(col("arr"), lit(0L))).as("appended_n"),
         ArrayFns.arraySumExact(
           ArrayFns.arrayModify(col("arr"), array(lit(0L)), 1, 2)).as("mod_sum"))
@@ -212,6 +213,7 @@ object SeriesQueries {
         |  CAST(NULLIF(COALESCE(list_position(list_transform(arr, x -> x > 20000), true), 0), 0) - 1 AS INTEGER) AS find_idx,
         |  arr[len(arr)] AS last_e,
         |  list_contains(arr, 12345) AS contains_v,
+        |  len(list_filter(arr, x -> x > 20000)) AS n_filtered,
         |  len(arr) + 1 AS appended_n,
         |  CAST(list_aggregate(arr, 'sum') - arr[2] - arr[3] AS BIGINT) AS mod_sum
         |FROM a""".stripMargin,

@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** load_stac, Spark-native shape
+  * (reference: openeo_processes_dask cubes/load.py:94-322).
+  *
+  * The reference's pipeline is: validate STAC → search items by
+  * bbox/time/properties → select band assets → lazy pixel load → post
+  * filters. Here the catalog phase is driver-side metadata work (items are
+  * small JSON), producing an ASSET TABLE the executors load from: one row
+  * per (item, band asset) with href, datetime, bbox and band name. That
+  * table is the unit of parallelism at 100 TB — thousands of COG assets
+  * fan out across executors, each reading its own file.
+  *
+  * The pixel decode itself is STUBBED (`fakeRaster`): no GDAL/COG reader
+  * exists in this environment. It emits a deterministic grid per asset so
+  * the full plumbing (asset table → per-asset cell explosion → long-form
+  * cube with dim inference) runs and is testable end-to-end; swapping
+  * `fakeRaster` for a real tile reader changes nothing structurally.
+  */
+object StacLoader {
+
+  final case class StacAsset(itemId: String, band: String, href: String,
+      datetime: String, west: Double, south: Double, east: Double, north: Double)
+
+  /** Parse a STAC Item JSON into its band assets (driver-side; items are
+    * kilobytes). Mirrors the reference's asset/band selection
+    * (load.py:245-304) including `eo:bands` name resolution.
+    */
+  def parseItem(json: String): Seq[StacAsset] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val id = (root \ "id").extract[String]
+    val dt = (root \ "properties" \ "datetime").extract[String]
+    val bbox = (root \ "bbox").extract[List[Double]]
+    val assets = (root \ "assets").extract[Map[String, JValue]]
+    assets.toSeq.flatMap { case (name, a) =>
+      val isRaster = (a \ "type") match {
+        case JString(t) => t.contains("geotiff") || t.contains("cog")
+        case _ => false
+      }
+      if (!isRaster) None
+      else {
+        val band = (a \ "eo:bands") match {
+          case JArray(b :: _) => (b \ "name") match {
+            case JString(n) => n
+            case _ => name
+          }
+          case _ => name
+        }
+        val href = (a \ "href").extract[String]
+        Some(StacAsset(id, band, href, dt, bbox(0), bbox(1), bbox(2), bbox(3)))
+      }
+    }
+  }
+
+  /** Item-level search filters — the reference pushes these to the STAC API
+    * (load.py:111-161); on a static catalog they prune the asset table
+    * before any pixel work is planned.
+    */
+  def filterAssets(assets: Seq[StacAsset],
+      bands: Option[Seq[String]] = None,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      timeRange: Option[(String, String)] = None): Seq[StacAsset] = {
+    assets
+      .filter(a => bands.forall(_.contains(a.band)))
+      .filter(a => bbox.forall { case (w, s, e, n) =>
+        a.east >= w && a.west <= e && a.north >= s && a.south <= n })
+      .filter(a => timeRange.forall { case (start, end) =>
+        a.datetime >= start && a.datetime < end })
+  }
+
+  /** STUB pixel reader: deterministic `gridSize`² cells per asset derived
+    * from the asset identity — REPLACE with a COG/tile reader. Runs on
+    * executors via the asset table, exactly like the real thing would.
+    */
+  def loadCube(spark: SparkSession, assets: Seq[StacAsset],
+      gridSize: Int = 8): DataCube = {
+    import spark.implicits._
+    val assetDf = assets.toDF()
+    val cells = assetDf
+      .withColumn("_i", explode(sequence(lit(0), lit(gridSize * gridSize - 1))))
+      .select(
+        (col("west") + (col("_i") % gridSize) *
+          ((col("east") - col("west")) / gridSize)).as("x"),
+        (col("south") + floor(col("_i") / gridSize) *
+          ((col("north") - col("south")) / gridSize)).as("y"),
+        to_timestamp(col("datetime")).as("t"),
+        col("band").as("bands"),
+        // fake value: stable hash of (asset, cell) — stands in for the pixel
+        (pmod(hash(col("itemId"), col("band"), col("_i")), lit(10000)) / 100.0)
+          .as("value"))
+    DataCube.fromTable(cells, Seq("x", "y", "t", "bands"), "value",
+      crs = Some("EPSG:4326"))
+  }
+}

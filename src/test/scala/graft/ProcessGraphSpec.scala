@@ -1,0 +1,93 @@
+package graft
+
+import graft.core._
+import graft.plans.ProcessGraph
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end OpenEO process-graph execution against a tiny cube
+  * (mirrors the reference's parser round-trip tests, conftest.py:102-126).
+  */
+class ProcessGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def cube: DataCube = {
+    val df = Seq(
+      ("2024-01-01 00:00:00", "B1", 1.0), ("2024-01-02 00:00:00", "B1", 3.0),
+      ("2024-01-01 00:00:00", "B2", 10.0), ("2024-01-02 00:00:00", "B2", 20.0),
+      ("2024-03-01 00:00:00", "B1", 99.0))
+      .toDF("t", "band", "value").withColumn("t", to_timestamp(col("t")))
+    DataCube.fromTable(df, Seq("t", "band"), "value")
+  }
+
+  test("load → filter_temporal → apply callback → reduce mean") {
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "f": {"process_id": "filter_temporal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "extent": ["2024-01-01", "2024-02-01"]}},
+        |  "a": {"process_id": "apply",
+        |        "arguments": {"data": {"from_node": "f"},
+        |          "process": {"process_graph": {
+        |            "add1": {"process_id": "add",
+        |                     "arguments": {"x": {"from_parameter": "x"}, "y": 1},
+        |                     "result": true}}}}},
+        |  "r": {"process_id": "reduce_dimension",
+        |        "arguments": {"data": {"from_node": "a"}, "dimension": "t",
+        |          "reducer": {"process_graph": {
+        |            "m": {"process_id": "mean",
+        |                  "arguments": {"data": {"from_parameter": "data"}},
+        |                  "result": true}}}},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+      .df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // B1: mean(2, 4) = 3 (the March cell is filtered); B2: mean(11, 21) = 16
+    assert(out == Map("B1" -> 3.0, "B2" -> 16.0))
+    assert(!out.contains("99"))
+  }
+
+  test("nested scalar callback compiles to one fused expression") {
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "a": {"process_id": "apply",
+        |        "arguments": {"data": {"from_node": "l"},
+        |          "process": {"process_graph": {
+        |            "m": {"process_id": "multiply",
+        |                  "arguments": {"x": {"from_parameter": "x"}, "y": 2}},
+        |            "s": {"process_id": "subtract",
+        |                  "arguments": {"x": {"from_node": "m"}, "y": 1},
+        |                  "result": true}}}},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+    val vals = out.df.filter(col("band") === "B1" &&
+      col("t") === to_timestamp(lit("2024-01-01 00:00:00")))
+      .collect().map(_.getDouble(2))
+    assert(vals.toSeq == Seq(1.0)) // 1*2 - 1
+    // the callback is a single Project over the scan — no per-node stages
+    val plan = out.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("unknown process raises ProcessUnsupported") {
+    val graph =
+      """{"process_graph": {"z": {"process_id": "warp_drive",
+        |  "arguments": {}, "result": true}}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      ProcessGraph.execute(spark, graph, _ => cube)
+    }
+    assert(e.getMessage.contains("ProcessUnsupported"))
+  }
+}
