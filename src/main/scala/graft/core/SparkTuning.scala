@@ -30,5 +30,12 @@ object SparkTuning {
       "graft_dot",
       exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
       "built-in")
+    // engine-native optimizer rules (see graft.plans.NanosPredicatePushdown)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.NanosPredicatePushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.NanosPredicatePushdown
+    }
   }
 }

@@ -68,6 +68,31 @@ object MergeOps {
     }
   }
 
+  /** Align cube2's float coordinates to cube1's where they differ by at
+    * most `tolerance` (reference: cubes/merge.py:24-51 `_align_coordinates`,
+    * 1e-6) — the step that makes merge_cubes robust to resampling jitter.
+    * Per aligned dim: a broadcast nearest-join of cube2's DISTINCT coords
+    * against cube1's (both tiny relative to the fact rows), then a
+    * broadcast remap of cube2 — no fact-side shuffle.
+    */
+  def alignCoordinates(cube1: DataCube, cube2: DataCube,
+      dims: Seq[String], tolerance: Double = 1e-6): DataCube = {
+    import org.apache.spark.sql.expressions.Window
+    dims.foldLeft(cube2) { (c2, d) =>
+      val ref = cube1.df.select(col(d).cast("double").as("_ref")).distinct()
+      val cand = c2.df.select(col(d)).distinct()
+      val w = Window.partitionBy(col(d))
+        .orderBy(abs(col(d) - col("_ref")).asc, col("_ref").asc)
+      val mapping = cand.join(broadcast(ref),
+          abs(col(d) - col("_ref")) <= tolerance, "inner")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col(d).as("_orig"), col("_ref"))
+      c2.withDf(_.join(broadcast(mapping), col(d) === col("_orig"), "left_outer")
+        .withColumn(d, coalesce(col("_ref"), col(d)))
+        .drop("_orig", "_ref"))
+    }
+  }
+
   /** mask: replace data cells where the mask cube is truthy
     * (reference: cubes/mask.py:21-118). The mask may lack some of the data's
     * dims — it then broadcasts over them, which in relational form is simply

@@ -86,6 +86,19 @@ object WindowOps {
       max_by(v, when(v.isNotNull, col(dim))).as("last_v"))
   }
 
+  /** apply_neighborhood along one dim: reduce a sliding window of
+    * `before`/`after` neighbors around each cell
+    * (reference: cubes/apply_neighborhood_intertwin.py:8-43 — the rolling
+    * construct+reduce; separable case). One shuffle per series key; the
+    * frame never materialises.
+    */
+  def applyNeighborhood(cube: DataCube, dim: String,
+      before: Int, after: Int, reducer: Column => Column): DataCube = {
+    cube.requireDim(dim)
+    val w = seriesWindow(cube, dim).rowsBetween(-before, after)
+    cube.withDf(_.withColumn(cube.meta.valueCol, reducer(cube.value).over(w)))
+  }
+
   /** array_interpolate_linear along a dim: fill null cells by linear
     * interpolation against the dim coordinate; edge nulls stay null
     * (reference: arrays.py:405-458). Window gap-fill: previous/next valid

@@ -57,6 +57,13 @@ object SeriesQueries {
         .select(col("band"), col("first_v"), col("last_v"))
     },
 
+    // ---- rolling window (§2.5) ----
+    "apply_neighborhood" -> { (s, dir) =>
+      val r = WindowOps.applyNeighborhood(eidCube(s, dir), "eid",
+        before = 2, after = 0, v => avg(v))
+      r.df.select(col("band"), col("eid"), col("value").as("roll_avg"))
+    },
+
     // ---- gap fill (§2.8) ----
     "array_interpolate_linear" -> { (s, dir) =>
       WindowOps.interpolateLinear(eidCube(s, dir, maskMod = 7), "eid")
@@ -172,6 +179,13 @@ object SeriesQueries {
          |  first(v ORDER BY eid) FILTER (WHERE v IS NOT NULL) AS first_v,
          |  last(v ORDER BY eid) FILTER (WHERE v IS NOT NULL) AS last_v
          |FROM c GROUP BY band""".stripMargin,
+    "apply_neighborhood" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |SELECT band, eid,
+        |       avg(v) OVER (PARTITION BY band ORDER BY eid
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_avg
+        |FROM c""".stripMargin,
     "array_interpolate_linear" ->
       """WITH c AS (SELECT event_type AS band, event_id AS eid,
         |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST(round(value*100) AS BIGINT) END AS v

@@ -119,6 +119,27 @@ class CubeCoreSpec extends AnyFunSuite {
     assert(got("a").contains(1.0) && got("b").contains(2.0) && got("gap").isEmpty)
   }
 
+  test("alignCoordinates snaps float coords within tolerance (merge.py:24-51)") {
+    val c1 = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0)))
+    val c2 = cube(Seq((1.0000004, "B1", 1.0), (2.5, "B1", 2.0)))
+    val aligned = MergeOps.alignCoordinates(c1, c2, Seq("x"))
+    val xs = aligned.df.select("x").collect().map(_.getDouble(0)).toSet
+    assert(xs == Set(1.0, 2.5)) // 1.0000004 snapped, 2.5 out of tolerance
+    val merged = MergeOps.mergeCubes(c1, aligned, Some(_ + _))
+    val got = merged.df.collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1.0 -> 11.0, 2.0 -> 20.0, 2.5 -> 2.0))
+  }
+
+  test("apply_neighborhood rolling mean over a series") {
+    val df = Seq((1L, "B1", 2.0), (2L, "B1", 4.0), (3L, "B1", 6.0))
+      .toDF("i", "band", "value")
+    val c = DataCube.fromTable(df, Seq("i", "band"), "value",
+      Map("i" -> DimType.Other))
+    val out = WindowOps.applyNeighborhood(c, "i", 1, 0, v => avg(v))
+      .df.orderBy("i").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(2.0, 3.0, 5.0))
+  }
+
   test("dekad and season period binning") {
     val df = Seq(("2024-01-05 00:00:00", "B1", 1.0), ("2024-01-15 00:00:00", "B1", 2.0),
       ("2024-01-25 00:00:00", "B1", 3.0), ("2024-02-10 00:00:00", "B1", 4.0),
