@@ -92,13 +92,15 @@ object SpatialOps {
     import spark.implicits._
 
     def nearestMap(coords: DataFrame, cName: String, targets: Seq[Double]) = {
-      import org.apache.spark.sql.expressions.Window
+      // min_by with a (distance, target) struct key = argmin with a
+      // deterministic tie-break, as a partial-aggregable groupBy — cheaper
+      // than a rank-1 window (no per-key sort shuffle)
       val t = targets.toDF("_target")
-      val w = Window.partitionBy(col(cName))
-        .orderBy(abs(col(cName) - col("_target")).asc, col("_target").asc)
       coords.join(broadcast(t))
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col(cName), col("_target").as(s"_near_$cName"))
+        .groupBy(col(cName))
+        .agg(min_by(col("_target"),
+          struct(abs(col(cName) - col("_target")), col("_target")))
+          .as(s"_near_$cName"))
     }
 
     val xMap = nearestMap(data.df.select(col(xd)).distinct(), xd, targetXs)

@@ -108,6 +108,26 @@ object CubeQueries {
       p.df.select(col("okey").as("l_orderkey"), col("value").as("prod_scaled"))
     },
 
+    "scalar_predicates" -> { (s, dir) =>
+      // comparison/logic sub-language panel (§2.7/§2.8): eq-with-delta,
+      // between, xor, if, is_valid over a value masked null every 10th row
+      val e = Tables.events(s, dir).select(col("event_type").as("band"),
+        when(col("event_id") % 10 === 0, lit(null))
+          .otherwise(col("value")).as("v"))
+      val p = e.select(col("band"),
+        Scalar.eq(col("v"), lit(100.0), delta = Some(50.0)).as("near100"),
+        Scalar.between(col("v"), lit(10.0), lit(50.0)).as("btw"),
+        Scalar.xor(col("v") > 100, col("v") > 200).as("x_or"),
+        Scalar.ifThen(col("v") > 150, lit(1.0), lit(0.0)).as("iff"),
+        Scalar.isValid(col("v")).as("valid"))
+      p.groupBy(col("band")).agg(
+        count(when(col("near100"), 1)).as("n_near100"),
+        count(when(col("btw"), 1)).as("n_btw"),
+        count(when(col("x_or"), 1)).as("n_xor"),
+        count(when(col("near100").isNull, 1)).as("n_null_pred"),
+        sum(col("iff")).cast("bigint").as("sum_if"),
+        count(when(col("valid"), 1)).as("n_valid"))
+    },
     "reduce_bool" -> { (s, dir) =>
       // any/all reducers with 3-valued nodata semantics (logic.py:58-87):
       // flag is null where discount > 0.05, else quantity > 25
@@ -162,9 +182,12 @@ object CubeQueries {
     "aggregate_temporal" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
       val centsCube = ApplyOps.apply(c, cents)
+      // note the OVERLAPPING "both" interval — the openeo spec allows a cell
+      // to land in several bins (why this is a range join, not a CASE)
       val agg = AggregateOps.aggregateTemporal(centsCube, Seq(
         AggregateOps.Interval("2024-01-01", "2024-01-08", "w1"),
         AggregateOps.Interval("2024-01-08", "2024-01-20", "mid"),
+        AggregateOps.Interval("2024-01-01", "2024-01-20", "both"),
         AggregateOps.Interval("2024-01-25", "2024-01-28", "late"),
         AggregateOps.Interval("2024-02-10", "2024-02-11", "empty")),
         v => Reducers.sumR(v))
@@ -262,6 +285,25 @@ object CubeQueries {
         |FROM (SELECT l_orderkey, l_linenumber, 100 + round(min(l_tax)*100) AS m
         |      FROM lineitem GROUP BY 1, 2)
         |GROUP BY 1""".stripMargin,
+    "scalar_predicates" ->
+      """WITH e AS (SELECT event_type AS band,
+        |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |p AS (SELECT band,
+        |    abs(v - 100.0) <= 50.0 AS near100,
+        |    v >= 10.0 AND v <= 50.0 AS btw,
+        |    ((v > 100) OR (v > 200)) AND NOT ((v > 100) AND (v > 200)) AS x_or,
+        |    CASE WHEN v > 150 THEN 1.0 ELSE 0.0 END AS iff,
+        |    v IS NOT NULL AND NOT isnan(v) AS valid
+        |  FROM e)
+        |SELECT band,
+        |  count(CASE WHEN near100 THEN 1 END) AS n_near100,
+        |  count(CASE WHEN btw THEN 1 END) AS n_btw,
+        |  count(CASE WHEN x_or THEN 1 END) AS n_xor,
+        |  count(CASE WHEN near100 IS NULL THEN 1 END) AS n_null_pred,
+        |  CAST(sum(iff) AS BIGINT) AS sum_if,
+        |  count(CASE WHEN valid THEN 1 END) AS n_valid
+        |FROM p GROUP BY 1""".stripMargin,
     "reduce_bool" ->
       """WITH f AS (SELECT l_returnflag AS band,
         |    CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity > 25 END AS v
@@ -299,6 +341,7 @@ object CubeQueries {
       """WITH iv(s, e, lab) AS (VALUES
         |  (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08', 'w1'),
         |  (TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-20', 'mid'),
+        |  (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-20', 'both'),
         |  (TIMESTAMP '2024-01-25', TIMESTAMP '2024-01-28', 'late'),
         |  (TIMESTAMP '2024-02-10', TIMESTAMP '2024-02-11', 'empty')),
         |agg AS (
@@ -307,7 +350,7 @@ object CubeQueries {
         |  FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e
         |  GROUP BY 1, 2)
         |SELECT labs.lab AS t, agg.band, agg.sum_cents
-        |FROM (VALUES ('w1'),('mid'),('late'),('empty')) labs(lab)
+        |FROM (VALUES ('w1'),('mid'),('both'),('late'),('empty')) labs(lab)
         |LEFT JOIN agg ON labs.lab = agg.lab""".stripMargin,
     "resample_cube_temporal" ->
       """WITH tgt(g) AS (VALUES (TIMESTAMP '2024-01-05'),
