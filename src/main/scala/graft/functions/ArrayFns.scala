@@ -63,6 +63,14 @@ object ArrayFns {
     when(pos1 === 0, lit(null)).otherwise(pos1 - 1)
   }
 
+  /** 0-based index of a label in a label array, null when absent
+    * (reference: arrays.py:327-334).
+    */
+  def arrayFindLabel(labels: Column, label: Column): Column = {
+    val pos1 = array_position(labels, label)
+    when(pos1 === 0, lit(null)).otherwise(pos1 - 1)
+  }
+
   /** labels, else 0..n-1 (reference: arrays.py:370-384). */
   def arrayLabels(arr: Column): Column = sequence(lit(0), size(arr) - 1)
 

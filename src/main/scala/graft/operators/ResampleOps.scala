@@ -48,6 +48,51 @@ object ResampleOps {
       cube.meta)
   }
 
+  /** resample_spatial, method="bilinear": interpolate each target point
+    * from its 2×2 surrounding source cells with the standard bilinear
+    * weights (reference: cubes/resample.py:23-36 lists the method; the
+    * reference delegates to odc.reproject). The (tiny) target list explodes
+    * to 4 corner lookups each and broadcast-joins the source grid — the
+    * grid never shuffles. A target with any missing corner yields null.
+    * The 4-term weighted sum is written as a fixed-order expression so the
+    * result is bit-deterministic.
+    */
+  def resampleSpatialBilinear(cube: DataCube,
+      targets: Seq[(Double, Double)]): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val spark = cube.df.sparkSession
+    import spark.implicits._
+
+    val corners = for {
+      (tx, ty) <- targets
+      dx <- 0 to 1
+      dy <- 0 to 1
+    } yield (tx, ty, math.floor(tx) + dx, math.floor(ty) + dy,
+      (1 - math.abs(tx - (math.floor(tx) + dx))) *
+        (1 - math.abs(ty - (math.floor(ty) + dy))),
+      dx * 2 + dy)
+    val c = corners.toDF("_tx", "_ty", "_sx", "_sy", "_w", "_corner")
+
+    val joined = cube.df.join(broadcast(c),
+      col(xd) === col("_sx") && col(yd) === col("_sy"))
+      .withColumn("_wv", col("_w") * cube.value)
+    val p = joined
+      .groupBy((col("_tx") +: col("_ty") +: others.map(col)): _*)
+      .agg(
+        max(when(col("_corner") === 0, col("_wv"))).as("_w0"),
+        max(when(col("_corner") === 1, col("_wv"))).as("_w1"),
+        max(when(col("_corner") === 2, col("_wv"))).as("_w2"),
+        max(when(col("_corner") === 3, col("_wv"))).as("_w3"))
+    val out = p.select((col("_tx").as(xd) +: col("_ty").as(yd) +:
+      others.map(col) :+
+      (col("_w0") + col("_w1") + col("_w2") + col("_w3"))
+        .as(cube.meta.valueCol)): _*)
+    cube.copy(df = out)
+  }
+
   /** resample_spatial for aggregating methods (average/min/max/med/q1/q3/
     * mode/sum) at a coarser resolution: pure grid binning —
     * `groupBy(floor(x/res), floor(y/res))`, one shuffle, no custom code

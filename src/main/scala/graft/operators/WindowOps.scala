@@ -86,6 +86,20 @@ object WindowOps {
       max_by(v, when(v.isNotNull, col(dim))).as("last_v"))
   }
 
+  /** cumulative product for integer-valued (scaled-decimal) cubes: an exact
+    * fold over the running window's collected values — order-independent
+    * while the running product stays under 2^53 (reference: math.py:125-174
+    * cumproduct; use a log-domain variant for unbounded float data).
+    */
+  def cumprodExact(cube: DataCube, dim: String): DataCube = {
+    cube.requireDim(dim)
+    val w = seriesWindow(cube, dim).rowsBetween(Window.unboundedPreceding, 0)
+    val v = cube.value
+    cube.withDf(_.withColumn(cube.meta.valueCol,
+      when(v.isNull, lit(null)).otherwise(
+        aggregate(collect_list(v).over(w), lit(1L), (acc, x) => acc * x))))
+  }
+
   /** apply_neighborhood along one dim: reduce a sliding window of
     * `before`/`after` neighbors around each cell
     * (reference: cubes/apply_neighborhood_intertwin.py:8-43 — the rolling

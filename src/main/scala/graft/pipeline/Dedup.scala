@@ -61,12 +61,22 @@ object Dedup {
     val spark = sh.sparkSession
     import spark.implicits._
     val groups = (0 until k / 4).toDF("g")
-    // four min-aggregates over substring slices, then a tiny unpivot — the
-    // aggregation input stays at |shingles|·k/4 rows instead of |shingles|·k
-    sh.join(broadcast(groups))
+    // hash each DISTINCT shingle once (duplicates across documents are the
+    // norm in a near-dup corpus), pack the k/4 md5s into one array row per
+    // shingle, and broadcast-join back — digest work scales with the shingle
+    // VOCABULARY, the fact side never shuffles for hashing. Then four
+    // min-aggregates over substring slices + a tiny unpivot keep the
+    // aggregation input at |instances| rows.
+    val hashed = sh.select(col("shingle")).distinct()
+      .join(broadcast(groups))
       .withColumn("h", md5(concat(col("g").cast("string"), lit("|"),
         col("shingle")).cast("binary")))
-      .groupBy(col(idCol), col("g"))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("g"), col("h")))).as("_hs"))
+      .select(col("shingle"), expr("transform(_hs, p -> p.h)").as("hs"))
+    sh.join(broadcast(hashed), Seq("shingle"))
+      .select(col(idCol), posexplode(col("hs")).as(Seq("_g", "h")))
+      .groupBy(col(idCol), col("_g").as("g"))
       .agg(
         min(substring(col("h"), 1, 8)).as("m0"),
         min(substring(col("h"), 9, 8)).as("m1"),

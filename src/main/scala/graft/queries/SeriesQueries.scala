@@ -44,6 +44,20 @@ object SeriesQueries {
     },
 
     // ---- order / sort (§2.5) ----
+    "cummin_cumprod" -> { (s, dir) =>
+      // exact cumulative product over small per-order groups (1+tax cents),
+      // plus cummin over the same series
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
+        .agg((round(min(col("l_tax")) * 100) + 100).cast("long").as("value"))
+      val c = DataCube.fromTable(base, Seq("okey", "ln"), "value",
+        Map("okey" -> DimType.Other, "ln" -> DimType.Other))
+      val prod = WindowOps.cumprodExact(c, "ln")
+      val mn = WindowOps.cummin(c, "ln")
+      prod.df.withColumnRenamed("value", "cumprod")
+        .join(mn.df.withColumnRenamed("value", "cummin"), Seq("okey", "ln"))
+        .select(col("okey"), col("ln"), col("cumprod"), col("cummin"))
+    },
     "order" -> { (s, dir) =>
       WindowOps.orderRank(eidCube(s, dir, maskMod = 10), "eid")
         .df.select(col("band"), col("eid"), col("rank"))
@@ -109,6 +123,49 @@ object SeriesQueries {
           ArrayFns.arrayModify(col("arr"), array(lit(0L)), 1, 2)).as("mod_sum"))
     },
 
+    // ---- array constructors / labels / apply / rearrange / extrema (§2.8) ----
+    "array_constructors" -> { (s, dir) =>
+      val c = eidCube(s, dir)
+      val filtered = FilterOps.filterLabels(c, "eid", l => l % 13 === 0)
+      val arrs = filtered.df.groupBy(col("band")).agg(
+        sort_array(collect_list(struct(col("eid"), col("value")))).as("_s"),
+        Reducers.extremaR(col("value")).as("_ex"))
+        .withColumn("arr", expr("transform(_s, p -> p.value)"))
+      arrs.select(
+        col("band"),
+        // array_create: tile the first two elements twice → exact sum
+        ArrayFns.arraySumExact(
+          ArrayFns.arrayCreate(slice(col("arr"), 1, 2), 2)).as("created_sum"),
+        // array_labels: 0..n-1 → closed-form checksum
+        ArrayFns.arraySumExact(ArrayFns.arrayLabels(col("arr"))).as("labels_sum"),
+        // array_apply: x*2+1 over the first 5 elements
+        ArrayFns.arraySumExact(
+          ArrayFns.arrayApply(slice(col("arr"), 1, 5), x => x * 2 + 1)).as("applied_sum"),
+        // rearrange: [3,0] picks the 4th then 1st element
+        element_at(ArrayFns.rearrange(col("arr"), array(lit(3), lit(0))), 1).as("rearr_first"),
+        // array_create_labeled: map lookup by label
+        element_at(ArrayFns.arrayCreateLabeled(
+          slice(col("arr"), 1, 4), ArrayFns.arrayLabels(slice(col("arr"), 1, 4))),
+          lit(2)).as("labeled_at_2"),
+        // array_find_label over the 0..n-1 label array
+        ArrayFns.arrayFindLabel(
+          ArrayFns.arrayLabels(slice(col("arr"), 1, 4)), lit(2)).cast("int")
+          .as("find_label_idx"),
+        // extrema reducer: [min, max]
+        element_at(col("_ex"), 1).as("ex_lo"),
+        element_at(col("_ex"), 2).as("ex_hi"))
+    },
+
+    // ---- dim utilities without dedicated queries (§2.9) ----
+    "dimension_labels" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val withModel = CubeDimOps.addDimension(c, "model", "m1")
+      val dropped = CubeDimOps.dropDimension(withModel, "model")
+      val renamed = CubeDimOps.renameDimension(dropped, "band", "bands")
+      val inspected = graft.sources.CubeIO.inspect(renamed, "labels query")
+      CubeDimOps.dimensionLabels(inspected, "bands")
+    },
+
     // ---- band indices (§2.7) ----
     "ndvi" -> { (s, dir) =>
       val daily = Tables.events(s, dir)
@@ -117,6 +174,18 @@ object SeriesQueries {
       val c = DataCube.fromTable(daily, Seq("t", "band"), "value")
       val nd = IndicesOps.ndvi(c, nir = "purchase", red = "click")
       nd.df.select(col("t").cast("date").as("t"), col("value").as("nd"))
+    },
+
+    // ---- domain composite (§2.11) ----
+    "ddmc_composite" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("t"), col("event_type").as("band"))
+        .agg(sum(cents(col("value"))).as("value"))
+      val c = DataCube.fromTable(daily, Seq("t", "band"), "value")
+      val comp = CompositeOps.bandDifferenceComposite(c, "band",
+        Seq("d1" -> ("purchase", "click"), "d2" -> ("signup", "error")))
+      comp.df.select(col("t").cast("date").as("t"), col("band"),
+        col("value").as("nd"))
     },
 
     // ---- 2-D kernel (§2.5) ----
@@ -146,6 +215,16 @@ object SeriesQueries {
     "CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(round(value*100) AS BIGINT) END"
 
   val oracles: Map[String, String] = Map(
+    "cummin_cumprod" ->
+      """WITH b AS (SELECT l_orderkey AS okey, l_linenumber AS ln,
+        |                  CAST(round(min(l_tax)*100) + 100 AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT okey, ln,
+        |  CAST(product(v) OVER (PARTITION BY okey ORDER BY ln
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumprod,
+        |  min(v) OVER (PARTITION BY okey ORDER BY ln
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummin
+        |FROM b""".stripMargin,
     "cumsum" ->
       s"""WITH c AS (SELECT event_type AS band, event_id AS eid, $maskedCents AS v FROM events)
          |SELECT band, eid,
@@ -240,6 +319,36 @@ object SeriesQueries {
         |        max(CASE WHEN event_type = 'click' THEN v END) AS red
         |      FROM d GROUP BY t)
         |SELECT t, (nir - red) / CAST(nir + red AS DOUBLE) AS nd FROM p""".stripMargin,
+    "array_constructors" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |                  CAST(round(value*100) AS BIGINT) AS v
+        |           FROM events WHERE event_id % 13 = 0),
+        |a AS (SELECT band, list(v ORDER BY eid) AS arr,
+        |             min(v) AS ex_lo, max(v) AS ex_hi FROM c GROUP BY band)
+        |SELECT band,
+        |  CAST(2 * (arr[1] + arr[2]) AS BIGINT) AS created_sum,
+        |  CAST(len(arr) * (len(arr) - 1) / 2 AS BIGINT) AS labels_sum,
+        |  CAST(list_aggregate(list_transform(arr[1:5], x -> x * 2 + 1), 'sum') AS BIGINT) AS applied_sum,
+        |  arr[4] AS rearr_first,
+        |  arr[3] AS labeled_at_2,
+        |  CAST(2 AS INT) AS find_label_idx,
+        |  ex_lo, ex_hi
+        |FROM a""".stripMargin,
+    "dimension_labels" ->
+      """SELECT DISTINCT event_type AS label FROM events ORDER BY 1""".stripMargin,
+    "ddmc_composite" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t, event_type,
+        |                  sum(CAST(round(value*100) AS BIGINT)) AS v
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT t,
+        |        max(CASE WHEN event_type = 'purchase' THEN v END) AS pu,
+        |        max(CASE WHEN event_type = 'click' THEN v END) AS cl,
+        |        max(CASE WHEN event_type = 'signup' THEN v END) AS su,
+        |        max(CASE WHEN event_type = 'error' THEN v END) AS er
+        |      FROM d GROUP BY t)
+        |SELECT t, 'd1' AS band, (pu - cl) / CAST(pu + cl AS DOUBLE) AS nd FROM p
+        |UNION ALL
+        |SELECT t, 'd2' AS band, (su - er) / CAST(su + er AS DOUBLE) AS nd FROM p""".stripMargin,
     "apply_kernel" ->
       """WITH g AS (SELECT user_id % 20 AS x, event_id % 25 AS y,
         |                  sum(CAST(round(value*100) AS BIGINT)) AS v

@@ -82,6 +82,17 @@ object SpatialQueries {
         v => Reducers.sumR(v))
       r.df.select(col("x"), col("y"), col("value").cast("bigint").as("sum_qty"))
     },
+    "resample_bilinear" -> { (s, dir) =>
+      val grid = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("value"))
+      val c = DataCube.fromTable(grid, Seq("x", "y"), "value",
+        Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+      // quarter-fraction targets: weights are exact binary doubles
+      val targets = Seq((10.25, 3.5), (50.75, 7.25), (120.5, 4.75), (199.25, 8.5))
+      val r = ResampleOps.resampleSpatialBilinear(c, targets)
+      r.df.select(col("x"), col("y"), col("value").as("v"))
+    },
     "vector_reproject" -> { (s, dir) =>
       val pts = Tables.customer(s, dir).select(col("c_custkey"),
         (col("c_custkey") % 360 - 180 + 0.25).as("lon"),
@@ -184,6 +195,24 @@ object SpatialQueries {
            |SELECT xm.t AS x, ym.t AS y, CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
            |FROM lineitem l JOIN xm ON xm.x = l.l_partkey JOIN ym ON ym.y = l.l_suppkey
            |GROUP BY 1, 2""".stripMargin,
+      "resample_bilinear" ->
+        """WITH g AS (SELECT l_partkey AS x, l_suppkey AS y,
+          |                  CAST(sum(l_quantity) AS BIGINT) AS v
+          |           FROM lineitem GROUP BY 1, 2),
+          |t(tx, ty) AS (VALUES (10.25, 3.5), (50.75, 7.25), (120.5, 4.75), (199.25, 8.5)),
+          |c AS (SELECT tx, ty, floor(tx) + dx AS sx, floor(ty) + dy AS sy,
+          |        (1 - abs(tx - (floor(tx) + dx))) * (1 - abs(ty - (floor(ty) + dy))) AS w,
+          |        dx * 2 + dy AS corner
+          |      FROM t, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) d(dx, dy)),
+          |j AS (SELECT c.tx, c.ty, c.corner, c.w * g.v AS wv
+          |      FROM c JOIN g ON g.x = c.sx AND g.y = c.sy),
+          |p AS (SELECT tx, ty,
+          |        max(CASE WHEN corner = 0 THEN wv END) AS w0,
+          |        max(CASE WHEN corner = 1 THEN wv END) AS w1,
+          |        max(CASE WHEN corner = 2 THEN wv END) AS w2,
+          |        max(CASE WHEN corner = 3 THEN wv END) AS w3
+          |      FROM j GROUP BY 1, 2)
+          |SELECT tx AS x, ty AS y, w0 + w1 + w2 + w3 AS v FROM p""".stripMargin,
       "vector_reproject" ->
         """SELECT c_custkey,
           |  round(radians(c_custkey % 360 - 180 + 0.25) * 6378137.0, 2) AS mx,
