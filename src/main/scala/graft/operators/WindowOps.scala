@@ -113,6 +113,34 @@ object WindowOps {
     cube.withDf(_.withColumn(cube.meta.valueCol, reducer(cube.value).over(w)))
   }
 
+  /** Banded recurrence rate per series — the core statistic behind the
+    * reference's RQA deforestation detector
+    * (reference: experimental/rqadeforestation.py:9-16, which runs an
+    * `apply_along_axis` Julia kernel per time-series). For lags 1..maxLag,
+    * the fraction of (t, t−k) pairs whose values recur within `eps`.
+    * Window-lag formulation: no per-series collection, one shuffle on the
+    * series dims, exact integer counting.
+    */
+  def recurrenceRate(cube: DataCube, dim: String, eps: Double,
+      maxLag: Int): org.apache.spark.sql.DataFrame = {
+    cube.requireDim(dim)
+    val others = cube.dimColsExcept(dim)
+    val w = seriesWindow(cube, dim)
+    val v = cube.value
+    val lagged = (1 to maxLag).map(k => lag(v, k).over(w))
+    val rec = lagged.map(lv => when(abs(v - lv) < eps, 1).otherwise(0))
+      .reduce(_ + _)
+    val valid = lagged.map(lv => when(lv.isNotNull && v.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cube.df
+      .withColumn("_rec", rec).withColumn("_valid", valid)
+      .groupBy(others: _*)
+      .agg((sum(col("_rec")) / sum(col("_valid")).cast("double"))
+        .as("recurrence_rate"),
+        sum(col("_rec")).cast("bigint").as("n_recurrent"),
+        sum(col("_valid")).cast("bigint").as("n_pairs"))
+  }
+
   /** array_interpolate_linear along a dim: fill null cells by linear
     * interpolation against the dim coordinate; edge nulls stay null
     * (reference: arrays.py:405-458). Window gap-fill: previous/next valid

@@ -200,6 +200,13 @@ object SeriesQueries {
       k.df.select(col("x"), col("y"), col("value").cast("bigint").as("ksum"))
     },
 
+    // ---- RQA recurrence (§2.11) ----
+    "rqa_recurrence" -> { (s, dir) =>
+      WindowOps.recurrenceRate(eidCube(s, dir), "eid", eps = 500, maxLag = 10)
+        .select(col("band"), col("n_recurrent"), col("n_pairs"),
+          col("recurrence_rate"))
+    },
+
     // ---- curve fitting (§2.11) ----
     "fit_curve" -> { (s, dir) =>
       CurveOps.fitLinear(eidCube(s, dir), "eid")
@@ -357,6 +364,31 @@ object SeriesQueries {
         |SELECT g.x, g.y, CAST(sum(n.v * k.w) AS BIGINT) AS ksum
         |FROM g CROSS JOIN k JOIN g n ON n.x = g.x + k.dx AND n.y = g.y + k.dy
         |GROUP BY 1, 2""".stripMargin,
+    "rqa_recurrence" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |l AS (SELECT band, v,
+        |  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2, lag(v, 3) OVER w AS l3,
+        |  lag(v, 4) OVER w AS l4, lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+        |  lag(v, 7) OVER w AS l7, lag(v, 8) OVER w AS l8, lag(v, 9) OVER w AS l9,
+        |  lag(v, 10) OVER w AS l10
+        |  FROM c WINDOW w AS (PARTITION BY band ORDER BY eid)),
+        |p AS (SELECT band,
+        |  (CASE WHEN abs(v-l1) < 500 THEN 1 ELSE 0 END + CASE WHEN abs(v-l2) < 500 THEN 1 ELSE 0 END
+        |   + CASE WHEN abs(v-l3) < 500 THEN 1 ELSE 0 END + CASE WHEN abs(v-l4) < 500 THEN 1 ELSE 0 END
+        |   + CASE WHEN abs(v-l5) < 500 THEN 1 ELSE 0 END + CASE WHEN abs(v-l6) < 500 THEN 1 ELSE 0 END
+        |   + CASE WHEN abs(v-l7) < 500 THEN 1 ELSE 0 END + CASE WHEN abs(v-l8) < 500 THEN 1 ELSE 0 END
+        |   + CASE WHEN abs(v-l9) < 500 THEN 1 ELSE 0 END + CASE WHEN abs(v-l10) < 500 THEN 1 ELSE 0 END) AS rec,
+        |  (CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN l5 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l6 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l8 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN l9 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l10 IS NOT NULL THEN 1 ELSE 0 END) AS valid
+        |  FROM l)
+        |SELECT band, CAST(sum(rec) AS BIGINT) AS n_recurrent,
+        |       CAST(sum(valid) AS BIGINT) AS n_pairs,
+        |       sum(rec) / CAST(sum(valid) AS DOUBLE) AS recurrence_rate
+        |FROM p GROUP BY 1""".stripMargin,
     "fit_curve" ->
       """WITH c AS (SELECT event_type AS band, CAST(event_id AS DOUBLE) AS x,
         |                  CAST(round(value*100) AS BIGINT) AS y FROM events),
