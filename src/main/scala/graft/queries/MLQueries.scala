@@ -27,7 +27,7 @@ object MLQueries {
           col("l_quantity"))
       val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
       val model = MLOps.fitRandomForest(li, feats, "l_quantity",
-        numTrees = 20, maxDepth = 6)
+        numTrees = 10, maxDepth = 5)
       MLOps.predictRandomForest(model, li.limit(200), feats)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 4).as("pred_qty"))
