@@ -87,13 +87,18 @@ object ArrayFns {
   def arrayAny(arr: Column, pred: Column => Column): Column =
     exists(arr, x => pred(x))
 
-  /** sorted copy; nodata placement: nulls last for asc (numpy sorts NaN to
-    * the end, reference: arrays.py:558-584) — Spark array_sort puts nulls
-    * last natively.
+  /** sorted copy; nodata placement: numpy keeps NaN at the END for BOTH
+    * directions (reference: arrays.py:558-584). Ascending matches Spark's
+    * native array_sort; descending needs a comparator (reverse(array_sort)
+    * would move nulls to the front).
     */
   def arraySort(arr: Column, ascending: Boolean = true): Column =
     if (ascending) array_sort(arr)
-    else org.apache.spark.sql.functions.reverse(array_sort(arr))
+    else array_sort(arr, (l, r) =>
+      when(l.isNull && r.isNull, lit(0))
+        .when(l.isNull, lit(1))
+        .when(r.isNull, lit(-1))
+        .when(l < r, lit(1)).when(l > r, lit(-1)).otherwise(lit(0)))
 
   /** permute along the array by a 0-based index array
     * (reference: arrays.py:538-555).

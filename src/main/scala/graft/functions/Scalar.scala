@@ -22,6 +22,10 @@ object Scalar {
   // ---- constants (reference: math.py:75-94) ----
   val e: Column = lit(math.E)
   val pi: Column = lit(math.Pi)
+  /** reference: math.py:83-91 — the engine-native nodata literal; we keep
+    * numpy's NaN rather than null so `is_nan` can see it explicitly.
+    */
+  val nan: Column = lit(Double.NaN)
   def constant(x: Any): Column = lit(x)
 
   // ---- binary arithmetic (reference: math.py:98-117,288-329) ----
@@ -45,6 +49,21 @@ object Scalar {
   def absolute(x: Column): Column = abs(x)
   def sgn(x: Column): Column = signum(x)
   def sqrtC(x: Column): Column = sqrt(x)
+
+  // ---- trigonometry (reference: math.py:240-285) ----
+  // Out-of-domain inputs (e.g. arccos(2)) yield NaN in both numpy and Spark.
+  def sinC(x: Column): Column = sin(x)
+  def cosC(x: Column): Column = cos(x)
+  def tanC(x: Column): Column = tan(x)
+  def arcsin(x: Column): Column = asin(x)
+  def arccos(x: Column): Column = acos(x)
+  def arctan(x: Column): Column = atan(x)
+  def sinhC(x: Column): Column = sinh(x)
+  def coshC(x: Column): Column = cosh(x)
+  def tanhC(x: Column): Column = tanh(x)
+  def arsinh(x: Column): Column = asinh(x)
+  def arcosh(x: Column): Column = acosh(x)
+  def artanh(x: Column): Column = atanh(x)
 
   /** reference: math.py:332-338 — error when min > max is caller's duty. */
   def clip(x: Column, min: Double, max: Double): Column =
@@ -113,9 +132,13 @@ object Scalar {
     caseFold(data, caseSensitive).contains(if (caseSensitive) pattern else pattern.toLowerCase)
   def textEnds(data: Column, pattern: String, caseSensitive: Boolean = true): Column =
     caseFold(data, caseSensitive).endsWith(if (caseSensitive) pattern else pattern.toLowerCase)
-  /** reference: text.py:41-55 (bool/null reprs lowercased). */
+  /** reference: text.py:41-55 — only bool/None reprs are lowercased, and
+    * null items render as "none" (Spark's boolean→string cast is already
+    * lowercase, so only the null spelling needs handling; `concat_ws` would
+    * otherwise drop null items entirely).
+    */
   def textConcat(items: Seq[Column], separator: String): Column =
-    concat_ws(separator, items.map(c => lower(c.cast("string"))): _*)
+    concat_ws(separator, items.map(c => coalesce(c.cast("string"), lit("none"))): _*)
 
   // ---- dates (reference: dates.py) ----
   def dateBetween(x: Column, min: Column, max: Column,

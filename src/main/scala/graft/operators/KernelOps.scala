@@ -41,11 +41,14 @@ object KernelOps {
     val k = offsets.toDF("_dx", "_dy", "_w")
 
     val v = cube.meta.valueCol
-    // each source cell contributes value*w to the cell at (x - dx, y - dy)
+    // Convolution, not cross-correlation: scipy.ndimage.convolve flips the
+    // kernel (reference: apply.py:160-182), so the source cell at offset
+    // (dx, dy) contributes to (x + dx, y + dy) — asymmetric kernels would
+    // mirror under the (x - dx) correlation form.
     val contrib = cube.df.join(broadcast(k))
       .select((others.map(col) :+
-        (col(xd) - col("_dx")).as(xd) :+
-        (col(yd) - col("_dy")).as(yd) :+
+        (col(xd) + col("_dx")).as(xd) :+
+        (col(yd) + col("_dy")).as(yd) :+
         (col(v) * col("_w")).as("_c")): _*)
     // keep only cells that exist in the input grid (convolve output grid)
     val grid = cube.df.select((others.map(col) :+ col(xd) :+ col(yd)): _*).distinct()

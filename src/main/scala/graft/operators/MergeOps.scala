@@ -52,16 +52,20 @@ object MergeOps {
       }
       DataCube(joined.withColumn(v, merged).drop("_v1", "_v2"), cube1.meta)
     } else {
-      // dims differ: join on shared dims; the lower-dimensional side is
-      // broadcast over the missing dims (reference case 4, merge.py:230-295).
+      // dims differ: join on shared dims; the lower-dimensional side
+      // broadcasts over the missing dims (reference case 4, merge.py:230-295).
+      // Only the join build side depends on which cube is bigger — the
+      // resolver is ALWAYS res(cube1Value, cube2Value), matching the
+      // reference's fixed x=cube1, y=cube2 binding (merge.py:230-295);
+      // swapping args would silently flip non-commutative resolvers.
       val (big, small, bigIsLeft) =
         if (dims1.size >= dims2.size) (l, r, true) else (r, l, false)
-      val joined = big.join(broadcast(small), shared, "left_outer")
+      val joined = big.join(Joins.maybeBroadcast(small), shared, "left_outer")
       val res = overlapResolver.getOrElse(
         throw new IllegalArgumentException("OverlapResolverMissing"))
       val merged =
         when(col("_v1").isNotNull && col("_v2").isNotNull,
-          if (bigIsLeft) res(col("_v1"), col("_v2")) else res(col("_v2"), col("_v1")))
+          res(col("_v1"), col("_v2")))
           .otherwise(coalesce(col("_v1"), col("_v2")))
       val meta = if (bigIsLeft) cube1.meta else cube2.meta
       DataCube(joined.withColumn(v, merged).drop("_v1", "_v2"), meta)
@@ -97,14 +101,16 @@ object MergeOps {
     * (reference: cubes/mask.py:21-118). The mask may lack some of the data's
     * dims — it then broadcasts over them, which in relational form is simply
     * a join on the mask's dims. A left join keeps unmasked cells; the mask
-    * side is typically small (per-time or per-band flags) → broadcast.
+    * side is broadcast only when Catalyst's size estimate says it fits (a
+    * full-resolution mask is as big as the data — an unconditional hint would
+    * OOM at scale), otherwise the join shuffles and AQE picks the strategy.
     */
   def mask(data: DataCube, maskCube: DataCube,
       replacement: Column = lit(null)): DataCube = {
     val shared = data.meta.dimNames.intersect(maskCube.meta.dimNames)
     require(shared.nonEmpty, "mask: no shared dimensions")
     val m = maskCube.df.withColumnRenamed(maskCube.meta.valueCol, "_mask")
-    val joined = data.df.join(broadcast(m), shared, "left_outer")
+    val joined = data.df.join(Joins.maybeBroadcast(m), shared, "left_outer")
     val v = data.meta.valueCol
     val masked = when(coalesce(col("_mask").cast("boolean"), lit(false)), replacement)
       .otherwise(col(v))

@@ -203,8 +203,21 @@ object ProcessGraph {
           CubeV(AggregateOps.aggregateTemporalPeriod(cube("data"),
             str("period"), reducerCallback("reducer")))
         case "merge_cubes" =>
-          CubeV(MergeOps.mergeCubes(cube("cube1"), cube("cube2"),
-            Some((a, b) => a + b))) // resolver sub-graphs: overlap add default
+          // The overlap_resolver is itself a process graph over (x, y); compile
+          // it into a binary Column builder. When absent, pass None so MergeOps
+          // raises OverlapResolverMissing on overlap (reference: merge.py:165-168).
+          val resolver: Option[(Column, Column) => Column] =
+            opt("overlap_resolver").map { _ =>
+              val cbJson = str("overlap_resolver")
+              (a: Column, b: Column) =>
+                runCallback(cbJson, Map("x" -> ColV(a), "y" -> ColV(b),
+                    "cube1" -> ColV(a), "cube2" -> ColV(b))) match {
+                  case ColV(out) => out
+                  case NumV(v) => lit(v)
+                  case v => throw new IllegalArgumentException(s"resolver returned $v")
+                }
+            }
+          CubeV(MergeOps.mergeCubes(cube("cube1"), cube("cube2"), resolver))
         case "mask" =>
           CubeV(MergeOps.mask(cube("data"), cube("mask"),
             if (opt("replacement").isDefined) column("replacement") else lit(null)))
@@ -234,6 +247,37 @@ object ProcessGraph {
             num("inputMin"), num("inputMax"),
             args.get("outputMin").collect { case NumV(v) => v }.getOrElse(0.0),
             args.get("outputMax").collect { case NumV(v) => v }.getOrElse(1.0)))
+        case "e" => ColV(Scalar.e)
+        case "pi" => ColV(Scalar.pi)
+        case "nan" => ColV(Scalar.nan)
+        case "constant" => ColV(column("x"))
+        case "mod" => ColV(Scalar.mod(column("x"), column("y")))
+        case "arctan2" => ColV(Scalar.arctan2(column("y"), column("x")))
+        case "log" => ColV(Scalar.logBase(column("x"), column("base")))
+        case "normalized_difference" =>
+          ColV(Scalar.normalizedDifference(column("x"), column("y")))
+        case "ceil" => ColV(Scalar.ceilC(column("x")))
+        case "int" => ColV(Scalar.int(column("x")))
+        case "round" => ColV(Scalar.roundHalfEven(column("x"),
+          args.get("p").collect { case NumV(v) => v.toInt }.getOrElse(0)))
+        case "sgn" => ColV(Scalar.sgn(column("x")))
+        // trigonometry family (reference: math.py:240-285)
+        case "sin" => ColV(Scalar.sinC(column("x")))
+        case "cos" => ColV(Scalar.cosC(column("x")))
+        case "tan" => ColV(Scalar.tanC(column("x")))
+        case "arcsin" => ColV(Scalar.arcsin(column("x")))
+        case "arccos" => ColV(Scalar.arccos(column("x")))
+        case "arctan" => ColV(Scalar.arctan(column("x")))
+        case "sinh" => ColV(Scalar.sinhC(column("x")))
+        case "cosh" => ColV(Scalar.coshC(column("x")))
+        case "tanh" => ColV(Scalar.tanhC(column("x")))
+        case "arsinh" => ColV(Scalar.arsinh(column("x")))
+        case "arcosh" => ColV(Scalar.arcosh(column("x")))
+        case "artanh" => ColV(Scalar.artanh(column("x")))
+        case "is_nodata" => ColV(Scalar.isNodata(column("x")))
+        case "is_valid" => ColV(Scalar.isValid(column("x")))
+        case "is_nan" => ColV(Scalar.isNanC(column("x")))
+        case "is_infinite" => ColV(Scalar.isInfinite(column("x")))
         case "gt" => ColV(Scalar.gt(column("x"), column("y")))
         case "lt" => ColV(Scalar.lt(column("x"), column("y")))
         case "gte" => ColV(Scalar.gte(column("x"), column("y")))
@@ -241,8 +285,10 @@ object ProcessGraph {
         case "eq" => ColV(Scalar.eq(column("x"), column("y")))
         case "between" =>
           ColV(Scalar.between(column("x"), column("min"), column("max")))
+        case "neq" => ColV(Scalar.neq(column("x"), column("y")))
         case "and" => ColV(Scalar.and(column("x"), column("y")))
         case "or" => ColV(Scalar.or(column("x"), column("y")))
+        case "xor" => ColV(Scalar.xor(column("x"), column("y")))
         case "not" => ColV(Scalar.not(column("x")))
         case "if" => ColV(Scalar.ifThen(column("value"), column("accept"),
           args.get("reject").map(_ => column("reject")).getOrElse(lit(null))))

@@ -65,6 +65,25 @@ object CubeQueries {
       a.join(b, "band")
     },
 
+    "apply_trig" -> { (s, dir) =>
+      // full trig family panel (reference: math.py:240-285) + nan (math.py:83-91).
+      // u = quantity/50 ∈ (0, 1] keeps every function in-domain (arcosh gets
+      // 1+u, artanh gets 0.99·u); hashes are 1e6-floor-scaled integer sums.
+      val c = Tables.lineitemCube(s, dir)
+      val u = ApplyOps.apply(c, v => Scalar.divide(v, lit(50.0)))
+      def m(f: Column => Column): Column =
+        sum(floor(f(col("value")) * 1e6)).cast("bigint")
+      u.df.groupBy(col("band")).agg(
+        m(Scalar.sinC).as("s_sin"), m(Scalar.cosC).as("s_cos"),
+        m(Scalar.tanC).as("s_tan"), m(Scalar.arcsin).as("s_asin"),
+        m(Scalar.arccos).as("s_acos"), m(Scalar.arctan).as("s_atan"),
+        m(Scalar.sinhC).as("s_sinh"), m(Scalar.coshC).as("s_cosh"),
+        m(Scalar.tanhC).as("s_tanh"), m(Scalar.arsinh).as("s_asinh"),
+        m(v => Scalar.arcosh(Scalar.add(v, lit(1.0)))).as("s_acosh"),
+        m(v => Scalar.artanh(Scalar.multiply(v, lit(0.99)))).as("s_atanh"),
+        count(when(isnan(Scalar.add(col("value"), Scalar.nan)), 1)).as("n_nan"))
+    },
+
     // ---- reducers (§2.4) ----
     "reduce_mean" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
@@ -238,7 +257,7 @@ object CubeQueries {
   val oracles: Map[String, String] = Map(
     "filter_temporal" ->
       """SELECT event_type AS band, count(*) AS n,
-        |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1""".stripMargin,
@@ -257,9 +276,28 @@ object CubeQueries {
         |FROM events WHERE user_id % 7 = 0 GROUP BY 1""".stripMargin,
     "apply_math" ->
       """SELECT l_returnflag AS band,
-        |  sum(CAST(floor(sqrt(least(greatest(l_extendedprice,0),100000)/100000)*10000) AS BIGINT)) AS s_scaled,
-        |  sum(CAST(floor((ln(l_extendedprice+1) + (l_extendedprice % 7)) * 1000) AS BIGINT)) AS s_lnmod
+        |  CAST(sum(CAST(floor(sqrt(least(greatest(l_extendedprice,0),100000)/100000)*10000) AS BIGINT)) AS BIGINT) AS s_scaled,
+        |  CAST(sum(CAST(floor((ln(l_extendedprice+1) + (l_extendedprice % 7)) * 1000) AS BIGINT)) AS BIGINT) AS s_lnmod
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "apply_trig" ->
+      // DuckDB has no hyperbolic builtins — expressed via exp/ln identities;
+      // the 1e6-floor quantization absorbs last-ulp libm differences.
+      """WITH u AS (SELECT l_returnflag AS band, l_quantity/50.0 AS u FROM lineitem)
+        |SELECT band,
+        |  CAST(sum(floor(sin(u)*1000000)) AS BIGINT) AS s_sin,
+        |  CAST(sum(floor(cos(u)*1000000)) AS BIGINT) AS s_cos,
+        |  CAST(sum(floor(tan(u)*1000000)) AS BIGINT) AS s_tan,
+        |  CAST(sum(floor(asin(u)*1000000)) AS BIGINT) AS s_asin,
+        |  CAST(sum(floor(acos(u)*1000000)) AS BIGINT) AS s_acos,
+        |  CAST(sum(floor(atan(u)*1000000)) AS BIGINT) AS s_atan,
+        |  CAST(sum(floor((exp(u)-exp(-u))/2*1000000)) AS BIGINT) AS s_sinh,
+        |  CAST(sum(floor((exp(u)+exp(-u))/2*1000000)) AS BIGINT) AS s_cosh,
+        |  CAST(sum(floor((exp(2*u)-1)/(exp(2*u)+1)*1000000)) AS BIGINT) AS s_tanh,
+        |  CAST(sum(floor(ln(u+sqrt(u*u+1))*1000000)) AS BIGINT) AS s_asinh,
+        |  CAST(sum(floor(ln((1+u)+sqrt((1+u)*(1+u)-1))*1000000)) AS BIGINT) AS s_acosh,
+        |  CAST(sum(floor(0.5*ln((1+0.99*u)/(1-0.99*u))*1000000)) AS BIGINT) AS s_atanh,
+        |  count(*) AS n_nan
+        |FROM u GROUP BY 1""".stripMargin,
     "reduce_mean" ->
       """SELECT event_type AS band,
         |       round(avg(CAST(round(value*100) AS BIGINT))/100.0, 6) AS avg_v
@@ -335,7 +373,7 @@ object CubeQueries {
         |GROUP BY 1""".stripMargin,
     "aggregate_temporal_period" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type AS band,
-        |       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "aggregate_temporal" ->
       """WITH iv(s, e, lab) AS (VALUES
@@ -346,7 +384,7 @@ object CubeQueries {
         |  (TIMESTAMP '2024-02-10', TIMESTAMP '2024-02-11', 'empty')),
         |agg AS (
         |  SELECT iv.lab, e.event_type AS band,
-        |         sum(CAST(round(e.value*100) AS BIGINT)) AS sum_cents
+        |         CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |  FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e
         |  GROUP BY 1, 2)
         |SELECT labs.lab AS t, agg.band, agg.sum_cents

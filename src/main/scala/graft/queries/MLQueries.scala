@@ -74,7 +74,7 @@ object MLQueries {
     // ml_random_forest intentionally omitted (rows-only check)
     "streaming_window" ->
       """SELECT epoch_us(ts) // 21600000000 AS bucket, event_type AS band,
-        |       count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |       count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "process_graph" ->
       """SELECT event_type AS band, avg(floor(value * 100)) AS avg_cents

@@ -292,7 +292,7 @@ object PipelineQueries {
         |FROM l GROUP BY 1""".stripMargin,
     "topk_revenue" ->
       """SELECT l.l_orderkey, o.o_custkey,
-        |       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2
         |ORDER BY rev_cents DESC, l.l_orderkey ASC
