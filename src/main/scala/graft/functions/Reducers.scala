@@ -75,13 +75,15 @@ object Reducers {
       .otherwise(exp(logSum) * when(pmod(negs, lit(2)) === 1, -1.0).otherwise(1.0))
   }
 
-  /** Exact product for integer-valued (scaled-decimal) inputs: fold over the
-    * collected group — every multiply is exact while the running product
-    * stays under 2^53, so the result is order-independent. Use `productR`
-    * for float inputs at scale; this variant for decimal-exact parity.
+  /** Exact product for integer-valued (scaled-decimal) inputs: a typed
+    * product Aggregator — every multiply is exact while the running product
+    * stays under 2^53, so the result is order-independent, and the single
+    * Long buffer keeps it map-side combinable (unlike a collect_list fold,
+    * which ships whole groups across the shuffle). Use `productR` for float
+    * inputs at scale; this variant for decimal-exact parity.
     */
   def productExactR(v: Column): Column =
-    aggregate(collect_list(v), lit(1L), (acc, x) => acc * x)
+    when(count(v) === 0, lit(null)).otherwise(ProductAgg.column(v))
 
   /** count(condition=null→valid values; =true→all; else caller passes a
     * predicate-filtered column) (reference: arrays.py:587-606).

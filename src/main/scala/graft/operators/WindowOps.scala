@@ -86,10 +86,14 @@ object WindowOps {
       max_by(v, when(v.isNotNull, col(dim))).as("last_v"))
   }
 
-  /** cumulative product for integer-valued (scaled-decimal) cubes: an exact
-    * fold over the running window's collected values — order-independent
+  /** cumulative product for integer-valued (scaled-decimal) cubes — exact
     * while the running product stays under 2^53 (reference: math.py:125-174
     * cumproduct; use a log-domain variant for unbounded float data).
+    *
+    * Implemented as a typed product Aggregator over the running frame: the
+    * window processor extends the frame one row at a time and updates the
+    * single-Long buffer incrementally — O(n) per series, versus the O(n²)
+    * time and O(n)-per-row memory of folding collect_list under the frame.
     */
   def cumprodExact(cube: DataCube, dim: String): DataCube = {
     cube.requireDim(dim)
@@ -97,7 +101,7 @@ object WindowOps {
     val v = cube.value
     cube.withDf(_.withColumn(cube.meta.valueCol,
       when(v.isNull, lit(null)).otherwise(
-        aggregate(collect_list(v).over(w), lit(1L), (acc, x) => acc * x))))
+        graft.functions.ProductAgg.column(v).over(w))))
   }
 
   /** apply_neighborhood along one dim: reduce a sliding window of

@@ -55,36 +55,105 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
-  /** Sign-bit LSH bucket over the first `nBits` dimensions: '1' where the
-    * component is positive. Axis-aligned hyperplanes — deterministic and
-    * engine-portable; swap in md5-seeded pseudo-random planes for better
-    * isotropy without changing the plumbing.
+  /** Banded sign-LSH keys over md5-seeded hyperplanes spanning ALL vector
+    * components (see [[Planes]]): one struct (band, bkey) per band, where
+    * bkey is the bit-string of plane signs for that band. Band-OR candidate
+    * generation — two vectors are candidates iff they agree on EVERY bit of
+    * at least one band — is the same amplification scheme as MinHash
+    * banding: per-band collision for a random pair is 2^-bitsPerBand, so the
+    * candidate volume is ~bands·n²/2^bitsPerBand per key-space, while close
+    * pairs (bit-agreement p) survive with 1-(1-p^bits)^bands.
     */
-  def signBucket(vec: Column, nBits: Int): Column =
-    concat_ws("", transform(slice(vec, 1, nBits),
-      x => when(x > 0, "1").otherwise("0")))
+  def lshBandKeys(vec: Column, planes: Array[Array[Double]], bands: Int): Column = {
+    require(planes.length % bands == 0, "planes must divide evenly into bands")
+    val perBand = planes.length / bands
+    val bits: Seq[Column] = planes.toSeq.map(p =>
+      when(dot(vec, typedlit(p.toIndexedSeq)) > 0, lit("1")).otherwise(lit("0")))
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat(bits.slice(b * perBand, (b + 1) * perBand): _*).as("bkey"))): _*)
+  }
 
-  /** Top-k within LSH buckets: every vector joins only its own bucket.
-    * Recall < 1 by construction; bucket width (nBits) trades recall for
-    * bucket size.
+  /** Distinct candidate pairs (both directions) from band-OR LSH: each
+    * vector shuffles once per band on its (band, bkey); only equal keys join.
+    * Never all-pairs: bucket population is bounded by the key space, and the
+    * seeded planes kill the hot-bucket skew of axis-aligned bits (correlated
+    * leading dims). Sub-quadratic candidate volume is asserted by spec.
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, k: Int): DataFrame = {
-    val keyed = df.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), nBits).as("bucket"))
-    val a = keyed.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val b = keyed.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = a.join(b, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bands: Int): DataFrame = {
+    val withKeys = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bks", lshBandKeys(col("v"), planes, bands))
+    val keyed = withKeys.select(col("id"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    keyed.as("a").join(keyed.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .distinct()
+  }
+
+  /** Top-k by cosine within band-OR LSH candidates. Norms are computed once
+    * per vector and joined in — not recomputed per pair. Recall < 1 by
+    * construction; (#planes, bands) trade recall for candidate volume.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      nPlanes: Int, bands: Int, k: Int, seed: String = "graft-lsh"): DataFrame = {
+    val planes = Planes.hyperplanes(nPlanes, dims, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val cand = lshCandidates(df, idCol, vecCol, planes, bands)
+    val scored = cand
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")), "neighbor_id")
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
-  /** Embedding-cosine near-dup pairs within label blocks (a < b,
-    * cosine ≥ threshold) — the vector-space analogue of Dedup's text paths.
+  /** Embedding-cosine near-dup pairs via IVF coarse quantization: candidates
+    * are pairs sharing one of their `probes` nearest centroids, then exact
+    * cosine ≥ threshold verifies.
+    *
+    * Why IVF and not sign-LSH here: near-dup thresholds in the 0.3-0.6 range
+    * are too close to the random-pair baseline for sign-bit amplification —
+    * banding that keeps such pairs also keeps most random pairs. Data-aligned
+    * cells discriminate where hyperplanes cannot. With centroid count ∝ n
+    * (constant cell size), candidate volume is LINEAR in corpus size —
+    * unlike block-cartesian schemes whose blocks grow with the corpus.
+    *
+    * The stride-sampled centroids keep the quantizer deterministic for the
+    * oracle; at cluster scale train MLlib KMeans on a sample instead and
+    * assign via mapPartitions over the broadcast centroid matrix (the
+    * centroid set is small by construction — that broadcast is safe).
+    */
+  def ivfNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidStride: Int = 50, probes: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val cents = base.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+    val scored = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assign = scored.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= probes).select(col("id"), col("cid"))
+    val cand = assign.as("x").join(assign.as("y"), "cid")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Exact all-pairs near-dups within explicit blocks (a < b, cos ≥ t) —
+    * kept as the semantic-blocking baseline; use [[ivfNearDups]] when blocks
+    * grow with the corpus.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {

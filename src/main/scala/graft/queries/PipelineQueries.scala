@@ -63,6 +63,16 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
+  /** The LSH plane matrix, generated once and inlined into BOTH the Spark
+    * plan (via Similarity.lshTopK) and the oracle SQL below — identical
+    * doubles by construction, so bucket keys agree bit-exactly.
+    */
+  private val annPlanes = Planes.hyperplanes(16, 64, "graft-lsh")
+  private def planesSql: String =
+    annPlanes.zipWithIndex
+      .map { case (w, p) => s"($p, ${Planes.sqlArray(w)})" }
+      .mkString("(VALUES ", ", ", ") planes(pid, w)")
+
   val queries: Map[String, Q] = Map(
     // ---- dedup family ----
     "dedup_exact" -> { (s, dir) =>
@@ -87,8 +97,8 @@ object PipelineQueries {
         blockCols = Seq("lang", "source"), shingleLen = 3, threshold = 0.015)
     },
     "dedup_embed_cosine" -> { (s, dir) =>
-      Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
-        "embedding", "label", threshold = 0.35)
+      Similarity.ivfNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35, centroidStride = 50, probes = 3)
     },
 
     // ---- similarity search ----
@@ -99,7 +109,7 @@ object PipelineQueries {
     },
     "ann_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nBits = 4, k = 3)
+        dims = 64, nPlanes = 16, bands = 4, k = 3)
     },
 
     // ---- text analysis ----
@@ -199,10 +209,22 @@ object PipelineQueries {
          |$jaccardSqlTail
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.015""".stripMargin,
     "dedup_embed_cosine" ->
+      // IVF mirror: stride-50 centroids, 3-probe assignment, exact verify.
       s"""WITH $cosineSqlFns,
-         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
-         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.35""".stripMargin,
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id % 50 = 0),
+         |scored AS (SELECT n.vec_id, cent.cid,
+         |    ${dotSql("n.v", "cent.cv")} / (n.nn * cent.cn) AS ccos
+         |  FROM n CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+         |  FROM scored QUALIFY pr <= 3),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |ver AS (SELECT id_a, id_b,
+         |    round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+         |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM ver WHERE cos >= 0.35""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $cosineSqlFns,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
@@ -214,15 +236,24 @@ object PipelineQueries {
          |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
          |FROM scored QUALIFY rk <= 3""".stripMargin,
     "ann_lsh_topk" ->
+      // Band-OR sign-LSH mirror: 16 seeded planes (inlined literals), 4 bands
+      // of 4 bits; candidates share a full band; cosine over hoisted norms.
       s"""WITH $cosineSqlFns,
-         |keyed AS (SELECT vec_id, v,
-         |    array_to_string(list_transform(v[1:4],
-         |      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM e),
-         |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |             ${cosSql("a.v", "b.v")} AS cos
-         |           FROM keyed a JOIN keyed b
-         |           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |p AS (SELECT * FROM $planesSql),
+         |bits AS (SELECT e.vec_id, p.pid,
+         |    CASE WHEN ${dotSql("e.v", "p.w")} > 0 THEN '1' ELSE '0' END AS bit
+         |  FROM e CROSS JOIN p),
+         |bands AS (SELECT vec_id, pid // 4 AS band,
+         |    string_agg(bit, '' ORDER BY pid) AS bkey
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dotSql("x.v", "y.v")} / (x.nn * y.nn), 6) AS cos
+         |  FROM cand c JOIN n x ON x.vec_id = c.query_id
+         |              JOIN n y ON y.vec_id = c.neighbor_id)
          |SELECT query_id, neighbor_id, cos,
          |       row_number() OVER (PARTITION BY query_id
          |                          ORDER BY cos DESC, neighbor_id ASC) AS rk

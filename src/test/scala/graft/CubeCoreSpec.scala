@@ -155,4 +155,22 @@ class CubeCoreSpec extends AnyFunSuite {
     // Dec 2023 + Jan/Feb 2024 all belong to DJF starting 2023-12-01
     assert(seasons == Map("2023-12-01" -> 15.0))
   }
+
+  test("mask broadcasts a small mask but not an oversized one") {
+    val data = DataCube.fromTable(
+      spark.range(1000000L).select(col("id").as("x"),
+        col("id").cast("double").as("value")), Seq("x"), "value")
+    val small = DataCube.fromTable(
+      spark.range(10L).select(col("id").as("x"), (col("id") % 2 === 0).as("value")),
+      Seq("x"), "value")
+    val planSmall = MergeOps.mask(data, small).df.queryExecution.sparkPlan.toString
+    assert(planSmall.contains("BroadcastHashJoin"))
+    // ~50M rows × 2 cols: Catalyst's size estimate exceeds the broadcast cap,
+    // so the hint must NOT be attached — a full-resolution mask would OOM.
+    val big = DataCube.fromTable(
+      spark.range(50000000L).select(col("id").as("x"), (col("id") % 2 === 0).as("value")),
+      Seq("x"), "value")
+    val planBig = MergeOps.mask(data, big).df.queryExecution.sparkPlan.toString
+    assert(!planBig.contains("BroadcastHashJoin"))
+  }
 }

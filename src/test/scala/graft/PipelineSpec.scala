@@ -68,6 +68,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.length == 2)
   }
 
+  test("LSH band-OR candidate volume is sub-quadratic on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val planes = Planes.hyperplanes(16, 64, "graft-lsh")
+    val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", planes, 4).count()
+    info(s"n=$n directed-candidate-pairs=$cand of ${n * (n - 1)} all-pairs")
+    assert(cand > 0 && cand < n * (n - 1) / 2)
+  }
+
+  test("IVF near-dup prefilter always finds a planted exact duplicate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
+    val out = Similarity.ivfNearDups(emb.unionByName(dup), "vec_id", "embedding",
+      threshold = 0.99, centroidStride = 10, probes = 2).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9999L))
+  }
+
   test("lang_id picks marker-majority language, unknown when no hits") {
     val df = Seq(
       (1L, "der hund und die katze ist da"),
