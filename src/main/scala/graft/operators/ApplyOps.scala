@@ -69,6 +69,67 @@ object ApplyOps {
     *    element by rank — the window and the join share the same hash
     *    partitioning on the series dims, so this adds no extra shuffle.
     */
+  /** apply_dimension with the full target_dimension relabel rules
+    * (reference: cubes/apply.py:96-120):
+    *
+    *  - `target == dimension` (or None): labels preserved when the callback
+    *    keeps series length (`lengthPreserving = true` — the engine's static
+    *    declaration of what the reference detects at runtime on its
+    *    rectangular cubes), else relabeled to positions 0..n−1;
+    *  - target exists with exactly ONE label: the size-1 dim is squeezed
+    *    away, the source dim becomes `target`, labels 0..n−1;
+    *  - target exists with more labels: error (mirrors the reference's
+    *    raise);
+    *  - target is new: source dim renamed to `target`, labels 0..n−1.
+    *
+    * The label-cardinality check is one distinct-count over a single
+    * (column-pruned) dim column — dimension metadata, not a data scan of the
+    * fact payload.
+    */
+  def applyDimensionTarget(cube: DataCube, dimension: String,
+      process: Column => Column, targetDimension: Option[String] = None,
+      lengthPreserving: Boolean = false): DataCube = {
+    cube.requireDim(dimension)
+    val target = targetDimension.getOrElse(dimension)
+    if (target == dimension) {
+      if (lengthPreserving) applyDimensionArray(cube, dimension, process)
+      else applyDimensionRelabel(cube, dimension, process, dimension)
+    } else if (cube.meta.has(target)) {
+      val nLabels = cube.df.select(col(target)).distinct().count()
+      if (nLabels > 1) throw new IllegalArgumentException(
+        s"Cannot rename dimension $dimension to $target: $target already exists " +
+          s"and contains $nLabels labels")
+      val squeezed = DataCube(cube.df.drop(target), cube.meta.without(target))
+      applyDimensionRelabel(squeezed, dimension, process, target)
+    } else applyDimensionRelabel(cube, dimension, process, target)
+  }
+
+  /** Array-callback apply_dimension whose output dim `outDim` is labeled by
+    * positions 0..n−1 — the shape-changing path (posexplode of the
+    * per-series output array).
+    */
+  private def applyDimensionRelabel(cube: DataCube, dimension: String,
+      process: Column => Column, outDim: String): DataCube = {
+    val others = cube.meta.dimNames.filterNot(_ == dimension)
+    val grouped =
+      if (others.nonEmpty) cube.df.groupBy(others.map(col): _*)
+      else cube.df.groupBy(lit(1).as("_g"))
+    val arrays = grouped
+      .agg(sort_array(collect_list(struct(col(dimension).as("_k"),
+        cube.value.as("_v")))).as("_series"))
+      .withColumn("_vals", expr("transform(_series, s -> s._v)"))
+      .withColumn("_out", process(col("_vals")))
+    val exploded = arrays
+      .select((others.map(col) :+
+        posexplode(col("_out")).as(Seq("_pos", cube.meta.valueCol))): _*)
+      .withColumn(outDim, col("_pos").cast("long"))
+    val newMeta = CubeMetadata(
+      cube.meta.dims.filterNot(_.name == dimension) :+ CubeDim(outDim, DimType.Other),
+      cube.meta.crs, cube.meta.valueCol)
+    DataCube(exploded.select(
+      (others.map(col) :+ col(outDim) :+ col(cube.meta.valueCol)): _*), newMeta)
+  }
+
   def applyDimensionArrayWith(cube: DataCube, dimension: String,
       pre: Seq[Column => Column],
       process: (Column, Seq[Column]) => Column): DataCube = {

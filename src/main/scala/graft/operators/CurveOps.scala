@@ -39,6 +39,78 @@ object CurveOps {
       .drop("_sxy", "_sx", "_sy", "_sxx", "_n")
   }
 
+  /** Fit value ≈ a + b·f1(x) + c·f2(x) per series — the 3-parameter normal
+    * equations solved in closed form (Cramer) from one aggregation pass of
+    * exact moment sums. This covers the reference's CANONICAL fit_curve
+    * model, the per-pixel seasonal harmonic a + b·sin(ωt) + c·cos(ωt)
+    * (reference: ml/curve_fitting.py:15-97 + tests/test_ml.py): the model is
+    * linear in its parameters, so no iterative scipy-style solver is needed
+    * and the fit is deterministic across partitionings when the basis values
+    * are integer-quantized.
+    *
+    * Moment sums aggregate Long basis values exactly (every intermediate
+    * < 2^53); the Cramer arithmetic runs in double on the already-exact
+    * moments, so both engines of the correctness gate produce bit-identical
+    * parameters.
+    */
+  def fitBasis2(cube: DataCube, dim: String,
+      f1: Column => Column, f2: Column => Column,
+      coord: Column => Column = identity): DataFrame = {
+    cube.requireDim(dim)
+    val others = cube.dimColsExcept(dim)
+    val x = coord(col(dim)).cast("double")
+    val y = cube.value
+    val s = f1(x); val t = f2(x)
+    val agg = cube.df.groupBy(others: _*).agg(
+      count(when(y.isNotNull, 1)).cast("double").as("_n"),
+      sum(when(y.isNotNull, s)).cast("double").as("_ss"),
+      sum(when(y.isNotNull, t)).cast("double").as("_sc"),
+      sum(when(y.isNotNull, s * s)).cast("double").as("_sss"),
+      sum(when(y.isNotNull, t * t)).cast("double").as("_scc"),
+      sum(when(y.isNotNull, s * t)).cast("double").as("_ssc"),
+      sum(y).cast("double").as("_sy"),
+      sum(y * s).cast("double").as("_sys"),
+      sum(y * t).cast("double").as("_syc"))
+    val n = col("_n"); val ss = col("_ss"); val sc = col("_sc")
+    val sss = col("_sss"); val scc = col("_scc"); val ssc = col("_ssc")
+    val sy = col("_sy"); val sys = col("_sys"); val syc = col("_syc")
+    val det = n * (sss * scc - ssc * ssc) - ss * (ss * scc - ssc * sc) +
+      sc * (ss * ssc - sss * sc)
+    val da = sy * (sss * scc - ssc * ssc) - ss * (sys * scc - ssc * syc) +
+      sc * (sys * ssc - sss * syc)
+    val db = n * (sys * scc - ssc * syc) - sy * (ss * scc - ssc * sc) +
+      sc * (ss * syc - sys * sc)
+    val dc = n * (sss * syc - sys * ssc) - ss * (ss * syc - sys * sc) +
+      sy * (ss * ssc - sss * sc)
+    agg
+      .withColumn("a", da / det)
+      .withColumn("b", db / det)
+      .withColumn("c", dc / det)
+      .select((others :+ col("a") :+ col("b") :+ col("c")): _*)
+  }
+
+  /** The reference's harmonic model with angular frequency ω over the dim
+    * coordinate (reference: tests/test_ml.py fit model).
+    */
+  def fitHarmonic(cube: DataCube, dim: String, omega: Double,
+      coord: Column => Column = identity): DataFrame =
+    fitBasis2(cube, dim, x => sin(x * omega), x => cos(x * omega), coord)
+
+  /** Evaluate fitted a + b·f1(x) + c·f2(x) at given labels
+    * (reference: curve_fitting.py:100-162).
+    */
+  def predictBasis2(params: DataFrame, seriesDims: Seq[String],
+      labels: Seq[Double], f1: Column => Column, f2: Column => Column,
+      dimName: String = "x"): DataFrame = {
+    val spark = params.sparkSession
+    import spark.implicits._
+    val lab = labels.toDF(dimName)
+    params.join(broadcast(lab))
+      .withColumn("value",
+        col("a") + col("b") * f1(col(dimName)) + col("c") * f2(col(dimName)))
+      .select((seriesDims.map(col) :+ col(dimName) :+ col("value")): _*)
+  }
+
   /** Evaluate a fitted a + b·x at given coordinates
     * (reference: curve_fitting.py:100-162): explode the label list against
     * the params table (broadcast — params are one row per series).

@@ -74,7 +74,9 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("g"), col("h")))).as("_hs"))
       .select(col("shingle"), expr("transform(_hs, p -> p.h)").as("hs"))
-    sh.join(broadcast(hashed), Seq("shingle"))
+    // vocabulary-sized: broadcast only while Catalyst's estimate says it
+    // fits — a web-scale shingle vocabulary must shuffle-join instead
+    sh.join(graft.core.Joins.maybeBroadcast(hashed), Seq("shingle"))
       .select(col(idCol), posexplode(col("hs")).as(Seq("_g", "h")))
       .groupBy(col(idCol), col("_g").as("g"))
       .agg(
@@ -133,15 +135,22 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * pairs → exact-Jaccard verify → threshold.
+    *
+    * `cacheShingles` persists the shingle table, which feeds BOTH the
+    * signature branch and the verification branch, so the diamond DAG
+    * tokenizes the corpus once. The cache entry outlives this call (Spark
+    * caches by logical plan); long-running sessions should either pass
+    * `false` (recompute — at cluster scale a checkpoint is the usual
+    * third option) or drop it with `spark.catalog.clearCache()` once the
+    * result is materialised.
     */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    // the shingle table feeds BOTH the signature branch and the verification
-    // branch — persist it so the diamond DAG tokenizes the corpus once
-    // (at cluster scale: a checkpoint/exchange-reuse point, not a recompute)
-    val sh = shingles(df, idCol, text, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      threshold: Double = 0.5, cacheShingles: Boolean = true): DataFrame = {
+    val shBase = shingles(df, idCol, text, shingleLen)
+    val sh = if (cacheShingles)
+      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shBase
     val sigs = minhashSignatures(sh, idCol, k)
     val bands = lshBandKeys(sigs, idCol, rowsPerBand)
     val pairs = lshCandidatePairs(bands, idCol)
@@ -188,8 +197,13 @@ object Dedup {
   /** SimHash near-dups within blocking buckets: pairs (a < b) from the same
     * block whose signatures differ in at most `maxHamming` bits.
     *
-    * The Hamming computation packs each 64-bit signature into two longs once
-    * per document, so the per-pair cost is two XOR + bit_count instructions
+    * Candidate generation is PIGEONHOLE bucketing, not block-cartesian: the
+    * 64-bit signature is split into maxHamming+1 chunks, and two signatures
+    * within maxHamming Hamming distance must agree on at least one whole
+    * chunk — so an equal-chunk equi-join produces a LOSSLESS candidate
+    * superset whose volume scales with per-chunk collisions, not with block
+    * size squared. Exact verification then packs each signature into two
+    * longs so the per-pair cost is two XOR + bit_count instructions
     * (codegen'd) instead of 64 interpreted substring compares.
     */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
@@ -198,11 +212,25 @@ object Dedup {
       .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
       .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
       .join(df.select((idCol +: blockCols).map(col): _*), idCol)
-    val a = packed.select((blockCols.map(col) :+ col(idCol).as("id_a") :+
-      col("h1").as("a1") :+ col("h2").as("a2")): _*)
-    val b = packed.select((blockCols.map(col) :+ col(idCol).as("id_b") :+
-      col("h1").as("b1") :+ col("h2").as("b2")): _*)
-    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks; val extra = 64 % nChunks
+    val sizes = Seq.tabulate(nChunks)(c => base + (if (c < extra) 1 else 0))
+    val startLen = sizes.scanLeft(1)(_ + _).init.zip(sizes)
+    val keyed = packed
+      .withColumn("chs", array(startLen.zipWithIndex.map { case ((st, ln), ci) =>
+        struct(lit(ci).as("ci"), substring(col("simhash"), st, ln).as("cv"))
+      }: _*))
+      .select((blockCols.map(col) :+ col(idCol) :+ col("h1") :+ col("h2") :+
+        explode(col("chs")).as("ch")): _*)
+      .select((blockCols.map(col) :+ col(idCol) :+ col("h1") :+ col("h2") :+
+        col("ch.ci").as("ci") :+ col("ch.cv").as("cv")): _*)
+    val a = keyed.select((blockCols.map(col) :+ col("ci") :+ col("cv") :+
+      col(idCol).as("id_a") :+ col("h1").as("a1") :+ col("h2").as("a2")): _*)
+    val b = keyed.select((blockCols.map(col) :+ col("ci") :+ col("cv") :+
+      col(idCol).as("id_b") :+ col("h1").as("b1") :+ col("h2").as("b2")): _*)
+    a.join(b, blockCols ++ Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "a1", "a2", "b1", "b2").distinct()
       .withColumn("hamming",
         (bit_count(col("a1").bitwiseXOR(col("b1"))) +
           bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long"))

@@ -215,8 +215,47 @@ object SeriesQueries {
     "predict_curve" -> { (s, dir) =>
       val params = CurveOps.fitLinear(eidCube(s, dir), "eid")
       CurveOps.predictLinear(params, Seq("band"), Seq(0.0, 5000.0, 10000.0), "x")
+    },
+    "fit_curve_harmonic" -> { (s, dir) =>
+      // the reference's canonical per-series seasonal model, weekly period
+      // over day-coordinates; basis quantized to exact integers (×1e4) so
+      // the moment sums are order-independent across engines
+      CurveOps.fitBasis2(tdayCube(s, dir), "t",
+        x => floor(sin(x * HarmonicOmega) * 1e4),
+        x => floor(cos(x * HarmonicOmega) * 1e4),
+        coord = dayCoord)
+        .select(col("band"), col("a"), col("b"), col("c"))
+    },
+    "predict_curve_harmonic" -> { (s, dir) =>
+      val params = CurveOps.fitBasis2(tdayCube(s, dir), "t",
+        x => floor(sin(x * HarmonicOmega) * 1e4),
+        x => floor(cos(x * HarmonicOmega) * 1e4),
+        coord = dayCoord)
+      CurveOps.predictBasis2(params, Seq("band"), Seq(0.5, 3.25, 10.0, 17.75, 30.0),
+        x => floor(sin(x * HarmonicOmega) * 1e4),
+        x => floor(cos(x * HarmonicOmega) * 1e4))
     }
   )
+
+  /** weekly angular frequency over day-units; the literal is interpolated
+    * into the oracle SQL so both engines use the identical double.
+    */
+  private val HarmonicOmega: Double = 2 * math.Pi / 7
+
+  /** days since 2024-01-01 (epoch-seconds arithmetic mirrors the oracle's
+    * epoch_us(ts)/1e6 division bit-for-bit).
+    */
+  private def dayCoord(t: Column): Column =
+    (t.cast("double") - lit(1.7040672e9)) / 86400.0
+
+  /** events as a (t, band) cube of integer cents. */
+  private def tdayCube(s: SparkSession, dir: String): DataCube = {
+    val df = Tables.events(s, dir).select(
+      col("ts").as("t"), col("event_type").as("band"),
+      cents(col("value")).as("value"))
+    DataCube.fromTable(df, Seq("t", "band"), "value",
+      Map("t" -> DimType.Temporal, "band" -> DimType.Bands))
+  }
 
   private val maskedCents =
     "CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(round(value*100) AS BIGINT) END"
@@ -411,6 +450,38 @@ object SeriesQueries {
         |      FROM m)
         |SELECT band, t.x, a + b * t.x AS value
         |FROM p CROSS JOIN (VALUES (CAST(0 AS DOUBLE)), (CAST(5000 AS DOUBLE)),
-        |                          (CAST(10000 AS DOUBLE))) t(x)""".stripMargin
+        |                          (CAST(10000 AS DOUBLE))) t(x)""".stripMargin,
+    "fit_curve_harmonic" ->
+      (harmonicParamsSql + "\nSELECT band, a, b, c FROM p"),
+    "predict_curve_harmonic" ->
+      (harmonicParamsSql + s"""
+         |SELECT band, t.x,
+         |  a + b * floor(sin(t.x * $HarmonicOmega) * 10000)
+         |    + c * floor(cos(t.x * $HarmonicOmega) * 10000) AS value
+         |FROM p CROSS JOIN (VALUES (0.5), (3.25), (10.0), (17.75), (30.0)) t(x)""".stripMargin)
   )
+
+  /** Shared harmonic-fit CTE chain: quantized basis, exact integer moments,
+    * Cramer solve written with the same association order as
+    * CurveOps.fitBasis2 so every double is bit-identical.
+    */
+  private def harmonicParamsSql: String =
+    s"""WITH c AS (SELECT event_type AS band,
+       |    (epoch_us(ts) / 1000000.0 - 1704067200.0) / 86400.0 AS u,
+       |    CAST(round(value*100) AS BIGINT) AS y FROM events),
+       |b AS (SELECT band, y,
+       |    floor(sin(u * $HarmonicOmega) * 10000) AS s,
+       |    floor(cos(u * $HarmonicOmega) * 10000) AS t FROM c),
+       |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n,
+       |    sum(s) AS ss, sum(t) AS sc, sum(s*s) AS sss, sum(t*t) AS scc,
+       |    sum(s*t) AS ssc, sum(y) AS sy, sum(y*s) AS sys, sum(y*t) AS syc
+       |  FROM b GROUP BY 1),
+       |p AS (SELECT band,
+       |  (sy*(sss*scc - ssc*ssc) - ss*(sys*scc - ssc*syc) + sc*(sys*ssc - sss*syc))
+       |    / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)) AS a,
+       |  (n*(sys*scc - ssc*syc) - sy*(ss*scc - ssc*sc) + sc*(ss*syc - sys*sc))
+       |    / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)) AS b,
+       |  (n*(sss*syc - sys*ssc) - ss*(ss*syc - sys*sc) + sy*(ss*ssc - sss*sc))
+       |    / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)) AS c
+       |  FROM m)""".stripMargin
 }

@@ -156,6 +156,44 @@ class CubeCoreSpec extends AnyFunSuite {
     assert(seasons == Map("2023-12-01" -> 15.0))
   }
 
+  test("apply_dimension target rules: new target renames and relabels 0..n-1") {
+    val c = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0), (3.0, "B1", 30.0)))
+    val out = ApplyOps.applyDimensionTarget(c, "x",
+      arr => slice(arr, 1, 2), targetDimension = Some("idx"))
+    assert(out.meta.dimNames == Seq("band", "idx"))
+    val rows = out.df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("B1", 0L, 10.0), ("B1", 1L, 20.0)))
+  }
+
+  test("apply_dimension target rules: size-1 existing target is squeezed") {
+    val df = Seq((1.0, "B1", "m1", 1.0), (2.0, "B1", "m1", 2.0))
+      .toDF("x", "band", "model", "value")
+    val c = DataCube.fromTable(df, Seq("x", "band", "model"), "value")
+    val out = ApplyOps.applyDimensionTarget(c, "x",
+      arr => reverse(arr), targetDimension = Some("model"))
+    assert(out.meta.dimNames == Seq("band", "model"))
+    val rows = out.df.collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((0L, 2.0), (1L, 1.0)))
+  }
+
+  test("apply_dimension target rules: multi-label existing target errors") {
+    val c = cube(Seq((1.0, "B1", 1.0), (1.0, "B2", 2.0), (2.0, "B1", 3.0),
+      (2.0, "B2", 4.0)))
+    val e = intercept[IllegalArgumentException] {
+      ApplyOps.applyDimensionTarget(c, "x", arr => arr,
+        targetDimension = Some("band"))
+    }
+    assert(e.getMessage.contains("band"))
+  }
+
+  test("apply_dimension same-dim length-changing callback relabels positions") {
+    val c = cube(Seq((1.0, "B1", 5.0), (2.0, "B1", 7.0), (3.0, "B1", 9.0)))
+    val out = ApplyOps.applyDimensionTarget(c, "x",
+      arr => slice(arr, 2, 2)) // drops the first element → relabel
+    val rows = out.df.collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((0L, 7.0), (1L, 9.0)))
+  }
+
   test("mask broadcasts a small mask but not an oversized one") {
     val data = DataCube.fromTable(
       spark.range(1000000L).select(col("id").as("x"),
