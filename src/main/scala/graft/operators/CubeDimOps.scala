@@ -40,9 +40,9 @@ object CubeDimOps {
     DataCube(cube.df.withColumnRenamed(from, to), cube.meta.renamed(from, to))
   }
 
-  /** Relabel values of a dimension via a source→target mapping
-    * (reference: cubes/general.py:150-222 — we implement the enumerated
-    * source/target lists; unmatched labels pass through unchanged).
+  /** Relabel values of a dimension via a source→target mapping — the
+    * unchecked remap core (reference: cubes/general.py:150-222); unmatched
+    * labels pass through unchanged.
     */
   def renameLabels(cube: DataCube, dimension: String,
       mapping: Map[String, String]): DataCube = {
@@ -50,6 +50,49 @@ object CubeDimOps {
     val m = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     cube.withDf(_.withColumn(dimension,
       coalesce(element_at(m, col(dimension).cast("string")), col(dimension))))
+  }
+
+  /** rename_labels with the reference's full error semantics
+    * (reference: cubes/general.py:150-222):
+    *
+    *  - LabelMismatch — `source` non-empty and lengths differ, or empty
+    *    `source` with more targets than labels;
+    *  - LabelExists — a target label collides with an existing label;
+    *  - LabelNotAvailable — a `source` label is absent from the dimension;
+    *  - LabelsNotEnumerated — empty `source` with fewer targets than labels
+    *    on a dimension not enumerated from 0.
+    *
+    * Empty `source` means positional relabeling over the sorted label list.
+    * The label set is collected once — dimension labels are metadata-sized
+    * by the cube model (a pruned single-column distinct, not a fact scan).
+    */
+  def renameLabelsChecked(cube: DataCube, dimension: String,
+      target: Seq[String], source: Seq[String] = Nil): DataCube = {
+    cube.requireDim(dimension)
+    if (source.nonEmpty && source.size != target.size)
+      throw new IllegalArgumentException(
+        "LabelMismatch - The number of labels in `source` and `target` don't match.")
+    val labels = cube.df.select(col(dimension).cast("string").as("l"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    if (labels.exists(target.contains))
+      throw new IllegalArgumentException(
+        "LabelExists - A label with the specified name exists.")
+    val mapping: Map[String, String] =
+      if (source.nonEmpty) {
+        source.find(s => !labels.contains(s)).foreach(s =>
+          throw new IllegalArgumentException(
+            s"LabelNotAvailable - A label with the specified name does not exist: $s"))
+        source.zip(target).toMap
+      } else if (labels.size == target.size) {
+        labels.zip(target).toMap
+      } else if (target.size < labels.size) {
+        if (!labels.contains("0"))
+          throw new IllegalArgumentException(
+            "LabelsNotEnumerated - The dimension labels are not enumerated.")
+        labels.take(target.size).zip(target).toMap
+      } else throw new IllegalArgumentException(
+        "LabelMismatch - The number of labels in `source` and `target` don't match.")
+    renameLabels(cube, dimension, mapping)
   }
 
   /** Distinct labels of a dim, ordered (reference: cubes/general.py:59-69). */

@@ -113,4 +113,107 @@ object ResampleOps {
       .agg(reducer(cube.value).as(cube.meta.valueCol))
     DataCube(out, cube.meta)
   }
+
+  /** resample_spatial, method="mode" (reference: resample.py:23-36): the most
+    * frequent value per target cell, DETERMINISTIC tie-break = smallest value
+    * among the most frequent. Two-stage aggregation — count per (cell, value)
+    * then max_by over (count, −value) — both stages map-side combinable; no
+    * rank window over the fact table.
+    */
+  def resampleSpatialMode(cube: DataCube, xRes: Double, yRes: Double): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val v = cube.meta.valueCol
+    val binned = cube.df
+      .withColumn("_bx", floor(col(xd) / xRes) * xRes)
+      .withColumn("_by", floor(col(yd) / yRes) * yRes)
+    val counted = binned
+      .groupBy((col("_bx") +: col("_by") +: others.map(col) :+ col(v)): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val out = counted
+      .groupBy((col("_bx").alias(xd) +: col("_by").alias(yd) +: others.map(col)): _*)
+      .agg(max_by(col(v), struct(col("_cnt"), -col(v))).as(v))
+    DataCube(out, cube.meta)
+  }
+
+  /** Separable interpolation kernels for resample_spatial
+    * (reference: resample.py:23-36; the reference delegates to
+    * odc/GDAL warp kernels).
+    */
+  sealed trait InterpKernel { def radius: Int; def weight(t: Double): Double }
+  /** Keys cubic convolution, a = −0.5 (the GDAL/Catmull-Rom default). */
+  case object CubicKernel extends InterpKernel {
+    val radius = 2
+    def weight(t: Double): Double = {
+      val x = math.abs(t)
+      if (x <= 1) (1.5 * x - 2.5) * x * x + 1.0
+      else if (x < 2) ((-0.5 * x + 2.5) * x - 4.0) * x + 2.0
+      else 0.0
+    }
+  }
+  /** Lanczos windowed sinc, a = 3 (6×6 support). */
+  case object LanczosKernel extends InterpKernel {
+    val radius = 3
+    def weight(t: Double): Double = {
+      val x = math.abs(t)
+      if (x < 1e-12) 1.0
+      else if (x >= 3) 0.0
+      else {
+        val px = math.Pi * x
+        3.0 * math.sin(px) * math.sin(px / 3.0) / (px * px)
+      }
+    }
+  }
+
+  /** Per-target neighbor offsets and separable weights, computed ONCE at
+    * plan-build time (driver) so both the Spark plan and the DuckDB oracle
+    * inline identical doubles. Row: (cornerIdx, tx, ty, sx, sy, w).
+    */
+  def kernelCorners(targets: Seq[(Double, Double)],
+      kernel: InterpKernel): Seq[(Int, Double, Double, Double, Double, Double)] =
+    for {
+      (tx, ty) <- targets
+      r = kernel.radius
+      dx <- (-r + 1) to r
+      dy <- (-r + 1) to r
+      sx = math.floor(tx) + dx
+      sy = math.floor(ty) + dy
+      w = kernel.weight(tx - sx) * kernel.weight(ty - sy)
+      if w != 0.0
+    } yield (((dx + r - 1) * 2 * r) + (dy + r - 1), tx, ty, sx, sy, w)
+
+  /** resample_spatial with an interpolating kernel (cubic 4×4 / lanczos 6×6):
+    * the target list explodes to its weighted neighbor lookups, broadcast-
+    * joins the source grid (the grid never shuffles), and each target cell
+    * folds its surviving (weight·value) terms IN CORNER ORDER — a
+    * deterministic left-to-right sum, normalized by the surviving weight sum
+    * (partial-support borders degrade gracefully instead of going null).
+    */
+  def resampleSpatialKernel(cube: DataCube, targets: Seq[(Double, Double)],
+      kernel: InterpKernel): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val spark = cube.df.sparkSession
+    import spark.implicits._
+    val c = kernelCorners(targets, kernel)
+      .toDF("_ci", "_tx", "_ty", "_sx", "_sy", "_w")
+    val joined = cube.df.join(broadcast(c),
+      col(xd) === col("_sx") && col(yd) === col("_sy"))
+      .withColumn("_wv", col("_w") * cube.value)
+    val folded = joined
+      .groupBy((col("_tx") +: col("_ty") +: others.map(col)): _*)
+      .agg(sort_array(collect_list(struct(col("_ci"), col("_w").as("w"),
+        col("_wv").as("wv")))).as("_terms"))
+      .withColumn("_sw", aggregate(expr("transform(_terms, s -> s.w)"),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_swv", aggregate(expr("transform(_terms, s -> s.wv)"),
+        lit(0.0), (acc, x) => acc + x))
+    val out = folded.select((col("_tx").as(xd) +: col("_ty").as(yd) +:
+      others.map(col) :+ (col("_swv") / col("_sw")).as(cube.meta.valueCol)): _*)
+    cube.copy(df = out)
+  }
 }

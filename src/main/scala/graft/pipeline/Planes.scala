@@ -24,9 +24,11 @@ object Planes {
     }
   }
 
-  /** DuckDB literal for one plane; Double.toString round-trips exactly, so
-    * the parsed constant is bit-identical on both engines.
+  /** DuckDB literal for one plane. Each element routes through a
+    * VARCHAR→DOUBLE parse: Double.toString round-trips exactly under string
+    * parsing, whereas a bare decimal literal would take DuckDB's
+    * DECIMAL→DOUBLE cast, which can be one ulp off for 17-digit values.
     */
   def sqlArray(w: Array[Double]): String =
-    w.mkString("[", ", ", "]::DOUBLE[]")
+    w.map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
 }

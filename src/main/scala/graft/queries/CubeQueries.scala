@@ -248,8 +248,66 @@ object CubeQueries {
       val r = ResampleOps.resampleSpatialAgg(c, 50, 4, v => Reducers.sumR(v))
       r.df.select(col("x").cast("bigint").as("x"), col("y").cast("bigint").as("y"),
         col("value").cast("bigint").as("sum_qty"))
+    },
+    "resample_mode" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val r = ResampleOps.resampleSpatialMode(c, 50, 4)
+      r.df.select(col("x").cast("bigint").as("x"), col("y").cast("bigint").as("y"),
+        col("value").as("mode_qty"))
+    },
+    "resample_cubic" -> { (s, dir) =>
+      val r = ResampleOps.resampleSpatialKernel(eventsGrid(s, dir),
+        KernelTargets, ResampleOps.CubicKernel)
+      r.df.select(col("x"), col("y"), col("value"))
+    },
+    "resample_lanczos" -> { (s, dir) =>
+      val r = ResampleOps.resampleSpatialKernel(eventsGrid(s, dir),
+        KernelTargets, ResampleOps.LanczosKernel)
+      r.df.select(col("x"), col("y"), col("value"))
     }
   )
+
+  /** integer (x, y) grid of summed cents from events — the shared source for
+    * the interpolating-kernel queries.
+    */
+  private def eventsGrid(s: SparkSession, dir: String): DataCube = {
+    val df = Tables.events(s, dir)
+      .groupBy((col("user_id") % 20).as("x"), (col("event_id") % 25).as("y"))
+      .agg(sum(cents(col("value"))).as("value"))
+    DataCube.fromTable(df, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+  }
+
+  private val KernelTargets: Seq[(Double, Double)] =
+    Seq((5.3, 7.6), (10.5, 12.25), (2.75, 3.5), (15.1, 20.9))
+
+  /** Kernel corner weights as a DuckDB VALUES literal — generated from the
+    * SAME driver-side computation the Spark operator inlines, so both engines
+    * fold identical doubles.
+    */
+  private def cornersSql(k: ResampleOps.InterpKernel): String =
+    // every numeric literal via string→DOUBLE parse (see OracleSql.d): the
+    // DECIMAL→DOUBLE cast path re-rounds 17-digit weights by one ulp
+    ResampleOps.kernelCorners(KernelTargets, k)
+      .map { case (ci, tx, ty, sx, sy, w) =>
+        import OracleSql.d
+        s"($ci, ${d(tx)}, ${d(ty)}, ${d(sx)}, ${d(sy)}, ${d(w)})"
+      }
+      .mkString("(VALUES ", ", ", ")")
+
+  private def kernelOracle(k: ResampleOps.InterpKernel): String =
+    s"""WITH g AS (SELECT user_id % 20 AS x, event_id % 25 AS y,
+       |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |k(ci, tx, ty, sx, sy, w) AS (${cornersSql(k)}),
+       |j AS (SELECT k.ci, k.tx, k.ty, k.w, k.w * g.v AS wv
+       |      FROM k JOIN g ON g.x = k.sx AND g.y = k.sy),
+       |a AS (SELECT tx, ty,
+       |    list_reduce(list(w ORDER BY ci), (x, y) -> x + y) AS sw,
+       |    list_reduce(list(wv ORDER BY ci), (x, y) -> x + y) AS swv
+       |  FROM j GROUP BY 1, 2)
+       |SELECT tx AS x, ty AS y, swv / sw AS value FROM a""".stripMargin
 
   /** DuckDB oracles, one per query key. Table names are the bare parquet
     * names (the driver registers them as views over the same sf dir).
@@ -414,6 +472,17 @@ object CubeQueries {
       """SELECT CAST(floor(l_partkey/50)*50 AS BIGINT) AS x,
         |       CAST(floor(l_suppkey/4)*4 AS BIGINT) AS y,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "resample_mode" ->
+      """WITH g AS (SELECT CAST(floor(l_partkey/50)*50 AS BIGINT) AS x,
+        |    CAST(floor(l_suppkey/4)*4 AS BIGINT) AS y, l_quantity AS v
+        |  FROM lineitem),
+        |c AS (SELECT x, y, v, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |r AS (SELECT x, y, v,
+        |    row_number() OVER (PARTITION BY x, y ORDER BY cnt DESC, v ASC) AS rn
+        |  FROM c)
+        |SELECT x, y, v AS mode_qty FROM r WHERE rn = 1""".stripMargin,
+    "resample_cubic" -> kernelOracle(ResampleOps.CubicKernel),
+    "resample_lanczos" -> kernelOracle(ResampleOps.LanczosKernel)
   )
 }

@@ -456,9 +456,11 @@ object SeriesQueries {
     "predict_curve_harmonic" ->
       (harmonicParamsSql + s"""
          |SELECT band, t.x,
-         |  a + b * floor(sin(t.x * $HarmonicOmega) * 10000)
-         |    + c * floor(cos(t.x * $HarmonicOmega) * 10000) AS value
-         |FROM p CROSS JOIN (VALUES (0.5), (3.25), (10.0), (17.75), (30.0)) t(x)""".stripMargin)
+         |  a + b * floor(sin(t.x * ${OracleSql.d(HarmonicOmega)}) * 10000)
+         |    + c * floor(cos(t.x * ${OracleSql.d(HarmonicOmega)}) * 10000) AS value
+         |FROM p CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(3.25 AS DOUBLE)),
+         |  (CAST(10.0 AS DOUBLE)), (CAST(17.75 AS DOUBLE)),
+         |  (CAST(30.0 AS DOUBLE))) t(x)""".stripMargin)
   )
 
   /** Shared harmonic-fit CTE chain: quantized basis, exact integer moments,
@@ -470,8 +472,8 @@ object SeriesQueries {
        |    (epoch_us(ts) / 1000000.0 - 1704067200.0) / 86400.0 AS u,
        |    CAST(round(value*100) AS BIGINT) AS y FROM events),
        |b AS (SELECT band, y,
-       |    floor(sin(u * $HarmonicOmega) * 10000) AS s,
-       |    floor(cos(u * $HarmonicOmega) * 10000) AS t FROM c),
+       |    floor(sin(u * ${OracleSql.d(HarmonicOmega)}) * 10000) AS s,
+       |    floor(cos(u * ${OracleSql.d(HarmonicOmega)}) * 10000) AS t FROM c),
        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n,
        |    sum(s) AS ss, sum(t) AS sc, sum(s*s) AS sss, sum(t*t) AS scc,
        |    sum(s*t) AS ssc, sum(y) AS sy, sum(y*s) AS sys, sum(y*t) AS syc

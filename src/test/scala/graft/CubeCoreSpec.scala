@@ -194,6 +194,30 @@ class CubeCoreSpec extends AnyFunSuite {
     assert(rows == Set((0L, 7.0), (1L, 9.0)))
   }
 
+  test("rename_labels checked: remap, LabelExists, LabelNotAvailable, LabelMismatch") {
+    val c = cube(Seq((1.0, "B1", 1.0), (1.0, "B2", 2.0)))
+    // happy path: explicit source/target
+    val renamed = CubeDimOps.renameLabelsChecked(c, "band", Seq("red"), Seq("B1"))
+    assert(renamed.df.select("band").distinct().collect().map(_.getString(0)).toSet
+      == Set("red", "B2"))
+    // positional relabel with empty source
+    val positional = CubeDimOps.renameLabelsChecked(c, "band", Seq("x1", "x2"))
+    assert(positional.df.select("band").distinct().collect().map(_.getString(0)).toSet
+      == Set("x1", "x2"))
+    assert(intercept[IllegalArgumentException] {
+      CubeDimOps.renameLabelsChecked(c, "band", Seq("B2"), Seq("B1"))
+    }.getMessage.startsWith("LabelExists"))
+    assert(intercept[IllegalArgumentException] {
+      CubeDimOps.renameLabelsChecked(c, "band", Seq("red"), Seq("B9"))
+    }.getMessage.startsWith("LabelNotAvailable"))
+    assert(intercept[IllegalArgumentException] {
+      CubeDimOps.renameLabelsChecked(c, "band", Seq("red", "green"), Seq("B1"))
+    }.getMessage.startsWith("LabelMismatch"))
+    assert(intercept[IllegalArgumentException] {
+      CubeDimOps.renameLabelsChecked(c, "band", Seq("red")) // fewer targets, not enumerated
+    }.getMessage.startsWith("LabelsNotEnumerated"))
+  }
+
   test("mask broadcasts a small mask but not an oversized one") {
     val data = DataCube.fromTable(
       spark.range(1000000L).select(col("id").as("x"),
