@@ -36,6 +36,17 @@ object MLQueries {
       StreamingOps.windowedEventAggregate(s, s"$dir/events.parquet")
     },
 
+    // run_udf: user Python source executed against the cube through the
+    // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
+    // the UDF, the engine only aggregates the returned cells.
+    "run_udf" -> { (s, dir) =>
+      val c = Tables.eventsCube(s, dir)
+      val out = graft.operators.UdfOps.runUdf(c,
+        "def udf(row):\n    return float(int(row['value'] * 100))")
+      out.df.groupBy(col("band")).agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("bigint").as("sum_cents"))
+    },
+
     // OpenEO JSON process graph compiled end-to-end (SURVEY §3.4): the
     // reference's canonical load → filter → apply(callback) →
     // reduce_dimension(reducer) slice, arriving as wire-format JSON.
@@ -72,6 +83,12 @@ object MLQueries {
 
   val oracles: Map[String, String] = Map(
     // ml_random_forest intentionally omitted (rows-only check)
+    "run_udf" ->
+      // python int() truncates toward zero; events values are positive, so
+      // floor(value*100) over the same parquet doubles is the same integer
+      """SELECT event_type AS band, count(*) AS n,
+        |       CAST(sum(floor(value*100)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     "streaming_window" ->
       """SELECT epoch_us(ts) // 21600000000 AS bucket, event_type AS band,
         |       count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -218,6 +218,42 @@ class CubeCoreSpec extends AnyFunSuite {
     }.getMessage.startsWith("LabelsNotEnumerated"))
   }
 
+  test("run_udf pipes cells through a python subprocess and back") {
+    val c = cube(Seq((1.0, "B1", 2.0), (2.0, "B1", 3.0), (1.0, "B2", null)))
+    val out = UdfOps.runUdf(c,
+      "def udf(row):\n    v = row['value']\n    return None if v is None else v * 10 + row['x']")
+    val got = out.df.collect()
+      .map(r => (r.getDouble(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == Set((1.0, "B1", 21.0), (2.0, "B1", 32.0), (1.0, "B2", null)))
+    intercept[IllegalArgumentException] {
+      UdfOps.runUdf(c, "def udf(row): return 1", runtime = "R")
+    }
+  }
+
+  test("load_url reads GeoJSON and Parquet from file URLs; rejects bad format") {
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},
+       "properties":{"name":"a"}}]}"""
+    val gjPath = java.nio.file.Files.createTempFile("graft_url", ".json")
+    java.nio.file.Files.writeString(gjPath, gj)
+    val vdf = graft.sources.UrlLoader.loadUrl(spark, gjPath.toUri.toString,
+      "GeoJSON", Seq("name"))
+    assert(vdf.count() == 1 &&
+      vdf.select("name").collect()(0).getString(0) == "a")
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_urlpq")
+    val single = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    single.coalesce(1).write.mode("overwrite").parquet(pqDir.toString + "/t")
+    val part = new java.io.File(pqDir.toString + "/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val pdf = graft.sources.UrlLoader.loadUrl(spark, part.toURI.toString, "Parquet")
+    assert(pdf.count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.UrlLoader.loadUrl(spark, "file:///nope", "CSV")
+    }
+    assert(e.getMessage.startsWith("FormatUnsuitable"))
+  }
+
   test("mask broadcasts a small mask but not an oversized one") {
     val data = DataCube.fromTable(
       spark.range(1000000L).select(col("id").as("x"),
