@@ -83,4 +83,69 @@ object Geo {
   def lonToMercatorX(lon: Double): Double = math.toRadians(lon) * EarthRadius
   def latToMercatorY(lat: Double): Double =
     math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) * EarthRadius
+
+  // ---- UTM (WGS84 Transverse Mercator, Snyder 1987 series — the standard
+  // published formulas; the reference reaches the same CRS family through
+  // pyproj). Zone z covers central meridian (z·6 − 183)°.
+  // Accuracy of the truncated series is sub-mm inside a zone. ----
+
+  private val A = 6378137.0 // WGS84 semi-major
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2 - F)
+  private val Ep2 = E2 / (1 - E2)
+  private val K0 = 0.9996
+
+  def utmCentralMeridian(zone: Int): Double = zone * 6.0 - 183.0
+
+  /** Forward: (lon°, lat°) → (easting, northing) for the given zone; pass
+    * `south = true` for EPSG:327xx (adds the 10,000 km false northing).
+    */
+  def utmForward(lon: Double, lat: Double, zone: Int,
+      south: Boolean = false): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon - utmCentralMeridian(zone))
+    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+    val n = A / math.sqrt(1 - E2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = Ep2 * cosP * cosP
+    val a0 = lam * cosP
+    val m = A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi
+      - (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi)
+      + (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi)
+      - (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
+    val x = K0 * n * (a0 + (1 - t + c) * a0 * a0 * a0 / 6
+      + (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a0, 5) / 120) + 500000.0
+    val y0 = K0 * (m + n * tanP * (a0 * a0 / 2
+      + (5 - t + 9 * c + 4 * c * c) * math.pow(a0, 4) / 24
+      + (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a0, 6) / 720))
+    (x, if (south) y0 + 10000000.0 else y0)
+  }
+
+  /** Inverse: (easting, northing, zone) → (lon°, lat°). */
+  def utmInverse(easting: Double, northing: Double, zone: Int,
+      south: Boolean = false): (Double, Double) = {
+    val x = easting - 500000.0
+    val y = if (south) northing - 10000000.0 else northing
+    val m = y / K0
+    val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+    val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+    val c1 = Ep2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
+    val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
+    val d = x / (n1 * K0)
+    val lat = phi1 - (n1 * tanP / r1) * (d * d / 2
+      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24
+      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1)
+        * math.pow(d, 6) / 720)
+    val lon = (d - (1 + 2 * t1 + c1) * d * d * d / 6
+      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1)
+        * math.pow(d, 5) / 120) / cosP
+    (utmCentralMeridian(zone) + math.toDegrees(lon), math.toDegrees(lat))
+  }
 }

@@ -38,18 +38,32 @@ object FilterOps {
   }
 
   /** Band-label selection; errors if any requested band is absent
-    * (reference: cubes/_filter.py:133-149). The existence check is a cheap
-    * aggregate over the band dim, executed lazily only when validation is on.
+    * (reference: cubes/_filter.py:133-149). Validation stays IN the plan: a
+    * one-row anti-join aggregate counts requested-but-absent bands and a
+    * raise_error guard fires at execution time — no driver-side collect, the
+    * check runs distributed with the query.
     */
   def filterBands(cube: DataCube, bands: Seq[String],
       validate: Boolean = false): DataCube = {
     val dim = cube.bandDim
-    if (validate) {
-      val present = cube.df.select(col(dim)).distinct().collect().map(_.getString(0)).toSet
-      val missing = bands.filterNot(present)
-      require(missing.isEmpty, s"BandNotFound: ${missing.mkString(",")}")
+    val filtered = cube.withDf(_.filter(col(dim).isin(bands: _*)))
+    if (!validate) filtered
+    else {
+      val spark = cube.df.sparkSession
+      import spark.implicits._
+      val requested = bands.toDF("_req")
+      val missingCnt = requested
+        .join(cube.df.select(col(dim)).distinct(),
+          col("_req") === col(dim), "left_anti")
+        .agg(count(lit(1)).as("_missing"))
+      val v = cube.meta.valueCol
+      filtered.withDf(_.crossJoin(broadcast(missingCnt))
+        .withColumn(v,
+          when(col("_missing") > 0,
+            raise_error(lit(s"BandFilterParameterMissing: requested band absent")))
+            .otherwise(col(v)))
+        .drop("_missing"))
     }
-    cube.withDf(_.filter(col(dim).isin(bands: _*)))
   }
 
   /** Keep rows whose label on `dimension` satisfies `condition` — the

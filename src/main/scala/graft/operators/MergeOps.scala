@@ -39,6 +39,12 @@ object MergeOps {
     val r = cube2.df.withColumnRenamed(cube2.meta.valueCol, "_v2")
 
     if (dims1.toSet == dims2.toSet) {
+      // Reference case 1 ("Example 3.1", merge.py:92-105): identical dims AND
+      // identical label sets WITHOUT a resolver → stack along a new "cubes"
+      // dimension. The label-set comparison is per-dim metadata (tiny
+      // distinct sets), matching the reference's eager setdiff1d on coords.
+      if (overlapResolver.isEmpty && labelSetsIdentical(cube1, cube2, shared))
+        return stackCubes(cube1, cube2)
       val joined = l.join(r, shared, "full_outer")
       val merged = overlapResolver match {
         case Some(res) =>
@@ -70,6 +76,30 @@ object MergeOps {
       val meta = if (bigIsLeft) cube1.meta else cube2.meta
       DataCube(joined.withColumn(v, merged).drop("_v1", "_v2"), meta)
     }
+  }
+
+  /** Per-dim label-set equality via two anti-join counts per shared dim —
+    * label sets are metadata-sized, the fact tables never move.
+    */
+  private def labelSetsIdentical(cube1: DataCube, cube2: DataCube,
+      dims: Seq[String]): Boolean =
+    dims.forall { d =>
+      val l1 = cube1.df.select(col(d)).distinct()
+      val l2 = cube2.df.select(col(d)).distinct()
+      l1.join(l2, Seq(d), "left_anti").isEmpty &&
+        l2.join(l1, Seq(d), "left_anti").isEmpty
+    }
+
+  /** Stack two identically-shaped cubes along a new "cubes" dimension with
+    * labels cube1/cube2 (reference: merge.py NEW_DIM_NAME concat).
+    */
+  private def stackCubes(cube1: DataCube, cube2: DataCube): DataCube = {
+    val v = cube1.meta.valueCol
+    val d1 = cube1.df.withColumn("cubes", lit("cube1"))
+    val d2 = cube2.df.withColumnRenamed(cube2.meta.valueCol, v)
+      .withColumn("cubes", lit("cube2"))
+    DataCube(d1.unionByName(d2),
+      cube1.meta.copy(dims = cube1.meta.dims :+ CubeDim("cubes", DimType.Other)))
   }
 
   /** Align cube2's float coordinates to cube1's where they differ by at

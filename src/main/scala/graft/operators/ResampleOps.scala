@@ -11,14 +11,15 @@ import org.apache.spark.sql.expressions.Window
 object ResampleOps {
 
   /** resample_cube_temporal: for every target timestamp pick the value at
-    * the nearest source timestamp — first (earliest) on ties; values farther
-    * than `validWithin` days become null
+    * the nearest source timestamp LABEL — first (earliest) on ties; labels
+    * farther than `validWithin` days yield null
     * (reference: cubes/resample.py:183-222).
     *
-    * Classic as-of join. The target timestamp list is per-series tiny, so we
-    * broadcast the distinct target labels, cross them with the source rows of
-    * the same series, and keep rank-1 by |Δt| per (series, target) via a
-    * single window — one shuffle keyed by the series dims.
+    * The nearest-label choice is made over the dim's DISTINCT label set — a
+    * |labels| × |targets| problem, matching the reference's coordinate-level
+    * reindex — and the fact table then equi-joins the chosen labels once.
+    * The earlier formulation crossed every fact row with every target (a
+    * T-fold row blowup before rank-1); this one never fans the fact side.
     */
   def resampleCubeTemporal(cube: DataCube, targetTimes: Seq[java.sql.Timestamp],
       dimension: Option[String] = None,
@@ -28,23 +29,29 @@ object ResampleOps {
     val spark = cube.df.sparkSession
     import spark.implicits._
     val others = cube.meta.dimNames.filterNot(_ == dim)
+    val v = cube.meta.valueCol
 
     val targets = targetTimes.toDF("_target")
-    val crossed = cube.df.join(broadcast(targets))
+    val labels = cube.df.select(col(dim)).distinct()
     val dist = abs(col(dim).cast("double") - col("_target").cast("double"))
-    val w = Window.partitionBy((col("_target") +: others.map(col)): _*)
+    val w = Window.partitionBy(col("_target"))
       .orderBy(dist.asc, col(dim).asc) // nearest, earliest-first on ties
-    val ranked = crossed.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-
-    val v = cube.meta.valueCol
-    val valued = validWithinDays match {
-      case Some(d) => ranked.withColumn(v,
-        when(dist <= d * 86400.0, col(v)).otherwise(lit(null)))
-      case None => ranked
+    val mappingAll = labels.join(broadcast(targets))
+      .withColumn("_dist", dist)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("_target"), col(dim), col("_dist"))
+    val mapping = validWithinDays match {
+      case Some(d) => mappingAll.withColumn("_invalid", col("_dist") > d * 86400.0)
+      case None => mappingAll.withColumn("_invalid", lit(false))
     }
+    // every series × every target, with the cell at the chosen label (null
+    // when that cell is missing in the series — the reference's reindex NaN)
+    val series = cube.df.select(others.map(col): _*).distinct()
+    val grid = series.crossJoin(broadcast(mapping))
+    val joined = grid.join(cube.df, others :+ dim, "left_outer")
+      .withColumn(v, when(col("_invalid"), lit(null)).otherwise(col(v)))
     DataCube(
-      valued.select((others.map(col) :+ col("_target").as(dim) :+ col(v)): _*),
+      joined.select((others.map(col) :+ col("_target").as(dim) :+ col(v)): _*),
       cube.meta)
   }
 

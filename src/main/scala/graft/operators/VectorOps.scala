@@ -91,6 +91,22 @@ object VectorOps {
       struct(Geo.lonToMercatorX(p.getField("x")).as("x"),
         Geo.latToMercatorY(p.getField("y")).as("y"))))
 
+  /** vector_reproject EPSG:4326 → EPSG:326xx/327xx (UTM zone) over every
+    * vertex — the Snyder series in [[Geo.utmForward]] as a deterministic
+    * scalar UDF (the transcendental series is too large to unroll as a
+    * Column tree; the reference reaches the same CRS through pyproj).
+    */
+  def reprojectToUtm(df: DataFrame, geomCol: String, zone: Int,
+      south: Boolean = false): DataFrame = {
+    val fn = udf((pts: Seq[org.apache.spark.sql.Row]) =>
+      pts.map { p =>
+        val (x, y) = Geo.utmForward(p.getDouble(0), p.getDouble(1), zone, south)
+        (x, y)
+      })
+    df.withColumn(geomCol, transform(fn(col(geomCol)), p =>
+      struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
+  }
+
   /** Vector filter_bbox: keep non-empty geometries whose envelope
     * intersects the bbox (reference: cubes/_filter.py:241-281).
     */

@@ -19,14 +19,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, left-to-right — the codegen'd DotProduct expression
-    * (registered by SparkTuning at every table load). Bit-identical to the
-    * interpreted HOF fold in [[dotHof]], ~6× faster on pairwise workloads.
+  /** Σ aᵢ·bᵢ in double, left-to-right — the codegen'd DotProduct expression.
+    * Bit-identical to the interpreted HOF fold in [[dotHof]], ~6× faster on
+    * pairwise workloads.
+    *
+    * Requires `graft.core.SparkTuning.tune(session)` to have registered the
+    * function — every `Tables` load path does; standalone sessions call it
+    * once at setup. (Registration is deliberately NOT triggered from here:
+    * mutating session state while building an expression is a side effect
+    * nobody expects of a Column factory.)
     */
-  def dot(a: Column, b: Column): Column = {
-    graft.core.SparkTuning.tune(org.apache.spark.sql.SparkSession.active)
+  def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
-  }
 
   /** Reference HOF implementation of [[dot]] (interpreted; used by tests to
     * pin the codegen path's semantics).

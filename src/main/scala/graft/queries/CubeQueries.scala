@@ -449,15 +449,22 @@ object CubeQueries {
         |FROM (VALUES ('w1'),('mid'),('both'),('late'),('empty')) labs(lab)
         |LEFT JOIN agg ON labs.lab = agg.lab""".stripMargin,
     "resample_cube_temporal" ->
+      // nearest is chosen over the GLOBAL distinct label set (the reference
+      // reindexes coordinates), then each series reads its cell at the
+      // chosen label — null where that series has no cell there
       """WITH tgt(g) AS (VALUES (TIMESTAMP '2024-01-05'),
         |                       (TIMESTAMP '2024-01-15'),
         |                       (TIMESTAMP '2024-01-25')),
-        |ranked AS (
-        |  SELECT event_type AS band, g, value,
-        |         row_number() OVER (PARTITION BY event_type, g
-        |           ORDER BY abs(epoch_us(ts) - epoch_us(g)), ts) AS rn
-        |  FROM events CROSS JOIN tgt)
-        |SELECT band, CAST(g AS DATE) AS t, value FROM ranked WHERE rn = 1""".stripMargin,
+        |lab AS (SELECT DISTINCT ts FROM events),
+        |m AS (SELECT g, ts,
+        |        row_number() OVER (PARTITION BY g
+        |          ORDER BY abs(epoch_us(ts) - epoch_us(g)), ts) AS rn
+        |      FROM lab CROSS JOIN tgt),
+        |sel AS (SELECT g, ts FROM m WHERE rn = 1),
+        |series AS (SELECT DISTINCT event_type AS band FROM events)
+        |SELECT s.band, CAST(sel.g AS DATE) AS t, e.value
+        |FROM series s CROSS JOIN sel
+        |LEFT JOIN events e ON e.event_type = s.band AND e.ts = sel.ts""".stripMargin,
     "dim_utils" ->
       """SELECT CASE event_type WHEN 'click' THEN 'tap'
         |            WHEN 'view' THEN 'impression' ELSE event_type END AS band,

@@ -56,7 +56,9 @@ class CubeCoreSpec extends AnyFunSuite {
     val c2 = cube(Seq((2.0, "B1", 5.0)))
     val ok = MergeOps.mergeCubes(c1, c2, None)
     assert(ok.df.count() == 2)
-    val c3 = cube(Seq((1.0, "B1", 9.0)))
+    // PARTIAL overlap (label sets differ, x=1 in both): resolver required.
+    // (Identical label sets without resolver stack instead — reference case 3.1.)
+    val c3 = cube(Seq((1.0, "B1", 9.0), (3.0, "B1", 4.0)))
     val bad = MergeOps.mergeCubes(c1, c3, None)
     intercept[Exception] { bad.df.collect() }
   }
@@ -192,6 +194,29 @@ class CubeCoreSpec extends AnyFunSuite {
       arr => slice(arr, 2, 2)) // drops the first element → relabel
     val rows = out.df.collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
     assert(rows == Set((0L, 7.0), (1L, 9.0)))
+  }
+
+  test("merge_cubes stacks identical cubes on a new dim when no resolver") {
+    val a = cube(Seq((1.0, "B1", 1.0), (2.0, "B1", 2.0)))
+    val b = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0)))
+    val stacked = MergeOps.mergeCubes(a, b, None)
+    assert(stacked.meta.dimNames == Seq("x", "band", "cubes"))
+    val got = stacked.df.collect()
+      .map(r => (r.getDouble(0), r.getString(3), r.getDouble(2))).toSet
+    assert(got == Set((1.0, "cube1", 1.0), (2.0, "cube1", 2.0),
+      (1.0, "cube2", 10.0), (2.0, "cube2", 20.0)))
+    // differing label sets without resolver still error on overlap
+    val c2 = cube(Seq((1.0, "B1", 5.0), (3.0, "B1", 6.0)))
+    val merged = MergeOps.mergeCubes(a, c2, None)
+    intercept[Exception] { merged.df.collect() }
+  }
+
+  test("filter_bands validation raises lazily for absent bands") {
+    val c = cube(Seq((1.0, "B1", 1.0), (1.0, "B2", 2.0)))
+    val ok = FilterOps.filterBands(c, Seq("B1"), validate = true)
+    assert(ok.df.collect().length == 1)
+    val bad = FilterOps.filterBands(c, Seq("B1", "B9"), validate = true)
+    intercept[Exception] { bad.df.collect() }
   }
 
   test("rename_labels checked: remap, LabelExists, LabelNotAvailable, LabelMismatch") {

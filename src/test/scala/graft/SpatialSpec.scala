@@ -84,4 +84,29 @@ class SpatialSpec extends AnyFunSuite {
     val kept = VectorOps.filterBboxVector(vc, "geometry", 0.0, 10.0, 0.0, 10.0)
     assert(kept.collect().map(_.getAs[String]("class")).toSeq == Seq("p"))
   }
+
+  test("UTM forward/inverse: central meridian maps to 500km easting, round-trips") {
+    import graft.geo.Geo
+    // zone 32 central meridian is 9°E: easting is the false easting exactly
+    val (e0, n0) = Geo.utmForward(9.0, 48.0, 32)
+    assert(math.abs(e0 - 500000.0) < 1e-6)
+    assert(n0 > 5000000 && n0 < 5600000) // ~48°N northing magnitude
+    // round-trip accuracy inside the zone: ~1e-8 degrees ≈ 1 mm
+    for ((lon, lat) <- Seq((7.5, 51.2), (10.9, 44.11), (9.0, 0.0), (11.99, 63.4))) {
+      val (e, n) = Geo.utmForward(lon, lat, 32)
+      val (lon2, lat2) = Geo.utmInverse(e, n, 32)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8)
+    }
+    // southern hemisphere false northing
+    val (_, ns) = Geo.utmForward(9.0, -10.0, 32, south = true)
+    assert(ns > 8000000.0 && ns < 10000000.0)
+    // vertex-wise reprojection keeps the (x, y) struct shape
+    val gj2 = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[9.0,48.0]},
+       "properties":{}}]}"""
+    val vdf = VectorOps.loadGeoJson(spark, gj2, Nil)
+    val utm = VectorOps.reprojectToUtm(vdf, "geometry", 32)
+    val p = utm.select(col("geometry")(0)).collect()(0).getStruct(0)
+    assert(math.abs(p.getDouble(0) - 500000.0) < 1e-6)
+  }
 }
