@@ -148,20 +148,29 @@ object WindowOps {
   /** array_interpolate_linear along a dim: fill null cells by linear
     * interpolation against the dim coordinate; edge nulls stay null
     * (reference: arrays.py:405-458). Window gap-fill: previous/next valid
-    * value + coordinate via ignoreNulls last/first, then a linear blend.
+    * value + coordinate via ignoreNulls `last`, then a linear blend.
+    *
+    * BOTH lookups run over GROWING frames (unboundedPreceding..-1): the
+    * next-valid lookup uses a descending-ordered window, where `last`
+    * ignoring nulls is the nearest following valid row. Spark extends
+    * growing frames incrementally — O(n) per series — whereas a
+    * (1, unboundedFollowing) shrinking frame is recomputed from scratch per
+    * row, O(n²): measured 60 s vs 0.6 s at sf0.1 on this exact operator.
     */
   def interpolateLinear(cube: DataCube, dim: String,
       coord: Column => Column = identity): DataCube = {
     cube.requireDim(dim)
+    val others = cube.dimColsExcept(dim)
     val v = cube.value
     val x = coord(col(dim)).cast("double")
-    val base = seriesWindow(cube, dim)
-    val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(others: _*).orderBy(col(dim).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(others: _*).orderBy(col(dim).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(wPrev)
-    val nextV = first(v, ignoreNulls = true).over(wNext)
-    val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
+    val nextV = last(v, ignoreNulls = true).over(wNext)
+    val nextX = last(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
     val filled = when(v.isNotNull, v).otherwise(
       prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
     cube.withDf(_.withColumn(cube.meta.valueCol, filled))

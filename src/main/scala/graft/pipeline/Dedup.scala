@@ -58,36 +58,26 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4")
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val groups = (0 until k / 4).toDF("g")
     // hash each DISTINCT shingle once (duplicates across documents are the
-    // norm in a near-dup corpus), pack the k/4 md5s into one array row per
-    // shingle, and broadcast-join back — digest work scales with the shingle
-    // VOCABULARY, the fact side never shuffles for hashing. Then four
-    // min-aggregates over substring slices + a tiny unpivot keep the
-    // aggregation input at |instances| rows.
+    // norm in a near-dup corpus) into an array of k/4 md5s — a single
+    // projection over the vocabulary, no join/regroup — then join back and
+    // take all k minima in ONE wide aggregation per document: k min-columns
+    // over |instance| rows, map-side combinable, no row explosion. (The
+    // earlier shape exploded every instance k/4-fold and shuffled three
+    // times; this one shuffles once, on the document id.)
     val hashed = sh.select(col("shingle")).distinct()
-      .join(broadcast(groups))
-      .withColumn("h", md5(concat(col("g").cast("string"), lit("|"),
-        col("shingle")).cast("binary")))
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col("g"), col("h")))).as("_hs"))
-      .select(col("shingle"), expr("transform(_hs, p -> p.h)").as("hs"))
+      .withColumn("hs", array((0 until k / 4).map(g =>
+        md5(concat(lit(g.toString), lit("|"), col("shingle")).cast("binary"))): _*))
     // vocabulary-sized: broadcast only while Catalyst's estimate says it
     // fits — a web-scale shingle vocabulary must shuffle-join instead
-    sh.join(graft.core.Joins.maybeBroadcast(hashed), Seq("shingle"))
-      .select(col(idCol), posexplode(col("hs")).as(Seq("_g", "h")))
-      .groupBy(col(idCol), col("_g").as("g"))
-      .agg(
-        min(substring(col("h"), 1, 8)).as("m0"),
-        min(substring(col("h"), 9, 8)).as("m1"),
-        min(substring(col("h"), 17, 8)).as("m2"),
-        min(substring(col("h"), 25, 8)).as("m3"))
-      .select(col(idCol), col("g"), explode(array(
-        (0 until 4).map(s =>
-          struct((col("g") * 4 + s).as("i"), col(s"m$s").as("piece"))): _*)).as("sl"))
-      .select(col(idCol), col("sl.i").as("i"), col("sl.piece").as("sig"))
+    val joined = sh.join(graft.core.Joins.maybeBroadcast(hashed), Seq("shingle"))
+    val minCols = for (i <- 0 until k) yield
+      min(substring(element_at(col("hs"), i / 4 + 1), (i % 4) * 8 + 1, 8))
+        .as(s"_m$i")
+    val wide = joined.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    wide.select(col(idCol), posexplode(array((0 until k).map(i =>
+        struct(lit(i).as("i"), col(s"_m$i").as("sig"))): _*)).as(Seq("_p", "sl")))
+      .select(col(idCol), col("sl.i").as("i"), col("sl.sig").as("sig"))
   }
 
   /** LSH band keys: split the k signature rows into bands of `rowsPerBand`,
