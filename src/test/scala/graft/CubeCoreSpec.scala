@@ -279,6 +279,24 @@ class CubeCoreSpec extends AnyFunSuite {
     assert(e.getMessage.startsWith("FormatUnsuitable"))
   }
 
+  test("apply_kernel border modes match scipy convolve semantics") {
+    import KernelOps._
+    // 1-D grid [1,2,3,4]; kernel reach 2 distinguishes every mode:
+    // out(0) = in(2)·1 + in(0)·2 + in(-2)·1 with in(-2) per border mode
+    val df = Seq((0L, 0L, 1.0), (1L, 0L, 2.0), (2L, 0L, 3.0), (3L, 0L, 4.0))
+      .toDF("x", "y", "value")
+    val c = DataCube.fromTable(df, Seq("x", "y"), "value")
+    val kern = Seq(Seq(1.0, 0.0, 2.0, 0.0, 1.0))
+    def out0(mode: BorderMode): Double =
+      applyKernelBorder(c, kern, mode, 1.0, (0L, 3L), (0L, 0L))
+        .df.filter(col("x") === 0).collect()(0).getDouble(2)
+    assert(out0(Replicate) == 6.0)    // in(-2) -> a = 1
+    assert(out0(Reflect) == 7.0)      // dcba|abcd : in(-2) -> b = 2
+    assert(out0(ReflectPixel) == 8.0) // dcb|abcd  : in(-2) -> c = 3
+    assert(out0(Wrap) == 8.0)         // in(-2) -> in(2) = 3
+    assert(out0(Constant(10.0)) == 15.0)
+  }
+
   test("mask broadcasts a small mask but not an oversized one") {
     val data = DataCube.fromTable(
       spark.range(1000000L).select(col("id").as("x"),
