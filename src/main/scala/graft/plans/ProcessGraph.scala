@@ -194,14 +194,66 @@ object ProcessGraph {
         case "filter_bbox" =>
           val e = args("extent").asInstanceOf[ArrV].v.map(_.asInstanceOf[NumV].v)
           CubeV(FilterOps.filterBbox(cube("data"), e(0), e(1), e(2), e(3)))
+        case "filter_labels" =>
+          CubeV(FilterOps.filterLabels(cube("data"), str("dimension"),
+            l => scalarCallback("condition")(l).cast("boolean")))
         case "apply" =>
           CubeV(ApplyOps.apply(cube("data"), scalarCallback("process")))
+        case "apply_dimension" =>
+          CubeV(ApplyOps.applyDimensionTarget(cube("data"), str("dimension"),
+            scalarCallback("process"),
+            opt("target_dimension").map(_.asInstanceOf[StrV].v),
+            lengthPreserving =
+              args.get("length_preserving").contains(BoolV(true))))
+        case "apply_kernel" =>
+          val kern = args("kernel").asInstanceOf[ArrV].v.map(
+            _.asInstanceOf[ArrV].v.map(_.asInstanceOf[NumV].v))
+          CubeV(KernelOps.applyKernel(cube("data"), kern,
+            args.get("factor").collect { case NumV(f) => f }.getOrElse(1.0)))
         case "reduce_dimension" =>
           CubeV(ReduceOps.reduceDimension(cube("data"), str("dimension"),
             reducerCallback("reducer")))
+        case "reduce_spatial" =>
+          CubeV(ReduceOps.reduceSpatial(cube("data"), reducerCallback("reducer")))
+        case "aggregate_temporal" =>
+          val iv = args("intervals").asInstanceOf[ArrV].v.map(_.asInstanceOf[ArrV].v)
+          val labels = strs("labels")
+          require(iv.size == labels.size, "intervals/labels length mismatch")
+          val intervals = iv.zip(labels).map { case (se, lab) =>
+            AggregateOps.Interval(se(0).asInstanceOf[StrV].v,
+              se(1).asInstanceOf[StrV].v, lab)
+          }
+          CubeV(AggregateOps.aggregateTemporal(cube("data"), intervals,
+            reducerCallback("reducer"),
+            opt("dimension").map(_.asInstanceOf[StrV].v)))
         case "aggregate_temporal_period" =>
           CubeV(AggregateOps.aggregateTemporalPeriod(cube("data"),
             str("period"), reducerCallback("reducer")))
+        case "resample_spatial" =>
+          val res = num("resolution")
+          str("method") match {
+            case "mode" => CubeV(ResampleOps.resampleSpatialMode(cube("data"), res, res))
+            case "average" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
+              res, res, v => Reducers.meanR(v)))
+            case "sum" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
+              res, res, v => Reducers.sumR(v)))
+            case "max" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
+              res, res, v => Reducers.maxR(v)))
+            case "min" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
+              res, res, v => Reducers.minR(v)))
+            case "med" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
+              res, res, v => Reducers.medianR(v)))
+            case m => throw new IllegalArgumentException(s"resample method $m")
+          }
+        case "run_udf" =>
+          CubeV(UdfOps.runUdf(cube("data"), str("udf"),
+            opt("runtime").map(_.asInstanceOf[StrV].v).getOrElse("python3")))
+        case "drop_dimension" =>
+          CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
+        case "rename_dimension" =>
+          CubeV(CubeDimOps.renameDimension(cube("data"), str("source"), str("target")))
+        case "trim_cube" =>
+          CubeV(CubeDimOps.trimCube(cube("data"), strs("dimensions")))
         case "merge_cubes" =>
           // The overlap_resolver is itself a process graph over (x, y); compile
           // it into a binary Column builder. When absent, pass None so MergeOps
@@ -282,9 +334,66 @@ object ProcessGraph {
         case "lt" => ColV(Scalar.lt(column("x"), column("y")))
         case "gte" => ColV(Scalar.gte(column("x"), column("y")))
         case "lte" => ColV(Scalar.lte(column("x"), column("y")))
-        case "eq" => ColV(Scalar.eq(column("x"), column("y")))
+        case "eq" =>
+          ColV(Scalar.eq(column("x"), column("y"),
+            delta = args.get("delta").collect { case NumV(d) => d },
+            caseSensitive =
+              !args.get("case_sensitive").contains(BoolV(false))))
         case "between" =>
-          ColV(Scalar.between(column("x"), column("min"), column("max")))
+          ColV(Scalar.between(column("x"), column("min"), column("max"),
+            excludeMax = args.get("exclude_max").contains(BoolV(true))))
+        // text sub-language (reference: text.py)
+        case "text_begins" =>
+          ColV(Scalar.textBegins(column("data"), str("pattern"),
+            !args.get("case_sensitive").contains(BoolV(false))))
+        case "text_ends" =>
+          ColV(Scalar.textEnds(column("data"), str("pattern"),
+            !args.get("case_sensitive").contains(BoolV(false))))
+        case "text_contains" =>
+          ColV(Scalar.textContains(column("data"), str("pattern"),
+            !args.get("case_sensitive").contains(BoolV(false))))
+        case "text_concat" =>
+          val items = args("data").asInstanceOf[ArrV].v.map {
+            case ColV(c) => c
+            case NumV(v) => lit(v)
+            case StrV(s) => lit(s)
+            case BoolV(b) => lit(b)
+            case NullV => lit(null)
+            case v => throw new IllegalArgumentException(s"text_concat item $v")
+          }
+          ColV(Scalar.textConcat(items,
+            opt("separator").map(_.asInstanceOf[StrV].v).getOrElse("")))
+        // dates (reference: dates.py)
+        case "date_between" =>
+          ColV(Scalar.dateBetween(column("x"), column("min"), column("max")))
+        case "date_difference" =>
+          ColV(Scalar.dateDifference(column("date1"), column("date2"),
+            opt("unit").map(_.asInstanceOf[StrV].v).getOrElse("second")))
+        case "date_shift" =>
+          ColV(Scalar.dateShift(column("date"), num("value").toInt, str("unit")))
+        // array sub-language over ArrayType columns (reference: arrays.py)
+        case "array_element" =>
+          ColV(graft.functions.ArrayFns.arrayElement(column("data"), num("index").toInt))
+        case "array_concat" => ColV(concat(column("array1"), column("array2")))
+        case "array_append" =>
+          ColV(graft.functions.ArrayFns.arrayAppend(column("data"), column("value")))
+        case "array_contains" =>
+          ColV(graft.functions.ArrayFns.arrayContains(column("data"), column("value")))
+        case "array_apply" =>
+          ColV(graft.functions.ArrayFns.arrayApply(column("data"),
+            x => runCallback(str("process"),
+              Map("x" -> ColV(x), "data" -> ColV(x))) match {
+              case ColV(out) => out
+              case NumV(v) => lit(v)
+              case v => throw new IllegalArgumentException(s"array_apply cb $v")
+            }))
+        case "array_filter" =>
+          ColV(graft.functions.ArrayFns.arrayFilter(column("data"),
+            x => (runCallback(str("condition"),
+              Map("x" -> ColV(x), "data" -> ColV(x))) match {
+              case ColV(out) => out
+              case v => throw new IllegalArgumentException(s"array_filter cb $v")
+            }).cast("boolean")))
         case "neq" => ColV(Scalar.neq(column("x"), column("y")))
         case "and" => ColV(Scalar.and(column("x"), column("y")))
         case "or" => ColV(Scalar.or(column("x"), column("y")))
@@ -302,6 +411,16 @@ object ProcessGraph {
         case "sd" => ColV(Reducers.sdR(column("data")))
         case "variance" => ColV(Reducers.varianceR(column("data")))
         case "count" => ColV(Reducers.countValid(column("data")))
+        case "product" => ColV(Reducers.productR(column("data")))
+        case "extrema" => ColV(Reducers.extremaR(column("data")))
+        case "any" => ColV(Reducers.anyR(column("data"),
+          !args.get("ignore_nodata").contains(BoolV(false))))
+        case "all" => ColV(Reducers.allR(column("data"),
+          !args.get("ignore_nodata").contains(BoolV(false))))
+        case "quantiles" =>
+          val ps = args("probabilities").asInstanceOf[ArrV].v
+            .map(_.asInstanceOf[NumV].v)
+          ColV(Reducers.quantilesR(column("data"), ps))
 
         case other =>
           throw new IllegalArgumentException(s"ProcessUnsupported: $other")

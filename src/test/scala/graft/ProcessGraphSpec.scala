@@ -90,4 +90,82 @@ class ProcessGraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ProcessUnsupported"))
   }
+
+  test("aggregate_temporal graph node with explicit intervals and labels") {
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "a": {"process_id": "aggregate_temporal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |          "intervals": [["2024-01-01", "2024-02-01"],
+        |                        ["2024-02-01", "2024-04-01"]],
+        |          "labels": ["jan", "spring"],
+        |          "reducer": {"process_graph": {
+        |            "s": {"process_id": "sum",
+        |                  "arguments": {"data": {"from_parameter": "data"}},
+        |                  "result": true}}}},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+      .df.collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(("jan", "B1") -> 4.0, ("jan", "B2") -> 30.0,
+      ("spring", "B1") -> 99.0))
+  }
+
+  test("apply_dimension graph node with target_dimension rename + relabel") {
+    val inner =
+      """{"m": {"process_id": "multiply",
+        |       "arguments": {"x": {"from_parameter": "x"}, "y": 2},
+        |       "result": true}}""".stripMargin
+    val cb =
+      s"""{"id": {"process_id": "array_apply",
+         |        "arguments": {"data": {"from_parameter": "data"},
+         |                      "process": {"process_graph": $inner}},
+         |        "result": true}}""".stripMargin
+    val graph =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "d": {"process_id": "apply_dimension",
+         |        "arguments": {"data": {"from_node": "l"},
+         |                      "dimension": "t",
+         |                      "target_dimension": "idx",
+         |                      "process": {"process_graph": $cb}},
+         |        "result": true}
+         |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+    assert(out.meta.dimNames == Seq("band", "idx"))
+    val b2 = out.df.filter(col("band") === "B2").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(b2 == Map(0L -> 20.0, 1L -> 40.0))
+  }
+
+  test("eq with delta and text/date processes evaluate in callbacks") {
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "a": {"process_id": "apply",
+        |        "arguments": {"data": {"from_node": "l"},
+        |          "process": {"process_graph": {
+        |            "e": {"process_id": "eq",
+        |                  "arguments": {"x": {"from_parameter": "x"}, "y": 10,
+        |                                "delta": 1.5}},
+        |            "i": {"process_id": "if",
+        |                  "arguments": {"value": {"from_node": "e"},
+        |                                "accept": 1, "reject": 0},
+        |                  "result": true}}}}},
+        |  "r": {"process_id": "reduce_dimension",
+        |        "arguments": {"data": {"from_node": "a"}, "dimension": "t",
+        |          "reducer": {"process_graph": {
+        |            "s": {"process_id": "sum",
+        |                  "arguments": {"data": {"from_parameter": "data"}},
+        |                  "result": true}}}},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+      .df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // only B2's 10.0 is within 1.5 of 10
+    assert(out == Map("B1" -> 0.0, "B2" -> 1.0))
+  }
 }
