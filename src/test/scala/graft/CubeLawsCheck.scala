@@ -105,4 +105,48 @@ object CubeLawsCheck extends Properties("CubeLaws") {
       val anyNull = x.isEmpty || y.isEmpty
       (0 until 3).forall(i => r.isNullAt(i) == anyNull)
     }
+
+  property("cumprod equals in-memory prefix product (nulls skipped)") =
+    forAll(genCells) { cells =>
+      val c = toCube(cells)
+      val longCube = c.withDf(_.withColumn("value", col("value").cast("long")))
+      val got = WindowOps.cumprodExact(longCube, "i").df.collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val expected = cells.groupBy(_._2).flatMap { case (band, bs) =>
+        var acc = 1L
+        bs.sortBy(_._1).map { case (i, _, v) =>
+          v.foreach(x => acc *= x)
+          (i, band) -> v.map(_ => acc)
+        }
+      }
+      got == expected
+    }
+
+  property("UTM forward∘inverse is identity within 1e-7 degrees") =
+    forAll(Gen.choose(3.01, 14.99), Gen.choose(-79.0, 79.0)) { (lon, lat) =>
+      val zone = ((lon + 180) / 6).toInt + 1
+      val (e, n) = graft.geo.Geo.utmForward(lon, lat, zone, south = lat < 0)
+      val (lon2, lat2) = graft.geo.Geo.utmInverse(e, n, zone, south = lat < 0)
+      math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7
+    }
+
+  property("kernel with Constant(0) border equals the plain apply_kernel") =
+    forAll(genCells) { cells =>
+      // cube as a 1-row-per-(x,y=0) grid; compare both kernel paths
+      val nonNull = cells.collect { case (i, b, Some(v)) if b == "B0" => (i, v) }
+      nonNull.size < 2 || {
+        val df = nonNull.map { case (i, v) => (i, 0L, v.toDouble) }
+          .toDF("x", "y", "value")
+        val c = DataCube.fromTable(df, Seq("x", "y"), "value")
+        val kern = Seq(Seq(1.0, 2.0, 1.0))
+        val xs = nonNull.map(_._1)
+        val a = KernelOps.applyKernel(c, kern).df.collect()
+          .map(r => (r.getLong(0), r.getDouble(2))).toMap
+        val b = KernelOps.applyKernelBorder(c, kern, KernelOps.Constant(0.0),
+          1.0, (xs.min, xs.max), (0L, 0L)).df.collect()
+          .map(r => (r.getLong(0), r.getDouble(2))).toMap
+        a == b
+      }
+    }
 }
