@@ -97,10 +97,11 @@ object ProcessGraph {
           params.getOrElse(p, throw new IllegalArgumentException(
             s"ProcessParameterMissing: $p"))
         }
-        else if (m.contains("process_graph"))
-          // callback graphs stay unevaluated here; applyProcess re-walks them
+        else
+          // callback graphs stay unevaluated here (applyProcess re-walks
+          // them); GeoJSON geometries and options maps likewise pass through
+          // as raw JSON text for the receiving process to parse
           StrV(JsonMethods.compact(JsonMethods.render(v)))
-        else NullV
       case JString(s) => StrV(s)
       case JInt(i) => NumV(i.toDouble)
       case JDouble(d) => NumV(d)
@@ -170,6 +171,42 @@ object ProcessGraph {
           case NumV(v) => lit(v)
           case v => throw new IllegalArgumentException(s"callback returned $v")
         }
+      }
+
+      /** Polygon outer rings from GeoJSON text (Polygon / Feature /
+        * FeatureCollection), with zone ids from feature `properties.id`
+        * (else the feature index) — the graph-side twin of the reference's
+        * geopandas parsing.
+        */
+      def rings(json: String): Seq[(String, graft.geo.Geo.Ring)] = {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val root = JsonMethods.parse(json)
+        def polyRing(geom: JValue): Option[graft.geo.Geo.Ring] =
+          (geom \ "type") match {
+            case JString("Polygon") =>
+              Some((geom \ "coordinates").extract[List[List[List[Double]]]]
+                .head.map(c => (c(0), c(1))))
+            case _ => None
+          }
+        val out = (root \ "type") match {
+          case JString("Polygon") => polyRing(root).map("0" -> _).toSeq
+          case JString("Feature") => polyRing(root \ "geometry").map("0" -> _).toSeq
+          case JString("FeatureCollection") =>
+            (root \ "features").extract[List[JValue]].zipWithIndex.flatMap {
+              case (f, i) =>
+                polyRing(f \ "geometry").map { r =>
+                  val id = (f \ "properties" \ "id") match {
+                    case JString(s) => s
+                    case _ => i.toString
+                  }
+                  id -> r
+                }
+            }
+          case _ => Nil
+        }
+        if (out.isEmpty) throw new IllegalArgumentException(
+          s"GeometryInvalid: no polygon in $json")
+        out
       }
 
       /** run a reducer sub-graph as an aggregate Column builder */
@@ -248,6 +285,26 @@ object ProcessGraph {
         case "run_udf" =>
           CubeV(UdfOps.runUdf(cube("data"), str("udf"),
             opt("runtime").map(_.asInstanceOf[StrV].v).getOrElse("python3")))
+        case "mask_polygon" =>
+          CubeV(SpatialOps.maskPolygon(cube("data"),
+            rings(str("mask")).head._2,
+            if (opt("replacement").isDefined) column("replacement") else lit(null),
+            inside = !args.get("inside").contains(BoolV(false))))
+        case "filter_spatial" =>
+          CubeV(SpatialOps.filterSpatial(cube("data"),
+            rings(str("geometries")).head._2))
+        case "apply_polygon" =>
+          CubeV(SpatialOps.applyPolygon(cube("data"),
+            rings(str("polygons")).head._2, scalarCallback("process")))
+        case "aggregate_spatial" =>
+          val zones = rings(str("geometries"))
+          val c = cube("data")
+          val out = SpatialOps.aggregateSpatial(c, zones, reducerCallback("reducer"))
+          val spatial = c.meta.spatialDims.toSet
+          CubeV(DataCube(out, CubeMetadata(
+            CubeDim("zone", DimType.Other) +:
+              c.meta.dims.filterNot(d => spatial(d.name)),
+            c.meta.crs, c.meta.valueCol)))
         case "drop_dimension" =>
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
         case "rename_dimension" =>

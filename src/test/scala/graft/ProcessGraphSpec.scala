@@ -91,6 +91,34 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ProcessUnsupported"))
   }
 
+  test("mask_polygon and aggregate_spatial graph nodes parse inline GeoJSON") {
+    val grid = Seq.tabulate(4, 4)((x, y) => (x.toDouble, y.toDouble, (x * 4 + y).toDouble))
+      .flatten.toDF("x", "y", "value")
+    val spatialCube = DataCube.fromTable(grid, Seq("x", "y"), "value")
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "z": {"process_id": "aggregate_spatial",
+        |        "arguments": {"data": {"from_node": "l"},
+        |          "geometries": {"type": "FeatureCollection", "features": [
+        |            {"type": "Feature", "properties": {"id": "low"},
+        |             "geometry": {"type": "Polygon", "coordinates":
+        |               [[[-0.5,-0.5],[1.5,-0.5],[1.5,3.5],[-0.5,3.5],[-0.5,-0.5]]]}},
+        |            {"type": "Feature", "properties": {"id": "high"},
+        |             "geometry": {"type": "Polygon", "coordinates":
+        |               [[[1.5,-0.5],[3.5,-0.5],[3.5,3.5],[1.5,3.5],[1.5,-0.5]]]}}]},
+        |          "reducer": {"process_graph": {
+        |            "s": {"process_id": "sum",
+        |                  "arguments": {"data": {"from_parameter": "data"}},
+        |                  "result": true}}}},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => spatialCube)
+      .df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // low zone: x∈{0,1} → Σ 0..7 = 28; high: x∈{2,3} → Σ 8..15 = 92
+    assert(out == Map("low" -> 28.0, "high" -> 92.0))
+  }
+
   test("aggregate_temporal graph node with explicit intervals and labels") {
     val graph =
       """{"process_graph": {
