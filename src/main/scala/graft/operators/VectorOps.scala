@@ -62,6 +62,26 @@ object VectorOps {
     }
   }
 
+  /** load_vector_cube: GeoJSON from a URL/filename or an inline document
+    * (reference: cubes/experimental.py:18-72 — exactly one source must be
+    * given). URL/file fetch goes through [[graft.sources.UrlLoader]].
+    */
+  def loadVectorCube(spark: SparkSession, url: Option[String] = None,
+      filename: Option[String] = None, geometries: Option[String] = None,
+      properties: Seq[String] = Nil): DataFrame = {
+    val sources = Seq(url, filename, geometries).flatten
+    require(sources.size == 1,
+      "load_vector_cube: provide exactly one of URL, filename, geometries")
+    (url, filename) match {
+      case (Some(u), _) =>
+        graft.sources.UrlLoader.loadUrl(spark, u, "GeoJSON", properties)
+      case (_, Some(f)) =>
+        graft.sources.UrlLoader.loadUrl(spark,
+          java.nio.file.Paths.get(f).toUri.toString, "GeoJSON", properties)
+      case _ => loadGeoJson(spark, geometries.get, properties)
+    }
+  }
+
   /** vector_buffer for point geometries: Minkowski buffer approximated by a
     * regular `segments`-gon around each point
     * (reference: cubes/geometries.py:123-146 — errors on geographic CRS are
