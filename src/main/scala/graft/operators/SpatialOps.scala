@@ -77,6 +77,55 @@ object SpatialOps {
       .agg(reducer(cube.value).as(cube.meta.valueCol))
   }
 
+  /** Even-odd ray-cast against a RING COLUMN (array<struct<x,y>>) — the
+    * dynamic-geometry twin of [[Geo.pointInPolygon]]'s unrolled constant
+    * form, for zone tables too large to inline into the plan. The lambda
+    * captures only attribute references (the ring column), so the
+    * interpreted-HOF capture trap does not bite.
+    */
+  def pointInRing(px: Column, py: Column, ring: Column): Column = {
+    val n = size(ring)
+    val idx = sequence(lit(0), n - 1)
+    val crossings = aggregate(idx, lit(0), (acc, i) => {
+      val a = element_at(ring, i + 1)
+      val b = element_at(ring, pmod(i + 1, n) + 1)
+      val ax = a.getField("x"); val ay = a.getField("y")
+      val bx = b.getField("x"); val by = b.getField("y")
+      val straddles = (ay > py) =!= (by > py)
+      val xAtY = (bx - ax) * (py - ay) / (by - ay) + ax
+      acc + when(straddles && px < xAtY, 1).otherwise(0)
+    })
+    pmod(crossings, lit(2)) === 1
+  }
+
+  /** aggregate_spatial for MANY zones: one scan of the cube joined against a
+    * broadcast zone table (zoneId + ring geometry), envelope pre-filter in
+    * the join condition, exact ray-cast refinement, then one shuffle on
+    * (zone, other dims). [[aggregateSpatial]]'s unioned-scan form is ideal
+    * for a handful of inline polygons but builds one plan branch per zone —
+    * at thousands of zones the plan itself becomes the bottleneck, while
+    * this shape stays a single broadcast-nested-loop join. (Beyond
+    * broadcastable zone tables, the next step is a spatial-tile equi-join on
+    * a shared grid key.)
+    */
+  def aggregateSpatialMany(cube: DataCube, zones: DataFrame,
+      zoneCol: String, geomCol: String,
+      reducer: Column => Column): DataFrame = {
+    val (xd, yd) = xy(cube)
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val z = zones.select(col(zoneCol).as("zone"), col(geomCol).as("_ring"))
+      .withColumn("_zxmin", array_min(transform(col("_ring"), _.getField("x"))))
+      .withColumn("_zxmax", array_max(transform(col("_ring"), _.getField("x"))))
+      .withColumn("_zymin", array_min(transform(col("_ring"), _.getField("y"))))
+      .withColumn("_zymax", array_max(transform(col("_ring"), _.getField("y"))))
+    val joined = cube.df.join(graft.core.Joins.maybeBroadcast(z),
+      col(xd) >= col("_zxmin") && col(xd) <= col("_zxmax") &&
+        col(yd) >= col("_zymin") && col(yd) <= col("_zymax") &&
+        pointInRing(col(xd), col(yd), col("_ring")))
+    joined.groupBy((col("zone") +: others.map(col)): _*)
+      .agg(reducer(cube.value).as(cube.meta.valueCol))
+  }
+
   /** resample_cube_spatial, method="near": regrid data onto the target
     * cube's (x, y) grid by per-axis nearest coordinate
     * (reference: cubes/resample.py:116-180). Correct for axis-aligned

@@ -50,6 +50,20 @@ class SpatialSpec extends AnyFunSuite {
     assert(out == Map("sq" -> 100.0, "all" -> 400.0))
   }
 
+  test("aggregateSpatialMany matches the unioned-scan form on a zone table") {
+    val zoneRows = Seq(
+      ("sq", unitSquare.map { case (x, y) => (x, y) }),
+      ("all", Seq((-1.0, -1.0), (21.0, -1.0), (21.0, 21.0), (-1.0, 21.0))))
+    val zones = zoneRows.toDF("zone_id", "_pts")
+      .withColumn("geometry",
+        expr("transform(_pts, p -> struct(p._1 as x, p._2 as y))"))
+      .drop("_pts")
+    val got = SpatialOps.aggregateSpatialMany(grid, zones, "zone_id", "geometry",
+      v => Reducers.sumR(v))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("sq" -> 100.0, "all" -> 400.0))
+  }
+
   test("resample_cube_spatial near maps to nearest target coords") {
     val c = DataCube.fromTable(
       Seq((1.0, 1.0, 10.0), (4.0, 1.0, 20.0), (6.0, 1.0, 30.0))
