@@ -75,6 +75,17 @@ object SpatialQueries {
         .withColumn("sum_qty", col("sum_qty").cast("bigint"))
         .join(counts.withColumnRenamed("value", "n"), Seq("zone", "band"))
     },
+    "aggregate_spatial_many" -> { (s, dir) =>
+      // the zone-TABLE form: same zones, but flowing through the single-scan
+      // broadcast join + ring-column ray-cast instead of per-zone plan branches
+      import s.implicits._
+      val zones = Seq(("A", zoneA), ("B", zoneB)).toDF("zone_id", "_pts")
+        .withColumn("geometry",
+          expr("transform(_pts, p -> struct(p._1 as x, p._2 as y))"))
+      val out = SpatialOps.aggregateSpatialMany(gridCube(s, dir), zones,
+        "zone_id", "geometry", v => Reducers.sumR(v))
+      out.select(col("zone"), col("band"), col("value").cast("bigint").as("sum_qty"))
+    },
     "resample_cube_spatial" -> { (s, dir) =>
       val c = Tables.lineitemCube(s, dir,
         Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
@@ -182,6 +193,15 @@ object SpatialQueries {
            |  WHERE ${pip("l_partkey", "l_suppkey", zoneB)})
            |SELECT zone, band, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
            |       count(*) AS n
+           |FROM z GROUP BY 1, 2""".stripMargin,
+      "aggregate_spatial_many" ->
+        s"""WITH z AS (
+           |  SELECT 'A' AS zone, l_returnflag AS band, l_quantity FROM lineitem
+           |  WHERE ${pip("l_partkey", "l_suppkey", zoneA)}
+           |  UNION ALL
+           |  SELECT 'B' AS zone, l_returnflag AS band, l_quantity FROM lineitem
+           |  WHERE ${pip("l_partkey", "l_suppkey", zoneB)})
+           |SELECT zone, band, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
            |FROM z GROUP BY 1, 2""".stripMargin,
       "resample_cube_spatial" ->
         s"""WITH xm AS (SELECT x, t FROM (
