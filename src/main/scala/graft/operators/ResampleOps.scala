@@ -121,6 +121,83 @@ object ResampleOps {
     DataCube(out, cube.meta)
   }
 
+  /** Per-axis bilinear bracketing map: for every target coordinate, its one
+    * or two bracketing source coordinates with interpolation weights.
+    * Both inputs are DISTINCT coordinate sets — dimension metadata, tiny —
+    * so the cross/group work never touches fact rows. Edge targets clamp to
+    * the nearest source line (weight 1).
+    */
+  private def axisBilinearMap(src: org.apache.spark.sql.DataFrame,
+      targets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // src: column "c"; targets: column "t"
+    val paired = targets.crossJoin(src)
+    val below = paired.filter(col("c") <= col("t"))
+      .groupBy(col("t")).agg(max(col("c")).as("c0"))
+    val above = paired.filter(col("c") > col("t"))
+      .groupBy(col("t")).agg(min(col("c")).as("c1"))
+    val b = below.join(above, Seq("t"), "full_outer")
+    val lo = b.filter(col("c0").isNotNull).select(col("t"), col("c0").as("c"),
+      when(col("c1").isNull, lit(1.0))
+        .otherwise((col("c1") - col("t")) / (col("c1") - col("c0"))).as("w"),
+      lit(0).as("side"))
+    val hi = b.filter(col("c1").isNotNull).select(col("t"), col("c1").as("c"),
+      when(col("c0").isNull, lit(1.0))
+        .otherwise((col("t") - col("c0")) / (col("c1") - col("c0"))).as("w"),
+      lit(1).as("side"))
+    lo.unionByName(hi)
+  }
+
+  /** resample_cube_spatial, method="bilinear": regrid `data` onto the target
+    * cube's axis-aligned grid by separable bilinear interpolation
+    * (reference: cubes/resample.py:116-180 lists the method; the reference
+    * delegates to odc.reproject). Unlike [[resampleSpatialBilinear]] the
+    * target grid is DATA (another cube's coordinates), so the bracketing
+    * weights come from per-axis coordinate maps — still tiny, still
+    * broadcast; fact rows fan at most 4-fold (the corner count) and the
+    * 4-term sum is corner-pinned into a fixed-order expression, keeping the
+    * result bit-deterministic across partitionings.
+    */
+  def resampleCubeSpatialBilinear(data: DataCube, target: DataCube): DataCube = {
+    val sd = data.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val others = data.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val (txd, tyd) = {
+      val tsd = target.meta.spatialDims
+      require(tsd.size >= 2, "DimensionNotAvailable: target needs x and y")
+      (tsd.head, tsd(1))
+    }
+    val xmap = axisBilinearMap(
+      data.df.select(col(xd).cast("double").as("c")).distinct(),
+      target.df.select(col(txd).cast("double").as("t")).distinct())
+      .select(col("t").as("_tx"), col("c").as("_sx"),
+        col("w").as("_wx"), col("side").as("_bx"))
+    val ymap = axisBilinearMap(
+      data.df.select(col(yd).cast("double").as("c")).distinct(),
+      target.df.select(col(tyd).cast("double").as("t")).distinct())
+      .select(col("t").as("_ty"), col("c").as("_sy"),
+        col("w").as("_wy"), col("side").as("_by"))
+    val v = data.meta.valueCol
+    val joined = data.df
+      .join(broadcast(xmap), col(xd) === col("_sx"))
+      .join(broadcast(ymap), col(yd) === col("_sy"))
+      .withColumn("_corner", col("_bx") * 2 + col("_by"))
+      .withColumn("_wv", col("_wx") * col("_wy") * col(v))
+    val pinned = joined
+      .groupBy((col("_tx") +: col("_ty") +: others.map(col)): _*)
+      .agg(
+        max(when(col("_corner") === 0, col("_wv"))).as("_w0"),
+        max(when(col("_corner") === 1, col("_wv"))).as("_w1"),
+        max(when(col("_corner") === 2, col("_wv"))).as("_w2"),
+        max(when(col("_corner") === 3, col("_wv"))).as("_w3"))
+    val out = pinned.select((col("_tx").as(xd) +: col("_ty").as(yd) +:
+      others.map(col) :+
+      (coalesce(col("_w0"), lit(0.0)) + coalesce(col("_w1"), lit(0.0)) +
+        coalesce(col("_w2"), lit(0.0)) + coalesce(col("_w3"), lit(0.0)))
+        .as(v)): _*)
+    data.copy(df = out)
+  }
+
   /** resample_spatial, method="mode" (reference: resample.py:23-36): the most
     * frequent value per target cell, DETERMINISTIC tie-break = smallest value
     * among the most frequent. Two-stage aggregation — count per (cell, value)

@@ -64,6 +64,21 @@ class SpatialSpec extends AnyFunSuite {
     assert(got == Map("sq" -> 100.0, "all" -> 400.0))
   }
 
+  test("resample_cube_spatial bilinear interpolates on the target cube grid") {
+    val src = DataCube.fromTable(
+      Seq((0.0, 0.0, 10.0), (0.0, 4.0, 20.0), (2.0, 0.0, 30.0), (2.0, 4.0, 40.0))
+        .toDF("x", "y", "value"), Seq("x", "y"), "value")
+    val tgt = DataCube.fromTable(
+      Seq((1.0, 1.0, 0.0), (0.0, 0.0, 0.0), (-1.0, 0.0, 0.0))
+        .toDF("x", "y", "value"), Seq("x", "y"), "value")
+    val out = ResampleOps.resampleCubeSpatialBilinear(src, tgt)
+    val got = out.df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got((1.0, 1.0)) == 22.5)   // full 2-D blend
+    assert(got((0.0, 0.0)) == 10.0)   // exact grid point
+    assert(got((-1.0, 0.0)) == 10.0)  // clamped edge target
+  }
+
   test("resample_cube_spatial near maps to nearest target coords") {
     val c = DataCube.fromTable(
       Seq((1.0, 1.0, 10.0), (4.0, 1.0, 20.0), (6.0, 1.0, 30.0))
