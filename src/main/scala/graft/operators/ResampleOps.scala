@@ -237,6 +237,20 @@ object ResampleOps {
       else 0.0
     }
   }
+  /** Cubic B-spline (GDAL "cubicspline"): an APPROXIMATING kernel — it
+    * smooths rather than interpolates (weights don't vanish at integer
+    * offsets), matching the warp method of the same name.
+    */
+  case object CubicSplineKernel extends InterpKernel {
+    val radius = 2
+    def weight(t: Double): Double = {
+      val x = math.abs(t)
+      if (x <= 1) (3 * x * x * x - 6 * x * x + 4) / 6.0
+      else if (x < 2) { val u = 2 - x; u * u * u / 6.0 }
+      else 0.0
+    }
+  }
+
   /** Lanczos windowed sinc, a = 3 (6×6 support). */
   case object LanczosKernel extends InterpKernel {
     val radius = 3

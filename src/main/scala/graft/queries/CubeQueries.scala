@@ -265,6 +265,22 @@ object CubeQueries {
       val r = ResampleOps.resampleSpatialKernel(eventsGrid(s, dir),
         KernelTargets, ResampleOps.LanczosKernel)
       r.df.select(col("x"), col("y"), col("value"))
+    },
+    "resample_cubicspline" -> { (s, dir) =>
+      val r = ResampleOps.resampleSpatialKernel(eventsGrid(s, dir),
+        KernelTargets, ResampleOps.CubicSplineKernel)
+      r.df.select(col("x"), col("y"), col("value"))
+    },
+    "resample_quartiles" -> { (s, dir) =>
+      // q1/q3 binning methods (reference: resample.py:23-36) via the
+      // quantile reducer over the same 50×4 cells as resample_spatial_agg
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val r = ResampleOps.resampleSpatialAgg(c, 50, 4,
+        v => Reducers.quantilesR(v, Seq(0.25, 0.75)))
+      r.df.select(col("x").cast("bigint").as("x"), col("y").cast("bigint").as("y"),
+        round(element_at(col("value"), 1), 6).as("q1"),
+        round(element_at(col("value"), 2), 6).as("q3"))
     }
   )
 
@@ -490,6 +506,13 @@ object CubeQueries {
         |  FROM c)
         |SELECT x, y, v AS mode_qty FROM r WHERE rn = 1""".stripMargin,
     "resample_cubic" -> kernelOracle(ResampleOps.CubicKernel),
-    "resample_lanczos" -> kernelOracle(ResampleOps.LanczosKernel)
+    "resample_lanczos" -> kernelOracle(ResampleOps.LanczosKernel),
+    "resample_cubicspline" -> kernelOracle(ResampleOps.CubicSplineKernel),
+    "resample_quartiles" ->
+      """SELECT CAST(floor(l_partkey/50)*50 AS BIGINT) AS x,
+        |       CAST(floor(l_suppkey/4)*4 AS BIGINT) AS y,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS q3
+        |FROM lineitem GROUP BY 1, 2""".stripMargin
   )
 }
