@@ -36,6 +36,24 @@ object Geo {
     crossings % 2 === 1
   }
 
+  /** Even-odd test over MULTIPLE rings — covers polygons with holes (outer
+    * ring + hole rings: a point inside a hole crosses both boundaries an
+    * even number of times) and multipolygons (disjoint outers) with the
+    * same crossing-parity arithmetic; mirrors rasterio's geometry_mask
+    * semantics (reference: cubes/mask_polygon.py:84-110).
+    */
+  def pointInPolygonMulti(px: Column, py: Column, rings: Seq[Ring]): Column = {
+    require(rings.nonEmpty, "GeometryInvalid: no rings")
+    val crossings = rings.flatMap { ring =>
+      ring.zip(ring.tail :+ ring.head).map { case ((x1, y1), (x2, y2)) =>
+        val straddles = (lit(y1) > py) =!= (lit(y2) > py)
+        val xAtY = (lit(x2) - x1) * (py - y1) / (lit(y2) - y1) + x1
+        when(straddles && px < xAtY, 1).otherwise(0)
+      }
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
   /** The same predicate as SQL text (DuckDB-compatible), generated from the
     * same constants — the oracle-side twin of [[pointInPolygon]].
     */

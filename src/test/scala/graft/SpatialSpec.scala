@@ -50,6 +50,21 @@ class SpatialSpec extends AnyFunSuite {
     assert(out == Map("sq" -> 100.0, "all" -> 400.0))
   }
 
+  test("mask_polygon with a hole and a second polygon (multipolygon + holes)") {
+    // outer [0..10]² with hole [3..7]², plus a disjoint square [14..16]²
+    val outer = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val hole = Seq((3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0))
+    val island = Seq((14.0, 14.0), (16.0, 14.0), (16.0, 16.0), (14.0, 16.0))
+    val masked = SpatialOps.maskPolygonMulti(grid, Seq(outer, hole, island))
+    // inside = outer minus hole (100 − 16 cells) plus island (4 cells)
+    assert(masked.df.filter(col("value").isNotNull).count() == 100 - 16 + 4)
+    // a point in the hole is masked, a point in the island is kept
+    assert(masked.df.filter(col("x") === 5.5 && col("y") === 5.5)
+      .collect()(0).isNullAt(2))
+    assert(!masked.df.filter(col("x") === 14.5 && col("y") === 14.5)
+      .collect()(0).isNullAt(2))
+  }
+
   test("aggregateSpatialMany matches the unioned-scan form on a zone table") {
     val zoneRows = Seq(
       ("sq", unitSquare.map { case (x, y) => (x, y) }),
