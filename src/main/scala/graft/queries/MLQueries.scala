@@ -26,12 +26,18 @@ object MLQueries {
           col("l_discount").as("f_disc"),
           col("l_extendedprice").as("f_price"),
           col("l_quantity"))
-      // Pin the training partitioning: MLlib's bootstrap sampling seeds per
-      // PARTITION INDEX, so without a fixed hash-partitioning + in-partition
-      // order the forest would vary with the session's core count. With it,
-      // the seeded model is bit-reproducible — which is what lets the frozen
-      // VALUES oracle below hash-check this query.
-      val train = li.repartition(4, col("l_orderkey"), col("l_linenumber"))
+      // Reproducibility is decoupled from parallelism: the model trains on a
+      // DETERMINISTIC modulus sample (1-in-10 order keys — training-set size
+      // is a model hyperparameter, not "the whole corpus"; at larger scale
+      // you raise the modulus). Only this small sample is partition-pinned:
+      // MLlib's bootstrap sampling seeds per PARTITION INDEX, so a fixed
+      // hash-partitioning + in-partition order makes the seeded model
+      // bit-reproducible across core counts — which is what lets the frozen
+      // VALUES oracle below hash-check this query. The full table is never
+      // repartitioned.
+      val train = li
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .repartition(4, col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
       val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
       val model = MLOps.fitRandomForest(train, feats, "l_quantity",
@@ -99,7 +105,7 @@ object MLQueries {
     // hash-checkable instead of rows-only.
     "ml_random_forest" ->
       """SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, p AS pred_qty
-        |FROM (VALUES (0, 1, '25.4933'::DOUBLE), (0, 2, '25.5409'::DOUBLE), (0, 4, '25.5122'::DOUBLE), (1, 3, '25.4674'::DOUBLE), (1, 7, '25.074'::DOUBLE), (1, 7, '25.2844'::DOUBLE), (2, 2, '25.4589'::DOUBLE), (2, 4, '24.8983'::DOUBLE), (2, 6, '25.4647'::DOUBLE), (2, 6, '25.1116'::DOUBLE), (2, 7, '25.1484'::DOUBLE), (3, 2, '25.8487'::DOUBLE), (3, 4, '25.4349'::DOUBLE), (3, 6, '25.3895'::DOUBLE), (3, 7, '25.0531'::DOUBLE), (4, 2, '25.59'::DOUBLE), (4, 4, '25.5916'::DOUBLE), (4, 5, '25.1578'::DOUBLE), (4, 6, '25.4941'::DOUBLE), (4, 6, '25.3702'::DOUBLE), (5, 2, '25.4853'::DOUBLE), (5, 2, '25.3934'::DOUBLE), (5, 3, '24.6051'::DOUBLE), (5, 5, '25.5934'::DOUBLE), (6, 5, '24.9516'::DOUBLE), (6, 5, '25.5691'::DOUBLE), (6, 6, '25.4764'::DOUBLE), (6, 6, '25.6036'::DOUBLE), (7, 1, '24.7504'::DOUBLE), (7, 2, '25.4319'::DOUBLE), (7, 3, '25.0622'::DOUBLE), (7, 4, '26.2061'::DOUBLE), (7, 4, '25.3632'::DOUBLE), (8, 2, '24.8043'::DOUBLE), (8, 4, '25.6772'::DOUBLE), (8, 6, '24.9208'::DOUBLE), (9, 2, '25.3648'::DOUBLE), (9, 3, '25.6613'::DOUBLE), (9, 4, '25.6924'::DOUBLE), (9, 5, '25.3839'::DOUBLE), (10, 1, '25.4961'::DOUBLE), (10, 4, '25.4779'::DOUBLE), (11, 2, '25.1321'::DOUBLE), (11, 2, '25.4125'::DOUBLE), (11, 4, '24.9775'::DOUBLE), (12, 5, '25.5224'::DOUBLE), (12, 7, '25.421'::DOUBLE), (13, 2, '25.5255'::DOUBLE), (13, 5, '25.504'::DOUBLE), (13, 7, '25.9874'::DOUBLE), (14, 3, '25.564'::DOUBLE), (14, 3, '25.5575'::DOUBLE), (14, 5, '25.2939'::DOUBLE), (14, 6, '26.2651'::DOUBLE), (15, 3, '25.4826'::DOUBLE), (15, 5, '25.5926'::DOUBLE), (15, 6, '25.191'::DOUBLE), (16, 5, '25.384'::DOUBLE), (17, 1, '26.1796'::DOUBLE), (17, 5, '25.5513'::DOUBLE), (17, 5, '25.3215'::DOUBLE), (17, 7, '25.2772'::DOUBLE), (18, 1, '25.0005'::DOUBLE), (18, 3, '25.5396'::DOUBLE), (18, 7, '25.3601'::DOUBLE), (19, 1, '25.3564'::DOUBLE), (19, 1, '25.0107'::DOUBLE), (19, 2, '25.3531'::DOUBLE), (19, 2, '25.3151'::DOUBLE), (19, 3, '25.0507'::DOUBLE), (19, 4, '25.5874'::DOUBLE), (20, 1, '25.3532'::DOUBLE), (20, 2, '25.4378'::DOUBLE), (20, 2, '24.9404'::DOUBLE), (20, 4, '25.248'::DOUBLE), (20, 6, '25.5904'::DOUBLE), (20, 7, '25.028'::DOUBLE), (21, 3, '25.1512'::DOUBLE), (21, 3, '25.4651'::DOUBLE), (21, 3, '25.49'::DOUBLE), (21, 4, '25.2191'::DOUBLE), (21, 7, '25.4627'::DOUBLE), (22, 3, '25.1966'::DOUBLE), (22, 5, '25.2271'::DOUBLE), (22, 5, '27.315'::DOUBLE), (22, 6, '25.4684'::DOUBLE), (23, 2, '25.3655'::DOUBLE), (23, 7, '25.4441'::DOUBLE), (24, 1, '25.254'::DOUBLE), (24, 1, '25.2542'::DOUBLE), (25, 4, '25.2562'::DOUBLE), (25, 7, '25.2779'::DOUBLE), (26, 1, '25.5691'::DOUBLE), (26, 3, '25.3919'::DOUBLE), (26, 4, '25.5106'::DOUBLE), (26, 6, '25.6725'::DOUBLE), (26, 6, '25.1203'::DOUBLE), (27, 1, '24.9964'::DOUBLE), (27, 3, '24.8635'::DOUBLE), (27, 7, '25.6036'::DOUBLE), (27, 7, '25.5014'::DOUBLE), (28, 1, '25.597'::DOUBLE), (28, 6, '25.5019'::DOUBLE), (29, 1, '25.0932'::DOUBLE), (29, 2, '25.6295'::DOUBLE), (29, 4, '24.7962'::DOUBLE), (29, 5, '25.4349'::DOUBLE), (29, 5, '25.3356'::DOUBLE), (29, 7, '25.1501'::DOUBLE), (30, 3, '25.4184'::DOUBLE), (30, 5, '24.5873'::DOUBLE), (30, 7, '25.4947'::DOUBLE), (31, 4, '25.5718'::DOUBLE), (31, 5, '25.5711'::DOUBLE), (32, 4, '25.4365'::DOUBLE), (33, 5, '25.4951'::DOUBLE), (34, 1, '25.28'::DOUBLE), (34, 2, '25.5893'::DOUBLE), (34, 2, '25.6009'::DOUBLE), (34, 3, '25.804'::DOUBLE), (34, 6, '25.5486'::DOUBLE), (35, 1, '24.9423'::DOUBLE), (35, 6, '25.4017'::DOUBLE), (35, 7, '25.4035'::DOUBLE), (36, 1, '26.0415'::DOUBLE), (36, 1, '25.4647'::DOUBLE), (36, 5, '25.5937'::DOUBLE), (36, 7, '25.1793'::DOUBLE), (37, 3, '25.0947'::DOUBLE), (37, 3, '25.1755'::DOUBLE), (37, 6, '25.0378'::DOUBLE), (38, 2, '25.7699'::DOUBLE), (38, 2, '25.4091'::DOUBLE), (38, 7, '26.1663'::DOUBLE), (39, 7, '25.2872'::DOUBLE), (41, 2, '25.4641'::DOUBLE), (41, 2, '25.7607'::DOUBLE), (41, 5, '25.4941'::DOUBLE), (41, 5, '26.0382'::DOUBLE), (41, 7, '25.2305'::DOUBLE), (41, 7, '25.4853'::DOUBLE), (42, 1, '25.0508'::DOUBLE), (42, 2, '25.2307'::DOUBLE), (42, 4, '25.4589'::DOUBLE), (42, 4, '25.2317'::DOUBLE), (42, 5, '25.4337'::DOUBLE), (42, 7, '24.8958'::DOUBLE), (43, 1, '25.4265'::DOUBLE), (43, 1, '25.5812'::DOUBLE), (43, 2, '25.3518'::DOUBLE), (43, 5, '25.4656'::DOUBLE), (43, 6, '25.4135'::DOUBLE), (44, 3, '25.0756'::DOUBLE), (44, 5, '25.5744'::DOUBLE), (44, 5, '25.1776'::DOUBLE), (45, 4, '25.4263'::DOUBLE), (45, 6, '25.3601'::DOUBLE), (45, 6, '25.5129'::DOUBLE), (45, 7, '25.3391'::DOUBLE), (45, 7, '25.5009'::DOUBLE), (46, 2, '25.6386'::DOUBLE), (46, 3, '25.5152'::DOUBLE), (46, 4, '25.6623'::DOUBLE), (46, 4, '25.575'::DOUBLE), (46, 5, '24.117'::DOUBLE), (47, 2, '25.0897'::DOUBLE), (47, 3, '25.2294'::DOUBLE), (47, 3, '25.3087'::DOUBLE), (47, 3, '25.4698'::DOUBLE), (47, 5, '25.5005'::DOUBLE), (47, 6, '25.3973'::DOUBLE), (48, 4, '25.361'::DOUBLE), (48, 4, '26.0629'::DOUBLE), (48, 5, '24.7488'::DOUBLE), (48, 7, '25.5519'::DOUBLE), (49, 4, '24.9905'::DOUBLE), (50, 3, '25.55'::DOUBLE), (50, 3, '25.4464'::DOUBLE), (50, 4, '25.7108'::DOUBLE), (50, 6, '24.9518'::DOUBLE), (50, 6, '25.2951'::DOUBLE), (50, 7, '25.5978'::DOUBLE), (51, 3, '24.6709'::DOUBLE), (51, 4, '25.0007'::DOUBLE), (51, 6, '25.5023'::DOUBLE), (51, 7, '25.4509'::DOUBLE), (51, 7, '25.6487'::DOUBLE), (52, 1, '25.1803'::DOUBLE), (52, 2, '25.6144'::DOUBLE), (52, 6, '25.6798'::DOUBLE), (53, 2, '25.4818'::DOUBLE), (53, 4, '25.0875'::DOUBLE), (53, 7, '25.4284'::DOUBLE), (53, 7, '25.5843'::DOUBLE), (54, 2, '24.3095'::DOUBLE), (54, 2, '25.5378'::DOUBLE), (54, 5, '24.6416'::DOUBLE), (55, 2, '25.6536'::DOUBLE), (55, 3, '25.5556'::DOUBLE), (55, 4, '25.2094'::DOUBLE)) t(k, ln, p)""".stripMargin,
+        |FROM (VALUES (0, 1, '22.8322'::DOUBLE), (0, 2, '25.0253'::DOUBLE), (0, 4, '26.1163'::DOUBLE), (1, 3, '26.3265'::DOUBLE), (1, 7, '25.1268'::DOUBLE), (1, 7, '25.7087'::DOUBLE), (2, 2, '24.478'::DOUBLE), (2, 4, '25.9809'::DOUBLE), (2, 6, '24.9028'::DOUBLE), (2, 6, '25.0446'::DOUBLE), (2, 7, '22.9858'::DOUBLE), (3, 2, '26.2618'::DOUBLE), (3, 4, '25.3315'::DOUBLE), (3, 6, '25.127'::DOUBLE), (3, 7, '25.5974'::DOUBLE), (4, 2, '25.6342'::DOUBLE), (4, 4, '25.3837'::DOUBLE), (4, 5, '24.6474'::DOUBLE), (4, 6, '26.06'::DOUBLE), (4, 6, '25.6256'::DOUBLE), (5, 2, '26.3714'::DOUBLE), (5, 2, '25.7763'::DOUBLE), (5, 3, '24.7806'::DOUBLE), (5, 5, '24.1787'::DOUBLE), (6, 5, '24.0433'::DOUBLE), (6, 5, '24.9008'::DOUBLE), (6, 6, '24.7833'::DOUBLE), (6, 6, '24.63'::DOUBLE), (7, 1, '25.7142'::DOUBLE), (7, 2, '25.8156'::DOUBLE), (7, 3, '25.7163'::DOUBLE), (7, 4, '25.9781'::DOUBLE), (7, 4, '25.5622'::DOUBLE), (8, 2, '24.8124'::DOUBLE), (8, 4, '24.9688'::DOUBLE), (8, 6, '24.89'::DOUBLE), (9, 2, '25.1111'::DOUBLE), (9, 3, '23.6065'::DOUBLE), (9, 4, '26.4805'::DOUBLE), (9, 5, '24.5838'::DOUBLE), (10, 1, '25.8881'::DOUBLE), (10, 4, '25.2597'::DOUBLE), (11, 2, '25.4726'::DOUBLE), (11, 2, '23.197'::DOUBLE), (11, 4, '23.8384'::DOUBLE), (12, 5, '25.1128'::DOUBLE), (12, 7, '25.6039'::DOUBLE), (13, 2, '25.062'::DOUBLE), (13, 5, '24.6126'::DOUBLE), (13, 7, '25.2346'::DOUBLE), (14, 3, '25.9152'::DOUBLE), (14, 3, '25.6331'::DOUBLE), (14, 5, '25.5628'::DOUBLE), (14, 6, '25.8679'::DOUBLE), (15, 3, '25.4251'::DOUBLE), (15, 5, '24.7732'::DOUBLE), (15, 6, '26.16'::DOUBLE), (16, 5, '24.6463'::DOUBLE), (17, 1, '26.0134'::DOUBLE), (17, 5, '25.1551'::DOUBLE), (17, 5, '25.5843'::DOUBLE), (17, 7, '27.5641'::DOUBLE), (18, 1, '23.3994'::DOUBLE), (18, 3, '25.2568'::DOUBLE), (18, 7, '25.4334'::DOUBLE), (19, 1, '25.0257'::DOUBLE), (19, 1, '25.5628'::DOUBLE), (19, 2, '26.095'::DOUBLE), (19, 2, '25.2422'::DOUBLE), (19, 3, '25.1426'::DOUBLE), (19, 4, '24.2519'::DOUBLE), (20, 1, '25.4391'::DOUBLE), (20, 2, '24.0398'::DOUBLE), (20, 2, '25.7875'::DOUBLE), (20, 4, '27.8653'::DOUBLE), (20, 6, '25.4694'::DOUBLE), (20, 7, '23.2185'::DOUBLE), (21, 3, '27.2048'::DOUBLE), (21, 3, '24.7634'::DOUBLE), (21, 3, '23.8664'::DOUBLE), (21, 4, '26.1797'::DOUBLE), (21, 7, '25.1321'::DOUBLE), (22, 3, '24.7648'::DOUBLE), (22, 5, '24.5619'::DOUBLE), (22, 5, '26.1769'::DOUBLE), (22, 6, '24.3151'::DOUBLE), (23, 2, '27.0382'::DOUBLE), (23, 7, '25.8462'::DOUBLE), (24, 1, '23.9767'::DOUBLE), (24, 1, '24.3825'::DOUBLE), (25, 4, '26.2155'::DOUBLE), (25, 7, '24.1565'::DOUBLE), (26, 1, '25.8324'::DOUBLE), (26, 3, '25.6714'::DOUBLE), (26, 4, '25.1413'::DOUBLE), (26, 6, '24.8772'::DOUBLE), (26, 6, '25.333'::DOUBLE), (27, 1, '24.8334'::DOUBLE), (27, 3, '26.0134'::DOUBLE), (27, 7, '24.2903'::DOUBLE), (27, 7, '24.6463'::DOUBLE), (28, 1, '26.0339'::DOUBLE), (28, 6, '25.4972'::DOUBLE), (29, 1, '26.5736'::DOUBLE), (29, 2, '24.9446'::DOUBLE), (29, 4, '24.5947'::DOUBLE), (29, 5, '23.3497'::DOUBLE), (29, 5, '25.0472'::DOUBLE), (29, 7, '22.5549'::DOUBLE), (30, 3, '23.9958'::DOUBLE), (30, 5, '26.6626'::DOUBLE), (30, 7, '25.8156'::DOUBLE), (31, 4, '24.8362'::DOUBLE), (31, 5, '24.3886'::DOUBLE), (32, 4, '25.117'::DOUBLE), (33, 5, '24.7552'::DOUBLE), (34, 1, '24.3121'::DOUBLE), (34, 2, '23.2008'::DOUBLE), (34, 2, '23.714'::DOUBLE), (34, 3, '27.3341'::DOUBLE), (34, 6, '25.1116'::DOUBLE), (35, 1, '25.1222'::DOUBLE), (35, 6, '25.9291'::DOUBLE), (35, 7, '24.6732'::DOUBLE), (36, 1, '26.2833'::DOUBLE), (36, 1, '26.0124'::DOUBLE), (36, 5, '25.3801'::DOUBLE), (36, 7, '23.1266'::DOUBLE), (37, 3, '24.5944'::DOUBLE), (37, 3, '25.5104'::DOUBLE), (37, 6, '26.1433'::DOUBLE), (38, 2, '26.4729'::DOUBLE), (38, 2, '25.8067'::DOUBLE), (38, 7, '24.3691'::DOUBLE), (39, 7, '27.948'::DOUBLE), (41, 2, '28.0306'::DOUBLE), (41, 2, '26.2833'::DOUBLE), (41, 5, '26.3978'::DOUBLE), (41, 5, '26.3485'::DOUBLE), (41, 7, '23.9245'::DOUBLE), (41, 7, '25.8762'::DOUBLE), (42, 1, '25.6974'::DOUBLE), (42, 2, '25.8675'::DOUBLE), (42, 4, '24.771'::DOUBLE), (42, 4, '24.7071'::DOUBLE), (42, 5, '25.7398'::DOUBLE), (42, 7, '25.9333'::DOUBLE), (43, 1, '24.526'::DOUBLE), (43, 1, '26.2386'::DOUBLE), (43, 2, '25.5995'::DOUBLE), (43, 5, '25.7562'::DOUBLE), (43, 6, '25.4769'::DOUBLE), (44, 3, '24.6103'::DOUBLE), (44, 5, '23.4019'::DOUBLE), (44, 5, '23.6301'::DOUBLE), (45, 4, '24.2378'::DOUBLE), (45, 6, '25.5538'::DOUBLE), (45, 6, '22.8935'::DOUBLE), (45, 7, '26.2486'::DOUBLE), (45, 7, '27.8653'::DOUBLE), (46, 2, '26.477'::DOUBLE), (46, 3, '26.1243'::DOUBLE), (46, 4, '27.9337'::DOUBLE), (46, 4, '25.2065'::DOUBLE), (46, 5, '24.8433'::DOUBLE), (47, 2, '25.3176'::DOUBLE), (47, 3, '26.9213'::DOUBLE), (47, 3, '26.0492'::DOUBLE), (47, 3, '25.0038'::DOUBLE), (47, 5, '25.3597'::DOUBLE), (47, 6, '24.6972'::DOUBLE), (48, 4, '26.877'::DOUBLE), (48, 4, '24.7141'::DOUBLE), (48, 5, '29.317'::DOUBLE), (48, 7, '25.2513'::DOUBLE), (49, 4, '23.1584'::DOUBLE), (50, 3, '23.8108'::DOUBLE), (50, 3, '24.8241'::DOUBLE), (50, 4, '24.2006'::DOUBLE), (50, 6, '23.0197'::DOUBLE), (50, 6, '24.023'::DOUBLE), (50, 7, '24.6437'::DOUBLE), (51, 3, '25.0703'::DOUBLE), (51, 4, '26.0786'::DOUBLE), (51, 6, '24.3999'::DOUBLE), (51, 7, '25.4297'::DOUBLE), (51, 7, '24.2183'::DOUBLE), (52, 1, '25.0341'::DOUBLE), (52, 2, '24.129'::DOUBLE), (52, 6, '25.2568'::DOUBLE), (53, 2, '25.3375'::DOUBLE), (53, 4, '25.5962'::DOUBLE), (53, 7, '24.2125'::DOUBLE), (53, 7, '23.9686'::DOUBLE), (54, 2, '23.3819'::DOUBLE), (54, 2, '25.1882'::DOUBLE), (54, 5, '22.0117'::DOUBLE), (55, 2, '26.0534'::DOUBLE), (55, 3, '25.3152'::DOUBLE), (55, 4, '24.2085'::DOUBLE)) t(k, ln, p)""".stripMargin,
     "run_udf" ->
       // python int() truncates toward zero; events values are positive, so
       // floor(value*100) over the same parquet doubles is the same integer
