@@ -117,6 +117,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** A trained coarse quantizer: (centroid id, vector, L2 norm). The set is
+    * FIXED-SIZE by construction (k centroids regardless of corpus size), so
+    * shipping it to executors is O(k·dims) — never data-sized.
+    */
+  type Centroid = (Long, Array[Double], Double)
+
+  /** Deterministic fixed-count quantizer: every ceil(n/k)-th id is a
+    * centroid. Two bounded driver jobs train it (a count + a k-row collect)
+    * — train-then-apply, like any ML model. Mirrorable in SQL, which is what
+    * lets the oracle replicate the assignment bit-exactly.
+    */
+  def strideCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Centroid] = {
+    val stride = math.max(1L, math.ceil(df.count().toDouble / k).toLong)
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id") % stride === 0)
+      .withColumn("n", norm2(col("v")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+  }
+
+  /** Production quantizer: MLlib KMeans fit on a bounded-size sample of the
+    * corpus (first `sampleRows` rows — training data volume is a model
+    * hyperparameter, not "the whole corpus"). Returns exactly `k` centroids
+    * with synthetic ids 0..k-1. Not SQL-mirrorable (so spec-covered, not
+    * oracle-gated); plug into [[ivfNearDupsWith]] for the scale path.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
+      sampleRows: Int = 10000, seed: Long = 42L): Array[Centroid] = {
+    val sess = df.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = df.select(array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+      .limit(sampleRows)
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(sample)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val v = c.toArray
+      (i.toLong, v, math.sqrt(v.map(x => x * x).sum))
+    }
+  }
+
   /** Embedding-cosine near-dup pairs via IVF coarse quantization: candidates
     * are pairs sharing one of their `probes` nearest centroids, then exact
     * cosine ≥ threshold verifies.
@@ -124,26 +169,49 @@ object Similarity {
     * Why IVF and not sign-LSH here: near-dup thresholds in the 0.3-0.6 range
     * are too close to the random-pair baseline for sign-bit amplification —
     * banding that keeps such pairs also keeps most random pairs. Data-aligned
-    * cells discriminate where hyperplanes cannot. With centroid count ∝ n
-    * (constant cell size), candidate volume is LINEAR in corpus size —
-    * unlike block-cartesian schemes whose blocks grow with the corpus.
-    *
-    * The stride-sampled centroids keep the quantizer deterministic for the
-    * oracle; at cluster scale train MLlib KMeans on a sample instead and
-    * assign via mapPartitions over the broadcast centroid matrix (the
-    * centroid set is small by construction — that broadcast is safe).
+    * cells discriminate where hyperplanes cannot.
     */
   def ivfNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, centroidStride: Int = 50, probes: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      threshold: Double, numCentroids: Int = 16, probes: Int = 3): DataFrame =
+    ivfNearDupsWith(df, idCol, vecCol,
+      strideCentroids(df, idCol, vecCol, numCentroids), threshold, probes)
+
+  /** IVF near-dup core over an already-trained centroid set.
+    *
+    * Scale shape: the k-centroid matrix rides to executors as a broadcast
+    * variable (O(k·dims), fixed); probe assignment is a mapPartitions scan —
+    * no crossJoin, no window, ZERO shuffle until the candidate self-join on
+    * the centroid key. Ranking uses dot(v,c)/‖c‖ — ‖v‖ is constant per row,
+    * so dividing it out does not change the per-row centroid order and the
+    * row norm is never computed during assignment. The exact-cosine verify
+    * then touches only candidate pairs.
+    */
+  def ivfNearDupsWith(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Centroid], threshold: Double, probes: Int): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val centB = sess.sparkContext.broadcast(cents)
+    val nProbes = probes
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-    val cents = base.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("v").as("cv"), col("n").as("cn"))
-    val scored = base.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-    val assign = scored.withColumn("pr", row_number().over(w))
-      .filter(col("pr") <= probes).select(col("id"), col("cid"))
+    val assign = base.select(col("id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.flatMap { case (id, v) =>
+          // (-score, cid) ascending == (score DESC, cid ASC); left-to-right
+          // double fold matches the codegen'd graft_dot and the SQL mirror.
+          val scored = cs.map { case (cid, cv, cn) =>
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += v(i) * cv(i); i += 1 }
+            (-(s / cn), cid)
+          }
+          scored.sortBy(identity)(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+            .take(nProbes).map { case (_, cid) => (id, cid) }
+        }
+      }.toDF("id", "cid")
     val cand = assign.as("x").join(assign.as("y"), "cid")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Joins
 import graft.pipeline._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -98,7 +99,7 @@ object PipelineQueries {
     },
     "dedup_embed_cosine" -> { (s, dir) =>
       Similarity.ivfNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.35, centroidStride = 50, probes = 3)
+        threshold = 0.35, numCentroids = 16, probes = 3)
     },
 
     // ---- similarity search ----
@@ -156,7 +157,10 @@ object PipelineQueries {
         .groupBy(col("l_orderkey"))
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
           .cast("bigint")).as("rev_cents"))
-      rev.join(broadcast(Tables.orders(s, dir)),
+      // orders grows with the scale factor — never hint it unconditionally.
+      // maybeBroadcast gates the hint on Catalyst's size estimate; above the
+      // cap the join strategy is left to the optimizer + AQE.
+      rev.join(Joins.maybeBroadcast(Tables.orders(s, dir)),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("o_custkey"), col("rev_cents"))
         .orderBy(col("rev_cents").desc, col("l_orderkey").asc)
@@ -209,12 +213,15 @@ object PipelineQueries {
          |$jaccardSqlTail
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.015""".stripMargin,
     "dedup_embed_cosine" ->
-      // IVF mirror: stride-50 centroids, 3-probe assignment, exact verify.
+      // IVF mirror: fixed 16-centroid stride quantizer (stride = ceil(n/16)),
+      // 3-probe assignment ranked by dot/‖c‖ (row norm divides out), exact
+      // verify.
       s"""WITH $cosineSqlFns,
          |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
          |scored AS (SELECT n.vec_id, cent.cid,
-         |    ${dotSql("n.v", "cent.cv")} / (n.nn * cent.cn) AS ccos
+         |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
          |  FROM n CROSS JOIN cent),
          |assign AS (SELECT vec_id, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr

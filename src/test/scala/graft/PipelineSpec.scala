@@ -85,8 +85,52 @@ class PipelineSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
     val out = Similarity.ivfNearDups(emb.unionByName(dup), "vec_id", "embedding",
-      threshold = 0.99, centroidStride = 10, probes = 2).collect()
+      threshold = 0.99, numCentroids = 50, probes = 2).collect()
     assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9999L))
+  }
+
+  test("IVF candidate volume is sub-quadratic and the quantizer is fixed-size") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+    assert(cents.length <= 16 + 1) // k regardless of corpus size (±ceil slack)
+    val assign = Similarity.ivfNearDupsWith(emb, "vec_id", "embedding", cents,
+      threshold = -1.0, probes = 3) // threshold -1 keeps every candidate pair
+    val cand = assign.count()
+    info(s"n=$n ivf-candidate-pairs=$cand of ${n * (n - 1) / 2} all-pairs")
+    assert(cand > 0 && cand < n * (n - 1) / 2)
+  }
+
+  test("KMeans quantizer returns exactly k centroids and finds planted dups") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8,
+      sampleRows = 200)
+    assert(cents.length == 8)
+    assert(cents.map(_._1).toSet == (0L until 8L).toSet)
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
+    val out = Similarity.ivfNearDupsWith(emb.unionByName(dup), "vec_id",
+      "embedding", cents, threshold = 0.99, probes = 2).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9999L))
+  }
+
+  test("topk_revenue-style join never broadcasts a side above the size cap") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val rev = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+    def planOf(capBytes: Long) = rev
+      .join(graft.core.Joins.maybeBroadcast(orders, capBytes),
+        col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    // Above the cap: no broadcast hint → with autoBroadcast disabled the
+    // data-sized side must NOT appear under a BroadcastExchange.
+    val auto = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(auto)
+    try {
+      spark.conf.set(auto, "-1")
+      assert(!planOf(1L).contains("BroadcastExchange"))
+      assert(planOf(Long.MaxValue).contains("BroadcastExchange"))
+    } finally spark.conf.set(auto, prev)
   }
 
   test("lang_id picks marker-majority language, unknown when no hits") {
