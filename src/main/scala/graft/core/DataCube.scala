@@ -16,9 +16,13 @@ object DimType {
 
 /** One named dimension of a cube. `labels` is optionally materialised for
   * operators that must preserve empty labels (aggregate_temporal's gap bins,
-  * trim_cube); otherwise labels are implicit = distinct column values.
+  * trim_cube) or that want to compare label sets WITHOUT running a Spark job
+  * (merge_cubes' case dispatch); otherwise labels are implicit = distinct
+  * column values. Stored canonically as strings (a dim column has one type,
+  * so string equality is value equality within it).
   */
-final case class CubeDim(name: String, dimType: DimType)
+final case class CubeDim(name: String, dimType: DimType,
+    labels: Option[Set[String]] = None)
 
 /** Cube-level metadata: the dimension list (ordered), an optional CRS string
   * (e.g. "EPSG:4326"), and the name of the value column.
@@ -79,6 +83,18 @@ final case class DataCube(df: DataFrame, meta: CubeMetadata) {
     if (!meta.has(dim))
       throw new IllegalArgumentException(
         s"DimensionNotAvailable: '$dim' not in ${meta.dimNames.mkString(",")}")
+
+  /** Materialise the label sets of `dims` into the metadata with ONE Spark
+    * job (a union of per-dim distinct scans), so later plan-time decisions —
+    * merge_cubes' case dispatch, target-dimension checks — read metadata
+    * instead of launching jobs. Call it once after load/resample when a
+    * pipeline merges repeatedly; all cube operators keep working without it.
+    */
+  def materializeLabels(dims: Seq[String] = meta.dimNames): DataCube = {
+    val sets = DataCube.labelSets(df, dims)
+    copy(meta = meta.copy(dims = meta.dims.map(d =>
+      if (sets.contains(d.name)) d.copy(labels = Some(sets(d.name))) else d)))
+  }
 }
 
 object DataCube {
@@ -115,5 +131,17 @@ object DataCube {
     val cubeDims = dims.map(d => CubeDim(d, dimTypes.getOrElse(d, inferDimType(d))))
     val projected = df.select((dims :+ valueCol).map(col): _*)
     DataCube(projected, CubeMetadata(cubeDims, crs, valueCol))
+  }
+
+  /** Distinct labels of several dim columns in ONE job: union the per-dim
+    * tagged distinct scans (each metadata-sized) and collect once.
+    */
+  def labelSets(df: DataFrame, dims: Seq[String]): Map[String, Set[String]] = {
+    if (dims.isEmpty) return Map.empty
+    val tagged = dims.map(d =>
+      df.select(lit(d).as("_dim"), col(d).cast("string").as("_label")).distinct())
+    tagged.reduce(_ unionAll _).collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rows) => d -> rows.map(r => String.valueOf(r.get(1))).toSet }
   }
 }

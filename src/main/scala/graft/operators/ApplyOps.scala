@@ -95,7 +95,12 @@ object ApplyOps {
       if (lengthPreserving) applyDimensionArray(cube, dimension, process)
       else applyDimensionRelabel(cube, dimension, process, dimension)
     } else if (cube.meta.has(target)) {
-      val nLabels = cube.df.select(col(target)).distinct().count()
+      // Metadata-first: materialised labels answer the cardinality check
+      // with no Spark job; only unlabelled metadata falls back to the
+      // (column-pruned) distinct-count.
+      val nLabels = cube.meta.dims.find(_.name == target).flatMap(_.labels)
+        .map(_.size.toLong)
+        .getOrElse(cube.df.select(col(target)).distinct().count())
       if (nLabels > 1) throw new IllegalArgumentException(
         s"Cannot rename dimension $dimension to $target: $target already exists " +
           s"and contains $nLabels labels")

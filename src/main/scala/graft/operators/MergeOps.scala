@@ -78,17 +78,31 @@ object MergeOps {
     }
   }
 
-  /** Per-dim label-set equality via two anti-join counts per shared dim —
-    * label sets are metadata-sized, the fact tables never move.
+  /** Per-dim label-set equality. Metadata-first: when both cubes carry
+    * materialised labels for a dim ([[DataCube.materializeLabels]]), the
+    * comparison is a pure driver-side set equality — ZERO Spark jobs. Only
+    * dims with no materialised labels on either side fall back to a single
+    * combined job (a union of tagged distinct scans, one action) — never the
+    * old 2-anti-join-actions-per-dim pattern, which at 100 TB meant 2×|dims|
+    * full column scans blocking the driver mid-planning.
     */
   private def labelSetsIdentical(cube1: DataCube, cube2: DataCube,
-      dims: Seq[String]): Boolean =
-    dims.forall { d =>
-      val l1 = cube1.df.select(col(d)).distinct()
-      val l2 = cube2.df.select(col(d)).distinct()
-      l1.join(l2, Seq(d), "left_anti").isEmpty &&
-        l2.join(l1, Seq(d), "left_anti").isEmpty
-    }
+      dims: Seq[String]): Boolean = {
+    val m1 = cube1.meta.dims.map(d => d.name -> d.labels).toMap
+    val m2 = cube2.meta.dims.map(d => d.name -> d.labels).toMap
+    val (known, unknown) = dims.partition(d =>
+      m1.get(d).exists(_.isDefined) && m2.get(d).exists(_.isDefined))
+    if (!known.forall(d => m1(d).get == m2(d).get)) return false
+    if (unknown.isEmpty) return true
+    def tagged(df: DataFrame, side: Int) = unknown.map(d =>
+      df.select(lit(d).as("_dim"), col(d).cast("string").as("_label"))
+        .distinct().withColumn("_side", lit(side)))
+    (tagged(cube1.df, 1) ++ tagged(cube2.df, 2)).reduce(_ unionAll _)
+      .groupBy(col("_dim"), col("_label"))
+      .agg(countDistinct(col("_side")).as("_n"))
+      .filter(col("_n") === 1)
+      .isEmpty
+  }
 
   /** Stack two identically-shaped cubes along a new "cubes" dimension with
     * labels cube1/cube2 (reference: merge.py NEW_DIM_NAME concat).
@@ -99,7 +113,8 @@ object MergeOps {
     val d2 = cube2.df.withColumnRenamed(cube2.meta.valueCol, v)
       .withColumn("cubes", lit("cube2"))
     DataCube(d1.unionByName(d2),
-      cube1.meta.copy(dims = cube1.meta.dims :+ CubeDim("cubes", DimType.Other)))
+      cube1.meta.copy(dims = cube1.meta.dims :+
+        CubeDim("cubes", DimType.Other, labels = Some(Set("cube1", "cube2")))))
   }
 
   /** Align cube2's float coordinates to cube1's where they differ by at

@@ -74,6 +74,51 @@ class CubeCoreSpec extends AnyFunSuite {
     assert(got == Map((1.0, "B1") -> 110.0, (1.0, "B2") -> 120.0, (2.0, "B1") -> 30.0))
   }
 
+  test("mergeCubes with materialised labels launches zero jobs at plan time") {
+    val c1 = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0))).materializeLabels()
+    val c2 = cube(Seq((1.0, "B1", 1.0), (2.0, "B1", 2.0))).materializeLabels()
+    assert(c1.meta.dims.forall(_.labels.isDefined))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // Identical labels + no resolver = the stack path, which used to fire
+      // eager anti-join jobs during case dispatch. With metadata labels the
+      // dispatch is driver-side only: building the plan runs NOTHING.
+      val merged = MergeOps.mergeCubes(c1, c2, None)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == 0, "mergeCubes planning must not launch Spark jobs")
+      assert(merged.df.count() == 4) // the stacked cube, now actually run
+      Thread.sleep(500)
+      assert(jobs.get() > 0) // sanity: the listener does see real jobs
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("label-set dispatch falls back to ONE combined job when labels absent") {
+    val c1 = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0)))
+    val c2 = cube(Seq((1.0, "B1", 1.0), (2.0, "B1", 2.0)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merged = MergeOps.mergeCubes(c1, c2, None)
+      Thread.sleep(500)
+      // ONE combined action; AQE materialises its shuffle stages as up to 3
+      // jobs. The old dispatch ran 2 anti-join actions PER dim (4 actions /
+      // ~8+ jobs on this 2-dim cube).
+      assert(jobs.get() <= 3, s"expected one combined dispatch action, got ${jobs.get()} jobs")
+      assert(merged.df.count() == 4)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("mask replaces truthy cells and broadcasts over missing dims") {
     val data = cube(Seq((1.0, "B1", 10.0), (2.0, "B1", 20.0), (1.0, "B2", 30.0)))
     val m = DataCube(
