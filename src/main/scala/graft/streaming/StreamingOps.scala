@@ -69,33 +69,63 @@ object StreamingOps {
     * (n_sessions, longest) snapshot (monotone, so Update sinks converge on
     * the final values).
     *
-    * Input rows are (user_id, event-time micros). Within a batch events are
-    * sorted; ACROSS batches the operator assumes per-user event-time order —
-    * the usual contract for session streams fed from a watermarked,
-    * time-partitioned source. State is one small record per ACTIVE user,
-    * the property that lets this run indefinitely on an unbounded stream.
+    * Input rows are (user_id, event-time micros). State is BOUNDED: the
+    * input is watermarked (`watermarkDelay` of allowed lateness — rows older
+    * than the watermark are dropped by the stateful operator and surface in
+    * `numRowsDroppedByWatermark`), and every user registers an
+    * `EventTimeTimeout` at lastEvent + gap. When the watermark passes that
+    * point no on-time event can extend the open session, so the timeout
+    * callback closes it, emits the user's terminal snapshot, and REMOVES the
+    * state — an inactive user costs nothing on an unbounded stream.
+    * Out-of-order events within the allowed lateness sort inside each batch
+    * and never move the open session's clock backwards.
     */
-  def sessionizeStream(events: Dataset[(Long, Long)],
-      gapMicros: Long): Dataset[SessOut] = {
+  def sessionizeStream(events: Dataset[(Long, Long)], gapMicros: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_._1)
+    val gapMs = gapMicros / 1000L
+    events.toDF("user_id", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+      .withWatermark("ts", watermarkDelay)
+      // keep the watermarked ts attribute in the operator input — projecting
+      // it away hides the watermark from the event-time-timeout checker
+      .select(col("user_id").as[Long], col("tsu").as[Long],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
       .flatMapGroupsWithState[SessState, SessOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessState]) =>
-          val sorted = it.map(_._2).toArray.sorted
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, Nil))
-          sorted.foreach { t =>
-            st =
-              if (st.curLen == 0) SessState(t, 1, st.closed)
-              else if (t - st.lastTs > gapMicros)
-                SessState(t, 1, st.curLen :: st.closed)
-              else SessState(t, st.curLen + 1, st.closed)
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastTs + gap: the open session can no longer
+            // be extended by on-time data. Close it, emit the terminal
+            // snapshot, and drop the state record.
+            val st = state.get
+            val all = if (st.curLen > 0) st.curLen :: st.closed else st.closed
+            state.remove()
+            if (all.isEmpty) Iterator.empty
+            else Iterator.single(SessOut(user, all.size.toLong, all.max))
+          } else {
+            val sorted = it.map(_._2).toArray.sorted
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, Nil))
+            sorted.foreach { t =>
+              st =
+                if (st.curLen == 0) SessState(t, 1, st.closed)
+                else if (t - st.lastTs > gapMicros)
+                  SessState(t, 1, st.curLen :: st.closed)
+                else SessState(math.max(st.lastTs, t), st.curLen + 1, st.closed)
+            }
+            state.update(st)
+            // Session expires when the watermark passes the gap; the timeout
+            // must sit strictly above the current watermark or Spark rejects
+            // it (can happen when admitted-late data trails the watermark).
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+            val all = if (st.curLen > 0) st.curLen :: st.closed else st.closed
+            if (all.isEmpty) Iterator.empty
+            else Iterator.single(SessOut(user, all.size.toLong, all.max))
           }
-          state.update(st)
-          val all = if (st.curLen > 0) st.curLen :: st.closed else st.closed
-          if (all.isEmpty) Iterator.empty
-          else Iterator.single(SessOut(user, all.size.toLong, all.max))
       }
   }
 }

@@ -27,9 +27,12 @@ class StreamingSpec extends AnyFunSuite {
     // user 1: events at 0,10,20 min (one session), then 120..125 min (second)
     // user 2: single event, then one more within the gap in a LATER batch
     //         (state must extend the open session, not start a new one)
-    val chunk1 = Seq((1L, 0L), (1L, 10 * m), (2L, 5 * m))
-    val chunk2 = Seq((1L, 20 * m), (2L, 25 * m))
-    val chunk3 = Seq((1L, 120 * m), (1L, 125 * m))
+    // base offset keeps every event above Spark's initial watermark (0):
+    // an epoch-0 event would be filtered as late before reaching the operator
+    val b = 60L
+    val chunk1 = Seq((1L, b * m), (1L, (b + 10) * m), (2L, (b + 5) * m))
+    val chunk2 = Seq((1L, (b + 20) * m), (2L, (b + 25) * m))
+    val chunk3 = Seq((1L, (b + 120) * m), (1L, (b + 125) * m))
 
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Long)]
@@ -50,5 +53,46 @@ class StreamingSpec extends AnyFunSuite {
     // batch ground truth: user 1 → sessions {3 events, 2 events};
     // user 2 → one session of 2 events
     assert(got == Map(1L -> ((2L, 3L)), 2L -> ((1L, 2L))))
+  }
+
+  test("sessionizeStream bounds state: late rows drop, idle users expire") {
+    val gap = 1800L * 1000000L // 30 min
+    val m = 60L * 1000000L
+    // u1: {0,10,15(out-of-order),20}m then {120,125}m; u2: {5,25}m then
+    // idle; u3 appears late in the stream. A u2 row at 60m arrives AFTER the
+    // watermark has passed it → dropped, not a new session.
+    val b = 60L // above the initial watermark (see previous test)
+    val chunks = Seq(
+      Seq((1L, b * m), (1L, (b + 10) * m), (2L, (b + 5) * m)),
+      Seq((1L, (b + 20) * m), (1L, (b + 15) * m), (2L, (b + 25) * m)), // +15m out of order
+      Seq((1L, (b + 120) * m), (1L, (b + 125) * m)), // watermark → b+115m
+      Seq((2L, (b + 60) * m), (3L, (b + 200) * m)),  // b+60m late; u2 expires
+      Seq((3L, (b + 400) * m)))                      // u1 expires; u3 lives on
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = StreamingOps.sessionizeStream(stream.toDS(), gap)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_bounded").start()
+    try {
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+
+      val got = spark.table("sess_bounded")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n"), max(col("longest")).as("l"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // u1: {4-event, 2-event}; u2: one 2-event session (60m row dropped);
+      // u3: two 1-event sessions
+      assert(got == Map(1L -> ((2L, 4L)), 2L -> ((1L, 2L)), 3L -> ((2L, 1L))))
+
+      val sop = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0))
+      assert(sop.map(_.numRowsDroppedByWatermark).sum >= 1,
+        "the late u2 row must be dropped by the watermark")
+      assert(sop.map(_.numRowsRemoved).sum >= 2,
+        "u1 and u2 state records must expire via EventTimeTimeout")
+      assert(sop.last.numRowsTotal <= 1,
+        s"only the active user may hold state, got ${sop.last.numRowsTotal}")
+    } finally q.stop()
   }
 }
