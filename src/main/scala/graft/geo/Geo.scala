@@ -119,9 +119,28 @@ object Geo {
     * `south = true` for EPSG:327xx (adds the 10,000 km false northing).
     */
   def utmForward(lon: Double, lat: Double, zone: Int,
-      south: Boolean = false): (Double, Double) = {
+      south: Boolean = false): (Double, Double) =
+    tmForward(lon, lat, utmCentralMeridian(zone), K0, 500000.0,
+      if (south) 10000000.0 else 0.0)
+
+  /** Inverse: (easting, northing, zone) → (lon°, lat°). */
+  def utmInverse(easting: Double, northing: Double, zone: Int,
+      south: Boolean = false): (Double, Double) =
+    tmInverse(easting, northing, utmCentralMeridian(zone), K0, 500000.0,
+      if (south) 10000000.0 else 0.0)
+
+  /** GENERALIZED WGS84 Transverse Mercator (same Snyder 1987 §8 series as
+    * UTM) with arbitrary central meridian, scale factor, and false origin —
+    * the parameter set that covers most projected EPSG CRSs in use
+    * (UTM 326xx/327xx, national TM grids). The reference reaches these
+    * through pyproj (cubes/_filter.py:284-320); here the series itself is
+    * the implementation, UTM being the (6z−183°, 0.9996, 500 km, 0|10000 km)
+    * instance.
+    */
+  def tmForward(lon: Double, lat: Double, lon0: Double, k0: Double,
+      falseEasting: Double, falseNorthing: Double): (Double, Double) = {
     val phi = math.toRadians(lat)
-    val lam = math.toRadians(lon - utmCentralMeridian(zone))
+    val lam = math.toRadians(lon - lon0)
     val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
     val n = A / math.sqrt(1 - E2 * sinP * sinP)
     val t = tanP * tanP
@@ -131,20 +150,20 @@ object Geo {
       - (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi)
       + (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi)
       - (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
-    val x = K0 * n * (a0 + (1 - t + c) * a0 * a0 * a0 / 6
-      + (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a0, 5) / 120) + 500000.0
-    val y0 = K0 * (m + n * tanP * (a0 * a0 / 2
+    val x = k0 * n * (a0 + (1 - t + c) * a0 * a0 * a0 / 6
+      + (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a0, 5) / 120) + falseEasting
+    val y0 = k0 * (m + n * tanP * (a0 * a0 / 2
       + (5 - t + 9 * c + 4 * c * c) * math.pow(a0, 4) / 24
       + (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a0, 6) / 720))
-    (x, if (south) y0 + 10000000.0 else y0)
+    (x, y0 + falseNorthing)
   }
 
-  /** Inverse: (easting, northing, zone) → (lon°, lat°). */
-  def utmInverse(easting: Double, northing: Double, zone: Int,
-      south: Boolean = false): (Double, Double) = {
-    val x = easting - 500000.0
-    val y = if (south) northing - 10000000.0 else northing
-    val m = y / K0
+  /** Inverse generalized Transverse Mercator: see [[tmForward]]. */
+  def tmInverse(easting: Double, northing: Double, lon0: Double, k0: Double,
+      falseEasting: Double, falseNorthing: Double): (Double, Double) = {
+    val x = easting - falseEasting
+    val y = northing - falseNorthing
+    val m = y / k0
     val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
     val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
     val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
@@ -156,7 +175,7 @@ object Geo {
     val t1 = tanP * tanP
     val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
     val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
-    val d = x / (n1 * K0)
+    val d = x / (n1 * k0)
     val lat = phi1 - (n1 * tanP / r1) * (d * d / 2
       - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24
       + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1)
@@ -164,6 +183,6 @@ object Geo {
     val lon = (d - (1 + 2 * t1 + c1) * d * d * d / 6
       + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1)
         * math.pow(d, 5) / 120) / cosP
-    (utmCentralMeridian(zone) + math.toDegrees(lon), math.toDegrees(lat))
+    (lon0 + math.toDegrees(lon), math.toDegrees(lat))
   }
 }

@@ -100,6 +100,39 @@ object ResampleOps {
     cube.copy(df = out)
   }
 
+  /** resample_spatial's `projection` argument — the raster warp
+    * (reference: cubes/resample.py:39-113, where `projection` goes through
+    * odc-geo/GDAL): transform every cell's (x, y) from the cube's CRS into
+    * `targetCrs` via the [[graft.geo.Crs]] registry (4326/3857/arbitrary
+    * Transverse Mercator). A pure per-row coordinate map — scan-speed,
+    * no shuffle, embarrassingly parallel; the deterministic scalar UDF is
+    * the Snyder series, which has no Column-function equivalent. Compose
+    * with the resolution-domain methods ([[resampleSpatialAgg]],
+    * [[resampleSpatialBilinear]], ...) to re-grid in the target CRS:
+    * warp = coordinate transform + existing grid binning/kernels.
+    */
+  def warpCube(cube: DataCube, targetCrs: String,
+      sourceCrs: Option[String] = None): DataCube = {
+    import graft.geo.Crs
+    val from = Crs.parse(sourceCrs.orElse(cube.meta.crs).getOrElse(
+      throw new IllegalArgumentException("CrsMissing: cube has no CRS")))
+    val to = Crs.parse(targetCrs)
+    if (from == to) return cube
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val fn = udf((x: Double, y: Double) => {
+      val (tx, ty) = Crs.transform(from, to, x, y)
+      Array(tx, ty)
+    })
+    val out = cube.df
+      .withColumn("_w", fn(col(xd).cast("double"), col(yd).cast("double")))
+      .withColumn(xd, element_at(col("_w"), 1))
+      .withColumn(yd, element_at(col("_w"), 2))
+      .drop("_w")
+    DataCube(out, cube.meta.copy(crs = Some(targetCrs)))
+  }
+
   /** resample_spatial for aggregating methods (average/min/max/med/q1/q3/
     * mode/sum) at a coarser resolution: pure grid binning —
     * `groupBy(floor(x/res), floor(y/res))`, one shuffle, no custom code

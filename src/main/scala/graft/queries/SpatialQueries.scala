@@ -104,6 +104,26 @@ object SpatialQueries {
       val r = ResampleOps.resampleSpatialBilinear(c, targets)
       r.df.select(col("x"), col("y"), col("value").as("v"))
     },
+    // resample_spatial(projection=...): warp the grid cube 4326 → UTM 33N
+    // and back through the generalized Transverse-Mercator series. The
+    // oracle checks the round-trip property (forward∘inverse = identity at
+    // µdeg precision — the series' error is ~1e-9° inside the zone, 500×
+    // below the rounding boundary): coordinates come back out as they went
+    // in, values untouched.
+    "crs_warp_roundtrip" -> { (s, dir) =>
+      val pts = Tables.lineitem(s, dir)
+        .groupBy(
+          (lit(12.0) + (col("l_partkey") % 2000) / lit(500.0)).as("x"),
+          (lit(41.0) + (col("l_suppkey") % 100) / lit(12.5)).as("y"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("value"))
+      val c = DataCube.fromTable(pts, Seq("x", "y"), "value",
+        Map("x" -> DimType.Spatial, "y" -> DimType.Spatial),
+        crs = Some("EPSG:4326"))
+      val back = ResampleOps.warpCube(
+        ResampleOps.warpCube(c, "EPSG:32633"), "EPSG:4326")
+      back.df.select(round(col("x"), 6).as("lon"),
+        round(col("y"), 6).as("lat"), col("value"))
+    },
     "vector_reproject" -> { (s, dir) =>
       val pts = Tables.customer(s, dir).select(col("c_custkey"),
         (col("c_custkey") % 360 - 180 + 0.25).as("lon"),
@@ -233,6 +253,16 @@ object SpatialQueries {
           |        max(CASE WHEN corner = 3 THEN wv END) AS w3
           |      FROM j GROUP BY 1, 2)
           |SELECT tx AS x, ty AS y, w0 + w1 + w2 + w3 AS v FROM p""".stripMargin,
+      "crs_warp_roundtrip" ->
+        // round-trip identity: the oracle is the untransformed grid — any
+        // warp error above µdeg precision breaks the hash
+        """WITH g AS (SELECT
+          |    CAST(12 AS DOUBLE) + (l_partkey % 2000) / CAST(500 AS DOUBLE) AS gx,
+          |    CAST(41 AS DOUBLE) + (l_suppkey % 100) / CAST(12.5 AS DOUBLE) AS gy,
+          |    l_quantity FROM lineitem)
+          |SELECT round(gx, 6) AS lon, round(gy, 6) AS lat,
+          |       CAST(sum(l_quantity) AS BIGINT) AS value
+          |FROM g GROUP BY gx, gy""".stripMargin,
       "vector_reproject" ->
         """SELECT c_custkey,
           |  round(radians(c_custkey % 360 - 180 + 0.25) * 6378137.0, 2) AS mx,

@@ -153,4 +153,47 @@ class SpatialSpec extends AnyFunSuite {
     val p = utm.select(col("geometry")(0)).collect()(0).getStruct(0)
     assert(math.abs(p.getDouble(0) - 500000.0) < 1e-6)
   }
+
+  test("Crs registry: parse, arbitrary-TM round-trip, warp bookkeeping") {
+    import graft.geo.{Crs, Geo}
+    // EPSG parsing covers the UTM families and the geographic/mercator hubs
+    assert(Crs.parse("EPSG:4326") == Crs.LonLat)
+    assert(Crs.parse("EPSG:3857") == Crs.WebMercator)
+    assert(Crs.parse("EPSG:32633") ==
+      Crs.TransverseMercator(15.0, 0.9996, 500000.0, 0.0))
+    assert(Crs.parse("EPSG:32733") ==
+      Crs.TransverseMercator(15.0, 0.9996, 500000.0, 10000000.0))
+    // proj-style tmerc: Gauss-Krüger zone 3 (lon_0=9, k=1, x_0=3.5e6)
+    val gk3 = Crs.parse("+proj=tmerc +lon_0=9 +k=1 +x_0=3500000 +y_0=0")
+    assert(gk3 == Crs.TransverseMercator(9.0, 1.0, 3500000.0, 0.0))
+    intercept[IllegalArgumentException] { Crs.parse("EPSG:2154") }
+    // arbitrary central meridian / scale / false origin round-trips
+    for {
+      crs <- Seq(gk3, Crs.TransverseMercator(147.0, 0.9996, 500000.0, 10000000.0))
+      (lon0, _, _, _) = (crs.asInstanceOf[Crs.TransverseMercator].lon0, 0, 0, 0)
+      (dl, lat) <- Seq((-2.5, 52.1), (0.0, 0.25), (1.75, -33.5), (2.9, 68.0))
+    } {
+      val (x, y) = Crs.fromLonLat(crs, lon0 + dl, lat)
+      val (lon2, lat2) = Crs.toLonLat(crs, x, y)
+      assert(math.abs(lon2 - (lon0 + dl)) < 1e-8 && math.abs(lat2 - lat) < 1e-8)
+    }
+    // GK easting at the central meridian is the 3.5e6 false easting exactly
+    assert(math.abs(Crs.fromLonLat(gk3, 9.0, 50.0)._1 - 3500000.0) < 1e-6)
+    // generalized series reproduces UTM bit-for-bit
+    assert(Geo.tmForward(11.3, 47.2, 9.0, 0.9996, 500000.0, 0.0) ==
+      Geo.utmForward(11.3, 47.2, 32))
+    // warpCube: coordinates transform per row, CRS metadata follows
+    val df = Seq((12.5, 45.25, 1.0), (15.0, 0.0, 2.0)).toDF("x", "y", "value")
+    val c = DataCube.fromTable(df, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial),
+      crs = Some("EPSG:4326"))
+    val w = ResampleOps.warpCube(c, "EPSG:32633")
+    assert(w.meta.crs.contains("EPSG:32633"))
+    val rows = w.df.orderBy(col("value")).collect()
+    val (e1, n1) = Geo.utmForward(12.5, 45.25, 33)
+    assert(rows(0).getDouble(0) == e1 && rows(0).getDouble(1) == n1)
+    assert(math.abs(rows(1).getDouble(0) - 500000.0) < 1e-6)
+    // warp to the same CRS is the identity (no-op, no UDF in the plan)
+    assert(ResampleOps.warpCube(c, "EPSG:4326").df eq c.df)
+  }
 }
