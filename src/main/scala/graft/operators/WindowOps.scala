@@ -117,6 +117,50 @@ object WindowOps {
     cube.withDf(_.withColumn(cube.meta.valueCol, reducer(cube.value).over(w)))
   }
 
+  /** TRUE 2-D apply_neighborhood over the spatial dims with size, overlap
+    * and stride (reference: cubes/apply_neighborhood_intertwin.py:8-43:
+    * rolling(size, center=True).construct(stride) then reduce the window
+    * dims; overlap rewrites size→size+2·overlap, stride→size−overlap,
+    * apply_neighborhood_intertwin.py:40-43).
+    *
+    * Long-form formulation: window centers sit on the strided integer grid;
+    * a cell (x, y) belongs to every center c with c−before ≤ x ≤ c+after
+    * per axis, so each cell GENERATES its (bounded, ⌈size/stride⌉² ≤ small)
+    * candidate centers arithmetically and one partial-aggregating groupBy
+    * reduces each window — ONE shuffle, no self-join, no per-tile
+    * materialisation; cells outside every window drop out via the empty
+    * sequence. Missing cells inside a window are simply absent (the
+    * ignore-nodata reduce the rest of the library uses; xarray's NaN-pad +
+    * skipna reduce reaches the same values).
+    */
+  def applyNeighborhood2D(cube: DataCube, sizeX: Int, sizeY: Int,
+      reducer: Column => Column,
+      overlapX: Int = 0, overlapY: Int = 0): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    require(sizeX > 0 && sizeY > 0, "apply_neighborhood: size must be positive")
+    // overlap widens the window and shrinks the stride (reference: :40-43)
+    val (winX, winY) = (sizeX + 2 * overlapX, sizeY + 2 * overlapY)
+    val (strideX, strideY) = (winX - overlapX, winY - overlapY)
+    def centers(coord: Column, win: Int, stride: Int): Column = {
+      val before = win / 2          // center=True; even windows put the
+      // extra cell below the center: coverage [c-before, c+after]
+      val after = win - 1 - before
+      val lo = ceil((coord - after) / stride.toDouble).cast("long")
+      val hi = floor((coord + before) / stride.toDouble).cast("long")
+      when(lo <= hi, sequence(lo, hi)).otherwise(array().cast("array<bigint>"))
+    }
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val out = cube.df
+      .withColumn("_cx", explode(centers(col(xd), winX, strideX)))
+      .withColumn("_cy", explode(centers(col(yd), winY, strideY)))
+      .groupBy(((col("_cx") * strideX).as(xd) +: (col("_cy") * strideY).as(yd)
+        +: others.map(col)): _*)
+      .agg(reducer(cube.value).as(cube.meta.valueCol))
+    DataCube(out, cube.meta)
+  }
+
   /** Banded recurrence rate per series — the core statistic behind the
     * reference's RQA deforestation detector
     * (reference: experimental/rqadeforestation.py:9-16, which runs an

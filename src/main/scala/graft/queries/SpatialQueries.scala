@@ -104,6 +104,15 @@ object SpatialQueries {
       val r = ResampleOps.resampleSpatialBilinear(c, targets)
       r.df.select(col("x"), col("y"), col("value").as("v"))
     },
+    // true 2-D apply_neighborhood: size 4×4, overlap 1 → 6×6 windows on a
+    // stride-5 center grid; sum-reduce each window over the (x, y) grid
+    "apply_neighborhood_2d" -> { (s, dir) =>
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val r = WindowOps.applyNeighborhood2D(c, sizeX = 4, sizeY = 4,
+        v => Reducers.sumR(v), overlapX = 1, overlapY = 1)
+      r.df.select(col("x"), col("y"), col("value").cast("bigint").as("sum_v"))
+    },
     // resample_spatial(projection=...): warp the grid cube 4326 → UTM 33N
     // and back through the generalized Transverse-Mercator series. The
     // oracle checks the round-trip property (forward∘inverse = identity at
@@ -253,6 +262,21 @@ object SpatialQueries {
           |        max(CASE WHEN corner = 3 THEN wv END) AS w3
           |      FROM j GROUP BY 1, 2)
           |SELECT tx AS x, ty AS y, w0 + w1 + w2 + w3 AS v FROM p""".stripMargin,
+      "apply_neighborhood_2d" ->
+        // same center-generation arithmetic: win 6, stride 5, coverage
+        // [c-3, c+2] per axis
+        """WITH cells AS (SELECT l_partkey AS x, l_suppkey AS y, l_quantity AS v
+          |               FROM lineitem),
+          |e AS (SELECT cx.g * 5 AS wx, cy.g * 5 AS wy, v
+          |      FROM cells,
+          |      LATERAL (SELECT unnest(generate_series(
+          |        CAST(ceil((x - 2) / 5.0) AS BIGINT),
+          |        CAST(floor((x + 3) / 5.0) AS BIGINT))) AS g) cx,
+          |      LATERAL (SELECT unnest(generate_series(
+          |        CAST(ceil((y - 2) / 5.0) AS BIGINT),
+          |        CAST(floor((y + 3) / 5.0) AS BIGINT))) AS g) cy)
+          |SELECT wx AS x, wy AS y, CAST(sum(v) AS BIGINT) AS sum_v
+          |FROM e GROUP BY 1, 2""".stripMargin,
       "crs_warp_roundtrip" ->
         // round-trip identity: the oracle is the untransformed grid — any
         // warp error above µdeg precision breaks the hash

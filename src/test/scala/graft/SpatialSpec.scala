@@ -154,6 +154,20 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(0) - 500000.0) < 1e-6)
   }
 
+  test("applyNeighborhood2D: 3x3 tiles partition the grid; sums check out") {
+    val df = (for { x <- 0 to 4; y <- 0 to 4 }
+      yield (x.toDouble, y.toDouble, 1.0)).toDF("x", "y", "value")
+    val c = DataCube.fromTable(df, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+    // size 3, no overlap → stride 3: centers {0,3}²; window [c-1, c+1]
+    val out = WindowOps.applyNeighborhood2D(c, 3, 3, v => Reducers.sumR(v))
+    val m = out.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m == Map((0L, 0L) -> 4.0, (0L, 3L) -> 6.0,
+      (3L, 0L) -> 6.0, (3L, 3L) -> 9.0))
+    assert(m.values.sum == 25.0) // stride = size → every cell in exactly one window
+  }
+
   test("Crs registry: parse, arbitrary-TM round-trip, warp bookkeeping") {
     import graft.geo.{Crs, Geo}
     // EPSG parsing covers the UTM families and the geographic/mercator hubs
