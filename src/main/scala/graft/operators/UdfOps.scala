@@ -54,4 +54,44 @@ object UdfOps {
     val parsed = spark.read.schema(schema).json(spark.createDataset(piped))
     cube.copy(df = parsed)
   }
+
+  /** CHUNK-level run_udf — the reference UDF contract's other flavour
+    * (reference: udf/udf.py:14-26 hands the whole xarray chunk to
+    * `run_udf_code`, so vectorized user code runs once per chunk, not once
+    * per cell). Here a chunk is a PARTITION: the harness gathers the
+    * partition's rows and makes ONE `udf(rows)` call with the full list,
+    * emitting a list of rows back — the UDF may reshape (drop/add rows),
+    * exactly like a chunk-rewriting `apply_datacube`. Chunk memory is
+    * bounded by partition sizing, the same contract dask chunks have; a
+    * per-chunk aggregate naturally depends on the partitioning, so
+    * partition deliberately (repartition on series keys) before calling
+    * when chunk contents are semantic.
+    */
+  def runUdfChunked(cube: DataCube, udf: String,
+      runtime: String = "python3"): DataCube = {
+    require(runtime == "python3",
+      s"OpenEOException: unsupported UDF runtime $runtime (python3 only)")
+    val spark = cube.df.sparkSession
+    val schema: StructType = cube.df.schema
+    val harness =
+      s"""import sys, json
+         |$udf
+         |_cols = ${schema.fieldNames.map(n => "\"" + n + "\"").mkString("[", ", ", "]")}
+         |_rows = []
+         |for _line in sys.stdin:
+         |    _row = json.loads(_line)
+         |    for _c in _cols:  # to_json drops null fields; restore them
+         |        _row.setdefault(_c, None)
+         |    _rows.append(_row)
+         |for _out in udf(_rows):  # ONE call over the whole chunk
+         |    sys.stdout.write(json.dumps(_out) + "\\n")
+         |""".stripMargin
+    val piped = cube.df
+      .select(to_json(struct(cube.df.columns.map(col): _*)).as("j"))
+      .select("j").rdd.map(_.getString(0))
+      .pipe(Seq("python3", "-c", harness))
+    import spark.implicits._
+    val parsed = spark.read.schema(schema).json(spark.createDataset(piped))
+    cube.copy(df = parsed)
+  }
 }

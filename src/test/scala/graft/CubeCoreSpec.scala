@@ -301,6 +301,31 @@ class CubeCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("run_udf chunk-level: one vectorized call per chunk, may reshape") {
+    val c = cube(Seq((1.0, "B1", 2.0), (2.0, "B1", 3.0), (3.0, "B1", 4.0),
+      (1.0, "B2", 5.0), (2.0, "B2", 6.0), (3.0, "B2", 7.0)))
+    // one chunk: the udf sees ALL rows in a single call — it stamps the
+    // chunk size into each value, which only a whole-chunk view can know
+    val oneChunk = c.withDf(_.repartition(1))
+    val out = UdfOps.runUdfChunked(oneChunk,
+      "def udf(rows):\n" +
+        "    n = len(rows)\n" +
+        "    return [dict(r, value=r['value'] * 10 + n) for r in rows]")
+    val got = out.df.collect()
+      .map(r => (r.getDouble(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1.0, "B1") -> 26.0, (2.0, "B1") -> 36.0,
+      (3.0, "B1") -> 46.0, (1.0, "B2") -> 56.0, (2.0, "B2") -> 66.0,
+      (3.0, "B2") -> 76.0))
+    // reshaping: the udf may return fewer rows than it received (a
+    // chunk-level reduction), something the cell-level flavour cannot do
+    val reduced = UdfOps.runUdfChunked(oneChunk,
+      "def udf(rows):\n" +
+        "    best = max(rows, key=lambda r: r['value'])\n" +
+        "    return [best]")
+    assert(reduced.df.count() == 1)
+    assert(reduced.df.collect()(0).getDouble(2) == 7.0)
+  }
+
   test("load_url reads GeoJSON and Parquet from file URLs; rejects bad format") {
     val gj = """{"type":"FeatureCollection","features":[
       {"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},
