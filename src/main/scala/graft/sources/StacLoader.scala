@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object StacLoader {
 
   final case class StacAsset(itemId: String, band: String, href: String,
-      datetime: String, west: Double, south: Double, east: Double, north: Double)
+      datetime: String, west: Double, south: Double, east: Double, north: Double,
+      mediaType: String = "", properties: Map[String, String] = Map.empty)
 
   /** Parse a STAC Item JSON into its band assets (driver-side; items are
     * kilobytes). Mirrors the reference's asset/band selection
@@ -39,11 +40,27 @@ object StacLoader {
     val dt = (root \ "properties" \ "datetime").extract[String]
     val bbox = (root \ "bbox").extract[List[Double]]
     val assets = (root \ "assets").extract[Map[String, JValue]]
+    // item-level scalar properties travel with each asset so the property
+    // filters (the STAC query extension the reference pushes to the API,
+    // load.py:153-154) can run against a static catalog
+    val props: Map[String, String] = (root \ "properties") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toString
+        case (k, JDouble(v)) => k -> v.toString
+        case (k, JBool(v)) => k -> v.toString
+      }.toMap
+      case _ => Map.empty
+    }
     assets.toSeq.flatMap { case (name, a) =>
-      val isRaster = (a \ "type") match {
-        case JString(t) => t.contains("geotiff") || t.contains("cog")
-        case _ => false
+      val mediaType = (a \ "type") match {
+        case JString(t) => t
+        case _ => ""
       }
+      // raster assets: COG/GeoTIFF tiles AND zarr stores (load.py also
+      // accepts zarr items; decode differs, the catalog row is the same)
+      val isRaster = mediaType.contains("geotiff") ||
+        mediaType.contains("cog") || mediaType.contains("zarr")
       if (!isRaster) None
       else {
         val band = (a \ "eo:bands") match {
@@ -54,7 +71,8 @@ object StacLoader {
           case _ => name
         }
         val href = (a \ "href").extract[String]
-        Some(StacAsset(id, band, href, dt, bbox(0), bbox(1), bbox(2), bbox(3)))
+        Some(StacAsset(id, band, href, dt, bbox(0), bbox(1), bbox(2), bbox(3),
+          mediaType, props))
       }
     }
   }
@@ -66,14 +84,44 @@ object StacLoader {
   def filterAssets(assets: Seq[StacAsset],
       bands: Option[Seq[String]] = None,
       bbox: Option[(Double, Double, Double, Double)] = None,
-      timeRange: Option[(String, String)] = None): Seq[StacAsset] = {
+      timeRange: Option[(String, String)] = None,
+      properties: Map[String, Seq[(String, String)]] = Map.empty): Seq[StacAsset] = {
     assets
       .filter(a => bands.forall(_.contains(a.band)))
       .filter(a => bbox.forall { case (w, s, e, n) =>
         a.east >= w && a.west <= e && a.north >= s && a.south <= n })
       .filter(a => timeRange.forall { case (start, end) =>
         a.datetime >= start && a.datetime < end })
+      .filter(a => properties.forall { case (prop, preds) =>
+        preds.forall { case (op, operand) =>
+          propMatches(a.properties.get(prop), op, operand) }
+      })
   }
+
+  /** One predicate of the STAC query extension (`{"eo:cloud_cover":
+    * {"lt": 50}}` — the `properties` argument the reference forwards as
+    * `query_params["query"]`, load.py:153-154). Numeric comparison when
+    * both sides parse as numbers, else lexicographic; a missing property
+    * never matches (the API behaves the same).
+    */
+  private def propMatches(value: Option[String], op: String,
+      operand: String): Boolean =
+    value.exists { v =>
+      val cmp = (v.toDoubleOption, operand.toDoubleOption) match {
+        case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+        case _ => v.compareTo(operand)
+      }
+      op match {
+        case "eq" => cmp == 0
+        case "neq" => cmp != 0
+        case "lt" => cmp < 0
+        case "lte" => cmp <= 0
+        case "gt" => cmp > 0
+        case "gte" => cmp >= 0
+        case other => throw new IllegalArgumentException(
+          s"OpenEOException: unsupported property operator $other")
+      }
+    }
 
   /** STUB pixel reader: deterministic `gridSize`² cells per asset derived
     * from the asset identity — REPLACE with a COG/tile reader. Runs on
