@@ -111,4 +111,36 @@ object ArrayFns {
     */
   def arraySumExact(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x.cast("long"))
+
+  /** `order`: the 0-based permutation that sorts the array — numpy argsort
+    * with stable ties (reference: arrays.py:510-535). Nulls are removed
+    * (the process' nodata=null default).
+    */
+  def orderIndices(arr: Column, ascending: Boolean = true): Column = {
+    val paired = filter(
+      zip_with(arr, sequence(lit(0), size(arr) - 1),
+        (v, i) => struct(v.as("v"), i.as("i"))),
+      s => s.getField("v").isNotNull)
+    val sorted = array_sort(paired, (l, r) => {
+      val (lv, rv) = (l.getField("v"), r.getField("v"))
+      val tie = when(l.getField("i") < r.getField("i"), lit(-1)).otherwise(lit(1))
+      if (ascending) when(lv < rv, lit(-1)).when(lv > rv, lit(1)).otherwise(tie)
+      else when(lv < rv, lit(1)).when(lv > rv, lit(-1)).otherwise(tie)
+    })
+    transform(sorted, _.getField("i"))
+  }
+
+  /** first/last over an array (reference: arrays.py:461-508):
+    * ignore_nodata skips nulls; the strict form reads the raw end cells.
+    * `get`/size-guarded access returns null on an all-null array instead of
+    * raising (ANSI-safe).
+    */
+  def arrayFirst(arr: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) get(filter(arr, _.isNotNull), lit(0)) else get(arr, lit(0))
+  def arrayLast(arr: Column, ignoreNodata: Boolean = true): Column = {
+    if (ignoreNodata) {
+      val nn = filter(arr, _.isNotNull)
+      get(nn, size(nn) - 1)
+    } else get(arr, size(arr) - 1)
+  }
 }

@@ -209,6 +209,25 @@ object ProcessGraph {
         out
       }
 
+      /** resample_spatial's aggregating-method dispatch over a (possibly
+        * projection-warped) cube
+        */
+      def resampleByMethod(c: DataCube, res: Double): PValue =
+        str("method") match {
+          case "mode" => CubeV(ResampleOps.resampleSpatialMode(c, res, res))
+          case "average" => CubeV(ResampleOps.resampleSpatialAgg(c,
+            res, res, v => Reducers.meanR(v)))
+          case "sum" => CubeV(ResampleOps.resampleSpatialAgg(c,
+            res, res, v => Reducers.sumR(v)))
+          case "max" => CubeV(ResampleOps.resampleSpatialAgg(c,
+            res, res, v => Reducers.maxR(v)))
+          case "min" => CubeV(ResampleOps.resampleSpatialAgg(c,
+            res, res, v => Reducers.minR(v)))
+          case "med" => CubeV(ResampleOps.resampleSpatialAgg(c,
+            res, res, v => Reducers.medianR(v)))
+          case m => throw new IllegalArgumentException(s"resample method $m")
+        }
+
       /** run a reducer sub-graph as an aggregate Column builder */
       def reducerCallback(name: String): Column => Column = {
         val cbJson = str(name)
@@ -266,22 +285,52 @@ object ProcessGraph {
         case "aggregate_temporal_period" =>
           CubeV(AggregateOps.aggregateTemporalPeriod(cube("data"),
             str("period"), reducerCallback("reducer")))
-        case "resample_spatial" =>
-          val res = num("resolution")
-          str("method") match {
-            case "mode" => CubeV(ResampleOps.resampleSpatialMode(cube("data"), res, res))
-            case "average" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
-              res, res, v => Reducers.meanR(v)))
-            case "sum" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
-              res, res, v => Reducers.sumR(v)))
-            case "max" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
-              res, res, v => Reducers.maxR(v)))
-            case "min" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
-              res, res, v => Reducers.minR(v)))
-            case "med" => CubeV(ResampleOps.resampleSpatialAgg(cube("data"),
-              res, res, v => Reducers.medianR(v)))
-            case m => throw new IllegalArgumentException(s"resample method $m")
+        case "apply_neighborhood" =>
+          // size/overlap arrive as raw JSON: the openeo list-of-
+          // {dimension,value} form or a plain {dim: value} object
+          def entry(j: JValue): Option[(String, Int)] =
+            ((j \ "dimension"), (j \ "value")) match {
+              case (JString(d), JInt(v)) => Some(d -> v.toInt)
+              case (JString(d), JDouble(v)) => Some(d -> v.toInt)
+              case _ => None
+            }
+          def dimMap(name: String): Map[String, Int] = opt(name) match {
+            // list form reaches us as ArrV of raw-JSON objects; object form
+            // as one raw-JSON string
+            case Some(ArrV(xs)) => xs.flatMap {
+              case StrV(j) => entry(JsonMethods.parse(j))
+              case _ => None
+            }.toMap
+            case Some(StrV(j)) => JsonMethods.parse(j) match {
+              case JArray(xs) => xs.flatMap(entry).toMap
+              case JObject(fs) => fs.collect {
+                case (k, JInt(v)) => k -> v.toInt
+                case (k, JDouble(v)) => k -> v.toInt
+              }.toMap
+              case _ => Map.empty
+            }
+            case _ => Map.empty
           }
+          val size = dimMap("size")
+          val overlap = dimMap("overlap")
+          CubeV(WindowOps.applyNeighborhood2D(cube("data"),
+            size.getOrElse("x", 1), size.getOrElse("y", 1),
+            reducerCallback("process"),
+            overlap.getOrElse("x", 0), overlap.getOrElse("y", 0)))
+        case "resample_spatial" =>
+          // `projection` warps first (cubes/resample.py:39-113); a zero or
+          // absent resolution means warp-only, no regridding
+          val warped = opt("projection") match {
+            case Some(StrV(p)) => ResampleOps.warpCube(cube("data"), p)
+            case _ => cube("data")
+          }
+          val res = args.get("resolution").collect {
+            case NumV(r) => r }.getOrElse(0.0)
+          if (res == 0.0) CubeV(warped)
+          else resampleByMethod(warped, res)
+        case "run_udf" if args.get("chunked").contains(BoolV(true)) =>
+          CubeV(UdfOps.runUdfChunked(cube("data"), str("udf"),
+            opt("runtime").map(_.asInstanceOf[StrV].v).getOrElse("python3")))
         case "run_udf" =>
           CubeV(UdfOps.runUdf(cube("data"), str("udf"),
             opt("runtime").map(_.asInstanceOf[StrV].v).getOrElse("python3")))
@@ -451,6 +500,34 @@ object ProcessGraph {
               case ColV(out) => out
               case v => throw new IllegalArgumentException(s"array_filter cb $v")
             }).cast("boolean")))
+        case "array_create" =>
+          ColV(graft.functions.ArrayFns.arrayCreate(column("data"),
+            args.get("repeat").collect { case NumV(n) => n.toInt }.getOrElse(1)))
+        case "array_modify" =>
+          ColV(graft.functions.ArrayFns.arrayModify(column("data"),
+            column("values"), num("index").toInt,
+            args.get("length").collect { case NumV(n) => n.toInt }.getOrElse(1)))
+        case "array_find" =>
+          ColV(graft.functions.ArrayFns.arrayFind(column("data"),
+            column("value"),
+            reverse = args.get("reverse").contains(BoolV(true))))
+        case "array_labels" =>
+          ColV(graft.functions.ArrayFns.arrayLabels(column("data")))
+        case "sort" =>
+          ColV(graft.functions.ArrayFns.arraySort(column("data"),
+            ascending = !args.get("asc").contains(BoolV(false))))
+        case "order" =>
+          ColV(graft.functions.ArrayFns.orderIndices(column("data"),
+            ascending = !args.get("asc").contains(BoolV(false))))
+        case "rearrange" =>
+          ColV(graft.functions.ArrayFns.rearrange(column("data"),
+            column("order")))
+        case "first" =>
+          ColV(graft.functions.ArrayFns.arrayFirst(column("data"),
+            ignoreNodata = !args.get("ignore_nodata").contains(BoolV(false))))
+        case "last" =>
+          ColV(graft.functions.ArrayFns.arrayLast(column("data"),
+            ignoreNodata = !args.get("ignore_nodata").contains(BoolV(false))))
         case "neq" => ColV(Scalar.neq(column("x"), column("y")))
         case "and" => ColV(Scalar.and(column("x"), column("y")))
         case "or" => ColV(Scalar.or(column("x"), column("y")))

@@ -169,6 +169,98 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(b2 == Map(0L -> 20.0, 1L -> 40.0))
   }
 
+  test("array processes: order + rearrange + first/last in array callbacks") {
+    // sort each band's series descending via argsort + permute, new dim idx
+    val cb =
+      """{"o": {"process_id": "order",
+        |       "arguments": {"data": {"from_parameter": "data"}, "asc": false}},
+        | "r": {"process_id": "rearrange",
+        |       "arguments": {"data": {"from_parameter": "data"},
+        |                     "order": {"from_node": "o"}},
+        |       "result": true}}""".stripMargin
+    val graph =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "d": {"process_id": "apply_dimension",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+         |                      "target_dimension": "idx",
+         |                      "process": {"process_graph": $cb}},
+         |        "result": true}
+         |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+    val b1 = out.df.filter(col("band") === "B1").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(b1 == Map(0L -> 99.0, 1L -> 3.0, 2L -> 1.0))
+
+    // last composes with array-consuming nodes: append the series' final
+    // value to the series (scalar feeds array_append)
+    val cbLast =
+      """{"f": {"process_id": "last",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "a": {"process_id": "array_append",
+        |       "arguments": {"data": {"from_parameter": "data"},
+        |                     "value": {"from_node": "f"}},
+        |       "result": true}}""".stripMargin
+    val g2 =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "d": {"process_id": "apply_dimension",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+         |                      "target_dimension": "idx",
+         |                      "process": {"process_graph": $cbLast}},
+         |        "result": true}
+         |}}""".stripMargin
+    val out2 = ProcessGraph.execute(spark, g2, _ => cube)
+    val b2 = out2.df.filter(col("band") === "B2").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(b2 == Map(0L -> 10.0, 1L -> 20.0, 2L -> 20.0))
+  }
+
+  test("resample_spatial projection argument warps through the Crs registry") {
+    val df = Seq((12.5, 45.25, "B1", 7.0)).toDF("x", "y", "band", "value")
+    val xy = DataCube.fromTable(df, Seq("x", "y", "band"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial),
+      crs = Some("EPSG:4326"))
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "w": {"process_id": "resample_spatial",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "projection": "EPSG:32633"},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => xy)
+    assert(out.meta.crs.contains("EPSG:32633"))
+    val r = out.df.collect()(0)
+    val (e, n) = graft.geo.Geo.utmForward(12.5, 45.25, 33)
+    assert(r.getDouble(0) == e && r.getDouble(1) == n)
+  }
+
+  test("apply_neighborhood graph node: 2-D tiled window reduce") {
+    val df = (for { x <- 0 to 4; y <- 0 to 4 }
+      yield (x.toDouble, y.toDouble, 1.0)).toDF("x", "y", "value")
+    val xy = DataCube.fromTable(df, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "apply_neighborhood",
+        |        "arguments": {"data": {"from_node": "l"},
+        |          "size": [{"dimension": "x", "value": 3},
+        |                   {"dimension": "y", "value": 3}],
+        |          "process": {"process_graph": {
+        |            "s": {"process_id": "sum",
+        |                  "arguments": {"data": {"from_parameter": "data"}},
+        |                  "result": true}}}},
+        |        "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => xy)
+    val m = out.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m == Map((0L, 0L) -> 4.0, (0L, 3L) -> 6.0,
+      (3L, 0L) -> 6.0, (3L, 3L) -> 9.0))
+  }
+
   test("eq with delta and text/date processes evaluate in callbacks") {
     val graph =
       """{"process_graph": {
