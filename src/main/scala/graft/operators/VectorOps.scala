@@ -127,6 +127,28 @@ object VectorOps {
       struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
   }
 
+  /** vector_reproject between ARBITRARY registry CRSs
+    * (reference: cubes/geometries.py:149-170 reprojects through pyproj's
+    * any-to-any transformer): every vertex routes through
+    * [[graft.geo.Crs.transform]] — 4326/3857/any Transverse-Mercator EPSG
+    * or proj-string. Per-vertex scalar UDF over the geometry array; same
+    * shape contract as the fixed-target variants above.
+    */
+  def reprojectVector(df: DataFrame, geomCol: String,
+      fromCrs: String, toCrs: String): DataFrame = {
+    import graft.geo.Crs
+    val from = Crs.parse(fromCrs)
+    val to = Crs.parse(toCrs)
+    if (from == to) return df
+    val fn = udf((pts: Seq[org.apache.spark.sql.Row]) =>
+      pts.map { p =>
+        val (x, y) = Crs.transform(from, to, p.getDouble(0), p.getDouble(1))
+        (x, y)
+      })
+    df.withColumn(geomCol, transform(fn(col(geomCol)), p =>
+      struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
+  }
+
   /** Vector filter_bbox: keep non-empty geometries whose envelope
     * intersects the bbox (reference: cubes/_filter.py:241-281).
     */

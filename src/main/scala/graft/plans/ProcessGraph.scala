@@ -358,6 +358,11 @@ object ProcessGraph {
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
         case "rename_dimension" =>
           CubeV(CubeDimOps.renameDimension(cube("data"), str("source"), str("target")))
+        case "inspect" =>
+          CubeV(graft.sources.CubeIO.inspect(cube("data"),
+            opt("message").map(_.asInstanceOf[StrV].v).getOrElse(""),
+            opt("code").map(_.asInstanceOf[StrV].v).getOrElse("User"),
+            opt("level").map(_.asInstanceOf[StrV].v).getOrElse("info")))
         case "trim_cube" =>
           CubeV(CubeDimOps.trimCube(cube("data"), strs("dimensions")))
         case "merge_cubes" =>

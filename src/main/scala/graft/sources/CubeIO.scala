@@ -20,10 +20,25 @@ object CubeIO {
   def createDataCube(spark: SparkSession): DataCube =
     DataCube(spark.emptyDataFrame, CubeMetadata(Nil))
 
-  /** inspect: log-and-pass-through (reference: inspect.py:9-29). */
-  def inspect(cube: DataCube, message: String = ""): DataCube = {
-    org.apache.log4j.Logger.getLogger("graft.inspect")
-      .info(s"$message schema=${cube.df.schema.simpleString} dims=${cube.meta.dimNames}")
+  /** inspect: log-and-pass-through with the reference's code/level
+    * arguments (reference: inspect.py:9-29 — `{code}: {message} {data}` at
+    * the chosen level, case-insensitive, data returned unchanged). The
+    * structured data summary is plan metadata only (schema + dims) — never
+    * an action on the cube.
+    */
+  def inspect(cube: DataCube, message: String = "", code: String = "User",
+      level: String = "info"): DataCube = {
+    val logger = org.apache.log4j.Logger.getLogger("graft.inspect")
+    val line = s"$code: $message schema=${cube.df.schema.simpleString} " +
+      s"dims=${cube.meta.dimNames.mkString(",")} crs=${cube.meta.crs.getOrElse("-")}"
+    level.toLowerCase match {
+      case "info" => logger.info(line)
+      case "warning" => logger.warn(line)
+      case "error" => logger.error(line)
+      case "debug" => logger.debug(line)
+      case other => throw new IllegalArgumentException(
+        s"OpenEOException: unsupported inspect level $other")
+    }
     cube
   }
 }

@@ -154,6 +154,40 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(0) - 500000.0) < 1e-6)
   }
 
+  test("reprojectVector routes any registry CRS pair; inspect levels work") {
+    import graft.geo.Geo
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[9.0,48.0]},
+       "properties":{}}]}"""
+    val vdf = VectorOps.loadGeoJson(spark, gj, Nil)
+    // 4326 → Gauss-Krüger-style tmerc proj string
+    val gk = VectorOps.reprojectVector(vdf, "geometry",
+      "EPSG:4326", "+proj=tmerc +lon_0=9 +k=1 +x_0=3500000 +y_0=0")
+    val p = gk.select(col("geometry")(0)).collect()(0).getStruct(0)
+    assert(math.abs(p.getDouble(0) - 3500000.0) < 1e-6)
+    // UTM-to-UTM via the lon/lat hub: zone 32 → zone 33 round-trips
+    val (e32, n32) = Geo.utmForward(11.9, 47.5, 32)
+    val utmDf = Seq((Seq((e32, n32)), 1L)).toDF("pts", "id")
+      .withColumn("geometry",
+        expr("transform(pts, q -> struct(q._1 as x, q._2 as y))"))
+    val z33 = VectorOps.reprojectVector(utmDf, "geometry",
+      "EPSG:32632", "EPSG:32633")
+    val q = z33.select(col("geometry")(0)).collect()(0).getStruct(0)
+    val (e33, n33) = Geo.utmForward(11.9, 47.5, 33)
+    assert(math.abs(q.getDouble(0) - e33) < 1e-3 && math.abs(q.getDouble(1) - n33) < 1e-3)
+    // same-CRS reproject is the identity
+    assert(VectorOps.reprojectVector(vdf, "geometry",
+      "EPSG:4326", "WGS84") eq vdf)
+    // inspect: pass-through at every level, raises on junk
+    val c = DataCube.fromTable(
+      Seq((1.0, 2.0)).toDF("x", "value"), Seq("x"), "value")
+    for (lvl <- Seq("info", "WARNING", "error", "debug"))
+      assert(graft.sources.CubeIO.inspect(c, "m", level = lvl) eq c)
+    intercept[IllegalArgumentException] {
+      graft.sources.CubeIO.inspect(c, level = "verbose")
+    }
+  }
+
   test("applyNeighborhood2D: 3x3 tiles partition the grid; sums check out") {
     val df = (for { x <- 0 to 4; y <- 0 to 4 }
       yield (x.toDouble, y.toDouble, 1.0)).toDF("x", "y", "value")
