@@ -48,35 +48,47 @@ object Dedup {
       .select(col(idCol), explode(col("_sh")).as("shingle"))
   }
 
-  /** MinHash signatures: k independent hash functions, 4 per md5 — each
-    * 128-bit md5(g || shingle) yields four independent 32-bit (8-hex-char)
-    * slices, and the per-function minimum is taken over the HEX STRING
-    * (lexicographic min of a uniform hash = a valid minhash, and portable
-    * across engines). 4× fewer digest computations than one md5 per
-    * function — the md5s are the dominant cost of the signature stage.
-    * One row per (id, i, sig).
+  /** 2⁶¹−1, the Mersenne prime every derived minhash function reduces by. */
+  val MinhashP: Long = 2305843009213693951L
+
+  /** Deterministic universal-hash coefficients (aᵢ odd, bᵢ) for the k
+    * derived minhash functions, generated from seeded md5 so BOTH engines
+    * inline the SAME literals (the oracle SQL splices these values).
     */
-  /** One row per document with columns `_m0.._m{k-1}` — the wide signature
-    * form every downstream stage prefers: hash each DISTINCT shingle once
-    * (duplicates across documents are the norm in a near-dup corpus) into an
-    * array of k/4 md5s — a single projection over the vocabulary, no
-    * join/regroup — then join back and take all k minima in ONE wide
-    * aggregation per document: k min-columns over |instance| rows, map-side
-    * combinable, no row explosion. (The original shape exploded every
-    * instance k/4-fold and shuffled three times; this one shuffles once, on
-    * the document id.)
+  def minhashCoeffs(k: Int, seed: String = "graft-minhash"): (Seq[Long], Seq[Long]) = {
+    def c(tag: String, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed-$tag-$i".getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    ((0 until k).map(i => c("a", i) | 1L), (0 until k).map(i => c("b", i)))
+  }
+
+  /** MinHash signatures, one row per document with columns `_m0.._m{k-1}`
+    * — the wide form every downstream stage prefers.
+    *
+    * Hashing cost is ONE md5 per DISTINCT shingle (duplicates across
+    * documents are the norm in a near-dup corpus): the digest's first 28
+    * bits become the base hash h, and the k functions are derived as
+    * hᵢ = (aᵢ·h + bᵢ) mod (2⁶¹−1) — integer multiply-add, overflow-free in
+    * int64 (a < 2³¹, h < 2²⁸), ANSI-safe, and portable to the oracle. The
+    * per-function minimum is then k min-columns in ONE wide aggregation
+    * over the instance rows: map-side combinable, no row explosion, one
+    * shuffle on the document id. (The earlier shape burned k/4 md5 digests
+    * per vocabulary shingle — the dominant cost of the signature stage.)
     */
   def minhashSignaturesWide(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    require(k % 4 == 0, "k must be a multiple of 4")
+    val (as_, bs) = minhashCoeffs(k)
     val hashed = sh.select(col("shingle")).distinct()
-      .withColumn("hs", array((0 until k / 4).map(g =>
-        md5(concat(lit(g.toString), lit("|"), col("shingle")).cast("binary"))): _*))
+      .withColumn("h",
+        conv(substring(md5(col("shingle").cast("binary")), 1, 7), 16, 10)
+          .cast("bigint"))
     // vocabulary-sized: broadcast only while Catalyst's estimate says it
     // fits — a web-scale shingle vocabulary must shuffle-join instead
     val joined = sh.join(graft.core.Joins.maybeBroadcast(hashed), Seq("shingle"))
     val minCols = for (i <- 0 until k) yield
-      min(substring(element_at(col("hs"), i / 4 + 1), (i % 4) * 8 + 1, 8))
-        .as(s"_m$i")
+      min((lit(as_(i)) * col("h") + lit(bs(i))) % lit(MinhashP)).as(s"_m$i")
     joined.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
   }
 

@@ -178,20 +178,30 @@ object PipelineQueries {
         |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_key,
         |       min(doc_id) AS survivor, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      // the SAME seeded coefficients the Spark plan inlines
+      val (mhA, mhB) = Dedup.minhashCoeffs(32)
       s"""WITH $shingleSqlBase,
+         |hh AS (SELECT shingle,
+         |    list_reduce(list_transform(range(1, 8), j ->
+         |      (instr('0123456789abcdef', substr(md5(shingle), CAST(j AS INT), 1)) - 1)
+         |        * CAST(power(16, 7 - j) AS BIGINT)), (x, y) -> x + y) AS h
+         |  FROM (SELECT DISTINCT shingle FROM sh)),
          |sig AS (SELECT doc_id, i,
-         |          min(substr(md5((i//4)::VARCHAR || '|' || shingle),
-         |                     CAST((i%4)*8 + 1 AS INT), 8)) AS sig
-         |        FROM sh, range(0, 32) r(i) GROUP BY 1, 2),
+         |          min((${mhA.mkString("[", ",", "]")}[CAST(i + 1 AS INT)] * h
+         |               + ${mhB.mkString("[", ",", "]")}[CAST(i + 1 AS INT)])
+         |              % ${Dedup.MinhashP}) AS sig
+         |        FROM sh JOIN hh USING (shingle), range(0, 32) r(i)
+         |        GROUP BY 1, 2),
          |band AS (SELECT doc_id, CAST(floor(i/4) AS INT) AS band,
-         |           md5(string_agg(sig, ',' ORDER BY i)) AS bkey
+         |           md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bkey
          |         FROM sig GROUP BY 1, 2),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |          FROM band a JOIN band b
          |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |$jaccardSqlTail
-         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH $simhashSigSql,
          |keyed AS (SELECT s.doc_id, d.lang, d.source, s.simhash
