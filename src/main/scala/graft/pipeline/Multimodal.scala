@@ -68,4 +68,33 @@ object Multimodal {
     implicit val enc = Encoders.product[Blob]
     blobs.mapPartitions(_.map(b => b.copy(blob = b.blob.take(maxDim * maxDim))))
   }
+
+  /** One sampled frame of a video blob: typed metadata + the frame payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long,
+      frame: Array[Byte])
+
+  /** Frame sampling — the row-EXPANDING multimodal shape (one video blob →
+    * `everyNth`-strided frames). The decode is stubbed (fixed-size byte
+    * slices stand in for decoded frames; `fakeProps` supplies the frame
+    * count), but the batch contract is the real one: flatMap inside ONE
+    * mapPartitions pass, codec state amortised per partition, output rows
+    * carry (id, frame_idx, timestamp, payload) so downstream operators
+    * (dedup, embedding, filtering) treat frames as first-class rows.
+    */
+  def frameSampleStub(blobs: Dataset[Blob], everyNth: Int,
+      frameMs: Long = 40L): Dataset[Frame] = {
+    require(everyNth > 0, "everyNth must be positive")
+    implicit val enc = Encoders.product[Frame]
+    blobs.mapPartitions { it =>
+      // real impl: open the codec once per partition, seek per frame
+      it.flatMap { b =>
+        val (_, _, nFrames) = fakeProps(b.blob)
+        val sliceLen = math.max(1, b.blob.length / math.max(nFrames, 1))
+        (0 until nFrames by everyNth).iterator.map { i =>
+          Frame(b.doc_id, i, i * frameMs,
+            b.blob.slice(i * sliceLen, (i + 1) * sliceLen))
+        }
+      }
+    }
+  }
 }

@@ -143,6 +143,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == "de" && out(2L) == "en" && out(3L) == "unknown")
   }
 
+  test("multimodal frame sampling expands blobs into typed frame rows") {
+    import spark.implicits._
+    val blobs = docs.withColumn("blob", col("text").cast("binary"))
+      .select(col("doc_id"), col("blob"))
+      .as[Multimodal.Blob](org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val frames = Multimodal.frameSampleStub(blobs, everyNth = 2).collect()
+    // deterministic: identical bytes → identical frame sets (docs 1 and 4)
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).map(f => (f.frame_idx, f.frame.toSeq)).toSet ==
+      byDoc(4L).map(f => (f.frame_idx, f.frame.toSeq)).toSet)
+    // stride honored and timestamps follow the frame clock
+    assert(frames.forall(f => f.frame_idx % 2 == 0 && f.ts_ms == f.frame_idx * 40L))
+    assert(frames.nonEmpty)
+  }
+
   test("multimodal feature extraction over binary column is deterministic") {
     val blobs = docs.withColumn("blob", col("text").cast("binary"))
     val out = Multimodal.features(blobs, "doc_id", "blob").collect()

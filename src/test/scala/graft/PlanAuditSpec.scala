@@ -1,0 +1,79 @@
+package graft
+
+import graft.core._
+import graft.functions.Reducers
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale contract in SCALE.md, asserted on the
+  * plans Spark actually produces — pushdown reaches the parquet scan, hot
+  * paths stay inside whole-stage codegen, and the per-family shuffle
+  * budget is what the shuffle inventory claims.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.core.SparkTuning.tune(s)
+    s
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (?:hash|range)partitioning".r.findAllIn(plan(df)).length
+
+  test("filter_temporal predicates reach the parquet scan as PushedFilters") {
+    val c = Tables.eventsCube(spark, dir)
+    val filtered = FilterOps.filterTemporal(c, "2024-01-05", "2024-01-25")
+    val p = plan(filtered.df)
+    assert(p.contains("PushedFilters: ["), p)
+    // the nanos rewrite makes the pushed predicate an INT64 comparison on
+    // the raw column, not a post-scan cast
+    assert("PushedFilters: \\[[^\\]]*GreaterThan".r.findFirstIn(p).isDefined ||
+      "PushedFilters: \\[[^\\]]*ThanOrEqual".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("scan→reduce pipeline runs inside WholeStageCodegen") {
+    val c = Tables.eventsCube(spark, dir)
+    val reduced = ReduceOps.reduceDimension(c, "t", v => Reducers.meanR(v))
+    // AQE hides codegen wrapping in the initial plan string; ask the
+    // codegen explain mode, which compiles the subtrees
+    val codegen = reduced.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen subtree"), codegen.take(500))
+  }
+
+  test("shuffle budget: reduce=1, exact dedup=1, 2-D neighborhood=1, warp=0") {
+    val c = Tables.eventsCube(spark, dir)
+    assert(shuffles(ReduceOps.reduceDimension(c, "t",
+      v => Reducers.meanR(v)).df) == 1)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(shuffles(pipeline.Dedup.exact(docs, "doc_id",
+      md5(col("text").cast("binary")))) == 1)
+
+    val sess = spark
+    import sess.implicits._
+    val grid = (for { x <- 0 to 9; y <- 0 to 9 }
+      yield (x.toDouble, y.toDouble, 1.0)).toDF("x", "y", "value")
+    val gc = DataCube.fromTable(grid, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+    assert(shuffles(WindowOps.applyNeighborhood2D(gc, 3, 3,
+      v => Reducers.sumR(v)).df) == 1)
+
+    val geo = gc.copy(meta = gc.meta.copy(crs = Some("EPSG:4326")))
+    assert(shuffles(ResampleOps.warpCube(geo, "EPSG:32633").df) == 0)
+  }
+}
