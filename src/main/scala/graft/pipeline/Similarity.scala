@@ -186,21 +186,22 @@ object Similarity {
     * row norm is never computed during assignment. The exact-cosine verify
     * then touches only candidate pairs.
     */
-  def ivfNearDupsWith(df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Centroid], threshold: Double, probes: Int): DataFrame = {
-    val sess = df.sparkSession
+  /** Per-row probe assignment: each vector's `probes` nearest centroids by
+    * dot(v,c)/‖c‖ (the row norm is constant per row and divides out of the
+    * ranking). mapPartitions over the broadcast centroid matrix — scan-only,
+    * zero shuffle; (-score, cid) ascending == (score DESC, cid ASC), and
+    * the left-to-right double fold matches the codegen'd graft_dot and the
+    * SQL mirror bit-exactly.
+    */
+  def assignProbes(base: DataFrame, cents: Array[Centroid],
+      probes: Int): DataFrame = {
+    val sess = base.sparkSession
     import sess.implicits._
     val centB = sess.sparkContext.broadcast(cents)
-    val nProbes = probes
-    val base = df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n", norm2(col("v")))
-    val assign = base.select(col("id"), col("v")).as[(Long, Array[Double])]
+    base.select(col("id"), col("v")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = centB.value
         it.flatMap { case (id, v) =>
-          // (-score, cid) ascending == (score DESC, cid ASC); left-to-right
-          // double fold matches the codegen'd graft_dot and the SQL mirror.
           val scored = cs.map { case (cid, cv, cn) =>
             var s = 0.0
             var i = 0
@@ -209,9 +210,17 @@ object Similarity {
           }
           scored.sortBy(identity)(
             Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
-            .take(nProbes).map { case (_, cid) => (id, cid) }
+            .take(probes).map { case (_, cid) => (id, cid) }
         }
       }.toDF("id", "cid")
+  }
+
+  def ivfNearDupsWith(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Centroid], threshold: Double, probes: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val assign = assignProbes(base, cents, probes)
     val cand = assign.as("x").join(assign.as("y"), "cid")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
@@ -221,6 +230,44 @@ object Similarity {
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** IVF top-k ANN — the quantized scale path beside [[bruteForceTopK]]
+    * (exact baseline) and [[lshTopK]] (sign-bucketed): the corpus is
+    * assigned to its single nearest cell, queries probe their `probes`
+    * nearest cells, and exact cosine ranks only the candidates inside
+    * probed cells. Search work per query is `probes` cells ≈
+    * probes·n/k vectors instead of n; recall < 1 by construction (a true
+    * neighbor hiding in an unprobed cell is missed — raise `probes` to
+    * trade time for recall). Same fixed-size quantizer contract as
+    * [[ivfNearDupsWith]]: O(k·dims) broadcast, assignment is scan-only.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Centroid], k: Int,
+      probes: Int = 3): DataFrame = {
+    def baseOf(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", norm2(col("v")))
+    val qb = baseOf(queries)
+    val cb = baseOf(corpus)
+    val qAssign = assignProbes(qb, cents, probes)
+      .select(col("id").as("query_id"), col("cid"))
+    val cAssign = assignProbes(cb, cents, 1)
+      .select(col("id").as("neighbor_id"), col("cid"))
+    val cand = qAssign.join(cAssign, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand
+      .join(qb.select(col("id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn")), "query_id")
+      .join(cb.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n").as("cn")), "neighbor_id")
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
   /** Exact all-pairs near-dups within explicit blocks (a < b, cos ≥ t) —

@@ -108,6 +108,12 @@ object PipelineQueries {
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 3)
     },
+    "ann_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", cents, k = 3, probes = 3)
+    },
     "ann_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nPlanes = 16, bands = 4, k = 3)
@@ -252,6 +258,32 @@ object PipelineQueries {
          |       row_number() OVER (PARTITION BY query_id
          |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
          |FROM scored QUALIFY rk <= 3""".stripMargin,
+    "ann_ivf_topk" ->
+      // IVF mirror: same stride-16 quantizer as dedup_embed_cosine; corpus
+      // assigned pr=1, queries probe pr<=3, exact cosine ranks candidates.
+      s"""WITH $cosineSqlFns,
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |scored AS (SELECT n.vec_id, cent.cid,
+         |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
+         |  FROM n CROSS JOIN cent),
+         |ranked AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+         |  FROM scored),
+         |aq AS (SELECT vec_id AS query_id, cid FROM ranked
+         |       WHERE pr <= 3 AND vec_id % 25 = 0),
+         |ac AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE pr = 1),
+         |cand AS (SELECT DISTINCT query_id, neighbor_id
+         |         FROM aq JOIN ac USING (cid) WHERE query_id <> neighbor_id),
+         |ver AS (SELECT query_id, neighbor_id,
+         |    round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+         |  FROM cand JOIN n a ON a.vec_id = query_id
+         |             JOIN n b ON b.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |FROM ver QUALIFY rk <= 3""".stripMargin,
     "ann_lsh_topk" ->
       // Band-OR sign-LSH mirror: 16 seeded planes (inlined literals), 4 bands
       // of 4 bits; candidates share a full band; cosine over hoisted norms.

@@ -101,6 +101,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cand > 0 && cand < n * (n - 1) / 2)
   }
 
+  test("IVF top-k recalls most brute-force neighbors at a fraction of the scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+    val ivf = pairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      cents, k = 3, probes = 8))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.2f (${ivf.size} returned)")
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
+  }
+
   test("KMeans quantizer returns exactly k centroids and finds planted dups") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8,

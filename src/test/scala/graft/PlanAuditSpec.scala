@@ -55,6 +55,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(codegen.contains("WholeStageCodegen subtree"), codegen.take(500))
   }
 
+  test("bucketed tables join with ZERO exchanges; salted agg matches plain") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    // a previous JVM's managed-table directories survive in the warehouse
+    // while the fresh in-memory catalog has no table to DROP — clear both
+    for (t <- Seq("li_b", "ord_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dirF = new java.io.File(s"spark-warehouse/$t")
+      if (dirF.exists())
+        dirF.listFiles().foreach(_.delete())
+      dirF.delete()
+    }
+    core.Layout.writeBucketed(li, "li_b", 4, Seq("l_orderkey"))
+    core.Layout.writeBucketed(
+      orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b", 4,
+      Seq("l_orderkey"))
+    val auto = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(auto)
+    try {
+      spark.conf.set(auto, "-1") // rule out broadcast: co-location must carry it
+      val joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+      assert(shuffles(joined) == 0,
+        plan(joined)) // the lake layout paid the shuffle once, queries never do
+      assert(joined.count() == li.count())
+    } finally spark.conf.set(auto, prev)
+
+    // salted two-stage aggregation: same answer as the direct groupBy
+    val aggs = Seq(
+      core.Layout.SaltedAgg.sumOf(col("l_quantity"), "q"),
+      core.Layout.SaltedAgg.countAll("n"))
+    val salted = core.Layout.saltedAgg(li, Seq("l_orderkey"), 8, aggs)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
   test("shuffle budget: reduce=1, exact dedup=1, 2-D neighborhood=1, warp=0") {
     val c = Tables.eventsCube(spark, dir)
     assert(shuffles(ReduceOps.reduceDimension(c, "t",
