@@ -56,6 +56,23 @@ object StreamingOps {
       col("band"), col("n"), col("sum_cents"))
   }
 
+  /** Streaming exact dedup — the ingest-side counterpart of
+    * `pipeline.Dedup.exact` for a live training-data feed: keep the first
+    * record per content key, with state BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark`: a key's state is held only until
+    * the watermark passes its event time + delay, so an unbounded stream
+    * carries a bounded dedup window instead of an ever-growing key set —
+    * the same watermark-bounds-state discipline as [[sessionizeStream]]).
+    * A duplicate arriving after its key's state expired is re-emitted;
+    * size `watermarkDelay` to the feed's true duplicate horizon.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream: need at least one key column")
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Per-user session accumulator for [[sessionizeStream]]: the open
     * session's last event time + length, and the closed sessions' lengths.
     */

@@ -55,6 +55,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 3L)), 2L -> ((1L, 2L))))
   }
 
+  test("dedupStream keeps first per key across batches, expires old keys") {
+    val m = 60L * 1000000L
+    val b = 60L
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val deduped = StreamingOps.dedupStream(
+      stream.toDS().toDF("content_key", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu"))),
+      Seq("content_key"), "ts", watermarkDelay = "30 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      // batch 1: A twice (in-batch dup) + B; batch 2: A again within the
+      // window (cross-batch dup); batch 3 advances the watermark far past
+      // A's state; batch 4: A returns after expiry -> re-emitted
+      Seq(
+        Seq(("A", b * m), ("A", (b + 1) * m), ("B", (b + 5) * m)),
+        Seq(("A", (b + 10) * m)),
+        Seq(("C", (b + 600) * m)),
+        Seq(("A", (b + 610) * m))
+      ).foreach { c => stream.addData(c); q.processAllAvailable() }
+      val got = spark.table("dedup_stream")
+        .groupBy(col("content_key")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("B") == 1L && got("C") == 1L)
+      assert(got("A") == 2L, // once in the window, once after expiry
+        s"expected A emitted twice, got $got")
+      val sop = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0))
+      assert(sop.map(_.numRowsRemoved).sum >= 1,
+        "expired dedup keys must leave the state store")
+    } finally q.stop()
+  }
+
   test("sessionizeStream bounds state: late rows drop, idle users expire") {
     val gap = 1800L * 1000000L // 30 min
     val m = 60L * 1000000L
