@@ -203,15 +203,19 @@ object Dedup {
         (floor(nib / pow(lit(2.0), lit(3) - j % 4)).cast("int") % 2) * 2 - 1
       }))
       .select(col("tok"), col("bits"))
+    // 64 wide sum-columns instead of a collect_list fold: partial aggregates
+    // combine map-side, so the shuffle carries 64 longs per (doc, partition)
+    // instead of every token's 64-element bit array (collect_list has no
+    // partial aggregation). Locally timing-neutral — the win is shuffle
+    // volume at corpus scale.
+    val sumCols = (0 until 64).map(j =>
+      sum(element_at(col("bits"), j + 1) * col("cnt")).as(s"_s$j"))
     val perDoc = toks.join(vocabBits, "tok")
-      .withColumn("wbits", transform(col("bits"), b => b * col("cnt")))
       .groupBy(col(idCol))
-      .agg(reduce(collect_list(col("wbits")),
-        array_repeat(lit(0L), 64).cast("array<bigint>"),
-        (acc, w) => zip_with(acc, w, (a, b) => a + b)).as("sums"))
+      .agg(sumCols.head, sumCols.tail: _*)
     perDoc.select(col(idCol),
-      concat_ws("", transform(col("sums"),
-        s => when(s > 0, "1").otherwise("0"))).as("simhash"))
+      concat((0 until 64).map(j =>
+        when(col(s"_s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** Hamming distance between two equal-length bit strings. */

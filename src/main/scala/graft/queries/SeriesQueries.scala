@@ -50,13 +50,18 @@ object SeriesQueries {
       val base = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
         .agg((round(min(col("l_tax")) * 100) + 100).cast("long").as("value"))
-      val c = DataCube.fromTable(base, Seq("okey", "ln"), "value",
-        Map("okey" -> DimType.Other, "ln" -> DimType.Other))
-      val prod = WindowOps.cumprodExact(c, "ln")
-      val mn = WindowOps.cummin(c, "ln")
-      prod.df.withColumnRenamed("value", "cumprod")
-        .join(mn.df.withColumnRenamed("value", "cummin"), Seq("okey", "ln"))
-        .select(col("okey"), col("ln"), col("cumprod"), col("cummin"))
+      // both cumulatives share ONE window spec: a single shuffle+sort pass
+      // computes them side by side (the earlier shape windowed two copies
+      // of the cube and joined them back — an extra sort and a join for
+      // nothing)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("okey")).orderBy(col("ln"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.select(col("okey"), col("ln"),
+        when(col("value").isNull, lit(null))
+          .otherwise(graft.functions.ProductAgg.column(col("value")).over(w))
+          .as("cumprod"),
+        min(col("value")).over(w).as("cummin"))
     },
     "order" -> { (s, dir) =>
       WindowOps.orderRank(eidCube(s, dir, maskMod = 10), "eid")
