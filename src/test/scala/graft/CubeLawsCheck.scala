@@ -149,4 +149,48 @@ object CubeLawsCheck extends Properties("CubeLaws") {
         a == b
       }
     }
+
+  property("generalized TM forward∘inverse is identity for arbitrary params") =
+    forAll(Gen.choose(-177.0, 177.0), Gen.choose(-79.0, 79.0),
+      Gen.choose(0.9, 1.1), Gen.choose(0.0, 5000000.0)) { (lon0, lat, k0, fe) =>
+      val lon = lon0 + 1.5 // inside the zone of validity around lon0
+      val (e, n) = graft.geo.Geo.tmForward(lon, lat, lon0, k0, fe, 0.0)
+      val (lon2, lat2) = graft.geo.Geo.tmInverse(e, n, lon0, k0, fe, 0.0)
+      math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7
+    }
+
+  property("2-D neighborhood with stride=size conserves the total sum") =
+    forAll(genCells) { cells =>
+      val nonNull = cells.collect { case (i, b, Some(v)) if b == "B0" => (i, v) }
+      nonNull.isEmpty || {
+        val df = nonNull.map { case (i, v) => (i.toDouble, 0.0, v.toDouble) }
+          .toDF("x", "y", "value")
+        val c = DataCube.fromTable(df, Seq("x", "y"), "value",
+          Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+        // no overlap → stride = size → every cell lands in EXACTLY one
+        // window, so window sums must re-add to the cube's total
+        val out = WindowOps.applyNeighborhood2D(c, 3, 3, v => Reducers.sumR(v))
+        val winSum = out.df.agg(sum(col("value"))).collect()(0).getDouble(0)
+        winSum == nonNull.map(_._2.toDouble).sum
+      }
+    }
+
+  property("saltedAgg equals the unsalted groupBy for sum and count") =
+    forAll(genCells, Gen.choose(1, 5)) { (cells, salt) =>
+      val nonEmpty = cells.nonEmpty
+      !nonEmpty || {
+        val df = cells.map { case (i, b, v) =>
+          (b, v.map(_.toLong).map(java.lang.Long.valueOf).orNull)
+        }.toDF("k", "v")
+        val aggs = Seq(core.Layout.SaltedAgg.sumOf(col("v"), "s"),
+          core.Layout.SaltedAgg.countAll("n"))
+        def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => r.getString(0) ->
+            ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2)))
+          .toMap
+        toMap(core.Layout.saltedAgg(df, Seq("k"), salt, aggs)) ==
+          toMap(df.groupBy(col("k"))
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("n")))
+      }
+    }
 }
