@@ -154,6 +154,34 @@ object ResampleOps {
     DataCube(out, cube.meta)
   }
 
+  /** resample_spatial method="near" (the openeo DEFAULT method) in the
+    * resolution domain: the target cell takes the value of the source cell
+    * nearest its bin center, ties broken deterministically toward the
+    * smaller (x, y, value). Same single-shuffle binning shape as
+    * [[resampleSpatialAgg]] — `min_by` over a comparison struct is one
+    * combinable aggregate, no rank window over fact rows. (Nulls excluded
+    * from candidacy: a null cell can't be "the nearest value".)
+    */
+  def resampleSpatialNear(cube: DataCube, xRes: Double, yRes: Double): DataCube = {
+    val sd = cube.meta.spatialDims
+    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    val (xd, yd) = (sd.head, sd(1))
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+    val v = cube.meta.valueCol
+    val withBins = cube.df
+      .filter(cube.value.isNotNull)
+      .withColumn("_bx", floor(col(xd) / xRes) * xRes)
+      .withColumn("_by", floor(col(yd) / yRes) * yRes)
+      .withColumn("_d",
+        (col(xd) - (col("_bx") + xRes / 2)) * (col(xd) - (col("_bx") + xRes / 2)) +
+          (col(yd) - (col("_by") + yRes / 2)) * (col(yd) - (col("_by") + yRes / 2)))
+      .withColumn("_tie", struct(col("_d"), col(xd), col(yd), cube.value))
+    val out = withBins
+      .groupBy((col("_bx").alias(xd) +: col("_by").alias(yd) +: others.map(col)): _*)
+      .agg(min_by(cube.value, col("_tie")).as(v))
+    DataCube(out, cube.meta)
+  }
+
   /** Per-axis bilinear bracketing map: for every target coordinate, its one
     * or two bracketing source coordinates with interpolation weights.
     * Both inputs are DISTINCT coordinate sets — dimension metadata, tiny —

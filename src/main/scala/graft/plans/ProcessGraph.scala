@@ -214,6 +214,11 @@ object ProcessGraph {
         */
       def resampleByMethod(c: DataCube, res: Double): PValue =
         str("method") match {
+          case "near" => CubeV(ResampleOps.resampleSpatialNear(c, res, res))
+          case "q1" => CubeV(ResampleOps.resampleSpatialAgg(c, res, res,
+            v => element_at(Reducers.quantilesR(v, Seq(0.25)), 1)))
+          case "q3" => CubeV(ResampleOps.resampleSpatialAgg(c, res, res,
+            v => element_at(Reducers.quantilesR(v, Seq(0.75)), 1)))
           case "mode" => CubeV(ResampleOps.resampleSpatialMode(c, res, res))
           case "average" => CubeV(ResampleOps.resampleSpatialAgg(c,
             res, res, v => Reducers.meanR(v)))

@@ -271,6 +271,16 @@ object CubeQueries {
         KernelTargets, ResampleOps.CubicSplineKernel)
       r.df.select(col("x"), col("y"), col("value"))
     },
+    "resample_near" -> { (s, dir) =>
+      // method="near" (the openeo default): value at the cell nearest each
+      // 50×4 bin center, deterministic (dist, x, y, value) tie-break
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val r = ResampleOps.resampleSpatialNear(c, 50, 4)
+      r.df.select(col("x").cast("bigint").as("x"),
+        col("y").cast("bigint").as("y"),
+        round(col("value"), 6).as("near_v"))
+    },
     "resample_quartiles" -> { (s, dir) =>
       // q1/q3 binning methods (reference: resample.py:23-36) via the
       // quantile reducer over the same 50×4 cells as resample_spatial_agg
@@ -508,6 +518,16 @@ object CubeQueries {
     "resample_cubic" -> kernelOracle(ResampleOps.CubicKernel),
     "resample_lanczos" -> kernelOracle(ResampleOps.LanczosKernel),
     "resample_cubicspline" -> kernelOracle(ResampleOps.CubicSplineKernel),
+    "resample_near" ->
+      """WITH g AS (SELECT floor(l_partkey/50)*50 AS bx, floor(l_suppkey/4)*4 AS by,
+        |    l_partkey AS sx, l_suppkey AS sy, l_quantity AS v FROM lineitem),
+        |r AS (SELECT bx, by, v, row_number() OVER (PARTITION BY bx, by
+        |    ORDER BY (sx-(bx+25.0))*(sx-(bx+25.0)) + (sy-(by+2.0))*(sy-(by+2.0)),
+        |             sx, sy, v) AS rn
+        |  FROM g)
+        |SELECT CAST(bx AS BIGINT) AS x, CAST(by AS BIGINT) AS y,
+        |       round(v, 6) AS near_v
+        |FROM r WHERE rn = 1""".stripMargin,
     "resample_quartiles" ->
       """SELECT CAST(floor(l_partkey/50)*50 AS BIGINT) AS x,
         |       CAST(floor(l_suppkey/4)*4 AS BIGINT) AS y,
