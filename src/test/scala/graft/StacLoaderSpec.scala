@@ -85,6 +85,76 @@ class StacLoaderSpec extends AnyFunSuite {
       properties = Map("eo:cloud_cover" -> Seq("lt" -> "60"))).size == 2)
   }
 
+  /** Write a zarr v2 store byte-by-byte per the public spec: shape (4,6),
+    * chunks (2,4) → 2×2 chunk grid with column padding on the right edge,
+    * little-endian float64, zlib-compressed. Values v(r,c) = r*10 + c.
+    */
+  def writeZarrFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toFile
+    val zarray =
+      """{"zarr_format":2,"shape":[4,6],"chunks":[2,4],"dtype":"<f8",
+        |"compressor":{"id":"zlib","level":1},"fill_value":0.0,
+        |"filters":null,"order":"C"}""".stripMargin
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, ".zarray").toPath, zarray)
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    for (ci <- 0 until 2; cj <- 0 until 2) {
+      val bb = java.nio.ByteBuffer.allocate(2 * 4 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 2; c <- 0 until 4) {
+        val (gr, gc) = (ci * 2 + r, cj * 4 + c)
+        bb.putDouble(if (gr < 4 && gc < 6) gr * 10.0 + gc else 0.0) // edge pad
+      }
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"$ci.$cj").toPath, deflate(bb.array()))
+    }
+    dir.getAbsolutePath
+  }
+
+  test("ZarrReader decodes a spec-conformant zlib store, clipping edge pads") {
+    import graft.sources.ZarrReader
+    val dir = writeZarrFixture()
+    val meta = ZarrReader.readMeta(dir)
+    assert(meta.shape == Seq(4, 6) && meta.chunks == Seq(2, 4) &&
+      meta.dtype == "<f8" && meta.compressor.contains("zlib"))
+    val df = ZarrReader.loadArray(spark, dir, Seq("r", "c"))
+    val got = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(got.size == 24) // padding clipped: 4×6 in-bounds cells only
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert(got((r.toLong, c.toLong)) == r * 10.0 + c)
+  }
+
+  test("load_stac decodes REAL pixels for reachable zarr assets") {
+    val dir = writeZarrFixture()
+    val zItem =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-rz",
+         |"bbox":[10.0,46.0,11.0,47.0],
+         |"properties":{"datetime":"2023-06-09T10:18:03Z"},
+         |"assets":{
+         |  "b1":{"href":"file://$dir","type":"application/vnd+zarr"}
+         |}}""".stripMargin
+    val cube = StacLoader.loadCube(spark, StacLoader.parseItem(zItem))
+    val rows = cube.df.collect()
+    assert(rows.length == 24) // real shape, not the fake 8×8 grid
+    // pixel (r=1, c=2) = 12.0 at x = west + 2·(1/6), y = south + 1·(1/4)
+    val hit = rows.find(r => r.getDouble(4) == 12.0).get
+    assert(math.abs(hit.getDouble(0) - (10.0 + 2.0 / 6)) < 1e-12)
+    assert(math.abs(hit.getDouble(1) - 46.25) < 1e-12)
+    assert(hit.getString(3) == "b1")
+    // a MIXED catalog: the zarr asset decodes real, the COG stays faked
+    val mixed = StacLoader.loadCube(spark,
+      StacLoader.parseItem(zItem) ++ StacLoader.parseItem(item))
+    assert(mixed.df.count() == 24 + 2 * 64)
+  }
+
   test("loadCube produces a 4-D long-form cube with inferred dim types") {
     val cube = StacLoader.loadCube(spark, StacLoader.parseItem(item), gridSize = 4)
     assert(cube.df.count() == 2 * 16)
