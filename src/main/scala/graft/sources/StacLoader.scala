@@ -132,32 +132,51 @@ object StacLoader {
     if (new java.io.File(path, ".zarray").isFile) Some(path) else None
   }
 
+  /** Local single-file TIFF/COG path of an asset, when reachable. */
+  def tiffPathOf(a: StacAsset): Option[String] = {
+    if (!(a.mediaType.contains("geotiff") || a.mediaType.contains("cog")))
+      return None
+    val path = a.href.stripPrefix("file://")
+    if (new java.io.File(path).isFile) Some(path) else None
+  }
+
   /** Pixel load. Zarr assets whose href resolves to a reachable store
-    * decode for REAL through [[ZarrReader]] (per-chunk executor fan-out;
-    * row/col mapped onto the item bbox). COG/GeoTIFF assets — and zarr
-    * hrefs this environment can't reach — fall back to the deterministic
-    * fake grid: the TIFF codec is the remaining declared stub, the
-    * plumbing (asset table → per-asset cell fan-out → long-form cube) is
-    * identical either way.
+    * decode for REAL through [[ZarrReader]], and reachable GeoTIFF/COG
+    * files through [[TiffReader]] (baseline codec: strips/tiles,
+    * none/deflate) — per-chunk/per-strip executor fan-out, row/col mapped
+    * onto the item bbox. Unreachable hrefs (object-store URIs in this
+    * offline environment) and unsupported codecs fall back to the
+    * deterministic fake grid; the plumbing (asset table → per-asset cell
+    * fan-out → long-form cube) is identical either way.
     */
   def loadCube(spark: SparkSession, assets: Seq[StacAsset],
       gridSize: Int = 8): DataCube = {
     import spark.implicits._
-    val (real, faked) = assets.partition(a =>
+    def grid(a: StacAsset, df: org.apache.spark.sql.DataFrame,
+        nr: Int, nc: Int) =
+      df.select(
+        (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
+        (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
+        to_timestamp(lit(a.datetime)).as("t"),
+        lit(a.band).as("bands"),
+        col("value"))
+    val (zarrReal, rest) = assets.partition(a =>
       zarrDirOf(a).exists(d => ZarrReader.readMeta(d).shape.size == 2))
-    val realParts = real.map { a =>
+    val (tiffReal, faked) = rest.partition(a =>
+      tiffPathOf(a).exists(p =>
+        scala.util.Try(TiffReader.readMeta(p)).isSuccess))
+    val realParts = zarrReal.map { a =>
       val dir = zarrDirOf(a).get
       val meta = ZarrReader.readMeta(dir)
-      val (nr, nc) = (meta.shape(0), meta.shape(1))
-      // zarr geo convention: axis 0 = row (north→south not assumed — rows
-      // map from the bbox's south edge up, matching the fake grid)
-      ZarrReader.loadArray(spark, dir, Seq("_r", "_c"))
-        .select(
-          (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
-          (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
-          to_timestamp(lit(a.datetime)).as("t"),
-          lit(a.band).as("bands"),
-          col("value"))
+      // axis 0 = row (north→south not assumed — rows map from the bbox's
+      // south edge up, matching the fake grid)
+      grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c")),
+        meta.shape(0), meta.shape(1))
+    } ++ tiffReal.map { a =>
+      val path = tiffPathOf(a).get
+      val meta = TiffReader.readMeta(path)
+      grid(a, TiffReader.loadArray(spark, path, Seq("_r", "_c")),
+        meta.height, meta.width)
     }
     val fakeParts =
       if (faked.isEmpty) Nil

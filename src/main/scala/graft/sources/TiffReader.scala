@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Baseline pure-JVM GeoTIFF/COG pixel reader (public TIFF 6.0 structure;
+  * the reference reaches the same files through GDAL/rioxarray,
+  * cubes/load.py:245-304).
+  *
+  * Scope — the subset that covers plain single-band rasters and the
+  * full-resolution IFD of a COG: classic TIFF (II/MM), strip OR tile
+  * layout, compression none(1)/deflate(8) (zlib — JDK-inflatable),
+  * SamplesPerPixel 1, integer (8/16/32-bit signed/unsigned) and float
+  * (32/64) samples, horizontal-differencing predictor(2) for integers.
+  * Out of scope (clear errors): BigTIFF, JPEG/LZW/packbits compression,
+  * multi-band interleave. Tile edge padding is clipped against the image
+  * size, like the zarr reader.
+  *
+  * Distribution shape mirrors [[ZarrReader]]: the driver parses only the
+  * kilobyte header/IFD into a SEGMENT TABLE (offset, byte count, position)
+  * and each executor task seeks and decodes its own strips/tiles — no
+  * driver data path, per-segment parallelism.
+  */
+object TiffReader {
+
+  final case class Segment(index: Int, offset: Long, byteCount: Long)
+
+  final case class TiffMeta(width: Int, height: Int, bits: Int,
+      sampleFormat: Int, compression: Int, predictor: Int,
+      littleEndian: Boolean,
+      // strip layout: tileW = width, tileH = RowsPerStrip
+      tileWidth: Int, tileHeight: Int, tilesAcross: Int,
+      segments: Seq[Segment])
+
+  private def u16(b: Array[Byte], off: Int, le: Boolean): Int =
+    if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def u32(b: Array[Byte], off: Int, le: Boolean): Long = {
+    val (a0, a1, a2, a3) =
+      (b(off) & 0xffL, b(off + 1) & 0xffL, b(off + 2) & 0xffL, b(off + 3) & 0xffL)
+    if (le) a0 | (a1 << 8) | (a2 << 16) | (a3 << 24)
+    else (a0 << 24) | (a1 << 16) | (a2 << 8) | a3
+  }
+
+  /** Parse the first IFD of a classic TIFF (driver-side; reads the whole
+    * header region but only METADATA is interpreted here).
+    */
+  def readMeta(path: String): TiffMeta = {
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(b.length >= 8, "TiffCorrupt: short file")
+    val le =
+      if (b(0) == 'I'.toByte && b(1) == 'I'.toByte) true
+      else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) false
+      else throw new IllegalArgumentException("TiffCorrupt: bad byte-order mark")
+    val magic = u16(b, 2, le)
+    require(magic != 43, "TiffUnsupported: BigTIFF")
+    require(magic == 42, s"TiffCorrupt: magic $magic")
+    val ifdOff = u32(b, 4, le).toInt
+    val n = u16(b, ifdOff, le)
+    // tag → (type, count, raw value/offset field position)
+    var tags = Map.empty[Int, (Int, Long, Int)]
+    for (i <- 0 until n) {
+      val e = ifdOff + 2 + i * 12
+      tags += u16(b, e, le) -> ((u16(b, e + 2, le), u32(b, e + 4, le), e + 8))
+    }
+    def values(tag: Int): Seq[Long] = tags.get(tag) match {
+      case None => Nil
+      case Some((typ, count, vpos)) =>
+        val sz = typ match {
+          case 3 => 2 // SHORT
+          case 4 => 4 // LONG
+          case _ => throw new IllegalArgumentException(
+            s"TiffUnsupported: field type $typ for tag $tag")
+        }
+        val total = sz * count
+        val base = if (total <= 4) vpos else u32(b, vpos, le).toInt
+        (0 until count.toInt).map { i =>
+          if (sz == 2) u16(b, base + 2 * i, le).toLong else u32(b, base + 4 * i, le)
+        }
+    }
+    def one(tag: Int, default: => Long): Long =
+      values(tag).headOption.getOrElse(default)
+
+    val width = one(256, throw new IllegalArgumentException("TiffCorrupt: no width")).toInt
+    val height = one(257, throw new IllegalArgumentException("TiffCorrupt: no height")).toInt
+    val bits = one(258, 1).toInt
+    val compression = one(259, 1).toInt
+    val samplesPerPixel = one(277, 1).toInt
+    val sampleFormat = one(339, 1).toInt
+    val predictor = one(317, 1).toInt
+    require(samplesPerPixel == 1, "TiffUnsupported: multi-band interleave")
+    require(compression == 1 || compression == 8,
+      s"TiffUnsupported: compression $compression (none/deflate only)")
+    require(predictor == 1 || predictor == 2,
+      s"TiffUnsupported: predictor $predictor")
+
+    val tiled = tags.contains(322)
+    val (tw, th, offsets, counts) =
+      if (tiled)
+        (one(322, 0).toInt, one(323, 0).toInt, values(324), values(325))
+      else {
+        val rps = math.min(one(278, height.toLong), height.toLong).toInt
+        (width, rps, values(273), values(279))
+      }
+    require(offsets.nonEmpty && offsets.size == counts.size,
+      "TiffCorrupt: strip/tile tables")
+    val across = if (tiled) (width + tw - 1) / tw else 1
+    val segs = offsets.zip(counts).zipWithIndex.map { case ((o, c), i) =>
+      Segment(i, o, c)
+    }
+    TiffMeta(width, height, bits, sampleFormat, compression, predictor, le,
+      tw, th, across, segs)
+  }
+
+  /** Decode one segment's raw bytes to doubles (executor-side). */
+  def unpack(raw: Array[Byte], m: TiffMeta): Array[Double] = {
+    val bytes = if (m.compression == 8) ZarrReader.inflate(raw) else raw
+    val per = m.bits / 8
+    val n = bytes.length / per
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (m.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    (m.sampleFormat, m.bits) match {
+      case (3, 32) => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+      case (3, 64) => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+      case (2, 16) => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
+      case (2, 32) => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
+      case (1, 8) => while (i < n) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
+      case (1, 16) => while (i < n) { out(i) = (u16(bytes, i * 2, m.littleEndian)).toDouble; i += 1 }
+      case (1, 32) => while (i < n) { out(i) = u32(bytes, i * 4, m.littleEndian).toDouble; i += 1 }
+      case (f, w) => throw new IllegalArgumentException(
+        s"TiffUnsupported: sample format $f / $w bits")
+    }
+    if (m.predictor == 2) {
+      // horizontal differencing: undo per row within the segment width
+      require(m.sampleFormat != 3, "TiffUnsupported: predictor 2 on floats")
+      val w = m.tileWidth
+      var r = 0
+      while (r * w < n) {
+        var c = 1
+        while (c < w && r * w + c < n) {
+          out(r * w + c) += out(r * w + c - 1)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    out
+  }
+
+  /** Load the raster as a long-form DataFrame (row, col, value), one
+    * executor task per group of segments, each seeking only its own bytes.
+    */
+  def loadArray(spark: SparkSession, path: String,
+      dimNames: Seq[String] = Seq("row", "col")): DataFrame = {
+    val meta = readMeta(path)
+    val bMeta = spark.sparkContext.broadcast(meta)
+    val bPath = spark.sparkContext.broadcast(path)
+    import spark.implicits._
+    val rows = spark.createDataset(meta.segments)
+      .repartition(math.min(meta.segments.size, 64))
+      .mapPartitions { it =>
+        val m = bMeta.value
+        val raf = new java.io.RandomAccessFile(bPath.value, "r")
+        val segs = it.toArray
+        val out = segs.iterator.flatMap { seg =>
+          val raw = new Array[Byte](seg.byteCount.toInt)
+          raf.seek(seg.offset)
+          raf.readFully(raw)
+          val vals = unpack(raw, m)
+          val (tileRow, tileCol) = (seg.index / m.tilesAcross, seg.index % m.tilesAcross)
+          val (baseR, baseC) = (tileRow * m.tileHeight, tileCol * m.tileWidth)
+          vals.indices.iterator.flatMap { flat =>
+            val r = baseR + flat / m.tileWidth
+            val c = baseC + flat % m.tileWidth
+            if (r < m.height && c < m.width) Some((r.toLong, c.toLong, vals(flat)))
+            else None // tile edge padding, clipped like zarr
+          }
+        }.toArray
+        raf.close()
+        out.iterator
+      }
+      .toDF(dimNames.head, dimNames(1), "value")
+    rows
+  }
+}
