@@ -158,6 +158,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == "de" && out(2L) == "en" && out(3L) == "unknown")
   }
 
+  test("multimodal REAL image decode + resize through the JDK codec") {
+    import spark.implicits._
+    // fixture: a 64×32 PNG with known flat color, encoded by ImageIO itself
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      Multimodal.Blob(1L, png(64, 32, 0xffffff)), // white
+      Multimodal.Blob(2L, png(10, 10, 0x000000)), // black, below maxDim
+      Multimodal.Blob(3L, "not an image".getBytes("UTF-8"))).toDS()
+
+    val feats = Multimodal.imageFeatures(blobs).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).ok && feats(1L).width == 64 && feats(1L).height == 32)
+    assert(math.abs(feats(1L).mean_luma - 255.0) < 0.5) // white ≈ 255
+    assert(feats(2L).ok && math.abs(feats(2L).mean_luma) < 0.5)
+    assert(!feats(3L).ok) // undecodable → flagged, not dropped
+
+    val resized = Multimodal.resizeImages(blobs, maxDim = 16).collect()
+      .map(b => b.doc_id -> b.blob).toMap
+    val r1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L)))
+    assert(r1.getWidth == 16 && r1.getHeight == 8) // aspect preserved
+    assert(resized(2L).sameElements(blobs.collect()(1).blob)) // no upscale
+    assert(resized(3L).sameElements("not an image".getBytes("UTF-8")))
+  }
+
   test("multimodal frame sampling expands blobs into typed frame rows") {
     import spark.implicits._
     val blobs = docs.withColumn("blob", col("text").cast("binary"))
