@@ -43,40 +43,57 @@ object TiffReader {
     else (a0 << 24) | (a1 << 16) | (a2 << 8) | a3
   }
 
-  /** Parse the first IFD of a classic TIFF (driver-side; reads the whole
-    * header region but only METADATA is interpreted here).
+  /** Parse the first IFD of a classic TIFF. Driver-side cost is METADATA
+    * only: targeted range reads of the 8-byte header, the IFD, and any
+    * out-of-line value arrays — never the raster bytes, so a 100 GB COG
+    * costs the driver kilobytes (the IFD of a COG sits at the front by
+    * construction; plain TIFFs may place it at the end, still one seek).
     */
   def readMeta(path: String): TiffMeta = {
-    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    require(b.length >= 8, "TiffCorrupt: short file")
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try readMeta(raf)
+    finally raf.close()
+  }
+
+  private def readMeta(raf: java.io.RandomAccessFile): TiffMeta = {
+    def readAt(off: Long, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      raf.seek(off)
+      raf.readFully(b)
+      b
+    }
+    require(raf.length() >= 8, "TiffCorrupt: short file")
+    val head = readAt(0, 8)
     val le =
-      if (b(0) == 'I'.toByte && b(1) == 'I'.toByte) true
-      else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) false
+      if (head(0) == 'I'.toByte && head(1) == 'I'.toByte) true
+      else if (head(0) == 'M'.toByte && head(1) == 'M'.toByte) false
       else throw new IllegalArgumentException("TiffCorrupt: bad byte-order mark")
-    val magic = u16(b, 2, le)
+    val magic = u16(head, 2, le)
     require(magic != 43, "TiffUnsupported: BigTIFF")
     require(magic == 42, s"TiffCorrupt: magic $magic")
-    val ifdOff = u32(b, 4, le).toInt
-    val n = u16(b, ifdOff, le)
-    // tag → (type, count, raw value/offset field position)
-    var tags = Map.empty[Int, (Int, Long, Int)]
+    val ifdOff = u32(head, 4, le)
+    val n = u16(readAt(ifdOff, 2), 0, le)
+    val ifd = readAt(ifdOff + 2, n * 12)
+    // tag → (type, count, the entry's raw 4-byte value/offset field)
+    var tags = Map.empty[Int, (Int, Long, Array[Byte])]
     for (i <- 0 until n) {
-      val e = ifdOff + 2 + i * 12
-      tags += u16(b, e, le) -> ((u16(b, e + 2, le), u32(b, e + 4, le), e + 8))
+      val e = i * 12
+      tags += u16(ifd, e, le) ->
+        ((u16(ifd, e + 2, le), u32(ifd, e + 4, le), ifd.slice(e + 8, e + 12)))
     }
     def values(tag: Int): Seq[Long] = tags.get(tag) match {
       case None => Nil
-      case Some((typ, count, vpos)) =>
+      case Some((typ, count, vfield)) =>
         val sz = typ match {
           case 3 => 2 // SHORT
           case 4 => 4 // LONG
           case _ => throw new IllegalArgumentException(
             s"TiffUnsupported: field type $typ for tag $tag")
         }
-        val total = sz * count
-        val base = if (total <= 4) vpos else u32(b, vpos, le).toInt
+        val total = sz * count.toInt
+        val arr = if (total <= 4) vfield else readAt(u32(vfield, 0, le), total)
         (0 until count.toInt).map { i =>
-          if (sz == 2) u16(b, base + 2 * i, le).toLong else u32(b, base + 4 * i, le)
+          if (sz == 2) u16(arr, 2 * i, le).toLong else u32(arr, 4 * i, le)
         }
     }
     def one(tag: Int, default: => Long): Long =
