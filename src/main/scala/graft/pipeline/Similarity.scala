@@ -120,6 +120,13 @@ object Similarity {
   /** A trained coarse quantizer: (centroid id, vector, L2 norm). The set is
     * FIXED-SIZE by construction (k centroids regardless of corpus size), so
     * shipping it to executors is O(k·dims) — never data-sized.
+    *
+    * Sizing k: the centroid-id join key has exactly k distinct values, so k
+    * bounds both the post-assignment shuffle parallelism and the per-cell
+    * candidate volume (n/k per cell). At corpus scale pick k ≈ O(√n) — the
+    * classical IVF balance — which keeps cells small AND the broadcast tiny
+    * (4096 × 64-dim doubles ≈ 2 MB). The small defaults here match the
+    * oracle fixtures, not production.
     */
   type Centroid = (Long, Array[Double], Double)
 

@@ -363,6 +363,26 @@ object ProcessGraph {
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
         case "rename_dimension" =>
           CubeV(CubeDimOps.renameDimension(cube("data"), str("source"), str("target")))
+        case "save_result" =>
+          // The terminal node every canonical openeo graph ends with.
+          // Backend-defined in the reference (absent from its process
+          // library); here the native sink is partitioned parquet: with an
+          // options.path the result is written eagerly (save_result IS the
+          // action), without one it is a pass-through so callers can sink
+          // the returned cube themselves.
+          val c = cube("data")
+          val fmt = opt("format").map(_.asInstanceOf[StrV].v).getOrElse("Parquet")
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"FormatUnsuitable: $fmt (this engine sinks Parquet)")
+          val pathOpt = opt("options").flatMap {
+            case StrV(j) => JsonMethods.parse(j) \ "path" match {
+              case JString(p) => Some(p)
+              case _ => None
+            }
+            case _ => None
+          }
+          pathOpt.foreach(p => graft.sources.CubeIO.saveResult(c, p))
+          CubeV(c)
         case "inspect" =>
           CubeV(graft.sources.CubeIO.inspect(cube("data"),
             opt("message").map(_.asInstanceOf[StrV].v).getOrElse(""),

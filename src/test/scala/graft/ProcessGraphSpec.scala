@@ -261,6 +261,34 @@ class ProcessGraphSpec extends AnyFunSuite {
       (3L, 0L) -> 6.0, (3L, 3L) -> 9.0))
   }
 
+  test("save_result terminates a canonical graph and sinks parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft_save").toString + "/res"
+    val graph =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "r": {"process_id": "reduce_dimension",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+         |          "reducer": {"process_graph": {
+         |            "s": {"process_id": "sum",
+         |                  "arguments": {"data": {"from_parameter": "data"}},
+         |                  "result": true}}}}},
+         |  "save": {"process_id": "save_result",
+         |           "arguments": {"data": {"from_node": "r"},
+         |                         "format": "Parquet",
+         |                         "options": {"path": "$out"}},
+         |           "result": true}
+         |}}""".stripMargin
+    val res = ProcessGraph.execute(spark, graph, _ => cube)
+    val written = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(written == Map("B1" -> 103.0, "B2" -> 30.0))
+    assert(res.df.count() == 2) // pass-through cube still usable
+    intercept[IllegalArgumentException] {
+      ProcessGraph.execute(spark,
+        graph.replace("\"Parquet\"", "\"GTiff\""), _ => cube)
+    }
+  }
+
   test("eq with delta and text/date processes evaluate in callbacks") {
     val graph =
       """{"process_graph": {
