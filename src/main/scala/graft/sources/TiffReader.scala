@@ -30,7 +30,7 @@ object TiffReader {
       littleEndian: Boolean,
       // strip layout: tileW = width, tileH = RowsPerStrip
       tileWidth: Int, tileHeight: Int, tilesAcross: Int,
-      segments: Seq[Segment])
+      segments: Seq[Segment], nextIfd: Long = 0L)
 
   private def u16(b: Array[Byte], off: Int, le: Boolean): Int =
     if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -49,13 +49,24 @@ object TiffReader {
     * costs the driver kilobytes (the IFD of a COG sits at the front by
     * construction; plain TIFFs may place it at the end, still one seek).
     */
-  def readMeta(path: String): TiffMeta = {
+  def readMeta(path: String): TiffMeta = readMetaAll(path).head
+
+  /** The full IFD chain — a COG carries its overview pyramid as chained
+    * IFDs (level 0 = full resolution, then progressively reduced copies).
+    * Each is parsed with the same targeted range reads.
+    */
+  def readMetaAll(path: String): Seq[TiffMeta] = {
     val raf = new java.io.RandomAccessFile(path, "r")
-    try readMeta(raf)
-    finally raf.close()
+    try {
+      var out = List(readMeta(raf, None))
+      while (out.head.nextIfd != 0)
+        out = readMeta(raf, Some(out.head)) :: out
+      out.reverse
+    } finally raf.close()
   }
 
-  private def readMeta(raf: java.io.RandomAccessFile): TiffMeta = {
+  private def readMeta(raf: java.io.RandomAccessFile,
+      after: Option[TiffMeta]): TiffMeta = {
     def readAt(off: Long, len: Int): Array[Byte] = {
       val b = new Array[Byte](len)
       raf.seek(off)
@@ -71,7 +82,7 @@ object TiffReader {
     val magic = u16(head, 2, le)
     require(magic != 43, "TiffUnsupported: BigTIFF")
     require(magic == 42, s"TiffCorrupt: magic $magic")
-    val ifdOff = u32(head, 4, le)
+    val ifdOff = after.map(_.nextIfd).getOrElse(u32(head, 4, le))
     val n = u16(readAt(ifdOff, 2), 0, le)
     val ifd = readAt(ifdOff + 2, n * 12)
     // tag → (type, count, the entry's raw 4-byte value/offset field)
@@ -126,8 +137,9 @@ object TiffReader {
     val segs = offsets.zip(counts).zipWithIndex.map { case ((o, c), i) =>
       Segment(i, o, c)
     }
+    val nextIfd = u32(readAt(ifdOff + 2 + n * 12, 4), 0, le)
     TiffMeta(width, height, bits, sampleFormat, compression, predictor, le,
-      tw, th, across, segs)
+      tw, th, across, segs, nextIfd)
   }
 
   /** Decode one segment's raw bytes to doubles (executor-side). */
@@ -170,10 +182,16 @@ object TiffReader {
 
   /** Load the raster as a long-form DataFrame (row, col, value), one
     * executor task per group of segments, each seeking only its own bytes.
+    * `level` selects an overview IFD of a COG pyramid (0 = full
+    * resolution) — reading a reduced copy touches only ITS segments, the
+    * cloud-optimized cheap-zoom path.
     */
   def loadArray(spark: SparkSession, path: String,
-      dimNames: Seq[String] = Seq("row", "col")): DataFrame = {
-    val meta = readMeta(path)
+      dimNames: Seq[String] = Seq("row", "col"), level: Int = 0): DataFrame = {
+    val all = readMetaAll(path)
+    require(level >= 0 && level < all.size,
+      s"TiffCorrupt: overview level $level of ${all.size}")
+    val meta = all(level)
     val bMeta = spark.sparkContext.broadcast(meta)
     val bPath = spark.sparkContext.broadcast(path)
     import spark.implicits._

@@ -271,6 +271,49 @@ class StacLoaderSpec extends AnyFunSuite {
       assert(got((r.toLong, c.toLong)) == r * 100.0 + c)
   }
 
+  test("TiffReader walks a COG overview pyramid (chained IFDs)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.TiffReader
+    // two chained single-strip IFDs: level 0 = 6×4, level 1 = 3×2,
+    // v = level*1000 + r*10 + c; strip offset/count inline (count = 1)
+    val levels = Seq((6, 4), (3, 2))
+    val ifdSize = 2 + 9 * 12 + 4
+    val stripLens = levels.map { case (w, h) => w * h * 4 }
+    val ifdOffsets = levels.indices.scanLeft(8L) { (acc, i) =>
+      acc + ifdSize + stripLens(i)
+    }
+    val total = ifdOffsets.last.toInt
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    for ((((w, h), li), ifdOff) <- levels.zipWithIndex.zip(ifdOffsets.init)) {
+      assert(bb.position() == ifdOff.toInt)
+      val stripOff = ifdOff.toInt + ifdSize
+      bb.putShort(9)
+      def entry(tag: Int, typ: Int, value: Long): Unit = {
+        bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+        if (typ == 3) bb.putShort(value.toShort).putShort(0) else bb.putInt(value.toInt)
+      }
+      entry(256, 3, w); entry(257, 3, h); entry(258, 3, 32); entry(259, 3, 1)
+      entry(273, 4, stripOff); entry(277, 3, 1); entry(278, 3, h)
+      entry(279, 4, w * h * 4); entry(339, 3, 3)
+      bb.putInt(if (li == levels.size - 1) 0 else ifdOffsets(li + 1).toInt)
+      for (r <- 0 until h; c <- 0 until w) bb.putFloat(li * 1000f + r * 10 + c)
+    }
+    val f = java.nio.file.Files.createTempFile("graft_pyr", ".tif")
+    java.nio.file.Files.write(f, bb.array())
+    val path = f.toAbsolutePath.toString
+
+    val metas = TiffReader.readMetaAll(path)
+    assert(metas.map(m => (m.width, m.height)) == Seq((6, 4), (3, 2)))
+    val full = TiffReader.loadArray(spark, path).collect()
+    assert(full.length == 24 && full.forall(_.getDouble(2) < 1000))
+    val ov = TiffReader.loadArray(spark, path, level = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ov.size == 6)
+    for (r <- 0 until 2; c <- 0 until 3)
+      assert(ov((r.toLong, c.toLong)) == 1000.0 + r * 10 + c)
+  }
+
   test("load_stac decodes REAL pixels for reachable GeoTIFF assets") {
     val path = writeTiffFixture(deflate = true)
     val tItem =
