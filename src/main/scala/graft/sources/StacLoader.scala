@@ -161,17 +161,29 @@ object StacLoader {
         lit(a.band).as("bands"),
         col("value"))
     val (zarrReal, rest) = assets.partition(a =>
-      zarrDirOf(a).exists(d => ZarrReader.readMeta(d).shape.size == 2))
+      zarrDirOf(a).exists(d => Set(2, 3)(ZarrReader.readMeta(d).shape.size)))
     val (tiffReal, faked) = rest.partition(a =>
       tiffPathOf(a).exists(p =>
         scala.util.Try(TiffReader.readMeta(p)).isSuccess))
     val realParts = zarrReal.map { a =>
       val dir = zarrDirOf(a).get
       val meta = ZarrReader.readMeta(dir)
-      // axis 0 = row (north→south not assumed — rows map from the bbox's
-      // south edge up, matching the fake grid)
-      grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c")),
-        meta.shape(0), meta.shape(1))
+      // rank 2 = (row, col); rank 3 = (band, row, col) — the common
+      // Sentinel layout: axis-0 slices become "<asset-band>_<index>" bands.
+      // Rows map from the bbox's south edge up, matching the fake grid.
+      if (meta.shape.size == 2)
+        grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c")),
+          meta.shape(0), meta.shape(1))
+      else {
+        val (nr, nc) = (meta.shape(1), meta.shape(2))
+        ZarrReader.loadArray(spark, dir, Seq("_b", "_r", "_c"))
+          .select(
+            (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
+            (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
+            to_timestamp(lit(a.datetime)).as("t"),
+            concat(lit(a.band), lit("_"), col("_b")).as("bands"),
+            col("value"))
+      }
     } ++ tiffReal.map { a =>
       val path = tiffPathOf(a).get
       val meta = TiffReader.readMeta(path)

@@ -209,6 +209,37 @@ class StacLoaderSpec extends AnyFunSuite {
     f.toAbsolutePath.toString
   }
 
+  test("load_stac decodes rank-3 (band,row,col) zarr into per-band cells") {
+    // 2×2×3 uncompressed int32 store: v = b*100 + r*10 + c
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr3").toFile
+    val zarray =
+      """{"zarr_format":2,"shape":[2,2,3],"chunks":[1,2,3],"dtype":"<i4",
+        |"compressor":null,"fill_value":0,"filters":null,"order":"C"}""".stripMargin
+    java.nio.file.Files.writeString(new java.io.File(dir, ".zarray").toPath, zarray)
+    for (b <- 0 until 2) {
+      val bb = java.nio.ByteBuffer.allocate(2 * 3 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 2; c <- 0 until 3) bb.putInt(b * 100 + r * 10 + c)
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"$b.0.0").toPath, bb.array())
+    }
+    val item3 =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-z3",
+         |"bbox":[0.0,0.0,3.0,2.0],
+         |"properties":{"datetime":"2023-06-11T00:00:00Z"},
+         |"assets":{
+         |  "refl":{"href":"file://${dir.getAbsolutePath}",
+         |          "type":"application/vnd+zarr"}
+         |}}""".stripMargin
+    val cube = StacLoader.loadCube(spark, StacLoader.parseItem(item3))
+    val rows = cube.df.collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getString(3)).toSet == Set("refl_0", "refl_1"))
+    val hit = rows.find(r => r.getDouble(4) == 112.0).get // b=1, r=1, c=2
+    assert(hit.getString(3) == "refl_1")
+    assert(hit.getDouble(0) == 2.0 && hit.getDouble(1) == 1.0) // bbox-mapped
+  }
+
   test("TiffReader decodes strip TIFFs, uncompressed and deflate") {
     import graft.sources.TiffReader
     for (deflate <- Seq(false, true)) {
