@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * table is the unit of parallelism at 100 TB — thousands of COG assets
   * fan out across executors, each reading its own file.
   *
-  * The pixel decode itself is STUBBED (`fakeRaster`): no GDAL/COG reader
-  * exists in this environment. It emits a deterministic grid per asset so
-  * the full plumbing (asset table → per-asset cell explosion → long-form
-  * cube with dim inference) runs and is testable end-to-end; swapping
-  * `fakeRaster` for a real tile reader changes nothing structurally.
+  * Pixel decode is REAL for reachable zarr v2 stores ([[ZarrReader]],
+  * rank 2 and 3) and baseline GeoTIFF/COG files ([[TiffReader]]: strips,
+  * tiles, overview pyramids, none/deflate, single- and multi-band chunky
+  * interleave). Unreachable hrefs and unsupported codecs (JPEG/LZW,
+  * BigTIFF) fall back to a deterministic fake grid so the plumbing
+  * (asset table → per-asset cell fan-out → long-form cube with dim
+  * inference) always runs end-to-end.
   */
 object StacLoader {
 
@@ -187,8 +189,17 @@ object StacLoader {
     } ++ tiffReal.map { a =>
       val path = tiffPathOf(a).get
       val meta = TiffReader.readMeta(path)
-      grid(a, TiffReader.loadArray(spark, path, Seq("_r", "_c")),
-        meta.height, meta.width)
+      if (meta.samplesPerPixel == 1)
+        grid(a, TiffReader.loadArray(spark, path, Seq("_r", "_c")),
+          meta.height, meta.width)
+      else
+        TiffReader.loadArrayBands(spark, path)
+          .select(
+            (lit(a.west) + col("col") * ((a.east - a.west) / meta.width)).as("x"),
+            (lit(a.south) + col("row") * ((a.north - a.south) / meta.height)).as("y"),
+            to_timestamp(lit(a.datetime)).as("t"),
+            concat(lit(a.band), lit("_"), col("band")).as("bands"),
+            col("value"))
     }
     val fakeParts =
       if (faked.isEmpty) Nil

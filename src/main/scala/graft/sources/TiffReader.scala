@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * Scope — the subset that covers plain single-band rasters and the
   * full-resolution IFD of a COG: classic TIFF (II/MM), strip OR tile
   * layout, compression none(1)/deflate(8) (zlib — JDK-inflatable),
-  * SamplesPerPixel 1, integer (8/16/32-bit signed/unsigned) and float
-  * (32/64) samples, horizontal-differencing predictor(2) for integers.
-  * Out of scope (clear errors): BigTIFF, JPEG/LZW/packbits compression,
-  * multi-band interleave. Tile edge padding is clipped against the image
-  * size, like the zarr reader.
+  * single-band AND chunky-interleaved multi-band rasters, integer
+  * (8/16/32-bit signed/unsigned) and float (32/64) samples,
+  * horizontal-differencing predictor(2) for integers. Out of scope
+  * (clear errors): BigTIFF, JPEG/LZW/packbits compression, planar
+  * (non-interleaved) band layout. Tile edge padding is clipped against
+  * the image size, like the zarr reader.
   *
   * Distribution shape mirrors [[ZarrReader]]: the driver parses only the
   * kilobyte header/IFD into a SEGMENT TABLE (offset, byte count, position)
@@ -30,7 +31,7 @@ object TiffReader {
       littleEndian: Boolean,
       // strip layout: tileW = width, tileH = RowsPerStrip
       tileWidth: Int, tileHeight: Int, tilesAcross: Int,
-      segments: Seq[Segment], nextIfd: Long = 0L)
+      segments: Seq[Segment], nextIfd: Long = 0L, samplesPerPixel: Int = 1)
 
   private def u16(b: Array[Byte], off: Int, le: Boolean): Int =
     if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -117,7 +118,9 @@ object TiffReader {
     val samplesPerPixel = one(277, 1).toInt
     val sampleFormat = one(339, 1).toInt
     val predictor = one(317, 1).toInt
-    require(samplesPerPixel == 1, "TiffUnsupported: multi-band interleave")
+    val planarConfig = one(284, 1).toInt
+    require(samplesPerPixel == 1 || planarConfig == 1,
+      "TiffUnsupported: planar (non-interleaved) multi-band layout")
     require(compression == 1 || compression == 8,
       s"TiffUnsupported: compression $compression (none/deflate only)")
     require(predictor == 1 || predictor == 2,
@@ -139,7 +142,7 @@ object TiffReader {
     }
     val nextIfd = u32(readAt(ifdOff + 2 + n * 12, 4), 0, le)
     TiffMeta(width, height, bits, sampleFormat, compression, predictor, le,
-      tw, th, across, segs, nextIfd)
+      tw, th, across, segs, nextIfd, samplesPerPixel)
   }
 
   /** Decode one segment's raw bytes to doubles (executor-side). */
@@ -164,14 +167,16 @@ object TiffReader {
         s"TiffUnsupported: sample format $f / $w bits")
     }
     if (m.predictor == 2) {
-      // horizontal differencing: undo per row within the segment width
+      // horizontal differencing: undo per row, per SAMPLE channel (chunky
+      // interleave differences each channel against the previous pixel's)
       require(m.sampleFormat != 3, "TiffUnsupported: predictor 2 on floats")
-      val w = m.tileWidth
+      val spp = m.samplesPerPixel
+      val w = m.tileWidth * spp
       var r = 0
       while (r * w < n) {
-        var c = 1
+        var c = spp
         while (c < w && r * w + c < n) {
-          out(r * w + c) += out(r * w + c - 1)
+          out(r * w + c) += out(r * w + c - spp)
           c += 1
         }
         r += 1
@@ -192,6 +197,8 @@ object TiffReader {
     require(level >= 0 && level < all.size,
       s"TiffCorrupt: overview level $level of ${all.size}")
     val meta = all(level)
+    require(meta.samplesPerPixel == 1,
+      "TiffUnsupported: multi-band raster — use loadArrayBands")
     val bMeta = spark.sparkContext.broadcast(meta)
     val bPath = spark.sparkContext.broadcast(path)
     import spark.implicits._
@@ -220,5 +227,47 @@ object TiffReader {
       }
       .toDF(dimNames.head, dimNames(1), "value")
     rows
+  }
+
+  /** Multi-band (chunky-interleaved) variant: one row per (row, col, band)
+    * sample. Same segment fan-out; the flat sample index decomposes as
+    * pixel·spp + band.
+    */
+  def loadArrayBands(spark: SparkSession, path: String,
+      level: Int = 0): DataFrame = {
+    val all = readMetaAll(path)
+    require(level >= 0 && level < all.size,
+      s"TiffCorrupt: overview level $level of ${all.size}")
+    val meta = all(level)
+    val bMeta = spark.sparkContext.broadcast(meta)
+    val bPath = spark.sparkContext.broadcast(path)
+    import spark.implicits._
+    spark.createDataset(meta.segments)
+      .repartition(math.min(meta.segments.size, 64))
+      .mapPartitions { it =>
+        val m = bMeta.value
+        val raf = new java.io.RandomAccessFile(bPath.value, "r")
+        val spp = m.samplesPerPixel
+        val out = it.toArray.iterator.flatMap { seg =>
+          val raw = new Array[Byte](seg.byteCount.toInt)
+          raf.seek(seg.offset)
+          raf.readFully(raw)
+          val vals = unpack(raw, m)
+          val (tileRow, tileCol) = (seg.index / m.tilesAcross, seg.index % m.tilesAcross)
+          val (baseR, baseC) = (tileRow * m.tileHeight, tileCol * m.tileWidth)
+          vals.indices.iterator.flatMap { flat =>
+            val pixel = flat / spp
+            val band = flat % spp
+            val r = baseR + pixel / m.tileWidth
+            val c = baseC + pixel % m.tileWidth
+            if (r < m.height && c < m.width)
+              Some((r.toLong, c.toLong, band, vals(flat)))
+            else None
+          }
+        }.toArray
+        raf.close()
+        out.iterator
+      }
+      .toDF("row", "col", "band", "value")
   }
 }

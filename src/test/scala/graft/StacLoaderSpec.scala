@@ -302,6 +302,56 @@ class StacLoaderSpec extends AnyFunSuite {
       assert(got((r.toLong, c.toLong)) == r * 100.0 + c)
   }
 
+  test("TiffReader decodes chunky multi-band rasters per (row,col,band)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.TiffReader
+    // 4×3 RGB uint8, single strip, chunky interleave: v = r*100 + c*10 + band
+    val (w, h, spp) = (4, 3, 3)
+    val ifdSize = 2 + 10 * 12 + 4
+    val stripOff = 8 + ifdSize
+    val bb = ByteBuffer.allocate(stripOff + w * h * spp)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(10)
+    def entry(tag: Int, typ: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) bb.putShort(value.toShort).putShort(0) else bb.putInt(value.toInt)
+    }
+    entry(256, 3, w); entry(257, 3, h); entry(258, 3, 8); entry(259, 3, 1)
+    entry(273, 4, stripOff); entry(277, 3, spp); entry(278, 3, h)
+    entry(279, 4, w * h * spp); entry(284, 3, 1); entry(339, 3, 1)
+    bb.putInt(0)
+    for (r <- 0 until h; c <- 0 until w; s <- 0 until spp)
+      bb.put((r * 100 + c * 10 + s).toByte)
+    val f = java.nio.file.Files.createTempFile("graft_rgb", ".tif")
+    java.nio.file.Files.write(f, bb.array())
+    val path = f.toAbsolutePath.toString
+
+    assert(TiffReader.readMeta(path).samplesPerPixel == 3)
+    intercept[IllegalArgumentException] { // single-band API refuses
+      TiffReader.loadArray(spark, path)
+    }
+    val got = TiffReader.loadArrayBands(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == w * h * spp)
+    for (r <- 0 until h; c <- 0 until w; s <- 0 until spp)
+      assert(got((r.toLong, c.toLong, s)) == r * 100.0 + c * 10 + s)
+
+    // through load_stac: bands named <asset-band>_<index>
+    val mItem =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-rgb",
+         |"bbox":[0.0,0.0,4.0,3.0],
+         |"properties":{"datetime":"2023-06-12T00:00:00Z"},
+         |"assets":{
+         |  "visual":{"href":"file://$path",
+         |            "type":"image/tiff; application=geotiff"}
+         |}}""".stripMargin
+    val cube = StacLoader.loadCube(spark, StacLoader.parseItem(mItem))
+    assert(cube.df.count() == w * h * spp)
+    assert(cube.df.select("bands").distinct().collect()
+      .map(_.getString(0)).toSet == Set("visual_0", "visual_1", "visual_2"))
+  }
+
   test("TiffReader walks a COG overview pyramid (chained IFDs)") {
     import java.nio.{ByteBuffer, ByteOrder}
     import graft.sources.TiffReader
