@@ -52,6 +52,18 @@ object CubeQueries {
     },
 
     // ---- element-wise apply + scalar sub-language (§2.7) ----
+    // the constant processes + create_data_cube, the last previously
+    // oracle-uncovered corners of §2: e/pi at 10 decimals (both engines'
+    // exp(1)/pi are the correctly-rounded doubles, 5e-11 from the rounding
+    // boundary), constant passthrough, and the empty cube's row count
+    "scalar_constants" -> { (s, dir) =>
+      val nEmpty = graft.sources.CubeIO.createDataCube(s).df.count()
+      s.range(1).select(
+        round(Scalar.e, 10).as("e_v"),
+        round(Scalar.pi, 10).as("pi_v"),
+        Scalar.constant(42.5).as("const_v"),
+        lit(nEmpty).as("n_empty"))
+    },
     "apply_math" -> { (s, dir) =>
       val c = Tables.lineitemCube(s, dir, valueCol = "l_extendedprice")
       val applied = ApplyOps.apply(c, v =>
@@ -358,6 +370,11 @@ object CubeQueries {
     "filter_labels" ->
       """SELECT event_type AS band, count(*) AS n
         |FROM events WHERE user_id % 7 = 0 GROUP BY 1""".stripMargin,
+    "scalar_constants" ->
+      """SELECT round(exp(CAST(1 AS DOUBLE)), 10) AS e_v,
+        |       round(pi(), 10) AS pi_v,
+        |       CAST(42.5 AS DOUBLE) AS const_v,
+        |       CAST(0 AS BIGINT) AS n_empty""".stripMargin,
     "apply_math" ->
       """SELECT l_returnflag AS band,
         |  CAST(sum(CAST(floor(sqrt(least(greatest(l_extendedprice,0),100000)/100000)*10000) AS BIGINT)) AS BIGINT) AS s_scaled,
