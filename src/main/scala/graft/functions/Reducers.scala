@@ -85,6 +85,34 @@ object Reducers {
   def productExactR(v: Column): Column =
     when(count(v) === 0, lit(null)).otherwise(ProductAgg.column(v))
 
+  /** Exact product over cells that may carry DUPLICATE coordinates along the
+    * reduced dimension (a raw observation log not yet normalised to one cell
+    * per coordinate): duplicates of the same `dim` label collapse to their
+    * min value and the distinct-label product is taken, all inside ONE
+    * aggregation pass — one shuffle, vs. the naive dedup-groupBy followed by
+    * a product-groupBy (two full shuffles of the fact table).
+    *
+    * Shape: collect the (label, value) cells, sort them (so each label-run
+    * starts at its min), and fold with a run-skipping exact product. The
+    * fold is an interpreted lambda, but it runs post-aggregation over one
+    * small array per output group, not per fact row — the hot path (shuffle
+    * + partial collect) stays native. `dim` must be castable to long;
+    * `v` integer-valued with the running product under 2^62 (ANSI multiply).
+    */
+  def productExactDedupR(dim: Column, v: Column): Column = {
+    val cells = sort_array(collect_list(struct(dim.cast("long").as("k"), v.cast("long").as("v"))))
+    val folded = aggregate(
+      cells,
+      struct(lit(null).cast("long").as("k"), lit(1L).as("p")),
+      (acc, x) => {
+        val k = x.getField("k")
+        when(k <=> acc.getField("k"), acc)
+          .otherwise(struct(k.as("k"), (acc.getField("p") * x.getField("v")).as("p")))
+      },
+      acc => acc.getField("p"))
+    when(count(v) === 0, lit(null)).otherwise(folded)
+  }
+
   /** count(condition=null→valid values; =true→all; else caller passes a
     * predicate-filtered column) (reference: arrays.py:587-606).
     */

@@ -218,11 +218,6 @@ object Dedup {
         when(col(s"_s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** Hamming distance between two equal-length bit strings. */
-  def hammingBits(a: Column, b: Column, n: Int = 64): Column =
-    size(filter(sequence(lit(1), lit(n)),
-      j => substring(a, j.cast("int"), lit(1)) =!= substring(b, j.cast("int"), lit(1))))
-
   /** SimHash near-dups within blocking buckets: pairs (a < b) from the same
     * block whose signatures differ in at most `maxHamming` bits.
     *
@@ -267,31 +262,112 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Each document's PREFIX under the canonical global shingle order
+    * (document frequency ascending, shingle ascending — a total order shared
+    * by every document): the first n − ⌈t·n⌉ + 1 shingles of the n-shingle
+    * set. The prefix-filtering lemma (public SSJoin/PPJoin technique —
+    * Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) guarantees two sets with
+    * Jaccard ≥ t share at least one shingle in BOTH prefixes, so a prefix
+    * inverted index is a LOSSLESS candidate generator. The excluded suffix
+    * is each doc's ⌈t·n⌉−1 globally most-frequent shingles — precisely the
+    * stop-word-class hot keys whose Σf² pairs blow up a full-index self-join
+    * at corpus scale.
+    */
+  private[graft] def jaccardPrefix(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    shingleSetsWithPrefix(sh, idCol, threshold)
+      .select(col(idCol), explode(col("_prefix")).as("shingle"))
+
+  /** Per-doc shingle set + its prefix in ONE aggregation: (id, _set, n_sh,
+    * _prefix). The set array is collected already ordered by the canonical
+    * (df, shingle) total order, so the prefix is just its leading slice —
+    * no per-doc window pass.
+    */
+  private[graft] def shingleSetsWithPrefix(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ord"))
+      .select(col(idCol),
+        transform(col("_ord"), x => x.getField("shingle")).as("_set"),
+        size(col("_ord")).as("n_sh"))
+      .withColumn("_prefix", slice(col("_set"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+  }
+
+  /** Below this threshold the prefix filter is a no-op in disguise: the
+    * prefix keeps n − ⌈t·n⌉ + 1 ≈ (1−t)·n shingles, so at tiny t the
+    * "filtered" index is the full index plus the per-pair set-intersection
+    * verification on top. Near-quadratic work is INTRINSIC to a tiny
+    * threshold (any exact algorithm must count every pair sharing ≥1
+    * shingle), so the count-based index — which never materialises per-pair
+    * arrays — is the cheaper exact plan there.
+    */
+  private val PrefixCutoff = 0.1
+
   /** Blocked exact n-gram-Jaccard near-dups (the non-LSH baseline).
-    * Intersections come from a shingle INVERTED INDEX — a self-join on
-    * (block, shingle) — so work scales with shared-shingle pairs, not with
-    * all block-pairs × shingles. Pairs sharing no shingle have Jaccard 0
-    * and are below any positive threshold, so dropping them is exact.
+    *
+    * For thresholds ≥ `PrefixCutoff` (every realistic dedup setting),
+    * candidates come from a PREFIX-FILTERED shingle inverted index — a
+    * self-join on (block, prefix shingle) — so candidate volume scales with
+    * rare-shingle co-occurrence, not with Σ_shingle f² over the whole
+    * vocabulary: the globally hottest shingles sit in every doc's excluded
+    * suffix, closing the quadratic hot-key surface an unfiltered index hits
+    * on stop-word shingles at corpus scale. Verification computes the EXACT
+    * Jaccard from the full shingle sets (codegen'd array_intersect over the
+    * per-doc set arrays) — results are identical to the unfiltered index by
+    * the prefix lemma; pairs sharing no shingle have Jaccard 0 and are below
+    * any positive threshold, so dropping them is exact too.
+    *
+    * For degenerate tiny thresholds the same results come from the
+    * count-based full index (shared-shingle groupBy count), which is cheaper
+    * when nearly every sharing pair must be examined anyway; MinHash-LSH is
+    * the scale route for corpora where even that is too hot.
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, text: Column,
       blockCols: Seq[String], shingleLen: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be positive (0-overlap pairs are dropped)")
     val sh = shingles(df, idCol, text, shingleLen)
-    val keyed = sh.join(df.select((idCol +: blockCols).map(col): _*), idCol)
-    val a = keyed.select((blockCols.map(col) :+ col("shingle") :+
-      col(idCol).as("id_a")): _*)
-    val b = keyed.select((blockCols.map(col) :+ col("shingle") :+
-      col(idCol).as("id_b")): _*)
-    val inter = a.join(b, blockCols :+ "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    inter
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val blocks = df.select((idCol +: blockCols).map(col): _*)
+    if (threshold >= PrefixCutoff) {
+      val sets = shingleSetsWithPrefix(sh, idCol, threshold)
+      val prefix = sets.select(col(idCol), explode(col("_prefix")).as("shingle"))
+        .join(blocks, idCol)
+      val a = prefix.select((blockCols.map(col) :+ col("shingle") :+
+        col(idCol).as("id_a")): _*)
+      val b = prefix.select((blockCols.map(col) :+ col("shingle") :+
+        col(idCol).as("id_b")): _*)
+      val cands = a.join(b, blockCols :+ "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cands
+        .join(sets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
+          col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sets.select(col(idCol).as("id_b"), col("_set").as("_sb"),
+          col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("n_inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+        .withColumn("jaccard",
+          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      val keyed = sh.join(blocks, idCol)
+      val a = keyed.select((blockCols.map(col) :+ col("shingle") :+
+        col(idCol).as("id_a")): _*)
+      val b = keyed.select((blockCols.map(col) :+ col("shingle") :+
+        col(idCol).as("id_b")): _*)
+      val inter = a.join(b, blockCols :+ "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      inter
+        .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 }

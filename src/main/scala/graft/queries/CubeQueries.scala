@@ -129,14 +129,18 @@ object CubeQueries {
       // product reducer, computed in the exact integer domain (1+tax scaled
       // to 100+cents; Π ≤ 108^7 < 2^53 so every multiply is exact and
       // order-independent — bit-stable across engines and partitionings).
-      // (okey, ln) coordinates are not unique in the raw table; a cube has one
-      // cell per coordinate, so first collapse duplicates with min.
-      val base = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
-        .agg((cents(min(col("l_tax"))) + 100).cast("long").as("value"))
-      val c = DataCube.fromTable(base, Seq("okey", "ln"), "value")
-      val p = ReduceOps.reduceDimension(c, "ln", v => Reducers.productExactR(v))
-      p.df.select(col("okey").as("l_orderkey"), col("value").as("prod_scaled"))
+      // (okey, ln) coordinates are not unique in the raw table; a cube has
+      // one cell per coordinate, so duplicates collapse with min — FUSED
+      // into the product aggregation itself (productExactDedupR): one
+      // shuffle keyed by okey, vs. the former dedup-groupBy(okey,ln) +
+      // product-groupBy(okey) double shuffle of the whole fact table.
+      // (reduceDimension(productExactR) over a pre-deduped cube is the
+      // general path; this is its fused single-shuffle physical form.)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").as("ln"),
+          (cents(col("l_tax")) + 100).cast("long").as("value"))
+        .groupBy(col("l_orderkey"))
+        .agg(Reducers.productExactDedupR(col("ln"), col("value")).as("prod_scaled"))
     },
 
     "scalar_predicates" -> { (s, dir) =>

@@ -51,6 +51,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("ngram-Jaccard prefix filter: exact results, hot-shingle candidates gone") {
+    // 30 docs all sharing one boilerplate phrase (a hot-shingle block that an
+    // unfiltered inverted index turns into all-pairs candidates) + one true
+    // near-dup pair that must survive
+    val base = (1 to 30).map(i => (i.toLong,
+      s"shared boilerplate header line unique$i token$i body$i words$i", "en", "s1"))
+    val dups = Seq(
+      (31L, "an actual duplicated document body with many words kept equal", "en", "s1"),
+      (32L, "an actual duplicated document body with many words kept equal", "en", "s1"))
+    val corpus = (base ++ dups).toDF("doc_id", "text", "lang", "source")
+    val t = 0.5
+    val sh = Dedup.shingles(corpus, "doc_id", col("text"), 2)
+    def candCount(idx: org.apache.spark.sql.DataFrame): Long =
+      idx.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(idx.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    val fullCands = candCount(sh)
+    val prefCands = candCount(Dedup.jaccardPrefix(sh, "doc_id", t))
+    // the boilerplate shingles pair up every doc in the full index…
+    assert(fullCands >= 435, s"fixture not hot enough: $fullCands")
+    // …but sit in every doc's excluded suffix under the prefix filter
+    assert(prefCands <= 5, s"prefix filter ineffective: $prefCands")
+    // exactness: prefix-filtered output == unfiltered Jaccard over ALL pairs
+    val out = Dedup.ngramJaccardNearDups(corpus, "doc_id", col("text"),
+      blockCols = Seq("lang", "source"), shingleLen = 2, threshold = t)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0))
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    val brute = Dedup.jaccardForPairs(allPairs, sh, "doc_id")
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == brute)
+    assert(out.exists(p => p._1 == 31L && p._2 == 32L && p._3 == 1.0))
+    // below the cutoff the count-based plan runs — same answer as brute force
+    val lowT = 0.05
+    val outLow = Dedup.ngramJaccardNearDups(corpus, "doc_id", col("text"),
+      blockCols = Seq("lang", "source"), shingleLen = 2, threshold = lowT)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bruteLow = Dedup.jaccardForPairs(allPairs, sh, "doc_id")
+      .filter(col("jaccard") >= lowT)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(outLow == bruteLow)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

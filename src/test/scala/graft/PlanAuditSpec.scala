@@ -115,5 +115,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
     val geo = gc.copy(meta = gc.meta.copy(crs = Some("EPSG:4326")))
     assert(shuffles(ResampleOps.warpCube(geo, "EPSG:32633").df) == 0)
+
+    // fused dedup+product (productExactDedupR): the (okey,ln) min-dedup and
+    // the ln-product ride the SAME groupBy(okey) — exactly one exchange
+    assert(shuffles(SparkEntry.queries("reduce_product")(spark, dir)) == 1)
   }
 }
