@@ -135,8 +135,14 @@ object Reducers {
   /** first/last along an ordering dimension. Spark's min_by/max_by give a
     * single-pass, shuffle-friendly equivalent of the reference's
     * scan-past-nodata (reference: arrays.py:461-495): null values are
-    * skipped by filtering before the agg (ignore_nodata=true path).
+    * skipped by nulling their order key (ignore_nodata=true, the default);
+    * ignore_nodata=false takes the positionally first/last cell even when
+    * null, which needs the value boxed in a struct so min_by can carry it.
     */
-  def firstByOrder(v: Column, ord: Column): Column = min_by(v, when(v.isNotNull, ord))
-  def lastByOrder(v: Column, ord: Column): Column = max_by(v, when(v.isNotNull, ord))
+  def firstByOrder(v: Column, ord: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) min_by(v, when(v.isNotNull, ord))
+    else min_by(struct(v.as("v")), ord).getField("v")
+  def lastByOrder(v: Column, ord: Column, ignoreNodata: Boolean = true): Column =
+    if (ignoreNodata) max_by(v, when(v.isNotNull, ord))
+    else max_by(struct(v.as("v")), ord).getField("v")
 }

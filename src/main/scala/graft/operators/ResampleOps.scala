@@ -55,6 +55,30 @@ object ResampleOps {
       cube.meta)
   }
 
+  /** resolution-domain method dispatch — the method-name surface that both
+    * `resample_spatial` (graph node) and `load_stac`'s `resampling` argument
+    * accept (reference: cubes/resample.py:23-36 for the names,
+    * cubes/load.py:94-109 for the loader args).
+    */
+  def resampleByMethod(cube: DataCube, xRes: Double, yRes: Double,
+      method: String): DataCube = {
+    import graft.functions.Reducers
+    method match {
+      case "near" => resampleSpatialNear(cube, xRes, yRes)
+      case "mode" => resampleSpatialMode(cube, xRes, yRes)
+      case "average" => resampleSpatialAgg(cube, xRes, yRes, v => Reducers.meanR(v))
+      case "sum" => resampleSpatialAgg(cube, xRes, yRes, v => Reducers.sumR(v))
+      case "max" => resampleSpatialAgg(cube, xRes, yRes, v => Reducers.maxR(v))
+      case "min" => resampleSpatialAgg(cube, xRes, yRes, v => Reducers.minR(v))
+      case "med" => resampleSpatialAgg(cube, xRes, yRes, v => Reducers.medianR(v))
+      case "q1" => resampleSpatialAgg(cube, xRes, yRes,
+        v => element_at(Reducers.quantilesR(v, Seq(0.25)), 1))
+      case "q3" => resampleSpatialAgg(cube, xRes, yRes,
+        v => element_at(Reducers.quantilesR(v, Seq(0.75)), 1))
+      case m => throw new IllegalArgumentException(s"resample method $m")
+    }
+  }
+
   /** resample_spatial, method="bilinear": interpolate each target point
     * from its 2×2 surrounding source cells with the standard bilinear
     * weights (reference: cubes/resample.py:23-36 lists the method; the
@@ -184,19 +208,45 @@ object ResampleOps {
 
   /** Per-axis bilinear bracketing map: for every target coordinate, its one
     * or two bracketing source coordinates with interpolation weights.
-    * Both inputs are DISTINCT coordinate sets — dimension metadata, tiny —
-    * so the cross/group work never touches fact rows. Edge targets clamp to
-    * the nearest source line (weight 1).
+    * Both inputs are DISTINCT coordinate sets — dimension metadata — and the
+    * bracketing is a SORTED UNION + running window (last source seen), so
+    * the cost is O((n+m)·log) rather than the O(n·m) a coordinate crossJoin
+    * pays (a 100k-line axis pair would be 10¹⁰ intermediate rows there).
+    * The single-partition window sort is fine at metadata scale; fact rows
+    * never enter this map. Edge targets clamp to the nearest source line
+    * (weight 1).
     */
+  /** Sorted-union bracketing of one coordinate axis: for every probe value
+    * p, the greatest reference ≤ p (`r0`, references win ties) and the
+    * least reference > p (`r1`) — O((n+m)·log) via a running window over
+    * the union, instead of the O(n·m) coordinate crossJoin. Inputs are
+    * single-column frames (`p` / `r`) of DISTINCT axis coordinates —
+    * dimension metadata, so the single-partition window sort is cheap and
+    * fact rows never enter.
+    */
+  private[operators] def axisBrackets(probes: org.apache.spark.sql.DataFrame,
+      refs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val u = refs.select(col("r").as("v"), lit(1).as("_s"))
+      .unionByName(probes.select(col("p").as("v"), lit(0).as("_s")))
+    // r0: ascending scan, refs BEFORE probes on ties (≤ is inclusive)
+    val wLo = Window.orderBy(col("v").asc, col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r1: descending scan, refs AFTER probes on ties (> is strict)
+    val wHi = Window.orderBy(col("v").desc, col("_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refV = when(col("_s") === 1, col("v"))
+    u.withColumn("r0", last(refV, ignoreNulls = true).over(wLo))
+      .withColumn("r1", last(refV, ignoreNulls = true).over(wHi))
+      .filter(col("_s") === 0)
+      .select(col("v").as("p"), col("r0"), col("r1"))
+  }
+
   private def axisBilinearMap(src: org.apache.spark.sql.DataFrame,
       targets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // src: column "c"; targets: column "t"
-    val paired = targets.crossJoin(src)
-    val below = paired.filter(col("c") <= col("t"))
-      .groupBy(col("t")).agg(max(col("c")).as("c0"))
-    val above = paired.filter(col("c") > col("t"))
-      .groupBy(col("t")).agg(min(col("c")).as("c1"))
-    val b = below.join(above, Seq("t"), "full_outer")
+    val b = axisBrackets(targets.select(col("t").as("p")),
+      src.select(col("c").as("r")))
+      .select(col("p").as("t"), col("r0").as("c0"), col("r1").as("c1"))
     val lo = b.filter(col("c0").isNotNull).select(col("t"), col("c0").as("c"),
       when(col("c1").isNull, lit(1.0))
         .otherwise((col("c1") - col("t")) / (col("c1") - col("c0"))).as("w"),

@@ -154,15 +154,18 @@ object SpatialOps {
     import spark.implicits._
 
     def nearestMap(coords: DataFrame, cName: String, targets: Seq[Double]) = {
-      // min_by with a (distance, target) struct key = argmin with a
-      // deterministic tie-break, as a partial-aggregable groupBy — cheaper
-      // than a rank-1 window (no per-key sort shuffle)
-      val t = targets.toDF("_target")
-      coords.join(broadcast(t))
-        .groupBy(col(cName))
-        .agg(min_by(col("_target"),
-          struct(abs(col(cName) - col("_target")), col("_target")))
-          .as(s"_near_$cName"))
+      // nearest target = the closer of the two BRACKETING targets (sorted
+      // union + running window, ResampleOps.axisBrackets) — O((n+m)·log)
+      // instead of the O(n·m) coords×targets cross join; ties in distance
+      // break to the smaller target, the same argmin the min_by struct key
+      // produced
+      val t = targets.distinct.toDF("r")
+      ResampleOps.axisBrackets(coords.select(col(cName).as("p")), t)
+        .select(col("p").as(cName),
+          when(col("r0").isNull, col("r1"))
+            .when(col("r1").isNull, col("r0"))
+            .when(col("p") - col("r0") <= col("r1") - col("p"), col("r0"))
+            .otherwise(col("r1")).as(s"_near_$cName"))
     }
 
     val xMap = nearestMap(data.df.select(col(xd)).distinct(), xd, targetXs)

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode and resize are REAL: `javax.imageio` is part of the JDK
   * (PNG/JPEG/BMP/GIF, headless-safe), so [[imageFeatures]] and
-  * [[resizeImages]] run actual codecs on executors. Audio/video decode
-  * remains a declared stub (`fakeProps` — no ffmpeg in this environment);
-  * the batching shape is identical, so swapping in a real codec changes
+  * [[resizeImages]] run actual codecs on executors. AUDIO decode is REAL
+  * for the JDK's container formats (WAV/AIFF/AU, PCM 8/16-bit) via
+  * `javax.sound.sampled` — [[audioFeatures]]. VIDEO decode remains a
+  * declared stub (`fakeProps` — no ffmpeg in this environment); the
+  * batching shape is identical, so swapping in a real codec changes
   * nothing structurally.
   */
 object Multimodal {
@@ -141,6 +143,74 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
           b.copy(blob = bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Decoded audio metadata + signal statistics. `ok=false` rows carry the
+    * blobs no installed codec recognises, same contract as [[ImageFeatures]].
+    */
+  final case class AudioFeatures(
+      doc_id: Long, ok: Boolean,
+      sample_rate: Double, channels: Int, bits: Int,
+      n_frames: Long, duration_s: Double,
+      rms: Double, peak: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM signed/unsigned 8/16-bit) — the same move that made
+    * image decode real with ImageIO. Yields per-blob duration, sample rate,
+    * and normalized ([-1,1]) RMS/peak over all channel samples. Compressed
+    * audio (MP3 etc.) has no JDK codec and comes back `ok=false`.
+    */
+  def audioFeatures(blobs: Dataset[Blob]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b.blob))
+          val fmt = ais.getFormat
+          import javax.sound.sampled.AudioFormat.Encoding._
+          val bits = fmt.getSampleSizeInBits
+          val pcm = (fmt.getEncoding == PCM_SIGNED || fmt.getEncoding == PCM_UNSIGNED) &&
+            (bits == 8 || bits == 16)
+          if (!pcm) AudioFeatures(b.doc_id, ok = false, 0, 0, 0, 0, 0, 0, 0)
+          else {
+            val bytes = ais.readAllBytes()
+            val signed = fmt.getEncoding == PCM_SIGNED
+            val be = fmt.isBigEndian
+            val per = bits / 8
+            val n = bytes.length / per
+            var sumSq = 0.0
+            var peak = 0.0
+            var i = 0
+            while (i < n) {
+              val v =
+                if (bits == 16) {
+                  val off = i * 2
+                  val raw =
+                    if (be) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+                    else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
+                  if (signed) ((raw << 16) >> 16) / 32768.0
+                  else (raw - 32768) / 32768.0
+                } else {
+                  if (signed) bytes(i) / 128.0
+                  else ((bytes(i) & 0xff) - 128) / 128.0
+                }
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v * v
+              i += 1
+            }
+            val frames = n / math.max(fmt.getChannels, 1)
+            AudioFeatures(b.doc_id, ok = true, fmt.getSampleRate.toDouble,
+              fmt.getChannels, bits, frames,
+              frames / fmt.getSampleRate.toDouble,
+              math.sqrt(sumSq / math.max(n, 1)), peak)
+          }
+        } catch {
+          case _: Throwable => AudioFeatures(b.doc_id, ok = false, 0, 0, 0, 0, 0, 0, 0)
         }
       }
     }

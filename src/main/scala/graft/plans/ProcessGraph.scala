@@ -117,7 +117,7 @@ object ProcessGraph {
         colls: String => DataCube): PValue = {
       Registry.apply(pid, args, (cbJson, cbParams) =>
         evalGraph(JsonMethods.parse(cbJson) \ "process_graph",
-          cbParams, colls), colls)
+          cbParams, colls), colls, outerParams)
     }
 
     evalNode(resultNode.id)
@@ -131,8 +131,15 @@ object ProcessGraph {
 
     type Callback = (String, Map[String, PValue]) => PValue
 
+    /** `ctx` carries the parameter map of the graph evaluation this process
+      * runs INSIDE — ambient context a node's own arguments can't express.
+      * Today it holds one key: `_order`, the reduced dimension's column,
+      * injected by ordered-reduce callers so position-dependent reducers
+      * (first/last) aggregate by dimension order instead of erroring.
+      */
     def apply(pid: String, args: Map[String, PValue], runCallback: Callback,
-        collections: String => DataCube): PValue = {
+        collections: String => DataCube,
+        ctx: Map[String, PValue] = Map.empty): PValue = {
 
       def cube(name: String): DataCube = args(name) match {
         case CubeV(c) => c
@@ -213,30 +220,16 @@ object ProcessGraph {
         * projection-warped) cube
         */
       def resampleByMethod(c: DataCube, res: Double): PValue =
-        str("method") match {
-          case "near" => CubeV(ResampleOps.resampleSpatialNear(c, res, res))
-          case "q1" => CubeV(ResampleOps.resampleSpatialAgg(c, res, res,
-            v => element_at(Reducers.quantilesR(v, Seq(0.25)), 1)))
-          case "q3" => CubeV(ResampleOps.resampleSpatialAgg(c, res, res,
-            v => element_at(Reducers.quantilesR(v, Seq(0.75)), 1)))
-          case "mode" => CubeV(ResampleOps.resampleSpatialMode(c, res, res))
-          case "average" => CubeV(ResampleOps.resampleSpatialAgg(c,
-            res, res, v => Reducers.meanR(v)))
-          case "sum" => CubeV(ResampleOps.resampleSpatialAgg(c,
-            res, res, v => Reducers.sumR(v)))
-          case "max" => CubeV(ResampleOps.resampleSpatialAgg(c,
-            res, res, v => Reducers.maxR(v)))
-          case "min" => CubeV(ResampleOps.resampleSpatialAgg(c,
-            res, res, v => Reducers.minR(v)))
-          case "med" => CubeV(ResampleOps.resampleSpatialAgg(c,
-            res, res, v => Reducers.medianR(v)))
-          case m => throw new IllegalArgumentException(s"resample method $m")
-        }
+        CubeV(ResampleOps.resampleByMethod(c, res, res, str("method")))
 
-      /** run a reducer sub-graph as an aggregate Column builder */
-      def reducerCallback(name: String): Column => Column = {
+      /** run a reducer sub-graph as an aggregate Column builder; `order`
+        * (the reduced dimension's column) flows into the callback's context
+        * so ordered reducers (first/last) can aggregate by dimension order
+        */
+      def reducerCallback(name: String, order: Option[Column] = None): Column => Column = {
         val cbJson = str(name)
-        c => runCallback(cbJson, Map("data" -> ColV(c))) match {
+        val ctx = order.map(o => "_order" -> ColV(o)).toMap
+        c => runCallback(cbJson, Map("data" -> ColV(c)) ++ ctx) match {
           case ColV(out) => out
           case v => throw new IllegalArgumentException(s"reducer returned $v")
         }
@@ -272,8 +265,9 @@ object ProcessGraph {
           CubeV(KernelOps.applyKernel(cube("data"), kern,
             args.get("factor").collect { case NumV(f) => f }.getOrElse(1.0)))
         case "reduce_dimension" =>
-          CubeV(ReduceOps.reduceDimension(cube("data"), str("dimension"),
-            reducerCallback("reducer")))
+          val dim = str("dimension")
+          CubeV(ReduceOps.reduceDimension(cube("data"), dim,
+            reducerCallback("reducer", order = Some(col(dim)))))
         case "reduce_spatial" =>
           CubeV(ReduceOps.reduceSpatial(cube("data"), reducerCallback("reducer")))
         case "aggregate_temporal" =>
@@ -552,12 +546,22 @@ object ProcessGraph {
         case "rearrange" =>
           ColV(graft.functions.ArrayFns.rearrange(column("data"),
             column("order")))
-        case "first" =>
-          ColV(graft.functions.ArrayFns.arrayFirst(column("data"),
+        // first/last are position-dependent: in an ordered-reduce context
+        // (reduce_dimension injects `_order` = the reduced dim) they become
+        // min_by/max_by aggregates over dimension order; in array context
+        // they index the array (reference: arrays.py:461-495 for both)
+        case "first" => ctx.get("_order") match {
+          case Some(ColV(ord)) => ColV(Reducers.firstByOrder(column("data"), ord,
             ignoreNodata = !args.get("ignore_nodata").contains(BoolV(false))))
-        case "last" =>
-          ColV(graft.functions.ArrayFns.arrayLast(column("data"),
+          case _ => ColV(graft.functions.ArrayFns.arrayFirst(column("data"),
             ignoreNodata = !args.get("ignore_nodata").contains(BoolV(false))))
+        }
+        case "last" => ctx.get("_order") match {
+          case Some(ColV(ord)) => ColV(Reducers.lastByOrder(column("data"), ord,
+            ignoreNodata = !args.get("ignore_nodata").contains(BoolV(false))))
+          case _ => ColV(graft.functions.ArrayFns.arrayLast(column("data"),
+            ignoreNodata = !args.get("ignore_nodata").contains(BoolV(false))))
+        }
         case "neq" => ColV(Scalar.neq(column("x"), column("y")))
         case "and" => ColV(Scalar.and(column("x"), column("y")))
         case "or" => ColV(Scalar.or(column("x"), column("y")))

@@ -93,6 +93,29 @@ object MLQueries {
         { case "events" => Tables.eventsCube(s, dir)
           case c => throw new IllegalArgumentException(s"unknown collection $c") })
       out.df.select(col("band"), col("value").as("avg_cents"))
+    },
+
+    // ORDERED reducer through the graph path: reduce_dimension(reducer=last)
+    // — the registry injects the reduced dim as the reducer's order context,
+    // so `last` aggregates by time order (max_by), not array position.
+    // (event_type, ts) is unique in the table, so the pick is deterministic.
+    "graph_reduce_last" -> { (s, dir) =>
+      val graph =
+        """{"process_graph": {
+          |  "load": {"process_id": "load_collection",
+          |           "arguments": {"id": "events"}},
+          |  "red":  {"process_id": "reduce_dimension",
+          |           "arguments": {"data": {"from_node": "load"}, "dimension": "t",
+          |             "reducer": {"process_graph": {
+          |               "l1": {"process_id": "last",
+          |                      "arguments": {"data": {"from_parameter": "data"}},
+          |                      "result": true}}}},
+          |           "result": true}
+          |}}""".stripMargin
+      val out = graft.plans.ProcessGraph.execute(s, graph,
+        { case "events" => Tables.eventsCube(s, dir)
+          case c => throw new IllegalArgumentException(s"unknown collection $c") })
+      out.df.select(col("band"), col("value").as("last_v"))
     }
   )
 
@@ -121,6 +144,10 @@ object MLQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "graph_reduce_last" ->
+      """SELECT event_type AS band,
+        |       arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS last_v
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

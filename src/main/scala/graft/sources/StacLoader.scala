@@ -144,15 +144,25 @@ object StacLoader {
 
   /** Pixel load. Zarr assets whose href resolves to a reachable store
     * decode for REAL through [[ZarrReader]], and reachable GeoTIFF/COG
-    * files through [[TiffReader]] (baseline codec: strips/tiles,
-    * none/deflate) — per-chunk/per-strip executor fan-out, row/col mapped
-    * onto the item bbox. Unreachable hrefs (object-store URIs in this
-    * offline environment) and unsupported codecs fall back to the
-    * deterministic fake grid; the plumbing (asset table → per-asset cell
-    * fan-out → long-form cube) is identical either way.
+    * files through [[TiffReader]] (strips/tiles, none/LZW/JPEG/deflate/
+    * PackBits, chunky and planar band layouts, classic and BigTIFF) —
+    * per-chunk/per-strip executor fan-out, row/col mapped onto the item
+    * bbox. Unreachable hrefs (object-store URIs in this offline
+    * environment) fall back to a deterministic fake grid; the plumbing
+    * (asset table → per-asset cell fan-out → long-form cube) is identical
+    * either way.
+    *
+    * `projection` / `resolution` / `resampling` mirror the reference
+    * loader's convenience args (cubes/load.py:94-109): decode at the native
+    * grid, then warp to the target CRS and regrid to the target resolution
+    * with the named method — the same composition a user would write with
+    * resample_spatial, applied at the loader.
     */
   def loadCube(spark: SparkSession, assets: Seq[StacAsset],
-      gridSize: Int = 8): DataCube = {
+      gridSize: Int = 8,
+      projection: Option[String] = None,
+      resolution: Option[Double] = None,
+      resampling: String = "near"): DataCube = {
     import spark.implicits._
     def grid(a: StacAsset, df: org.apache.spark.sql.DataFrame,
         nr: Int, nc: Int) =
@@ -219,7 +229,11 @@ object StacLoader {
               .as("value")))
       }
     val all = (realParts ++ fakeParts).reduceLeft(_ unionByName _)
-    DataCube.fromTable(all, Seq("x", "y", "t", "bands"), "value",
+    val native = DataCube.fromTable(all, Seq("x", "y", "t", "bands"), "value",
       crs = Some("EPSG:4326"))
+    val warped = projection.fold(native)(p =>
+      graft.operators.ResampleOps.warpCube(native, p))
+    resolution.filter(_ != 0.0).fold(warped)(r =>
+      graft.operators.ResampleOps.resampleByMethod(warped, r, r, resampling))
   }
 }

@@ -240,6 +240,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized(3L).sameElements("not an image".getBytes("UTF-8")))
   }
 
+  test("multimodal REAL audio decode: WAV through javax.sound.sampled") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.5 s of a 440 Hz sine at amplitude 0.5, 16-bit mono PCM, 8 kHz
+    val (rate, nFrames, amp) = (8000f, 4000, 0.5)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * 440.0 * i / rate) * 32767).round.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, wav),
+      Multimodal.Blob(2L, Array[Byte](1, 2, 3, 4)) // junk → ok=false
+    ))(org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val out = Multimodal.audioFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
+    val a = out(1L)
+    assert(a.ok && a.channels == 1 && a.bits == 16)
+    assert(a.sample_rate == 8000.0 && a.n_frames == nFrames && a.duration_s == 0.5)
+    assert(math.abs(a.rms - amp / math.sqrt(2)) < 0.01, a.rms) // sine RMS = A/√2
+    assert(math.abs(a.peak - amp) < 0.01, a.peak)
+    assert(!out(2L).ok)
+  }
+
   test("multimodal frame sampling expands blobs into typed frame rows") {
     import spark.implicits._
     val blobs = docs.withColumn("blob", col("text").cast("binary"))

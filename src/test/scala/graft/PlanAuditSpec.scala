@@ -120,4 +120,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the ln-product ride the SAME groupBy(okey) — exactly one exchange
     assert(shuffles(SparkEntry.queries("reduce_product")(spark, dir)) == 1)
   }
+
+  test("bilinear coordinate bracketing plans contain no cross product") {
+    // axisBilinearMap is a sorted-union window, not a coordinate crossJoin —
+    // the plan must carry no cartesian/nested-loop join anywhere
+    for (q <- Seq("resample_cube_spatial", "resample_bilinear")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
 }

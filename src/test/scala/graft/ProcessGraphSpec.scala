@@ -57,6 +57,38 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(!out.contains("99"))
   }
 
+  test("reduce_dimension with ordered first/last reducers (order context)") {
+    def g(reducer: String, extraArgs: String = "") =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "r": {"process_id": "reduce_dimension",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+         |          "reducer": {"process_graph": {
+         |            "x": {"process_id": "$reducer",
+         |                  "arguments": {"data": {"from_parameter": "data"}$extraArgs},
+         |                  "result": true}}}},
+         |        "result": true}
+         |}}""".stripMargin
+    // cube with a null cell at B1's latest time to exercise nodata handling
+    val df = Seq(
+      ("2024-01-01 00:00:00", "B1", Some(1.0)), ("2024-01-02 00:00:00", "B1", Some(3.0)),
+      ("2024-01-03 00:00:00", "B1", None),
+      ("2024-01-01 00:00:00", "B2", Some(10.0)), ("2024-01-02 00:00:00", "B2", Some(20.0)))
+      .toDF("t", "band", "value").withColumn("t", to_timestamp(col("t")))
+    val c = DataCube.fromTable(df, Seq("t", "band"), "value")
+    def run(graph: String): Map[String, Option[Double]] =
+      ProcessGraph.execute(spark, graph, _ => c).df.collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // first: earliest by t
+    assert(run(g("first")) == Map("B1" -> Some(1.0), "B2" -> Some(10.0)))
+    // last skips the trailing null (ignore_nodata defaults true)…
+    assert(run(g("last")) == Map("B1" -> Some(3.0), "B2" -> Some(20.0)))
+    // …and keeps it when ignore_nodata=false (arrays.py:461-495 semantics)
+    assert(run(g("last", """, "ignore_nodata": false""")) ==
+      Map("B1" -> None, "B2" -> Some(20.0)))
+  }
+
   test("nested scalar callback compiles to one fused expression") {
     val graph =
       """{"process_graph": {

@@ -240,6 +240,197 @@ class StacLoaderSpec extends AnyFunSuite {
     assert(hit.getDouble(0) == 2.0 && hit.getDouble(1) == 1.0) // bbox-mapped
   }
 
+  /** Write a gray-8 TIFF through the JDK's OWN TIFF encoder with the given
+    * compression type — a reference encoder to validate our decoders
+    * against (catches self-consistent-but-wrong codec bugs, e.g. the LZW
+    * early-change off-by-one).
+    */
+  def writeJdkTiff(codec: String, w: Int, h: Int, px: (Int, Int) => Int): String = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(x, y))
+    val file = java.nio.file.Files.createTempFile("graft_jdk", ".tif").toFile
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val ios = ImageIO.createImageOutputStream(file)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType(codec)
+    writer.write(null, new IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    file.getAbsolutePath
+  }
+
+  test("TiffReader decodes LZW/PackBits/ZLib strips from the JDK's own encoder") {
+    import graft.sources.TiffReader
+    // large + noisy enough that LZW crosses the 9→10→11-bit width changes
+    // and resets its table mid-stream (the early-change path a hand-rolled
+    // self-consistent encoder would never exercise)
+    val (w, h) = (96, 64)
+    def px(x: Int, y: Int) = (y * 7 + x * 13) % 251
+    for ((codec, comp) <- Seq("LZW" -> 5, "PackBits" -> 32773, "ZLib" -> 8)) {
+      val path = writeJdkTiff(codec, w, h, px)
+      val meta = TiffReader.readMeta(path)
+      assert(meta.compression == comp, s"$codec → ${meta.compression}")
+      val got = TiffReader.loadArray(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.size == w * h, codec)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got((y.toLong, x.toLong)) == px(x, y).toDouble, s"$codec ($x,$y)")
+    }
+  }
+
+  test("TiffReader decodes JPEG-compressed strips through the JDK decoder") {
+    import graft.sources.TiffReader
+    // smooth gradient: JPEG is lossy, assert proximity not equality
+    val (w, h) = (32, 32)
+    def px(x: Int, y: Int) = 60 + x * 2 + y * 2
+    val path = writeJdkTiff("JPEG", w, h, px)
+    val meta = TiffReader.readMeta(path)
+    assert(meta.compression == 7)
+    val got = TiffReader.loadArray(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs(got((y.toLong, x.toLong)) - px(x, y)) <= 6.0, s"($x,$y)")
+  }
+
+  test("PackBits decode rules: literals, runs, -128 noop") {
+    import graft.sources.TiffReader
+    val in = Array[Byte](2, 'a', 'b', 'c', -3, 'x', -128, 0, 'z')
+    assert(new String(TiffReader.packbitsDecode(in), "US-ASCII") == "abcxxxxz")
+  }
+
+  test("TiffReader walks a BigTIFF: 16-byte header, 20-byte entries, LONG8") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.TiffReader
+    val (w, h) = (5, 4)
+    val strip = {
+      val bb = ByteBuffer.allocate(w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until h; c <- 0 until w) bb.putFloat(r * 10f + c)
+      bb.array()
+    }
+    val nE = 8
+    val ifdOff = 16L
+    val dataOff = 16 + 8 + nE * 20 + 8
+    val bb = ByteBuffer.allocate(dataOff + strip.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+    bb.putLong(ifdOff)
+    bb.putLong(nE)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putLong(count)
+      typ match {
+        case 3 => bb.putShort(value.toShort).putShort(0).putInt(0)
+        case 16 => bb.putLong(value)
+        case _ => bb.putInt(value.toInt).putInt(0)
+      }
+    }
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 1, 32)
+    entry(259, 3, 1, 1)
+    entry(273, 16, 1, dataOff) // StripOffsets as LONG8, inline
+    entry(278, 3, 1, h)
+    entry(279, 16, 1, strip.length)
+    entry(339, 3, 1, 3)
+    bb.putLong(0) // no next IFD
+    bb.put(strip)
+    val f = java.nio.file.Files.createTempFile("graft_bigtiff", ".tif")
+    java.nio.file.Files.write(f, bb.array())
+    val meta = TiffReader.readMeta(f.toAbsolutePath.toString)
+    assert(meta.width == w && meta.height == h && meta.bits == 32 &&
+      meta.sampleFormat == 3 && meta.segments.size == 1)
+    val got = TiffReader.loadArray(spark, f.toAbsolutePath.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == w * h)
+    for (r <- 0 until h; c <- 0 until w)
+      assert(got((r.toLong, c.toLong)) == r * 10.0 + c)
+  }
+
+  test("TiffReader decodes planar (band-separate) multi-band rasters") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.TiffReader
+    // 4×3 ×3-band uint8, PlanarConfiguration=2: one strip per band,
+    // band-major segment table; v = r*60 + c*10 + band
+    val (w, h, spp) = (4, 3, 3)
+    def v(r: Int, c: Int, b: Int) = r * 60 + c * 10 + b
+    val bandStrips = (0 until spp).map { b =>
+      val a = new Array[Byte](w * h)
+      for (r <- 0 until h; c <- 0 until w) a(r * w + c) = v(r, c, b).toByte
+      a
+    }
+    val nE = 9
+    val ifdSize = 2 + nE * 12 + 4
+    val bitsOff = 8 + ifdSize
+    val offArr = bitsOff + 6
+    val cntArr = offArr + 4 * spp
+    val data0 = cntArr + 4 * spp
+    val bb = ByteBuffer.allocate(data0 + spp * w * h)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(nE.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) bb.putShort(value.toShort).putShort(0)
+      else bb.putInt(value.toInt)
+    }
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 3, bitsOff) // [8,8,8], out of line
+    entry(259, 3, 1, 1)
+    entry(273, 4, spp, offArr)
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, h)
+    entry(279, 4, spp, cntArr)
+    entry(284, 3, 1, 2) // planar
+    bb.putInt(0)
+    for (_ <- 0 until spp) bb.putShort(8)
+    for (b <- 0 until spp) bb.putInt(data0 + b * w * h)
+    for (_ <- 0 until spp) bb.putInt(w * h)
+    bandStrips.foreach(bb.put)
+    val f = java.nio.file.Files.createTempFile("graft_planar", ".tif")
+    java.nio.file.Files.write(f, bb.array())
+    val meta = TiffReader.readMeta(f.toAbsolutePath.toString)
+    assert(meta.planar && meta.samplesPerPixel == 3 && meta.segments.size == 3)
+    val got = TiffReader.loadArrayBands(spark, f.toAbsolutePath.toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.size == w * h * spp)
+    for (r <- 0 until h; c <- 0 until w; b <- 0 until spp)
+      assert(got((r.toLong, c.toLong, b)) == v(r, c, b).toDouble)
+  }
+
+  test("load_stac composes projection/resolution/resampling at the loader") {
+    import org.apache.spark.sql.functions._
+    val path = writeTiffFixture(deflate = false) // 6×4, v = r*10 + c
+    val item =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-args",
+         |"bbox":[0.0,0.0,6.0,4.0],
+         |"properties":{"datetime":"2023-06-15T00:00:00Z"},
+         |"assets":{
+         |  "b":{"href":"file://$path",
+         |       "type":"image/tiff; application=geotiff"}
+         |}}""".stripMargin
+    val assets = StacLoader.parseItem(item)
+    // resolution + resampling: decode at native 1°, regrid to 2° averages
+    val c = StacLoader.loadCube(spark, assets,
+      resolution = Some(2.0), resampling = "average")
+    val got = c.df.select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    for (bx <- Seq(0.0, 2.0, 4.0); by <- Seq(0.0, 2.0))
+      assert(got((bx, by)) == by * 10 + bx + 5.5) // mean of the 2×2 bin
+    // projection: the loader warps to the target CRS
+    val m = StacLoader.loadCube(spark, assets, projection = Some("EPSG:3857"))
+    assert(m.meta.crs.contains("EPSG:3857"))
+    assert(m.df.count() == 24)
+    val xMax = m.df.agg(max(col("x"))).collect()(0).getDouble(0)
+    assert(xMax > 500000.0) // 5° lon ≈ 557 km in web-mercator metres
+  }
+
   test("TiffReader decodes strip TIFFs, uncompressed and deflate") {
     import graft.sources.TiffReader
     for (deflate <- Seq(false, true)) {
