@@ -262,6 +262,55 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected components):
+    * every doc labeled with the MINIMUM doc id reachable through the pair
+    * graph — the canonical "keep one survivor per duplicate group" step a
+    * dedup pipeline runs after any pair generator (MinHash, SimHash, …).
+    *
+    * Algorithm: iterative min-label propagation — each round joins labels
+    * onto the (symmetrised) edge list and takes the per-node min over self
+    * and neighbors. Converges in O(component diameter) rounds; duplicate
+    * clusters are near-cliques (tiny diameter), so a handful of rounds
+    * suffices at any corpus size. Each round is one distributed join + one
+    * combinable groupBy; `localCheckpoint` truncates the growing lineage so
+    * round N doesn't replay rounds 1..N−1. Convergence is detected by the
+    * (monotonically decreasing) label sum, in the exact decimal domain so
+    * no overflow can fake a fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .unionByName(pairs.select(col(idB).cast("long").as("a"), col(idA).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev = lblSum(labels)
+    def prop(l: DataFrame): DataFrame = {
+      val neigh = edges.join(l, edges("a") === l("node"))
+        .select(col("b").as("node"), col("lbl"))
+      l.unionByName(neigh).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // TWO propagation hops per materialized round, and a LAZY checkpoint
+      // so the convergence-sum action is the one that computes and caches
+      // it: one driver action per round — per-round cost on a cluster is
+      // job/shuffle overhead, not the (tiny) label table itself
+      labels = prop(prop(labels)).localCheckpoint(false)
+      val cur = lblSum(labels)
+      converged = cur.compareTo(prev) == 0 // labels only decrease
+      prev = cur
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+    labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
   /** Each document's PREFIX under the canonical global shingle order
     * (document frequency ascending, shingle ascending — a total order shared
     * by every document): the first n − ⌈t·n⌉ + 1 shingles of the n-shingle

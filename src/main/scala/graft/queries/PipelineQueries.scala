@@ -89,6 +89,14 @@ object PipelineQueries {
         shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     },
+    "dedup_clusters" -> { (s, dir) =>
+      // pairs → duplicate CLUSTERS (the survivor-selection step): connected
+      // components by min-label propagation over the MinHash pair graph
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id",
+        col("text"), shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
         blockCols = Seq("lang", "source"), maxHamming = 8)
@@ -174,6 +182,34 @@ object PipelineQueries {
     }
   )
 
+  /** MinHash pair SQL, shared by the pair oracle and the clusters oracle
+    * (which wraps it as a CTE under a recursive closure).
+    */
+  private lazy val minhashPairsSql: String = {
+    // the SAME seeded coefficients the Spark plan inlines
+    val (mhA, mhB) = Dedup.minhashCoeffs(32)
+    s"""WITH $shingleSqlBase,
+       |hh AS (SELECT shingle,
+       |    list_reduce(list_transform(range(1, 8), j ->
+       |      (instr('0123456789abcdef', substr(md5(shingle), CAST(j AS INT), 1)) - 1)
+       |        * CAST(power(16, 7 - j) AS BIGINT)), (x, y) -> x + y) AS h
+       |  FROM (SELECT DISTINCT shingle FROM sh)),
+       |sig AS (SELECT doc_id, i,
+       |          min((${mhA.mkString("[", ",", "]")}[CAST(i + 1 AS INT)] * h
+       |               + ${mhB.mkString("[", ",", "]")}[CAST(i + 1 AS INT)])
+       |              % ${Dedup.MinhashP}) AS sig
+       |        FROM sh JOIN hh USING (shingle), range(0, 32) r(i)
+       |        GROUP BY 1, 2),
+       |band AS (SELECT doc_id, CAST(floor(i/4) AS INT) AS band,
+       |           md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bkey
+       |         FROM sig GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM band a JOIN band b
+       |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$jaccardSqlTail
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS survivor,
@@ -184,30 +220,18 @@ object PipelineQueries {
         |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_key,
         |       min(doc_id) AS survivor, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      // the SAME seeded coefficients the Spark plan inlines
-      val (mhA, mhB) = Dedup.minhashCoeffs(32)
-      s"""WITH $shingleSqlBase,
-         |hh AS (SELECT shingle,
-         |    list_reduce(list_transform(range(1, 8), j ->
-         |      (instr('0123456789abcdef', substr(md5(shingle), CAST(j AS INT), 1)) - 1)
-         |        * CAST(power(16, 7 - j) AS BIGINT)), (x, y) -> x + y) AS h
-         |  FROM (SELECT DISTINCT shingle FROM sh)),
-         |sig AS (SELECT doc_id, i,
-         |          min((${mhA.mkString("[", ",", "]")}[CAST(i + 1 AS INT)] * h
-         |               + ${mhB.mkString("[", ",", "]")}[CAST(i + 1 AS INT)])
-         |              % ${Dedup.MinhashP}) AS sig
-         |        FROM sh JOIN hh USING (shingle), range(0, 32) r(i)
-         |        GROUP BY 1, 2),
-         |band AS (SELECT doc_id, CAST(floor(i/4) AS INT) AS band,
-         |           md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bkey
-         |         FROM sig GROUP BY 1, 2),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM band a JOIN band b
-         |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |$jaccardSqlTail
-         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
-    },
+    "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_clusters" ->
+      // recursive closure over the SAME pair SQL: min reachable id per node
+      s"""WITH RECURSIVE prs AS ($minhashPairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(node, lbl) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+         |)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSigSql,
          |keyed AS (SELECT s.doc_id, d.lang, d.source, s.simhash

@@ -101,6 +101,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(outLow == bruteLow)
   }
 
+  test("connected components: pair chains resolve to min-label clusters") {
+    val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 5L)) ++
+      (10L until 18L).map(n => (n, n + 1))) // 9-node chain: multi-round case
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L))
+    assert(out(4L) == 4L && out(5L) == 4L)
+    for (n <- 10L to 18L) assert(out(n) == 10L, s"node $n")
+    assert(out.size == 14)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
