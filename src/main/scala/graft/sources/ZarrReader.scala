@@ -119,27 +119,41 @@ object ZarrReader {
   /** Load a zarr array as a long-form DataFrame: one row per in-bounds
     * element, columns `dimNames :+ "value"`. The chunk-key table is the
     * unit of parallelism; every task decodes its own chunk files.
+    *
+    * Chunks ABSENT from the store read as `fill_value` — zarr v2 semantics
+    * (writers omit all-fill chunks); the fill cells are generated on the
+    * executors with no file I/O. A store with missing chunks but no
+    * declared fill_value is corrupt and errors clearly.
     */
   def loadArray(spark: SparkSession, dir: String,
       dimNames: Seq[String]): DataFrame = {
     val meta = readMeta(dir)
     require(dimNames.size == meta.shape.size,
       s"need ${meta.shape.size} dim names, got ${dimNames.size}")
-    val keys = chunkKeys(dir)
+    val gridDims = meta.shape.zip(meta.chunks).map { case (s, c) => (s + c - 1) / c }
+    val allKeys = gridDims.foldLeft(Seq(Seq.empty[Int]))((acc, n) =>
+      acc.flatMap(p => (0 until n).map(p :+ _)))
+    val present = chunkKeys(dir).toSet
+    require(allKeys.forall(present.contains) || meta.fillValue.isDefined,
+      "ZarrCorrupt: store has missing chunks but no fill_value")
+    val keys = allKeys.map(k => (k.mkString("."), present.contains(k)))
     val bMeta = spark.sparkContext.broadcast(meta)
     val bDir = spark.sparkContext.broadcast(dir)
     import spark.implicits._
-    val rows = spark.createDataset(keys.map(_.mkString(".")))
+    val rows = spark.createDataset(keys)
       .repartition(math.min(keys.size, 64))
       .mapPartitions { it =>
         val m = bMeta.value
         val base = bDir.value
-        it.flatMap { key =>
+        it.flatMap { case (key, isPresent) =>
           val gridIdx = key.split('.').map(_.toInt)
-          val raw = java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(base, key))
-          val bytes = if (m.compressor.contains("zlib")) inflate(raw) else raw
-          val vals = unpack(bytes, m.dtype)
+          val vals =
+            if (isPresent) {
+              val raw = java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(base, key))
+              val bytes = if (m.compressor.contains("zlib")) inflate(raw) else raw
+              unpack(bytes, m.dtype)
+            } else Array.fill(m.chunks.product)(m.fillValue.get)
           val rank = m.shape.size
           val chunkShape = m.chunks.toArray
           // C-order walk of the chunk, clipping edge padding against shape

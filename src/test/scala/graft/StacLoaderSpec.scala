@@ -132,6 +132,30 @@ class StacLoaderSpec extends AnyFunSuite {
       assert(got((r.toLong, c.toLong)) == r * 10.0 + c)
   }
 
+  test("ZarrReader reads absent chunks as fill_value (sparse stores)") {
+    import graft.sources.ZarrReader
+    val dir = writeZarrFixture()
+    // zarr writers omit all-fill chunks; drop the bottom-right chunk
+    // (rows 2-3 × cols 4-5 in-bounds) and expect fill_value = 0.0 there
+    assert(new java.io.File(dir, "1.1").delete())
+    val got = ZarrReader.loadArray(spark, dir, Seq("r", "c")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(got.size == 24) // full logical grid, no holes
+    for (r <- 0 until 4; c <- 0 until 6) {
+      val want = if (r >= 2 && c >= 4) 0.0 else r * 10.0 + c
+      assert(got((r.toLong, c.toLong)) == want)
+    }
+    // a sparse store with NO declared fill_value is corrupt, not silent
+    val zarray = new java.io.File(dir, ".zarray").toPath
+    java.nio.file.Files.writeString(zarray,
+      java.nio.file.Files.readString(zarray)
+        .replace(""""fill_value":0.0""", """"fill_value":null"""))
+    val e = intercept[IllegalArgumentException] {
+      ZarrReader.loadArray(spark, dir, Seq("r", "c"))
+    }
+    assert(e.getMessage.contains("ZarrCorrupt"))
+  }
+
   test("load_stac decodes REAL pixels for reachable zarr assets") {
     val dir = writeZarrFixture()
     val zItem =
