@@ -267,20 +267,41 @@ object Dedup {
     * graph — the canonical "keep one survivor per duplicate group" step a
     * dedup pipeline runs after any pair generator (MinHash, SimHash, …).
     *
-    * Algorithm: iterative min-label propagation — each round joins labels
-    * onto the (symmetrised) edge list and takes the per-node min over self
-    * and neighbors. Converges in O(component diameter) rounds; duplicate
-    * clusters are near-cliques (tiny diameter), so a handful of rounds
-    * suffices at any corpus size. Each round is one distributed join + one
-    * combinable groupBy; `localCheckpoint` truncates the growing lineage so
-    * round N doesn't replay rounds 1..N−1. Convergence is detected by the
-    * (monotonically decreasing) label sum, in the exact decimal domain so
-    * no overflow can fake a fixpoint.
+    * Two execution paths behind one size gate, because the edge list is a
+    * DERIVED table orders of magnitude smaller than the corpus (it holds
+    * only near-duplicate pairs, not documents):
+    *
+    *  - `|E| <= driverEdgeLimit` (default 4M edges ≈ 64 MB of id pairs):
+    *    ONE collect of the deduplicated edge list and a driver-side
+    *    union-find with path compression — zero iterative Spark jobs, so
+    *    no per-round scheduling overhead. This is the common case even at
+    *    100 TB corpus scale unless the corpus is mostly duplicates.
+    *  - above the gate: iterative distributed min-label propagation — each
+    *    round joins labels onto the (symmetrised) edge list and takes the
+    *    per-node min over self and neighbors. Converges in O(component
+    *    diameter) rounds; duplicate clusters are near-cliques (tiny
+    *    diameter), so a handful of rounds suffices at any corpus size.
+    *    Each round is one distributed join + one combinable groupBy;
+    *    `localCheckpoint` truncates the growing lineage so round N doesn't
+    *    replay rounds 1..N−1. Convergence is detected by the
+    *    (monotonically decreasing) label sum, in the exact decimal domain
+    *    so no overflow can fake a fixpoint.
+    *
+    * Pass `driverEdgeLimit = 0` to force the distributed path.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
-      .unionByName(pairs.select(col(idB).cast("long").as("a"), col(idA).cast("long").as("b")))
+      idB: String = "id_b", maxIter: Int = 25,
+      driverEdgeLimit: Long = 4L << 20): DataFrame = {
+    // canonical undirected edge list (a <= b), deduplicated once; the
+    // eager checkpoint makes it the single materialization both paths share
+    val und = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("a"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    if (und.count() <= driverEdgeLimit) return unionFindLocal(und)
+    val edges = und.select(col("a"), col("b"))
+      .unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
@@ -309,6 +330,35 @@ object Dedup {
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
     labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
+  /** Driver union-find over a bounded, already-checkpointed edge list:
+    * roots are kept at the component MINIMUM by always linking the larger
+    * root under the smaller, and path compression keeps walks amortized
+    * near-constant. Used by [[connectedComponents]] under its size gate.
+    */
+  private def unionFindLocal(und: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    und.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val spark = und.sparkSession
+    import spark.implicits._
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(n => out += ((n, find(n))))
+    out.toSeq.toDF("node", "cluster")
   }
 
   /** Each document's PREFIX under the canonical global shingle order

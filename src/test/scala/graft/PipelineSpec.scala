@@ -105,12 +105,16 @@ class PipelineSpec extends AnyFunSuite {
     val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 5L)) ++
       (10L until 18L).map(n => (n, n + 1))) // 9-node chain: multi-round case
       .toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L))
-    assert(out(4L) == 4L && out(5L) == 4L)
-    for (n <- 10L to 18L) assert(out(n) == 10L, s"node $n")
-    assert(out.size == 14)
+    // both execution paths must agree: driver union-find (default gate)
+    // and the distributed min-label iteration (gate forced to 0)
+    for (limit <- Seq(4L << 20, 0L)) {
+      val out = Dedup.connectedComponents(pairs, driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L).forall(out(_) == 1L), s"limit=$limit")
+      assert(out(4L) == 4L && out(5L) == 4L, s"limit=$limit")
+      for (n <- 10L to 18L) assert(out(n) == 10L, s"node $n limit=$limit")
+      assert(out.size == 14, s"limit=$limit")
+    }
   }
 
   test("simhash: identical docs share signatures; near-dups are close") {
