@@ -332,6 +332,22 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("cluster"))
   }
 
+  /** The deduplicated corpus: every document EXCEPT cluster non-survivors
+    * — a doc is dropped iff it is reachable from a smaller doc id through
+    * the near-dup pair graph (i.e. its component label differs from its own
+    * id). This is the terminal step of the dedup pipeline: pair generator →
+    * [[connectedComponents]] → anti-join, leaving exactly one canonical
+    * representative per duplicate group. The anti-join's build side is the
+    * (tiny, derived) non-survivor set, which Spark broadcasts on its own
+    * under AQE — no corpus shuffle.
+    */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val dropped = connectedComponents(pairs, idA, idB)
+      .filter(col("node") =!= col("cluster")).select(col("node"))
+    docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
+  }
+
   /** Driver union-find over a bounded, already-checkpointed edge list:
     * roots are kept at the component MINIMUM by always linking the larger
     * root under the smaller, and path compression keeps walks amortized

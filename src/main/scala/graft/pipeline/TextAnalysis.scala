@@ -101,4 +101,31 @@ object TextAnalysis {
     * chunk dedup. Expressed over the md5 hex to stay engine-portable.
     */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** PII patterns for corpus scrubbing, ordered: each later pattern runs on
+    * the residue of the earlier ones (an SSN must be taken before the
+    * phone pattern can swallow its digit groups). RE2-compatible — no
+    * lookarounds, no backreferences — so Spark's Java regex engine and the
+    * DuckDB oracle's RE2 agree on every match (all patterns here are also
+    * unambiguous under greedy-vs-leftmost-longest).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redact emails, SSNs, IPv4 addresses and phone-like digit runs —
+    * the standard scrub pass before a corpus becomes training data. A
+    * chain of codegen'd `regexp_replace`, so it runs at scan speed with
+    * zero shuffles.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Count of matches of one [[piiPatterns]] class in the raw text. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

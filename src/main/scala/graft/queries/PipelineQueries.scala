@@ -97,6 +97,14 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("cluster"))
     },
+    "dedup_survivors" -> { (s, dir) =>
+      // the terminal dedup step: the corpus that remains after dropping
+      // every non-canonical member of each duplicate cluster
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+        shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id"), col("lang"))
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
         blockCols = Seq("lang", "source"), maxHamming = 8)
@@ -141,6 +149,31 @@ object PipelineQueries {
     "lang_id" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("predicted"))
+    },
+    "pii_redact" -> { (s, dir) =>
+      // the corpus text carries no PII, so the query splices a synthetic,
+      // id-derived email / phone / IP / SSN into each doc (same expression
+      // in the oracle) and scrubs it back out — every redaction class gets
+      // a real match on every row
+      val aug = concat(substring(col("text"), 1, 40),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example or call +1 555 010 "), col("doc_id").cast("string"),
+        lit(", host 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".7, ssn 123-45-6789."))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(aug).as("redacted"),
+        TextAnalysis.piiCount(aug, TextAnalysis.piiPatterns.head._1).as("n_email"),
+        TextAnalysis.piiCount(aug, TextAnalysis.piiPatterns(2)._1).as("n_ip"))
+    },
+    "train_test_split" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), "s42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    },
+    "stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
+          Seq("lang", "source"), frac = 0.25, salt = "s7")
+        .select(col("doc_id"), col("lang"), col("source"))
     },
 
     // ---- multimodal plumbing ----
@@ -210,6 +243,36 @@ object PipelineQueries {
        |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** DuckDB mirror of `Sampling.hashBucket`: fold the first 4 hex nibbles
+    * of md5("<doc_id>:<salt>") into an int in [0, 65536).
+    */
+  private def bucketSql(salt: String): String = {
+    val h = s"md5(doc_id || ':$salt')"
+    (0 until 4).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (3 - i))}"
+    }.mkString(" + ")
+  }
+
+  /** The same cumulative cut points `Sampling.splitColumn` computes for the
+    * 0.8 / 0.1 / 0.1 split — derived with the identical rounding.
+    */
+  private val splitCuts: Seq[Long] =
+    Seq(0.8, 0.1).scanLeft(0L)((acc, f) => acc + math.round(f * 65536)).tail
+
+  /** DuckDB mirrors of the PII scrub: same patterns, nested global
+    * regexp_replace in the same order, counts on the raw text.
+    */
+  private val piiAugSql =
+    """substr(text, 1, 40) || ' reach user' || doc_id ||
+      |  '@mail.example or call +1 555 010 ' || doc_id ||
+      |  ', host 10.0.' || (doc_id % 256) || '.7, ssn 123-45-6789.'""".stripMargin
+
+  private val piiRedactedSql = {
+    TextAnalysis.piiPatterns.foldLeft("t") { case (inner, (pat, repl)) =>
+      s"regexp_replace($inner, '$pat', '$repl', 'g')"
+    }
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS survivor,
@@ -232,6 +295,40 @@ object PipelineQueries {
          |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
          |)
          |SELECT node AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY 1""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE prs AS ($minhashPairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(node, lbl) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+         |),
+         |cl AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY 1)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)""".stripMargin,
+    "pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents)
+         |SELECT doc_id, $piiRedactedSql AS redacted,
+         |  len(regexp_extract_all(t, '${TextAnalysis.piiPatterns.head._1}')) AS n_email,
+         |  len(regexp_extract_all(t, '${TextAnalysis.piiPatterns(2)._1}')) AS n_ip
+         |FROM aug""".stripMargin,
+    "train_test_split" ->
+      s"""WITH b AS (SELECT doc_id, ${bucketSql("s42")} AS bucket FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < ${splitCuts(0)} THEN 'train'
+         |       WHEN bucket < ${splitCuts(1)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+    "stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang, source, ${bucketSql("s7")} AS bucket
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang, source,
+         |        row_number() OVER (PARTITION BY lang, source
+         |                           ORDER BY bucket, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang, source) AS n
+         |      FROM b)
+         |SELECT doc_id, lang, source FROM r WHERE rn <= ceil(n * 0.25)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSigSql,
          |keyed AS (SELECT s.doc_id, d.lang, d.source, s.simhash

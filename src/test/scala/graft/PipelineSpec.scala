@@ -117,6 +117,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("survivors: corpus keeps exactly one representative per dup cluster") {
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivors(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 and 4 fold into cluster 1; 3 untouched
+  }
+
+  test("pii redaction scrubs every class; counts match; plain text untouched") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or carol@ex.io now"),
+      (2L, "call +1 (415) 555-0100 about host 192.168.1.77 please"),
+      (3L, "ssn 123-45-6789 leaked"),
+      (4L, "no pii here at all")).toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextAnalysis.redactPii(col("t")).as("r"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.piiPatterns.head._1).as("ne"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L)._1 == "mail <EMAIL> or <EMAIL> now" && out(1L)._2 == 2)
+    assert(out(2L)._1 == "call <PHONE> about host <IP> please")
+    assert(out(3L)._1 == "ssn <SSN> leaked")
+    assert(out(4L)._1 == "no pii here at all" && out(4L)._2 == 0)
+  }
+
+  test("hash split: deterministic, exhaustive, near-target proportions") {
+    val ids = (0L until 2000L).toDF("id")
+    val split = Sampling.splitColumn(col("id"), "s42",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = ids.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000) // every row assigned exactly one split
+    assert(counts("train") > 1500 && counts("val") > 120 && counts("test") > 120)
+    // re-run assigns identically (pure function of id, no RNG state)
+    val twice = ids.select(col("id"), split.as("a")).join(
+      ids.select(col("id"), split.as("b")), "id")
+    assert(twice.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("stratified exact sample: ceil(frac*n) rows per stratum, stable") {
+    val rows = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedExact(rows, "id", Seq("lang"), 0.25, "s7")
+    val per = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("en") == 25 && per("de") == 50) // ceil(100*.25), ceil(200*.25)
+    // growing a stratum keeps prior members until the quota boundary moves:
+    // the 25 chosen "en" ids are the hash-smallest — a strict subset rule
+    val again = Sampling.stratifiedExact(rows, "id", Seq("lang"), 0.25, "s7")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
