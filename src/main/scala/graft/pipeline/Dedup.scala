@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.core.Joins
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -330,6 +331,29 @@ object Dedup {
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
     labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
+  /** Eval-set decontamination signal: for every eval document, the fraction
+    * of its distinct n-gram shingles that occur ANYWHERE in the training
+    * corpus — the standard check that a benchmark has not leaked into the
+    * training data. Scale shape: the train side collapses to a distinct
+    * shingle set (one shuffle over derived shingles, never full text); the
+    * eval side is tiny by construction (benchmarks are KBs–MBs), so the hit
+    * count is a size-gated broadcast join against the train shingle stream
+    * followed by a combinable count — no second corpus-sized shuffle.
+    */
+  def ngramContainment(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      text: Column, n: Int = 3): DataFrame = {
+    val trainSh = shingles(train, idCol, text, n).select(col("shingle")).distinct()
+    val evalSh = shingles(evalDocs, idCol, text, n)
+    val nGrams = evalSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = trainSh.join(Joins.maybeBroadcast(evalSh), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    nGrams.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_grams").cast("double"))
+          .as("containment"))
   }
 
   /** The deduplicated corpus: every document EXCEPT cluster non-survivors

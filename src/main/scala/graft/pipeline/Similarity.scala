@@ -277,6 +277,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization scale: max|vᵢ|/127,
+    * or 1.0 for the zero vector. With [[int8Codes]] this is the standard
+    * 4× memory lever for billion-vector ANN: codes stay in [-127, 127] by
+    * construction (max|vᵢ|/scale = 127 up to one ulp), and every operand is
+    * IEEE-identical across engines (float→double casts are exact, max is
+    * order-free), so the DuckDB oracle mirrors it bit-for-bit. HOFs are
+    * interpreted, not codegen'd — materialize the scale ONCE as a named
+    * column before feeding it to [[int8Codes]], never inline it.
+    */
+  def int8Scale(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(m === 0.0, 1.0).otherwise(m / 127.0)
+  }
+
+  /** Int8 code array for a vector under a per-row scale column:
+    * qᵢ = round(vᵢ/scale) (half away from zero on both engines).
+    */
+  def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale).cast("long"))
+
+  /** Reconstruction from codes: qᵢ·scale. */
+  def int8Dequantize(codes: Column, scale: Column): Column =
+    transform(codes, q => q.cast("double") * scale)
+
   /** Exact all-pairs near-dups within explicit blocks (a < b, cos ≥ t) —
     * kept as the semantic-blocking baseline; use [[ivfNearDups]] when blocks
     * grow with the corpus.

@@ -150,6 +150,26 @@ object PipelineQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("predicted"))
     },
+    "decontaminate" -> { (s, dir) =>
+      // benchmark decontamination: 1-in-50 of the corpus plays the eval
+      // set; the rest is the training corpus it must be checked against
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramContainment(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", col("text"), n = 3)
+    },
+    "embed_quantize" -> { (s, dir) =>
+      val q = Tables.embeddings(s, dir)
+        .withColumn("_scale", Similarity.int8Scale(col("embedding")))
+        .withColumn("_q", Similarity.int8Codes(col("embedding"), col("_scale")))
+      q.select(col("vec_id"), col("_scale").as("scale"),
+        aggregate(col("_q"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(col("_q"), lit(0L), (a, x) => a + x * x).as("qnorm"),
+        round(aggregate(zip_with(col("embedding"), col("_q"), (v, c) =>
+            (v.cast("double") - c.cast("double") * col("_scale")) *
+              (v.cast("double") - c.cast("double") * col("_scale"))),
+          lit(0.0), (a, e) => a + e), 9).as("recon_err"))
+    },
     "pii_redact" -> { (s, dir) =>
       // the corpus text carries no PII, so the query splices a synthetic,
       // id-derived email / phone / IP / SSN into each doc (same expression
@@ -307,6 +327,32 @@ object PipelineQueries {
          |cl AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY 1)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $shingleSqlBase,
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 <> 0),
+         |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+         |n AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+         |h AS (SELECT ev.doc_id, count(*) AS n_hit
+         |      FROM ev JOIN tr USING (shingle) GROUP BY 1)
+         |SELECT n.doc_id, n.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+         |       COALESCE(h.n_hit, 0) / CAST(n.n_grams AS DOUBLE) AS containment
+         |FROM n LEFT JOIN h ON h.doc_id = n.doc_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+        |        END AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> round(x / scale)) AS qc FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_reduce(qc, (a, x) -> a + x) AS BIGINT) AS qsum,
+        |  CAST(list_reduce(list_transform(qc, x -> x * x),
+        |       (a, x) -> a + x) AS BIGINT) AS qnorm,
+        |  round(list_reduce(list_transform(range(1, 65),
+        |          i -> (v[i] - qc[i] * scale) * (v[i] - qc[i] * scale)),
+        |        (a, x) -> a + x), 9) AS recon_err
+        |FROM q""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents)
          |SELECT doc_id, $piiRedactedSql AS redacted,

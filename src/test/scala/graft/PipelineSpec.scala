@@ -168,6 +168,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("decontamination: leaked eval doc scores 1.0, fresh doc scores low") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // verbatim leak
+      (11L, "totally novel material never seen anywhere")).toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(train, eval, "doc_id", col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) == 1.0)
+    assert(out(11L) == 0.0)
+  }
+
+  test("int8 quantization: codes bounded, reconstruction within half-scale") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector: scale falls to 1.0
+    ).toDF("vec_id", "embedding")
+    val q = vecs.withColumn("_s", Similarity.int8Scale(col("embedding")))
+      .withColumn("_q", Similarity.int8Codes(col("embedding"), col("_s")))
+      .withColumn("_r", Similarity.int8Dequantize(col("_q"), col("_s")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getSeq[Long](3), r.getSeq[Double](4)))).toMap
+    val (s1, c1, r1) = q(1L)
+    assert(c1.forall(c => c >= -127 && c <= 127) && c1(1) == -127L)
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    r1.zip(orig).foreach { case (rec, o) => assert(math.abs(rec - o) <= s1 / 2) }
+    val (s2, c2, _) = q(2L)
+    assert(s2 == 1.0 && c2.forall(_ == 0L))
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
