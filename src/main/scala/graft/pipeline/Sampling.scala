@@ -49,6 +49,48 @@ object Sampling {
       salt: String): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < math.round(frac * 65536))
 
+  /** Sequence packing: lay documents end-to-end in id order and cut the
+    * stream into fixed `budget`-token bins — the contiguous-fill packing a
+    * training pipeline runs to batch variable-length documents into
+    * constant-size sequences. Semantically this is a GLOBAL running token
+    * count, but a global-window cumsum would serialize onto one partition;
+    * instead it runs as a two-level distributed prefix sum:
+    *
+    *   1. rows bucket by contiguous id range (`nBuckets` fixed, order-
+    *      aligned with the id),
+    *   2. ONE tiny agg computes per-bucket token totals; their prefix sums
+    *      (≤ nBuckets rows, driver-side) broadcast back as bucket offsets,
+    *   3. the running count inside each bucket is a window partitioned BY
+    *      bucket — fully parallel — plus the bucket's offset.
+    *
+    * The result is bit-identical to the single-window cumsum (the oracle
+    * mirrors it that way) at any partition count.
+    */
+  def packSequences(df: DataFrame, idCol: String, tok: Column, budget: Int,
+      nBuckets: Int = 256): DataFrame = {
+    require(budget > 0 && nBuckets > 0)
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      tok.cast("long").as("n_tok"))
+    val maxId = base.agg(max(col("_id"))).first().getLong(0)
+    val span = maxId / nBuckets + 1
+    val withB = base.withColumn("_b",
+      floor(col("_id").cast("double") / span).cast("long"))
+    val sums = withB.groupBy(col("_b")).agg(sum(col("n_tok")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = sums.keys.toSeq.sorted
+    val offMap = ordered.zip(
+      ordered.scanLeft(0L)((acc, b) => acc + sums(b))).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offMap.toSeq.toDF("_b", "_off")
+    val w = Window.partitionBy(col("_b")).orderBy(col("_id"))
+    val start = col("_off") + sum(col("n_tok")).over(w) - col("n_tok")
+    val bin = floor(start.cast("double") / budget).cast("long")
+    withB.join(broadcast(offDf), "_b")
+      .select(col("_id").as(idCol), col("n_tok"), bin.as("bin"),
+        (start - bin * budget).as("offset_in_bin"))
+  }
+
   /** EXACT per-stratum quota: ⌈frac·n⌉ rows of every stratum, chosen by
     * hash order (so membership is still deterministic and re-run-stable
     * while the stratum grows only at the quota boundary). One shuffle by

@@ -129,3 +129,34 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 }
+
+/** Context-window document chunking: split each document into overlapping
+  * token windows (`window` tokens every `stride`), the step that turns a
+  * raw corpus into training sequences. One narrow pass — tokenize, generate
+  * chunk starts arithmetically, explode — no shuffle, no self-join; a
+  * document's chunks are produced by the task that holds the document.
+  */
+object Chunking {
+  import org.apache.spark.sql.DataFrame
+
+  /** One row per (doc, chunk): `idCol, chunk_id, chunk`. A doc with ≤
+    * `window` tokens yields exactly one chunk; otherwise chunks start every
+    * `stride` tokens and the LAST chunk may be short (it still starts <
+    * n tokens in, per ceil((n−window)/stride)+1).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, text: Column, window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val t = col("_toks")
+    val n = size(t)
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      floor((n - window + stride - 1).cast("double") / stride).cast("int") + 1)
+    df.withColumn("_toks", TextAnalysis.tokens(text))
+      .withColumn("_chunks", transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(t, i * stride + 1, lit(window)))))
+      .select(col(idCol), posexplode(col("_chunks")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"))
+  }
+}

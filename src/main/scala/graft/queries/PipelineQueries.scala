@@ -150,6 +150,14 @@ object PipelineQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("predicted"))
     },
+    "doc_chunks" -> { (s, dir) =>
+      Chunking.chunkDocs(Tables.documents(s, dir), "doc_id", col("text"),
+        window = 32, stride = 24)
+    },
+    "pack_sequences" -> { (s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 512, nBuckets = 64)
+    },
     "decontaminate" -> { (s, dir) =>
       // benchmark decontamination: 1-in-50 of the corpus plays the eval
       // set; the rest is the training corpus it must be checked against
@@ -327,6 +335,32 @@ object PipelineQueries {
          |cl AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY 1)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)""".stripMargin,
+    "doc_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |             FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n FROM tok),
+        |nc AS (SELECT doc_id, t,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1
+        |         END AS k
+        |       FROM c)
+        |SELECT doc_id, i AS chunk_id,
+        |       array_to_string(t[i*24+1:i*24+32], ' ') AS chunk
+        |FROM nc, UNNEST(range(0, k)) AS u(i)""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |    END AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+        |      FROM t)
+        |SELECT doc_id, n_tok,
+        |       CAST(floor(strt / 512.0) AS BIGINT) AS bin,
+        |       strt - CAST(floor(strt / 512.0) AS BIGINT) * 512 AS offset_in_bin
+        |FROM c""".stripMargin,
     "decontaminate" ->
       s"""WITH $shingleSqlBase,
          |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 <> 0),

@@ -199,6 +199,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(s2 == 1.0 && c2.forall(_ == 0L))
   }
 
+  test("chunking: overlapping windows cover every token, short docs intact") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = Chunking.chunkDocs(d, "doc_id", col("text"), window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: starts 0,3,6 cover ceil((10-4)/3)+1 = 3 chunks; last is short
+    assert(out((1L, 0L)) == "w1 w2 w3 w4")
+    assert(out((1L, 1L)) == "w4 w5 w6 w7")
+    assert(out((1L, 2L)) == "w7 w8 w9 w10")
+    assert(out((2L, 0L)) == "a b c" && out.size == 4)
+    // stride-3/window-4: consecutive chunks overlap by exactly one token
+  }
+
+  test("sequence packing: distributed prefix sum == global cumsum semantics") {
+    val rows = (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // token counts are all 1 (single token docs) → bin = floor(idx/7)
+    val out = Sampling.packSequences(rows, "doc_id", lit(1), budget = 7,
+      nBuckets = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for (i <- 0L until 100L)
+      assert(out(i) == (i / 7, i % 7), s"doc $i")
+    // varying lengths, compared against an in-memory serial fill
+    val lens = (0L until 50L).map(i => (i, (i % 13 + 1).toInt))
+    val df2 = lens.toDF("doc_id", "n")
+    val got = Sampling.packSequences(df2, "doc_id", col("n"), budget = 20,
+      nBuckets = 4).collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    var cum = 0L
+    lens.foreach { case (id, n) =>
+      assert(got(id) == (cum / 20, cum % 20), s"doc $id")
+      cum += n
+    }
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
