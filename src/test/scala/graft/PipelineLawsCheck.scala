@@ -1,0 +1,116 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the training-data-pipeline operators: the two
+  * connected-components execution paths agree on arbitrary graphs, hash
+  * splitting matches an independent JVM md5 reimplementation, chunking
+  * reassembles to the original token stream, packing is the serial
+  * contiguous fill, and quantization respects its error bound.
+  */
+object PipelineLawsCheck extends Properties("PipelineLaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 24)
+    m <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong)
+      b <- Gen.choose(0L, n.toLong) if a != b
+    } yield (a, b))
+  } yield edges
+
+  property("connected components: union-find path == iterative path") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val pairs = edges.toDF("id_a", "id_b")
+        def run(limit: Long) =
+          Dedup.connectedComponents(pairs, driverEdgeLimit = limit)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        run(Long.MaxValue) == run(0L)
+      }
+    }
+
+  property("hash split matches an independent md5 reimplementation") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 100000L))) { ids =>
+      val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val got = ids.distinct.toDF("id")
+        .select(col("id"), Sampling.splitColumn(col("id"), "s42", fracs).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(id: Long): Long = {
+        val hex = md.digest(s"$id:s42".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(4), 16)
+      }
+      ids.distinct.forall { id =>
+        val b = bucket(id)
+        val want = if (b < 52429L) "train" else if (b < 58983L) "val" else "test"
+        got(id) == want
+      }
+    }
+
+  val genDoc: Gen[(Int, Int, Int)] = for { // (nTokens, window, stride)
+    n <- Gen.choose(1, 40)
+    w <- Gen.choose(1, 12)
+    s <- Gen.choose(1, w)
+  } yield (n, w, s)
+
+  property("chunking == in-memory sliding window; every token covered") =
+    forAll(genDoc) { case (n, w, s) =>
+      val toks = (1 to n).map(i => s"t$i")
+      val out = Chunking.chunkDocs(Seq((1L, toks.mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", col("text"), w, s)
+        .orderBy("chunk_id").collect().map(_.getString(2)).toList
+      val expect =
+        if (n <= w) List(toks.mkString(" "))
+        else (0 to ((n - w + s - 1) / s)).map(i =>
+          toks.slice(i * s, i * s + w).mkString(" ")).toList
+      out == expect && expect.mkString(" ").split(" ").toSet == toks.toSet
+    }
+
+  property("packing == serial contiguous fill at any bucket count") =
+    forAll(for {
+      lens <- Gen.listOfN(25, Gen.choose(0, 30))
+      nb <- Gen.choose(1, 7)
+      budget <- Gen.choose(5, 50)
+    } yield (lens, nb, budget)) { case (lens, nb, budget) =>
+      val rows = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      val got = Sampling.packSequences(rows.toDF("doc_id", "n"), "doc_id",
+          col("n"), budget, nb)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      var cum = 0L
+      rows.forall { case (id, l) =>
+        val ok = got(id) == ((cum / budget, cum % budget))
+        cum += l
+        ok
+      }
+    }
+
+  property("int8 quantization: codes bounded, per-element error <= scale/2") =
+    forAll(Gen.listOfN(8, Gen.choose(-1000, 1000).map(_ / 250.0f))) { vs =>
+      val row = Seq((1L, vs.toArray)).toDF("id", "v")
+        .withColumn("_s", Similarity.int8Scale(col("v")))
+        .withColumn("_q", Similarity.int8Codes(col("v"), col("_s")))
+        .withColumn("_r", Similarity.int8Dequantize(col("_q"), col("_s")))
+        .collect()(0)
+      val (s, q, r) = (row.getDouble(2), row.getSeq[Long](3), row.getSeq[Double](4))
+      q.forall(c => c >= -127 && c <= 127) &&
+        r.zip(vs).forall { case (rec, v) => math.abs(rec - v) <= s / 2 + 1e-12 }
+    }
+}

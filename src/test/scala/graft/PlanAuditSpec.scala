@@ -121,6 +121,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(SparkEntry.queries("reduce_product")(spark, dir)) == 1)
   }
 
+  test("pipeline ops: scan-speed ops shuffle-free; packing never serializes") {
+    // split / redaction / quantization / chunking are single-pass Column
+    // programs — ZERO exchanges, the 100-TB contract that makes them free
+    // riders on any scan
+    for (q <- Seq("train_test_split", "pii_redact", "embed_quantize",
+        "doc_chunks")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(shuffles(df) == 0, s"$q: ${plan(df)}")
+      assert(!plan(df).contains("Exchange SinglePartition"), q)
+    }
+    // the distributed prefix sum must NOT fall back to a global window:
+    // no SinglePartition exchange anywhere in the packing plan
+    val packed = SparkEntry.queries("pack_sequences")(spark, dir)
+    assert(!plan(packed).contains("Exchange SinglePartition"), plan(packed))
+    // stratified quota windows partition by stratum, never globally
+    val strat = SparkEntry.queries("stratified_sample")(spark, dir)
+    assert(!plan(strat).contains("Exchange SinglePartition"), plan(strat))
+    // decontamination joins on derived shingles only — no cross products
+    val dec = SparkEntry.queries("decontaminate")(spark, dir)
+    assert(!plan(dec).contains("CartesianProduct") &&
+      !plan(dec).contains("BroadcastNestedLoopJoin"), plan(dec))
+  }
+
   test("bilinear coordinate bracketing plans contain no cross product") {
     // axisBilinearMap is a sorted-union window, not a coordinate crossJoin —
     // the plan must carry no cartesian/nested-loop join anywhere

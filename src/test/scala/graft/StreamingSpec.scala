@@ -129,4 +129,37 @@ class StreamingSpec extends AnyFunSuite {
         s"only the active user may hold state, got ${sop.last.numRowsTotal}")
     } finally q.stop()
   }
+
+  test("pipeline Column ops compose unchanged on streams (redact+split+quality)") {
+    // redactPii / splitColumn / qualityScore are stateless Column programs,
+    // so the SAME expressions serve batch and ingest-time streaming — this
+    // pins that contract (no stateful op, no watermark needed, append mode)
+    import graft.pipeline.{Sampling, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cleaned = stream.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text"),
+        Sampling.splitColumn(col("doc_id"), "s42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val q = cleaned.writeStream.outputMode("append").format("memory")
+      .queryName("pipe_stream").start()
+    try {
+      stream.addData(Seq((1L, "mail a@b.co now"), (2L, "clean text")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, "ssn 123-45-6789 leaked")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pipe_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == "mail <EMAIL> now")
+    assert(got(2L)._1 == "clean text")
+    assert(got(3L)._1 == "ssn <SSN> leaked")
+    // split agrees with the batch assignment of the same ids
+    val batch = Seq(1L, 2L, 3L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id"), "s42",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, (_, s)) => batch(id) == s })
+  }
 }
