@@ -40,6 +40,33 @@ object ProcessGraph {
   private final case class Node(id: String, processId: String,
       args: Map[String, JValue], result: Boolean)
 
+  /** Implementation signature for USER-REGISTERED processes: evaluated
+    * arguments plus a callback runner (`(callbackJson, params) => PValue`)
+    * so custom processes can accept child process graphs. Return `CubeV`
+    * for cube-level processes or `ColV` for scalar processes — scalar
+    * registrations become usable inside apply/reduce callbacks exactly
+    * like built-ins.
+    */
+  type CustomProcess =
+    (Map[String, PValue], (String, Map[String, PValue]) => PValue) => PValue
+
+  private val customProcesses =
+    scala.collection.concurrent.TrieMap.empty[String, CustomProcess]
+
+  /** Register a custom process under `pid`, mirroring the reference's
+    * extensible process registry (process_implementations/core.py:16-84
+    * wraps arbitrary user functions for registration): after this call any
+    * graph may use `pid` as a node or inside a callback. A custom process
+    * SHADOWS a built-in of the same id — latest registration wins, which
+    * is also how a deployment patches one process without forking the
+    * engine. Registration is process-wide (all sessions of this JVM).
+    */
+  def registerProcess(pid: String, impl: CustomProcess): Unit =
+    customProcesses.put(pid, impl)
+
+  /** Remove a custom process; built-ins reappear if shadowed. */
+  def unregisterProcess(pid: String): Unit = customProcesses.remove(pid)
+
   /** Execute a process-graph JSON document. `collections` resolves
     * `load_collection` ids to cubes (the engine's equivalent of the
     * backend's catalog).
@@ -140,6 +167,12 @@ object ProcessGraph {
     def apply(pid: String, args: Map[String, PValue], runCallback: Callback,
         collections: String => DataCube,
         ctx: Map[String, PValue] = Map.empty): PValue = {
+
+      // user registrations shadow built-ins (latest registration wins)
+      customProcesses.get(pid) match {
+        case Some(impl) => return impl(args, runCallback)
+        case None =>
+      }
 
       def cube(name: String): DataCube = args(name) match {
         case CubeV(c) => c

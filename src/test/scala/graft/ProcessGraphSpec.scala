@@ -57,6 +57,64 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(!out.contains("99"))
   }
 
+  test("custom process registration: node + callback use, shadowing, removal") {
+    import graft.plans.ProcessGraph.{ColV, CubeV, NumV}
+    // a cube-level custom process with a numeric argument...
+    ProcessGraph.registerProcess("scale_values", (args, _) => {
+      val c = args("data").asInstanceOf[CubeV].cube
+      val k = args("factor").asInstanceOf[NumV].v
+      CubeV(c.copy(df = c.df.withColumn("value", col("value") * k)))
+    })
+    // ...and a custom SCALAR process, usable inside apply callbacks
+    ProcessGraph.registerProcess("cube_root", (args, _) =>
+      ColV(cbrt(args("x").asInstanceOf[ColV].col)))
+    try {
+      val graph =
+        """{"process_graph": {
+          |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+          |  "s": {"process_id": "scale_values",
+          |        "arguments": {"data": {"from_node": "l"}, "factor": 8}},
+          |  "a": {"process_id": "apply",
+          |        "arguments": {"data": {"from_node": "s"},
+          |          "process": {"process_graph": {
+          |            "r": {"process_id": "cube_root",
+          |                  "arguments": {"x": {"from_parameter": "x"}},
+          |                  "result": true}}}},
+          |        "result": true}
+          |}}""".stripMargin
+      val out = ProcessGraph.execute(spark, graph, _ => cube).df
+        .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+      assert(out.contains(("B1", 2.0)))  // cbrt(1*8)
+      assert(out.contains(("B2", math.cbrt(80.0)))) // cbrt(10*8)
+      // shadowing: a custom "mean" wins over the built-in reducer...
+      ProcessGraph.registerProcess("mean", (args, _) =>
+        ColV(lit(42.0)))
+      val g2 =
+        """{"process_graph": {
+          |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+          |  "r": {"process_id": "reduce_dimension",
+          |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+          |          "reducer": {"process_graph": {
+          |            "m": {"process_id": "mean",
+          |                  "arguments": {"data": {"from_parameter": "data"}},
+          |                  "result": true}}}},
+          |        "result": true}
+          |}}""".stripMargin
+      val shadowed = ProcessGraph.execute(spark, g2, _ => cube).df
+        .collect().map(_.getDouble(1)).toSet
+      assert(shadowed == Set(42.0))
+      // ...and the built-in reappears on unregister
+      ProcessGraph.unregisterProcess("mean")
+      val restored = ProcessGraph.execute(spark, g2, _ => cube).df
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(restored("B1") == (1.0 + 3.0 + 99.0) / 3)
+    } finally {
+      ProcessGraph.unregisterProcess("scale_values")
+      ProcessGraph.unregisterProcess("cube_root")
+      ProcessGraph.unregisterProcess("mean")
+    }
+  }
+
   test("reduce_dimension with ordered first/last reducers (order context)") {
     def g(reducer: String, extraArgs: String = "") =
       s"""{"process_graph": {
