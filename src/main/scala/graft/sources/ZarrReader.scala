@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object ZarrReader {
 
   final case class ZarrMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      compressor: Option[String], order: String, fillValue: Option[Double])
+      compressor: Option[String], order: String, fillValue: Option[Double],
+      separator: String = ".")
 
   def readMeta(dir: String): ZarrMeta = {
     import org.json4s._
@@ -60,20 +61,37 @@ object ZarrReader {
       case JString("NaN") => Some(Double.NaN)
       case _ => None
     }
+    // v2.8+ optional key: "." (flat, default) or "/" (nested chunk dirs)
+    val sep = (root \ "dimension_separator") match {
+      case JString(s) => s
+      case _ => "."
+    }
     require(order == "C", s"ZarrUnsupported: order $order (C only)")
+    require(sep == "." || sep == "/",
+      s"ZarrUnsupported: dimension_separator '$sep'")
     comp.foreach(c => require(c == "zlib",
       s"ZarrUnsupported: compressor $c (null or zlib only — blosc needs a native lib)"))
-    ZarrMeta(ints("shape"), ints("chunks"), dtype, comp, order, fill)
+    ZarrMeta(ints("shape"), ints("chunks"), dtype, comp, order, fill, sep)
   }
 
-  /** Chunk keys present in the store: file names like "0.2.1" → grid
-    * indices. Driver-side listing only — names, not bytes.
+  /** Chunk keys present in the store: flat file names like "0.2.1" for the
+    * "." separator, or nested numeric directories ("0/2/1") for the "/"
+    * separator. Driver-side listing only — names, not bytes.
     */
-  def chunkKeys(dir: String): Seq[Seq[Int]] = {
+  def chunkKeys(dir: String, separator: String = "."): Seq[Seq[Int]] = {
     val d = new java.io.File(dir)
-    d.listFiles().toSeq.map(_.getName)
-      .filter(_.matches("[0-9]+(\\.[0-9]+)*"))
-      .map(_.split('.').toSeq.map(_.toInt))
+    if (separator == ".")
+      d.listFiles().toSeq.map(_.getName)
+        .filter(_.matches("[0-9]+(\\.[0-9]+)*"))
+        .map(_.split('.').toSeq.map(_.toInt))
+    else {
+      def walk(f: java.io.File, prefix: Seq[Int]): Seq[Seq[Int]] =
+        f.listFiles().toSeq.filter(_.getName.matches("[0-9]+")).flatMap { c =>
+          if (c.isDirectory) walk(c, prefix :+ c.getName.toInt)
+          else Seq(prefix :+ c.getName.toInt)
+        }
+      walk(d, Nil)
+    }
   }
 
   private def bytesPer(dtype: String): Int = dtype.substring(2).toInt
@@ -133,10 +151,11 @@ object ZarrReader {
     val gridDims = meta.shape.zip(meta.chunks).map { case (s, c) => (s + c - 1) / c }
     val allKeys = gridDims.foldLeft(Seq(Seq.empty[Int]))((acc, n) =>
       acc.flatMap(p => (0 until n).map(p :+ _)))
-    val present = chunkKeys(dir).toSet
+    val present = chunkKeys(dir, meta.separator).toSet
     require(allKeys.forall(present.contains) || meta.fillValue.isDefined,
       "ZarrCorrupt: store has missing chunks but no fill_value")
-    val keys = allKeys.map(k => (k.mkString("."), present.contains(k)))
+    // "/"-separated keys resolve as nested paths on the executors unchanged
+    val keys = allKeys.map(k => (k.mkString(meta.separator), present.contains(k)))
     val bMeta = spark.sparkContext.broadcast(meta)
     val bDir = spark.sparkContext.broadcast(dir)
     import spark.implicits._
@@ -146,7 +165,7 @@ object ZarrReader {
         val m = bMeta.value
         val base = bDir.value
         it.flatMap { case (key, isPresent) =>
-          val gridIdx = key.split('.').map(_.toInt)
+          val gridIdx = key.split(m.separator.head).map(_.toInt)
           val vals =
             if (isPresent) {
               val raw = java.nio.file.Files.readAllBytes(

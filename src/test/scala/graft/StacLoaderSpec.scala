@@ -132,6 +132,31 @@ class StacLoaderSpec extends AnyFunSuite {
       assert(got((r.toLong, c.toLong)) == r * 10.0 + c)
   }
 
+  test("ZarrReader reads '/'-separated (nested-directory) chunk stores") {
+    import graft.sources.ZarrReader
+    val flat = writeZarrFixture()
+    // rewrite the flat fixture as a nested store: "<i>.<j>" -> "<i>/<j>"
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr_n").toFile
+    val zarray = java.nio.file.Files
+      .readString(new java.io.File(flat, ".zarray").toPath)
+      .replace(""""order":"C"}""", """"order":"C","dimension_separator":"/"}""")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, ".zarray").toPath, zarray)
+    for (ci <- 0 until 2; cj <- 0 until 2) {
+      val sub = new java.io.File(dir, ci.toString)
+      sub.mkdirs()
+      java.nio.file.Files.copy(
+        new java.io.File(flat, s"$ci.$cj").toPath,
+        new java.io.File(sub, cj.toString).toPath)
+    }
+    assert(ZarrReader.readMeta(dir.getAbsolutePath).separator == "/")
+    val got = ZarrReader.loadArray(spark, dir.getAbsolutePath, Seq("r", "c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(got.size == 24)
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert(got((r.toLong, c.toLong)) == r * 10.0 + c)
+  }
+
   test("ZarrReader reads absent chunks as fill_value (sparse stores)") {
     import graft.sources.ZarrReader
     val dir = writeZarrFixture()
