@@ -399,8 +399,9 @@ object ProcessGraph {
           // the returned cube themselves.
           val c = cube("data")
           val fmt = opt("format").map(_.asInstanceOf[StrV].v).getOrElse("Parquet")
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"FormatUnsuitable: $fmt (this engine sinks Parquet)")
+          require(Set("parquet", "csv", "json", "gtiff", "geotiff")(
+            fmt.toLowerCase),
+            s"FormatUnsuitable: $fmt (parquet, csv, json, gtiff)")
           val pathOpt = opt("options").flatMap {
             case StrV(j) => JsonMethods.parse(j) \ "path" match {
               case JString(p) => Some(p)
@@ -408,7 +409,8 @@ object ProcessGraph {
             }
             case _ => None
           }
-          pathOpt.foreach(p => graft.sources.CubeIO.saveResult(c, p))
+          pathOpt.foreach(p =>
+            graft.sources.CubeIO.saveResult(c, p, format = fmt))
           CubeV(c)
         case "inspect" =>
           CubeV(graft.sources.CubeIO.inspect(cube("data"),

@@ -132,6 +132,48 @@ class StacLoaderSpec extends AnyFunSuite {
       assert(got((r.toLong, c.toLong)) == r * 10.0 + c)
   }
 
+  test("save_result GTiff round-trips through the pure-JVM reader; gates hold") {
+    import graft.core.{DataCube, DimType}
+    import graft.sources.{CubeIO, TiffReader}
+    val sess = spark
+    import sess.implicits._
+    val grid = (for { y <- 0 until 3; x <- 0 until 4 }
+      yield (x.toDouble, 2.0 - y, y * 10.0 + x)) // y descending = row order
+      .toDF("x", "y", "value")
+    val cube = DataCube.fromTable(grid, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+    val path = java.nio.file.Files.createTempFile("graft_out", ".tif")
+      .toString
+    CubeIO.saveResult(cube, path, format = "GTiff")
+    val meta = TiffReader.readMeta(path)
+    assert(meta.width == 4 && meta.height == 3 && meta.sampleFormat == 3)
+    val back = TiffReader.loadArray(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // row 0 = northernmost y (y=2.0 ↔ our y index 0)
+    for (row <- 0 until 3; c <- 0 until 4)
+      assert(back((row.toLong, c.toLong)) == row * 10.0 + c)
+    // non-spatial dims must be singular
+    val banded = DataCube.fromTable(
+      Seq((0.0, 0.0, "B1", 1.0), (0.0, 0.0, "B2", 2.0))
+        .toDF("x", "y", "band", "value"),
+      Seq("x", "y", "band"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial,
+        "band" -> DimType.Bands))
+    val e = intercept[IllegalArgumentException] {
+      CubeIO.saveResult(banded, path, format = "gtiff")
+    }
+    assert(e.getMessage.contains("FormatUnsuitable"))
+    // the driver size gate refuses oversized grids
+    val e2 = intercept[IllegalArgumentException] {
+      CubeIO.saveGeoTiff(cube, path, maxCells = 4)
+    }
+    assert(e2.getMessage.contains("driver gate"))
+    // csv sink round-trips through Spark's reader
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    CubeIO.saveResult(cube, csvDir, format = "csv")
+    assert(spark.read.option("header", "true").csv(csvDir).count() == 12)
+  }
+
   test("ZarrReader reads '/'-separated (nested-directory) chunk stores") {
     import graft.sources.ZarrReader
     val flat = writeZarrFixture()
