@@ -29,8 +29,9 @@ object CubeIO {
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .json(path)
       case "gtiff" | "geotiff" => saveGeoTiff(cube, path)
+      case "zarr" => ZarrWriter.writeGrid(cube, path) // distributed chunks
       case other => throw new IllegalArgumentException(
-        s"FormatUnsuitable: $other (parquet, csv, json, gtiff)")
+        s"FormatUnsuitable: $other (parquet, csv, json, gtiff, zarr)")
     }
 
   /** save_result format "GTiff": one single-band float32 raster through the

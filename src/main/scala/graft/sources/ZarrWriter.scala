@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.core.DataCube
+import org.apache.spark.sql.functions._
+
+/** Distributed zarr v2 store writer — the cloud-native counterpart of
+  * [[TiffWriter]], and the reason save_result can export rasters of ANY
+  * size: the driver writes only the `.zarray` metadata document, while the
+  * chunk files are assembled and written BY THE EXECUTORS — each task owns
+  * whole chunks (one `groupByKey(chunkKey)` shuffle), deflates its own
+  * bytes, and writes its own files, mirroring how [[ZarrReader]] fans
+  * decode out per-chunk. Cells absent from the cube become `fill_value`
+  * (NaN), which round-trips through the reader's sparse-store path.
+  *
+  * Scope matches the reader: little-endian float64 (`<f8`), C order, zlib,
+  * rank 2. The store is valid for any conforming zarr v2 reader.
+  */
+object ZarrWriter {
+
+  /** Write a rank-2 cube slice as `dir` with chunk shape (chunkR, chunkC).
+    * `rowDim` labels map to array axis 0 DESCENDING (north-up when rowDim
+    * is y), `colDim` ascending. Axis label sets are metadata-scale and are
+    * the only driver-side collects.
+    */
+  def writeGrid(cube: DataCube, dir: String, rowDim: String = "y",
+      colDim: String = "x", chunkR: Int = 256, chunkC: Int = 256): Unit = {
+    require(cube.meta.dimNames.contains(rowDim) &&
+      cube.meta.dimNames.contains(colDim),
+      s"ZarrWriter: cube lacks $rowDim/$colDim dims")
+    val extras = cube.meta.dimNames.filterNot(Set(rowDim, colDim))
+    if (extras.nonEmpty) {
+      val nz = cube.df.agg(countDistinct(
+        struct(extras.map(col): _*))).first().getLong(0)
+      require(nz <= 1, s"ZarrWriter: non-spatial dims ${extras.mkString(",")} " +
+        s"carry $nz label combinations — reduce or filter first")
+    }
+    val spark = cube.df.sparkSession
+    // axis labels: metadata-scale driver collects (same class as dim labels)
+    val rows = cube.df.select(col(rowDim).cast("double")).distinct()
+      .collect().map(_.getDouble(0)).sorted.reverse // row 0 = max label
+    val cols = cube.df.select(col(colDim).cast("double")).distinct()
+      .collect().map(_.getDouble(0)).sorted
+    val (h, w) = (rows.length, cols.length)
+    val rIdx = spark.sparkContext.broadcast(rows.zipWithIndex.toMap)
+    val cIdx = spark.sparkContext.broadcast(cols.zipWithIndex.toMap)
+    new java.io.File(dir).mkdirs()
+    val zarray =
+      s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkR,$chunkC],
+         |"dtype":"<f8","compressor":{"id":"zlib","level":1},
+         |"fill_value":"NaN","filters":null,"order":"C"}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".zarray"), zarray)
+    // one shuffle: every chunk's cells land in one group; the task that
+    // owns the group assembles, deflates and writes that chunk file
+    val sess = spark
+    import sess.implicits._
+    val cells = cube.df.select(col(rowDim).cast("double").as("r"),
+        col(colDim).cast("double").as("c"), col("value").cast("double"))
+      .map { row =>
+        val ri = rIdx.value(row.getDouble(0))
+        val ci = cIdx.value(row.getDouble(1))
+        (s"${ri / chunkR}.${ci / chunkC}",
+          (ri % chunkR) * chunkC + (ci % chunkC), row.getDouble(2))
+      }
+    cells.groupByKey(_._1).mapGroups { (key, it) =>
+      val buf = Array.fill(chunkR * chunkC)(Double.NaN)
+      it.foreach { case (_, local, v) => buf(local) = v }
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.foreach(bb.putDouble)
+      val d = new java.util.zip.Deflater(1)
+      d.setInput(bb.array()); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, key), out.toByteArray)
+      key
+    }.collect() // the action that drives the distributed writes
+    ()
+  }
+}

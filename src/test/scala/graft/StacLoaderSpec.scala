@@ -174,6 +174,39 @@ class StacLoaderSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(csvDir).count() == 12)
   }
 
+  test("save_result zarr: executors write chunks; round-trips incl. sparse") {
+    import graft.core.{DataCube, DimType}
+    import graft.sources.{CubeIO, ZarrReader}
+    val sess = spark
+    import sess.implicits._
+    // 4×6 grid, chunks (2,4) in the writer's default... use small chunks
+    // via ZarrWriter directly; DROP the cells of one whole chunk region
+    // (rows 0-1 × cols 4-5 of the ARRAY = max-y rows) → that chunk file
+    // must be absent and read back as fill_value NaN
+    val grid = (for { yi <- 0 until 4; xi <- 0 until 6
+      if !(yi <= 1 && xi >= 4) }
+      yield (xi.toDouble, 3.0 - yi, yi * 10.0 + xi)) // y desc = array row
+      .toDF("x", "y", "value")
+    val cube = DataCube.fromTable(grid, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    graft.sources.ZarrWriter.writeGrid(cube, dir, chunkR = 2, chunkC = 4)
+    val meta = ZarrReader.readMeta(dir)
+    assert(meta.shape == Seq(4, 6) && meta.chunks == Seq(2, 4))
+    assert(meta.fillValue.exists(_.isNaN))
+    // the all-dropped chunk (rows 0-1, cols 4-7 → key "0.1") is absent
+    assert(!new java.io.File(dir, "0.1").exists())
+    assert(new java.io.File(dir, "0.0").exists())
+    val back = ZarrReader.loadArray(spark, dir, Seq("r", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 24)
+    for (r <- 0 until 4; c <- 0 until 6) {
+      val v = back((r.toLong, c.toLong))
+      if (r <= 1 && c >= 4) assert(v.isNaN, s"($r,$c)")
+      else assert(v == r * 10.0 + c, s"($r,$c)")
+    }
+  }
+
   test("ZarrReader reads '/'-separated (nested-directory) chunk stores") {
     import graft.sources.ZarrReader
     val flat = writeZarrFixture()
