@@ -232,6 +232,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN over int8-dequantized vectors preserves exact top-k (recall)") {
+    // deterministic synthetic corpus: 4 well-separated direction clusters
+    // with small per-vector jitter — quantization noise (≤ scale/2 per
+    // component) must not reorder neighbors across clusters
+    val dims = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val v = Array.fill(dims)(0.05f * ((cluster * 7 + j * 3) % 5 - 2))
+      v(cluster) = 1.0f
+      v(cluster + 4) = 0.5f
+      v
+    }
+    val rows = for { c <- 0 until 4; j <- 0 until 10 }
+      yield ((c * 10 + j).toLong, vec(c, j), c)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val deq = df
+      .withColumn("_s", Similarity.int8Scale(col("embedding")))
+      .withColumn("embedding", Similarity.int8Dequantize(
+        Similarity.int8Codes(col("embedding"), col("_s")), col("_s"))
+        .cast("array<float>"))
+      .drop("_s")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topk(df)
+    val quant = topk(deq)
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) intersect quant(q)).size.toDouble / 3).sum / exact.size
+    assert(recall >= 0.9, s"recall@3 over quantized corpus = $recall")
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhash64(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
