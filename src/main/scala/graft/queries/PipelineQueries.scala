@@ -150,6 +150,23 @@ object PipelineQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("predicted"))
     },
+    "pipeline_e2e" -> { (s, dir) =>
+      // the whole preprocessing pipeline as ONE declarative chain —
+      // quality filter → PII redact → exact-dedup survivor selection →
+      // sequence packing → split assignment — so Catalyst optimizes
+      // across stage boundaries instead of executing node-by-node
+      val docs = Tables.documents(s, dir)
+      val filtered = docs.filter(TextAnalysis.tokenCount(col("text")) >= 20)
+      val surv = filtered
+        .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("rtext"))
+        .groupBy(md5(col("rtext").cast("binary")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = docs.join(surv.select("doc_id"), "doc_id")
+      Sampling.packSequences(kept, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 256, nBuckets = 64)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"), "s42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    },
     "doc_chunks" -> { (s, dir) =>
       Chunking.chunkDocs(Tables.documents(s, dir), "doc_id", col("text"),
         window = 32, stride = 24)
@@ -295,11 +312,15 @@ object PipelineQueries {
       |  '@mail.example or call +1 555 010 ' || doc_id ||
       |  ', host 10.0.' || (doc_id % 256) || '.7, ssn 123-45-6789.'""".stripMargin
 
-  private val piiRedactedSql = {
-    TextAnalysis.piiPatterns.foldLeft("t") { case (inner, (pat, repl)) =>
-      s"regexp_replace($inner, '$pat', '$repl', 'g')"
+  private def piiRedactedSql(inner: String): String =
+    TextAnalysis.piiPatterns.foldLeft(inner) { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
     }
-  }
+
+  /** Portable token-count SQL (mirror of `TextAnalysis.tokenCount`). */
+  private def tokCntSql(text: String): String =
+    s"""CASE WHEN len(trim($text)) = 0 THEN 0
+       |     ELSE len(string_split_regex(trim(lower($text)), '\\s+')) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -335,6 +356,25 @@ object PipelineQueries {
          |cl AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY 1)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)""".stripMargin,
+    "pipeline_e2e" ->
+      s"""WITH f AS (SELECT doc_id, text FROM documents
+         |           WHERE (${tokCntSql("text")}) >= 20),
+         |r AS (SELECT doc_id, ${piiRedactedSql("text")} AS rtext FROM f),
+         |sv AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(rtext)),
+         |t AS (SELECT d.doc_id, ${tokCntSql("d.text")} AS n_tok
+         |      FROM documents d JOIN sv ON sv.doc_id = d.doc_id),
+         |c AS (SELECT doc_id, n_tok,
+         |        sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+         |      FROM t),
+         |b AS (SELECT doc_id, ${bucketSql("s42")} AS bucket FROM documents)
+         |SELECT c.doc_id, c.n_tok,
+         |       CAST(floor(strt / 256.0) AS BIGINT) AS bin,
+         |       strt - CAST(floor(strt / 256.0) AS BIGINT) * 256 AS offset_in_bin,
+         |       CASE WHEN b.bucket < ${splitCuts(0)} THEN 'train'
+         |            WHEN b.bucket < ${splitCuts(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM c JOIN b ON b.doc_id = c.doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
         |             FROM documents),
@@ -389,7 +429,7 @@ object PipelineQueries {
         |FROM q""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents)
-         |SELECT doc_id, $piiRedactedSql AS redacted,
+         |SELECT doc_id, ${piiRedactedSql("t")} AS redacted,
          |  len(regexp_extract_all(t, '${TextAnalysis.piiPatterns.head._1}')) AS n_email,
          |  len(regexp_extract_all(t, '${TextAnalysis.piiPatterns(2)._1}')) AS n_ip
          |FROM aug""".stripMargin,
