@@ -55,9 +55,23 @@ object Reducers {
 
   /** Exact quantiles with linear interpolation — matches
     * `np.nanquantile(method="linear")` (reference: math.py:341-387).
+    * Exact percentile buffers every group value before sorting — right for
+    * oracle parity and bounded groups; for 100-TB groups prefer
+    * [[approxQuantilesR]].
     */
   def quantilesR(v: Column, probabilities: Seq[Double]): Column =
     percentile(v, array(probabilities.map(lit): _*))
+
+  /** Scale-path quantiles: `percentile_approx` (t-digest-style sketch,
+    * relative error ≤ 1/accuracy) — CONSTANT memory per group and fully
+    * partial-aggregatable, so a group of a billion values costs the same
+    * buffer as a group of a thousand. The exact reducer stays the default
+    * where results feed the bit-exact oracle; this is the documented
+    * swap-in when group cardinality is unbounded.
+    */
+  def approxQuantilesR(v: Column, probabilities: Seq[Double],
+      accuracy: Int = 10000): Column =
+    percentile_approx(v, array(probabilities.map(lit): _*), lit(accuracy))
 
   /** [min, max] pair (reference: math.py:322-329). */
   def extremaR(v: Column, ignoreNodata: Boolean = true): Column =

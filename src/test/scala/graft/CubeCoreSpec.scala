@@ -384,4 +384,27 @@ class CubeCoreSpec extends AnyFunSuite {
     val planBig = MergeOps.mask(data, big).df.queryExecution.sparkPlan.toString
     assert(!planBig.contains("BroadcastHashJoin"))
   }
+
+  test("approx quantiles track exact within sketch tolerance on skewed data") {
+    val sess = spark
+    import sess.implicits._
+    // log-skewed values: the case where an exact per-group sort buffer
+    // hurts at scale and the sketch must still land on the right quantile
+    val vals = (1 to 20000).map(i => math.pow(1.0007, i))
+    val df = vals.map(v => ("g", v)).toDF("k", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val row = df.groupBy("k").agg(
+      Reducers.quantilesR(col("v"), ps).as("exact"),
+      Reducers.approxQuantilesR(col("v"), ps, accuracy = 10000).as("approx"))
+      .first()
+    val exact = row.getSeq[Double](1)
+    val approx = row.getSeq[Double](2)
+    exact.zip(approx).zip(ps).foreach { case ((e, a), p) =>
+      // percentile_approx guarantees RANK error <= n/accuracy = 2 ranks;
+      // allow the value at +-5 ranks for interpolation slack
+      val rank = vals.count(_ <= a)
+      val wantRank = (p * vals.size).round
+      assert(math.abs(rank - wantRank) <= 5, s"p=$p exact=$e approx=$a rank=$rank")
+    }
+  }
 }
