@@ -15,6 +15,11 @@ run / fork := true
 // sbt's logger: the logger prefixes every line with "[info] ", which breaks
 // the driver's json.loads of Bench's single-line output.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the trailing "[success] Total time: ..." line for the same
+// reason: Bench's JSON must be the LAST line on stdout. (Commands read the
+// key even though no task does — exclude it from the unused-key lint.)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
