@@ -210,6 +210,24 @@ object PipelineQueries {
         TextAnalysis.piiCount(aug, TextAnalysis.piiPatterns.head._1).as("n_email"),
         TextAnalysis.piiCount(aug, TextAnalysis.piiPatterns(2)._1).as("n_ip"))
     },
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style repetition quality filters (Rae et al. 2021, public):
+      // top-{2,3}-gram char fraction, duplicate-5-gram char fraction,
+      // type-token ratio, folded into a keep/drop flag. The SCAN-SPEED form
+      // (per-row sorted-gram run-length folds, zero shuffles) is what runs;
+      // the oracle mirrors the semantics relationally — matching hashes
+      // prove the two forms equivalent on the whole corpus.
+      val m = Tables.documents(s, dir).select(col("doc_id"),
+        round(Repetition.typeTokenRatio(col("text")), 6).as("ttr"),
+        round(Repetition.topNgramCharFraction(col("text"), 2), 6).as("top2_frac"),
+        round(Repetition.topNgramCharFraction(col("text"), 3), 6).as("top3_frac"),
+        round(Repetition.dupNgramCharFraction(col("text"), 5), 6).as("dup5_frac"))
+      // thresholds compare the ROUNDED values so both engines decide keep
+      // from bit-identical operands
+      m.withColumn("keep",
+        (col("top2_frac") <= 0.2 && col("top3_frac") <= 0.18 &&
+          col("dup5_frac") <= 0.15 && col("ttr") >= 0.35).cast("int"))
+    },
     "train_test_split" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         Sampling.splitColumn(col("doc_id"), "s42",
@@ -433,6 +451,43 @@ object PipelineQueries {
          |  len(regexp_extract_all(t, '${TextAnalysis.piiPatterns.head._1}')) AS n_email,
          |  len(regexp_extract_all(t, '${TextAnalysis.piiPatterns(2)._1}')) AS n_ip
          |FROM aug""".stripMargin,
+    "text_repetition" ->
+      // relational mirror of the scan-speed folds: explode n-grams, count
+      // per (doc, gram), top-1 by (cnt desc, gram asc) / Σ cnt·len over
+      // repeated grams — same metric definitions as Repetition.scala
+      """WITH tok AS (SELECT doc_id, length(text) AS nc,
+        |       string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        |       FROM tok, UNNEST(range(1, greatest(len(t), 1))) u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, cnt * length(gram) AS chars,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |       FROM c2),
+        |g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |       FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) u(i)),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, cnt * length(gram) AS chars,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |       FROM c3),
+        |g5 AS (SELECT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+        |       FROM tok, UNNEST(range(1, greatest(len(t)-3, 1))) u(i)),
+        |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, sum(cnt * length(gram)) AS chars FROM c5 WHERE cnt >= 2 GROUP BY 1),
+        |m AS (SELECT k.doc_id,
+        |  round(CASE WHEN len(k.t) = 0 THEN 0.0
+        |             ELSE len(list_distinct(k.t)) / CAST(len(k.t) AS DOUBLE) END, 6) AS ttr,
+        |  round(COALESCE(t2.chars, 0) / CAST(k.nc AS DOUBLE), 6) AS top2_frac,
+        |  round(COALESCE(t3.chars, 0) / CAST(k.nc AS DOUBLE), 6) AS top3_frac,
+        |  round(COALESCE(d5.chars, 0) / CAST(k.nc AS DOUBLE), 6) AS dup5_frac
+        |FROM tok k
+        |LEFT JOIN t2 ON t2.doc_id = k.doc_id AND t2.rn = 1
+        |LEFT JOIN t3 ON t3.doc_id = k.doc_id AND t3.rn = 1
+        |LEFT JOIN d5 ON d5.doc_id = k.doc_id)
+        |SELECT doc_id, ttr, top2_frac, top3_frac, dup5_frac,
+        |       CAST(top2_frac <= 0.2 AND top3_frac <= 0.18 AND dup5_frac <= 0.15
+        |            AND ttr >= 0.35 AS INT) AS keep
+        |FROM m""".stripMargin,
     "train_test_split" ->
       s"""WITH b AS (SELECT doc_id, ${bucketSql("s42")} AS bucket FROM documents)
          |SELECT doc_id,

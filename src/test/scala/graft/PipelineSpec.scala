@@ -454,4 +454,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == out(4L)) // identical bytes → identical features
     assert(out(1L)._1 == "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
   }
+
+  test("repetition metrics: hand-checked values on a planted repetitive doc") {
+    // "a b a b a b c": 2-grams = [a b]x3, [b a]x2, [b c]x1; text len 13
+    val d = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val r = d.select(
+      Repetition.topNgram(col("text"), 2).as("top"),
+      Repetition.topNgramCharFraction(col("text"), 2).as("f2"),
+      Repetition.dupNgramCharFraction(col("text"), 2).as("d2"),
+      Repetition.typeTokenRatio(col("text")).as("ttr")).collect()(0)
+    val top = r.getStruct(0)
+    assert(top.getLong(0) == 3L && top.getString(1) == "a b")
+    assert(math.abs(r.getDouble(1) - 9.0 / 13) < 1e-12)   // 3 * len("a b")
+    assert(math.abs(r.getDouble(2) - 15.0 / 13) < 1e-12)  // 3*3 + 2*3 (>1 ok)
+    assert(math.abs(r.getDouble(3) - 3.0 / 7) < 1e-12)    // {a,b,c} of 7 toks
+  }
+
+  test("repetition: tie on count picks the lexicographically smallest gram") {
+    // 2-grams of "z y x w" are "z y", "y x", "x w" — each once; the
+    // (count desc, gram asc) order must pick "x w" in BOTH forms
+    val d = Seq((1L, "z y x w")).toDF("doc_id", "text")
+    val top = d.select(Repetition.topNgram(col("text"), 2)).collect()(0).getStruct(0)
+    assert(top.getLong(0) == 1L && top.getString(1) == "x w")
+    val rel = Repetition.topNgramStats(d, "doc_id", col("text"), 2).collect()(0)
+    assert(rel.getLong(1) == 1L && rel.getString(2) == "x w")
+  }
+
+  test("repetition: scan-speed folds == relational explode+groupBy, whole corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scan = real.select(col("doc_id"),
+      Repetition.topNgram(col("text"), 3).getField("cnt").as("cnt"),
+      Repetition.topNgram(col("text"), 3).getField("gram").as("gram"),
+      Repetition.dupNgramCharCount(col("text"), 2).as("dup2"))
+    val rel = Repetition.topNgramStats(real, "doc_id", col("text"), 3)
+      .join(Repetition.dupNgramChars(real, "doc_id", col("text"), 2), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cnt"), col("gram"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup2"))
+    assert(scan.exceptAll(rel).isEmpty && rel.exceptAll(scan).isEmpty)
+  }
+
+  test("repetition: doc shorter than n yields empty grams and zero fractions") {
+    val d = Seq((1L, "one two")).toDF("doc_id", "text")
+    val r = d.select(
+      Repetition.topNgramCharFraction(col("text"), 5).as("f"),
+      Repetition.dupNgramCharFraction(col("text"), 5).as("g")).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
 }
