@@ -205,6 +205,22 @@ object SeriesQueries {
       k.df.select(col("x"), col("y"), col("value").cast("bigint").as("ksum"))
     },
 
+    "apply_kernel_tiled" -> { (s, dir) =>
+      // the SAME convolution through the tile-partitioned stencil (halo
+      // exchange + per-tile map lookups, one shuffle, no kernel-size row
+      // fan-out) — tileSize 8 puts seams through the 20×25 grid, so the
+      // oracle match proves halo handling, not just the kernel math
+      val grid = Tables.events(s, dir)
+        .groupBy((col("user_id") % 20).as("x"), (col("event_id") % 25).as("y"))
+        .agg(sum(cents(col("value"))).as("value"))
+      val c = DataCube.fromTable(grid, Seq("x", "y"), "value",
+        Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+      val k = KernelOps.applyKernelTiled(c,
+        Seq(Seq(0, 1, 0), Seq(1, 4, 1), Seq(0, 1, 0)),
+        KernelOps.Constant(0.0), 1.0, (0L, 19L), (0L, 24L), tileSize = 8)
+      k.df.select(col("x"), col("y"), col("value").cast("bigint").as("ksum"))
+    },
+
     // ---- RQA recurrence (§2.11) ----
     "rqa_recurrence" -> { (s, dir) =>
       WindowOps.recurrenceRate(eidCube(s, dir), "eid", eps = 500, maxLag = 10)
@@ -401,6 +417,16 @@ object SeriesQueries {
         |UNION ALL
         |SELECT t, 'd2' AS band, (su - er) / CAST(su + er AS DOUBLE) AS nd FROM p""".stripMargin,
     "apply_kernel" ->
+      """WITH g AS (SELECT user_id % 20 AS x, event_id % 25 AS y,
+        |                  sum(CAST(round(value*100) AS BIGINT)) AS v
+        |           FROM events GROUP BY 1, 2),
+        |k(dx, dy, w) AS (VALUES (0,-1,1),(-1,0,1),(0,0,4),(1,0,1),(0,1,1))
+        |SELECT g.x, g.y, CAST(sum(n.v * k.w) AS BIGINT) AS ksum
+        |FROM g CROSS JOIN k JOIN g n ON n.x = g.x + k.dx AND n.y = g.y + k.dy
+        |GROUP BY 1, 2""".stripMargin,
+    "apply_kernel_tiled" ->
+      // identical semantics to apply_kernel: dense grid + center weight ⇒
+      // every cell emits on both the join and stencil paths
       """WITH g AS (SELECT user_id % 20 AS x, event_id % 25 AS y,
         |                  sum(CAST(round(value*100) AS BIGINT)) AS v
         |           FROM events GROUP BY 1, 2),

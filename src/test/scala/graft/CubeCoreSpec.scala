@@ -367,6 +367,46 @@ class CubeCoreSpec extends AnyFunSuite {
     assert(out0(Constant(10.0)) == 15.0)
   }
 
+  test("tiled stencil == join form, every border mode, across tile seams") {
+    import KernelOps._
+    // 13×9 dense grid, integer values, power-of-two weights → every product
+    // and partial sum is exact in binary, so the two physical forms must
+    // agree BIT-FOR-BIT regardless of summation order. tileSize=4 puts tile
+    // seams (and their halos) through the middle of the grid.
+    val cells = for (x <- 0L to 12L; y <- 0L to 8L)
+      yield (x, y, ((x * 31 + y * 17) % 23).toDouble)
+    val c = DataCube.fromTable(cells.toDF("x", "y", "value"), Seq("x", "y"), "value")
+    val kern = Seq( // asymmetric, one zero weight
+      Seq(1.0, 2.0, 0.5),
+      Seq(0.0, 4.0, 1.0),
+      Seq(0.25, 8.0, 2.0))
+    for (mode <- Seq(Replicate, Reflect, ReflectPixel, Wrap, Constant(7.0))) {
+      val a = applyKernelBorder(c, kern, mode, 2.0, (0L, 12L), (0L, 8L)).df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val b = applyKernelTiled(c, kern, mode, 2.0, (0L, 12L), (0L, 8L), tileSize = 4).df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(a.sameElements(b), s"$mode: join=${a.take(3).toSeq} tiled=${b.take(3).toSeq}")
+    }
+  }
+
+  test("tiled stencil handles sparse cubes: fill under Constant, skip otherwise") {
+    import KernelOps._
+    // knock holes in the grid; non-constant modes must also drop cells whose
+    // every neighbor is missing, exactly like the inner-join form
+    val cells = (for (x <- 0L to 12L; y <- 0L to 8L)
+      yield (x, y, ((x * 5 + y * 3) % 11).toDouble))
+      .filterNot { case (x, y, _) => (x * 7 + y) % 3 == 0 }
+    val c = DataCube.fromTable(cells.toDF("x", "y", "value"), Seq("x", "y"), "value")
+    val kern = Seq(Seq(1.0, 2.0, 1.0))
+    for (mode <- Seq(Replicate, Wrap, Constant(3.0))) {
+      val a = applyKernelBorder(c, kern, mode, 1.0, (0L, 12L), (0L, 8L)).df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val b = applyKernelTiled(c, kern, mode, 1.0, (0L, 12L), (0L, 8L), tileSize = 4).df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(a.sameElements(b), s"$mode")
+    }
+  }
+
   test("mask broadcasts a small mask but not an oversized one") {
     val data = DataCube.fromTable(
       spark.range(1000000L).select(col("id").as("x"),

@@ -119,6 +119,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // fused dedup+product (productExactDedupR): the (okey,ln) min-dedup and
     // the ln-product ride the SAME groupBy(okey) — exactly one exchange
     assert(shuffles(SparkEntry.queries("reduce_product")(spark, dir)) == 1)
+
+    // tiled stencil: halo copies are generated arithmetically (no self-join),
+    // so the whole convolution costs exactly the one tile groupBy — and the
+    // kernel never multiplies the shuffled row count
+    val lgrid = (for { x <- 0L to 19L; y <- 0L to 19L }
+      yield (x, y, (x * y).toDouble)).toDF("x", "y", "value")
+    val lgc = DataCube.fromTable(lgrid, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+    val tiled = KernelOps.applyKernelTiled(lgc,
+      Seq(Seq(0.0, 1.0, 0.0), Seq(1.0, 4.0, 1.0), Seq(0.0, 1.0, 0.0)),
+      KernelOps.Constant(0.0), 1.0, (0L, 19L), (0L, 19L), tileSize = 8)
+    assert(shuffles(tiled.df) == 1, plan(tiled.df))
   }
 
   test("pipeline ops: scan-speed ops shuffle-free; packing never serializes") {
