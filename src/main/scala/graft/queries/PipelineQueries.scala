@@ -262,6 +262,22 @@ object PipelineQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("longest"))
     },
+    "asof_join" -> { (s, dir) =>
+      // point-in-time enrichment: each event picks up the most recent daily
+      // reference level of its type; the reference table is sparsified to
+      // every-third-day so matches genuinely cross day gaps. One shuffle
+      // (union + growing window), never a range-probe join.
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("level"))
+        .filter(dayofmonth(col("day")) % 3 === 0)
+      Joins.asofJoin(ev.select(col("event_id"), col("event_type"), col("ts")),
+          daily, keys = Seq("event_type"), leftTime = "ts", rightTime = "day",
+          payload = Seq("level"))
+        .select(col("event_id"), col("event_type"), col("level"))
+    },
     "topk_revenue" -> { (s, dir) =>
       val rev = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
@@ -666,6 +682,20 @@ object PipelineQueries {
         |l AS (SELECT user_id, sess_id, count(*) AS len FROM s GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(len) AS longest
         |FROM l GROUP BY 1""".stripMargin,
+    "asof_join" ->
+      // correlated max-subquery form (portable); the Spark plan is the
+      // union+window sort-merge — matching hashes prove them equivalent
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |             sum(CAST(round(value*100) AS BIGINT)) AS level
+        |           FROM events GROUP BY 1, 2),
+        |df AS (SELECT * FROM d WHERE day(day) % 3 = 0),
+        |m AS (SELECT e.event_id, e.event_type, e.ts,
+        |        (SELECT max(day) FROM df
+        |         WHERE df.event_type = e.event_type AND df.day <= e.ts) AS mday
+        |      FROM events e)
+        |SELECT m.event_id, m.event_type, df.level
+        |FROM m LEFT JOIN df
+        |  ON df.event_type = m.event_type AND df.day = m.mday""".stripMargin,
     "topk_revenue" ->
       """SELECT l.l_orderkey, o.o_custkey,
         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents

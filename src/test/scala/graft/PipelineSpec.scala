@@ -455,6 +455,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L)._1 == "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
   }
 
+  test("asof join: backward/forward, strict, per-key isolation, outer nulls") {
+    import graft.core.Joins
+    val left = Seq(("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 30), ("a", 5L, 50),
+      ("b", 2L, 99)).toDF("k", "t", "lv")
+    val right = Seq(("a", 2L, 200), ("a", 4L, 400)).toDF("k", "rt", "p")
+    def run(dir: String, strict: Boolean): Map[(String, Long), Option[Int]] =
+      Joins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("p"), dir, strict)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    val bw = run("backward", strict = false)
+    assert(bw(("a", 1L)).isEmpty && bw(("a", 2L)).contains(200) &&
+      bw(("a", 3L)).contains(200) && bw(("a", 5L)).contains(400))
+    assert(bw(("b", 2L)).isEmpty) // keys never leak across series
+    val bws = run("backward", strict = true)
+    assert(bws(("a", 2L)).isEmpty && bws(("a", 3L)).contains(200))
+    val fw = run("forward", strict = false)
+    assert(fw(("a", 1L)).contains(200) && fw(("a", 2L)).contains(200) &&
+      fw(("a", 3L)).contains(400) && fw(("a", 5L)).isEmpty)
+    val fws = run("forward", strict = true)
+    assert(fws(("a", 2L)).contains(400))
+  }
+
+  test("asof join: equal-time right rows resolve to the largest payload") {
+    import graft.core.Joins
+    val left = Seq(("a", 5L)).toDF("k", "t")
+    val right = Seq(("a", 3L, 7), ("a", 3L, 9), ("a", 3L, 8)).toDF("k", "rt", "p")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("p"))
+      .collect()(0)
+    assert(out.getInt(2) == 9)
+  }
+
   test("repetition metrics: hand-checked values on a planted repetitive doc") {
     // "a b a b a b c": 2-grams = [a b]x3, [b a]x2, [b c]x1; text len 13
     val d = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")

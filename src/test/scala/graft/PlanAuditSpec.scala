@@ -131,6 +131,14 @@ class PlanAuditSpec extends AnyFunSuite {
       Seq(Seq(0.0, 1.0, 0.0), Seq(1.0, 4.0, 1.0), Seq(0.0, 1.0, 0.0)),
       KernelOps.Constant(0.0), 1.0, (0L, 19L), (0L, 19L), tileSize = 8)
     assert(shuffles(tiled.df) == 1, plan(tiled.df))
+
+    // as-of join: both sides reach the matching window through ONE exchange
+    // above the union — no range-probe join, no nested loop
+    val al = Seq(("a", 1L, 1)).toDF("k", "t", "lv")
+    val ar = Seq(("a", 1L, 2)).toDF("k", "rt", "p")
+    val aj = graft.core.Joins.asofJoin(al, ar, Seq("k"), "t", "rt", Seq("p"))
+    assert(shuffles(aj) == 1, plan(aj))
+    assert(!plan(aj).contains("NestedLoop") && !plan(aj).contains("Cartesian"))
   }
 
   test("pipeline ops: scan-speed ops shuffle-free; packing never serializes") {
