@@ -30,6 +30,10 @@ object SparkTuning {
       "graft_dot",
       exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition",
+      exprs => graft.functions.RepetitionStats(exprs(0)),
+      "built-in")
     // engine-native optimizer rules (see graft.plans.NanosPredicatePushdown)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.NanosPredicatePushdown)) {

@@ -48,6 +48,19 @@ object Repetition {
       .otherwise(size(array_distinct(t)) / size(t).cast("double"))
   }
 
+  /** All four Gopher metrics — `struct(ttr, top2, top3, dup5)` — in ONE
+    * imperative pass per document ([[graft.functions.RepetitionStats]]).
+    * Bit-identical to the four HOF columns below (property-spec-pinned) but
+    * ~50× cheaper: the HOF folds are interpreted per array element and each
+    * re-tokenizes + re-sorts the doc. Prefer this in corpus-scale filters;
+    * the HOF forms remain for arbitrary n and as the semantic reference.
+    *
+    * Requires `graft.core.SparkTuning.tune(session)` (every `Tables` load
+    * path calls it) to have registered `graft_repetition`.
+    */
+  def stats(text: Column): Column =
+    call_function("graft_repetition", text.cast("string"))
+
   // ---- scan-speed form: run-length fold over the sorted gram array ----
 
   /** struct(cnt, gram) of the most frequent n-gram (ties → smallest gram);

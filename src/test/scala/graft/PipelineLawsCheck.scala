@@ -113,4 +113,29 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
       q.forall(c => c >= -127 && c <= 127) &&
         r.zip(vs).forall { case (rec, v) => math.abs(rec - v) <= s / 2 + 1e-12 }
     }
+
+  // tiny token alphabet + messy whitespace forces gram collisions, count
+  // ties and empty-token edge cases in the same document
+  val genText: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "é", "Ω", "x"))
+    seps <- Gen.listOfN(n + 1, Gen.oneOf(" ", "  ", "\t", "\n", ""))
+  } yield seps.zipAll(toks, "", "").map { case (s, t) => s + t }.mkString
+
+  property("repetition: one-pass expression == HOF folds on random text") =
+    forAll(Gen.listOfN(6, genText)) { texts =>
+      graft.core.SparkTuning.tune(spark) // registers graft_repetition
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = df.select(Repetition.stats(col("text")).as("st"),
+          Repetition.typeTokenRatio(col("text")),
+          Repetition.topNgramCharFraction(col("text"), 2),
+          Repetition.topNgramCharFraction(col("text"), 3),
+          Repetition.dupNgramCharFraction(col("text"), 5)).collect()
+      rows.forall { r =>
+        val st = r.getStruct(0)
+        st.getDouble(0) == r.getDouble(1) && st.getDouble(1) == r.getDouble(2) &&
+          st.getDouble(2) == r.getDouble(3) && st.getDouble(3) == r.getDouble(4)
+      }
+    }
 }

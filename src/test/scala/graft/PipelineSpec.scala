@@ -531,4 +531,34 @@ class PipelineSpec extends AnyFunSuite {
       Repetition.dupNgramCharFraction(col("text"), 5).as("g")).collect()(0)
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
+
+  test("repetition: one-pass expression == HOF folds, bit-for-bit, whole corpus + edges") {
+    // the fast RepetitionStats expression must be indistinguishable from the
+    // four HOF columns — including empty/whitespace-only/short/unicode/tie
+    // documents — or the oracle hash would drift
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "\t \n "), (9004L, "one"),
+      (9005L, "z y x w"), (9006L, "a b a b a b c"),
+      (9007L, "ÉCOLE école ÉCOLE école münchen"),
+      (9008L, "x x x x x x x x"), (9009L, " pad  both\tsides ")
+    ).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = real.unionByName(edge)
+    val both = corpus.select(col("doc_id"), Repetition.stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.ttr").as("e_ttr"), col("st.top2").as("e_top2"),
+        col("st.top3").as("e_top3"), col("st.dup5").as("e_dup5"))
+      .join(corpus.select(col("doc_id"),
+        Repetition.typeTokenRatio(col("text")).as("h_ttr"),
+        Repetition.topNgramCharFraction(col("text"), 2).as("h_top2"),
+        Repetition.topNgramCharFraction(col("text"), 3).as("h_top3"),
+        Repetition.dupNgramCharFraction(col("text"), 5).as("h_dup5")),
+        Seq("doc_id"))
+    val bad = both.filter(
+      col("e_ttr") =!= col("h_ttr") || col("e_top2") =!= col("h_top2") ||
+        col("e_top3") =!= col("h_top3") || col("e_dup5") =!= col("h_dup5"))
+      .collect()
+    assert(bad.isEmpty, s"expression/HOF mismatch: ${bad.take(3).mkString("; ")}")
+  }
 }
