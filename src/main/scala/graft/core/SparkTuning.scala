@@ -34,6 +34,15 @@ object SparkTuning {
       "graft_repetition",
       exprs => graft.functions.RepetitionStats(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => exprs match {
+        case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          graft.functions.Shingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(text, n) requires a literal int n")
+      },
+      "built-in")
     // engine-native optimizer rules (see graft.plans.NanosPredicatePushdown)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.NanosPredicatePushdown)) {

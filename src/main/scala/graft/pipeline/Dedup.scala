@@ -29,24 +29,38 @@ object Dedup {
     df.groupBy(key.as("content_key"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles per document: one row per (id, shingle).
-    * Shingling happens via a sequence-transform HOF, so documents never
-    * leave the executors.
+  /** Distinct word n-gram shingles per document as one array column —
+    * the one-pass [[graft.functions.Shingles]] expression (identical
+    * semantics to [[shinglesHof]], property-spec-pinned). Requires
+    * `graft.core.SparkTuning.tune(session)` to have registered
+    * `graft_shingles` (every `Tables` load path does).
     */
-  def shingles(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
+  def shingleArray(text: Column, n: Int): Column =
+    call_function("graft_shingles", text.cast("string"), lit(n))
+
+  /** Distinct word n-gram shingles per document: one row per (id, shingle).
+    * Shingling happens row-local in the scan — documents never leave the
+    * executors and nothing shuffles until the downstream aggregation.
+    */
+  def shingles(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleArray(text, n)).as("shingle"))
+
+  /** Reference HOF implementation of [[shingles]]'s per-row array
+    * (interpreted; used by specs to pin the expression's semantics).
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     // Materialize the token array as a named column FIRST: inlining the
     // split() into the transform lambda would re-tokenize the whole document
     // per element (HOFs are interpreted and do no CSE) — measured 10× on the
     // shingling stage alone. A multi-use non-trivial alias survives
     // CollapseProject, so the lambda sees a cheap attribute reference.
-    val t = col("_toks")
+    // Callers wrap in a two-step select naming `_toks`; here we inline via
+    // a struct-scoped reference instead, which specs evaluate per row.
+    val t = TextAnalysis.tokens(text)
     // sequence(0, k) DESCENDS when k < 0 — guard short documents explicitly
-    val sh = when(size(t) < n, array().cast("array<string>")).otherwise(
+    array_distinct(when(size(t) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-    df.withColumn("_toks", TextAnalysis.tokens(text))
-      .withColumn("_sh", array_distinct(sh))
-      .select(col(idCol), explode(col("_sh")).as("shingle"))
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))
   }
 
   /** 2⁶¹−1, the Mersenne prime every derived minhash function reduces by. */

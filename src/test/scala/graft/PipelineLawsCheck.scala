@@ -122,6 +122,16 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
     seps <- Gen.listOfN(n + 1, Gen.oneOf(" ", "  ", "\t", "\n", ""))
   } yield seps.zipAll(toks, "", "").map { case (s, t) => s + t }.mkString
 
+  property("shingles: one-pass expression == HOF transform on random text") =
+    forAll(Gen.listOfN(6, genText), Gen.choose(1, 4)) { (texts, n) =>
+      graft.core.SparkTuning.tune(spark) // registers graft_shingles
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      df.select(Dedup.shingleArray(col("text"), n).as("e"),
+          Dedup.shinglesHof(col("text"), n).as("h")).collect()
+        .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
   property("repetition: one-pass expression == HOF folds on random text") =
     forAll(Gen.listOfN(6, genText)) { texts =>
       graft.core.SparkTuning.tune(spark) // registers graft_repetition
