@@ -43,6 +43,15 @@ object SparkTuning {
           "graft_shingles(text, n) requires a literal int n")
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => exprs match {
+        case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          graft.functions.Shingles(text, n, distinct = false)
+        case _ => throw new IllegalArgumentException(
+          "graft_ngrams(text, n) requires a literal int n")
+      },
+      "built-in")
     // engine-native optimizer rules (see graft.plans.NanosPredicatePushdown)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.NanosPredicatePushdown)) {

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominant scan cost of the dedup family. One pass with direct array
   * indexing keeps the dedup operators scan-fast at corpus scale.
   */
-case class Shingles(child: Expression, n: Int)
+case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, s"shingle length must be >= 1, got $n")
@@ -40,12 +40,13 @@ case class Shingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    Shingles.compute(input.asInstanceOf[UTF8String], n)
+    Shingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String =
+    if (distinct) "graft_shingles" else "graft_ngrams"
 }
 
 object Shingles {
@@ -53,15 +54,26 @@ object Shingles {
   private val WS = UTF8String.fromString("\\s+")
   private val SP = UTF8String.fromString(" ")
 
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     val toks = text.toLowerCase.trim().split(WS, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new JLinkedHashSet[UTF8String](toks.length * 2)
-    var i = 0
-    while (i <= toks.length - n) {
-      seen.add(UTF8String.concatWs(SP, toks.slice(i, i + n): _*))
-      i += 1
+    val m = toks.length - n + 1
+    if (distinct) {
+      val seen = new JLinkedHashSet[UTF8String](toks.length * 2)
+      var i = 0
+      while (i < m) {
+        seen.add(UTF8String.concatWs(SP, toks.slice(i, i + n): _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    } else {
+      val out = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) {
+        out(i) = UTF8String.concatWs(SP, toks.slice(i, i + n): _*)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 }

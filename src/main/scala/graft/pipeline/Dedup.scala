@@ -38,6 +38,13 @@ object Dedup {
   def shingleArray(text: Column, n: Int): Column =
     call_function("graft_shingles", text.cast("string"), lit(n))
 
+  /** Word n-grams with multiplicity PRESERVED (no distinct) — the feature
+    * form frequency-based consumers (DSIR importance weighting) need.
+    * Same one-pass expression, `distinct = false`.
+    */
+  def ngramArray(text: Column, n: Int): Column =
+    call_function("graft_ngrams", text.cast("string"), lit(n))
+
   /** Distinct word n-gram shingles per document: one row per (id, shingle).
     * Shingling happens row-local in the scan — documents never leave the
     * executors and nothing shuffles until the downstream aggregation.
@@ -522,5 +529,60 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }
+  }
+
+  /** Corpus-wide EXACT substring duplication (the detection half of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better" —
+    * public): slide a `k`-char window every `stride` chars over each
+    * document, hash the windows, and mark every window whose hash occurs ≥2
+    * times ANYWHERE in the corpus (other docs or elsewhere in the same
+    * doc). Returns per-doc `(idCol, n_windows, n_dup_windows, dup_frac)`;
+    * a high fraction means the doc is largely boilerplate shared with the
+    * rest of the corpus. Docs shorter than `k` have zero windows.
+    *
+    * Scale shape: window GENERATION is row-local (a bounded per-row
+    * transform — no self-join, documents never leave their task); the only
+    * corpus-wide structure is one map-side-combinable groupBy on the
+    * window hash plus a size-gated broadcast of the duplicated-key set
+    * (near-dup keys are a tiny fraction of windows on a healthy corpus).
+    * `stride` is the cost lever: windows per byte scale as 1/stride, at
+    * the cost of detection granularity — the paper's suffix-array
+    * formulation is exact-to-the-byte but needs a global sort; stride
+    * windows are the shuffle-friendly approximation.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, text: Column,
+      k: Int = 40, stride: Int = 10,
+      cacheWindows: Boolean = true): DataFrame = {
+    require(k >= 1 && stride >= 1, s"need k,stride >= 1, got k=$k stride=$stride")
+    val len = length(text)
+    val nWin = when(len < k, lit(0L)).otherwise(
+      floor((len - k).cast("double") / stride).cast("long") + 1L)
+    // sequence(0, m-1) DESCENDS for m-1 < 0 — the nWin===0 guard avoids it
+    val winArr = when(nWin === 0L, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0L), nWin - 1L),
+        i => text.substr((i * stride + 1L).cast("int"), lit(k))))
+    // shuffle carries fixed-width md5 keys, never window text; the window
+    // table feeds BOTH the key-count branch and the per-doc join (same
+    // diamond as the MinHash shingle table), so persist by default —
+    // ~(id + 32-char key) per window, ≈ corpus_bytes/stride·50B
+    val winBase = df.select(col(idCol), explode(winArr).as("w"))
+      .select(col(idCol), md5(col("w").cast("binary")).as("wkey"))
+    val win = if (cacheWindows)
+      winBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else winBase
+    val dupKeys = win.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("wcnt"))
+      .filter(col("wcnt") >= 2L)
+      .select(col("wkey"), lit(1).as("_dup"))
+    val perDoc = win
+      .join(Joins.maybeBroadcast(dupKeys), Seq("wkey"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_windows", "n_dup_windows"))
+      .withColumn("dup_frac", when(col("n_windows") === 0L, 0.0).otherwise(
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 6)))
   }
 }

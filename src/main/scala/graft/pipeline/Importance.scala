@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.core.Joins
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** DSIR-style importance weighting for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" — public):
+  * score every document by how much more likely its hashed n-gram features
+  * are under a TARGET distribution (e.g. curated/high-quality docs) than
+  * under the RAW pool, then keep the most target-like slice.
+  *
+  * Shuffle structure at corpus scale:
+  *   1. one scan exploding each doc's unigrams+bigrams to (doc, bucket)
+  *      rows — bucket is an md5-derived hash in [0, B), so the feature
+  *      space is FIXED-SIZE regardless of corpus size;
+  *   2. one map-side-combinable groupBy(bucket) for the two count vectors
+  *      (B rows total — kilobytes);
+  *   3. per-bucket log-likelihood-ratio weights broadcast back and one
+  *      groupBy(doc) sum. Two passes over the gram rows (stats + scoring),
+  *      so the gram projection is persisted like the MinHash diamond.
+  *
+  * Determinism across engines: the per-bucket log-ratio is quantized ONCE
+  * to integer micro-units (`floor(ln(r)·10⁶ + ½)`), and per-doc scores are
+  * INTEGER sums of those units — float summation order can never perturb
+  * the result, so the DuckDB oracle matches bit-for-bit.
+  */
+object Importance {
+
+  /** md5-derived hash bucket in [0, buckets): first 7 hex nibbles of
+    * md5(gram) as an int (the minhash base-hash idiom), mod buckets.
+    */
+  def gramBucket(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram.cast("binary")), 1, 7), 16, 10)
+      .cast("bigint") % buckets
+
+  /** Unigram+bigram features of a document, multiplicity preserved (DSIR
+    * counts occurrences, not distinct grams). Bucketing happens AFTER the
+    * explode so the md5 stays in codegen'd projection, not an interpreted
+    * per-element HOF.
+    */
+  def featureGrams(text: Column): Column =
+    concat(Dedup.ngramArray(text, 1), Dedup.ngramArray(text, 2))
+
+  /** Per-document DSIR importance scores: `(idCol, score_units, score,
+    * keep)` where `score_units = Σ_grams lr_units[bucket(gram)]`,
+    * `lr_units[b] = floor(ln(p̂_target[b]/p̂_raw[b])·scale + ½)` with +1
+    * smoothing, `score = units/scale` (rounded for display) and `keep = 1`
+    * iff the doc is more target-like than raw (score > 0).
+    *
+    * `isTarget` marks the target-distribution rows INSIDE the same corpus
+    * (e.g. `col("lang") === "en"` or a curated-source predicate); the raw
+    * distribution is the whole pool, per the paper's raw/target setup.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, text: Column,
+      isTarget: Column, buckets: Int = 512, scale: Long = 1000000L,
+      cacheGrams: Boolean = true): DataFrame = {
+    val gBase = df
+      .select(col(idCol), isTarget.as("_tgt"),
+        explode(featureGrams(text)).as("gram"))
+      .select(col(idCol), col("_tgt"),
+        gramBucket(col("gram"), buckets).as("b"))
+    val g = if (cacheGrams) gBase.persist(StorageLevel.MEMORY_AND_DISK) else gBase
+    val bstats = g.groupBy(col("b")).agg(
+      count(lit(1)).as("ct_all"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
+    // two scalars; the crossJoin is a broadcast of one row
+    val totals = bstats.agg(sum(col("ct_all")).as("n_all"),
+      sum(col("ct_t")).as("n_t"))
+    val lr = bstats.crossJoin(broadcast(totals))
+      .withColumn("lr_units",
+        floor(log(
+          ((col("ct_t") + 1L).cast("double") *
+            (col("n_all") + buckets).cast("double")) /
+          ((col("ct_all") + 1L).cast("double") *
+            (col("n_t") + buckets).cast("double"))) * scale + 0.5)
+          .cast("long"))
+      .select(col("b"), col("lr_units"))
+    val scores = g.join(Joins.maybeBroadcast(lr), Seq("b"))
+      .groupBy(col(idCol)).agg(sum(col("lr_units")).as("score_units"))
+    df.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .na.fill(0L, Seq("score_units"))
+      .withColumn("score", round(col("score_units") / scale.toDouble, 6))
+      .withColumn("keep", (col("score_units") > 0L).cast("int"))
+  }
+}

@@ -233,6 +233,19 @@ object PipelineQueries {
         (col("top2_frac") <= 0.2 && col("top3_frac") <= 0.18 &&
           col("dup5_frac") <= 0.15 && col("ttr") >= 0.35).cast("int"))
     },
+    "dsir_weights" -> { (s, dir) =>
+      // DSIR importance weighting (Xie et al. 2023): hashed unigram+bigram
+      // log-likelihood ratio of target (en docs) vs the raw pool. Scores
+      // are INTEGER micro-unit sums, so both engines agree bit-for-bit.
+      Importance.dsirWeights(Tables.documents(s, dir), "doc_id",
+        col("text"), isTarget = col("lang") === "en", buckets = 512)
+    },
+    "substring_dup" -> { (s, dir) =>
+      // exact substring duplication (Lee et al. 2021): 40-char windows
+      // every 10 chars, corpus-wide duplicated-window fraction per doc
+      Dedup.substringDupStats(Tables.documents(s, dir), "doc_id",
+        col("text"), k = 40, stride = 10)
+    },
     "train_test_split" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         Sampling.splitColumn(col("doc_id"), "s42",
@@ -371,6 +384,56 @@ object PipelineQueries {
         |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_key,
         |       min(doc_id) AS survivor, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "dsir_weights" ->
+      // mirror of Importance.dsirWeights: same md5-nibble bucket hash, same
+      // +1-smoothed log-ratio quantized to integer micro-units, integer sums
+      """WITH tok AS (SELECT doc_id, lang,
+        |         string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |g0 AS (SELECT doc_id, lang, t[i] AS gram
+        |       FROM tok, UNNEST(range(1, len(t) + 1)) u(i)
+        |       UNION ALL
+        |       SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram
+        |       FROM tok, UNNEST(range(1, len(t))) u(i)),
+        |g AS (SELECT doc_id, (lang = 'en') AS tgt,
+        |        (list_reduce(list_transform(range(1, 8), j ->
+        |           (instr('0123456789abcdef', substr(md5(gram), CAST(j AS INT), 1)) - 1)
+        |             * CAST(power(16, 7 - j) AS BIGINT)), (x, y) -> x + y)) % 512 AS b
+        |      FROM g0),
+        |bs AS (SELECT b, count(*) AS ct_all,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct_t
+        |       FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct_all) AS BIGINT) AS n_all,
+        |          CAST(sum(ct_t) AS BIGINT) AS n_t FROM bs),
+        |lr AS (SELECT b, CAST(floor(ln(
+        |           (CAST(ct_t + 1 AS DOUBLE) * CAST(n_all + 512 AS DOUBLE)) /
+        |           (CAST(ct_all + 1 AS DOUBLE) * CAST(n_t + 512 AS DOUBLE)))
+        |         * 1000000 + 0.5) AS BIGINT) AS lr_units
+        |       FROM bs, tot),
+        |sc AS (SELECT doc_id, CAST(sum(lr_units) AS BIGINT) AS score_units
+        |       FROM g JOIN lr USING (b) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.score_units, 0) AS score_units,
+        |       round(COALESCE(sc.score_units, 0) / 1000000.0, 6) AS score,
+        |       CAST(COALESCE(sc.score_units, 0) > 0 AS INT) AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "substring_dup" ->
+      // mirror of Dedup.substringDupStats: 40-char windows every 10 chars,
+      // md5 window keys, corpus-wide >=2 duplicate marking
+      """WITH w AS (SELECT doc_id, md5(substr(text, CAST(i*10 + 1 AS INT), 40)) AS wkey
+        |           FROM documents, UNNEST(range(0,
+        |             CASE WHEN len(text) < 40 THEN 0
+        |                  ELSE CAST(floor(CAST(len(text) - 40 AS DOUBLE) / 10) AS BIGINT) + 1
+        |             END)) u(i)),
+        |dup AS (SELECT wkey FROM w GROUP BY wkey HAVING count(*) >= 2),
+        |pd AS (SELECT w.doc_id, count(*) AS n_windows,
+        |         CAST(sum(CASE WHEN d.wkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_dup_windows
+        |       FROM w LEFT JOIN dup d USING (wkey) GROUP BY 1)
+        |SELECT doc.doc_id, COALESCE(pd.n_windows, 0) AS n_windows,
+        |       COALESCE(pd.n_dup_windows, 0) AS n_dup_windows,
+        |       CASE WHEN COALESCE(pd.n_windows, 0) = 0 THEN 0.0
+        |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
+        |       END AS dup_frac
+        |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_clusters" ->
       // recursive closure over the SAME pair SQL: min reachable id per node

@@ -532,6 +532,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
 
+  test("substring dup: planted shared boilerplate is detected, unique text is not") {
+    val boiler = "this exact boilerplate sentence is shared verbatim between docs"
+    val d = Seq(
+      (1L, boiler + " plus unique tail one two three four five six seven"),
+      (2L, boiler + " with another completely different ending entirely here"),
+      (3L, "no shared substrings at all in this document whatsoever okay"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(d, "doc_id", col("text"), k = 40, stride = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1+2 share the 63-char boiler prefix: windows starting at 1, 11, 21
+    // fit inside it on both docs => >=3 duplicated windows each
+    assert(out(1L)._2 >= 3 && out(2L)._2 >= 3)
+    assert(out(3L)._2 == 0 && out(3L)._1 > 0) // unique text, windows exist
+    assert(out(4L) == (0L, 0L))               // shorter than k: no windows
+  }
+
+  test("dsir: target-distribution docs outscore raw-only docs") {
+    // target speaks 'alpha beta'; raw-only speaks 'gamma delta' — weights
+    // must separate them with a positive margin
+    val d = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta", true),
+      (2L, "beta alpha beta alpha beta alpha beta alpha", true),
+      (3L, "gamma delta gamma delta gamma delta gamma delta", false),
+      (4L, "delta gamma delta gamma delta gamma delta gamma", false),
+      (5L, "alpha beta alpha beta alpha beta beta alpha", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = Importance.dsirWeights(d, "doc_id", col("text"), col("tgt"),
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > 0 && out(2L) > 0)
+    assert(out(3L) < 0 && out(4L) < 0)
+    // doc 5 is raw-labeled but written in the target's language: DSIR must
+    // still score it high — that's the whole point of importance weighting
+    assert(out(5L) > 0)
+  }
+
+  test("ngram array: multiplicity-preserving expression == HOF wordNgrams") {
+    val d = Seq((1L, "a b a b a"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+    val rows = d.select(
+      Dedup.ngramArray(col("text"), 2).as("e"),
+      Repetition.wordNgrams(TextAnalysis.tokens(col("text")), 2).as("h")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("repetition: one-pass expression == HOF folds, bit-for-bit, whole corpus + edges") {
     // the fast RepetitionStats expression must be indistinguishable from the
     // four HOF columns — including empty/whitespace-only/short/unicode/tie
