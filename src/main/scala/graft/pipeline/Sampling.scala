@@ -106,4 +106,45 @@ object Sampling {
       .filter(col("_rn") <= ceil(col("_n") * frac))
       .drop("_rn", "_n")
   }
+
+  /** Temperature-based source mixing (the multilingual-pretraining
+    * resampling rule, mT5/UniMax-style — public): sample source `s` with
+    * weight ∝ n_s^τ, so τ<1 flattens the mixture toward small sources and
+    * τ=1 keeps natural proportions. Deterministic and exact: per-source
+    * quotas `q_s = min(n_s, ⌊targetFrac·N·ŵ_s + ½⌋)` with ŵ_s the
+    * normalized temperature weight, then the q_s docs with the smallest
+    * (hash, id) per source are kept — re-runs and cluster layouts can
+    * never change the selection.
+    *
+    * Determinism detail: the weights n_s^τ are quantized to integer
+    * micro-units BEFORE normalization, so the weight sum is an integer sum
+    * — float summation order (Spark partials vs any oracle engine's
+    * sequential fold) cannot perturb the quotas.
+    *
+    * Shuffle shape: one tiny groupBy(source) for counts, the quota table
+    * broadcast back, one row_number window PARTITIONED BY SOURCE — meant,
+    * like [[stratifiedExact]], for bounded-cardinality source sets (a
+    * web-scale run with millions of "sources" should bucket them first).
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tau: Double, targetFrac: Double, salt: String): DataFrame = {
+    require(tau > 0 && targetFrac > 0 && targetFrac <= 1,
+      s"need tau > 0 and 0 < targetFrac <= 1, got tau=$tau frac=$targetFrac")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_wu",
+        floor(pow(col("_n").cast("double"), tau) * 1000000L + 0.5).cast("long"))
+    val tot = counts.agg(sum(col("_wu")).as("_wsum"), sum(col("_n")).as("_ntot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("_quota", least(col("_n"),
+        floor(col("_ntot").cast("double") * targetFrac *
+          (col("_wu").cast("double") / col("_wsum").cast("double")) + 0.5)
+          .cast("long")))
+      .select(col(sourceCol), col("_quota"))
+    val w = Window.partitionBy(col(sourceCol))
+    df.join(graft.core.Joins.maybeBroadcast(quotas), Seq(sourceCol))
+      .withColumn("_rn",
+        row_number().over(w.orderBy(hashBucket(col(idCol), salt), col(idCol))))
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_rn", "_quota")
+  }
 }

@@ -256,6 +256,12 @@ object PipelineQueries {
           Seq("lang", "source"), frac = 0.25, salt = "s7")
         .select(col("doc_id"), col("lang"), col("source"))
     },
+    "mixture_sample" -> { (s, dir) =>
+      // temperature-flattened source mixture (tau=0.5) at half the corpus
+      Sampling.temperatureMixture(Tables.documents(s, dir), "doc_id",
+          "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
+        .select(col("doc_id"), col("source"))
+    },
 
     // ---- multimodal plumbing ----
     "multimodal_features" -> { (s, dir) =>
@@ -434,6 +440,25 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
         |       END AS dup_frac
         |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
+    "mixture_sample" ->
+      // mirror of Sampling.temperatureMixture: integer micro-unit weights,
+      // same floor(+1/2) quota, same (hash, id) per-source selection order
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT source, n,
+         |        CAST(floor(power(CAST(n AS DOUBLE), 0.5) * 1000000 + 0.5) AS BIGINT) AS wu
+         |      FROM c),
+         |t AS (SELECT CAST(sum(wu) AS BIGINT) AS wsum,
+         |        CAST(sum(n) AS BIGINT) AS ntot FROM w),
+         |q AS (SELECT source, least(n,
+         |        CAST(floor(CAST(ntot AS DOUBLE) * 0.5 *
+         |          (CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE)) + 0.5) AS BIGINT)) AS quota
+         |      FROM w, t),
+         |b AS (SELECT doc_id, source, ${bucketSql("mx1")} AS bucket FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+         |      FROM b)
+         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+         |WHERE rn <= quota""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_clusters" ->
       // recursive closure over the SAME pair SQL: min reachable id per node

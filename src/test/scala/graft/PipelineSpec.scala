@@ -568,6 +568,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) > 0)
   }
 
+  test("temperature mixture: tau<1 flattens toward small sources; tau=1 is natural") {
+    val d = (1L to 90L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("doc_id", "source")
+    def quota(tau: Double): Map[String, Long] =
+      Sampling.temperatureMixture(d, "doc_id", "source", tau,
+          targetFrac = 0.5, salt = "t")
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nat = quota(1.0)   // natural: 40/5 (proportional to 80/10)
+    assert(nat("big") == 40L && nat("small") == 5L)
+    val flat = quota(0.5)  // sqrt weights 8.94/3.16 → quotas 33/12, small
+                           // capped at its population of 10
+    assert(flat("small") > nat("small") && flat("big") < nat("big"))
+    assert(flat("big") == 33L && flat("small") == 10L)
+    // determinism: same call twice selects the same ids
+    val ids = Sampling.temperatureMixture(d, "doc_id", "source", 0.5, 0.5, "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureMixture(d, "doc_id", "source", 0.5, 0.5, "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+  }
+
   test("ngram array: multiplicity-preserving expression == HOF wordNgrams") {
     val d = Seq((1L, "a b a b a"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
     val rows = d.select(
