@@ -162,6 +162,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val dec = SparkEntry.queries("decontaminate")(spark, dir)
     assert(!plan(dec).contains("CartesianProduct") &&
       !plan(dec).contains("BroadcastNestedLoopJoin"), plan(dec))
+    // DSIR / substring-dup / mixture: equi-joins on derived keys only — a
+    // CartesianProduct over fact rows would be the scale-killer. (DSIR and
+    // the mixture DO carry one SinglePartition exchange each: the totals
+    // aggregate over the ≤B-row bucket/source table — metadata-sized by
+    // construction, not a data serialization point.)
+    for (q <- Seq("dsir_weights", "substring_dup", "mixture_sample")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(!plan(df).contains("CartesianProduct"), s"$q: ${plan(df)}")
+    }
+    // substring-dup's window table is corpus-sized: IT must never collapse
+    // to a single partition
+    val sub = SparkEntry.queries("substring_dup")(spark, dir)
+    assert(!plan(sub).contains("Exchange SinglePartition"), plan(sub))
   }
 
   test("Z-order clustered writes produce spatially compact files") {
