@@ -162,4 +162,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.forall { case (id, (_, s)) => batch(id) == s })
   }
+
+  test("one-pass custom expressions run unchanged on streams (repetition+shingles)") {
+    // the imperative Catalyst expressions are stateless per-row programs
+    // like any built-in — an ingest-time quality filter + shingle extraction
+    // must work inside a micro-batch plan with no batch-only assumptions
+    import graft.pipeline.{Dedup, Repetition}
+    graft.core.SparkTuning.tune(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val scored = stream.toDS().toDF("doc_id", "text")
+      .withColumn("st", Repetition.stats(col("text")))
+      .select(col("doc_id"),
+        round(col("st.ttr"), 6).as("ttr"),
+        size(Dedup.shingleArray(col("text"), 2)).as("n_sh"))
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("expr_stream").start()
+    try {
+      stream.addData(Seq((1L, "a b a b a b"), (2L, "x y z w")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("expr_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((round6(2.0 / 6), 2)))  // {a,b} of 6 toks; {a b, b a}
+    assert(got(2L) == ((1.0, 3)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
