@@ -44,6 +44,10 @@ object SparkTuning {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe",
+      exprs => graft.functions.BpeEncode(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams",
       exprs => exprs match {
         case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>

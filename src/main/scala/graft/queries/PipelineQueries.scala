@@ -262,6 +262,19 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "bpe_tokenize" -> { (s, dir) =>
+      // train 40 BPE merges on the corpus (one corpus-sized word-count
+      // shuffle, driver-side merge loop over the bounded vocab), then
+      // encode every doc at scan speed. NO oracle entry: BPE segmentation
+      // is iterative per word and not SQL-expressible — the driver records
+      // the weaker rows-only check; semantics are pinned by the classic
+      // Sennrich fixture spec and the determinism property.
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.trainMerges(docs, col("text"), nMerges = 40)
+      docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        Bpe.pieceCount(col("text"), merges).as("n_pieces"))
+    },
 
     // ---- multimodal plumbing ----
     "multimodal_features" -> { (s, dir) =>

@@ -590,6 +590,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids == ids2)
   }
 
+  test("bpe: learns the classic merge sequence and encodes consistently") {
+    // Sennrich et al. 2016 fixture: low*5 lower*2 newest*6 widest*3.
+    // Hand-computed: pair counts put (e,s)=(s,t)=(t,</w>)=9 first — the
+    // lexicographic tie-break picks (e,s), then (es,t), (est,</w>), then
+    // (l,o)=7 over (o,w) on the same tie rule.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(d, col("text"), 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    val enc = Seq((1L, "newest low unseen")).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), merges)).collect()(0).getSeq[String](0)
+    assert(enc == Seq("n", "e", "w", "est</w>", "lo", "w", "</w>",
+      "u", "n", "s", "e", "e", "n", "</w>"))
+    // round-trip: pieces re-concatenate to the word
+    assert(enc.mkString.replace("</w>", " ").trim == "newest low unseen")
+    // more merges never increase the piece count
+    val m0 = Seq((1L, text)).toDF("doc_id", "text")
+      .select(size(Bpe.encode(col("text"), Seq.empty))).collect()(0).getInt(0)
+    val m4 = Seq((1L, text)).toDF("doc_id", "text")
+      .select(size(Bpe.encode(col("text"), merges))).collect()(0).getInt(0)
+    assert(m4 < m0)
+    // determinism: retraining yields identical merges
+    assert(Bpe.trainMerges(d, col("text"), 4) == merges)
+  }
+
   test("ngram array: multiplicity-preserving expression == HOF wordNgrams") {
     val d = Seq((1L, "a b a b a"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
     val rows = d.select(
