@@ -44,6 +44,10 @@ object SparkTuning {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_bits",
+      exprs => graft.functions.SimhashBits(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe",
       exprs => graft.functions.BpeEncode(exprs(0), exprs(1)),
       "built-in")

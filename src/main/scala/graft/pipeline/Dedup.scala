@@ -45,6 +45,25 @@ object Dedup {
   def ngramArray(text: Column, n: Int): Column =
     call_function("graft_ngrams", text.cast("string"), lit(n))
 
+  /** The 64 signed SimHash bits of a token (±1, MSB-first md5 bits) — the
+    * one-pass [[graft.functions.SimhashBits]] expression.
+    */
+  def simhashBitArray(tok: Column): Column =
+    call_function("graft_simhash_bits", tok.cast("string"))
+
+  /** Reference hex-nibble column formula for [[simhashBitArray]]
+    * (interpreted; specs pin the expression against it — and it is the
+    * exact arithmetic the DuckDB oracle mirrors).
+    */
+  def simhashBitsHof(tok: Column): Column = {
+    val h = md5(tok.cast("binary"))
+    transform(sequence(lit(0), lit(63)), j => {
+      val nib = instr(lit("0123456789abcdef"),
+        substring(h, (j / 4).cast("int") + 1, lit(1))) - 1
+      (floor(nib / pow(lit(2.0), lit(3) - j % 4)).cast("int") % 2) * 2 - 1
+    })
+  }
+
   /** Distinct word n-gram shingles per document: one row per (id, shingle).
     * Shingling happens row-local in the scan — documents never leave the
     * executors and nothing shuffles until the downstream aggregation.
@@ -216,14 +235,11 @@ object Dedup {
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
     // hash each DISTINCT token once (vocabulary ≪ token instances), derive
     // its 64 signed bits as an array, and join back — turns 64×|instances|
-    // bit computations into 64×|vocab| plus one broadcastable join.
+    // bit computations into 64×|vocab| plus one broadcastable join. The
+    // one-pass SimhashBits expression replaces the interpreted 64-element
+    // nibble-arithmetic HOF at identical bits (spec-pinned).
     val vocabBits = toks.select(col("tok")).distinct()
-      .withColumn("h", md5(col("tok").cast("binary")))
-      .withColumn("bits", transform(sequence(lit(0), lit(63)), j => {
-        val nib = instr(lit("0123456789abcdef"),
-          substring(col("h"), (j / 4).cast("int") + 1, lit(1))) - 1
-        (floor(nib / pow(lit(2.0), lit(3) - j % 4)).cast("int") % 2) * 2 - 1
-      }))
+      .withColumn("bits", simhashBitArray(col("tok")))
       .select(col("tok"), col("bits"))
     // 64 wide sum-columns instead of a collect_list fold: partial aggregates
     // combine map-side, so the shuffle carries 64 longs per (doc, partition)

@@ -132,6 +132,17 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
         .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
     }
 
+  property("simhash bits: one-pass expression == hex-nibble formula") =
+    forAll(Gen.listOfN(8, Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+        Gen.oneOf("é", "Ω", "", " ", "münchen")))) { toks =>
+      graft.core.SparkTuning.tune(spark)
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "tok")
+      df.select(Dedup.simhashBitArray(col("tok")).as("e"),
+          Dedup.simhashBitsHof(col("tok")).as("h")).collect()
+        .forall(r => r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+
   property("repetition: one-pass expression == HOF folds on random text") =
     forAll(Gen.listOfN(6, genText)) { texts =>
       graft.core.SparkTuning.tune(spark) // registers graft_repetition
