@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import graft.core.Joins
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Language-model quality scoring for corpus filtering — the CCNet-style
+  * "perplexity against a model of the good distribution" rule (Wenzek et
+  * al. 2020, public), with a deliberately simple model: an add-one-smoothed
+  * char-TRIGRAM frequency LM trained on the target subset of the same
+  * corpus. Weaker than a Kneser-Ney 5-gram LM, but the plumbing — train on
+  * target, broadcast the model, score every doc at scan speed — is exactly
+  * the production shape, and the model needs no external artifacts.
+  *
+  * Scale shape: one explode to (doc, trigram) rows; the model is ONE
+  * combinable groupBy over the TARGET trigrams (bounded by the observed
+  * char-trigram space, ≪ corpus); scoring is a size-gated broadcast join
+  * plus one per-doc aggregation. The trigram rows feed both the training
+  * and the scoring branch, so they persist like the MinHash diamond.
+  *
+  * Determinism: per-trigram log-probs are quantized ONCE to integer
+  * micro-units; per-doc scores are integer sums — summation order cannot
+  * perturb the DuckDB-oracle match (same discipline as
+  * [[Importance.dsirWeights]]).
+  */
+object LanguageModel {
+
+  /** Per-document cross-entropy under the target char-trigram LM:
+    * `(idCol, n_tri, lp_sum, xent)` where `lp_sum = Σ lp_units(tri)`,
+    * `lp_units(tri) = floor(ln((cnt+1)/(N+D+1))·scale + ½)` for target
+    * trigram counts `cnt` (unseen trigrams get the `cnt = 0` constant),
+    * and `xent = −lp_sum/(n_tri·scale)` in nats (0.0 for docs shorter
+    * than 3 chars). Lower xent = more target-like; callers threshold the
+    * ROUNDED value.
+    */
+  def charTrigramScore(df: DataFrame, idCol: String, text: Column,
+      isTarget: Column, scale: Long = 1000000L,
+      cacheTrigrams: Boolean = true): DataFrame = {
+    val s = trim(lower(text))
+    val len = length(s)
+    val nW = when(len < 3, lit(0L)).otherwise(len.cast("long") - 2L)
+    // sequence(1, 0) DESCENDS — the nW===0 guard avoids it
+    val winArr = when(nW === 0L, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1L), nW), i => s.substr(i.cast("int"), lit(3))))
+    val triBase = df.select(col(idCol), isTarget.as("_tgt"),
+      explode(winArr).as("tri"))
+    val tris = if (cacheTrigrams)
+      triBase.persist(StorageLevel.MEMORY_AND_DISK)
+    else triBase
+    val tcnt = tris.filter(col("_tgt"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    // two scalars; the crossJoins below broadcast this one row
+    val scalars = tcnt.agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"))
+    val lp = tcnt.crossJoin(broadcast(scalars))
+      .withColumn("lp_units",
+        floor(log((col("cnt") + 1L).cast("double") /
+          (col("n") + col("d") + 1L).cast("double")) * scale + 0.5)
+          .cast("long"))
+      .select(col("tri"), col("lp_units"))
+    val scored = tris
+      .join(Joins.maybeBroadcast(lp), Seq("tri"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("_u", coalesce(col("lp_units"),
+        floor(log(lit(1.0) /
+          (col("n") + col("d") + 1L).cast("double")) * scale + 0.5)
+          .cast("long")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("_u")).as("lp_sum"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tri", "lp_sum"))
+      .withColumn("xent", when(col("n_tri") === 0L, 0.0).otherwise(
+        round(-col("lp_sum") / (col("n_tri") * scale).cast("double"), 6)))
+  }
+}

@@ -262,6 +262,12 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "lm_score" -> { (s, dir) =>
+      // CCNet-style quality scoring: char-trigram LM trained on the en
+      // subset, per-doc cross-entropy as integer micro-unit sums
+      LanguageModel.charTrigramScore(Tables.documents(s, dir), "doc_id",
+        col("text"), isTarget = col("lang") === "en")
+    },
     "bpe_tokenize" -> { (s, dir) =>
       // train 40 BPE merges on the corpus (one corpus-sized word-count
       // shuffle, driver-side merge loop over the bounded vocab), then
@@ -453,6 +459,30 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
         |       END AS dup_frac
         |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
+    "lm_score" ->
+      // mirror of LanguageModel.charTrigramScore: add-1 char-trigram LM on
+      // en docs, integer micro-unit log-probs, integer per-doc sums
+      """WITH s AS (SELECT doc_id, lang, trim(lower(text)) AS s FROM documents),
+        |w AS (SELECT doc_id, (lang = 'en') AS tgt, substr(s, CAST(i AS INT), 3) AS tri
+        |      FROM s, UNNEST(range(1, greatest(len(s) - 1, 1))) u(i)
+        |      WHERE len(s) >= 3),
+        |tc AS (SELECT tri, count(*) AS cnt FROM w WHERE tgt GROUP BY 1),
+        |sc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS d FROM tc),
+        |lp AS (SELECT tri, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) /
+        |           CAST(n + d + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp_units
+        |       FROM tc, sc),
+        |sco AS (SELECT w.doc_id, count(*) AS n_tri,
+        |          CAST(sum(COALESCE(lp.lp_units,
+        |            CAST(floor(ln(1.0 / CAST(sc.n + sc.d + 1 AS DOUBLE)) * 1000000 + 0.5)
+        |              AS BIGINT))) AS BIGINT) AS lp_sum
+        |        FROM w LEFT JOIN lp USING (tri), sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s2.n_tri, 0) AS n_tri,
+        |       COALESCE(s2.lp_sum, 0) AS lp_sum,
+        |       CASE WHEN COALESCE(s2.n_tri, 0) = 0 THEN 0.0
+        |            ELSE round(-s2.lp_sum / CAST(s2.n_tri * 1000000 AS DOUBLE), 6)
+        |       END AS xent
+        |FROM documents d LEFT JOIN sco s2 ON s2.doc_id = d.doc_id""".stripMargin,
     "mixture_sample" ->
       // mirror of Sampling.temperatureMixture: integer micro-unit weights,
       // same floor(+1/2) quota, same (hash, id) per-source selection order

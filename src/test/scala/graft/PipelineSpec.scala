@@ -590,6 +590,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids == ids2)
   }
 
+  test("lm score: target-like text gets lower cross-entropy than alien text") {
+    val d = Seq(
+      (1L, "the cat sat on the mat with the hat", true),
+      (2L, "the rat sat on the cat with the bat", true),
+      (3L, "the bat sat on the rat and the cat", false),  // target-like, raw
+      (4L, "zzqx vvkw jjpy qqzz xxvv wwkk yyjj", false)   // alien charset
+    ).toDF("doc_id", "text", "tgt")
+    val out = LanguageModel.charTrigramScore(d, "doc_id", col("text"), col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(3L) < out(4L), s"target-like doc must score below alien: $out")
+    assert(out(1L) < out(4L) && out(2L) < out(4L))
+    // short doc: no trigrams, defined-zero xent
+    val short = LanguageModel.charTrigramScore(
+      Seq((9L, "ab", true)).toDF("doc_id", "text", "tgt"),
+      "doc_id", col("text"), col("tgt")).collect()(0)
+    assert(short.getLong(1) == 0L && short.getDouble(3) == 0.0)
+  }
+
   test("bpe: learns the classic merge sequence and encodes consistently") {
     // Sennrich et al. 2016 fixture: low*5 lower*2 newest*6 widest*3.
     // Hand-computed: pair counts put (e,s)=(s,t)=(t,</w>)=9 first — the
