@@ -262,6 +262,21 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "corpus_report" -> { (s, dir) =>
+      // data-card rollup: per (source, lang) + per-source + grand totals in
+      // ONE pass via grouping sets; averages derived from integer sums so
+      // both engines agree exactly
+      Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("sum_tokens"), col("sum_chars"),
+          round(col("sum_tokens") / col("n_docs").cast("double"), 6)
+            .as("avg_tokens"))
+    },
     "lm_score" -> { (s, dir) =>
       // CCNet-style quality scoring: char-trigram LM trained on the en
       // subset, per-doc cross-entropy as integer micro-unit sums
@@ -459,6 +474,15 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
         |       END AS dup_frac
         |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
+    "corpus_report" ->
+      s"""SELECT COALESCE(source, '(all)') AS source,
+         |       COALESCE(lang, '(all)') AS lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(${tokCntSql("text")}) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+         |       round(CAST(sum(${tokCntSql("text")}) AS BIGINT)
+         |             / CAST(count(*) AS DOUBLE), 6) AS avg_tokens
+         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
     "lm_score" ->
       // mirror of LanguageModel.charTrigramScore: add-1 char-trigram LM on
       // en docs, integer micro-unit log-probs, integer per-doc sums
