@@ -33,6 +33,10 @@ object LanguageModel {
     * and `xent = −lp_sum/(n_tri·scale)` in nats (0.0 for docs shorter
     * than 3 chars). Lower xent = more target-like; callers threshold the
     * ROUNDED value.
+    *
+    * Precondition: `isTarget` must select a non-empty subset with at least
+    * one trigram — an empty model has no distribution to score against
+    * (the smoothing scalars become NULL and every score degenerates).
     */
   def charTrigramScore(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, scale: Long = 1000000L,

@@ -590,6 +590,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids == ids2)
   }
 
+  test("new-op edge cases: no-target DSIR, oversized substring k, single-source mixture") {
+    // DSIR with zero target docs: smoothing keeps every weight defined
+    val noTgt = Importance.dsirWeights(
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"),
+      "doc_id", col("text"), lit(false), buckets = 32).collect()
+    assert(noTgt.length == 2 && noTgt.forall(!_.isNullAt(1)))
+    // substring dup with k longer than every doc: all-zero stats, rows kept
+    val big = Dedup.substringDupStats(
+      Seq((1L, "short"), (2L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", col("text"), k = 100, stride = 10).collect()
+    assert(big.length == 2 &&
+      big.forall(r => r.getLong(1) == 0L && r.getDouble(3) == 0.0))
+    // single-source mixture: plain deterministic half sample
+    val one = Sampling.temperatureMixture(
+      (1L to 10L).map((_, "s")).toDF("doc_id", "source"),
+      "doc_id", "source", tau = 0.5, targetFrac = 0.5, salt = "z")
+    assert(one.count() == 5)
+  }
+
   test("lm score: target-like text gets lower cross-entropy than alien text") {
     val d = Seq(
       (1L, "the cat sat on the mat with the hat", true),

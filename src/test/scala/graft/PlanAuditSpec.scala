@@ -167,7 +167,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the mixture DO carry one SinglePartition exchange each: the totals
     // aggregate over the ≤B-row bucket/source table — metadata-sized by
     // construction, not a data serialization point.)
-    for (q <- Seq("dsir_weights", "substring_dup", "mixture_sample")) {
+    for (q <- Seq("dsir_weights", "substring_dup", "mixture_sample",
+        "lm_score", "bpe_tokenize", "corpus_report")) {
       val df = SparkEntry.queries(q)(spark, dir)
       assert(!plan(df).contains("CartesianProduct"), s"$q: ${plan(df)}")
     }
