@@ -262,6 +262,27 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "selection_e2e" -> { (s, dir) =>
+      // the full DATA-SELECTION chain as one Catalyst plan: repetition
+      // quality gate -> LM cross-entropy gate -> DSIR target-likeness gate
+      // -> temperature-flattened source mixture. Every gate thresholds the
+      // ROUNDED/integer score its standalone query exposes, so the composed
+      // oracle reuses the exact per-op SQL
+      val docs = Tables.documents(s, dir)
+      val ttrOk = docs
+        .withColumn("_st", Repetition.stats(col("text")))
+        .filter(round(col("_st.ttr"), 6) >= 0.35)
+        .select(col("doc_id"), col("source"))
+      val lmOk = LanguageModel.charTrigramScore(docs, "doc_id", col("text"),
+          col("lang") === "en")
+        .filter(col("xent") <= 5.4).select("doc_id")
+      val dsOk = Importance.dsirWeights(docs, "doc_id", col("text"),
+          col("lang") === "en", buckets = 512)
+        .filter(col("keep") === 1).select("doc_id")
+      val sel = ttrOk.join(lmOk, "doc_id").join(dsOk, "doc_id")
+      Sampling.temperatureMixture(sel, "doc_id", "source", tau = 0.5,
+        targetFrac = 0.5, salt = "sel1").select(col("doc_id"), col("source"))
+    },
     "corpus_report" -> { (s, dir) =>
       // data-card rollup: per (source, lang) + per-source + grand totals in
       // ONE pass via grouping sets; averages derived from integer sums so
@@ -474,6 +495,79 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
         |       END AS dup_frac
         |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
+    "selection_e2e" ->
+      // composed mirror: TTR gate + the lm_score CTEs + the dsir_weights
+      // CTEs + the mixture quota machinery, each verbatim from its
+      // standalone oracle (renamed CTEs)
+      s"""WITH tok0 AS (SELECT doc_id, source, lang,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+         |ttrk AS (SELECT doc_id, source FROM tok0
+         |         WHERE round(CASE WHEN len(t) = 0 THEN 0.0
+         |                 ELSE len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+         |               END, 6) >= 0.35),
+         |ls AS (SELECT doc_id, lang, trim(lower(text)) AS s FROM documents),
+         |lw AS (SELECT doc_id, (lang = 'en') AS tgt, substr(s, CAST(i AS INT), 3) AS tri
+         |       FROM ls, UNNEST(range(1, greatest(len(s) - 1, 1))) u(i)
+         |       WHERE len(s) >= 3),
+         |ltc AS (SELECT tri, count(*) AS cnt FROM lw WHERE tgt GROUP BY 1),
+         |lsc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |          CAST(count(*) AS BIGINT) AS d FROM ltc),
+         |llp AS (SELECT tri, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) /
+         |            CAST(n + d + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp_units
+         |        FROM ltc, lsc),
+         |lsco AS (SELECT lw.doc_id, count(*) AS n_tri,
+         |           CAST(sum(COALESCE(llp.lp_units,
+         |             CAST(floor(ln(1.0 / CAST(lsc.n + lsc.d + 1 AS DOUBLE)) * 1000000 + 0.5)
+         |               AS BIGINT))) AS BIGINT) AS lp_sum
+         |         FROM lw LEFT JOIN llp USING (tri), lsc GROUP BY 1),
+         |lmk AS (SELECT d.doc_id FROM documents d
+         |        LEFT JOIN lsco ON lsco.doc_id = d.doc_id
+         |        WHERE CASE WHEN COALESCE(lsco.n_tri, 0) = 0 THEN 0.0
+         |                ELSE round(-lsco.lp_sum / CAST(lsco.n_tri * 1000000 AS DOUBLE), 6)
+         |              END <= 5.4),
+         |dg0 AS (SELECT doc_id, lang, t[i] AS gram
+         |        FROM tok0, UNNEST(range(1, len(t) + 1)) u(i)
+         |        UNION ALL
+         |        SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram
+         |        FROM tok0, UNNEST(range(1, len(t))) u(i)),
+         |dg AS (SELECT doc_id, (lang = 'en') AS tgt,
+         |         (list_reduce(list_transform(range(1, 8), j ->
+         |            (instr('0123456789abcdef', substr(md5(gram), CAST(j AS INT), 1)) - 1)
+         |              * CAST(power(16, 7 - j) AS BIGINT)), (x, y) -> x + y)) % 512 AS b
+         |       FROM dg0),
+         |dbs AS (SELECT b, count(*) AS ct_all,
+         |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct_t
+         |        FROM dg GROUP BY 1),
+         |dtot AS (SELECT CAST(sum(ct_all) AS BIGINT) AS n_all,
+         |           CAST(sum(ct_t) AS BIGINT) AS n_t FROM dbs),
+         |dlr AS (SELECT b, CAST(floor(ln(
+         |            (CAST(ct_t + 1 AS DOUBLE) * CAST(n_all + 512 AS DOUBLE)) /
+         |            (CAST(ct_all + 1 AS DOUBLE) * CAST(n_t + 512 AS DOUBLE)))
+         |          * 1000000 + 0.5) AS BIGINT) AS lr_units
+         |        FROM dbs, dtot),
+         |dsc AS (SELECT doc_id, CAST(sum(lr_units) AS BIGINT) AS score_units
+         |        FROM dg JOIN dlr USING (b) GROUP BY 1),
+         |dsk AS (SELECT d.doc_id FROM documents d
+         |        LEFT JOIN dsc ON dsc.doc_id = d.doc_id
+         |        WHERE COALESCE(dsc.score_units, 0) > 0),
+         |sel AS (SELECT t.doc_id, t.source FROM ttrk t
+         |        JOIN lmk USING (doc_id) JOIN dsk USING (doc_id)),
+         |c AS (SELECT source, count(*) AS n FROM sel GROUP BY 1),
+         |w2 AS (SELECT source, n,
+         |         CAST(floor(power(CAST(n AS DOUBLE), 0.5) * 1000000 + 0.5) AS BIGINT) AS wu
+         |       FROM c),
+         |t2 AS (SELECT CAST(sum(wu) AS BIGINT) AS wsum,
+         |         CAST(sum(n) AS BIGINT) AS ntot FROM w2),
+         |q2 AS (SELECT source, least(n,
+         |         CAST(floor(CAST(ntot AS DOUBLE) * 0.5 *
+         |           (CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE)) + 0.5) AS BIGINT)) AS quota
+         |       FROM w2, t2),
+         |b2 AS (SELECT doc_id, source, ${bucketSql("sel1")} AS bucket FROM sel),
+         |r2 AS (SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+         |       FROM b2)
+         |SELECT r2.doc_id, r2.source FROM r2 JOIN q2 USING (source)
+         |WHERE rn <= quota""".stripMargin,
     "corpus_report" ->
       s"""SELECT COALESCE(source, '(all)') AS source,
          |       COALESCE(lang, '(all)') AS lang,
