@@ -262,6 +262,24 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "knn_classify" -> { (s, dir) =>
+      // kNN label prediction over the embedding corpus: top-5 cosine
+      // neighbors vote; majority with (votes desc, label asc) tie-break.
+      // Neighbor ranking reuses the deterministic brute-force top-k
+      // (rounded cosine, id tie-break), so the oracle composes exactly.
+      val emb = Tables.embeddings(s, dir)
+      val topk = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 5)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    },
     "selection_e2e" -> { (s, dir) =>
       // the full DATA-SELECTION chain as one Catalyst plan: repetition
       // quality gate -> LM cross-entropy gate -> DSIR target-likeness gate
@@ -495,6 +513,21 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
         |       END AS dup_frac
         |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
+    "knn_classify" ->
+      s"""WITH $cosineSqlFns,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         |             ${cosSql("q.qv", "e.v")} AS cos
+         |           FROM e JOIN q ON q.query_id <> e.vec_id),
+         |topk AS (SELECT query_id, label,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |         FROM scored QUALIFY rk <= 5),
+         |votes AS (SELECT query_id, label, count(*) AS votes
+         |          FROM topk GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, votes FROM votes
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY votes DESC, label ASC) = 1""".stripMargin,
     "selection_e2e" ->
       // composed mirror: TTR gate + the lm_score CTEs + the dsir_weights
       // CTEs + the mixture quota machinery, each verbatim from its
