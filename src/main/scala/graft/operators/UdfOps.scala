@@ -47,7 +47,7 @@ object UdfOps {
     // the harness travels as a serialized command argument (`python3 -c`) —
     // nothing to stage on executor filesystems; pipe() runs it per partition
     val piped = cube.df
-      .select(to_json(struct(cube.df.columns.map(col): _*)).as("j"))
+      .select(to_json(struct(cube.df.columns.toIndexedSeq.map(col): _*)).as("j"))
       .select("j").rdd.map(_.getString(0))
       .pipe(Seq("python3", "-c", harness))
     import spark.implicits._
@@ -87,7 +87,7 @@ object UdfOps {
          |    sys.stdout.write(json.dumps(_out) + "\\n")
          |""".stripMargin
     val piped = cube.df
-      .select(to_json(struct(cube.df.columns.map(col): _*)).as("j"))
+      .select(to_json(struct(cube.df.columns.toIndexedSeq.map(col): _*)).as("j"))
       .select("j").rdd.map(_.getString(0))
       .pipe(Seq("python3", "-c", harness))
     import spark.implicits._

@@ -55,7 +55,7 @@ object Bpe {
       s"distinct-word table has $n rows > maxVocab=$maxVocab; raise the " +
         "gate (driver-memory-bound) or pre-truncate hapax words")
     val vocab = wc.collect().map(r => (r.getString(0), r.getLong(1)))
-    trainLocal(vocab, nMerges)
+    trainLocal(vocab.toIndexedSeq, nMerges)
   }
 
   /** The classic in-memory merge loop over (word, count) rows — exposed for

@@ -25,7 +25,7 @@ object UrlLoader {
         graft.operators.VectorOps.loadGeoJson(spark, fetchString(url), properties)
       case "JSON" =>
         import spark.implicits._
-        spark.read.json(Seq(fetchString(url)).toDS)
+        spark.read.json(Seq(fetchString(url)).toDS())
       case "Parquet" =>
         val tmp = java.nio.file.Files.createTempFile("graft_load_url", ".parquet")
         try {
