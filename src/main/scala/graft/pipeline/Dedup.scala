@@ -409,6 +409,20 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
   }
 
+  /** Survivor selection through the exact-dup pre-collapse cluster path
+    * ([[nearDupClustersCollapsed]]): drop every clustered doc that is not
+    * its cluster's minimum. Output-equivalent to
+    * `survivors(docs, idCol, minhashNearDups(docs, ...))`.
+    */
+  def survivorsCollapsed(docs: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val dropped = nearDupClustersCollapsed(docs, idCol, text,
+        shingleLen, k, rowsPerBand, threshold)
+      .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    docs.join(dropped, docs(idCol) === dropped("doc_id"), "left_anti")
+  }
+
   /** MinHash near-dup CLUSTERS with exact-duplicate pre-collapse — the
     * production-scale path for dup-heavy corpora, equivalent output to
     * `connectedComponents(minhashNearDups(df, ...))` on the full corpus.

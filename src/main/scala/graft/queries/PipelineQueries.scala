@@ -100,11 +100,12 @@ object PipelineQueries {
     },
     "dedup_survivors" -> { (s, dir) =>
       // the terminal dedup step: the corpus that remains after dropping
-      // every non-canonical member of each duplicate cluster
+      // every non-canonical member of each duplicate cluster — via the
+      // exact-dup pre-collapse scale path (oracle = full pair graph)
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
-        shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
-      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id"), col("lang"))
+      Dedup.survivorsCollapsed(docs, "doc_id", col("text"),
+          shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
     },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
