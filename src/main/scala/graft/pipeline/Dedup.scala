@@ -426,6 +426,10 @@ object Dedup {
   /** MinHash near-dup CLUSTERS with exact-duplicate pre-collapse — the
     * production-scale path for dup-heavy corpora, equivalent output to
     * `connectedComponents(minhashNearDups(df, ...))` on the full corpus.
+    * Behind a duplication-ratio gate: when ≥ `collapseRatio` of documents
+    * are textually unique (one cheap count/count_distinct agg), the
+    * collapse cannot pay and the direct pair path runs instead — both
+    * branches produce identical output.
     *
     * Why: pair listing is quadratic IN CLIQUE SIZE, and exact duplicates
     * (the dominant duplication mode in web corpora) form cliques whose
@@ -447,9 +451,21 @@ object Dedup {
     */
   def nearDupClustersCollapsed(df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, collapseRatio: Double = 0.9): DataFrame = {
     val keyed = df.select(col(idCol).cast("long").as("_doc"),
       md5(text.cast("binary")).as("_k"), text.as("_t"))
+    // gate (one cheap agg, the union-find-edge-gate pattern): the collapse
+    // adds a groupBy + expansion joins that only pay off when the corpus
+    // actually contains exact duplicates — on a mostly-unique corpus the
+    // direct pair path is strictly cheaper
+    val Array(nDocs, nUnique) = keyed
+      .agg(count(lit(1)), count_distinct(col("_k"))).first()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nUnique >= nDocs * collapseRatio) {
+      return connectedComponents(minhashNearDups(df, idCol, text,
+          shingleLen, k, rowsPerBand, threshold))
+        .select(col("node").as("doc_id"), col("cluster"))
+    }
     val groups = keyed.groupBy(col("_k"))
       .agg(min(col("_doc")).as("rep"), count(lit(1)).as("_gn"),
         first(col("_t")).as("_t")) // texts in a group are identical

@@ -630,8 +630,14 @@ class PipelineSpec extends AnyFunSuite {
         cacheShingles = false))
       .select(col("node").as("doc_id"), col("cluster")))
     val collapsed = asMap(Dedup.nearDupClustersCollapsed(base, "doc_id",
-      col("text"), shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3))
+      col("text"), shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3,
+      collapseRatio = 1.01)) // force the collapse branch
     assert(collapsed == full, s"collapsed=$collapsed full=$full")
+    // the gate's direct branch (forced) must agree too
+    val direct = asMap(Dedup.nearDupClustersCollapsed(base, "doc_id",
+      col("text"), shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3,
+      collapseRatio = 0.0))
+    assert(direct == full, s"direct=$direct full=$full")
     // the exact copies of doc 1 must be present and share its cluster
     assert(collapsed.contains(11L) && collapsed(11L) == collapsed(1L))
     assert(collapsed.contains(13L) && collapsed(13L) == collapsed(3L))
