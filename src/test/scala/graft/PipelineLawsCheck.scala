@@ -114,6 +114,32 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
         r.zip(vs).forall { case (rec, v) => math.abs(rec - v) <= s / 2 + 1e-12 }
     }
 
+  property("substring dup: replicating the corpus makes every window a duplicate") =
+    forAll(Gen.listOfN(4, Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma",
+        "delta", "eps")).map(_.mkString(" ")))) { texts =>
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val doubled = (base ++ base.map { case (i, t) => (i + 1000L, t) })
+        .toDF("doc_id", "text")
+      Dedup.substringDupStats(doubled, "doc_id", col("text"),
+          k = 20, stride = 7, cacheWindows = false)
+        .collect().forall(r => r.getLong(1) == r.getLong(2)) // n_win == n_dup
+    }
+
+  property("bpe: piece count monotonically non-increasing in merge count") =
+    forAll(Gen.listOfN(10, Gen.oneOf("aba", "abab", "bab", "aabb", "ba"))) { ws =>
+      graft.core.SparkTuning.tune(spark) // registers graft_bpe
+      val text = ws.mkString(" ")
+      val d = Seq((1L, text)).toDF("doc_id", "text")
+      val merges = Bpe.trainLocal(
+        ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq,
+        nMerges = 6)
+      val counts = (0 to merges.length).map { m =>
+        d.select(size(Bpe.encode(col("text"), merges.take(m))))
+          .collect()(0).getInt(0)
+      }
+      counts.zip(counts.tail).forall { case (a, b) => b <= a }
+    }
+
   // tiny token alphabet + messy whitespace forces gram collisions, count
   // ties and empty-token edge cases in the same document
   val genText: Gen[String] = for {
