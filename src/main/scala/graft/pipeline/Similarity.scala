@@ -222,6 +222,31 @@ object Similarity {
       }.toDF("id", "cid")
   }
 
+  /** Embedding-space outlier flagging for corpus curation: every vector's
+    * nearest-centroid cell, its (rounded) cosine to that centroid, and an
+    * outlier flag for vectors far from EVERY centroid — the standard
+    * "prune vectors that fit no cluster" pass before semantic dedup or
+    * retrieval indexing. Reuses the IVF machinery: fixed-size quantizer,
+    * broadcast centroid matrix, mapPartitions assignment (zero shuffles
+    * before the tiny broadcast joins).
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Centroid], minCos: Double): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assign = assignProbes(base, cents, probes = 1)
+    val centDf = cents.toSeq.map { case (cid, cv, _) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    base.join(assign, "id")
+      .join(broadcast(centDf), "cid")
+      .withColumn("cos_centroid",
+        round(cosine(col("v"), col("cv").cast("array<double>")), 6))
+      .select(col("id").as(idCol), col("cid").as("cell"), col("cos_centroid"),
+        (col("cos_centroid") < minCos).cast("int").as("is_outlier"))
+  }
+
   def ivfNearDupsWith(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Centroid], threshold: Double, probes: Int): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),

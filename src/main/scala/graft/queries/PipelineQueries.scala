@@ -264,6 +264,14 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "embed_outliers" -> { (s, dir) =>
+      // curation pass: flag vectors far from every IVF centroid (same
+      // stride-16 quantizer as the other embedding ops)
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.centroidOutliers(emb, "vec_id", "embedding", cents,
+        minCos = 0.1)
+    },
     "knn_classify" -> { (s, dir) =>
       // kNN label prediction over the embedding corpus: top-5 cosine
       // neighbors vote; majority with (votes desc, label asc) tie-break.
@@ -515,6 +523,26 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 6)
         |       END AS dup_frac
         |FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id""".stripMargin,
+    "embed_outliers" ->
+      // mirror: the ann_ivf assignment CTEs (pr=1) + full cosine to the
+      // assigned centroid
+      s"""WITH $cosineSqlFns,
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |scored AS (SELECT n.vec_id, cent.cid,
+         |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
+         |  FROM n CROSS JOIN cent),
+         |ranked AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+         |  FROM scored),
+         |a1 AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+         |outc AS (SELECT a1.vec_id, a1.cid AS cell,
+         |           round(${dotSql("n.v", "c.cv")} / (n.nn * c.cn), 6) AS cos_centroid
+         |         FROM a1 JOIN n ON n.vec_id = a1.vec_id
+         |                 JOIN cent c ON c.cid = a1.cid)
+         |SELECT vec_id, cell, cos_centroid,
+         |       CAST(cos_centroid < 0.1 AS INT) AS is_outlier FROM outc""".stripMargin,
     "knn_classify" ->
       s"""WITH $cosineSqlFns,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
