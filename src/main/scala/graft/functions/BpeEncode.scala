@@ -48,8 +48,7 @@ case class BpeEncode(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(textAny: Any, _mergesAny: Any): Any = {
-    val toks = textAny.asInstanceOf[UTF8String]
-      .toLowerCase.trim().split(BpeEncode.WS, -1)
+    val toks = RepetitionStats.splitTokens(textAny.asInstanceOf[UTF8String])
     val out = Array.newBuilder[AnyRef]
     toks.foreach { t =>
       val w = t.toString
@@ -90,6 +89,3 @@ case class BpeEncode(left: Expression, right: Expression)
   override def prettyName: String = "graft_bpe"
 }
 
-object BpeEncode {
-  private[functions] val WS = UTF8String.fromString("\\s+")
-}

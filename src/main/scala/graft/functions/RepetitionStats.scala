@@ -62,8 +62,14 @@ object RepetitionStats {
     StructField("top3", DoubleType, nullable = false),
     StructField("dup5", DoubleType, nullable = false)))
 
-  private val WS = UTF8String.fromString("\\s+")
+  // precompiled: UTF8String.split(pattern, -1) is defined as
+  // toString.split(pattern, -1), which recompiles the regex per call —
+  // same semantics, one compile
+  private val WS = java.util.regex.Pattern.compile("\\s+")
   private val SP = UTF8String.fromString(" ")
+
+  private[functions] def splitTokens(text: UTF8String): Array[UTF8String] =
+    WS.split(text.toLowerCase.trim().toString, -1).map(UTF8String.fromString)
 
   /** `cnt(top)·len(top)/len(text)` where the top n-gram maximises
     * (count, then byte-order-smallest gram); 0.0 for empty text or when the
@@ -118,7 +124,7 @@ object RepetitionStats {
     // identical pipeline to split(trim(lower(text)), "\s+"): UTF8String's own
     // lowercase, space-trim and Java-regex split (limit -1 keeps trailing
     // empties, exactly like Spark's two-arg split)
-    val toks = text.toLowerCase.trim().split(WS, -1)
+    val toks = splitTokens(text)
     val ttr =
       if (toks.length == 0) 0.0
       else {

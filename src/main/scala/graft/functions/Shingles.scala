@@ -51,11 +51,10 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
 
 object Shingles {
 
-  private val WS = UTF8String.fromString("\\s+")
   private val SP = UTF8String.fromString(" ")
 
   def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
-    val toks = text.toLowerCase.trim().split(WS, -1)
+    val toks = RepetitionStats.splitTokens(text)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val m = toks.length - n + 1
     if (distinct) {
