@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/BMP/GIF, headless-safe), so [[imageFeatures]] and
   * [[resizeImages]] run actual codecs on executors. AUDIO decode is REAL
   * for the JDK's container formats (WAV/AIFF/AU, PCM 8/16-bit) via
-  * `javax.sound.sampled` — [[audioFeatures]]. VIDEO decode remains a
-  * declared stub (`fakeProps` — no ffmpeg in this environment); the
+  * `javax.sound.sampled` — [[audioFeatures]]. VIDEO splits in two: the
+  * MP4/ISO-BMFF CONTAINER parse is REAL ([[videoMeta]] — duration, track
+  * count, codec fourccs, resolution from the public box layout, the
+  * metadata curation filters on), while FRAME decode remains a declared
+  * stub (`fakeProps` — that genuinely needs ffmpeg, absent here); the
   * batching shape is identical, so swapping in a real codec changes
   * nothing structurally.
   */
@@ -242,6 +245,105 @@ object Multimodal {
             b.blob.slice(i * sliceLen, (i + 1) * sliceLen))
         }
       }
+    }
+  }
+
+  /** Container-level video metadata. `ok=false` for anything that is not a
+    * parseable ISO-BMFF file.
+    */
+  final case class VideoMeta(doc_id: Long, ok: Boolean, brand: String,
+      duration_s: Double, n_tracks: Int, video_codec: String,
+      width: Int, height: Int, audio_codec: String)
+
+  /** REAL MP4/ISO-BMFF CONTAINER parse — duration, track count, codec
+    * fourccs, resolution — pure-JVM from the public ISO 14496-12 box
+    * layout, no ffmpeg. FRAME decode stays stubbed (that genuinely needs
+    * codecs), but container metadata is what a curation pipeline filters
+    * on (drop sub-second clips, non-h264 tracks, tiny resolutions), and
+    * this parses it for real: walk `ftyp`/`moov`, read `mvhd`
+    * timescale+duration (v0/v1), count `trak` boxes, take width/height
+    * from the video track's `tkhd` (16.16 fixed) and the codec fourccs
+    * from each track's `stsd` sample entry.
+    */
+  def videoMeta(blobs: Dataset[Blob]): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    blobs.mapPartitions(_.map(b => parseMp4(b.doc_id, b.blob)))
+  }
+
+  private def parseMp4(id: Long, bytes: Array[Byte]): VideoMeta = {
+    val bad = VideoMeta(id, ok = false, "", 0.0, 0, "", 0, 0, "")
+    def i32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def i64(o: Int): Long = (i32(o) << 32) | i32(o + 4)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // yields (type, payloadStart, payloadEnd) for each box in [lo, hi)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = lo
+        def hasNext: Boolean = o + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size = i32(o)
+          val t = fourcc(o + 4)
+          val (hdr, end) =
+            if (size == 1 && o + 16 <= hi) (16, o + i64(o + 8))
+            else if (size == 0) (8, hi.toLong)
+            else (8, o + size)
+          if (size != 0 && size != 1 && size < 8 || end > hi || end <= o) {
+            o = hi // malformed: stop the walk
+            ("", hi, hi)
+          } else {
+            val r = (t, o + hdr, end.toInt)
+            o = end.toInt
+            r
+          }
+        }
+      }
+    def find(lo: Int, hi: Int, t: String): Option[(Int, Int)] =
+      boxes(lo, hi).collectFirst { case (`t`, s, e) => (s, e) }
+    try {
+      if (bytes.length < 16) return bad
+      val ftyp = find(0, bytes.length, "ftyp").getOrElse(return bad)
+      val brand = fourcc(ftyp._1)
+      val moov = find(0, bytes.length, "moov").getOrElse(return bad)
+      val (dur, scale) = find(moov._1, moov._2, "mvhd") match {
+        case Some((s, _)) =>
+          val v = bytes(s) & 0xff
+          if (v == 1) (i64(s + 24).toDouble, i32(s + 20).toDouble)
+          else (i32(s + 16).toDouble, i32(s + 12).toDouble)
+        case None => (0.0, 1.0)
+      }
+      var nTracks = 0
+      var vCodec = ""; var aCodec = ""; var w = 0; var h = 0
+      boxes(moov._1, moov._2).foreach {
+        case ("trak", ts, te) =>
+          nTracks += 1
+          val handler = (for {
+            (ms, me) <- find(ts, te, "mdia")
+            (hs, _) <- find(ms, me, "hdlr")
+          } yield fourcc(hs + 8)).getOrElse("")
+          val codec = (for {
+            (ms, me) <- find(ts, te, "mdia")
+            (mis, mie) <- find(ms, me, "minf")
+            (sts, ste) <- find(mis, mie, "stbl")
+            (sds, _) <- find(sts, ste, "stsd")
+          } yield fourcc(sds + 12)).getOrElse("")
+          if (handler == "vide") {
+            vCodec = codec
+            find(ts, te, "tkhd").foreach { case (ks, _) =>
+              val v = bytes(ks) & 0xff
+              val off = if (v == 1) ks + 88 else ks + 76
+              w = (i32(off) >> 16).toInt
+              h = (i32(off + 4) >> 16).toInt
+            }
+          } else if (handler == "soun") aCodec = codec
+        case _ =>
+      }
+      VideoMeta(id, ok = true, brand,
+        if (scale > 0) dur / scale else 0.0, nTracks, vCodec, w, h, aCodec)
+    } catch {
+      case _: Throwable => bad
     }
   }
 }

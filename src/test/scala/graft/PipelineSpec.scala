@@ -447,6 +447,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("multimodal REAL mp4 container parse: duration, tracks, codecs, size") {
+    import java.nio.ByteBuffer
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(version: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + body.length)
+      b.putInt(version << 24).put(body) // version byte + zero flags
+      b.array()
+    }
+    val mvhd = box("mvhd", full(0, {
+      val b = ByteBuffer.allocate(96)
+      b.putInt(0).putInt(0)           // ctime, mtime
+      b.putInt(1000).putInt(5000)     // timescale, duration -> 5.0 s
+      b.array()                       // rest zeros (rate/vol/matrix/next)
+    }))
+    val tkhdV = box("tkhd", full(0, {
+      val b = ByteBuffer.allocate(80)
+      b.position(72)                  // up to matrix end
+      b.putInt(640 << 16).putInt(360 << 16) // width, height 16.16
+      b.array()
+    }))
+    def hdlr(kind: String) = box("hdlr", full(0, {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0).put(kind.getBytes("US-ASCII"))
+      b.array()
+    }))
+    def stsd(fcc: String) = box("stsd", full(0, {
+      val entry = ByteBuffer.allocate(16)
+        .putInt(16).put(fcc.getBytes("US-ASCII")).array()
+      ByteBuffer.allocate(4 + entry.length).putInt(1).put(entry).array()
+    }))
+    def trak(kind: String, fcc: String, withSize: Boolean) = {
+      val stbl = box("stbl", stsd(fcc))
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr(kind) ++ minf)
+      box("trak", (if (withSize) tkhdV else Array.empty[Byte]) ++ mdia)
+    }
+    val moov = box("moov",
+      mvhd ++ trak("vide", "avc1", withSize = true) ++
+        trak("soun", "mp4a", withSize = false))
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mp4 = ftyp ++ moov
+    val blobs = spark.createDataset(Seq(Multimodal.Blob(1L, mp4),
+      Multimodal.Blob(2L, "not a video at all".getBytes("UTF-8"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoMeta(blobs).collect().map(v => v.doc_id -> v).toMap
+    val v = out(1L)
+    assert(v.ok && v.brand == "isom" && v.duration_s == 5.0)
+    assert(v.n_tracks == 2 && v.video_codec == "avc1" && v.audio_codec == "mp4a")
+    assert(v.width == 640 && v.height == 360)
+    assert(!out(2L).ok)
+  }
+
   test("multimodal feature extraction over binary column is deterministic") {
     val blobs = docs.withColumn("blob", col("text").cast("binary"))
     val out = Multimodal.features(blobs, "doc_id", "blob").collect()
