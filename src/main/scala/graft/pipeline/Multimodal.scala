@@ -248,6 +248,95 @@ object Multimodal {
     }
   }
 
+  /** REAL sample extraction (demux) from MP4 blobs — every `everyNth`
+    * ENCODED video sample with its presentation timestamp, straight from
+    * the public sample tables: `stsz` (sizes), `stsc` (chunk runs),
+    * `stco`/`co64` (chunk offsets), `stts` (time deltas), `mdhd`
+    * (track timescale). No codec involved: the payload is the encoded
+    * access unit as stored, which is exactly what a frame-level dedup or
+    * a downstream decode stage consumes. Blobs that are not parseable
+    * MP4s yield no rows. Only pixel DECODE of these samples remains
+    * codec-bound (see [[frameSampleStub]] for that contract).
+    */
+  def videoFrames(blobs: Dataset[Blob], everyNth: Int): Dataset[Frame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    implicit val enc = Encoders.product[Frame]
+    blobs.mapPartitions(_.flatMap { b =>
+      demuxSamples(b.blob) match {
+        case None => Iterator.empty
+        case Some(samples) =>
+          samples.iterator.zipWithIndex
+            .filter(_._2 % everyNth == 0)
+            .map { case ((off, len, tsMs), i) =>
+              Frame(b.doc_id, i, tsMs, b.blob.slice(off, off + len))
+            }
+      }
+    })
+  }
+
+  /** (offset, size, ts_ms) per video sample, or None when the blob has no
+    * complete video sample table.
+    */
+  private def demuxSamples(bytes: Array[Byte]): Option[Array[(Int, Int, Long)]] =
+    try {
+      val iso = new IsoWalk(bytes)
+      val ((ss, se), scale) = iso.videoStbl().getOrElse(return None)
+      val (szS, _) = iso.find(ss, se, "stsz").getOrElse(return None)
+      val (scS, _) = iso.find(ss, se, "stsc").getOrElse(return None)
+      val stco = iso.find(ss, se, "stco")
+      val co64 = iso.find(ss, se, "co64")
+      val (ttS, _) = iso.find(ss, se, "stts").getOrElse(return None)
+      val uniform = iso.i32(szS + 4)
+      val nSamples = iso.i32(szS + 8).toInt
+      if (nSamples <= 0) return None
+      val sizes = Array.tabulate(nSamples)(i =>
+        if (uniform != 0) uniform.toInt else iso.i32(szS + 12 + 4 * i).toInt)
+      val nChunks =
+        stco.map { case (s, _) => iso.i32(s + 4).toInt }
+          .orElse(co64.map { case (s, _) => iso.i32(s + 4).toInt })
+          .getOrElse(return None)
+      def chunkOffset(c: Int): Long = stco match {
+        case Some((s, _)) => iso.i32(s + 8 + 4 * c)
+        case None => iso.i64(co64.get._1 + 8 + 8 * c)
+      }
+      // stsc runs: (first_chunk, samples_per_chunk); expand to per-chunk
+      val nRuns = iso.i32(scS + 4).toInt
+      val runs = Array.tabulate(nRuns)(r =>
+        (iso.i32(scS + 8 + 12 * r).toInt, iso.i32(scS + 12 + 12 * r).toInt))
+      val perChunk = Array.tabulate(nChunks) { c =>
+        runs.takeWhile(_._1 <= c + 1).lastOption.map(_._2).getOrElse(0)
+      }
+      // stts runs → per-sample timestamps (cumulative deltas / timescale)
+      val nTts = iso.i32(ttS + 4).toInt
+      val ts = new Array[Long](nSamples)
+      var si = 0
+      var acc = 0L
+      for (r <- 0 until nTts; _ <- 0L until iso.i32(ttS + 8 + 8 * r)
+           if si < nSamples) {
+        ts(si) = if (scale > 0) (acc * 1000 / scale).toLong else 0L
+        acc += iso.i32(ttS + 12 + 8 * r)
+        si += 1
+      }
+      // walk chunks, assign samples sequentially, offsets accumulate
+      val out = new Array[(Int, Int, Long)](nSamples)
+      var s = 0
+      var c = 0
+      while (c < nChunks && s < nSamples) {
+        var off = chunkOffset(c)
+        var k = 0
+        while (k < perChunk(c) && s < nSamples) {
+          out(s) = (off.toInt, sizes(s), ts(s))
+          off += sizes(s)
+          s += 1
+          k += 1
+        }
+        c += 1
+      }
+      if (s < nSamples) None else Some(out)
+    } catch {
+      case _: Throwable => None
+    }
+
   /** Container-level video metadata. `ok=false` for anything that is not a
     * parseable ISO-BMFF file.
     */
@@ -270,8 +359,10 @@ object Multimodal {
     blobs.mapPartitions(_.map(b => parseMp4(b.doc_id, b.blob)))
   }
 
-  private def parseMp4(id: Long, bytes: Array[Byte]): VideoMeta = {
-    val bad = VideoMeta(id, ok = false, "", 0.0, 0, "", 0, 0, "")
+  /** Minimal ISO-BMFF box walker over one file's bytes — shared by the
+    * metadata parse and the sample-table demux.
+    */
+  private final class IsoWalk(bytes: Array[Byte]) {
     def i32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
         ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
@@ -302,6 +393,33 @@ object Multimodal {
       }
     def find(lo: Int, hi: Int, t: String): Option[(Int, Int)] =
       boxes(lo, hi).collectFirst { case (`t`, s, e) => (s, e) }
+    /** video track's stbl span + its mdhd timescale, if present */
+    def videoStbl(): Option[((Int, Int), Double)] = {
+      val moov = find(0, bytes.length, "moov").getOrElse(return None)
+      boxes(moov._1, moov._2).collectFirst {
+        case ("trak", ts, te) if (for {
+              (ms, me) <- find(ts, te, "mdia")
+              (hs, _) <- find(ms, me, "hdlr")
+            } yield fourcc(hs + 8)).contains("vide") =>
+          for {
+            (ms, me) <- find(ts, te, "mdia")
+            (mis, mie) <- find(ms, me, "minf")
+            stbl <- find(mis, mie, "stbl")
+          } yield {
+            val scale = find(ms, me, "mdhd").map { case (s, _) =>
+              val v = bytes(s) & 0xff
+              (if (v == 1) i32(s + 20) else i32(s + 12)).toDouble
+            }.getOrElse(1.0)
+            (stbl, scale)
+          }
+      }.flatten
+    }
+  }
+
+  private def parseMp4(id: Long, bytes: Array[Byte]): VideoMeta = {
+    val bad = VideoMeta(id, ok = false, "", 0.0, 0, "", 0, 0, "")
+    val iso = new IsoWalk(bytes)
+    import iso._
     try {
       if (bytes.length < 16) return bad
       val ftyp = find(0, bytes.length, "ftyp").getOrElse(return bad)

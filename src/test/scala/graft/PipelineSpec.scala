@@ -481,17 +481,39 @@ class PipelineSpec extends AnyFunSuite {
         .putInt(16).put(fcc.getBytes("US-ASCII")).array()
       ByteBuffer.allocate(4 + entry.length).putInt(1).put(entry).array()
     }))
-    def trak(kind: String, fcc: String, withSize: Boolean) = {
-      val stbl = box("stbl", stsd(fcc))
+    val mdhd = box("mdhd", full(0, {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0).putInt(0).putInt(10).putInt(20) // timescale 10, dur 20
+      b.array()
+    }))
+    // 4 samples: sizes 3,4,5,6; 2 samples/chunk; deltas of 5 ticks at
+    // timescale 10 -> presentation ts 0, 500, 1000, 1500 ms
+    val sizes = Seq(3, 4, 5, 6)
+    val stsz = box("stsz", full(0, {
+      val b = ByteBuffer.allocate(8 + 4 * sizes.length)
+      b.putInt(0).putInt(sizes.length); sizes.foreach(b.putInt); b.array()
+    }))
+    val stsc = box("stsc", full(0,
+      ByteBuffer.allocate(16).putInt(1).putInt(1).putInt(2).putInt(1).array()))
+    val stts = box("stts", full(0,
+      ByteBuffer.allocate(12).putInt(1).putInt(4).putInt(5).array()))
+    def stco(off: Int) = box("stco", full(0,
+      ByteBuffer.allocate(12).putInt(2).putInt(off).putInt(off + 7).array()))
+    def trak(kind: String, fcc: String, video: Boolean, mdatOff: Int) = {
+      val stbl = box("stbl", stsd(fcc) ++ (if (video)
+        stsz ++ stsc ++ stts ++ stco(mdatOff) else Array.empty[Byte]))
       val minf = box("minf", stbl)
-      val mdia = box("mdia", hdlr(kind) ++ minf)
-      box("trak", (if (withSize) tkhdV else Array.empty[Byte]) ++ mdia)
+      val mdia = box("mdia", hdlr(kind) ++ (if (video) mdhd
+        else Array.empty[Byte]) ++ minf)
+      box("trak", (if (video) tkhdV else Array.empty[Byte]) ++ mdia)
     }
-    val moov = box("moov",
-      mvhd ++ trak("vide", "avc1", withSize = true) ++
-        trak("soun", "mp4a", withSize = false))
+    def mkMoov(mdatOff: Int) = box("moov",
+      mvhd ++ trak("vide", "avc1", video = true, mdatOff) ++
+        trak("soun", "mp4a", video = false, 0))
     val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
-    val mp4 = ftyp ++ moov
+    val mdatPayload = Array.tabulate[Byte](18)(i => (i + 1).toByte)
+    val mdatOff = ftyp.length + mkMoov(0).length + 8 // same length any offset
+    val mp4 = ftyp ++ mkMoov(mdatOff) ++ box("mdat", mdatPayload)
     val blobs = spark.createDataset(Seq(Multimodal.Blob(1L, mp4),
       Multimodal.Blob(2L, "not a video at all".getBytes("UTF-8"))))(
       org.apache.spark.sql.Encoders.product[Multimodal.Blob])
@@ -501,6 +523,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(v.n_tracks == 2 && v.video_codec == "avc1" && v.audio_codec == "mp4a")
     assert(v.width == 640 && v.height == 360)
     assert(!out(2L).ok)
+    // REAL demux: every 2nd encoded sample with its bytes and timestamp
+    val frames = Multimodal.videoFrames(blobs, everyNth = 2).collect()
+      .map(f => f.frame_idx -> f).toMap
+    assert(frames.keySet == Set(0, 2))
+    assert(frames(0).ts_ms == 0L && frames(2).ts_ms == 1000L)
+    assert(frames(0).frame.toSeq == mdatPayload.slice(0, 3).toSeq)   // chunk 1
+    assert(frames(2).frame.toSeq == mdatPayload.slice(7, 12).toSeq)  // chunk 2
   }
 
   test("multimodal feature extraction over binary column is deterministic") {
