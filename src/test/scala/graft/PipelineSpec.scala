@@ -532,6 +532,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames(2).frame.toSeq == mdatPayload.slice(7, 12).toSeq)  // chunk 2
   }
 
+  test("demuxed frames compose with frame-level exact dedup") {
+    // two copies of the same mp4 -> their demuxed encoded samples are
+    // byte-identical, so frame-level exact dedup collapses them: the
+    // frames-as-rows contract, end to end on REAL demux output
+    import java.nio.ByteBuffer
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(body: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + body.length).putInt(0).put(body).array()
+    val stsd = box("stsd", full(ByteBuffer.allocate(20).putInt(1)
+      .putInt(16).put("avc1".getBytes("US-ASCII")).array()))
+    val mdhd = box("mdhd", full(
+      ByteBuffer.allocate(20).putInt(0).putInt(0).putInt(10).putInt(10).array()))
+    val stsz = box("stsz", full(
+      ByteBuffer.allocate(16).putInt(0).putInt(2).putInt(4).putInt(4).array()))
+    val stsc = box("stsc", full(
+      ByteBuffer.allocate(16).putInt(1).putInt(1).putInt(2).putInt(1).array()))
+    val stts = box("stts", full(
+      ByteBuffer.allocate(12).putInt(1).putInt(2).putInt(5).array()))
+    def mkMoov(off: Int) = box("moov", box("trak", box("mdia",
+      box("hdlr", full(ByteBuffer.allocate(20).putInt(0)
+        .put("vide".getBytes("US-ASCII")).array())) ++ mdhd ++
+        box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stts ++
+          box("stco", full(ByteBuffer.allocate(8).putInt(1).putInt(off).array())))))))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"))
+    val off = ftyp.length + mkMoov(0).length + 8
+    val mp4 = ftyp ++ mkMoov(off) ++
+      box("mdat", Array.tabulate[Byte](8)(i => (i * 3).toByte))
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, mp4), Multimodal.Blob(2L, mp4)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val frames = Multimodal.videoFrames(blobs, everyNth = 1)
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+    assert(frames.count() == 4) // 2 docs x 2 samples
+    val dedup = Dedup.exact(frames, "doc_id", md5(col("frame")))
+    // both samples are distinct within a doc, duplicated across docs
+    assert(dedup.count() == 2)
+    assert(dedup.collect().forall(r => r.getLong(2) == 2L))
+  }
+
   test("multimodal feature extraction over binary column is deterministic") {
     val blobs = docs.withColumn("blob", col("text").cast("binary"))
     val out = Multimodal.features(blobs, "doc_id", "blob").collect()
