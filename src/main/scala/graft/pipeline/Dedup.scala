@@ -457,9 +457,12 @@ object Dedup {
     // gate (one cheap agg, the union-find-edge-gate pattern): the collapse
     // adds a groupBy + expansion joins that only pay off when the corpus
     // actually contains exact duplicates — on a mostly-unique corpus the
-    // direct pair path is strictly cheaper
+    // direct pair path is strictly cheaper. approx_count_distinct ships
+    // fixed-size sketches instead of every distinct key; the gate needs a
+    // ratio, not a census, and BOTH branches produce identical output so
+    // sketch error can only affect cost, never correctness
     val Array(nDocs, nUnique) = keyed
-      .agg(count(lit(1)), count_distinct(col("_k"))).first()
+      .agg(count(lit(1)), approx_count_distinct(col("_k"))).first()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     if (nUnique >= nDocs * collapseRatio) {
       return connectedComponents(minhashNearDups(df, idCol, text,
