@@ -20,6 +20,11 @@ object Bench {
     // query equally instead of biasing whichever query ran during the spike.
     // min is the stable plan-cost estimate; (max-min) is the recorded spread.
     val rounds = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
+    // One unrecorded warm-up pass over the whole list before the recorded
+    // rounds: first-run times are dominated by JIT + plan compilation, which
+    // otherwise lands entirely in the recorded spread of whichever round ran
+    // first and makes steady-state variance unreadable.
+    val warmups = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt).getOrElse(1).max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,11 +51,12 @@ object Bench {
     val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    for (_ <- 0 until rounds; (name, fn) <- qseq if !errors.contains(name)) {
+    for (round <- 0 until (warmups + rounds); (name, fn) <- qseq if !errors.contains(name)) {
       val t0 = System.nanoTime()
       try {
         run(fn)
-        samples(name) = samples.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
+        if (round >= warmups)
+          samples(name) = samples.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
@@ -63,24 +69,46 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
-    // millisecond precision keeps the line SHORT — a 74-query object at full
-    // double precision was long enough to get tail-truncated by the driver
     def sec(t: Double): String = f"$t%.3f"
+    def sec2(t: Double): String = f"$t%.2f"
     val results = samples.toSeq.map { case (k, ts) => (k, ts.min, ts.max - ts.min) }
-    val qs = results.map { case (k, mn, _) => "\"" + k + "\":" + sec(mn) }
-      .mkString("{", ",", "}")
-    // per-query spread (max-min over the rounds) at coarser precision: the
-    // judge needs it to tell plan regressions from harness noise
-    val sp = results.map { case (k, _, d) => "\"" + k + "\":" + f"$d%.2f" }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The driver keeps only the LAST 2000 chars of stdout and json-parses the
+    // line it finds there. The full 100+-query min object alone is >2100 chars
+    // (names are ~1.4k), so it cannot fit — split the record:
+    //  * BENCH_DETAIL.json (repo root, committed by the driver's end-of-round
+    //    commit): complete per-query mins + spreads + errors.
+    //  * stdout: ONE short line, guaranteed under the capture window, carrying
+    //    total/runs/errors plus as many of the SLOWEST query mins as fit in a
+    //    ~1600-char budget ("queries" last so even a truncated tail ends with
+    //    the mins). Slowest-first is the right truncation: sub-0.1 s queries
+    //    carry no perf signal at sf0.1.
+    val fullQs = results.map { case (k, mn, _) => "\"" + k + "\":" + sec(mn) }
+      .mkString("{", ",", "}")
+    val fullSp = results.map { case (k, _, d) => "\"" + k + "\":" + sec2(d) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","errors":$errJson,"spread":$fullSp,"queries":$fullQs}"""
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val bySlow = results.sortBy(-_._2)
+    val budget = 1600
+    val topEntries = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var used = 0
+    for ((k, mn, _) <- bySlow) {
+      val e = "\"" + k + "\":" + sec2(mn)
+      if (used + e.length + 1 <= budget) { topEntries += ((k, e)); used += e.length + 1 }
+    }
+    val topQs = topEntries.map(_._2).mkString("{", ",", "}")
     spark.stop()
-    // ONE parseable line, alone on stdout
+    // ONE parseable line, alone on stdout, "queries" (the mins) last
     System.setOut(realOut)
     System.out.println(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"queries":$qs,"spread":$sp,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"detail":"BENCH_DETAIL.json","errors":$errJson,"queries":$topQs}""")
     System.out.flush()
   }
 }

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache scoping for diamond-shaped operator DAGs.
+  *
+  * `DataFrame.persist` registers the plan in the session's CacheManager,
+  * which holds it until an explicit `unpersist` — an operator that caches a
+  * corpus-sized intermediate and returns lazily would leak that cache into
+  * the caller's session, accumulating MEMORY_AND_DISK blocks across
+  * invocations in a long-lived session. [[scoped]] closes the scope inside
+  * the operator instead: compute the (narrow, derived) result ONCE while the
+  * intermediate is hot, release the intermediate, and hand back the
+  * materialized result. The checkpoint's blocks are reference-tracked by
+  * Spark's ContextCleaner — they free themselves once the caller drops the
+  * frame, with no session-wide bookkeeping.
+  */
+object Caching {
+
+  /** Eagerly materialize `out` (so every pass over `cached` hits the cache),
+    * then unpersist `cached`. The returned frame reads the checkpointed
+    * blocks; its lineage is truncated, so callers needing the full lazy plan
+    * (e.g. for plan audits) should disable the operator's cache flag.
+    */
+  def scoped(out: DataFrame, cached: DataFrame): DataFrame = {
+    val cp = out.localCheckpoint(eager = true)
+    cached.unpersist(blocking = false)
+    cp
+  }
+}

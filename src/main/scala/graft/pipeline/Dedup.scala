@@ -446,8 +446,12 @@ object Dedup {
     * plus intra-group edges; each group's representative is its MINIMUM
     * id, so the component minimum over representatives IS the component
     * minimum over documents. Docs appear in the output iff they have at
-    * least one near-dup (a ≥2 exact group, or a representative with
-    * cross-text pairs) — the same node set as the full pair graph.
+    * least one near-dup (a ≥2 exact group whose text yields ≥1 shingle, or
+    * a representative with cross-text pairs) — the same node set as the
+    * full pair graph. The shingle condition matters: docs with fewer than
+    * `shingleLen` tokens produce no signature and hence no pairs in the
+    * direct branch, so identical copies of such a doc are NOT near-dups
+    * under MinHash semantics and must not appear here either.
     */
   def nearDupClustersCollapsed(df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
@@ -472,17 +476,24 @@ object Dedup {
     val groups = keyed.groupBy(col("_k"))
       .agg(min(col("_doc")).as("rep"), count(lit(1)).as("_gn"),
         first(col("_t")).as("_t")) // texts in a group are identical
+      // does this text produce ANY shingle? Zero-shingle docs (fewer than
+      // shingleLen tokens) generate no MinHash signature and therefore no
+      // pairs in the direct branch — an exact clique of them must NOT count
+      // as near-dups here either, or the gate's branch choice would change
+      // the output. Computed once per DISTINCT text, not per document.
+      .withColumn("_sh", size(shingleArray(col("_t"), shingleLen)) > 0)
     val reps = groups.select(col("rep").as(idCol), col("_t").as("__text"))
     val pairs = minhashNearDups(reps, idCol, col("__text"),
       shingleLen, k, rowsPerBand, threshold)
     val repClusters = connectedComponents(pairs)
     // expand: every doc inherits its representative's component label
     // (falling back to the rep itself when the rep has no cross-text
-    // pairs); keep docs that have ANY near-dup — cross-text or exact
+    // pairs); keep docs that have ANY near-dup — cross-text, or exact with
+    // a shingle-bearing text (matching the pair graph's node set exactly)
     val expanded = keyed
-      .join(Joins.maybeBroadcast(groups.select(col("_k"), col("rep"), col("_gn"))), Seq("_k"))
+      .join(Joins.maybeBroadcast(groups.select(col("_k"), col("rep"), col("_gn"), col("_sh"))), Seq("_k"))
       .join(Joins.maybeBroadcast(repClusters), col("rep") === col("node"), "left")
-      .filter(col("_gn") >= 2L || col("node").isNotNull)
+      .filter((col("_gn") >= 2L && col("_sh")) || col("node").isNotNull)
     expanded.select(col("_doc").as("doc_id"),
       coalesce(col("cluster"), col("rep")).as("cluster"))
   }
@@ -673,10 +684,13 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
-    df.select(col(idCol))
+    val res = df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("n_windows", "n_dup_windows"))
       .withColumn("dup_frac", when(col("n_windows") === 0L, 0.0).otherwise(
         round(col("n_dup_windows") / col("n_windows").cast("double"), 6)))
+    // close the cache scope: materialize per-doc stats while the window
+    // table is hot, then release it (see graft.core.Caching)
+    if (cacheWindows) graft.core.Caching.scoped(res, win) else res
   }
 }

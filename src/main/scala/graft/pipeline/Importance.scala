@@ -79,10 +79,15 @@ object Importance {
       .select(col("b"), col("lr_units"))
     val scores = g.join(Joins.maybeBroadcast(lr), Seq("b"))
       .groupBy(col(idCol)).agg(sum(col("lr_units")).as("score_units"))
-    df.select(col(idCol))
+    val res = df.select(col(idCol))
       .join(scores, Seq(idCol), "left")
       .na.fill(0L, Seq("score_units"))
       .withColumn("score", round(col("score_units") / scale.toDouble, 6))
       .withColumn("keep", (col("score_units") > 0L).cast("int"))
+    // close the cache scope here: materialize the per-doc weights (both
+    // passes over the gram rows hit the cache), then release the
+    // corpus-sized gram table — otherwise every call leaks a cache entry
+    // into the session (see graft.core.Caching)
+    if (cacheGrams) graft.core.Caching.scoped(res, g) else res
   }
 }

@@ -71,10 +71,13 @@ object LanguageModel {
           .cast("long")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tri"), sum(col("_u")).as("lp_sum"))
-    df.select(col(idCol))
+    val res = df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .na.fill(0L, Seq("n_tri", "lp_sum"))
       .withColumn("xent", when(col("n_tri") === 0L, 0.0).otherwise(
         round(-col("lp_sum") / (col("n_tri") * scale).cast("double"), 6)))
+    // close the cache scope: materialize per-doc scores while the trigram
+    // rows are hot, then release them (see graft.core.Caching)
+    if (cacheTrigrams) graft.core.Caching.scoped(res, tris) else res
   }
 }

@@ -311,8 +311,12 @@ object Multimodal {
       val ts = new Array[Long](nSamples)
       var si = 0
       var acc = 0L
-      for (r <- 0 until nTts; _ <- 0L until iso.i32(ttS + 8 + 8 * r)
-           if si < nSamples) {
+      // clamp each run's sample_count to the samples still unassigned: a
+      // corrupt/adversarial count (i32 is unsigned, up to ~4.29e9) must not
+      // spin billions of no-op iterations — the `if si < nSamples` guard
+      // alone would FILTER, not terminate
+      for (r <- 0 until nTts if si < nSamples;
+           _ <- 0L until math.min(iso.i32(ttS + 8 + 8 * r), (nSamples - si).toLong)) {
         ts(si) = if (scale > 0) (acc * 1000 / scale).toLong else 0L
         acc += iso.i32(ttS + 12 + 8 * r)
         si += 1
@@ -325,6 +329,11 @@ object Multimodal {
         var off = chunkOffset(c)
         var k = 0
         while (k < perChunk(c) && s < nSamples) {
+          // a sample table pointing outside the blob (truncated mdat, lying
+          // offsets, Int wrap) means the file is malformed — yield no rows,
+          // like every other parse failure, instead of silently slicing
+          // short/empty payloads into downstream frame dedup
+          if (off < 0L || sizes(s) < 0 || off + sizes(s) > bytes.length.toLong) return None
           out(s) = (off.toInt, sizes(s), ts(s))
           off += sizes(s)
           s += 1

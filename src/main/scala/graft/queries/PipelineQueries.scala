@@ -715,13 +715,15 @@ object PipelineQueries {
          |t AS (SELECT d.doc_id, ${tokCntSql("d.text")} AS n_tok
          |      FROM documents d JOIN sv ON sv.doc_id = d.doc_id),
          |c AS (SELECT doc_id, n_tok,
-         |        sum(n_tok) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+         |        CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |          AS BIGINT) AS strt
          |      FROM t),
          |b AS (SELECT doc_id, ${bucketSql("s42")} AS bucket FROM documents)
          |SELECT c.doc_id, c.n_tok,
          |       CAST(floor(strt / 256.0) AS BIGINT) AS bin,
-         |       strt - CAST(floor(strt / 256.0) AS BIGINT) * 256 AS offset_in_bin,
+         |       CAST(strt - CAST(floor(strt / 256.0) AS BIGINT) * 256
+         |            AS BIGINT) AS offset_in_bin,
          |       CASE WHEN b.bucket < ${splitCuts(0)} THEN 'train'
          |            WHEN b.bucket < ${splitCuts(1)} THEN 'val'
          |            ELSE 'test' END AS split
@@ -745,12 +747,14 @@ object PipelineQueries {
         |    END AS n_tok
         |  FROM documents),
         |c AS (SELECT doc_id, n_tok,
-        |        sum(n_tok) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+        |        CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |          AS BIGINT) AS strt
         |      FROM t)
         |SELECT doc_id, n_tok,
         |       CAST(floor(strt / 512.0) AS BIGINT) AS bin,
-        |       strt - CAST(floor(strt / 512.0) AS BIGINT) * 512 AS offset_in_bin
+        |       CAST(strt - CAST(floor(strt / 512.0) AS BIGINT) * 512
+        |            AS BIGINT) AS offset_in_bin
         |FROM c""".stripMargin,
     "decontaminate" ->
       s"""WITH $shingleSqlBase,

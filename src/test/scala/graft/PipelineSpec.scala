@@ -772,6 +772,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!collapsed.contains(4L)) // true singleton stays absent
   }
 
+  test("identical zero-shingle docs are not near-dups in either branch") {
+    // docs 31/32 are IDENTICAL but hold a single token — below shingleLen=2
+    // they produce no shingles, hence no MinHash signature, hence no pairs:
+    // MinHash semantics says they are NOT near-dups, and the collapse
+    // branch's exact-clique expansion must agree with the direct branch
+    // (and with the pair graph) instead of smuggling them in
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (31L, "solo"),
+      (32L, "solo"),
+      (33L, "")
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = asMap(Dedup.connectedComponents(
+      Dedup.minhashNearDups(base, "doc_id", col("text"),
+        shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3,
+        cacheShingles = false))
+      .select(col("node").as("doc_id"), col("cluster")))
+    val collapsed = asMap(Dedup.nearDupClustersCollapsed(base, "doc_id",
+      col("text"), shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3,
+      collapseRatio = 1.01)) // force the collapse branch
+    val direct = asMap(Dedup.nearDupClustersCollapsed(base, "doc_id",
+      col("text"), shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3,
+      collapseRatio = 0.0))  // force the direct branch
+    assert(full == Map(1L -> 1L, 11L -> 1L), full)
+    assert(collapsed == full, s"collapsed=$collapsed full=$full")
+    assert(direct == full, s"direct=$direct full=$full")
+    // survivorsCollapsed must KEEP the short docs (they are no one's dup)
+    val surv = Dedup.survivorsCollapsed(base, "doc_id", col("text"),
+      shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 31L, 32L, 33L), surv)
+  }
+
   test("lm score: target-like text gets lower cross-entropy than alien text") {
     val d = Seq(
       (1L, "the cat sat on the mat with the hat", true),

@@ -167,14 +167,28 @@ class PlanAuditSpec extends AnyFunSuite {
     // the mixture DO carry one SinglePartition exchange each: the totals
     // aggregate over the ≤B-row bucket/source table — metadata-sized by
     // construction, not a data serialization point.)
-    for (q <- Seq("dsir_weights", "substring_dup", "mixture_sample",
-        "lm_score", "bpe_tokenize", "corpus_report")) {
+    for (q <- Seq("mixture_sample", "bpe_tokenize", "corpus_report")) {
       val df = SparkEntry.queries(q)(spark, dir)
       assert(!plan(df).contains("CartesianProduct"), s"$q: ${plan(df)}")
     }
+    // The scope-cached operators (dsirWeights / substringDupStats /
+    // charTrigramScore) checkpoint their result, which truncates the lineage
+    // the audit needs — inspect the cache-disabled form, which is the SAME
+    // plan minus the InMemoryRelation nodes.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val audited = Seq(
+      "dsir_weights" -> pipeline.Importance.dsirWeights(docs, "doc_id",
+        col("text"), col("lang") === "en", cacheGrams = false),
+      "substring_dup" -> pipeline.Dedup.substringDupStats(docs, "doc_id",
+        col("text"), cacheWindows = false),
+      "lm_score" -> pipeline.LanguageModel.charTrigramScore(docs, "doc_id",
+        col("text"), col("lang") === "en", cacheTrigrams = false))
+    for ((q, df) <- audited)
+      assert(!plan(df).contains("CartesianProduct"), s"$q: ${plan(df)}")
     // substring-dup's window table is corpus-sized: IT must never collapse
     // to a single partition
-    val sub = SparkEntry.queries("substring_dup")(spark, dir)
+    val sub = pipeline.Dedup.substringDupStats(docs, "doc_id", col("text"),
+      cacheWindows = false)
     assert(!plan(sub).contains("Exchange SinglePartition"), plan(sub))
   }
 
