@@ -335,10 +335,11 @@ object PipelineQueries {
     "bpe_tokenize" -> { (s, dir) =>
       // train 40 BPE merges on the corpus (one corpus-sized word-count
       // shuffle, driver-side merge loop over the bounded vocab), then
-      // encode every doc at scan speed. NO oracle entry: BPE segmentation
-      // is iterative per word and not SQL-expressible — the driver records
-      // the weaker rows-only check; semantics are pinned by the classic
-      // Sennrich fixture spec and the determinism property.
+      // encode every doc at scan speed. Oracle: FROZEN VALUES (BpeOracle)
+      // — segmentation is iterative per word and not SQL-expressible, but
+      // the trainer's tie-breaks are total, so the sf0.01 encoding is
+      // reproducible and hash-checkable; semantics are pinned by the
+      // classic Sennrich fixture spec and the determinism property.
       val docs = Tables.documents(s, dir)
       val merges = Bpe.trainMerges(docs, col("text"), nMerges = 40)
       docs.select(col("doc_id"),
@@ -464,6 +465,11 @@ object PipelineQueries {
        |     ELSE len(string_split_regex(trim(lower($text)), '\\s+')) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // FROZEN VALUES oracle (see queries/BpeOracle.scala + the freezer in
+    // tools/freeze_bpe_oracle.py): BPE is iterative per word and not
+    // SQL-expressible, but its tie-breaks are total so the sf0.01
+    // encoding is reproducible — hash-checked instead of rows-only.
+    "bpe_tokenize" -> BpeOracle.sql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS survivor,
         |       count(*) AS n_dups
