@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   *   - Merge learning then runs driver-side over that bounded table
   *     (gated by `maxVocab`, like the union-find edge gate in
   *     [[Dedup.connectedComponents]]) — n_merges × vocab × word-length
-  *     work, no per-iteration Spark jobs. A corpus whose DISTINCT-WORD
-  *     table exceeds the gate should raise the gate (it is memory-bound,
-  *     not compute-bound) or pre-truncate the tail of hapax words.
+  *     work, no per-iteration Spark jobs. When the distinct-word table
+  *     exceeds the gate, the trainer takes the `maxVocab` most frequent
+  *     words (ties broken by word, so the cut is deterministic) — the
+  *     standard frequency-truncation every production BPE trainer applies:
+  *     the dropped tail is hapax-class words whose pair mass is negligible,
+  *     and encoding NEVER depends on the training vocabulary being
+  *     complete (unseen words fall back through learned merges to
+  *     characters). Merge lists are therefore a pure function of
+  *     (corpus, maxVocab) at ANY corpus size.
   *   - Encoding is a one-pass imperative expression
   *     ([[graft.functions.BpeEncode]]) with the ranked merge table inlined
   *     — rides any scan, zero shuffles, streaming-safe like the other
@@ -45,16 +51,24 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** Learn `nMerges` merge rules from the corpus. Returns the ranked merge
-    * list (earlier = applied first during encoding).
+    * list (earlier = applied first during encoding). Corpora whose
+    * distinct-word table exceeds `maxVocab` train on the `maxVocab` most
+    * frequent words (count desc, word asc — a deterministic cut); see the
+    * class note for why this is the scale route, not an approximation to
+    * apologize for.
     */
   def trainMerges(df: DataFrame, text: Column, nMerges: Int,
       maxVocab: Long = 4L << 20): Seq[(String, String)] = {
+    require(maxVocab > 0 && maxVocab <= Int.MaxValue,
+      s"maxVocab must be in (0, 2^31), got $maxVocab")
     val wc = wordCounts(df, text)
     val n = wc.count()
-    require(n <= maxVocab,
-      s"distinct-word table has $n rows > maxVocab=$maxVocab; raise the " +
-        "gate (driver-memory-bound) or pre-truncate hapax words")
-    val vocab = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+    // TakeOrderedAndProject: the sort+limit never materializes the full
+    // vocabulary anywhere — each task keeps its local top-maxVocab
+    val bounded =
+      if (n <= maxVocab) wc
+      else wc.orderBy(col("cnt").desc, col("word").asc).limit(maxVocab.toInt)
+    val vocab = bounded.collect().map(r => (r.getString(0), r.getLong(1)))
     trainLocal(vocab.toIndexedSeq, nMerges)
   }
 

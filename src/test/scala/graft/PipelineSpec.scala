@@ -852,6 +852,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(d, col("text"), 4) == merges)
   }
 
+  test("bpe scale route: over-gate vocab trains on the frequency-truncated head") {
+    // Sennrich fixture words plus a hapax tail; maxVocab=4 cuts the tail
+    // (the fixture's 4 words are the most frequent) — merges must equal
+    // training on exactly those 4 words, and the merges must still encode
+    // the FULL corpus, tail words falling back through chars
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val tail = "zebra quark jolt vex mumble"
+    val d = Seq((1L, text), (2L, tail)).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(d, col("text"), 4, maxVocab = 4L)
+    val headOnly = Bpe.trainLocal(
+      Seq(("newest", 6L), ("low", 5L), ("widest", 3L), ("lower", 2L)), 4)
+    assert(merges == headOnly, s"merges=$merges headOnly=$headOnly")
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    // full-corpus encoding under the truncation-trained merges: every doc
+    // encodes, and tail words round-trip through character fallback
+    val enc = d.select(col("doc_id"), Bpe.encode(col("text"), merges).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L).nonEmpty && enc(2L).nonEmpty)
+    assert(enc(2L).mkString.replace("</w>", " ").trim == tail)
+    // determinism of the cut: same maxVocab, same merges
+    assert(Bpe.trainMerges(d, col("text"), 4, maxVocab = 4L) == merges)
+  }
+
   test("ngram array: multiplicity-preserving expression == HOF wordNgrams") {
     val d = Seq((1L, "a b a b a"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
     val rows = d.select(
