@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/BMP/GIF, headless-safe), so [[imageFeatures]] and
   * [[resizeImages]] run actual codecs on executors. AUDIO decode is REAL
   * for the JDK's container formats (WAV/AIFF/AU, PCM 8/16-bit) via
-  * `javax.sound.sampled` — [[audioFeatures]]. VIDEO splits in two: the
+  * `javax.sound.sampled` — [[audioFeatures]]. VIDEO splits in three: the
   * MP4/ISO-BMFF CONTAINER parse is REAL ([[videoMeta]] — duration, track
   * count, codec fourccs, resolution from the public box layout, the
-  * metadata curation filters on), while FRAME decode remains a declared
-  * stub (`fakeProps` — that genuinely needs ffmpeg, absent here); the
-  * batching shape is identical, so swapping in a real codec changes
-  * nothing structurally.
+  * metadata curation filters on); sample DEMUX is REAL ([[videoFrames]] —
+  * encoded access units + timestamps straight from the sample tables);
+  * and frame PIXEL decode is REAL for MJPEG tracks
+  * ([[videoFrameFeatures]] — each MJPEG access unit IS a complete JPEG,
+  * so the JDK's ImageIO decodes it with zero new dependencies). Only
+  * inter-frame codecs (h264/h265/vp9/av1) remain a declared stub — those
+  * genuinely need ffmpeg, absent here; the batching shape is identical,
+  * so swapping in a real codec changes nothing structurally.
   */
 object Multimodal {
 
@@ -94,29 +98,40 @@ object Multimodal {
     implicit val enc = Encoders.product[ImageFeatures]
     blobs.mapPartitions { it =>
       it.map { b =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.blob))
-          catch { case _: Throwable => null }
-        if (img == null) ImageFeatures(b.doc_id, ok = false, 0, 0, 0, 0.0)
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              // ITU-R BT.601 luma over the packed sRGB channels
-              sum += 0.299 * ((rgb >> 16) & 0xff) +
-                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          ImageFeatures(b.doc_id, ok = true, w, h,
-            img.getRaster.getNumBands, sum / (w.toLong * h))
+        decodeStats(b.blob) match {
+          case None => ImageFeatures(b.doc_id, ok = false, 0, 0, 0, 0.0)
+          case Some((w, h, bands, luma)) =>
+            ImageFeatures(b.doc_id, ok = true, w, h, bands, luma)
         }
       }
+    }
+  }
+
+  /** ImageIO decode + (width, height, bands, mean ITU-R BT.601 luma) — the
+    * shared pixel walk behind [[imageFeatures]] and [[videoFrameFeatures]].
+    * None when no installed codec accepts the bytes.
+    */
+  private def decodeStats(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // ITU-R BT.601 luma over the packed sRGB channels
+          sum += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, img.getRaster.getNumBands, sum / (w.toLong * h)))
     }
   }
 
@@ -269,6 +284,65 @@ object Multimodal {
             .filter(_._2 % everyNth == 0)
             .map { case ((off, len, tsMs), i) =>
               Frame(b.doc_id, i, tsMs, b.blob.slice(off, off + len))
+            }
+      }
+    })
+  }
+
+  /** Sample-entry fourccs whose access units are complete JFIF/JPEG images
+    * — the Motion-JPEG family (Apple MJPEG A/B, generic 'jpeg'/'mjpg',
+    * AVID 'AVDJ', 'dmb1'). For these, DEMUX output is directly decodable
+    * by the JDK's ImageIO; inter-frame codecs are not.
+    */
+  private val JpegFourccs =
+    Set("mjpa", "mjpb", "jpeg", "mjpg", "MJPG", "AVDJ", "dmb1")
+
+  /** The video track's sample-entry fourcc, if the blob parses. */
+  private def videoCodecFourcc(bytes: Array[Byte]): Option[String] =
+    try {
+      val iso = new IsoWalk(bytes)
+      for {
+        ((ss, se), _) <- iso.videoStbl()
+        (sds, _) <- iso.find(ss, se, "stsd")
+      } yield iso.fourcc(sds + 12)
+    } catch { case _: Throwable => None }
+
+  /** One sampled frame with DECODED pixel statistics. `ok=false` rows are
+    * frames whose codec ImageIO cannot decode (every non-MJPEG track) —
+    * kept, not dropped, same contract as [[ImageFeatures]].
+    */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, ts_ms: Long,
+      ok: Boolean, width: Int, height: Int, mean_luma: Double)
+
+  /** REAL frame pixel decode for MJPEG-family tracks: demux every
+    * `everyNth` access unit ([[videoFrames]]' tables), and — when the
+    * track's sample entry is a Motion-JPEG fourcc — decode it with the
+    * SAME JDK ImageIO path [[imageFeatures]] uses, because an MJPEG
+    * access unit is a complete JPEG image. Inter-frame codecs
+    * (h264/h265/...) yield `ok=false` rows with the demuxed metadata
+    * intact; unparseable blobs yield no rows. One mapPartitions pass,
+    * codec state amortised per partition — the frameSampleStub contract,
+    * now with real pixels for one common codec and zero new dependencies.
+    */
+  def videoFrameFeatures(blobs: Dataset[Blob], everyNth: Int): Dataset[FrameFeatures] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    implicit val enc = Encoders.product[FrameFeatures]
+    blobs.mapPartitions(_.flatMap { b =>
+      demuxSamples(b.blob) match {
+        case None => Iterator.empty
+        case Some(samples) =>
+          val jpeg = videoCodecFourcc(b.blob).exists(JpegFourccs.contains)
+          samples.iterator.zipWithIndex
+            .filter(_._2 % everyNth == 0)
+            .map { case ((off, len, tsMs), i) =>
+              val stats =
+                if (jpeg) decodeStats(b.blob.slice(off, off + len)) else None
+              stats match {
+                case Some((w, h, _, luma)) =>
+                  FrameFeatures(b.doc_id, i, tsMs, ok = true, w, h, luma)
+                case None =>
+                  FrameFeatures(b.doc_id, i, tsMs, ok = false, 0, 0, 0.0)
+              }
             }
       }
     })

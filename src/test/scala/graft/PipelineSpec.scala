@@ -575,6 +575,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(dedup.collect().forall(r => r.getLong(2) == 2L))
   }
 
+  test("REAL MJPEG frame decode: demuxed access units yield pixel stats") {
+    // MJPEG-in-MP4: each access unit IS a complete JPEG, so the demuxed
+    // samples must decode to real luma stats through the JDK codec —
+    // gray (~128) and white (~255) solid frames, JPEG-lossy tolerance.
+    // The same tables under an 'avc1' entry must yield ok=false rows.
+    import java.nio.ByteBuffer
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(body: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + body.length).putInt(0).put(body).array()
+    def jpegBytes(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 8, 6); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val f0 = jpegBytes(0x808080) // gray -> luma ~128
+    val f1 = jpegBytes(0xffffff) // white -> luma ~255
+    def mkMp4(fcc: String): Array[Byte] = {
+      val stsd = box("stsd", full(ByteBuffer.allocate(20).putInt(1)
+        .putInt(16).put(fcc.getBytes("US-ASCII")).array()))
+      val mdhd = box("mdhd", full(ByteBuffer.allocate(20)
+        .putInt(0).putInt(0).putInt(10).putInt(10).array()))
+      val stsz = box("stsz", full(ByteBuffer.allocate(16)
+        .putInt(0).putInt(2).putInt(f0.length).putInt(f1.length).array()))
+      val stsc = box("stsc", full(ByteBuffer.allocate(16)
+        .putInt(1).putInt(1).putInt(2).putInt(1).array()))
+      val stts = box("stts", full(ByteBuffer.allocate(12)
+        .putInt(1).putInt(2).putInt(5).array()))
+      def mkMoov(off: Int) = box("moov", box("trak", box("mdia",
+        box("hdlr", full(ByteBuffer.allocate(20).putInt(0)
+          .put("vide".getBytes("US-ASCII")).array())) ++ mdhd ++
+          box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stts ++
+            box("stco", full(ByteBuffer.allocate(8).putInt(1).putInt(off).array())))))))
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"))
+      val off = ftyp.length + mkMoov(0).length + 8
+      ftyp ++ mkMoov(off) ++ box("mdat", f0 ++ f1)
+    }
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, mkMp4("mjpa")), Multimodal.Blob(2L, mkMp4("avc1"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(out.size == 4)
+    // MJPEG track: real decoded pixels per sampled frame
+    val g0 = out((1L, 0)); val g1 = out((1L, 1))
+    assert(g0.ok && g0.width == 8 && g0.height == 6 && g0.ts_ms == 0L)
+    assert(g1.ok && g1.width == 8 && g1.height == 6 && g1.ts_ms == 500L)
+    assert(math.abs(g0.mean_luma - 128.0) < 3.0, s"gray luma ${g0.mean_luma}")
+    assert(math.abs(g1.mean_luma - 255.0) < 3.0, s"white luma ${g1.mean_luma}")
+    // inter-frame codec: demux metadata intact, no pixels claimed
+    assert(!out((2L, 0)).ok && !out((2L, 1)).ok)
+    assert(out((2L, 1)).ts_ms == 500L && out((2L, 1)).mean_luma == 0.0)
+  }
+
   test("multimodal feature extraction over binary column is deterministic") {
     val blobs = docs.withColumn("blob", col("text").cast("binary"))
     val out = Multimodal.features(blobs, "doc_id", "blob").collect()
