@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * cubes/load.py:245-304).
   *
   * Scope: classic TIFF (II/MM) AND BigTIFF (magic 43, 8-byte IFD walk),
-  * strip OR tile layout, compression none(1)/LZW(5)/JPEG(7, via the JDK's
-  * own decoder, with JPEGTables splicing)/deflate(8)/PackBits(32773),
-  * chunky-interleaved AND planar (band-separate) multi-band rasters,
-  * integer (8/16/32-bit signed/unsigned) and float (32/64) samples,
-  * horizontal-differencing predictor(2) for integers. Out of scope
-  * (clear errors): old-style JPEG(6), CCITT fax codecs. Tile edge padding
+  * strip OR tile layout, compression none(1)/CCITT Modified-Huffman(2)/
+  * CCITT Group 3(3, T.4 1-D and 2-D)/CCITT Group 4(4, T.6)/LZW(5)/
+  * JPEG(7, via the JDK's own decoder, with JPEGTables splicing)/
+  * deflate(8)/PackBits(32773), chunky-interleaved AND planar
+  * (band-separate) multi-band rasters, bilevel (1-bit) through float
+  * (32/64) samples, horizontal-differencing predictor(2) for integers,
+  * FillOrder(2) bit reversal for fax data. Out of scope (clear errors):
+  * old-style JPEG(6), T.6 uncompressed-mode extension. Tile edge padding
   * is clipped against the image size, like the zarr reader.
   *
   * Distribution shape mirrors [[ZarrReader]]: the driver parses only the
@@ -37,7 +39,11 @@ object TiffReader {
       planar: Boolean = false,
       // JPEGTables (tag 347): shared quantization/Huffman tables to splice
       // into each strip's abbreviated JPEG stream
-      jpegTables: Option[Array[Byte]] = None)
+      jpegTables: Option[Array[Byte]] = None,
+      // bilevel/fax fields: PhotometricInterpretation (262; 0=WhiteIsZero),
+      // FillOrder (266; 2 = bits of each byte reversed), T4Options (292;
+      // bit0 = 2-D coding for compression 3)
+      photometric: Int = 1, fillOrder: Int = 1, t4Options: Long = 0L)
 
   private def u16(b: Array[Byte], off: Int, le: Boolean): Int =
     if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -166,15 +172,22 @@ object TiffReader {
     val planarConfig = one(284, 1).toInt
     require(planarConfig == 1 || planarConfig == 2,
       s"TiffCorrupt: planar configuration $planarConfig")
-    require(Set(1, 5, 7, 8, 32773).contains(compression),
+    require(Set(1, 2, 3, 4, 5, 7, 8, 32773).contains(compression),
       s"TiffUnsupported: compression $compression " +
-        "(none/LZW/JPEG/deflate/PackBits only)")
+        "(none/CCITT-MH/G3/G4/LZW/JPEG/deflate/PackBits only)")
     require(predictor == 1 || predictor == 2,
       s"TiffUnsupported: predictor $predictor")
     val planar = samplesPerPixel > 1 && planarConfig == 2
     val jpegTables =
       if (compression == 7) raw(347).map(_._3.take(tags(347)._2.toInt))
       else None
+    // fax files default to WhiteIsZero (T.4's min-is-white convention)
+    val photometric =
+      one(262, if (Set(2, 3, 4).contains(compression)) 0L else 1L).toInt
+    val fillOrder = one(266, 1).toInt
+    require(fillOrder == 1 || fillOrder == 2,
+      s"TiffCorrupt: fill order $fillOrder")
+    val t4Options = one(292, 0L)
 
     val tiled = tags.contains(322)
     val (tw, th, offsets, counts) =
@@ -194,7 +207,8 @@ object TiffReader {
     val nextIfd =
       if (big) u64(readAt(nextOff, 8), 0, le) else u32(readAt(nextOff, 4), 0, le)
     TiffMeta(width, height, bits, sampleFormat, compression, predictor, le,
-      tw, th, across, segs, nextIfd, samplesPerPixel, planar, jpegTables)
+      tw, th, across, segs, nextIfd, samplesPerPixel, planar, jpegTables,
+      photometric, fillOrder, t4Options)
   }
 
   /** TIFF-flavor LZW decode (TIFF 6.0 §13): 8-bit symbols, MSB-first code
@@ -271,6 +285,257 @@ object TiffReader {
     out.toByteArray
   }
 
+  // ---- CCITT Group 3 / Group 4 fax (ITU-T T.4 / T.6, public bit layouts) —
+  // the Modified-Huffman run tables plus the 2-D pass/horizontal/vertical
+  // coding modes. Entries are (codeLength, code, runLength).
+
+  private val WhiteTerm: Seq[(Int, Int, Int)] = Seq(
+    (8, 0x35, 0), (6, 0x07, 1), (4, 0x07, 2), (4, 0x08, 3), (4, 0x0B, 4),
+    (4, 0x0C, 5), (4, 0x0E, 6), (4, 0x0F, 7), (5, 0x13, 8), (5, 0x14, 9),
+    (5, 0x07, 10), (5, 0x08, 11), (6, 0x08, 12), (6, 0x03, 13), (6, 0x34, 14),
+    (6, 0x35, 15), (6, 0x2A, 16), (6, 0x2B, 17), (7, 0x27, 18), (7, 0x0C, 19),
+    (7, 0x08, 20), (7, 0x17, 21), (7, 0x03, 22), (7, 0x04, 23), (7, 0x28, 24),
+    (7, 0x2B, 25), (7, 0x13, 26), (7, 0x24, 27), (7, 0x18, 28), (8, 0x02, 29),
+    (8, 0x03, 30), (8, 0x1A, 31), (8, 0x1B, 32), (8, 0x12, 33), (8, 0x13, 34),
+    (8, 0x14, 35), (8, 0x15, 36), (8, 0x16, 37), (8, 0x17, 38), (8, 0x28, 39),
+    (8, 0x29, 40), (8, 0x2A, 41), (8, 0x2B, 42), (8, 0x2C, 43), (8, 0x2D, 44),
+    (8, 0x04, 45), (8, 0x05, 46), (8, 0x0A, 47), (8, 0x0B, 48), (8, 0x52, 49),
+    (8, 0x53, 50), (8, 0x54, 51), (8, 0x55, 52), (8, 0x24, 53), (8, 0x25, 54),
+    (8, 0x58, 55), (8, 0x59, 56), (8, 0x5A, 57), (8, 0x5B, 58), (8, 0x4A, 59),
+    (8, 0x4B, 60), (8, 0x32, 61), (8, 0x33, 62), (8, 0x34, 63))
+
+  private val WhiteMakeup: Seq[(Int, Int, Int)] = Seq(
+    (5, 0x1B, 64), (5, 0x12, 128), (6, 0x17, 192), (7, 0x37, 256),
+    (8, 0x36, 320), (8, 0x37, 384), (8, 0x64, 448), (8, 0x65, 512),
+    (8, 0x68, 576), (8, 0x67, 640), (9, 0xCC, 704), (9, 0xCD, 768),
+    (9, 0xD2, 832), (9, 0xD3, 896), (9, 0xD4, 960), (9, 0xD5, 1024),
+    (9, 0xD6, 1088), (9, 0xD7, 1152), (9, 0xD8, 1216), (9, 0xD9, 1280),
+    (9, 0xDA, 1344), (9, 0xDB, 1408), (9, 0x98, 1472), (9, 0x99, 1536),
+    (9, 0x9A, 1600), (6, 0x18, 1664), (9, 0x9B, 1728))
+
+  private val BlackTerm: Seq[(Int, Int, Int)] = Seq(
+    (10, 0x37, 0), (3, 0x02, 1), (2, 0x03, 2), (2, 0x02, 3), (3, 0x03, 4),
+    (4, 0x03, 5), (4, 0x02, 6), (5, 0x03, 7), (6, 0x05, 8), (6, 0x04, 9),
+    (7, 0x04, 10), (7, 0x05, 11), (7, 0x07, 12), (8, 0x04, 13), (8, 0x07, 14),
+    (9, 0x18, 15), (10, 0x17, 16), (10, 0x18, 17), (10, 0x08, 18),
+    (11, 0x67, 19), (11, 0x68, 20), (11, 0x6C, 21), (11, 0x37, 22),
+    (11, 0x28, 23), (11, 0x17, 24), (11, 0x18, 25), (12, 0xCA, 26),
+    (12, 0xCB, 27), (12, 0xCC, 28), (12, 0xCD, 29), (12, 0x68, 30),
+    (12, 0x69, 31), (12, 0x6A, 32), (12, 0x6B, 33), (12, 0xD2, 34),
+    (12, 0xD3, 35), (12, 0xD4, 36), (12, 0xD5, 37), (12, 0xD6, 38),
+    (12, 0xD7, 39), (12, 0x6C, 40), (12, 0x6D, 41), (12, 0xDA, 42),
+    (12, 0xDB, 43), (12, 0x54, 44), (12, 0x55, 45), (12, 0x56, 46),
+    (12, 0x57, 47), (12, 0x64, 48), (12, 0x65, 49), (12, 0x52, 50),
+    (12, 0x53, 51), (12, 0x24, 52), (12, 0x37, 53), (12, 0x38, 54),
+    (12, 0x27, 55), (12, 0x28, 56), (12, 0x58, 57), (12, 0x59, 58),
+    (12, 0x2B, 59), (12, 0x2C, 60), (12, 0x5A, 61), (12, 0x66, 62),
+    (12, 0x67, 63))
+
+  private val BlackMakeup: Seq[(Int, Int, Int)] = Seq(
+    (10, 0x0F, 64), (12, 0xC8, 128), (12, 0xC9, 192), (12, 0x5B, 256),
+    (12, 0x33, 320), (12, 0x34, 384), (12, 0x35, 448), (13, 0x6C, 512),
+    (13, 0x6D, 576), (13, 0x4A, 640), (13, 0x4B, 704), (13, 0x4C, 768),
+    (13, 0x4D, 832), (13, 0x72, 896), (13, 0x73, 960), (13, 0x74, 1024),
+    (13, 0x75, 1088), (13, 0x76, 1152), (13, 0x77, 1216), (13, 0x52, 1280),
+    (13, 0x53, 1344), (13, 0x54, 1408), (13, 0x55, 1472), (13, 0x5A, 1536),
+    (13, 0x5B, 1600), (13, 0x64, 1664), (13, 0x65, 1728))
+
+  /** Extended makeup codes 1792–2560 — shared by both colors (T.4 §2). */
+  private val ExtMakeup: Seq[(Int, Int, Int)] = Seq(
+    (11, 0x08, 1792), (11, 0x0C, 1856), (11, 0x0D, 1920), (12, 0x12, 1984),
+    (12, 0x13, 2048), (12, 0x14, 2112), (12, 0x15, 2176), (12, 0x16, 2240),
+    (12, 0x17, 2304), (12, 0x1C, 2368), (12, 0x1D, 2432), (12, 0x1E, 2496),
+    (12, 0x1F, 2560))
+
+  private lazy val whiteRuns: Map[(Int, Int), Int] =
+    (WhiteTerm ++ WhiteMakeup ++ ExtMakeup)
+      .map { case (l, c, r) => (l, c) -> r }.toMap
+  private lazy val blackRuns: Map[(Int, Int), Int] =
+    (BlackTerm ++ BlackMakeup ++ ExtMakeup)
+      .map { case (l, c, r) => (l, c) -> r }.toMap
+
+  /** Decode one CCITT segment to an isBlack byte per pixel (row-major,
+    * `width` stride, `maxRows` rows — undecoded trailing rows stay white).
+    * Handles compression 2 (Modified Huffman, every row byte-aligned),
+    * 3 (T.4 Group 3: EOL-separated rows, 1-D or mixed 2-D per T4Options
+    * bit 0) and 4 (T.6 Group 4: all rows 2-D against the reference line,
+    * terminated by EOFB or row count). FillOrder 2 reverses each byte's
+    * bits first. T.6 "uncompressed mode" extension codes are rejected.
+    */
+  private[graft] def ccittDecode(in: Array[Byte], width: Int, maxRows: Int,
+      compression: Int, t4Options: Long, fillOrder: Int): Array[Byte] = {
+    val data =
+      if (fillOrder == 2) in.map(b => (Integer.reverse(b & 0xff) >>> 24).toByte)
+      else in
+    val total = data.length.toLong * 8
+    var pos = 0L
+    def bit(): Int = {
+      val v = (data((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1
+      pos += 1
+      v
+    }
+    def corrupt(msg: String) =
+      throw new IllegalArgumentException(s"TiffCorrupt: CCITT $msg")
+    // one full run of `black` color: optional makeup codes + a terminator
+    def readRun(black: Boolean): Int = {
+      val table = if (black) blackRuns else whiteRuns
+      var sum = 0
+      var terminated = false
+      while (!terminated) {
+        var code = 0
+        var len = 0
+        var run = -1
+        while (run < 0) {
+          if (pos >= total || len > 13) corrupt("run code")
+          code = (code << 1) | bit()
+          len += 1
+          run = table.getOrElse((len, code), -1)
+        }
+        sum += run
+        terminated = run < 64
+      }
+      sum
+    }
+    // 2-D mode tokens
+    val V0 = 0; val VR1 = 1; val VR2 = 2; val VR3 = 3
+    val VL1 = -1; val VL2 = -2; val VL3 = -3
+    val PASS = 100; val HORIZ = 101; val EOL = 102
+    def readMode(): Int = {
+      var zeros = 0
+      while (pos < total && bit() == 0) zeros += 1
+      if (pos >= total && zeros < 11) return EOL // exhausted = stop
+      zeros match {
+        case 0 => V0
+        case 1 => if (bit() == 1) VR1 else VL1
+        case 2 => HORIZ
+        case 3 => PASS
+        case 4 => if (bit() == 1) VR2 else VL2
+        case 5 => if (bit() == 1) VR3 else VL3
+        case 6 => corrupt("uncompressed-mode extension unsupported")
+        case _ => EOL // >= 7 zeros then 1: (fill +) EOL / EOFB half
+      }
+    }
+    // next-run helpers over the reference row (monotone scans: amortized
+    // linear per row because a0 only moves right)
+    def isChange(row: Array[Byte], i: Int): Boolean =
+      row(i) != (if (i == 0) 0: Byte else row(i - 1))
+    def findB1(ref: Array[Byte], a0: Int, color: Byte): Int = {
+      var i = math.max(a0 + 1, 0)
+      while (i < width && !(isChange(ref, i) && ref(i) != color)) i += 1
+      i
+    }
+    def nextChange(ref: Array[Byte], from: Int): Int = {
+      var i = from + 1
+      while (i < width && !isChange(ref, i)) i += 1
+      i
+    }
+    val out = new Array[Byte](width * maxRows)
+    var ref = new Array[Byte](width) // imaginary all-white line above row 0
+    val cur = new Array[Byte](width)
+    def fill(from: Int, until: Int, v: Byte): Unit = {
+      var i = math.max(from, 0)
+      while (i < math.min(until, width)) { cur(i) = v; i += 1 }
+    }
+    // decode ONE 2-D row against ref; false when the stream ended (EOFB)
+    def decode2D(): Boolean = {
+      var a0 = -1
+      var color: Byte = 0
+      while (a0 < width) {
+        val mode = readMode()
+        if (mode == EOL) return a0 >= 0 // EOFB at a row boundary = done
+        mode match {
+          case PASS =>
+            val b1 = findB1(ref, a0, color)
+            val b2 = if (b1 >= width) width else nextChange(ref, b1)
+            fill(a0, b2, color)
+            a0 = b2
+          case HORIZ =>
+            val r1 = readRun(color == 1)
+            val r2 = readRun(color == 0)
+            val s = math.max(a0, 0)
+            fill(s, s + r1, color)
+            fill(s + r1, s + r1 + r2, (1 - color).toByte)
+            a0 = s + r1 + r2
+          case v => // vertical: a1 = b1 + v ∈ {-3..3}
+            val b1 = findB1(ref, a0, color)
+            val a1 = b1 + v
+            if (a1 < 0 || a1 > width) corrupt(s"vertical offset $a1")
+            fill(a0, a1, color)
+            a0 = a1
+            color = (1 - color).toByte
+        }
+      }
+      true
+    }
+    // decode ONE 1-D (Modified Huffman) row: runs alternate starting white
+    def decode1D(): Unit = {
+      var col = 0
+      var black = false
+      while (col < width) {
+        val r = readRun(black)
+        fill(col, col + r, if (black) 1 else 0)
+        col += r
+        black = !black
+      }
+    }
+    // consume fill zeros + EOL if the stream sits on one; returns the T.4
+    // 2-D tag bit (1 = next row 1-D) or -1 when no EOL is present
+    def consumeEol(twoDim: Boolean): Int = {
+      val save = pos
+      var zeros = 0
+      while (pos < total && bit() == 0) zeros += 1
+      if (pos > total || zeros < 11) { pos = save; -1 }
+      else if (twoDim) { if (pos < total) bit() else 1 }
+      else 1
+    }
+    val g3TwoDim = compression == 3 && (t4Options & 1L) != 0L
+    var row = 0
+    var live = true
+    while (row < maxRows && live && pos < total) {
+      compression match {
+        case 2 => // every row starts on a byte boundary
+          pos = (pos + 7) & ~7L
+          if (pos >= total) live = false
+          else { decode1D(); java.lang.System.arraycopy(cur, 0, out, row * width, width) }
+        case 3 =>
+          val tag = consumeEol(g3TwoDim)
+          if (pos >= total) live = false
+          else {
+            val oneD = !g3TwoDim || tag != 0
+            if (oneD) decode1D() else live = decode2D()
+            if (live) java.lang.System.arraycopy(cur, 0, out, row * width, width)
+          }
+        case 4 =>
+          live = decode2D()
+          if (live) java.lang.System.arraycopy(cur, 0, out, row * width, width)
+      }
+      if (live) {
+        java.lang.System.arraycopy(cur, 0, ref, 0, width)
+        java.util.Arrays.fill(cur, 0: Byte)
+        row += 1
+      }
+    }
+    out
+  }
+
+  /** CCITT segment → sample doubles: decode runs, then map black/white to
+    * the STORED bit value under the file's PhotometricInterpretation
+    * (white = 0 under WhiteIsZero(0), 1 under BlackIsZero(1)) — the same
+    * stored-sample semantics as every other unpack path.
+    */
+  private def ccittSamples(raw: Array[Byte], m: TiffMeta): Array[Double] = {
+    val isBlack = ccittDecode(raw, m.tileWidth, m.tileHeight,
+      m.compression, m.t4Options, m.fillOrder)
+    val blackVal = if (m.photometric == 0) 1.0 else 0.0
+    val out = new Array[Double](isBlack.length)
+    var i = 0
+    while (i < isBlack.length) {
+      out(i) = if (isBlack(i) == 1) blackVal else 1.0 - blackVal
+      i += 1
+    }
+    out
+  }
+
   /** Decode one JPEG-compressed segment through the JDK's own JPEG decoder.
     * A strip is an abbreviated JPEG stream; shared tables from JPEGTables
     * (tag 347: SOI + tables + EOI) are spliced in after the strip's SOI.
@@ -315,11 +580,29 @@ object TiffReader {
   /** Decode one segment's raw bytes to doubles (executor-side). */
   def unpack(raw: Array[Byte], m: TiffMeta): Array[Double] = {
     if (m.compression == 7) return jpegSamples(raw, m)
+    if (Set(2, 3, 4).contains(m.compression)) return ccittSamples(raw, m)
     val bytes = m.compression match {
       case 8 => ZarrReader.inflate(raw)
       case 5 => lzwDecode(raw)
       case 32773 => packbitsDecode(raw)
       case _ => raw
+    }
+    if (m.bits == 1) {
+      // uncompressed/LZW/deflate bilevel: MSB-first bits, rows byte-padded
+      val rowBytes = (m.tileWidth + 7) / 8
+      val rows = bytes.length / rowBytes
+      val o = new Array[Double](rows * m.tileWidth)
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < m.tileWidth) {
+          val b = bytes(r * rowBytes + (c >> 3))
+          o(r * m.tileWidth + c) = ((b >> (7 - (c & 7))) & 1).toDouble
+          c += 1
+        }
+        r += 1
+      }
+      return o
     }
     val per = m.bits / 8
     val n = bytes.length / per

@@ -420,6 +420,90 @@ class StacLoaderSpec extends AnyFunSuite {
       assert(math.abs(got((y.toLong, x.toLong)) - px(x, y)) <= 6.0, s"($x,$y)")
   }
 
+  /** Bilevel variant of [[writeJdkTiff]] for the CCITT fax codecs (the JDK
+    * encoder only allows them on 1-bit images).
+    */
+  def writeJdkBilevelTiff(codec: String, w: Int, h: Int,
+      white: (Int, Int) => Boolean): String = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, if (white(x, y)) 1 else 0)
+    val file = java.nio.file.Files.createTempFile("graft_fax", ".tif").toFile
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val ios = ImageIO.createImageOutputStream(file)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType(codec)
+    writer.write(null, new IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    file.getAbsolutePath
+  }
+
+  test("TiffReader decodes CCITT MH/G3/G4 fax strips from the JDK encoder") {
+    import graft.sources.TiffReader
+    // text-like bilevel content: black rectangles + a diagonal, wide white
+    // margins — exercises long runs, makeup codes, and all 2-D modes
+    val (w, h) = (72, 40)
+    def white(x: Int, y: Int): Boolean =
+      !((x > 8 && x < 30 && y > 5 && y < 12) ||        // block
+        (x > 40 && x < 64 && y > 20 && y < 35) ||      // block
+        (math.abs(x - y) < 2) ||                       // diagonal
+        (y == 17))                                     // full-width line
+    for ((codec, comp) <- Seq("CCITT RLE" -> 2, "CCITT T.4" -> 3,
+        "CCITT T.6" -> 4)) {
+      val path = writeJdkBilevelTiff(codec, w, h, white)
+      val meta = TiffReader.readMeta(path)
+      assert(meta.compression == comp, s"$codec → ${meta.compression}")
+      assert(meta.bits == 1, codec)
+      val got = TiffReader.loadArray(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.size == w * h, codec)
+      // stored-bit semantics: black = 1 under WhiteIsZero(0), 0 under 1
+      val blackVal = if (meta.photometric == 0) 1.0 else 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = if (white(x, y)) 1.0 - blackVal else blackVal
+        assert(got((y.toLong, x.toLong)) == want,
+          s"$codec ($x,$y): got ${got((y.toLong, x.toLong))} want $want " +
+            s"(photometric ${meta.photometric})")
+      }
+    }
+  }
+
+  test("CCITT hand-assembled streams: MH byte alignment, G4 V/H/P modes") {
+    import graft.sources.TiffReader
+    // bit-writer: pack code strings MSB-first
+    def bits(s: String*): Array[Byte] = {
+      val all = s.mkString
+      val out = new Array[Byte]((all.length + 7) / 8)
+      for (i <- all.indices if all(i) == '1')
+        out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      out
+    }
+    // MH (compression 2), width 8: each row white4 ("1011") black4 ("011"),
+    // byte-aligned per row -> one byte per row
+    val mh = bits("1011" + "011" + "0") ++ bits("1011" + "011" + "0")
+    val rowsMh = TiffReader.ccittDecode(mh, 8, 2, 2, 0L, 1)
+    assert(rowsMh.toSeq == Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1,
+      0, 0, 0, 0, 1, 1, 1, 1))
+    // G4 (compression 4), width 8, 3 rows:
+    //  row0: Horizontal white4 black4          -> 001 1011 011
+    //  row1: V0 at b1=4, V0 at b1=8 (run ends) -> 1 1
+    //  row2: VR1 (black edge moves to 5), V0   -> 011 1
+    //  then EOFB
+    val g4 = bits("001" + "1011" + "011", "11", "011" + "1",
+      "000000000001" + "000000000001")
+    val rowsG4 = TiffReader.ccittDecode(g4, 8, 3, 4, 0L, 1)
+    assert(rowsG4.toSeq == Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1,
+      0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1))
+    // FillOrder 2: the same MH stream with every byte's bits reversed
+    val mhRev = mh.map(b => (Integer.reverse(b & 0xff) >>> 24).toByte)
+    assert(TiffReader.ccittDecode(mhRev, 8, 2, 2, 0L, 2).toSeq ==
+      rowsMh.toSeq)
+  }
+
   test("PackBits decode rules: literals, runs, -128 noop") {
     import graft.sources.TiffReader
     val in = Array[Byte](2, 'a', 'b', 'c', -3, 'x', -128, 0, 'z')
