@@ -1,0 +1,107 @@
+package graft
+
+import graft.pipeline.{Dedup, Importance, LanguageModel, Repetition}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup-family scale stress: replicate the sf0.1 documents table N× under
+  * shifted ids (an adversarially dup-heavy corpus — every doc is a member
+  * of an N-clique of exact duplicates) and time each operator, logging the
+  * gate decisions (collapse branch, union-find edge count) that the
+  * SCALE.md linearity claims rest on.
+  *
+  *   sbt "runMain graft.Stress 100"   # 100× = 500k docs
+  *
+  * Results are recorded in SCALE.md's measured-scale-up table.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val rep = args.headOption.map(_.toInt).getOrElse(100)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.SparkTuning.tune(spark)
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val nBase = base.count()
+    // replicate under shifted ids and round-trip through PARQUET: the timed
+    // plans must see real file statistics (size-gated broadcasts fire off
+    // Catalyst's scan estimates), exactly like a production corpus — a
+    // checkpointed in-memory corpus reports unknown stats and silently
+    // degrades every maybeBroadcast join to sort-merge
+    val corpusPath = s"/tmp/graft_stress_${rep}x"
+    spark.range(rep).toDF("r")
+      .crossJoin(base)
+      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+        col("text"), col("lang"))
+      .repartition(32) // scan parallelism like a real many-file corpus
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val n = corpus.count()
+    println(s"[stress] corpus: $nBase base docs x $rep = $n")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // noop writes, never count(): count() lets Catalyst prune every
+    // unreferenced projection/join (a left join against a grouped-by-key
+    // side preserves row count, so "time a count" times nothing)
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    time("exact dedup (groups)") {
+      force(Dedup.exact(corpus, "doc_id", md5(col("text").cast("binary"))))
+    }
+    time("repetition scan") {
+      force(corpus.select(col("doc_id"), Repetition.stats(col("text")).as("s")))
+    }
+    // caches OFF for the corpus-sized intermediates (the r4 stress
+    // protocol): at scale the gram/trigram/window tables exceed executor
+    // storage and recomputing the scan is the cheaper, predictable path —
+    // the cached diamond is a small-corpus optimization
+    time("dsir_weights") {
+      force(Importance.dsirWeights(corpus, "doc_id", col("text"),
+        col("lang") === "en", cacheGrams = false))
+    }
+    time("lm_score") {
+      force(LanguageModel.charTrigramScore(corpus, "doc_id", col("text"),
+        col("lang") === "en", cacheTrigrams = false))
+    }
+    time("substring_dup") {
+      force(Dedup.substringDupStats(corpus, "doc_id", col("text"),
+        cacheWindows = false))
+    }
+    val clusters = time("clusters (collapsed path)") {
+      val c = Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text"))
+        .localCheckpoint(true)
+      println(s"[stress]   clustered docs: ${c.count()}")
+      c
+    }
+    time("survivors (collapsed path)") {
+      val s = Dedup.survivorsCollapsed(corpus, "doc_id", col("text")).count()
+      println(s"[stress]   survivors: $s")
+    }
+    // PPJoin n-gram Jaccard belongs AFTER the collapse in a production
+    // pipeline — run it on the unique-text set, same blocking + threshold
+    // as the driver query
+    time("ngram-jaccard PPJoin (uniques)") {
+      val uniq = corpus.groupBy(md5(col("text").cast("binary")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
+          first(col("lang")).as("lang"))
+      val p = Dedup.ngramJaccardNearDups(uniq, "doc_id", col("text"),
+        blockCols = Seq("lang"), shingleLen = 3, threshold = 0.5)
+      println(s"[stress]   jaccard pairs: ${p.count()}")
+    }
+    clusters.unpersist()
+    spark.stop()
+  }
+}

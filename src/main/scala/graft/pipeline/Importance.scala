@@ -16,10 +16,11 @@ import org.apache.spark.storage.StorageLevel
   *      rows — bucket is an md5-derived hash in [0, B), so the feature
   *      space is FIXED-SIZE regardless of corpus size;
   *   2. one map-side-combinable groupBy(bucket) for the two count vectors
-  *      (B rows total — kilobytes);
-  *   3. per-bucket log-likelihood-ratio weights broadcast back and one
-  *      groupBy(doc) sum. Two passes over the gram rows (stats + scoring),
-  *      so the gram projection is persisted like the MinHash diamond.
+  *      (B rows total — kilobytes), COLLECTED: totals fold driver-side and
+  *      the per-bucket weights inline as a literal map;
+  *   3. one groupBy(doc) sum over the map-lookup column — the scoring pass
+  *      carries NO join. Two passes over the gram rows (census + scoring);
+  *      the optional gram cache collapses them to one.
   *
   * Determinism across engines: the per-bucket log-ratio is quantized ONCE
   * to integer micro-units (`floor(ln(r)·10⁶ + ½)`), and per-doc scores are
@@ -56,28 +57,34 @@ object Importance {
   def dsirWeights(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, buckets: Int = 512, scale: Long = 1000000L,
       cacheGrams: Boolean = true): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in (0, 2^20] (the census is collected), got $buckets")
     val gBase = df
       .select(col(idCol), isTarget.as("_tgt"),
         explode(featureGrams(text)).as("gram"))
       .select(col(idCol), col("_tgt"),
         gramBucket(col("gram"), buckets).as("b"))
     val g = if (cacheGrams) gBase.persist(StorageLevel.MEMORY_AND_DISK) else gBase
+    // the bucket census is ≤ `buckets` rows BY CONSTRUCTION — collect it,
+    // fold the totals driver-side, and inline the per-bucket weights as a
+    // LITERAL map: the scoring pass is then explode → map-lookup → groupBy
+    // with no join, no crossJoin, and no replayed corpus sub-plans (the
+    // lazy totals/weights diamond replayed the gram explode once per
+    // branch when the cache was off). Mirrors the Spark double arithmetic
+    // exactly, so scores are bit-identical to the join form.
     val bstats = g.groupBy(col("b")).agg(
-      count(lit(1)).as("ct_all"),
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
-    // two scalars; the crossJoin is a broadcast of one row
-    val totals = bstats.agg(sum(col("ct_all")).as("n_all"),
-      sum(col("ct_t")).as("n_t"))
-    val lr = bstats.crossJoin(broadcast(totals))
-      .withColumn("lr_units",
-        floor(log(
-          ((col("ct_t") + 1L).cast("double") *
-            (col("n_all") + buckets).cast("double")) /
-          ((col("ct_all") + 1L).cast("double") *
-            (col("n_t") + buckets).cast("double"))) * scale + 0.5)
-          .cast("long"))
-      .select(col("b"), col("lr_units"))
-    val scores = g.join(Joins.maybeBroadcast(lr), Seq("b"))
+        count(lit(1)).as("ct_all"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nAll = bstats.map(_._2).sum
+    val nT = bstats.map(_._3).sum
+    val lrMap: Map[Long, Long] = bstats.map { case (b, ctAll, ctT) =>
+      b -> math.floor(math.log(
+        ((ctT + 1L).toDouble * (nAll + buckets).toDouble) /
+          ((ctAll + 1L).toDouble * (nT + buckets).toDouble)) * scale + 0.5).toLong
+    }.toMap
+    val scores = g
+      .withColumn("lr_units", element_at(typedLit(lrMap), col("b")))
       .groupBy(col(idCol)).agg(sum(col("lr_units")).as("score_units"))
     val res = df.select(col(idCol))
       .join(scores, Seq(idCol), "left")

@@ -41,34 +41,49 @@ object LanguageModel {
   def charTrigramScore(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, scale: Long = 1000000L,
       cacheTrigrams: Boolean = true): DataFrame = {
-    val s = trim(lower(text))
-    val len = length(s)
+    // Materialize the normalized string as a NAMED column before the HOF:
+    // transform() is interpreted and does no CSE, so inlining trim(lower())
+    // into the lambda would re-normalize the whole document PER TRIGRAM —
+    // O(len²) per doc, measured 45 s → 3 s on the 50k-doc stress corpus.
+    // The multi-use non-trivial alias survives CollapseProject (same
+    // discipline as Dedup.shinglesHof).
+    val base = df.select(col(idCol), isTarget.as("_tgt"),
+      trim(lower(text)).as("_s"))
+    val len = length(col("_s"))
     val nW = when(len < 3, lit(0L)).otherwise(len.cast("long") - 2L)
     // sequence(1, 0) DESCENDS — the nW===0 guard avoids it
     val winArr = when(nW === 0L, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1L), nW), i => s.substr(i.cast("int"), lit(3))))
-    val triBase = df.select(col(idCol), isTarget.as("_tgt"),
+      transform(sequence(lit(1L), nW),
+        i => col("_s").substr(i.cast("int"), lit(3))))
+    val triBase = base.select(col(idCol), col("_tgt"),
       explode(winArr).as("tri"))
     val tris = if (cacheTrigrams)
       triBase.persist(StorageLevel.MEMORY_AND_DISK)
     else triBase
+    // The MODEL is tiny (bounded by the observed trigram space, ≪ corpus):
+    // checkpoint it eagerly so the smoothing scalars and the per-trigram
+    // log-probs derive from ONE corpus pass — leaving them as lazy
+    // sub-plans replays the 15M-row explode once per branch (measured 3
+    // Generate nodes + two BroadcastNestedLoopJoin crossJoins in the
+    // cache-off plan) and hides the model's true size from maybeBroadcast.
     val tcnt = tris.filter(col("_tgt"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-    // two scalars; the crossJoins below broadcast this one row
-    val scalars = tcnt.agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"))
-    val lp = tcnt.crossJoin(broadcast(scalars))
+      .localCheckpoint(true)
+    // two scalars, ONE bounded driver row — inlined as literals, so the
+    // scoring pass carries no crossJoin at all
+    val totRow = tcnt.agg(sum(col("cnt")), count(lit(1))).first()
+    val nTot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val denom = (nTot + totRow.getLong(1) + 1L).toDouble
+    val lp = tcnt
       .withColumn("lp_units",
-        floor(log((col("cnt") + 1L).cast("double") /
-          (col("n") + col("d") + 1L).cast("double")) * scale + 0.5)
+        floor(log((col("cnt") + 1L).cast("double") / denom) * scale + 0.5)
           .cast("long"))
       .select(col("tri"), col("lp_units"))
+    // same arithmetic as the expression above at cnt = 0 (unseen trigram)
+    val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
     val scored = tris
       .join(Joins.maybeBroadcast(lp), Seq("tri"), "left")
-      .crossJoin(broadcast(scalars))
-      .withColumn("_u", coalesce(col("lp_units"),
-        floor(log(lit(1.0) /
-          (col("n") + col("d") + 1L).cast("double")) * scale + 0.5)
-          .cast("long")))
+      .withColumn("_u", coalesce(col("lp_units"), lit(unseenUnits)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tri"), sum(col("_u")).as("lp_sum"))
     val res = df.select(col(idCol))
