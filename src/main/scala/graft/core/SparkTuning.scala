@@ -52,6 +52,10 @@ object SparkTuning {
       exprs => graft.functions.BpeEncode(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigram_score",
+      exprs => graft.functions.TrigramScore(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams",
       exprs => exprs match {
         case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>

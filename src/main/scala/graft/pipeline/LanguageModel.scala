@@ -13,11 +13,16 @@ import org.apache.spark.storage.StorageLevel
   * target, broadcast the model, score every doc at scan speed — is exactly
   * the production shape, and the model needs no external artifacts.
   *
-  * Scale shape: one explode to (doc, trigram) rows; the model is ONE
-  * combinable groupBy over the TARGET trigrams (bounded by the observed
-  * char-trigram space, ≪ corpus); scoring is a size-gated broadcast join
-  * plus one per-doc aggregation. The trigram rows feed both the training
-  * and the scoring branch, so they persist like the MinHash diamond.
+  * Scale shape: the MODEL is one explode over the TARGET subset's trigrams
+  * plus one combinable groupBy (bounded by the observed char-trigram
+  * space, ≪ corpus), eagerly checkpointed so the smoothing scalars inline
+  * as driver literals. SCORING is a single scan: the one-pass
+  * [[graft.functions.TrigramScore]] expression carries the model map in
+  * the plan and emits per-doc `(n_tri, lp_sum)` directly — no second
+  * explode, no join, no shuffle. Models larger than `modelGate` distinct
+  * trigrams (pathological alphabets) fall back to the relational
+  * explode + size-gated-broadcast-join path, which is bit-identical
+  * (spec-pinned).
   *
   * Determinism: per-trigram log-probs are quantized ONCE to integer
   * micro-units; per-doc scores are integer sums — summation order cannot
@@ -36,63 +41,95 @@ object LanguageModel {
     *
     * Precondition: `isTarget` must select a non-empty subset with at least
     * one trigram — an empty model has no distribution to score against
-    * (the smoothing scalars become NULL and every score degenerates).
+    * (every trigram scores the smoothed-unseen constant).
+    *
+    * `cacheTrigrams` only affects the over-gate fallback path (the
+    * expression path has no recomputed diamond to cache).
     */
   def charTrigramScore(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, scale: Long = 1000000L,
-      cacheTrigrams: Boolean = true): DataFrame = {
+      cacheTrigrams: Boolean = true,
+      modelGate: Long = 1L << 20): DataFrame = {
     // Materialize the normalized string as a NAMED column before the HOF:
     // transform() is interpreted and does no CSE, so inlining trim(lower())
     // into the lambda would re-normalize the whole document PER TRIGRAM —
-    // O(len²) per doc, measured 45 s → 3 s on the 50k-doc stress corpus.
+    // O(len²) per doc, measured 45 s → 5.5 s on the 50k-doc stress corpus.
     // The multi-use non-trivial alias survives CollapseProject (same
     // discipline as Dedup.shinglesHof).
-    val base = df.select(col(idCol), isTarget.as("_tgt"),
-      trim(lower(text)).as("_s"))
+    def normalized(d: DataFrame, cols: Column*): DataFrame =
+      d.select(cols :+ trim(lower(text)).as("_s"): _*)
     val len = length(col("_s"))
     val nW = when(len < 3, lit(0L)).otherwise(len.cast("long") - 2L)
     // sequence(1, 0) DESCENDS — the nW===0 guard avoids it
     val winArr = when(nW === 0L, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1L), nW),
         i => col("_s").substr(i.cast("int"), lit(3))))
-    val triBase = base.select(col(idCol), col("_tgt"),
-      explode(winArr).as("tri"))
-    val tris = if (cacheTrigrams)
-      triBase.persist(StorageLevel.MEMORY_AND_DISK)
-    else triBase
-    // The MODEL is tiny (bounded by the observed trigram space, ≪ corpus):
-    // checkpoint it eagerly so the smoothing scalars and the per-trigram
-    // log-probs derive from ONE corpus pass — leaving them as lazy
-    // sub-plans replays the 15M-row explode once per branch (measured 3
-    // Generate nodes + two BroadcastNestedLoopJoin crossJoins in the
-    // cache-off plan) and hides the model's true size from maybeBroadcast.
-    val tcnt = tris.filter(col("_tgt"))
+    // The MODEL pass touches only the TARGET subset and its output is tiny
+    // (bounded by the observed trigram space, gate-checked below): ONE
+    // collect action brings the census to the driver, and the smoothing
+    // scalars + per-trigram log-probs fold in Scala with arithmetic that
+    // mirrors the Spark expressions exactly (spec-pinned bit-identical to
+    // the relational fallback). Leaving the model as lazy sub-plans
+    // replays the corpus explode once per branch (measured 3 Generate
+    // nodes + two BroadcastNestedLoopJoin crossJoins in the cache-off
+    // plan); folding it driver-side also keeps construction to a single
+    // Spark job, so composed pipelines pay minimal scheduling latency.
+    val tcntPlan = normalized(df.filter(isTarget))
+      .select(explode(winArr).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    // two scalars, ONE bounded driver row — inlined as literals, so the
-    // scoring pass carries no crossJoin at all
-    val totRow = tcnt.agg(sum(col("cnt")), count(lit(1))).first()
-    val nTot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-    val denom = (nTot + totRow.getLong(1) + 1L).toDouble
-    val lp = tcnt
-      .withColumn("lp_units",
-        floor(log((col("cnt") + 1L).cast("double") / denom) * scale + 0.5)
-          .cast("long"))
-      .select(col("tri"), col("lp_units"))
-    // same arithmetic as the expression above at cnt = 0 (unseen trigram)
-    val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
-    val scored = tris
-      .join(Joins.maybeBroadcast(lp), Seq("tri"), "left")
-      .withColumn("_u", coalesce(col("lp_units"), lit(unseenUnits)))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tri"), sum(col("_u")).as("lp_sum"))
-    val res = df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_tri", "lp_sum"))
-      .withColumn("xent", when(col("n_tri") === 0L, 0.0).otherwise(
-        round(-col("lp_sum") / (col("n_tri") * scale).cast("double"), 6)))
-    // close the cache scope: materialize per-doc scores while the trigram
-    // rows are hot, then release them (see graft.core.Caching)
-    if (cacheTrigrams) graft.core.Caching.scoped(res, tris) else res
+    val gateN = math.min(modelGate, Int.MaxValue - 1L).toInt
+    val census = tcntPlan.limit(gateN + 1).collect()
+    def xentCol: Column = when(col("n_tri") === 0L, 0.0).otherwise(
+      round(-col("lp_sum") / (col("n_tri") * scale).cast("double"), 6))
+    if (census.length <= gateN) {
+      val nTot = census.map(_.getLong(1)).sum
+      val denom = (nTot + census.length + 1L).toDouble
+      // floor(ln((cnt+1)/(N+D+1))·scale + ½) — same ops, same doubles as
+      // the Spark floor/log/cast pipeline in the fallback branch
+      val modelMap: Map[String, Long] = census.map { r =>
+        r.getString(0) -> math.floor(
+          math.log((r.getLong(1) + 1L).toDouble / denom) * scale + 0.5).toLong
+      }.toMap
+      val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
+      // scan-speed scoring: the model map rides in the plan, zero shuffles
+      df.select(col(idCol),
+          call_function("graft_trigram_score", text.cast("string"),
+            typedLit(modelMap), lit(unseenUnits)).as("_t"))
+        .select(col(idCol), col("_t").getField("n_tri").as("n_tri"),
+          col("_t").getField("lp_sum").as("lp_sum"))
+        .withColumn("xent", xentCol)
+    } else {
+      // fallback for pathological trigram spaces: recompute the census
+      // distributed (checkpointed — it feeds two branches), log-probs in
+      // Spark, relational explode + size-gated broadcast join scoring;
+      // bit-identical to the expression path
+      val tcnt = tcntPlan.localCheckpoint(true)
+      val totRow = tcnt.agg(sum(col("cnt")), count(lit(1))).first()
+      val nTot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      val denom = (nTot + totRow.getLong(1) + 1L).toDouble
+      val lp = tcnt
+        .withColumn("lp_units",
+          floor(log((col("cnt") + 1L).cast("double") / denom) * scale + 0.5)
+            .cast("long"))
+        .select(col("tri"), col("lp_units"))
+      val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
+      val triBase = normalized(df, col(idCol))
+        .select(col(idCol), explode(winArr).as("tri"))
+      val tris = if (cacheTrigrams)
+        triBase.persist(StorageLevel.MEMORY_AND_DISK)
+      else triBase
+      val scored = tris
+        .join(Joins.maybeBroadcast(lp), Seq("tri"), "left")
+        .withColumn("_u", coalesce(col("lp_units"), lit(unseenUnits)))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tri"), sum(col("_u")).as("lp_sum"))
+      val res = df.select(col(idCol))
+        .join(scored, Seq(idCol), "left")
+        .na.fill(0L, Seq("n_tri", "lp_sum"))
+        .withColumn("xent", xentCol)
+      // close the cache scope: materialize per-doc scores while the
+      // trigram rows are hot, then release them (see graft.core.Caching)
+      if (cacheTrigrams) graft.core.Caching.scoped(res, tris) else res
+    }
   }
 }

@@ -869,6 +869,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv == Set(1L, 31L, 32L, 33L), surv)
   }
 
+  test("lm score: expression path == relational join path, bit-exact") {
+    // force the fallback join path with modelGate = 0 and compare every
+    // column against the default scan-speed TrigramScore path — same
+    // normalization, same char windows, same integer micro-unit sums
+    val d = Seq(
+      (1L, "The Quick    brown fox", true),
+      (2L, "the quick brown fox jumps over it", true),
+      (3L, "größé ünïcode ère tested here", false),
+      (4L, "zz", false), (5L, "", false),
+      (6L, "  padded   with   spaces  ", true)
+    ).toDF("doc_id", "text", "tgt")
+    def rows(gate: Long) = LanguageModel.charTrigramScore(
+      d, "doc_id", col("text"), col("tgt"), modelGate = gate)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val expr = rows(1L << 20)
+    val join = rows(0L)
+    assert(expr == join, s"expr=$expr join=$join")
+    assert(expr(5L) == ((0L, 0L, 0.0))) // empty doc: defined zeros
+    assert(expr(4L) == ((0L, 0L, 0.0))) // sub-trigram doc
+  }
+
   test("lm score: target-like text gets lower cross-entropy than alien text") {
     val d = Seq(
       (1L, "the cat sat on the mat with the hat", true),
