@@ -369,13 +369,14 @@ object TiffReader {
       else in
     val total = data.length.toLong * 8
     var pos = 0L
+    def corrupt(msg: String) =
+      throw new IllegalArgumentException(s"TiffCorrupt: CCITT $msg")
     def bit(): Int = {
+      if (pos >= total) corrupt("truncated stream") // typed, not AIOOBE
       val v = (data((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1
       pos += 1
       v
     }
-    def corrupt(msg: String) =
-      throw new IllegalArgumentException(s"TiffCorrupt: CCITT $msg")
     // one full run of `black` color: optional makeup codes + a terminator
     def readRun(black: Boolean): Int = {
       val table = if (black) blackRuns else whiteRuns
