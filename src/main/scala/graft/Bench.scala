@@ -91,24 +91,35 @@ object Bench {
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","errors":$errJson,"spread":$fullSp,"queries":$fullQs}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
-      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
-      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // the WHOLE line must stay under the driver's 2000-char capture, so
+    // budget it as prefix + capped errors + whatever query mins still fit:
+    //  * errors: at most 8 entries with 40-char messages + an "nerr" total,
+    //    so a mass-failure run stays parseable (that is when the error
+    //    report matters most)
+    //  * queries: slowest-first into the remaining budget
+    val errShort = errors.take(8).map { case (k, v) =>
+      "\"" + k + "\":\"" + esc(v.take(40)) + "\""
+    }.mkString("{", ",", "}")
+    val prefix =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"nerr":${errors.size},"detail":"${esc(detailPath)}","errors":$errShort,"queries":"""
+    val budget = 1900 - prefix.length - 2 // closing "}}"
     val bySlow = results.sortBy(-_._2)
-    val budget = 1600
-    val topEntries = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val topEntries = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
     for ((k, mn, _) <- bySlow) {
       val e = "\"" + k + "\":" + sec2(mn)
-      if (used + e.length + 1 <= budget) { topEntries += ((k, e)); used += e.length + 1 }
+      if (used + e.length + 1 <= budget) { topEntries += e; used += e.length + 1 }
     }
-    val topQs = topEntries.map(_._2).mkString("{", ",", "}")
+    val topQs = topEntries.mkString("{", ",", "}")
     spark.stop()
     // ONE parseable line, alone on stdout, "queries" (the mins) last
     System.setOut(realOut)
-    System.out.println(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"detail":"BENCH_DETAIL.json","errors":$errJson,"queries":$topQs}""")
+    System.out.println(prefix + topQs + "}")
     System.out.flush()
   }
 }

@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.core.Joins
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Language-model quality scoring for corpus filtering — the CCNet-style
   * "perplexity against a model of the good distribution" rule (Wenzek et
@@ -43,8 +42,10 @@ object LanguageModel {
     * one trigram — an empty model has no distribution to score against
     * (every trigram scores the smoothed-unseen constant).
     *
-    * `cacheTrigrams` only affects the over-gate fallback path (the
-    * expression path has no recomputed diamond to cache).
+    * `cacheTrigrams` is retained for source compatibility but is a no-op:
+    * since the model derives from its own target-only pass, the corpus
+    * trigram rows have exactly one consumer in either path — there is no
+    * diamond left to cache.
     */
   def charTrigramScore(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, scale: Long = 1000000L,
@@ -91,9 +92,12 @@ object LanguageModel {
           math.log((r.getLong(1) + 1L).toDouble / denom) * scale + 0.5).toLong
       }.toMap
       val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
-      // scan-speed scoring: the model map rides in the plan, zero shuffles
+      // scan-speed scoring: the model map rides in the plan, zero shuffles.
+      // NULL text coalesces to "" so the doc scores (0, 0, 0.0) exactly
+      // like the relational path (whose explode yields no rows + na.fill)
       df.select(col(idCol),
-          call_function("graft_trigram_score", text.cast("string"),
+          call_function("graft_trigram_score",
+            coalesce(text.cast("string"), lit("")),
             typedLit(modelMap), lit(unseenUnits)).as("_t"))
         .select(col(idCol), col("_t").getField("n_tri").as("n_tri"),
           col("_t").getField("lp_sum").as("lp_sum"))
@@ -113,23 +117,21 @@ object LanguageModel {
             .cast("long"))
         .select(col("tri"), col("lp_units"))
       val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
-      val triBase = normalized(df, col(idCol))
+      // the trigram rows have exactly ONE consumer now (the model derives
+      // from tcntPlan above), so there is no diamond left to cache —
+      // persisting them would be a full corpus-sized materialization for
+      // zero reuse
+      val tris = normalized(df, col(idCol))
         .select(col(idCol), explode(winArr).as("tri"))
-      val tris = if (cacheTrigrams)
-        triBase.persist(StorageLevel.MEMORY_AND_DISK)
-      else triBase
       val scored = tris
         .join(Joins.maybeBroadcast(lp), Seq("tri"), "left")
         .withColumn("_u", coalesce(col("lp_units"), lit(unseenUnits)))
         .groupBy(col(idCol))
         .agg(count(lit(1)).as("n_tri"), sum(col("_u")).as("lp_sum"))
-      val res = df.select(col(idCol))
+      df.select(col(idCol))
         .join(scored, Seq(idCol), "left")
         .na.fill(0L, Seq("n_tri", "lp_sum"))
         .withColumn("xent", xentCol)
-      // close the cache scope: materialize per-doc scores while the
-      // trigram rows are hot, then release them (see graft.core.Caching)
-      if (cacheTrigrams) graft.core.Caching.scoped(res, tris) else res
     }
   }
 }

@@ -279,7 +279,7 @@ object Multimodal {
     blobs.mapPartitions(_.flatMap { b =>
       demuxSamples(b.blob) match {
         case None => Iterator.empty
-        case Some(samples) =>
+        case Some((samples, _)) =>
           samples.iterator.zipWithIndex
             .filter(_._2 % everyNth == 0)
             .map { case ((off, len, tsMs), i) =>
@@ -296,16 +296,6 @@ object Multimodal {
     */
   private val JpegFourccs =
     Set("mjpa", "mjpb", "jpeg", "mjpg", "MJPG", "AVDJ", "dmb1")
-
-  /** The video track's sample-entry fourcc, if the blob parses. */
-  private def videoCodecFourcc(bytes: Array[Byte]): Option[String] =
-    try {
-      val iso = new IsoWalk(bytes)
-      for {
-        ((ss, se), _) <- iso.videoStbl()
-        (sds, _) <- iso.find(ss, se, "stsd")
-      } yield iso.fourcc(sds + 12)
-    } catch { case _: Throwable => None }
 
   /** One sampled frame with DECODED pixel statistics. `ok=false` rows are
     * frames whose codec ImageIO cannot decode (every non-MJPEG track) —
@@ -330,8 +320,8 @@ object Multimodal {
     blobs.mapPartitions(_.flatMap { b =>
       demuxSamples(b.blob) match {
         case None => Iterator.empty
-        case Some(samples) =>
-          val jpeg = videoCodecFourcc(b.blob).exists(JpegFourccs.contains)
+        case Some((samples, codec)) =>
+          val jpeg = JpegFourccs.contains(codec)
           samples.iterator.zipWithIndex
             .filter(_._2 % everyNth == 0)
             .map { case ((off, len, tsMs), i) =>
@@ -348,13 +338,17 @@ object Multimodal {
     })
   }
 
-  /** (offset, size, ts_ms) per video sample, or None when the blob has no
-    * complete video sample table.
+  /** ((offset, size, ts_ms) per video sample, sample-entry fourcc), or
+    * None when the blob has no complete video sample table. The fourcc
+    * rides along so [[videoFrameFeatures]] does not re-walk the box tree.
     */
-  private def demuxSamples(bytes: Array[Byte]): Option[Array[(Int, Int, Long)]] =
+  private def demuxSamples(
+      bytes: Array[Byte]): Option[(Array[(Int, Int, Long)], String)] =
     try {
       val iso = new IsoWalk(bytes)
       val ((ss, se), scale) = iso.videoStbl().getOrElse(return None)
+      val codec = iso.find(ss, se, "stsd")
+        .map { case (sds, _) => iso.fourcc(sds + 12) }.getOrElse("")
       val (szS, _) = iso.find(ss, se, "stsz").getOrElse(return None)
       val (scS, _) = iso.find(ss, se, "stsc").getOrElse(return None)
       val stco = iso.find(ss, se, "stco")
@@ -415,7 +409,7 @@ object Multimodal {
         }
         c += 1
       }
-      if (s < nSamples) None else Some(out)
+      if (s < nSamples) None else Some((out, codec))
     } catch {
       case _: Throwable => None
     }

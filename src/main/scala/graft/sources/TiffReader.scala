@@ -499,8 +499,27 @@ object TiffReader {
           if (pos >= total) live = false
           else { decode1D(); java.lang.System.arraycopy(cur, 0, out, row * width, width) }
         case 3 =>
-          val tag = consumeEol(g3TwoDim)
-          if (pos >= total) live = false
+          // consume every EOL sitting here (RTC = six consecutive EOLs)
+          var tag = consumeEol(g3TwoDim)
+          var more = tag != -1
+          while (more && pos < total) {
+            val t = consumeEol(g3TwoDim)
+            if (t == -1) more = false else tag = t
+          }
+          // a short last strip leaves only byte-padding zeros: the row
+          // count, not the bit stream, says how many rows exist — stop
+          // instead of tripping readRun on padding ("undecoded trailing
+          // rows stay white", per the contract)
+          def onlyZerosLeft: Boolean = {
+            var p = pos
+            var all = true
+            while (all && p < total) {
+              all = ((data((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1) == 0
+              p += 1
+            }
+            all
+          }
+          if (pos >= total || onlyZerosLeft) live = false
           else {
             val oneD = !g3TwoDim || tag != 0
             if (oneD) decode1D() else live = decode2D()

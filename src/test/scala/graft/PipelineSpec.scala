@@ -878,7 +878,8 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "the quick brown fox jumps over it", true),
       (3L, "größé ünïcode ère tested here", false),
       (4L, "zz", false), (5L, "", false),
-      (6L, "  padded   with   spaces  ", true)
+      (6L, "  padded   with   spaces  ", true),
+      (7L, null.asInstanceOf[String], false) // NULL text: defined zeros
     ).toDF("doc_id", "text", "tgt")
     def rows(gate: Long) = LanguageModel.charTrigramScore(
       d, "doc_id", col("text"), col("tgt"), modelGate = gate)
@@ -889,6 +890,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(expr == join, s"expr=$expr join=$join")
     assert(expr(5L) == ((0L, 0L, 0.0))) // empty doc: defined zeros
     assert(expr(4L) == ((0L, 0L, 0.0))) // sub-trigram doc
+    assert(expr(7L) == ((0L, 0L, 0.0))) // NULL text, both paths
   }
 
   test("lm score: target-like text gets lower cross-entropy than alien text") {

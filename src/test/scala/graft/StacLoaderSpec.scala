@@ -502,6 +502,19 @@ class StacLoaderSpec extends AnyFunSuite {
     val mhRev = mh.map(b => (Integer.reverse(b & 0xff) >>> 24).toByte)
     assert(TiffReader.ccittDecode(mhRev, 8, 2, 2, 0L, 2).toSeq ==
       rowsMh.toSeq)
+    // G3 1-D (compression 3): EOL-separated rows; a SHORT strip (2 encoded
+    // rows, maxRows=3) must leave the undecoded row white instead of
+    // tripping the run decoder on the byte-padding zeros; trailing RTC
+    // EOLs must also terminate cleanly
+    val eol = "000000000001"
+    val g3 = bits(eol + "1011" + "011", eol + "1011" + "011", "0000")
+    assert(TiffReader.ccittDecode(g3, 8, 3, 3, 0L, 1).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1,
+        0, 0, 0, 0, 0, 0, 0, 0))
+    val g3rtc = bits(eol + "1011" + "011", eol + eol + eol + eol + eol + eol)
+    assert(TiffReader.ccittDecode(g3rtc, 8, 3, 3, 0L, 1).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0))
   }
 
   test("PackBits decode rules: literals, runs, -128 noop") {
