@@ -169,6 +169,25 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
         .forall(r => r.getSeq[Int](0) == r.getSeq[Int](1))
     }
 
+  property("lm trigram score: expression path == relational path on unicode") =
+    forAll(Gen.listOfN(5, for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        "a", "B", " ", "é", "Ω", "ß", "中", "😀", "\t", "z"))
+    } yield cs.mkString), Gen.listOfN(5, Gen.oneOf(true, false))) {
+      (texts, tgts) =>
+      graft.core.SparkTuning.tune(spark) // registers graft_trigram_score
+      val df = texts.zip(tgts).zipWithIndex.map { case ((t, g), i) =>
+        (i.toLong, t, g)
+      }.toDF("doc_id", "text", "tgt")
+      def run(gate: Long) = LanguageModel.charTrigramScore(
+        df, "doc_id", col("text"), col("tgt"), modelGate = gate)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      run(1L << 20) == run(0L) // scan-speed expression == explode + join
+    }
+
   property("repetition: one-pass expression == HOF folds on random text") =
     forAll(Gen.listOfN(6, genText)) { texts =>
       graft.core.SparkTuning.tune(spark) // registers graft_repetition

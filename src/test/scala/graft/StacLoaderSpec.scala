@@ -452,9 +452,17 @@ class StacLoaderSpec extends AnyFunSuite {
         (x > 40 && x < 64 && y > 20 && y < 35) ||      // block
         (math.abs(x - y) < 2) ||                       // diagonal
         (y == 17))                                     // full-width line
-    for ((codec, comp) <- Seq("CCITT RLE" -> 2, "CCITT T.4" -> 3,
-        "CCITT T.6" -> 4)) {
-      val path = writeJdkBilevelTiff(codec, w, h, white)
+    // plus seeded random speckle patterns: many short runs stress the
+    // terminating-code tables and every 2-D mode transition
+    val rnd = new scala.util.Random(42)
+    val speckles = Seq.fill(2) {
+      val bits = Array.fill(h, w)(rnd.nextInt(4) != 0) // 75% white
+      (x: Int, y: Int) => bits(y)(x)
+    }
+    for (pattern <- white _ +: speckles;
+         (codec, comp) <- Seq("CCITT RLE" -> 2, "CCITT T.4" -> 3,
+           "CCITT T.6" -> 4)) {
+      val path = writeJdkBilevelTiff(codec, w, h, pattern)
       val meta = TiffReader.readMeta(path)
       assert(meta.compression == comp, s"$codec → ${meta.compression}")
       assert(meta.bits == 1, codec)
@@ -464,7 +472,7 @@ class StacLoaderSpec extends AnyFunSuite {
       // stored-bit semantics: black = 1 under WhiteIsZero(0), 0 under 1
       val blackVal = if (meta.photometric == 0) 1.0 else 0.0
       for (y <- 0 until h; x <- 0 until w) {
-        val want = if (white(x, y)) 1.0 - blackVal else blackVal
+        val want = if (pattern(x, y)) 1.0 - blackVal else blackVal
         assert(got((y.toLong, x.toLong)) == want,
           s"$codec ($x,$y): got ${got((y.toLong, x.toLong))} want $want " +
             s"(photometric ${meta.photometric})")
@@ -515,6 +523,12 @@ class StacLoaderSpec extends AnyFunSuite {
     assert(TiffReader.ccittDecode(g3rtc, 8, 3, 3, 0L, 1).toSeq ==
       Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0,
         0, 0, 0, 0, 0, 0, 0, 0))
+    // G3 2-D (T4Options bit 0): EOL + tag bit per row — tag 1 = 1-D row,
+    // tag 0 = 2-D row coded against the line above (here: V0 at the
+    // black edge, V0 at the run end — same codes as the G4 fixture row)
+    val g32d = bits(eol + "1" + "1011" + "011", eol + "0" + "11")
+    assert(TiffReader.ccittDecode(g32d, 8, 2, 3, 1L, 1).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1))
   }
 
   test("PackBits decode rules: literals, runs, -128 noop") {
