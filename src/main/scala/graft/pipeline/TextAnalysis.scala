@@ -128,6 +128,43 @@ object TextAnalysis {
   /** Count of matches of one [[piiPatterns]] class in the raw text. */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** HTML → text extraction rules, applied IN ORDER (each later rule runs
+    * on the residue of the earlier ones): drop script/style payloads and
+    * comments wholesale, turn block-closing tags and `<br>` into newlines,
+    * strip remaining tags, decode the common entities (`&amp;` LAST so
+    * `&amp;lt;` decodes to the literal `&lt;`, not `<`), then normalize
+    * whitespace. RE2-compatible like [[piiPatterns]] — no backreferences
+    * (script and style are separate rules for exactly that reason) — so
+    * the DuckDB oracle mirrors the chain verbatim. A replacement of
+    * `"\n"` means one literal newline (the oracle splices `chr(10)`).
+    */
+  val htmlRules: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>" -> "\n",
+    "(?i)<br[^>]*>" -> "\n",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&amp;" -> "&",
+    "[ \\t]+" -> " ",
+    " ?\\n ?" -> "\n",
+    "\\n{2,}" -> "\n")
+
+  /** Extract readable text from an HTML document — the boilerplate-removal
+    * step a web-crawl ingest runs before any quality filter sees the text.
+    * A chain of codegen'd `regexp_replace` ([[htmlRules]]), so it rides
+    * any scan with zero shuffles, batch and streaming alike.
+    */
+  def htmlExtract(html: Column): Column =
+    trim(htmlRules.foldLeft(html) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }, " \n") // plain trim() strips spaces only; block closers leave \n
 }
 
 /** Context-window document chunking: split each document into overlapping

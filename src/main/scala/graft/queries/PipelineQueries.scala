@@ -143,6 +143,24 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         TextAnalysis.subwordCount(col("text")).as("n_subword"))
     },
+    "html_extract" -> { (s, dir) =>
+      // web-crawl boilerplate removal: the corpus carries no HTML, so the
+      // query wraps each doc in a deterministic id-derived page (script,
+      // style, comment, heading, entities, nested list — one match per
+      // rule class; same expression in the oracle) and extracts the text
+      // back out at scan speed
+      val html = concat(
+        lit("<html><head><title>t</title><style>p {color: red}</style>"),
+        lit("<script type=\"text/javascript\">var x = \"<b>bold</b>\";</script></head>"),
+        lit("<body><!-- id "), col("doc_id").cast("string"),
+        lit(" --><h1>Doc &quot;"), col("doc_id").cast("string"),
+        lit("&quot;</h1><p>"), substring(col("text"), 1, 120),
+        lit("</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>"),
+        lit("<div>tail&nbsp;words</div></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.htmlExtract(html).as("clean"))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("clean")))
+    },
     "text_quality" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
@@ -458,6 +476,18 @@ object PipelineQueries {
     TextAnalysis.piiPatterns.foldLeft(inner) { case (acc, (pat, repl)) =>
       s"regexp_replace($acc, '$pat', '$repl', 'g')"
     }
+
+  /** Mirror of `TextAnalysis.htmlExtract`: the same RE2-compatible rule
+    * chain, newline replacements spliced as `chr(10)`.
+    */
+  private def htmlExtractSql(inner: String): String = {
+    val chain = TextAnalysis.htmlRules.foldLeft(inner) { case (acc, (pat, repl)) =>
+      val r = if (repl == "\n") "chr(10)"
+              else "'" + repl.replace("'", "''") + "'"
+      s"regexp_replace($acc, '$pat', $r, 'g')"
+    }
+    s"trim($chain, ' ' || chr(10))"
+  }
 
   /** Portable token-count SQL (mirror of `TextAnalysis.tokenCount`). */
   private def tokCntSql(text: String): String =
@@ -788,6 +818,18 @@ object PipelineQueries {
         |          i -> (v[i] - qc[i] * scale) * (v[i] - qc[i] * scale)),
         |        (a, x) -> a + x), 9) AS recon_err
         |FROM q""".stripMargin,
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>t</title><style>p {color: red}</style>'
+         |  || '<script type="text/javascript">var x = "<b>bold</b>";</script></head>'
+         |  || '<body><!-- id ' || CAST(doc_id AS VARCHAR)
+         |  || ' --><h1>Doc &quot;' || CAST(doc_id AS VARCHAR)
+         |  || '&quot;</h1><p>' || substring(text, 1, 120)
+         |  || '</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>'
+         |  || '<div>tail&nbsp;words</div></body></html>' AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, ${htmlExtractSql("html")} AS clean FROM h)
+         |SELECT doc_id, clean, ${tokCntSql("clean")} AS n_tokens FROM c""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents)
          |SELECT doc_id, ${piiRedactedSql("t")} AS redacted,

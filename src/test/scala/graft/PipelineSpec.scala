@@ -869,6 +869,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv == Set(1L, 31L, 32L, 33L), surv)
   }
 
+  test("html extract: scripts/styles/comments dropped, tags stripped, entities decoded") {
+    val page =
+      """<html><head><style>body { color: red }</style>
+        |<script>if (1 < 2) { alert("</div>"); }</script></head>
+        |<body><!-- hidden --><h1>Title</h1>
+        |<p>First&nbsp;paragraph with 1 &lt; 2 &amp;&amp; 3 &gt; 2.</p>
+        |<ul><li>it&#39;s &quot;quoted&quot;</li></ul>
+        |<div>tail</div></body></html>""".stripMargin
+    val out = Seq((1L, page)).toDF("doc_id", "text")
+      .select(TextAnalysis.htmlExtract(col("text")))
+      .collect()(0).getString(0)
+    assert(!out.contains("color"), out)    // style payload gone
+    assert(!out.contains("alert"), out)    // script payload gone (incl. the
+    assert(!out.contains("</div>"), out)   //   embedded closing-tag string)
+    assert(!out.contains("hidden"), out)   // comment gone
+    assert(out ==
+      "Title\nFirst paragraph with 1 < 2 && 3 > 2.\nit's \"quoted\"\ntail", out)
+    // double-encoded entity: &amp;lt; must decode to the LITERAL "&lt;"
+    val dbl = Seq((1L, "a &amp;lt; b")).toDF("doc_id", "text")
+      .select(TextAnalysis.htmlExtract(col("text"))).collect()(0).getString(0)
+    assert(dbl == "a &lt; b", dbl)
+  }
+
   test("lm score: expression path == relational join path, bit-exact") {
     // force the fallback join path with modelGate = 0 and compare every
     // column against the default scan-speed TrigramScore path — same
