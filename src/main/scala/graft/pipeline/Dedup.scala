@@ -29,6 +29,51 @@ object Dedup {
     df.groupBy(key.as("content_key"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_dups"))
 
+  /** CCNet-style LINE-level dedup (Wenzek et al. 2020, public): split each
+    * document into lines/sentences on `sep`, hash every non-empty line
+    * (case/whitespace-normalized), and keep each distinct line's FIRST
+    * corpus occurrence only — the classic scrub for boilerplate sentences
+    * (cookie banners, navigation text) repeated across a web crawl.
+    * Returns one row per input doc:
+    * `(idCol, n_lines, n_kept, kept_text)` with the surviving lines
+    * rejoined in their original order (docs reduced to nothing keep an
+    * empty string).
+    *
+    * Scale shape: line generation is row-local (split + posexplode in the
+    * scan task); the only corpus-wide structure is ONE combinable groupBy
+    * on the line hash picking `min(struct(id, pos))` — the deterministic
+    * first occurrence — joined back on the hash (size-gated broadcast
+    * when the distinct-line table fits). The shuffle carries fixed-width
+    * md5 keys plus (id, pos) pairs, never line text; reassembly is a
+    * per-doc groupBy with a sorted collect bounded by ONE document.
+    */
+  def lineDedup(df: DataFrame, idCol: String, text: Column,
+      sep: String = "\\. "): DataFrame = {
+    val lines = df
+      .select(col(idCol).cast("long").as("_id"),
+        posexplode(split(text.cast("string"), sep)).as(Seq("_pos", "_line")))
+      .filter(length(trim(col("_line"))) > 0)
+      .withColumn("_h", md5(trim(lower(col("_line"))).cast("binary")))
+    val firsts = lines
+      .groupBy(col("_h"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_keep"))
+    val kept = lines
+      .join(Joins.maybeBroadcast(firsts), Seq("_h"))
+      .withColumn("_keepMe",
+        col("_keep._id") === col("_id") && col("_keep._pos") === col("_pos"))
+    val perDoc = kept.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_keepMe"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(when(col("_keepMe"),
+            struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line"))).as("kept_text"))
+    df.select(col(idCol).cast("long").as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .na.fill(0L, Seq("n_lines", "n_kept")).na.fill("", Seq("kept_text"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Distinct word n-gram shingles per document as one array column —
     * the one-pass [[graft.functions.Shingles]] expression (identical
     * semantics to [[shinglesHof]], property-spec-pinned). Requires

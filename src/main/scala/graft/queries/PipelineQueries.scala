@@ -143,6 +143,23 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         TextAnalysis.subwordCount(col("text")).as("n_subword"))
     },
+    "line_dedup" -> { (s, dir) =>
+      // CCNet-style line-level dedup: sentences repeated anywhere in the
+      // corpus survive only at their first (doc_id, pos) occurrence. The
+      // corpus text carries no sentence boundaries, so the query splices
+      // boilerplate sentences (cookie banner / footer) around two
+      // doc-derived slices — the web-crawl shape this scrub exists for;
+      // same expression in the oracle
+      val aug = concat(lit("Cookie notice applies. "),
+        substring(col("text"), 1, 60),
+        lit(". All rights reserved. "),
+        substring(col("text"), 30, 50),
+        lit(". Subscribe to newsletter"))
+      Dedup.lineDedup(
+        Tables.documents(s, dir).withColumn("_aug", aug),
+        "doc_id", col("_aug"))
+        .select("doc_id", "n_lines", "n_kept", "kept_text")
+    },
     "html_extract" -> { (s, dir) =>
       // web-crawl boilerplate removal: the corpus carries no HTML, so the
       // query wraps each doc in a deterministic id-derived page (script,
@@ -818,6 +835,33 @@ object PipelineQueries {
         |          i -> (v[i] - qc[i] * scale) * (v[i] - qc[i] * scale)),
         |        (a, x) -> a + x), 9) AS recon_err
         |FROM q""".stripMargin,
+    "line_dedup" ->
+      """WITH a AS (SELECT doc_id,
+        |    'Cookie notice applies. ' || substring(text, 1, 60)
+        |    || '. All rights reserved. ' || substring(text, 30, 50)
+        |    || '. Subscribe to newsletter' AS aug
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS line
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(CAST(aug AS VARCHAR), '\. ') AS t
+        |        FROM a),
+        |       UNNEST(range(1, len(t) + 1)) u(i)
+        |  WHERE len(trim(t[i])) > 0),
+        |k AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY md5(trim(lower(line)))
+        |                           ORDER BY doc_id, pos) = 1 AS keep
+        |      FROM l),
+        |p AS (SELECT doc_id, count(*) AS n_lines,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        COALESCE(string_agg(CASE WHEN keep THEN line END,
+        |                            '. ' ORDER BY pos), '') AS kept_text
+        |      FROM k GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(p.kept_text, '') AS kept_text
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin,
     "html_extract" ->
       s"""WITH h AS (SELECT doc_id,
          |  '<html><head><title>t</title><style>p {color: red}</style>'

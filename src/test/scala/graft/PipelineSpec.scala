@@ -869,6 +869,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv == Set(1L, 31L, 32L, 33L), surv)
   }
 
+  test("line dedup: first corpus occurrence survives, order preserved") {
+    val d = Seq(
+      (1L, "Cookie banner. unique alpha. All rights reserved"),
+      (2L, "cookie banner. unique beta. All rights reserved"), // case-insensitive match
+      (3L, "unique gamma. Cookie banner"),
+      (4L, ""),
+      (5L, "unique delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns the first occurrence of both boilerplate lines
+    assert(out(1L) == ((3L, 3L,
+      "Cookie banner. unique alpha. All rights reserved")))
+    // doc 2's copies (case-normalized match) drop; its own line survives
+    assert(out(2L) == ((3L, 1L, "unique beta")))
+    // doc 3's banner copy drops, order of what remains is the original
+    assert(out(3L) == ((2L, 1L, "unique gamma")))
+    assert(out(4L) == ((0L, 0L, "")))   // empty doc: defined zeros
+    assert(out(5L) == ((1L, 1L, "unique delta")))
+  }
+
   test("html extract: scripts/styles/comments dropped, tags stripped, entities decoded") {
     val page =
       """<html><head><style>body { color: red }</style>
