@@ -165,6 +165,29 @@ object TextAnalysis {
     trim(htmlRules.foldLeft(html) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }, " \n") // plain trim() strips spaces only; block closers leave \n
+
+  /** URL component patterns (RE2-compatible, shared verbatim with the
+    * oracle): scheme per RFC 3986, host = authority up to the first
+    * `/ ? # :` (so ports and paths never leak in), path up to query or
+    * fragment. `regexp_extract` returns "" on both engines when a string
+    * is not a URL — non-URLs group under the empty domain rather than
+    * erroring a 100-TB pass.
+    */
+  val urlSchemePattern = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  val urlHostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+  val urlPathPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+  def urlScheme(url: Column): Column = regexp_extract(url, urlSchemePattern, 1)
+  def urlHost(url: Column): Column = regexp_extract(url, urlHostPattern, 1)
+  def urlPath(url: Column): Column = regexp_extract(url, urlPathPattern, 1)
+
+  /** Naive registered domain: the host's last two labels — the grouping
+    * key domain-level curation stats and per-domain quotas use. (A full
+    * public-suffix-list eTLD+1 is a data file, not an algorithm; swap the
+    * pattern when one is available.)
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }
 
 /** Context-window document chunking: split each document into overlapping

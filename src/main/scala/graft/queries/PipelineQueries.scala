@@ -143,6 +143,29 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         TextAnalysis.subwordCount(col("text")).as("n_subword"))
     },
+    "domain_stats" -> { (s, dir) =>
+      // domain-level curation stats (per-domain doc/host/char counts — the
+      // grouping a crawl uses for domain quotas and blocklists): the corpus
+      // carries no URLs, so the query synthesizes id-derived ones (scheme
+      // by parity, 5 hosts per 3 registered domains; same expression in
+      // the oracle) and parses them back apart
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
+          .otherwise(lit("http")),
+        lit("://"), col("source"),
+        pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".example"), pmod(col("doc_id"), lit(3L)).cast("string"),
+        lit(".org/docs/"), col("doc_id").cast("string"))
+      Tables.documents(s, dir).withColumn("_u", url)
+        .select(col("n_chars"),
+          TextAnalysis.urlScheme(col("_u")).as("scheme"),
+          TextAnalysis.urlHost(col("_u")).as("host"))
+        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+        .groupBy(col("domain"), col("scheme"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
     "line_dedup" -> { (s, dir) =>
       // CCNet-style line-level dedup: sentences repeated anywhere in the
       // corpus survive only at their first (doc_id, pos) occurrence. The
@@ -835,6 +858,21 @@ object PipelineQueries {
         |          i -> (v[i] - qc[i] * scale) * (v[i] - qc[i] * scale)),
         |        (a, x) -> a + x), 9) AS recon_err
         |FROM q""".stripMargin,
+    "domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         |  || '://' || source || CAST(doc_id % 5 AS VARCHAR)
+         |  || '.example' || CAST(doc_id % 3 AS VARCHAR)
+         |  || '.org/docs/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_chars,
+         |  regexp_extract(url, '${TextAnalysis.urlSchemePattern}', 1) AS scheme,
+         |  regexp_extract(url, '${TextAnalysis.urlHostPattern}', 1) AS host
+         |  FROM u)
+         |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain, scheme,
+         |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "line_dedup" ->
       """WITH a AS (SELECT doc_id,
         |    'Cookie notice applies. ' || substring(text, 1, 60)

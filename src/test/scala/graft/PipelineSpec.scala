@@ -869,6 +869,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv == Set(1L, 31L, 32L, 33L), surv)
   }
 
+  test("url parsing: scheme/host/path/domain across ports, queries, non-urls") {
+    val d = Seq(
+      (1L, "https://www.sub.example.co/a/b?q=1#frag"),
+      (2L, "http://example.org"),
+      (3L, "ftp://files.example.net:2121/pub/x.bin"),
+      (4L, "not a url at all"),
+      (5L, "https://host.example.io/?only=query")
+    ).toDF("id", "u")
+    val out = d.select(col("id"),
+        TextAnalysis.urlScheme(col("u")),
+        TextAnalysis.urlHost(col("u")),
+        TextAnalysis.urlPath(col("u")),
+        TextAnalysis.registeredDomain(TextAnalysis.urlHost(col("u"))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out(1L) == (("https", "www.sub.example.co", "/a/b", "example.co")))
+    assert(out(2L) == (("http", "example.org", "", "example.org")))
+    assert(out(3L) == (("ftp", "files.example.net", "/pub/x.bin", "example.net")))
+    assert(out(4L) == (("", "", "", "")))  // non-URL: empty, never an error
+    assert(out(5L) == (("https", "host.example.io", "/", "example.io")))
+  }
+
   test("line dedup: first corpus occurrence survives, order preserved") {
     val d = Seq(
       (1L, "Cookie banner. unique alpha. All rights reserved"),
