@@ -39,39 +39,48 @@ object Dedup {
     * rejoined in their original order (docs reduced to nothing keep an
     * empty string).
     *
-    * Scale shape: line generation is row-local (split + posexplode in the
-    * scan task); the only corpus-wide structure is ONE combinable groupBy
-    * on the line hash picking `min(struct(id, pos))` — the deterministic
-    * first occurrence — joined back on the hash (size-gated broadcast
-    * when the distinct-line table fits). The shuffle carries fixed-width
-    * md5 keys plus (id, pos) pairs, never line text; reassembly is a
-    * per-doc groupBy with a sorted collect bounded by ONE document.
+    * Scale shape — line text NEVER shuffles: lines are hashed in the scan
+    * task and projected down to `(_h, _id, _pos)` before anything crosses
+    * the wire. One combinable groupBy on the hash picks
+    * `min(struct(id, pos))` — the deterministic first occurrence — and,
+    * because each group's minimum IS the kept line, the keep set needs no
+    * join-back on the hash: a second (tiny: one int per distinct line)
+    * groupBy folds kept positions per doc. `kept_text` is rebuilt from ONE
+    * re-split of the original document after a join on the doc id alone —
+    * size-gated broadcast when the position table fits, exchange-free on a
+    * bucketed-by-id lake layout ([[graft.core.Layout.writeBucketed]])
+    * otherwise — so the document text moves at most once and the per-line
+    * shuffles carry fixed-width keys only.
+    *
+    * `idCol` may be any orderable type (long, string/UUID, …); the
+    * first-occurrence rule orders by the id's natural ordering, then
+    * position.
     */
   def lineDedup(df: DataFrame, idCol: String, text: Column,
       sep: String = "\\. "): DataFrame = {
-    val lines = df
-      .select(col(idCol).cast("long").as("_id"),
+    val keys = df
+      .select(col(idCol).as("_id"),
         posexplode(split(text.cast("string"), sep)).as(Seq("_pos", "_line")))
       .filter(length(trim(col("_line"))) > 0)
-      .withColumn("_h", md5(trim(lower(col("_line"))).cast("binary")))
-    val firsts = lines
-      .groupBy(col("_h"))
+      .select(md5(trim(lower(col("_line"))).cast("binary")).as("_h"),
+        col("_id"), col("_pos"))
+    val firsts = keys.groupBy(col("_h"))
       .agg(min(struct(col("_id"), col("_pos"))).as("_keep"))
-    val kept = lines
-      .join(Joins.maybeBroadcast(firsts), Seq("_h"))
-      .withColumn("_keepMe",
-        col("_keep._id") === col("_id") && col("_keep._pos") === col("_pos"))
-    val perDoc = kept.groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("_keepMe"), 1L).otherwise(0L)).as("n_kept"),
-        concat_ws(". ", transform(
-          array_sort(collect_list(when(col("_keepMe"),
-            struct(col("_pos"), col("_line"))))),
-          s => s.getField("_line"))).as("kept_text"))
-    df.select(col(idCol).cast("long").as("_id"))
-      .join(perDoc, Seq("_id"), "left")
-      .na.fill(0L, Seq("n_lines", "n_kept")).na.fill("", Seq("kept_text"))
-      .withColumnRenamed("_id", idCol)
+    val keptPerDoc = firsts
+      .groupBy(col("_keep").getField("_id").as("_id"))
+      .agg(sort_array(collect_list(col("_keep").getField("_pos"))).as("_kp"))
+    // multi-use non-trivial alias: survives CollapseProject, so the doc is
+    // re-split once, not once per consumer (same discipline as the
+    // LanguageModel `_s` alias)
+    val arr = col("_arr")
+    df.select(col(idCol).as("_id"), text.cast("string").as("_text"))
+      .join(Joins.maybeBroadcast(keptPerDoc), Seq("_id"), "left")
+      .withColumn("_arr", split(col("_text"), sep))
+      .select(col("_id").as(idCol),
+        size(filter(arr, l => length(trim(l)) > 0)).cast("long").as("n_lines"),
+        coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
+        when(col("_kp").isNull, lit("")).otherwise(concat_ws(". ",
+          transform(col("_kp"), p => element_at(arr, p + 1)))).as("kept_text"))
   }
 
   /** Distinct word n-gram shingles per document as one array column —

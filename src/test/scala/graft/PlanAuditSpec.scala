@@ -192,6 +192,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan(sub).contains("Exchange SinglePartition"), plan(sub))
   }
 
+  test("line dedup shuffles fixed-width keys only — line text never moves") {
+    val ld = SparkEntry.queries("line_dedup")(spark, dir)
+    // budget: groupBy(hash) + groupBy(doc) — the reassembly join broadcasts
+    // the kept-position table, so exactly 2 exchanges at this scale
+    assert(shuffles(ld) == 2, plan(ld))
+    // and NO exchange output may carry line or document text: the scale
+    // claim in SCALE.md is that only (_h, _id, _pos) / (_id, positions)
+    // rows cross the wire
+    val phys = ld.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // pre-execution this is the initial physical plan
+      case p => p
+    }
+    val exch = phys.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    assert(exch.nonEmpty)
+    for (cols <- exch)
+      assert(!cols.contains("_line") && !cols.contains("_text"),
+        s"text column in shuffle: $cols")
+    // string doc ids must survive (no blind long cast): a UUID-keyed crawl
+    val sess = spark
+    import sess.implicits._
+    val sdf = Seq(("u-b", "same line. unique b"), ("u-a", "same line. unique a"))
+      .toDF("id", "txt")
+    val out = pipeline.Dedup.lineDedup(sdf, "id", col("txt"))
+      .orderBy("id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("u-a", "u-b"))
+    // first occurrence under the id's natural (string) ordering: u-a wins
+    assert(out(0).getLong(2) == 2L && out(1).getLong(2) == 1L)
+    assert(out(1).getString(3) == "unique b")
+  }
+
   test("Z-order clustered writes produce spatially compact files") {
     val sess = spark
     import sess.implicits._
