@@ -65,11 +65,30 @@ case class TrigramScore(first: Expression, second: Expression,
   @transient private lazy val unseen: Long =
     third.eval(null).asInstanceOf[Long]
 
-  override def nullSafeEval(textAny: Any, m: Any, u: Any): Any = {
-    // identical pipeline to trim(lower(text)): UTF8String's own lowercase
-    // and space-trim, then char-based windows. The windows slice through a
-    // code-point offset table computed ONCE — substringSQL walks from the
-    // string start per call, which would make the loop O(chars²) per doc
+  override def nullSafeEval(textAny: Any, m: Any, u: Any): Any =
+    TrigramScore.score(textAny, model, unseen)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): TrigramScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_trigram_score"
+}
+
+object TrigramScore {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tri", LongType, nullable = false),
+    StructField("lp_sum", LongType, nullable = false)))
+
+  /** The shared one-pass scorer both expression forms call.
+    *
+    * Identical pipeline to trim(lower(text)): UTF8String's own lowercase
+    * and space-trim, then char-based windows. The windows slice through a
+    * code-point offset table computed ONCE — substringSQL walks from the
+    * string start per call, which would make the loop O(chars²) per doc.
+    */
+  private[functions] def score(textAny: Any,
+      model: JHashMap[UTF8String, java.lang.Long], unseen: Long): Any = {
     val s = textAny.asInstanceOf[UTF8String].toLowerCase.trim()
     val n = s.numChars()
     if (n < 3) return new GenericInternalRow(Array[Any](0L, 0L))
@@ -95,15 +114,44 @@ case class TrigramScore(first: Expression, second: Expression,
     new GenericInternalRow(Array[Any](nTri.toLong, sum))
   }
 
-  override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): TrigramScore =
-    copy(first = newFirst, second = newSecond, third = newThird)
-
-  override def prettyName: String = "graft_trigram_score"
+  /** Build a JHashMap keyed by UTF8String from a driver-folded model. */
+  private[graft] def toUtf8Map(
+      m: Map[String, Long]): JHashMap[UTF8String, java.lang.Long] = {
+    val h = new JHashMap[UTF8String, java.lang.Long](m.size * 2)
+    m.foreach { case (k, v) => h.put(UTF8String.fromString(k), v) }
+    h
+  }
 }
 
-object TrigramScore {
-  val schema: StructType = StructType(Seq(
-    StructField("n_tri", LongType, nullable = false),
-    StructField("lp_sum", LongType, nullable = false)))
+/** Broadcast-variable-backed twin of [[TrigramScore]]: same scorer, but the
+  * model rides to executors as a Spark broadcast instead of a plan literal.
+  *
+  * Exists for LARGE models: a `typedLit` map is serialized into the task
+  * binary of every stage that references the expression — multi-MB at the
+  * model-gate ceiling — while a broadcast ships once per executor and the
+  * plan carries only the handle. Bit-identical to the literal form by
+  * construction (one shared [[TrigramScore.score]]); spec-pinned.
+  */
+case class TrigramScoreBcast(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[JHashMap[UTF8String, java.lang.Long]],
+    unseen: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case a => TypeCheckResult.TypeCheckFailure(
+      s"graft_trigram_score_bcast expects string, got ${a.simpleString}")
+  }
+
+  override def dataType: DataType = TrigramScore.schema
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(textAny: Any): Any =
+    TrigramScore.score(textAny, model.value, unseen)
+
+  override protected def withNewChildInternal(c: Expression): TrigramScoreBcast =
+    copy(child = c)
+
+  override def prettyName: String = "graft_trigram_score_bcast"
 }

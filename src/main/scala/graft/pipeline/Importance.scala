@@ -78,8 +78,11 @@ object Importance {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nAll = bstats.map(_._2).sum
     val nT = bstats.map(_._3).sum
+    // StrictMath.log = the exact function Spark's log() evaluates, so this
+    // driver fold is bit-identical to a distributed join form at every
+    // floor(x·10⁶+½) boundary (same discipline as LanguageModel)
     val lrMap: Map[Long, Long] = bstats.map { case (b, ctAll, ctT) =>
-      b -> math.floor(math.log(
+      b -> math.floor(StrictMath.log(
         ((ctT + 1L).toDouble * (nAll + buckets).toDouble) /
           ((ctAll + 1L).toDouble * (nT + buckets).toDouble)) * scale + 0.5).toLong
     }.toMap

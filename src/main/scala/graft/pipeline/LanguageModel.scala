@@ -46,11 +46,18 @@ object LanguageModel {
     * since the model derives from its own target-only pass, the corpus
     * trigram rows have exactly one consumer in either path — there is no
     * diamond left to cache.
+    *
+    * Models up to `literalGate` distinct trigrams inline as a plan literal
+    * (foldable, oracle-friendly); larger ones ship as a Spark BROADCAST
+    * referenced by the expression — the plan stays handle-sized at any
+    * model size while the scoring loop is the same shared code
+    * (spec-pinned bit-identical).
     */
   def charTrigramScore(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, scale: Long = 1000000L,
       cacheTrigrams: Boolean = true,
-      modelGate: Long = 1L << 20): DataFrame = {
+      modelGate: Long = 1L << 20,
+      literalGate: Int = 100000): DataFrame = {
     // Materialize the normalized string as a NAMED column before the HOF:
     // transform() is interpreted and does no CSE, so inlining trim(lower())
     // into the lambda would re-normalize the whole document PER TRIGRAM —
@@ -85,20 +92,35 @@ object LanguageModel {
     if (census.length <= gateN) {
       val nTot = census.map(_.getLong(1)).sum
       val denom = (nTot + census.length + 1L).toDouble
-      // floor(ln((cnt+1)/(N+D+1))·scale + ½) — same ops, same doubles as
-      // the Spark floor/log/cast pipeline in the fallback branch
+      // floor(ln((cnt+1)/(N+D+1))·scale + ½) — StrictMath.log is the exact
+      // function Spark's log() expression evaluates (fdlibm semantics), so
+      // the driver fold and the fallback branch's distributed log() agree
+      // to the bit, never just to 1 ulp (a 1-ulp divergence landing on a
+      // floor(x·10⁶+½) boundary would flip a micro-unit)
       val modelMap: Map[String, Long] = census.map { r =>
         r.getString(0) -> math.floor(
-          math.log((r.getLong(1) + 1L).toDouble / denom) * scale + 0.5).toLong
+          StrictMath.log((r.getLong(1) + 1L).toDouble / denom) * scale + 0.5).toLong
       }.toMap
-      val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
-      // scan-speed scoring: the model map rides in the plan, zero shuffles.
-      // NULL text coalesces to "" so the doc scores (0, 0, 0.0) exactly
-      // like the relational path (whose explode yields no rows + na.fill)
-      df.select(col(idCol),
-          call_function("graft_trigram_score",
-            coalesce(text.cast("string"), lit("")),
-            typedLit(modelMap), lit(unseenUnits)).as("_t"))
+      val unseenUnits =
+        math.floor(StrictMath.log(1.0 / denom) * scale + 0.5).toLong
+      // scan-speed scoring: the model rides in the plan (literal) or as a
+      // broadcast handle (large models); both expressions are built
+      // DIRECTLY — no dependency on SparkTuning.tune's function registry,
+      // so the library API works on an untuned session. NULL text
+      // coalesces to "" so the doc scores (0, 0, 0.0) exactly like the
+      // relational path (whose explode yields no rows + na.fill)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val textE = ColumnBridge.expression(coalesce(text.cast("string"), lit("")))
+      val scoreCol =
+        if (census.length > literalGate) {
+          val bc = df.sparkSession.sparkContext.broadcast(
+            graft.functions.TrigramScore.toUtf8Map(modelMap))
+          ColumnBridge.column(
+            graft.functions.TrigramScoreBcast(textE, bc, unseenUnits))
+        } else ColumnBridge.column(graft.functions.TrigramScore(textE,
+          ColumnBridge.expression(typedLit(modelMap)),
+          ColumnBridge.expression(lit(unseenUnits))))
+      df.select(col(idCol), scoreCol.as("_t"))
         .select(col(idCol), col("_t").getField("n_tri").as("n_tri"),
           col("_t").getField("lp_sum").as("lp_sum"))
         .withColumn("xent", xentCol)
@@ -116,7 +138,8 @@ object LanguageModel {
           floor(log((col("cnt") + 1L).cast("double") / denom) * scale + 0.5)
             .cast("long"))
         .select(col("tri"), col("lp_units"))
-      val unseenUnits = math.floor(math.log(1.0 / denom) * scale + 0.5).toLong
+      val unseenUnits =
+        math.floor(StrictMath.log(1.0 / denom) * scale + 0.5).toLong
       // the trigram rows have exactly ONE consumer now (the model derives
       // from tcntPlan above), so there is no diamond left to cache —
       // persisting them would be a full corpus-sized materialization for

@@ -958,6 +958,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(expr(5L) == ((0L, 0L, 0.0))) // empty doc: defined zeros
     assert(expr(4L) == ((0L, 0L, 0.0))) // sub-trigram doc
     assert(expr(7L) == ((0L, 0L, 0.0))) // NULL text, both paths
+    // broadcast-backed model (literalGate = 0 forces it) must be
+    // bit-identical to the plan-literal form — one shared scorer
+    val bcast = LanguageModel.charTrigramScore(
+      d, "doc_id", col("text"), col("tgt"), literalGate = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(bcast == expr, s"bcast=$bcast expr=$expr")
+  }
+
+  test("lm score: expression path builds without SparkTuning registration") {
+    // direct-construction contract: the library API must work on a session
+    // that never called SparkTuning.tune (no temp-function registry entry)
+    val fresh = spark.newSession() // shares context, NOT the tuned registry
+    assert(!fresh.catalog.functionExists("graft_trigram_score"))
+    val d2 = fresh.createDataFrame(
+      Seq((1L, "the quick brown fox", true), (2L, "zzz qqq", false)))
+      .toDF("doc_id", "text", "tgt")
+    val out = LanguageModel.charTrigramScore(d2, "doc_id", col("text"),
+      col("tgt")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 17L && out(2L) == 5L, out)
   }
 
   test("lm score: target-like text gets lower cross-entropy than alien text") {
