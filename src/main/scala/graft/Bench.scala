@@ -92,10 +92,15 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","errors":$errJson,"spread":$fullSp,"queries":$fullQs}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (detail + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // On a write failure the stdout record must NOT advertise the path — a
+    // consumer would read a stale or absent file with no signal. detailRef
+    // goes empty instead.
+    val detailRef =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          (detail + "\n").getBytes("UTF-8"))
+        detailPath
+      } catch { case _: Throwable => "" }
     // the WHOLE line must stay under the driver's 2000-char capture, so
     // budget it as prefix + capped errors + whatever query mins still fit:
     //  * errors: at most 8 entries with 40-char messages + an "nerr" total,
@@ -106,7 +111,7 @@ object Bench {
       "\"" + k + "\":\"" + esc(v.take(40)) + "\""
     }.mkString("{", ",", "}")
     val prefix =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"nerr":${errors.size},"detail":"${esc(detailPath)}","errors":$errShort,"queries":"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"nerr":${errors.size},"detail":"${esc(detailRef)}","errors":$errShort,"queries":"""
     val budget = 1900 - prefix.length - 2 // closing "}}"
     val bySlow = results.sortBy(-_._2)
     val topEntries = scala.collection.mutable.ArrayBuffer[String]()

@@ -21,9 +21,23 @@ object Caching {
     * then unpersist `cached`. The returned frame reads the checkpointed
     * blocks; its lineage is truncated, so callers needing the full lazy plan
     * (e.g. for plan audits) should disable the operator's cache flag.
+    *
+    * Fault tolerance: when the context has a RELIABLE checkpoint directory
+    * configured (`sc.setCheckpointDir`, pointing at HDFS/object storage on
+    * a real cluster), the materialization is a reliable checkpoint — the
+    * result survives executor loss and decommissioning. Without one (the
+    * local[] default), it falls back to `localCheckpoint`, whose
+    * executor-local blocks are NOT recomputable after executor loss; on a
+    * cluster, either set a checkpoint dir or pass the operator's
+    * `cache* = false` flag (the lazy plan recomputes from source and is
+    * always safe).
     */
   def scoped(out: DataFrame, cached: DataFrame): DataFrame = {
-    val cp = out.localCheckpoint(eager = true)
+    val reliable =
+      out.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val cp =
+      if (reliable) out.checkpoint(eager = true)
+      else out.localCheckpoint(eager = true)
     cached.unpersist(blocking = false)
     cp
   }
