@@ -158,10 +158,23 @@ object TextAnalysis {
 
   /** Extract readable text from an HTML document — the boilerplate-removal
     * step a web-crawl ingest runs before any quality filter sees the text.
-    * A chain of codegen'd `regexp_replace` ([[htmlRules]]), so it rides
-    * any scan with zero shuffles, batch and streaming alike.
+    * The one-pass [[graft.functions.HtmlExtract]] expression: zero
+    * shuffles, zero regex machinery, batch and streaming alike. Identical
+    * to the [[htmlExtractChain]] reference form (ScalaCheck-pinned on
+    * adversarial tag/entity soup); the DuckDB oracle mirrors the chain.
     */
-  def htmlExtract(html: Column): Column =
+  def htmlExtract(html: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.HtmlExtract(ColumnBridge.expression(html)))
+  }
+
+  /** Reference form of [[htmlExtract]]: the [[htmlRules]] regexp_replace
+    * chain, verbatim — 15 sequential regex passes (~15× the string traffic
+    * of the expression). Kept as the spec-pinned semantics definition and
+    * the shape the SQL oracle mirrors.
+    */
+  def htmlExtractChain(html: Column): Column =
     trim(htmlRules.foldLeft(html) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }, " \n") // plain trim() strips spaces only; block closers leave \n

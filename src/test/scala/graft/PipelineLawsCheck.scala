@@ -188,6 +188,35 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
       run(1L << 20) == run(0L) // scan-speed expression == explode + join
     }
 
+  // adversarial tag/entity soup: unterminated spans, tags nested inside
+  // comments and vice versa, tokens broken across phase replacements
+  // (`</p<br>`), rule-6 tags swallowing earlier `\n` replacements
+  // (`<a </p> b>`), double-encoded entities, mixed case, carriage returns
+  // (NOT chain whitespace) — every residue subtlety the chain's phase
+  // ordering creates
+  val genHtml: Gen[String] = for {
+    n <- Gen.choose(0, 24)
+    frags <- Gen.listOfN(n, Gen.oneOf(Gen.oneOf(
+      "<script>", "</script>", "<script a>", "<SCRIPT>", "</SCRIPT>",
+      "<scripty>", "<style>", "</style>", "<StYlE x>", "<!--", "-->",
+      "<!---->", "</p>", "</P>", "</div>", "</h3>", "</table>", "</tr>",
+      "</blockquote>", "<br>", "<br/>", "<Br >", "<b>", "</b>", "<",
+      ">", "</p<br>", "<a </p> b>", "<!--<script>-->x</script>",
+      "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+      "&", ";", "&amp", "&lt", "&#3", "&x;"),
+      Gen.oneOf("text", "a b", "Tail words", " ", "  ", "\n", "\t",
+        "\r", "é Ω", "10 < 20", "x>y", "\"q\"", "it's")))
+  } yield frags.mkString
+
+  property("html extract: one-pass expression == regexp_replace chain") =
+    forAll(Gen.listOfN(6, genHtml)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      df.select(TextAnalysis.htmlExtract(col("text")).as("e"),
+          TextAnalysis.htmlExtractChain(col("text")).as("c")).collect()
+        .forall(r => r.getString(0) == r.getString(1))
+    }
+
   property("repetition: one-pass expression == HOF folds on random text") =
     forAll(Gen.listOfN(6, genText)) { texts =>
       graft.core.SparkTuning.tune(spark) // registers graft_repetition
