@@ -194,13 +194,75 @@ object TextAnalysis {
   def urlHost(url: Column): Column = regexp_extract(url, urlHostPattern, 1)
   def urlPath(url: Column): Column = regexp_extract(url, urlPathPattern, 1)
 
-  /** Naive registered domain: the host's last two labels — the grouping
-    * key domain-level curation stats and per-domain quotas use. (A full
-    * public-suffix-list eTLD+1 is a data file, not an algorithm; swap the
-    * pattern when one is available.)
+  /** Naive registered domain: the host's last two labels. Kept as the
+    * fallback/reference form; [[registeredDomain]] is PSL-backed and is
+    * what domain quotas should use (`shop.example.co.uk` must group under
+    * `example.co.uk`, not `co.uk`).
     */
-  def registeredDomain(host: Column): Column =
+  def registeredDomainNaive(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Public-suffix-list snapshot (see
+    * `resources/graft/public_suffix_snapshot.txt`): 2-label suffixes,
+    * 3-label suffixes, wildcard TLDs (`*.tld`) and exception hosts
+    * (`!host`). Parsed once; the lookup inlines as literal IN-lists —
+    * plan-time constants, codegen'd set probes, zero shuffles.
+    */
+  lazy val (pslSuffix2, pslSuffix3, pslWildcardTlds, pslExceptions):
+      (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt"), "UTF-8")
+    val lines =
+      try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+      finally src.close()
+    val (exc, rest) = lines.partition(_.startsWith("!"))
+    val (wild, plain) = rest.partition(_.startsWith("*."))
+    val (s3, s2) = plain.partition(_.count(_ == '.') == 2)
+    require(plain.forall(p => p.count(_ == '.') == 1 || p.count(_ == '.') == 2),
+      "snapshot rules must be 2- or 3-label")
+    (s2, s3, wild.map(_.stripPrefix("*.")), exc.map(_.stripPrefix("!")))
+  }
+
+  /** eTLD+1 registered domain under the PSL snapshot — the grouping key
+    * domain-level curation stats and per-domain quotas use. Longest-match
+    * semantics: exception hosts are registrable themselves; 3-label
+    * suffixes beat 2-label beat wildcard-TLD beat the implicit default
+    * rule (every unlisted TLD is a suffix). A host that IS a public
+    * suffix, or has fewer than two labels, yields `""` (no registrable
+    * domain) — never an error, so a 100-TB pass can't die on junk hosts.
+    * Mirror the exact CASE into SQL with [[registeredDomainSql]].
+    */
+  def registeredDomain(host: Column): Column = {
+    val l1 = regexp_extract(host, "([^.]+)$", 1)
+    val l2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val l3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val l4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(l2 === "", lit(""))
+      .when(l2.isin(pslExceptions: _*), l2)
+      .when(l3.isin(pslSuffix3: _*),
+        when(l4 === "", lit("")).otherwise(l4))
+      .when(l2.isin(pslSuffix2: _*) || l1.isin(pslWildcardTlds: _*),
+        when(l3 === "", lit("")).otherwise(l3))
+      .otherwise(l2)
+  }
+
+  /** The exact SQL mirror of [[registeredDomain]] over a host column
+    * reference — same regex label extraction, same rule precedence, same
+    * literal suffix lists — for DuckDB/ANSI oracles.
+    */
+  def registeredDomainSql(hostRef: String): String = {
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
+    val l1 = s"regexp_extract($hostRef, '([^.]+)$$', 1)"
+    val l2 = s"regexp_extract($hostRef, '([^.]+\\.[^.]+)$$', 1)"
+    val l3 = s"regexp_extract($hostRef, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)"
+    val l4 = s"regexp_extract($hostRef, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1)"
+    s"""CASE WHEN $l2 = '' THEN ''
+       | WHEN $l2 IN ${inList(pslExceptions)} THEN $l2
+       | WHEN $l3 IN ${inList(pslSuffix3)} THEN (CASE WHEN $l4 = '' THEN '' ELSE $l4 END)
+       | WHEN $l2 IN ${inList(pslSuffix2)} OR $l1 IN ${inList(pslWildcardTlds)}
+       |   THEN (CASE WHEN $l3 = '' THEN '' ELSE $l3 END)
+       | ELSE $l2 END""".stripMargin
+  }
 }
 
 /** Context-window document chunking: split each document into overlapping

@@ -147,15 +147,22 @@ object PipelineQueries {
       // domain-level curation stats (per-domain doc/host/char counts — the
       // grouping a crawl uses for domain quotas and blocklists): the corpus
       // carries no URLs, so the query synthesizes id-derived ones (scheme
-      // by parity, 5 hosts per 3 registered domains; same expression in
-      // the oracle) and parses them back apart
+      // by parity, 5 hosts per 3 second-level names per 4 TLD suffixes;
+      // same expression in the oracle) and parses them back apart. The TLD
+      // mix exercises the PSL eTLD+1 lookup: plain org, 2-label co.uk,
+      // com.au, and the wildcard *.bd rule (where each 3-label host IS its
+      // own registered domain)
+      val tld = when(pmod(col("doc_id"), lit(4L)) === 0L, lit("org"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("co.uk"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("com.au"))
+        .otherwise(lit("bd"))
       val url = concat(
         when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
           .otherwise(lit("http")),
         lit("://"), col("source"),
         pmod(col("doc_id"), lit(5L)).cast("string"),
         lit(".example"), pmod(col("doc_id"), lit(3L)).cast("string"),
-        lit(".org/docs/"), col("doc_id").cast("string"))
+        lit("."), tld, lit("/docs/"), col("doc_id").cast("string"))
       Tables.documents(s, dir).withColumn("_u", url)
         .select(col("n_chars"),
           TextAnalysis.urlScheme(col("_u")).as("scheme"),
@@ -862,14 +869,17 @@ object PipelineQueries {
       s"""WITH u AS (SELECT doc_id, n_chars,
          |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
          |  || '://' || source || CAST(doc_id % 5 AS VARCHAR)
-         |  || '.example' || CAST(doc_id % 3 AS VARCHAR)
-         |  || '.org/docs/' || CAST(doc_id AS VARCHAR) AS url
+         |  || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.'
+         |  || (CASE WHEN doc_id % 4 = 0 THEN 'org'
+         |           WHEN doc_id % 4 = 1 THEN 'co.uk'
+         |           WHEN doc_id % 4 = 2 THEN 'com.au' ELSE 'bd' END)
+         |  || '/docs/' || CAST(doc_id AS VARCHAR) AS url
          |  FROM documents),
          |p AS (SELECT doc_id, n_chars,
          |  regexp_extract(url, '${TextAnalysis.urlSchemePattern}', 1) AS scheme,
          |  regexp_extract(url, '${TextAnalysis.urlHostPattern}', 1) AS host
          |  FROM u)
-         |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain, scheme,
+         |SELECT ${TextAnalysis.registeredDomainSql("host")} AS domain, scheme,
          |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM p GROUP BY 1, 2""".stripMargin,

@@ -891,6 +891,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == (("https", "host.example.io", "/", "example.io")))
   }
 
+  test("registered domain: PSL eTLD+1 semantics (co.uk, 3-label, wildcard, exception)") {
+    val hosts = Seq(
+      "shop.example.co.uk" -> "example.co.uk", // 2-label suffix: eTLD+1 = 3 labels
+      "example.co.uk" -> "example.co.uk",
+      "co.uk" -> "",                           // a public suffix itself: no reg. domain
+      "deep.school.nsw.edu.au" -> "school.nsw.edu.au", // 3-label suffix
+      "school.nsw.edu.au" -> "school.nsw.edu.au",
+      "nsw.edu.au" -> "",
+      "uni.edu.au" -> "uni.edu.au",            // edu.au itself is the suffix here
+      "a.b.foo.bd" -> "b.foo.bd",              // wildcard *.bd: every foo.bd is public
+      "b.foo.bd" -> "b.foo.bd",
+      "foo.bd" -> "",
+      "a.www.ck" -> "www.ck",                  // exception !www.ck beats *.ck
+      "www.ck" -> "www.ck",
+      "x.other.ck" -> "x.other.ck",            // plain wildcard under ck
+      "example.org" -> "example.org",          // default rule: unlisted TLD
+      "www.example.org" -> "example.org",
+      "localhost" -> "",                       // single label
+      "" -> "")
+    val df = hosts.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
+      .toDF("id", "host")
+    val got = df.select(col("id"),
+        TextAnalysis.registeredDomain(col("host"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((h, want), i) <- hosts.zipWithIndex)
+      assert(got(i.toLong) == want, s"host=$h got=${got(i.toLong)} want=$want")
+    // the naive last-two-labels form groups co.uk hosts WRONG — that is
+    // exactly why the PSL lookup exists
+    val naive = df.select(TextAnalysis.registeredDomainNaive(col("host")))
+      .collect().map(_.getString(0))
+    assert(naive(0) == "co.uk")
+  }
+
   test("line dedup: first corpus occurrence survives, order preserved") {
     val d = Seq(
       (1L, "Cookie banner. unique alpha. All rights reserved"),
