@@ -238,6 +238,44 @@ object PipelineQueries {
       Chunking.chunkDocs(Tables.documents(s, dir), "doc_id", col("text"),
         window = 32, stride = 24)
     },
+    "crawl_e2e" -> { (s, dir) =>
+      // the WEB-CRAWL ingest pipeline end to end, composed as one
+      // declarative chain (the crawl twin of pipeline_e2e/selection_e2e):
+      // synthetic id-derived page → boilerplate extraction (one-pass
+      // HtmlExtract) → corpus-wide CCNet line dedup on '\n' (the three
+      // boilerplate lines survive only at their first corpus occurrence)
+      // → token-floor + Gopher TTR gate → char-trigram LM xent gate
+      // (model trained on the gated en subset) → exact-dup survivor
+      // selection → sequence packing. Mirrored CTE for CTE in the oracle.
+      val docs = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><style>p {color: red}</style>"),
+        lit("<script>var x = 1;</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), substring(col("text"), 1, 150),
+        lit("</p><ul><li>Cookie notice applies</li>"),
+        lit("<li>All rights reserved</li></ul>"),
+        lit("<div>Subscribe to our newsletter</div></body></html>"))
+      val clean = docs.withColumn("_html", html)
+        .select(col("doc_id"), TextAnalysis.htmlExtract(col("_html")).as("clean"))
+      val ld = Dedup.lineDedup(clean, "doc_id", col("clean"), sep = "\n")
+      val gated = ld
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("kept_text")))
+        .filter(col("n_tok") >= 10 &&
+          round(Repetition.typeTokenRatio(col("kept_text")), 6) >= 0.3)
+      val lmKept = LanguageModel.charTrigramScore(gated, "doc_id",
+          col("kept_text"), col("lang") === "en")
+        .filter(col("xent") <= 5.5).select("doc_id")
+      val afterLm = gated.select("doc_id", "kept_text", "n_tok")
+        .join(lmKept, "doc_id")
+      val surv = afterLm
+        .groupBy(md5(col("kept_text").cast("binary")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = afterLm.select("doc_id", "n_tok").join(surv.select("doc_id"), "doc_id")
+      Sampling.packSequences(kept, "doc_id", col("n_tok"),
+        budget = 256, nBuckets = 64)
+    },
     "pack_sequences" -> { (s, dir) =>
       Sampling.packSequences(Tables.documents(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), budget = 512, nBuckets = 64)
@@ -823,6 +861,74 @@ object PipelineQueries {
         |SELECT doc_id, i AS chunk_id,
         |       array_to_string(t[i*24+1:i*24+32], ' ') AS chunk
         |FROM nc, UNNEST(range(0, k)) AS u(i)""".stripMargin,
+    "crawl_e2e" ->
+      // composed mirror, CTE for CTE: html wrap + extraction chain, line
+      // dedup on chr(10), token/TTR gates, the lm_score CTEs over the
+      // gated subset, exact-dup survivors, the pack_sequences cumsum
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><style>p {color: red}</style>'
+         |  || '<script>var x = 1;</script></head><body><h1>Doc '
+         |  || CAST(doc_id AS VARCHAR) || '</h1><p>' || substring(text, 1, 150)
+         |  || '</p><ul><li>Cookie notice applies</li>'
+         |  || '<li>All rights reserved</li></ul>'
+         |  || '<div>Subscribe to our newsletter</div></body></html>' AS html
+         |  FROM documents),
+         |cx AS (SELECT doc_id, ${htmlExtractSql("html")} AS clean FROM h),
+         |l AS (SELECT doc_id, i - 1 AS pos, t[i] AS line
+         |      FROM (SELECT doc_id, string_split_regex(clean, '\\n') AS t
+         |            FROM cx),
+         |           UNNEST(range(1, len(t) + 1)) u(i)
+         |      WHERE len(trim(t[i])) > 0),
+         |k AS (SELECT doc_id, pos, line,
+         |        row_number() OVER (PARTITION BY md5(trim(lower(line)))
+         |                           ORDER BY doc_id, pos) = 1 AS keep
+         |      FROM l),
+         |p AS (SELECT doc_id,
+         |        COALESCE(string_agg(CASE WHEN keep THEN line END,
+         |                            '. ' ORDER BY pos), '') AS kept_text
+         |      FROM k GROUP BY 1),
+         |g0 AS (SELECT p.doc_id, d.lang, p.kept_text,
+         |         ${tokCntSql("p.kept_text")} AS n_tok,
+         |         string_split_regex(trim(lower(p.kept_text)), '\\s+') AS t
+         |       FROM p JOIN documents d USING (doc_id)),
+         |g2 AS (SELECT doc_id, lang, kept_text, n_tok FROM g0
+         |       WHERE n_tok >= 10 AND
+         |         round(CASE WHEN len(t) = 0 THEN 0.0
+         |                 ELSE len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+         |               END, 6) >= 0.3),
+         |ls2 AS (SELECT doc_id, (lang = 'en') AS tgt,
+         |          trim(lower(kept_text)) AS s FROM g2),
+         |lw AS (SELECT doc_id, tgt, substr(s, CAST(i AS INT), 3) AS tri
+         |       FROM ls2, UNNEST(range(1, greatest(len(s) - 1, 1))) u(i)
+         |       WHERE len(s) >= 3),
+         |ltc AS (SELECT tri, count(*) AS cnt FROM lw WHERE tgt GROUP BY 1),
+         |lsc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |          CAST(count(*) AS BIGINT) AS d FROM ltc),
+         |llp AS (SELECT tri, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) /
+         |            CAST(n + d + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp_units
+         |        FROM ltc, lsc),
+         |lsco AS (SELECT lw.doc_id, count(*) AS n_tri,
+         |           CAST(sum(COALESCE(llp.lp_units,
+         |             CAST(floor(ln(1.0 / CAST(lsc.n + lsc.d + 1 AS DOUBLE)) * 1000000 + 0.5)
+         |               AS BIGINT))) AS BIGINT) AS lp_sum
+         |         FROM lw LEFT JOIN llp USING (tri), lsc GROUP BY 1),
+         |lmk AS (SELECT g2.doc_id, g2.kept_text, g2.n_tok FROM g2
+         |        LEFT JOIN lsco ON lsco.doc_id = g2.doc_id
+         |        WHERE CASE WHEN COALESCE(lsco.n_tri, 0) = 0 THEN 0.0
+         |                ELSE round(-lsco.lp_sum / CAST(lsco.n_tri * 1000000 AS DOUBLE), 6)
+         |              END <= 5.5),
+         |sv AS (SELECT min(doc_id) AS doc_id FROM lmk GROUP BY md5(kept_text)),
+         |t2 AS (SELECT l2.doc_id, l2.n_tok FROM lmk l2 JOIN sv USING (doc_id)),
+         |c2 AS (SELECT doc_id, n_tok,
+         |        CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |          AS BIGINT) AS strt
+         |      FROM t2)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |       CAST(floor(strt / 256.0) AS BIGINT) AS bin,
+         |       CAST(strt - CAST(floor(strt / 256.0) AS BIGINT) * 256
+         |            AS BIGINT) AS offset_in_bin
+         |FROM c2""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN len(trim(text)) = 0 THEN 0

@@ -171,6 +171,12 @@ class PlanAuditSpec extends AnyFunSuite {
       val df = SparkEntry.queries(q)(spark, dir)
       assert(!plan(df).contains("CartesianProduct"), s"$q: ${plan(df)}")
     }
+    // the composed web-crawl pipeline: equi-joins on ids/derived keys only,
+    // and the packing stage must not serialize the corpus
+    val crawl = SparkEntry.queries("crawl_e2e")(spark, dir)
+    assert(!plan(crawl).contains("CartesianProduct") &&
+      !plan(crawl).contains("BroadcastNestedLoopJoin"), plan(crawl))
+    assert(!plan(crawl).contains("Exchange SinglePartition"), plan(crawl))
     // The scope-cached operators (dsirWeights / substringDupStats /
     // charTrigramScore) checkpoint their result, which truncates the lineage
     // the audit needs — inspect the cache-disabled form, which is the SAME
