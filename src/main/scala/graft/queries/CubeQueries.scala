@@ -23,6 +23,25 @@ object CubeQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- sources (§2.1) ----
+    "stac_load" -> { (s, _) =>
+      // load_stac end to end against a deterministic file:// catalog
+      // written at query build (StacFixture — the synthesize-at-setup
+      // discipline of pii_redact/line_dedup): catalog traversal → band +
+      // time-range + property (eo:cloud_cover lt 50) search pruning
+      // (items 2-3 drop before any pixel work) → REAL deflate-TIFF strip
+      // decode → georeferenced long-form cube. The id-derived pixels are
+      // float32-exact integers, so the oracle mirrors the entire load
+      // arithmetically.
+      val fix = StacFixture.ensure()
+      val assets =
+        graft.sources.StacLoader.loadCatalogItems(s"file://$fix/catalog.json")
+      val sel = graft.sources.StacLoader.filterAssets(assets,
+        bands = Some(StacFixture.bands),
+        timeRange = Some(("2024-01-01T00:00:00Z", "2024-01-10T00:00:00Z")),
+        properties = Map("eo:cloud_cover" -> Seq(("lt", "50"))))
+      graft.sources.StacLoader.loadCube(s, sel).df
+    },
     // ---- filters (§2.2) ----
     "filter_temporal" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
@@ -355,6 +374,19 @@ object CubeQueries {
     * names (the driver registers them as views over the same sf dir).
     */
   val oracles: Map[String, String] = Map(
+    "stac_load" ->
+      // arithmetic mirror of the surviving fixture items (0, 1) × bands ×
+      // the 8×6 grid: x/y from the bbox with exact binary-fraction steps,
+      // value = item·1000 + band·100 + row·10 + col (float32-exact)
+      """WITH it AS (SELECT * FROM (VALUES
+        |    (0, TIMESTAMP '2024-01-01 00:00:00'),
+        |    (1, TIMESTAMP '2024-01-02 00:00:00')) t(item, ts)),
+        |bd AS (SELECT * FROM (VALUES (0, 'b01'), (1, 'b02')) tb(bi, band))
+        |SELECT CAST(10.0 + CAST(c AS DOUBLE) * 0.25 AS DOUBLE) AS x,
+        |       CAST(40.0 + CAST(r AS DOUBLE) * 0.5 AS DOUBLE) AS y,
+        |       it.ts AS t, bd.band AS bands,
+        |       CAST(item * 1000 + bi * 100 + r * 10 + c AS DOUBLE) AS value
+        |FROM it, bd, UNNEST(range(0, 6)) ur(r), UNNEST(range(0, 8)) uc(c)""".stripMargin,
     "filter_temporal" ->
       """SELECT event_type AS band, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -79,6 +79,33 @@ object StacLoader {
     }
   }
 
+  /** Read a static STAC catalog JSON — `links` with `rel = "item"`, hrefs
+    * resolved against the catalog's own directory — and parse every item
+    * into its band assets. The offline twin of the reference's
+    * `client.search()` phase (load.py:111-161): a filesystem catalog
+    * instead of an API, the same item → asset-table product. Driver-side:
+    * catalogs and items are kilobytes; the PIXELS fan out to executors.
+    */
+  def loadCatalogItems(catalogPath: String): Seq[StacAsset] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val path = java.nio.file.Paths.get(catalogPath.stripPrefix("file://"))
+    val root = JsonMethods.parse(java.nio.file.Files.readString(path))
+    val base = path.toAbsolutePath.getParent
+    (root \ "links") match {
+      case JArray(ls) => ls.flatMap { l =>
+        (l \ "rel", l \ "href") match {
+          case (JString("item"), JString(href)) =>
+            val hp = java.nio.file.Paths.get(href.stripPrefix("file://"))
+            val p = if (hp.isAbsolute) hp else base.resolve(hp)
+            parseItem(java.nio.file.Files.readString(p))
+          case _ => Nil
+        }
+      }
+      case _ => Nil
+    }
+  }
+
   /** Item-level search filters — the reference pushes these to the STAC API
     * (load.py:111-161); on a static catalog they prune the asset table
     * before any pixel work is planned.
