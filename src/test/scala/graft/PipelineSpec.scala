@@ -636,6 +636,87 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((2L, 1)).ts_ms == 500L && out((2L, 1)).mean_luma == 0.0)
   }
 
+  test("MJPEG frames feed frame-level dedup through a DECODED luma key") {
+    // the composition the spec ledger promised: videoFrameFeatures (real
+    // MJPEG pixel decode) → per-frame (dims, quantized-luma) key →
+    // Dedup.exact. The planted duplicate is re-encoded at a different JPEG
+    // quality — byte-level dedup sees distinct frames, the decoded-pixel
+    // key collapses them.
+    import java.nio.ByteBuffer
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(body: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + body.length).putInt(0).put(body).array()
+    def jpegQ(rgb: Int, quality: Float): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 8, 6); g.dispose()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      w.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose()
+      bos.toByteArray
+    }
+    def mkMp4(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val n = frames.size
+      val stsd = box("stsd", full(ByteBuffer.allocate(20).putInt(1)
+        .putInt(16).put("mjpa".getBytes("US-ASCII")).array()))
+      val mdhd = box("mdhd", full(ByteBuffer.allocate(20)
+        .putInt(0).putInt(0).putInt(10).putInt(10).array()))
+      val stszB = ByteBuffer.allocate(12 + 4 * n).putInt(0).putInt(n)
+      frames.foreach(f => stszB.putInt(f.length))
+      val stsz = box("stsz", full(stszB.array()))
+      val stsc = box("stsc", full(ByteBuffer.allocate(16)
+        .putInt(1).putInt(1).putInt(n).putInt(1).array()))
+      val stts = box("stts", full(ByteBuffer.allocate(12)
+        .putInt(1).putInt(n).putInt(5).array()))
+      def mkMoov(off: Int) = box("moov", box("trak", box("mdia",
+        box("hdlr", full(ByteBuffer.allocate(20).putInt(0)
+          .put("vide".getBytes("US-ASCII")).array())) ++ mdhd ++
+          box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stts ++
+            box("stco", full(ByteBuffer.allocate(8).putInt(1).putInt(off).array())))))))
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"))
+      val off = ftyp.length + mkMoov(0).length + 8
+      ftyp ++ mkMoov(off) ++ box("mdat", frames.reduce(_ ++ _))
+    }
+    val grayHi = jpegQ(0x808080, 0.9f)
+    val grayLo = jpegQ(0x808080, 0.5f) // same pixels, different bytes
+    val white = jpegQ(0xffffff, 0.9f)
+    val black = jpegQ(0x000000, 0.9f)
+    assert(!java.util.Arrays.equals(grayHi, grayLo))
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, mkMp4(Seq(grayHi, white, grayLo))),
+      Multimodal.Blob(2L, mkMp4(Seq(grayHi, black)))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val feats = Multimodal.videoFrameFeatures(blobs, everyNth = 1)
+      .filter(col("ok"))
+      .withColumn("fid", col("doc_id") * 100 + col("frame_idx"))
+    assert(feats.count() == 5)
+    // frame key: dimensions + luma quantized to 16-wide ROUNDED bands (a
+    // gray of ~128 sits exactly on a floor boundary; rounding centers the
+    // band) — wide enough to absorb JPEG loss, narrow to split gray/white
+    val key = concat_ws(":", col("width"), col("height"),
+      round(col("mean_luma") / 16).cast("int"))
+    val clusters = Dedup.exact(feats, "fid", key).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(clusters.size == 3, clusters) // gray, white, black
+    assert(clusters("8:6:8") == ((100L, 3L)))  // both grays + doc-2 copy
+    assert(clusters("8:6:16") == ((101L, 1L))) // white
+    assert(clusters("8:6:0") == ((201L, 1L)))  // black
+    // byte-level dedup CANNOT collapse the re-encoded gray: 4 distinct
+    val frames = Multimodal.videoFrames(blobs, everyNth = 1)
+      .withColumn("fid", col("doc_id") * 100 + col("frame_idx"))
+    assert(Dedup.exact(frames, "fid", md5(col("frame"))).count() == 4)
+  }
+
   test("multimodal feature extraction over binary column is deterministic") {
     val blobs = docs.withColumn("blob", col("text").cast("binary"))
     val out = Multimodal.features(blobs, "doc_id", "blob").collect()
