@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Importance, LanguageModel, Repetition}
+import graft.pipeline.{Dedup, Importance, LanguageModel, Repetition, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -79,6 +79,54 @@ object Stress {
     time("substring_dup") {
       force(Dedup.substringDupStats(corpus, "doc_id", col("text"),
         cacheWindows = false))
+    }
+    // ---- web-crawl family (r5 ops, r6 scale rows) ----
+    // the same id-derived page wrapper the driver query uses: one match
+    // per boilerplate class, so both extraction forms do representative work
+    val page = concat(
+      lit("<html><head><style>p {color: red}</style>"),
+      lit("<script>var x = \"<b>bold</b>\";</script></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), substring(col("text"), 1, 500),
+      lit("</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>"),
+      lit("<div>tail&nbsp;words</div></body></html>"))
+    time("html_extract (one-pass expr)") {
+      force(corpus.select(col("doc_id"),
+        TextAnalysis.htmlExtract(page).as("clean")))
+    }
+    time("html_extract (regex chain)") {
+      force(corpus.select(col("doc_id"),
+        TextAnalysis.htmlExtractChain(page).as("clean")))
+    }
+    // line dedup over spliced boilerplate sentences (the driver-query
+    // shape): on the replicated corpus EVERY line is a 100-clique member —
+    // the adversarial case for the first-occurrence rule
+    time("line_dedup") {
+      val aug = concat(lit("Cookie notice applies. "),
+        substring(col("text"), 1, 120),
+        lit(". All rights reserved. "),
+        substring(col("text"), 60, 120),
+        lit(". Subscribe to newsletter"))
+      force(Dedup.lineDedup(corpus.select(col("doc_id"), aug.as("t")),
+        "doc_id", col("t")))
+    }
+    time("domain_stats (PSL eTLD+1)") {
+      val tld = when(pmod(col("doc_id"), lit(4L)) === 0L, lit("org"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("co.uk"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("com.au"))
+        .otherwise(lit("bd"))
+      val url = concat(lit("https://host"),
+        pmod(col("doc_id"), lit(50L)).cast("string"), lit(".example"),
+        pmod(col("doc_id"), lit(7L)).cast("string"), lit("."), tld,
+        lit("/p/"), col("doc_id").cast("string"))
+      force(corpus.select(length(col("text")).as("n_chars"), url.as("u"))
+        .select(col("n_chars"),
+          TextAnalysis.urlHost(col("u")).as("host"))
+        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("sum_chars")))
     }
     val clusters = time("clusters (collapsed path)") {
       val c = Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text"))
