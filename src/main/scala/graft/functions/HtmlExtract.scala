@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,8 +39,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * A ScalaCheck law pins expression ≡ chain on adversarial tag/entity
   * soup; the driver oracle keeps mirroring the chain verbatim.
   */
-case class HtmlExtract(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class HtmlExtract(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -54,6 +53,18 @@ case class HtmlExtract(child: Expression)
   override def nullSafeEval(html: Any): Any =
     UTF8String.fromString(
       HtmlExtract.extract(html.asInstanceOf[UTF8String].toString))
+
+  // real codegen (not CodegenFallback): the fallback would interpret the
+  // WHOLE child subtree per row — e.g. the page-wrapper concat feeding
+  // this expression — where this keeps the stage fused and calls one
+  // static scanner
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("htmlExtract", HtmlExtract,
+      "graft.functions.HtmlExtract$")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"$obj.extract($c.toString()))")
+  }
 
   override protected def withNewChildInternal(c: Expression): HtmlExtract =
     copy(child = c)

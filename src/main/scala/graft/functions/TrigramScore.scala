@@ -5,7 +5,8 @@ import java.util.{HashMap => JHashMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.MapData
 import org.apache.spark.sql.types._
@@ -33,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TrigramScore(first: Expression, second: Expression,
     third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
@@ -67,6 +68,27 @@ case class TrigramScore(first: Expression, second: Expression,
 
   override def nullSafeEval(textAny: Any, m: Any, u: Any): Any =
     TrigramScore.score(textAny, model, unseen)
+
+  // real codegen: the model map and unseen constant are FOLDED driver-side
+  // (they are literal children by contract) and ride as reference objects;
+  // only the text child evaluates in the generated code, so the scoring
+  // stage stays fused instead of interpreting the subtree per row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("triModel", model, "java.util.HashMap")
+    val sRef = ctx.addReferenceObj("triScore", TrigramScore,
+      "graft.functions.TrigramScore$")
+    val textGen = first.genCode(ctx)
+    val code =
+      code"""
+        |${textGen.code}
+        |boolean ${ev.isNull} = ${textGen.isNull};
+        |InternalRow ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = (InternalRow) $sRef.score(${textGen.value}, $mRef, ${unseen}L);
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): TrigramScore =
@@ -135,8 +157,7 @@ object TrigramScore {
 case class TrigramScoreBcast(child: Expression,
     model: org.apache.spark.broadcast.Broadcast[JHashMap[UTF8String, java.lang.Long]],
     unseen: Long)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -149,6 +170,20 @@ case class TrigramScoreBcast(child: Expression,
 
   override def nullSafeEval(textAny: Any): Any =
     TrigramScore.score(textAny, model.value, unseen)
+
+  // real codegen: the broadcast handle rides as a reference object and is
+  // dereferenced ONCE per generated-class instance (executor-side, in the
+  // mutable-state initializer), not per row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("triBcast", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val mapVar = ctx.addMutableState("java.util.HashMap", "triBcastMap",
+      v => s"$v = (java.util.HashMap) $bcRef.value();")
+    val sRef = ctx.addReferenceObj("triScore", TrigramScore,
+      "graft.functions.TrigramScore$")
+    defineCodeGen(ctx, ev, c =>
+      s"(InternalRow) $sRef.score($c, $mapVar, ${unseen}L)")
+  }
 
   override protected def withNewChildInternal(c: Expression): TrigramScoreBcast =
     copy(child = c)

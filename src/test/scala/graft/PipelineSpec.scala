@@ -1081,6 +1081,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(bcast == expr, s"bcast=$bcast expr=$expr")
   }
 
+  test("one-pass expressions compile under codegen with fallback DISABLED") {
+    // a codegen bug in doGenCode would silently fall back to interpreted
+    // eval (correct but slow); fallback=false turns that into a hard
+    // failure. spark.range keeps the plan out of LocalRelation constant
+    // folding so the stage genuinely compiles.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = spark.range(4).select(col("id").as("doc_id"),
+        concat(lit("<p>doc "), col("id").cast("string"),
+          lit(" the quick brown fox &amp; dog</p>")).as("text"),
+        (col("id") % 2 === 0).as("tgt"))
+      val h = d.select(TextAnalysis.htmlExtract(col("text")).as("c"))
+        .collect().map(_.getString(0))
+      assert(h.head == "doc 0 the quick brown fox & dog", h.head)
+      val lm = LanguageModel.charTrigramScore(d, "doc_id", col("text"),
+        col("tgt")).collect()
+      assert(lm.length == 4 && lm.forall(_.getLong(1) > 0))
+      val lmB = LanguageModel.charTrigramScore(d, "doc_id", col("text"),
+        col("tgt"), literalGate = 0) // force the broadcast expression
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(lmB == lm.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("lm score: expression path builds without SparkTuning registration") {
     // direct-construction contract: the library API must work on a session
     // that never called SparkTuning.tune (no temp-function registry entry)
