@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * serves batch and streaming ingest.
   */
 case class BpeEncode(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -47,8 +46,34 @@ case class BpeEncode(left: Expression, right: Expression)
     }.toArray
   }
 
-  override def nullSafeEval(textAny: Any, _mergesAny: Any): Any = {
-    val toks = RepetitionStats.splitTokens(textAny.asInstanceOf[UTF8String])
+  override def nullSafeEval(textAny: Any, _mergesAny: Any): Any =
+    encode(textAny.asInstanceOf[UTF8String])
+
+  // real codegen: the merge table is folded driver-side (literal by
+  // contract) and rides with the expression instance as a reference
+  // object; only the text child evaluates in generated code
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val self = ctx.addReferenceObj("bpeEnc", this, "graft.functions.BpeEncode")
+    val textGen = left.genCode(ctx)
+    val code =
+      code"""
+        |${textGen.code}
+        |boolean ${ev.isNull} = ${textGen.isNull};
+        |ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = (ArrayData) $self.encode(${textGen.value});
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  /** The per-document encode loop both eval paths call. */
+  def encode(text: UTF8String): GenericArrayData = {
+    val toks = RepetitionStats.splitTokens(text)
     val out = Array.newBuilder[AnyRef]
     toks.foreach { t =>
       val w = t.toString

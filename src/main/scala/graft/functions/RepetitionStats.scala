@@ -5,7 +5,7 @@ import java.util.{HashMap => JHashMap, HashSet => JHashSet}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `pipeline/Repetition.scala`.
   */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -47,6 +47,13 @@ case class RepetitionStats(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     RepetitionStats.compute(input.asInstanceOf[UTF8String])
+
+  // real codegen: one static call, stage stays fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("repStats", RepetitionStats,
+      "graft.functions.RepetitionStats$")
+    defineCodeGen(ctx, ev, c => s"(InternalRow) $obj.compute($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)

@@ -4,7 +4,7 @@ import java.util.{LinkedHashSet => JLinkedHashSet}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * indexing keeps the dedup operators scan-fast at corpus scale.
   */
 case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle length must be >= 1, got $n")
 
@@ -41,6 +41,14 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
 
   override def nullSafeEval(input: Any): Any =
     Shingles.compute(input.asInstanceOf[UTF8String], n, distinct)
+
+  // real codegen: one static call, stage stays fused (the fallback would
+  // interpret the child subtree per row and box the result)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("shingles", Shingles,
+      "graft.functions.Shingles$")
+    defineCodeGen(ctx, ev, c => s"$obj.compute($c, $n, $distinct)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle's identical nibble arithmetic in agreement.
   */
 case class SimhashBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -34,6 +34,13 @@ case class SimhashBits(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     SimhashBits.compute(input.asInstanceOf[UTF8String])
+
+  // real codegen: one static call, stage stays fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("simhash", SimhashBits,
+      "graft.functions.SimhashBits$")
+    defineCodeGen(ctx, ev, c => s"$obj.compute($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimhashBits =
     copy(child = newChild)

@@ -1102,6 +1102,18 @@ class PipelineSpec extends AnyFunSuite {
         col("tgt"), literalGate = 0) // force the broadcast expression
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(lmB == lm.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+      // the whole one-pass family: shingles/ngrams, simhash, repetition
+      // folds, BPE encode
+      graft.core.SparkTuning.tune(spark)
+      val fam = d.select(
+        size(Dedup.shingleArray(col("text"), 2)).as("sh"),
+        size(Dedup.ngramArray(col("text"), 1)).as("ng"),
+        size(Dedup.simhashBitArray(col("text"))).as("sb"),
+        Repetition.stats(col("text")).getField("ttr").as("ttr"),
+        size(Bpe.encode(col("text"), Seq(("t", "h"), ("th", "e")))).as("bp"))
+        .collect()
+      assert(fam.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0 &&
+        r.getInt(2) == 64 && r.getDouble(3) > 0 && r.getInt(4) > 0))
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
