@@ -194,6 +194,64 @@ object TextAnalysis {
   def urlHost(url: Column): Column = regexp_extract(url, urlHostPattern, 1)
   def urlPath(url: Column): Column = regexp_extract(url, urlPathPattern, 1)
 
+  /** Query parameters that never identify content — the standard tracking
+    * params a crawl strips before URL-level dedup. RE2-compatible, shared
+    * verbatim with the oracle.
+    */
+  val trackingParamPattern: String =
+    "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|mc_cid|igshid|ref_src)="
+
+  /** Canonical URL — the dedup key for crawl frontiers and URL-level
+    * dedup: scheme and authority lowercased, default ports stripped
+    * (`:80` for http, `:443` for https), empty path normalized to `/`,
+    * tracking parameters removed and the remaining query params SORTED
+    * (param order never identifies content), fragment dropped. Non-URLs
+    * yield `""` — never an error on a 100-TB pass. Pure Column program:
+    * codegen'd, zero shuffles, streaming-safe; mirror with
+    * [[canonicalizeUrlSql]].
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(urlScheme(url))
+    val auth = lower(regexp_extract(url, urlHostPattern.replace("[^/?#:]", "[^/?#]"), 1))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = urlPath(url)
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => !(p.rlike(trackingParamPattern) || p === "")))
+    val qNorm = concat_ws("&", params)
+    when(scheme === "", lit("")).otherwise(concat(
+      scheme, lit("://"), authNoPort, pathNorm,
+      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))
+  }
+
+  /** The exact SQL mirror of [[canonicalizeUrl]] over a URL column
+    * reference, for DuckDB oracles.
+    */
+  def canonicalizeUrlSql(u: String): String = {
+    val authPat = urlHostPattern.replace("[^/?#:]", "[^/?#]")
+    s"""CASE WHEN regexp_extract($u, '$urlSchemePattern', 1) = '' THEN ''
+       | ELSE lower(regexp_extract($u, '$urlSchemePattern', 1)) || '://' ||
+       |  (CASE WHEN lower(regexp_extract($u, '$urlSchemePattern', 1)) = 'http'
+       |     THEN regexp_replace(lower(regexp_extract($u, '$authPat', 1)), ':80$$', '')
+       |   WHEN lower(regexp_extract($u, '$urlSchemePattern', 1)) = 'https'
+       |     THEN regexp_replace(lower(regexp_extract($u, '$authPat', 1)), ':443$$', '')
+       |   ELSE lower(regexp_extract($u, '$authPat', 1)) END) ||
+       |  (CASE WHEN regexp_extract($u, '$urlPathPattern', 1) = '' THEN '/'
+       |   ELSE regexp_extract($u, '$urlPathPattern', 1) END) ||
+       |  (CASE WHEN array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |      p -> NOT regexp_matches(p, '${trackingParamPattern.replace("$", "$$")}') AND p <> '')), '&') = ''
+       |   THEN ''
+       |   ELSE '?' || array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |      p -> NOT regexp_matches(p, '${trackingParamPattern.replace("$", "$$")}') AND p <> '')), '&')
+       |  END)
+       |END""".stripMargin
+  }
+
   /** Naive registered domain: the host's last two labels. Kept as the
     * fallback/reference form; [[registeredDomain]] is PSL-backed and is
     * what domain quotas should use (`shop.example.co.uk` must group under

@@ -173,6 +173,27 @@ object PipelineQueries {
           countDistinct(col("host")).as("n_hosts"),
           sum(col("n_chars")).as("sum_chars"))
     },
+    "url_canonicalize" -> { (s, dir) =>
+      // canonical-URL dedup key: id-derived messy URLs — mixed-case scheme
+      // and host, default ports, unordered + tracking params, fragments —
+      // reduced to canonical form, plus the PSL domain of the result; same
+      // expressions in the oracle
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit("HTTP://WWW.Example"))
+          .otherwise(lit("https://Blog.example")),
+        pmod(col("doc_id"), lit(5L)).cast("string"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit(".com:80"))
+          .otherwise(lit(".co.uk:443")),
+        lit("/Docs/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("&a=1&fbclid=xyz"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit("#section2"))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("canon"))
+        .withColumn("canon_domain", TextAnalysis.registeredDomain(
+          TextAnalysis.urlHost(col("canon"))))
+    },
     "line_dedup" -> { (s, dir) =>
       // CCNet-style line-level dedup: sentences repeated anywhere in the
       // corpus survive only at their first (doc_id, pos) occurrence. The
@@ -989,6 +1010,23 @@ object PipelineQueries {
          |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM p GROUP BY 1, 2""".stripMargin,
+    "url_canonicalize" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example'
+         |        ELSE 'https://Blog.example' END)
+         |  || CAST(doc_id % 5 AS VARCHAR)
+         |  || (CASE WHEN doc_id % 2 = 0 THEN '.com:80' ELSE '.co.uk:443' END)
+         |  || '/Docs/' || CAST(doc_id AS VARCHAR)
+         |  || '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR)
+         |  || '&a=1&fbclid=xyz'
+         |  || (CASE WHEN doc_id % 3 = 0 THEN '#section2' ELSE '' END) AS url
+         |  FROM documents),
+         |c AS (SELECT doc_id, ${TextAnalysis.canonicalizeUrlSql("url")} AS canon
+         |      FROM u)
+         |SELECT doc_id, canon,
+         |  ${TextAnalysis.registeredDomainSql(
+            s"regexp_extract(canon, '${TextAnalysis.urlHostPattern}', 1)")} AS canon_domain
+         |FROM c""".stripMargin,
     "line_dedup" ->
       """WITH a AS (SELECT doc_id,
         |    'Cookie notice applies. ' || substring(text, 1, 60)

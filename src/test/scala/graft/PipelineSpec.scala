@@ -972,6 +972,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == (("https", "host.example.io", "/", "example.io")))
   }
 
+  test("url canonicalization: case, ports, tracking params, ordering, fragments") {
+    val d = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/Path/x?b=2&utm_source=f&a=1#frag"),
+      (2L, "https://site.example.org:443"),          // default port + no path
+      (3L, "https://site.example.org:8443/x"),       // NON-default port kept
+      (4L, "http://h.example.net/?fbclid=abc&gclid=x"), // all params tracking
+      (5L, "ftp://Files.Example.net:21/pub"),        // unknown scheme: port kept
+      (6L, "not a url"),
+      (7L, "https://a.example.io/p?z=1&y=2&z=0")     // sort is stable + total
+    ).toDF("id", "u")
+    val got = d.select(col("id"),
+        TextAnalysis.canonicalizeUrl(col("u"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "http://www.example.com/Path/x?a=1&b=2")
+    assert(got(2L) == "https://site.example.org/")
+    assert(got(3L) == "https://site.example.org:8443/x")
+    assert(got(4L) == "http://h.example.net/")
+    assert(got(5L) == "ftp://files.example.net:21/pub")
+    assert(got(6L) == "")
+    assert(got(7L) == "https://a.example.io/p?y=2&z=0&z=1")
+    // the canonical form IS the dedup key: tracking/order/case variants of
+    // one resource collapse to a single survivor
+    val variants = Seq(
+      (10L, "https://Shop.Example.com/item?id=7&utm_campaign=x"),
+      (11L, "https://shop.example.com:443/item?utm_source=y&id=7"),
+      (12L, "HTTPS://SHOP.EXAMPLE.COM/item?id=7#reviews")
+    ).toDF("doc_id", "u")
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+    val groups = Dedup.exact(variants, "doc_id", col("c")).collect()
+    assert(groups.length == 1 && groups(0).getLong(2) == 3L)
+    assert(groups(0).getString(0) == "https://shop.example.com/item?id=7")
+  }
+
   test("registered domain: PSL eTLD+1 semantics (co.uk, 3-label, wildcard, exception)") {
     val hosts = Seq(
       "shop.example.co.uk" -> "example.co.uk", // 2-label suffix: eTLD+1 = 3 labels

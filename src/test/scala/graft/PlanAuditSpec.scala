@@ -146,7 +146,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // programs — ZERO exchanges, the 100-TB contract that makes them free
     // riders on any scan
     for (q <- Seq("train_test_split", "pii_redact", "embed_quantize",
-        "doc_chunks", "text_repetition", "html_extract")) {
+        "doc_chunks", "text_repetition", "html_extract", "url_canonicalize")) {
       val df = SparkEntry.queries(q)(spark, dir)
       assert(shuffles(df) == 0, s"$q: ${plan(df)}")
       assert(!plan(df).contains("Exchange SinglePartition"), q)
