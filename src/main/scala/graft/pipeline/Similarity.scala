@@ -339,4 +339,24 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication" —
+    * public): cluster embeddings with the IVF coarse quantizer, list
+    * within-cluster cosine near-dup pairs, resolve the duplicate groups,
+    * and keep ONE representative — the minimum id — per semantic group.
+    * Returns the surviving rows of `df` (left-anti against the dropped
+    * set), i.e. the corpus with semantically redundant items removed.
+    *
+    * Scale shape: inherits [[ivfNearDups]]' bounded structure (broadcast
+    * O(k·dims) quantizer, cell-local candidate join — never all-pairs) and
+    * the gated union-find / distributed min-label of
+    * [[graft.pipeline.Dedup.connectedComponents]]; the pair graph is
+    * near-dup-sized, ≪ corpus, and the anti-join side is only the dropped
+    * ids (AQE broadcasts it).
+    */
+  def semDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16, probes: Int = 3): DataFrame =
+    graft.pipeline.Dedup.survivors(df, idCol,
+      ivfNearDups(df, idCol, vecCol, threshold, numCentroids, probes))
 }

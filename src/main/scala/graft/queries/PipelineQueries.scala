@@ -119,6 +119,16 @@ object PipelineQueries {
       Similarity.ivfNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35, numCentroids = 16, probes = 3)
     },
+    "semdedup" -> { (s, dir) =>
+      // SemDeDup: semantic survivors after collapsing embedding near-dup
+      // groups (IVF pairs → connected components → min-id representative);
+      // output = the surviving ids with their L2 norm as a value check
+      Similarity.semDedupSurvivors(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.35, numCentroids = 16, probes = 3)
+        .select(col("vec_id"),
+          round(Similarity.norm2(col("embedding").cast("array<double>")), 6)
+            .as("norm"))
+    },
 
     // ---- similarity search ----
     "ann_brute_topk" -> { (s, dir) =>
@@ -1171,6 +1181,38 @@ object PipelineQueries {
          |    round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
          |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM ver WHERE cos >= 0.35""".stripMargin,
+    "semdedup" ->
+      // the dedup_embed_cosine pair CTEs + a recursive transitive closure:
+      // min reachable id per node = the group representative; survivors =
+      // everything not dropped
+      s"""WITH RECURSIVE $cosineSqlFns,
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |scored AS (SELECT n.vec_id, cent.cid,
+         |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
+         |  FROM n CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+         |  FROM scored QUALIFY pr <= 3),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM (SELECT id_a, id_b,
+         |          round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+         |        FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+         |  WHERE cos >= 0.35),
+         |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(x, y) AS (SELECT x, y FROM edges
+         |            UNION
+         |            SELECT r.x, e2.y FROM r JOIN edges e2 ON e2.x = r.y
+         |            WHERE e2.y <> r.x),
+         |lbl AS (SELECT x AS node, least(x, min(y)) AS cluster FROM r GROUP BY x),
+         |dropped AS (SELECT node FROM lbl WHERE node <> cluster)
+         |SELECT n.vec_id, round(n.nn, 6) AS norm
+         |FROM n LEFT JOIN dropped d ON d.node = n.vec_id
+         |WHERE d.node IS NULL""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $cosineSqlFns,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),

@@ -341,6 +341,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9999L))
   }
 
+  test("semdedup keeps one representative per semantic group") {
+    // ids 1-3 point the same way (scaled copies + tiny noise = one
+    // semantic group), 10 and 20 are orthogonal singletons
+    def vec(scale: Double, eps: Double): Array[Double] =
+      Array(1.0 * scale, 2.0 * scale + eps, 3.0 * scale) ++ Array.fill(61)(0.0)
+    val rows = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(2.0, 0.0)), (3L, vec(1.0, 0.01)),
+      (10L, Array.fill(64)(0.0).updated(10, 5.0)),
+      (20L, Array.fill(64)(0.0).updated(20, 7.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val surv = Similarity.semDedupSurvivors(df, "vec_id", "embedding",
+        threshold = 0.9, numCentroids = 2, probes = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 10L, 20L), surv) // min id of the group survives
+  }
+
   test("topk_revenue-style join never broadcasts a side above the size cap") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
