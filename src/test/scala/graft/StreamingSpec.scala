@@ -188,6 +188,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == ((1.0, 3)))
   }
 
+  test("crawl-ingest expressions run unchanged on streams (html+canonical url)") {
+    // the round-6 crawl family is stateless per-row like the rest: a
+    // streaming ingest can extract boilerplate-free text and canonical
+    // URLs inside the micro-batch plan
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val out = stream.toDS().toDF("doc_id", "html", "url")
+      .select(col("doc_id"),
+        TextAnalysis.htmlExtract(col("html")).as("clean"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("crawl_stream").start()
+    try {
+      stream.addData(Seq(
+        (1L, "<p>Hello</p><script>x</script><div>world</div>",
+          "HTTPS://Site.Example.com:443/a?utm_source=x&b=1#f"),
+        (2L, "plain &amp; text", "not a url")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("crawl_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L) == (("Hello\nworld", "https://site.example.com/a?b=1")))
+    assert(got(2L) == (("plain & text", "")))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
