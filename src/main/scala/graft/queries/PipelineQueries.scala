@@ -183,6 +183,21 @@ object PipelineQueries {
           countDistinct(col("host")).as("n_hosts"),
           sum(col("n_chars")).as("sum_chars"))
     },
+    "warc_load" -> { (s, _) =>
+      // WARC crawl ingest end to end against a deterministic .warc.gz
+      // written at query build (WarcFixture — gzip-member-per-record, the
+      // Common Crawl layout): gzip member chain → WARC envelope parse →
+      // response filter (warcinfo/request drop) → HTTP status/Content-Type
+      // parse → lenient UTF-8 payload decode → canonical URL + PSL domain.
+      // The oracle freezes hand-derived canonical/domain literals and
+      // independently-computed md5/char counts from the same constants
+      val fix = WarcFixture.ensure()
+      graft.sources.WarcReader.loadResponses(s, Seq(fix))
+        .select(col("url"), col("http_status"),
+          col("http_content_type"), col("canonical_url"), col("domain"),
+          length(col("text")).as("text_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    },
     "url_canonicalize" -> { (s, dir) =>
       // canonical-URL dedup key: id-derived messy URLs — mixed-case scheme
       // and host, default ports, unordered + tracking params, fragments —
@@ -1026,6 +1041,7 @@ object PipelineQueries {
          |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM p GROUP BY 1, 2""".stripMargin,
+    "warc_load" -> WarcFixture.oracleSql,
     "url_canonicalize" ->
       s"""WITH u AS (SELECT doc_id,
          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example'

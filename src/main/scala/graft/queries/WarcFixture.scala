@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+/** Deterministic `.warc.gz` fixture for the driver-green `warc_load`
+  * query (the synthesize-at-query-build discipline of `pii_redact` /
+  * `line_dedup` / `stac_load`): one WARC file in the standard
+  * gzip-member-per-record layout holding a `warcinfo` record, two
+  * `request` records (both must be FILTERED by the response projection)
+  * and six `response` records whose URLs exercise the canonicalization +
+  * PSL path — mixed-case host with default port and tracking params, a
+  * port-stripped empty path, a 404, a `gov.uk` public-suffix host with a
+  * JSON (non-HTML) payload, and a tracking-param URL-variant pair that
+  * collapses to one canonical form with byte-identical bodies.
+  *
+  * The expected canonical URL and registered domain are FROZEN literals
+  * (hand-derived from RFC 3986 + the PSL snapshot, not computed by the
+  * code under test); text length and md5 are computed here from the same
+  * body constants the writer serializes, so the oracle checks the whole
+  * gzip → WARC envelope → HTTP parse → UTF-8 decode chain.
+  */
+object WarcFixture {
+
+  /** (rawUrl, httpStatus, contentType, body, frozenCanonicalUrl,
+    * frozenRegisteredDomain)
+    */
+  final case class Page(url: String, status: Int, ctype: String,
+      body: String, canon: String, domain: String)
+
+  val pages: Seq[Page] = Seq(
+    Page("HTTP://WWW.Example.co.uk:80/Path/page1?utm_source=x&b=2&a=1#frag",
+      200, "text/html; charset=utf-8",
+      "<html><body><h1>Page one</h1><p>Café Ünïcode ✓ text.</p></body></html>",
+      "http://www.example.co.uk/Path/page1?a=1&b=2", "example.co.uk"),
+    Page("https://blog.example.com:443", 200, "text/html",
+      "<html><body><p>Root page body.</p></body></html>",
+      "https://blog.example.com/", "example.com"),
+    Page("https://news.site.org/articles/today", 404, "text/html",
+      "<html><body>not found</body></html>",
+      "https://news.site.org/articles/today", "site.org"),
+    Page("http://data.gov.uk/api/items?fbclid=abc", 200, "application/json",
+      """{"id": 4, "items": [1, 2, 3]}""",
+      "http://data.gov.uk/api/items", "data.gov.uk"),
+    Page("https://example.com/dup?gclid=z", 200, "text/html",
+      "<html><body><p>Duplicate landing page.</p></body></html>",
+      "https://example.com/dup", "example.com"),
+    Page("https://example.com/dup", 200, "text/html",
+      "<html><body><p>Duplicate landing page.</p></body></html>",
+      "https://example.com/dup", "example.com"))
+
+  private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    (headers :+ ("Content-Length" -> block.length.toString)).foreach {
+      case (k, v) => head.append(k).append(": ").append(v).append("\r\n")
+    }
+    head.append("\r\n")
+    head.toString.getBytes(UTF_8) ++ block ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def httpResponse(p: Page): Array[Byte] = {
+    val body = p.body.getBytes(UTF_8)
+    val reason = if (p.status == 200) "OK" else "Not Found"
+    (s"HTTP/1.1 ${p.status} $reason\r\nContent-Type: ${p.ctype}\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+  }
+
+  /** Write (or rewrite — content is deterministic) the fixture and return
+    * the `.warc.gz` path.
+    */
+  def ensure(): String = synchronized {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warc_fixture_v1")
+    java.nio.file.Files.createDirectories(dir)
+    val path = dir.resolve("sample.warc.gz")
+    val out = java.nio.file.Files.newOutputStream(path)
+    try {
+      def member(rec: Array[Byte]): Unit = {
+        val gz = new GZIPOutputStream(out, 1 << 14, true)
+        gz.write(rec); gz.finish()
+      }
+      member(record(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+        "WARC-Date" -> "2024-03-01T00:00:00Z",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft-fixture\r\n".getBytes(UTF_8)))
+      pages.zipWithIndex.foreach { case (p, i) =>
+        if (i < 2) // a request twin for the first two pages, filtered out
+          member(record(Seq(
+            "WARC-Type" -> "request",
+            "WARC-Target-URI" -> p.url,
+            "WARC-Record-ID" -> f"<urn:uuid:aaaaaaaa-0000-0000-0000-${i}%012d>",
+            "WARC-Date" -> f"2024-03-01T00:00:${i}%02dZ",
+            "Content-Type" -> "application/http; msgtype=request"),
+            s"GET ${p.url} HTTP/1.1\r\nHost: x\r\n\r\n".getBytes(UTF_8)))
+        member(record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> p.url,
+          "WARC-Record-ID" -> f"<urn:uuid:bbbbbbbb-0000-0000-0000-${i}%012d>",
+          "WARC-Date" -> f"2024-03-01T00:00:${i}%02dZ",
+          "Content-Type" -> "application/http; msgtype=response"),
+          httpResponse(p)))
+      }
+    } finally out.close()
+    path.toString
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Frozen-VALUES oracle generated from the same page constants the
+    * writer serializes (md5/char-count computed independently of the
+    * reader under test).
+    */
+  val oracleSql: String = {
+    val rows = pages.map { p =>
+      val chars = p.body.codePointCount(0, p.body.length)
+      s"('${p.url.replace("'", "''")}', ${p.status}, '${p.ctype}', " +
+        s"'${p.canon}', '${p.domain}', $chars, '${md5Hex(p.body)}')"
+    }.mkString(",\n")
+    s"""SELECT u AS url, CAST(s AS INT) AS http_status,
+       |       c AS http_content_type, k AS canonical_url, d AS domain,
+       |       CAST(n AS INT) AS text_chars, m AS text_md5
+       |FROM (VALUES
+       |$rows) t(u, s, c, k, d, n, m)""".stripMargin
+  }
+}
