@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * strip OR tile layout, compression none(1)/CCITT Modified-Huffman(2)/
   * CCITT Group 3(3, T.4 1-D and 2-D)/CCITT Group 4(4, T.6)/LZW(5)/
   * JPEG(7, via the JDK's own decoder, with JPEGTables splicing)/
+  * old-style JPEG(6, the JPEGInterchangeFormat single-stream layout)/
   * deflate(8)/PackBits(32773), chunky-interleaved AND planar
   * (band-separate) multi-band rasters, bilevel (1-bit) through float
   * (32/64) samples, horizontal-differencing predictor(2) for integers,
-  * FillOrder(2) bit reversal for fax data. Out of scope (clear errors):
-  * old-style JPEG(6), T.6 uncompressed-mode extension. Tile edge padding
+  * FillOrder(2) bit reversal for fax data, T.4/T.6 uncompressed-mode
+  * extension codes. Out of scope (clear error): old-style JPEG's
+  * scattered-tables variant (tags 515-521 without an interchange
+  * stream — no complete stream exists to decode). Tile edge padding
   * is clipped against the image size, like the zarr reader.
   *
   * Distribution shape mirrors [[ZarrReader]]: the driver parses only the
@@ -172,9 +175,9 @@ object TiffReader {
     val planarConfig = one(284, 1).toInt
     require(planarConfig == 1 || planarConfig == 2,
       s"TiffCorrupt: planar configuration $planarConfig")
-    require(Set(1, 2, 3, 4, 5, 7, 8, 32773).contains(compression),
+    require(Set(1, 2, 3, 4, 5, 6, 7, 8, 32773).contains(compression),
       s"TiffUnsupported: compression $compression " +
-        "(none/CCITT-MH/G3/G4/LZW/JPEG/deflate/PackBits only)")
+        "(none/CCITT-MH/G3/G4/LZW/JPEG/old-JPEG/deflate/PackBits only)")
     require(predictor == 1 || predictor == 2,
       s"TiffUnsupported: predictor $predictor")
     val planar = samplesPerPixel > 1 && planarConfig == 2
@@ -191,7 +194,20 @@ object TiffReader {
 
     val tiled = tags.contains(322)
     val (tw, th, offsets, counts) =
-      if (tiled)
+      if (compression == 6) {
+        // old-style JPEG (TIFF 6.0 §22, deprecated by TTN2): when the
+        // JPEGInterchangeFormat pointer (513/514) is present the image is
+        // one complete JFIF stream — the layout every surviving writer
+        // (Wang/scanner era) produced, and what the JDK decoder reads
+        // directly. The scattered-tables variant (tags 515-521 with no
+        // interchange stream) has no complete stream to hand a decoder
+        // and stays a typed error.
+        val off = one(513, throw new IllegalArgumentException(
+          "TiffUnsupported: old-style JPEG(6) without JPEGInterchangeFormat"))
+        val len = one(514, throw new IllegalArgumentException(
+          "TiffUnsupported: old-style JPEG(6) without JPEGInterchangeFormatLength"))
+        (width, height, Seq(off), Seq(len))
+      } else if (tiled)
         (one(322, 0).toInt, one(323, 0).toInt, values(324), values(325))
       else {
         val rps = math.min(one(278, height.toLong), height.toLong).toInt
@@ -360,7 +376,8 @@ object TiffReader {
     * 3 (T.4 Group 3: EOL-separated rows, 1-D or mixed 2-D per T4Options
     * bit 0) and 4 (T.6 Group 4: all rows 2-D against the reference line,
     * terminated by EOFB or row count). FillOrder 2 reverses each byte's
-    * bits first. T.6 "uncompressed mode" extension codes are rejected.
+    * bits first. The 2-D extension code 0000001111 enters T.4/T.6
+    * uncompressed mode (literal pels until the 0000001+t exit code).
     */
   private[graft] def ccittDecode(in: Array[Byte], width: Int, maxRows: Int,
       compression: Int, t4Options: Long, fillOrder: Int): Array[Byte] = {
@@ -400,7 +417,7 @@ object TiffReader {
     // 2-D mode tokens
     val V0 = 0; val VR1 = 1; val VR2 = 2; val VR3 = 3
     val VL1 = -1; val VL2 = -2; val VL3 = -3
-    val PASS = 100; val HORIZ = 101; val EOL = 102
+    val PASS = 100; val HORIZ = 101; val EOL = 102; val UNCOMP = 103
     def readMode(): Int = {
       var zeros = 0
       while (pos < total && bit() == 0) zeros += 1
@@ -412,7 +429,12 @@ object TiffReader {
         case 3 => PASS
         case 4 => if (bit() == 1) VR2 else VL2
         case 5 => if (bit() == 1) VR3 else VL3
-        case 6 => corrupt("uncompressed-mode extension unsupported")
+        case 6 =>
+          // extension code 0000001xxx (T.4 §4.2.1.3.4 / T.6 §2.2.6):
+          // only xxx = 111, enter uncompressed mode, is defined
+          val (e1, e2, e3) = (bit(), bit(), bit())
+          if (e1 == 1 && e2 == 1 && e3 == 1) UNCOMP
+          else corrupt(s"unknown extension code $e1$e2$e3")
         case _ => EOL // >= 7 zeros then 1: (fill +) EOL / EOFB half
       }
     }
@@ -445,6 +467,34 @@ object TiffReader {
         val mode = readMode()
         if (mode == EOL) return a0 >= 0 // EOFB at a row boundary = done
         mode match {
+          case UNCOMP =>
+            // uncompressed mode (T.4 Table 10): literal pels — "1" = one
+            // black, "0…01" (1-4 zeros) = that many whites then a black,
+            // "000001" = five whites — until the exit code 0000001 + t,
+            // where t is the color state 2-D coding resumes with
+            var p = math.max(a0, 0)
+            var exited = false
+            while (!exited) {
+              var z = 0
+              var sawOne = false
+              while (!sawOne && z < 7) {
+                if (bit() == 1) sawOne = true else z += 1
+              }
+              if (!sawOne) corrupt("uncompressed-mode run")
+              if (z <= 4) { // z whites then a black pel
+                p += z
+                if (p >= width) corrupt("uncompressed-mode overrun")
+                cur(p) = 1
+                p += 1
+              } else if (z == 5) { // five whites, no black
+                p += 5
+                if (p > width) corrupt("uncompressed-mode overrun")
+              } else { // 0000001 + t: exit
+                color = bit().toByte
+                exited = true
+              }
+            }
+            a0 = p
           case PASS =>
             val b1 = findB1(ref, a0, color)
             val b2 = if (b1 >= width) width else nextChange(ref, b1)
@@ -599,7 +649,9 @@ object TiffReader {
 
   /** Decode one segment's raw bytes to doubles (executor-side). */
   def unpack(raw: Array[Byte], m: TiffMeta): Array[Double] = {
-    if (m.compression == 7) return jpegSamples(raw, m)
+    // 6 = old-style JPEG: the segment IS a complete JFIF stream (no
+    // JPEGTables splice); 7 = new-style, abbreviated streams + tag 347
+    if (m.compression == 6 || m.compression == 7) return jpegSamples(raw, m)
     if (Set(2, 3, 4).contains(m.compression)) return ccittSamples(raw, m)
     val bytes = m.compression match {
       case 8 => ZarrReader.inflate(raw)

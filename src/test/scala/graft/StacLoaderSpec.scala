@@ -570,6 +570,113 @@ class StacLoaderSpec extends AnyFunSuite {
       Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1))
   }
 
+  test("CCITT T.6 uncompressed-mode extension: literal pels, exit color") {
+    import graft.sources.TiffReader
+    def bits(s: String*): Array[Byte] = {
+      val all = s.mkString
+      val out = new Array[Byte]((all.length + 7) / 8)
+      for (i <- all.indices if all(i) == '1')
+        out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      out
+    }
+    val enter = "0000001111" // extension code, xxx=111
+    val eofb = "000000000001" + "000000000001"
+    // width 8, one fully-uncompressed row: pels 01001101 coded as
+    // "01" (white,black) "001" (2 whites,black) "1" (black) "01" + exit t=0
+    val u1 = bits(enter + "01" + "001" + "1" + "01" + "0000001" + "0", eofb)
+    assert(TiffReader.ccittDecode(u1, 8, 1, 4, 0L, 1).toSeq ==
+      Seq[Byte](0, 1, 0, 0, 1, 1, 0, 1))
+    // entry mid-row, exit resumes 2-D coding with color = t:
+    //  row0: Horizontal white4 black4 (00001111)
+    //  row1: V0 (edge at 4, color flips to black) then uncompressed
+    //        "1" "1" "01" → pels 1,1,0,1 at cols 4-7, exit t=0
+    val u2 = bits("001" + "1011" + "011",
+      "1" + enter + "1" + "1" + "01" + "0000001" + "0", eofb)
+    assert(TiffReader.ccittDecode(u2, 8, 2, 4, 0L, 1).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 1, 1, 0, 1))
+    // "000001" = five white pels with no trailing black
+    val u3 = bits(enter + "000001" + "001" + "0000001" + "0", eofb)
+    assert(TiffReader.ccittDecode(u3, 8, 1, 4, 0L, 1).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+    // undefined extension (xxx != 111) stays a typed error
+    val bad = bits("0000001101" + "1")
+    val e = intercept[IllegalArgumentException] {
+      TiffReader.ccittDecode(bad, 8, 1, 4, 0L, 1)
+    }
+    assert(e.getMessage.contains("extension"))
+  }
+
+  test("TiffReader decodes old-style JPEG(6) via the interchange stream") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.TiffReader
+    // gray gradient → JFIF bytes through the JDK encoder
+    val (w, h) = (24, 16)
+    def px(x: Int, y: Int) = 50 + x * 4 + y * 3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(x, y))
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", jb)
+    val jpeg = jb.toByteArray
+    // classic TIFF, compression 6, JPEGInterchangeFormat(513)/Length(514)
+    val nE = 8
+    val dataOff = 8 + 2 + nE * 12 + 4
+    val bb = ByteBuffer.allocate(dataOff + jpeg.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(nE.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      typ match {
+        case 3 => bb.putShort(value.toShort).putShort(0)
+        case _ => bb.putInt(value.toInt)
+      }
+    }
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 6)
+    entry(262, 3, 1, 1)
+    entry(277, 3, 1, 1)
+    entry(513, 4, 1, dataOff)
+    entry(514, 4, 1, jpeg.length)
+    bb.putInt(0) // no next IFD
+    bb.put(jpeg)
+    val f = java.nio.file.Files.createTempFile("graft_oldjpeg", ".tif")
+    java.nio.file.Files.write(f, bb.array())
+    val meta = TiffReader.readMeta(f.toAbsolutePath.toString)
+    assert(meta.compression == 6 && meta.segments.size == 1 &&
+      meta.tileWidth == w && meta.tileHeight == h)
+    val got = TiffReader.loadArray(spark, f.toAbsolutePath.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == w * h)
+    // plumbing is exact: equals the JDK's decode of the same JFIF bytes;
+    // codec is lossy: near the original gradient
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg)).getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(got((y.toLong, x.toLong)) == ref.getSampleDouble(x, y, 0), s"($x,$y)")
+      assert(math.abs(got((y.toLong, x.toLong)) - px(x, y)) <= 6.0, s"($x,$y)")
+    }
+    // the scattered-tables variant (no tag 513) stays a typed error
+    val bb2 = ByteBuffer.allocate(8 + 2 + 6 * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb2.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb2.putShort(6.toShort)
+    def entry2(tag: Int, value: Long): Unit = {
+      bb2.putShort(tag.toShort).putShort(3.toShort).putInt(1)
+      bb2.putShort(value.toShort).putShort(0)
+    }
+    entry2(256, w); entry2(257, h); entry2(258, 8); entry2(259, 6)
+    entry2(262, 1); entry2(277, 1)
+    bb2.putInt(0)
+    val f2 = java.nio.file.Files.createTempFile("graft_oldjpeg_bad", ".tif")
+    java.nio.file.Files.write(f2, bb2.array())
+    val e = intercept[IllegalArgumentException] {
+      TiffReader.readMeta(f2.toAbsolutePath.toString)
+    }
+    assert(e.getMessage.contains("JPEGInterchangeFormat"))
+  }
+
   test("PackBits decode rules: literals, runs, -128 noop") {
     import graft.sources.TiffReader
     val in = Array[Byte](2, 'a', 'b', 'c', -3, 'x', -128, 0, 'z')
