@@ -198,6 +198,23 @@ object PipelineQueries {
           length(col("text")).as("text_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
     },
+    "warc_extract" -> { (s, dir) =>
+      // the crawl ingest at corpus scale: every documents row becomes a
+      // WARC response record (id-derived URL over the domain_stats TLD
+      // mix, html_extract page shell) in 4 .warc.gz shards written at
+      // query build; the query reads them back through the FULL ingest —
+      // gzip member chain → envelope → HTTP parse → UTF-8 decode →
+      // boilerplate extraction → PSL domain — and must reproduce exactly
+      // what the oracle computes from the parquet text directly
+      val files = WarcFixture.ensureCorpus(s, dir)
+      graft.sources.WarcReader.loadResponses(s, files)
+        .select(
+          regexp_extract(col("url"), "/docs/([0-9]+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("domain"),
+          TextAnalysis.htmlExtract(col("text")).as("clean"))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("clean")))
+    },
     "url_canonicalize" -> { (s, dir) =>
       // canonical-URL dedup key: id-derived messy URLs — mixed-case scheme
       // and host, default ports, unordered + tracking params, fragments —
@@ -1042,6 +1059,29 @@ object PipelineQueries {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM p GROUP BY 1, 2""".stripMargin,
     "warc_load" -> WarcFixture.oracleSql,
+    "warc_extract" ->
+      // the page shell is html_extract's, the host mix domain_stats's;
+      // the WARC round-trip must be byte-transparent for clean to match
+      s"""WITH u AS (SELECT doc_id, text,
+         |  'crawl' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+         |  || CAST(doc_id % 3 AS VARCHAR) || '.'
+         |  || (CASE WHEN doc_id % 4 = 0 THEN 'org'
+         |           WHEN doc_id % 4 = 1 THEN 'co.uk'
+         |           WHEN doc_id % 4 = 2 THEN 'com.au'
+         |           ELSE 'bd' END) AS host
+         |  FROM documents),
+         |h AS (SELECT doc_id, host,
+         |  '<html><head><title>t</title><style>p {color: red}</style>'
+         |  || '<script type="text/javascript">var x = "<b>bold</b>";</script></head>'
+         |  || '<body><!-- id ' || CAST(doc_id AS VARCHAR)
+         |  || ' --><h1>Doc &quot;' || CAST(doc_id AS VARCHAR)
+         |  || '&quot;</h1><p>' || substring(text, 1, 120)
+         |  || '</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>'
+         |  || '<div>tail&nbsp;words</div></body></html>' AS html
+         |  FROM u),
+         |c AS (SELECT doc_id, host, ${htmlExtractSql("html")} AS clean FROM h)
+         |SELECT doc_id, ${TextAnalysis.registeredDomainSql("host")} AS domain,
+         |  clean, ${tokCntSql("clean")} AS n_tokens FROM c""".stripMargin,
     "url_canonicalize" ->
       s"""WITH u AS (SELECT doc_id,
          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example'

@@ -106,6 +106,69 @@ object WarcFixture {
     path.toString
   }
 
+  /** The id-derived page wrap shared (verbatim) with the `warc_extract`
+    * oracle mirror: URL over the domain_stats TLD mix (plain org, co.uk,
+    * com.au, and the wildcard *.bd rule) and the html_extract page shell.
+    */
+  def corpusUrl(id: Long, tld: String): String =
+    (if (id % 2 == 0) "https" else "http") +
+      s"://crawl${id % 5}.example${id % 3}.$tld/docs/$id"
+
+  def corpusTld(id: Long): String = (id % 4) match {
+    case 0 => "org"
+    case 1 => "co.uk"
+    case 2 => "com.au"
+    case _ => "bd"
+  }
+
+  def corpusHtml(id: Long, text: String): String =
+    "<html><head><title>t</title><style>p {color: red}</style>" +
+      "<script type=\"text/javascript\">var x = \"<b>bold</b>\";</script></head>" +
+      s"<body><!-- id $id --><h1>Doc &quot;$id&quot;</h1><p>" +
+      text.substring(0, math.min(120, text.length)) +
+      "</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>" +
+      "<div>tail&nbsp;words</div></body></html>"
+
+  /** Write (idempotently, keyed by the doc count) a sharded WARC corpus —
+    * one page per `documents` row, 4 `.warc.gz` shard files round-robin
+    * by doc_id — and return the shard paths. This is the fixture-scale
+    * twin of a real crawl: the `warc_extract` query reads it back through
+    * the full ingest (gzip → envelope → HTTP → UTF-8) and must reproduce
+    * exactly what a DuckDB CTE computes from the parquet directly.
+    */
+  def ensureCorpus(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[String] = synchronized {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_warc_corpus_${tag}_v1")
+    java.nio.file.Files.createDirectories(dir)
+    val nShards = 4
+    val paths = (0 until nShards).map(i => dir.resolve(f"shard-$i%02d.warc.gz"))
+    val marker = dir.resolve(s"done-${docs.length}")
+    if (!java.nio.file.Files.exists(marker)) {
+      val outs = paths.map(p => java.nio.file.Files.newOutputStream(p))
+      try docs.foreach { case (id, text) =>
+        val url = corpusUrl(id, corpusTld(id))
+        val body = corpusHtml(id, text).getBytes(UTF_8)
+        val block = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+        val gz = new GZIPOutputStream(outs((id % nShards).toInt), 1 << 14, true)
+        gz.write(record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> url,
+          "WARC-Record-ID" -> s"<urn:uuid:doc-$id>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=response"), block))
+        gz.finish()
+      } finally outs.foreach(_.close())
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    paths.map(_.toString)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
       .map(b => f"$b%02x").mkString
