@@ -128,6 +128,25 @@ object Stress {
           countDistinct(col("host")).as("n_hosts"),
           sum(col("n_chars")).as("sum_chars")))
     }
+    // ---- WARC round-trip (r6): write the whole corpus as sharded
+    // .warc.gz, then re-ingest through gzip → envelope → HTTP → UTF-8 →
+    // canonical URL → PSL domain. Shard count = partition count; both
+    // directions are file-parallel with zero shuffles.
+    val warcDir = s"/tmp/graft_stress_warc_${rep}x"
+    val warcShards = time("warc write (sharded sink)") {
+      val url = concat(lit("https://crawl"),
+        pmod(col("doc_id"), lit(5L)).cast("string"), lit(".example"),
+        pmod(col("doc_id"), lit(3L)).cast("string"), lit(".org/docs/"),
+        col("doc_id").cast("string"))
+      graft.sources.WarcWriter.writeResponses(
+        corpus.select(url.as("url"), page.as("text")), warcDir)
+    }
+    println(s"[stress]   warc shards: ${warcShards.size}")
+    time("warc ingest (responses)") {
+      force(graft.sources.WarcReader.loadResponses(spark, warcShards)
+        .select(col("canonical_url"), col("domain"),
+          TextAnalysis.htmlExtract(col("text")).as("clean")))
+    }
     val clusters = time("clusters (collapsed path)") {
       val c = Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text"))
         .localCheckpoint(true)

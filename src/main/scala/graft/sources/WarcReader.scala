@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
@@ -71,9 +71,64 @@ object WarcReader {
     buf
   }
 
+  /** De-chunk a `Transfer-Encoding: chunked` HTTP payload (RFC 9112 §7.1):
+    * hex-size line, that many bytes, CRLF, …, terminated by a 0-size chunk
+    * (trailers ignored). Lenient — any grammar violation returns the bytes
+    * as-is rather than failing the record.
+    */
+  private[graft] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (i < body.length) {
+      // read the chunk-size line (strip any ;ext, tolerate bare LF)
+      val lineEnd = body.indexOf('\n'.toByte, i)
+      if (lineEnd < 0) return body
+      val line = new String(body, i, lineEnd - i, StandardCharsets.ISO_8859_1)
+        .trim.takeWhile(_ != ';')
+      val size = try java.lang.Long.parseLong(line, 16)
+        catch { case _: NumberFormatException => return body }
+      if (size == 0) return out.toByteArray // trailers, if any, are dropped
+      if (size < 0 || lineEnd + 1 + size > body.length) return body
+      out.write(body, lineEnd + 1, size.toInt)
+      i = lineEnd + 1 + size.toInt
+      // consume the CRLF after the chunk data
+      if (i < body.length && body(i) == '\r') i += 1
+      if (i < body.length && body(i) == '\n') i += 1
+    }
+    body // no terminating 0-chunk: pass through untouched
+  }
+
+  /** Inflate a `Content-Encoding: gzip`/`deflate` payload. Lenient — a
+    * corrupt stream returns the raw bytes (a truncated page is still a
+    * page; a hard error would kill the whole shard's task).
+    */
+  private[graft] def inflate(body: Array[Byte], encoding: String): Array[Byte] =
+    try {
+      val in: InputStream = encoding match {
+        case "gzip" | "x-gzip" =>
+          new GZIPInputStream(new ByteArrayInputStream(body), 1 << 16)
+        case "deflate" =>
+          // the web's "deflate" is ambiguously zlib-wrapped or raw; sniff
+          // the zlib header (0x78 CMF) and fall back to raw
+          val raw = (body.length < 2) || (body(0) & 0xff) != 0x78
+          new java.util.zip.InflaterInputStream(new ByteArrayInputStream(body),
+            new java.util.zip.Inflater(raw), 1 << 16)
+        case _ => return body
+      }
+      val out = new java.io.ByteArrayOutputStream(math.max(64, body.length * 4))
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+      out.toByteArray
+    } catch { case _: java.io.IOException => body }
+
   /** Parse the HTTP response message inside a block: (status, Content-Type,
-    * payload). Lenient — an unparsable block yields (0, "", whole block) so
-    * one malformed server response never kills a 100-TB pass.
+    * payload). The payload is the MESSAGE BODY a browser would see:
+    * `Transfer-Encoding: chunked` framing is removed and `Content-Encoding:
+    * gzip`/`deflate` is inflated — Common Crawl stores raw wire bytes, so
+    * both appear constantly in real crawls. Lenient — an unparsable block
+    * yields (0, "", whole block) so one malformed server response never
+    * kills a 100-TB pass.
     */
   private[graft] def parseHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
     // header section ends at the first CRLF CRLF (or LF LF)
@@ -95,11 +150,18 @@ object WarcReader {
       .filter(_.toUpperCase.startsWith("HTTP/"))
       .flatMap(_.split(" ", 3).lift(1)).flatMap(_.toIntOption)
     if (status.isEmpty) return (0, "", block)
-    val ctype = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
-        l.substring("content-type:".length).trim
+    def header(name: String): String = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith(name + ":") =>
+        l.substring(name.length + 1).trim
     }.getOrElse("")
-    (status.get, ctype, java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+    var body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+    // wire framing first, then content coding — the reverse of how the
+    // server applied them
+    if (header("transfer-encoding").toLowerCase.contains("chunked"))
+      body = dechunk(body)
+    val enc = header("content-encoding").toLowerCase
+    if (enc.nonEmpty && enc != "identity") body = inflate(body, enc)
+    (status.get, header("content-type"), body)
   }
 
   /** Streaming record iterator over one open WARC stream. Lazy: each
@@ -205,6 +267,22 @@ object WarcReader {
     * downstream dedup/quota stages key on. This is the frame
     * `htmlExtract` → `lineDedup` → `crawl_e2e` consume.
     */
+  /** The WET projection: `conversion` records (Common Crawl's
+    * pre-extracted-text sidecar format — same WARC envelope, block IS the
+    * page text, no HTTP layer), decoded as lenient UTF-8 plus the same
+    * canonical URL / PSL domain keys as [[loadResponses]], so a pipeline
+    * can start from either container interchangeably.
+    */
+  def loadConversions(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val t = graft.pipeline.TextAnalysis
+    load(spark, paths)
+      .where(col("record_type") === "conversion")
+      .withColumn("text", col("body").cast("string"))
+      .withColumn("canonical_url", t.canonicalizeUrl(col("url")))
+      .withColumn("domain", t.registeredDomain(t.urlHost(col("canonical_url"))))
+      .drop("record_type", "body")
+  }
+
   def loadResponses(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val t = graft.pipeline.TextAnalysis
     load(spark, paths)

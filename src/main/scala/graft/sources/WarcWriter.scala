@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed WARC (ISO 28500) sink — the write side of [[WarcReader]]
+  * and the missing half of a crawl round-trip: filtered / deduplicated /
+  * re-scored crawl subsets go back out as standard `.warc.gz` that any
+  * WARC consumer (the reader included) ingests unchanged.
+  *
+  * Scale shape mirrors the reader exactly: the unit of parallelism is the
+  * FILE. Each input partition becomes one `.warc.gz` shard written BY THE
+  * EXECUTOR that owns it — gzip member per record, streamed straight to
+  * the filesystem, never materializing a shard in memory — so shard count
+  * = partition count and a `repartition(n)` upstream is the only sizing
+  * knob. The driver handles only the path list (kilobytes). Hadoop's
+  * `FileSystem` API keeps the sink scheme-agnostic (file://, hdfs://,
+  * s3a://); the session's Hadoop conf rides to executors as a broadcast
+  * key-value snapshot, not a driver-side singleton.
+  */
+object WarcWriter {
+
+  /** Serialize one WARC/1.0 record: version line, named headers plus the
+    * computed Content-Length, blank line, block, record separator.
+    */
+  def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    (headers :+ ("Content-Length" -> block.length.toString)).foreach {
+      case (k, v) => head.append(k).append(": ").append(v).append("\r\n")
+    }
+    head.append("\r\n")
+    head.toString.getBytes(UTF_8) ++ block ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  /** The HTTP response message carried in a `response` record's block. */
+  def httpResponse(status: Int, contentType: String,
+      body: Array[Byte]): Array[Byte] = {
+    val reason = status match {
+      case 200 => "OK"
+      case 301 => "Moved Permanently"
+      case 304 => "Not Modified"
+      case 404 => "Not Found"
+      case 500 => "Internal Server Error"
+      case _ => "Status"
+    }
+    (s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+  }
+
+  /** Emit one gzip member (RFC 1952: 10-byte header, raw-deflate data,
+    * CRC32 + ISIZE trailer) with a CALLER-OWNED reused Deflater. A fresh
+    * `GZIPOutputStream` per record would allocate a native Deflater per
+    * record that `finish()` never releases — half a million un-`end()`ed
+    * native objects per task turned the 500k-doc stress super-linear
+    * (132 s vs 8 s at 50k); one reset deflater per record is linear.
+    */
+  private def gzipMember(deflater: Deflater, buf: Array[Byte],
+      rec: Array[Byte], out: OutputStream): Unit = {
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    deflater.reset()
+    deflater.setInput(rec)
+    deflater.finish()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val crc = new CRC32()
+    crc.update(rec)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(rec.length.toLong)
+  }
+
+  /** Write a frame of HTTP responses as sharded `.warc.gz` under `dir`
+    * (one shard per non-empty partition) and return the shard paths.
+    *
+    * Column contract (the inverse of [[WarcReader.loadResponses]]):
+    * `url` required; `body` (binary) or `text` (string, UTF-8-encoded
+    * here) required; `warc_date`, `record_id`, `http_status`,
+    * `http_content_type` optional with crawl-sensible defaults. Extra
+    * columns are ignored, so a reader-produced frame writes back as-is.
+    */
+  def writeResponses(df: DataFrame, dir: String): Seq[String] = {
+    val names = df.columns.toSet
+    require(names.contains("url"), "WarcWriter: frame lacks a url column")
+    require(names.contains("body") || names.contains("text"),
+      "WarcWriter: frame lacks a body (binary) or text (string) column")
+    def opt(name: String, default: org.apache.spark.sql.Column) =
+      if (names.contains(name)) col(name) else default
+    val recs = df.select(
+      col("url").cast("string").as("url"),
+      opt("warc_date", lit("2024-01-01T00:00:00Z")).cast("string").as("warc_date"),
+      opt("record_id", concat(lit("<urn:graft:"), md5(col("url").cast("binary")),
+        lit(">"))).cast("string").as("record_id"),
+      opt("http_status", lit(200)).cast("int").as("http_status"),
+      opt("http_content_type", lit("text/html; charset=utf-8")).cast("string")
+        .as("http_content_type"),
+      (if (names.contains("body")) col("body").cast("binary")
+       else encode(col("text"), "UTF-8")).as("body"))
+
+    val spark = df.sparkSession
+    // Hadoop conf as a plain serializable snapshot (public API only)
+    val confEntries = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator(); val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
+    val dirStr = dir
+
+    val mk = { (pid: Int, rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.isEmpty) Iterator.empty[String]
+      else {
+        val conf = new Configuration(false)
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        val path = new Path(dirStr, f"part-$pid%05d.warc.gz")
+        val fs = FileSystem.get(path.toUri, conf)
+        val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16)
+        val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+        val buf = new Array[Byte](1 << 16)
+        // one gzip member per record: readers can seek to any record
+        // boundary and GZIPInputStream walks the concatenation natively
+        try rows.foreach { r =>
+          val body = r.getAs[Array[Byte]]("body")
+          val block = httpResponse(r.getAs[Int]("http_status"),
+            r.getAs[String]("http_content_type"), body)
+          gzipMember(deflater, buf, record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> r.getAs[String]("url"),
+            "WARC-Record-ID" -> r.getAs[String]("record_id"),
+            "WARC-Date" -> r.getAs[String]("warc_date"),
+            "Content-Type" -> "application/http; msgtype=response"), block), out)
+        } finally {
+          deflater.end()
+          out.close()
+        }
+        Iterator.single(path.toString)
+      }
+    }
+    // driver sees only the shard path list — bounded by partition count
+    recs.rdd.mapPartitionsWithIndex(mk).collect().toSeq.sorted
+  }
+}

@@ -87,6 +87,117 @@ class WarcReaderSpec extends AnyFunSuite {
     assert(resp.where(col("text").contains("Café Ünïcode ✓")).count() == 1)
   }
 
+  test("chunked transfer framing is removed from response payloads") {
+    val chunked = "7\r\nhello, \r\n6\r\nworld!\r\n0\r\n\r\n"
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunked).getBytes(UTF_8)
+    val (s, c, b) = WarcReader.parseHttp(http)
+    assert(s == 200 && c == "text/plain")
+    assert(new String(b, UTF_8) == "hello, world!")
+    // chunk-size extensions and trailers are tolerated
+    val ext = "5;name=v\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n"
+    assert(new String(WarcReader.dechunk(ext.getBytes(UTF_8)), UTF_8) == "hello")
+    // malformed framing passes bytes through instead of failing the record
+    val bad = "ZZZ\r\nhello".getBytes(UTF_8)
+    assert(WarcReader.dechunk(bad).sameElements(bad))
+    val noTerm = "5\r\nhello\r\n".getBytes(UTF_8)
+    assert(WarcReader.dechunk(noTerm).sameElements(noTerm))
+  }
+
+  test("content-encoding gzip/deflate payloads inflate; corrupt ones pass through") {
+    val text = "compressed page body Café ✓ " * 10
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(text.getBytes(UTF_8)); g.close(); bos.toByteArray
+    }
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes(UTF_8) ++ gz
+    val (s, _, b) = WarcReader.parseHttp(http)
+    assert(s == 200 && new String(b, UTF_8) == text)
+    // zlib-wrapped AND raw deflate both decode (the web's "deflate" ambiguity)
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, raw)
+      d.setInput(text.getBytes(UTF_8)); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val n = d.deflate(buf); d.end(); java.util.Arrays.copyOf(buf, n)
+    }
+    assert(new String(WarcReader.inflate(deflate(false), "deflate"), UTF_8) == text)
+    assert(new String(WarcReader.inflate(deflate(true), "deflate"), UTF_8) == text)
+    // corrupt stream: lenient pass-through
+    val junk = "not gzip at all".getBytes(UTF_8)
+    assert(WarcReader.inflate(junk, "gzip").sameElements(junk))
+    // chunked + gzip together (the common real-crawl stack): framing first
+    val chunkedGz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("%x".format(gz.length).getBytes(UTF_8))
+      bos.write("\r\n".getBytes(UTF_8)); bos.write(gz)
+      bos.write("\r\n0\r\n\r\n".getBytes(UTF_8)); bos.toByteArray
+    }
+    val http2 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes(UTF_8) ++ chunkedGz
+    assert(new String(WarcReader.parseHttp(http2)._3, UTF_8) == text)
+  }
+
+  test("WET conversion records project as extracted text") {
+    val bytes =
+      rec("warcinfo", "", "software: wet\r\n".getBytes(UTF_8)) ++
+      rec("conversion", "https://a.example/page",
+        "Extracted page text.\nSecond line.".getBytes(UTF_8)) ++
+      rec("conversion", "HTTP://B.Example.co.uk:80/x?utm_source=s&k=1",
+        "Other page.".getBytes(UTF_8))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet")
+    val p = dir.resolve("f.warc")
+    java.nio.file.Files.write(p, bytes)
+    val df = WarcReader.loadConversions(spark, Seq(p.toString)).orderBy("url")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[String]("text") == "Extracted page text.\nSecond line.")
+    assert(rows(0).getAs[String]("canonical_url") ==
+      "http://b.example.co.uk/x?k=1")
+    assert(rows(0).getAs[String]("domain") == "example.co.uk")
+  }
+
+  test("writer round-trips: writeResponses shards re-ingest byte-identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_w").toString
+    val in = (0 until 37).map { i =>
+      (s"https://site${i % 3}.example/p/$i", s"2024-02-0${i % 9 + 1}T00:00:00Z",
+        s"<urn:uuid:w-$i>", if (i % 7 == 0) 404 else 200,
+        if (i % 5 == 0) "application/json" else "text/html; charset=utf-8",
+        s"body $i Café ✓ " + ("x" * (i * 13 % 97)))
+    }.toDF("url", "warc_date", "record_id", "http_status",
+      "http_content_type", "text").repartition(6)
+    val shards = graft.sources.WarcWriter.writeResponses(in, dir)
+    // one shard per non-empty partition, executor-written
+    assert(shards.nonEmpty && shards.size <= 6)
+    assert(shards.forall(_.endsWith(".warc.gz")))
+    val back = WarcReader.loadResponses(spark, shards)
+      .select("url", "warc_date", "record_id", "http_status",
+        "http_content_type", "text")
+    val a = back.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = in.select("url", "warc_date", "record_id", "http_status",
+      "http_content_type", "text").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("writer fills crawl-sensible defaults from a bare url+text frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_d").toString
+    val in = Seq(("https://d.example/one", "payload one"),
+      ("https://d.example/two", "payload two")).toDF("url", "text")
+    val shards = graft.sources.WarcWriter.writeResponses(in.coalesce(1), dir)
+    val back = WarcReader.loadResponses(spark, shards).orderBy("url").collect()
+    assert(back.length == 2)
+    val r = back.head
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("http_content_type") == "text/html; charset=utf-8")
+    assert(r.getAs[String]("record_id").startsWith("<urn:graft:"))
+    assert(r.getAs[String]("warc_date").nonEmpty)
+    assert(r.getAs[String]("text") == "payload one")
+  }
+
   test("ingest feeds the crawl family: extract + line dedup run downstream") {
     val fix = graft.queries.WarcFixture.ensure()
     val resp = WarcReader.loadResponses(spark, Seq(fix))
