@@ -148,8 +148,8 @@ object Stress {
           TextAnalysis.htmlExtract(col("text")).as("clean")))
     }
     val clusters = time("clusters (collapsed path)") {
-      val c = Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text"))
-        .localCheckpoint(true)
+      val c = graft.core.Caching.eager(
+        Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text")))
       println(s"[stress]   clustered docs: ${c.count()}")
       c
     }

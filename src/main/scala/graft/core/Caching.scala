@@ -33,12 +33,30 @@ object Caching {
     * always safe).
     */
   def scoped(out: DataFrame, cached: DataFrame): DataFrame = {
-    val reliable =
-      out.sparkSession.sparkContext.getCheckpointDir.isDefined
-    val cp =
-      if (reliable) out.checkpoint(eager = true)
-      else out.localCheckpoint(eager = true)
+    val cp = eager(out)
     cached.unpersist(blocking = false)
     cp
   }
+
+  /** Eagerly materialize `df` with the cluster-safe checkpoint choice —
+    * the single entry point for eager materialization everywhere in the
+    * library. A RELIABLE checkpoint (survives executor loss) when the
+    * context has a checkpoint directory configured; `localCheckpoint`
+    * (executor-local blocks, fine on local[] where driver = executor)
+    * otherwise. Callers must not invoke `localCheckpoint` directly.
+    */
+  def eager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Lazy variant of [[eager]] — truncates lineage without forcing a job,
+    * so the next action both computes and caches the frame (one driver
+    * action total, the iterative-algorithm discipline). Same reliable /
+    * local checkpoint choice.
+    */
+  def deferred(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

@@ -77,7 +77,9 @@ object Dedup {
       .join(Joins.maybeBroadcast(keptPerDoc), Seq("_id"), "left")
       .withColumn("_arr", split(col("_text"), sep))
       .select(col("_id").as(idCol),
-        size(filter(arr, l => length(trim(l)) > 0)).cast("long").as("n_lines"),
+        // null text → null _arr → null size; contract is 0 lines
+        coalesce(size(filter(arr, l => length(trim(l)) > 0)).cast("long"),
+          lit(0L)).as("n_lines"),
         coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
         when(col("_kp").isNull, lit("")).otherwise(concat_ws(". ",
           transform(col("_kp"), p => element_at(arr, p + 1)))).as("kept_text"))
@@ -390,15 +392,15 @@ object Dedup {
         least(col(idA).cast("long"), col(idB).cast("long")).as("a"),
         greatest(col(idA).cast("long"), col(idB).cast("long")).as("b"))
       .distinct()
-      .localCheckpoint(true)
-    if (und.count() <= driverEdgeLimit) return unionFindLocal(und)
-    val edges = und.select(col("a"), col("b"))
-      .unionByName(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    val undCp = graft.core.Caching.eager(und)
+    if (undCp.count() <= driverEdgeLimit) return unionFindLocal(undCp)
+    val edges = graft.core.Caching.eager(
+      undCp.select(col("a"), col("b"))
+        .unionByName(undCp.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+    var labels = graft.core.Caching.eager(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
     var prev = lblSum(labels)
@@ -414,7 +416,7 @@ object Dedup {
       // so the convergence-sum action is the one that computes and caches
       // it: one driver action per round — per-round cost on a cluster is
       // job/shuffle overhead, not the (tiny) label table itself
-      labels = prop(prop(labels)).localCheckpoint(false)
+      labels = graft.core.Caching.deferred(prop(prop(labels)))
       val cur = lblSum(labels)
       converged = cur.compareTo(prev) == 0 // labels only decrease
       prev = cur

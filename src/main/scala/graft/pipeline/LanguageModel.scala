@@ -129,7 +129,7 @@ object LanguageModel {
       // distributed (checkpointed — it feeds two branches), log-probs in
       // Spark, relational explode + size-gated broadcast join scoring;
       // bit-identical to the expression path
-      val tcnt = tcntPlan.localCheckpoint(true)
+      val tcnt = graft.core.Caching.eager(tcntPlan)
       val totRow = tcnt.agg(sum(col("cnt")), count(lit(1))).first()
       val nTot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
       val denom = (nTot + totRow.getLong(1) + 1L).toDouble

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.Joins
+import graft.core.{Caching, Joins}
 import graft.pipeline._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -327,12 +327,11 @@ object PipelineQueries {
       // checkpoint the extract+line-dedup upstream runs three times per
       // invocation (measured 4.5 → ~2 s at sf0.1). The downstream joins
       // (LM gate, survivors, packing) stay in the audited lazy plan.
-      val gated = ld
+      val gated = Caching.eager(ld
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .withColumn("n_tok", TextAnalysis.tokenCount(col("kept_text")))
         .filter(col("n_tok") >= 10 &&
-          round(Repetition.typeTokenRatio(col("kept_text")), 6) >= 0.3)
-        .localCheckpoint(true)
+          round(Repetition.typeTokenRatio(col("kept_text")), 6) >= 0.3))
       val lmKept = LanguageModel.charTrigramScore(gated, "doc_id",
           col("kept_text"), col("lang") === "en")
         .filter(col("xent") <= 5.5).select("doc_id")

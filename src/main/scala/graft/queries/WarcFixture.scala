@@ -138,35 +138,56 @@ object WarcFixture {
     */
   def ensureCorpus(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Seq[String] = synchronized {
+    import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sfDir)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .select("doc_id", "text")
+    // content-keyed idempotence: an order-independent fingerprint over
+    // (doc_id, md5(text)) — a changed-content same-count corpus gets a new
+    // marker; the driver sees one aggregate row, never the table
+    val fpRow = docs
+      .select(conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), md5(col("text").cast("binary")))),
+          1, 15), 16, 10).cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("fp")).first()
+    val nDocs = fpRow.getLong(0)
+    val fp = Option(fpRow.getDecimal(1))
+      .map(_.toBigInteger.toString(16)).getOrElse("0")
     val tag = java.lang.Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_warc_corpus_${tag}_v1")
     java.nio.file.Files.createDirectories(dir)
-    val nShards = 4
-    val paths = (0 until nShards).map(i => dir.resolve(f"shard-$i%02d.warc.gz"))
-    val marker = dir.resolve(s"done-${docs.length}")
+    val marker = dir.resolve(s"done-$nDocs-$fp")
+    def shardPaths(): Seq[String] = {
+      val s = java.nio.file.Files.list(dir).iterator()
+      val b = Seq.newBuilder[String]
+      while (s.hasNext) { val p = s.next()
+        if (p.getFileName.toString.endsWith(".warc.gz")) b += p.toString }
+      b.result().sorted
+    }
     if (!java.nio.file.Files.exists(marker)) {
-      val outs = paths.map(p => java.nio.file.Files.newOutputStream(p))
-      try docs.foreach { case (id, text) =>
-        val url = corpusUrl(id, corpusTld(id))
-        val body = corpusHtml(id, text).getBytes(UTF_8)
-        val block = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
-        val gz = new GZIPOutputStream(outs((id % nShards).toInt), 1 << 14, true)
-        gz.write(record(Seq(
-          "WARC-Type" -> "response",
-          "WARC-Target-URI" -> url,
-          "WARC-Record-ID" -> s"<urn:uuid:doc-$id>",
-          "WARC-Date" -> "2024-01-01T00:00:00Z",
-          "Content-Type" -> "application/http; msgtype=response"), block))
-        gz.finish()
-      } finally outs.foreach(_.close())
+      // clear stale shards/markers from any previous corpus content
+      val it = java.nio.file.Files.list(dir).iterator()
+      while (it.hasNext) { val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".warc.gz") || n.startsWith("done-"))
+          java.nio.file.Files.delete(p) }
+      // shards are written EXECUTOR-side through the library's own WARC
+      // sink (the page constants stay these exact JVM functions, shared
+      // verbatim with the oracle generator)
+      import spark.implicits._
+      val nShards = 4
+      val pages = docs.as[(Long, String)]
+        .repartition(nShards, pmod(col("doc_id"), lit(nShards)))
+        .sortWithinPartitions("doc_id")
+        .map { case (id, text) =>
+          (corpusUrl(id, corpusTld(id)), corpusHtml(id, text),
+            s"<urn:uuid:doc-$id>", "2024-01-01T00:00:00Z", "text/html")
+        }
+        .toDF("url", "text", "record_id", "warc_date", "http_content_type")
+      graft.sources.WarcWriter.writeResponses(pages, dir.toString)
       java.nio.file.Files.write(marker, Array.emptyByteArray)
     }
-    paths.map(_.toString)
+    shardPaths()
   }
 
   private def md5Hex(s: String): String =

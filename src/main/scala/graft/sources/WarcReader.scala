@@ -244,13 +244,23 @@ object WarcReader {
       spark.sparkContext.defaultParallelism))
     spark.createDataset(paths).repartition(n)
       .mapPartitions { files =>
+        // one open stream at a time per task; the completion listener
+        // closes whatever is still open when the task ends EARLY (limit/
+        // take/downstream exception) — a fully drained iterator closes
+        // eagerly and nulls the slot, so the listener is a no-op then
+        var current: InputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (current != null) { current.close(); current = null }
+        }
         files.flatMap { f =>
           val in = open(f)
+          current = in
           new Iterator[WarcRecord] {
             private val it = records(f, in)
             override def hasNext: Boolean = {
               val h = it.hasNext
-              if (!h) in.close()
+              if (!h) { in.close(); if (current eq in) current = null }
               h
             }
             override def next(): WarcRecord = it.next()

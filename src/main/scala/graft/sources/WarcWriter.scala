@@ -94,8 +94,11 @@ object WarcWriter {
     require(names.contains("url"), "WarcWriter: frame lacks a url column")
     require(names.contains("body") || names.contains("text"),
       "WarcWriter: frame lacks a body (binary) or text (string) column")
+    // a present-but-null optional value falls back to the same default as
+    // an absent column — StringBuilder.append(null) would otherwise write
+    // the literal "null" into WARC headers
     def opt(name: String, default: org.apache.spark.sql.Column) =
-      if (names.contains(name)) col(name) else default
+      if (names.contains(name)) coalesce(col(name), default) else default
     val recs = df.select(
       col("url").cast("string").as("url"),
       opt("warc_date", lit("2024-01-01T00:00:00Z")).cast("string").as("warc_date"),
@@ -104,8 +107,10 @@ object WarcWriter {
       opt("http_status", lit(200)).cast("int").as("http_status"),
       opt("http_content_type", lit("text/html; charset=utf-8")).cast("string")
         .as("http_content_type"),
-      (if (names.contains("body")) col("body").cast("binary")
-       else encode(col("text"), "UTF-8")).as("body"))
+      coalesce(
+        if (names.contains("body")) col("body").cast("binary")
+        else encode(col("text"), "UTF-8"),
+        lit(Array.emptyByteArray)).as("body"))
 
     val spark = df.sparkSession
     // Hadoop conf as a plain serializable snapshot (public API only)
@@ -131,12 +136,17 @@ object WarcWriter {
         // one gzip member per record: readers can seek to any record
         // boundary and GZIPInputStream walks the concatenation natively
         try rows.foreach { r =>
+          val url = r.getAs[String]("url")
+          // surface malformed rows instead of serializing the literal
+          // string "null" as a WARC-Target-URI
+          if (url == null) throw new IllegalArgumentException(
+            "WarcWriter: null url — a response record requires a target URI")
           val body = r.getAs[Array[Byte]]("body")
           val block = httpResponse(r.getAs[Int]("http_status"),
             r.getAs[String]("http_content_type"), body)
           gzipMember(deflater, buf, record(Seq(
             "WARC-Type" -> "response",
-            "WARC-Target-URI" -> r.getAs[String]("url"),
+            "WARC-Target-URI" -> url,
             "WARC-Record-ID" -> r.getAs[String]("record_id"),
             "WARC-Date" -> r.getAs[String]("warc_date"),
             "Content-Type" -> "application/http; msgtype=response"), block), out)
