@@ -44,19 +44,38 @@ object Caching {
     * context has a checkpoint directory configured; `localCheckpoint`
     * (executor-local blocks, fine on local[] where driver = executor)
     * otherwise. Callers must not invoke `localCheckpoint` directly.
+    *
+    * The reliable path persists the input FIRST: `Dataset.checkpoint`
+    * runs one job for the eager action and a second for the RDD
+    * checkpoint write, which would recompute the whole plan from source
+    * without a cache. Persist → checkpoint → unpersist makes the write
+    * job replay cached blocks, so the plan is computed exactly once.
     */
   def eager(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist()
+      val cp = df.checkpoint(eager = true)
+      df.unpersist(blocking = false)
+      cp
+    } else df.localCheckpoint(eager = true)
 
   /** Lazy variant of [[eager]] — truncates lineage without forcing a job,
     * so the next action both computes and caches the frame (one driver
     * action total, the iterative-algorithm discipline). Same reliable /
     * local checkpoint choice.
+    *
+    * Returns `(checkpointed, release)`. On the reliable path the input is
+    * persisted (same single-compute argument as [[eager]]; the checkpoint
+    * write that follows the caller's first action replays cached blocks);
+    * the caller MUST invoke `release()` once that first action has run —
+    * tight iterative loops call it every round so superseded label tables
+    * don't accumulate in the cache. On the local path the checkpoint
+    * blocks ARE the data, nothing extra is persisted, and `release()` is
+    * a no-op.
     */
-  def deferred(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+  def deferred(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist()
+      (df.checkpoint(eager = false), () => { df.unpersist(blocking = false); () })
+    } else (df.localCheckpoint(eager = false), () => ())
 }

@@ -414,10 +414,15 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // TWO propagation hops per materialized round, and a LAZY checkpoint
       // so the convergence-sum action is the one that computes and caches
-      // it: one driver action per round — per-round cost on a cluster is
-      // job/shuffle overhead, not the (tiny) label table itself
-      labels = graft.core.Caching.deferred(prop(prop(labels)))
+      // it: one driver action per round (plus, when a reliable checkpoint
+      // dir is configured, the cache-replaying DFS write that follows it)
+      // — per-round cost on a cluster is job/shuffle overhead, not the
+      // (tiny) label table itself. release() drops the superseded round's
+      // cached blocks once the new labels are on disk.
+      val (next, release) = graft.core.Caching.deferred(prop(prop(labels)))
+      labels = next
       val cur = lblSum(labels)
+      release()
       converged = cur.compareTo(prev) == 0 // labels only decrease
       prev = cur
       iter += 1

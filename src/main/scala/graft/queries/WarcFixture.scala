@@ -129,12 +129,23 @@ object WarcFixture {
       "</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>" +
       "<div>tail&nbsp;words</div></body></html>"
 
-  /** Write (idempotently, keyed by the doc count) a sharded WARC corpus —
-    * one page per `documents` row, 4 `.warc.gz` shard files round-robin
-    * by doc_id — and return the shard paths. This is the fixture-scale
-    * twin of a real crawl: the `warc_extract` query reads it back through
-    * the full ingest (gzip → envelope → HTTP → UTF-8) and must reproduce
-    * exactly what a DuckDB CTE computes from the parquet directly.
+  /** Per-JVM memo of the corpus content fingerprint, keyed by sf dir: the
+    * source parquet cannot change under a running JVM, so the full-corpus
+    * md5 aggregation runs once — not once per query build (bench times
+    * every build; r7 paid this job on each timed `warc_extract` run).
+    * Guarded by the object lock `ensureCorpus` already holds.
+    */
+  private val corpusFp = scala.collection.mutable.HashMap[String, (Long, String)]()
+
+  /** Write (idempotently, keyed by doc count + content fingerprint) a
+    * sharded WARC corpus — one page per `documents` row, hash-partitioned
+    * into up to 4 `.warc.gz` shard files by `pmod(doc_id, 4)` (hash
+    * partitioning of the pmod value: a near-uniform spread, not strict
+    * round-robin; empty partitions write no shard) — and return the shard
+    * paths. This is the fixture-scale twin of a real crawl: the
+    * `warc_extract` query reads it back through the full ingest (gzip →
+    * envelope → HTTP → UTF-8) and must reproduce exactly what a DuckDB CTE
+    * computes from the parquet directly.
     */
   def ensureCorpus(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Seq[String] = synchronized {
@@ -144,33 +155,40 @@ object WarcFixture {
     // content-keyed idempotence: an order-independent fingerprint over
     // (doc_id, md5(text)) — a changed-content same-count corpus gets a new
     // marker; the driver sees one aggregate row, never the table
-    val fpRow = docs
-      .select(conv(substring(md5(concat_ws(":",
-          col("doc_id").cast("string"), md5(col("text").cast("binary")))),
-          1, 15), 16, 10).cast("decimal(38,0)").as("h"))
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("fp")).first()
-    val nDocs = fpRow.getLong(0)
-    val fp = Option(fpRow.getDecimal(1))
-      .map(_.toBigInteger.toString(16)).getOrElse("0")
+    val (nDocs, fp) = corpusFp.getOrElseUpdate(sfDir, {
+      val fpRow = docs
+        .select(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text").cast("binary")))),
+            1, 15), 16, 10).cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("fp")).first()
+      (fpRow.getLong(0), Option(fpRow.getDecimal(1))
+        .map(_.toBigInteger.toString(16)).getOrElse("0"))
+    })
     val tag = java.lang.Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_warc_corpus_${tag}_v1")
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve(s"done-$nDocs-$fp")
-    def shardPaths(): Seq[String] = {
-      val s = java.nio.file.Files.list(dir).iterator()
+    // Files.list holds a directory handle until closed — try/finally, so
+    // repeated fixture builds don't leak descriptors
+    def listDir[A](f: java.util.Iterator[java.nio.file.Path] => A): A = {
+      val s = java.nio.file.Files.list(dir)
+      try f(s.iterator()) finally s.close()
+    }
+    def shardPaths(): Seq[String] = listDir { it =>
       val b = Seq.newBuilder[String]
-      while (s.hasNext) { val p = s.next()
+      while (it.hasNext) { val p = it.next()
         if (p.getFileName.toString.endsWith(".warc.gz")) b += p.toString }
       b.result().sorted
     }
     if (!java.nio.file.Files.exists(marker)) {
       // clear stale shards/markers from any previous corpus content
-      val it = java.nio.file.Files.list(dir).iterator()
-      while (it.hasNext) { val p = it.next()
-        val n = p.getFileName.toString
-        if (n.endsWith(".warc.gz") || n.startsWith("done-"))
-          java.nio.file.Files.delete(p) }
+      listDir { it =>
+        while (it.hasNext) { val p = it.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".warc.gz") || n.startsWith("done-"))
+            java.nio.file.Files.delete(p) }
+      }
       // shards are written EXECUTOR-side through the library's own WARC
       // sink (the page constants stay these exact JVM functions, shared
       // verbatim with the oracle generator)
