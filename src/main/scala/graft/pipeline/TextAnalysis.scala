@@ -260,66 +260,110 @@ object TextAnalysis {
   def registeredDomainNaive(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
-  /** Public-suffix-list snapshot (see
-    * `resources/graft/public_suffix_snapshot.txt`): 2-label suffixes,
-    * 3-label suffixes, wildcard TLDs (`*.tld`) and exception hosts
-    * (`!host`). Parsed once; the lookup inlines as literal IN-lists —
-    * plan-time constants, codegen'd set probes, zero shuffles.
+  /** The full public-suffix list (`resources/graft/public_suffix_list.dat`
+    * — the Mozilla PSL every browser and crawl toolchain ships, ICANN +
+    * private sections, ~9.5k rules), parsed once into rule sets GROUPED BY
+    * LABEL COUNT: plain suffixes (1–5 labels), wildcard rule bases
+    * (`*.base`, base 1–4 labels), exception hosts (`!host`, 2–3 labels).
+    * IDN u-label rules (`公司.cn`) additionally emit their punycode
+    * A-label twins (`xn--55qx5d.cn`) so hosts match in whichever form the
+    * crawl recorded them.
+    *
+    * 1-label plain rules (the bare TLDs) are parsed but NOT embedded in
+    * the lookup: the PSL's implicit default rule (`*` — every unlisted
+    * TLD is a suffix) makes the listed and unlisted TLD cases compute the
+    * same answer, so the fallthrough branch covers both and the hot
+    * expression carries ~1.5k fewer literals.
     */
-  lazy val (pslSuffix2, pslSuffix3, pslWildcardTlds, pslExceptions):
-      (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+  final case class PslRules(plain: Map[Int, Seq[String]],
+      wildBase: Map[Int, Seq[String]], exception: Map[Int, Seq[String]]) {
+    /** Longest effective public-suffix length any rule can produce. */
+    val maxSuffixLen: Int =
+      (plain.keySet ++ wildBase.keySet.map(_ + 1) ++ exception.keySet).max
+  }
+
+  lazy val psl: PslRules = {
     val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt"), "UTF-8")
+      getClass.getResourceAsStream("/graft/public_suffix_list.dat"), "UTF-8")
     val lines =
       try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
       finally src.close()
+    // u-label rules also match as punycode (hosts usually arrive A-label)
+    def forms(rule: String): Seq[String] =
+      if (rule.forall(_ < 128)) Seq(rule)
+      else Seq(rule) ++ scala.util.Try(java.net.IDN.toASCII(rule)).toOption
+    def byLen(rs: Seq[String]): Map[Int, Seq[String]] =
+      rs.flatMap(forms).distinct.groupBy(_.count(_ == '.') + 1)
+        .map { case (k, v) => k -> v.sorted }
     val (exc, rest) = lines.partition(_.startsWith("!"))
     val (wild, plain) = rest.partition(_.startsWith("*."))
-    val (s3, s2) = plain.partition(_.count(_ == '.') == 2)
-    require(plain.forall(p => p.count(_ == '.') == 1 || p.count(_ == '.') == 2),
-      "snapshot rules must be 2- or 3-label")
-    (s2, s3, wild.map(_.stripPrefix("*.")), exc.map(_.stripPrefix("!")))
+    PslRules(byLen(plain.filterNot(_ == "*")),
+      byLen(wild.map(_.stripPrefix("*."))), byLen(exc.map(_.stripPrefix("!"))))
   }
 
-  /** eTLD+1 registered domain under the PSL snapshot — the grouping key
+  /** Regex capturing the last `k` dot-separated labels of a host (empty
+    * when the host has fewer) — RE2-compatible, shared verbatim with the
+    * SQL mirror.
+    */
+  private def lastLabelsPattern(k: Int): String =
+    if (k == 1) "([^.]+)$" else s"([^.]+(?:\\.[^.]+){${k - 1}})$$"
+
+  /** eTLD+1 registered domain under the full PSL — the grouping key
     * domain-level curation stats and per-domain quotas use. Longest-match
-    * semantics: exception hosts are registrable themselves; 3-label
-    * suffixes beat 2-label beat wildcard-TLD beat the implicit default
-    * rule (every unlisted TLD is a suffix). A host that IS a public
-    * suffix, or has fewer than two labels, yields `""` (no registrable
-    * domain) — never an error, so a 100-TB pass can't die on junk hosts.
-    * Mirror the exact CASE into SQL with [[registeredDomainSql]].
+    * semantics over ARBITRARY label counts, per the publicsuffix.org
+    * algorithm: exception rules beat everything (the exception host is
+    * itself registrable); otherwise the matching rule with the most
+    * labels prevails, where a wildcard `*.base` contributes base+1
+    * labels; the implicit default rule (every unlisted TLD is a suffix)
+    * is the fallthrough. A host that IS a public suffix, or has fewer
+    * than two labels, yields `""` (no registrable domain) — never an
+    * error, so a 100-TB pass can't die on junk hosts.
+    *
+    * Shape: pure Column program — per-k `regexp_extract` label slices
+    * probed against literal IN-lists that Catalyst converts to hash-set
+    * `InSet` (plan-audited), codegen'd, zero shuffles, no rule-table
+    * join. Mirror the exact CASE into SQL with [[registeredDomainSql]].
     */
   def registeredDomain(host: Column): Column = {
-    val l1 = regexp_extract(host, "([^.]+)$", 1)
-    val l2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val l3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    val l4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(l2 === "", lit(""))
-      .when(l2.isin(pslExceptions: _*), l2)
-      .when(l3.isin(pslSuffix3: _*),
-        when(l4 === "", lit("")).otherwise(l4))
-      .when(l2.isin(pslSuffix2: _*) || l1.isin(pslWildcardTlds: _*),
-        when(l3 === "", lit("")).otherwise(l3))
-      .otherwise(l2)
+    val l: Map[Int, Column] = (1 to psl.maxSuffixLen + 1)
+      .map(k => k -> regexp_extract(host, lastLabelsPattern(k), 1)).toMap
+    val start = when(l(2) === "", lit(""))
+    val withExc = psl.exception.keys.toSeq.sorted.reverse
+      .foldLeft(start)((c, k) => c.when(l(k).isin(psl.exception(k): _*), l(k)))
+    val withSuffix = (psl.maxSuffixLen to 2 by -1).foldLeft(withExc) { (c, k) =>
+      val conds =
+        psl.plain.get(k).map(rs => l(k).isin(rs: _*)).toSeq ++
+          psl.wildBase.get(k - 1).map(rs => l(k - 1).isin(rs: _*))
+      if (conds.isEmpty) c
+      else c.when(conds.reduce(_ || _),
+        when(l(k + 1) === "", lit("")).otherwise(l(k + 1)))
+    }
+    withSuffix.otherwise(l(2))
   }
 
   /** The exact SQL mirror of [[registeredDomain]] over a host column
-    * reference — same regex label extraction, same rule precedence, same
-    * literal suffix lists — for DuckDB/ANSI oracles.
+    * reference — same regex label extraction, same branch order, same
+    * literal rule lists (all ~9.5k of them inline) — for DuckDB/ANSI
+    * oracles.
     */
   def registeredDomainSql(hostRef: String): String = {
-    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
-    val l1 = s"regexp_extract($hostRef, '([^.]+)$$', 1)"
-    val l2 = s"regexp_extract($hostRef, '([^.]+\\.[^.]+)$$', 1)"
-    val l3 = s"regexp_extract($hostRef, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)"
-    val l4 = s"regexp_extract($hostRef, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1)"
-    s"""CASE WHEN $l2 = '' THEN ''
-       | WHEN $l2 IN ${inList(pslExceptions)} THEN $l2
-       | WHEN $l3 IN ${inList(pslSuffix3)} THEN (CASE WHEN $l4 = '' THEN '' ELSE $l4 END)
-       | WHEN $l2 IN ${inList(pslSuffix2)} OR $l1 IN ${inList(pslWildcardTlds)}
-       |   THEN (CASE WHEN $l3 = '' THEN '' ELSE $l3 END)
-       | ELSE $l2 END""".stripMargin
+    def inList(xs: Seq[String]) =
+      xs.map(s => s"'${s.replace("'", "''")}'").mkString("(", ",", ")")
+    def lk(k: Int) =
+      s"regexp_extract($hostRef, '${lastLabelsPattern(k)}', 1)"
+    val excBranches = psl.exception.keys.toSeq.sorted.reverse.map(k =>
+      s" WHEN ${lk(k)} IN ${inList(psl.exception(k))} THEN ${lk(k)}")
+    val suffixBranches = (psl.maxSuffixLen to 2 by -1).flatMap { k =>
+      val conds =
+        psl.plain.get(k).map(rs => s"${lk(k)} IN ${inList(rs)}").toSeq ++
+          psl.wildBase.get(k - 1).map(rs => s"${lk(k - 1)} IN ${inList(rs)}")
+      if (conds.isEmpty) None
+      else Some(s" WHEN ${conds.mkString(" OR ")}" +
+        s" THEN (CASE WHEN ${lk(k + 1)} = '' THEN '' ELSE ${lk(k + 1)} END)")
+    }
+    (s"CASE WHEN ${lk(2)} = '' THEN ''" +:
+      (excBranches ++ suffixBranches :+ s" ELSE ${lk(2)} END"))
+      .mkString("\n")
   }
 }
 

@@ -1039,7 +1039,31 @@ class PipelineSpec extends AnyFunSuite {
       "example.org" -> "example.org",          // default rule: unlisted TLD
       "www.example.org" -> "example.org",
       "localhost" -> "",                       // single label
-      "" -> "")
+      "" -> "",
+      // ---- full-list shapes the 311-rule snapshot could not express ----
+      // multi-label wildcard *.kobe.jp: every <x>.kobe.jp is a suffix
+      "shop.brand.kobe.jp" -> "shop.brand.kobe.jp",
+      "brand.kobe.jp" -> "",
+      // 3-label exception !city.kobe.jp beats *.kobe.jp
+      "www.city.kobe.jp" -> "city.kobe.jp",
+      "city.kobe.jp" -> "city.kobe.jp",
+      // 4-label plain suffix pvt.k12.ma.us, longest-match over k12.ma.us
+      "sub.pvt.k12.ma.us" -> "sub.pvt.k12.ma.us",
+      "pvt.k12.ma.us" -> "",
+      "myschool.k12.ma.us" -> "myschool.k12.ma.us",
+      // 5-label plain suffix (private section, S3 dualstack)
+      "bucket.s3.dualstack.ap-south-1.amazonaws.com" ->
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+      "s3.dualstack.ap-south-1.amazonaws.com" -> "",
+      // 4-label wildcard base *.compute.amazonaws.com.cn
+      "vm.x.compute.amazonaws.com.cn" -> "vm.x.compute.amazonaws.com.cn",
+      "x.compute.amazonaws.com.cn" -> "",
+      // private-section 2-label rule
+      "user.github.io" -> "user.github.io",
+      "github.io" -> "",
+      // IDN rule 公司.cn matches as u-label AND as its punycode twin
+      "foo.公司.cn" -> "foo.公司.cn",
+      "foo.xn--55qx5d.cn" -> "foo.xn--55qx5d.cn")
     val df = hosts.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
       .toDF("id", "host")
     val got = df.select(col("id"),

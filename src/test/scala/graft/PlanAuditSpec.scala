@@ -271,4 +271,27 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
     }
   }
+
+  test("full-PSL registeredDomain compiles to hash-set InSet probes, no giant In") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    // parquet-backed source (a local relation would constant-fold the
+    // whole lookup away before any In→InSet conversion could be observed)
+    val df = Tables.documents(spark, dir)
+      .select(concat(lit("crawl"), col("doc_id"), lit(".example.co.uk")).as("host"))
+      .select(graft.pipeline.TextAnalysis.registeredDomain(col("host")).as("d"))
+    val exprs = df.queryExecution.optimizedPlan.expressions
+      .flatMap(e => e +: e.collect { case c => c })
+    val inSets = exprs.collect { case s: InSet => s.hset.size }
+    // the 2-label plain group alone is ~5.4k rules (+ punycode twins); the
+    // optimizer must have converted every big literal list to an InSet
+    // hash probe — a residual `In` with a thousands-long child list would
+    // interpret a linear scan per row
+    assert(inSets.nonEmpty && inSets.max > 5000, s"InSet sizes: $inSets")
+    val bigIns = exprs.collect { case i: In if i.list.size > 100 => i.list.size }
+    assert(bigIns.isEmpty, s"unconverted In lists of sizes $bigIns")
+    // the whole lookup stays codegen-compatible (no interpreted fallback)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen subtree"), codegen.take(500))
+  }
 }
