@@ -42,6 +42,21 @@ object CubeQueries {
         properties = Map("eo:cloud_cover" -> Seq(("lt", "50"))))
       graft.sources.StacLoader.loadCube(s, sel).df
     },
+    "stac_zarr" -> { (s, _) =>
+      // load_stac's ZARR branch end to end against a deterministic
+      // file:// catalog of two zarr v2 stores written at query build
+      // (StacFixture.ensureZarr): catalog traversal → per-chunk executor
+      // fan-out → REAL decode covering zlib inflate (rank-2 <f8), raw
+      // little-endian <f4 (rank-3, axis-0 slices become bands zb_0/zb_1),
+      // spec edge-chunk padding clip, a MISSING chunk materializing as
+      // fill_value, and the nested "/" dimension_separator walk. Grid
+      // steps are exactly 1.0, so the oracle mirrors the load as pure
+      // integer arithmetic. Reference: cubes/load.py:245-304.
+      val fix = StacFixture.ensureZarr()
+      val assets = graft.sources.StacLoader.loadCatalogItems(
+        s"file://$fix/zcatalog.json")
+      graft.sources.StacLoader.loadCube(s, assets).df
+    },
     // ---- filters (§2.2) ----
     "filter_temporal" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
@@ -387,6 +402,23 @@ object CubeQueries {
         |       it.ts AS t, bd.band AS bands,
         |       CAST(item * 1000 + bi * 100 + r * 10 + c AS DOUBLE) AS value
         |FROM it, bd, UNNEST(range(0, 6)) ur(r), UNNEST(range(0, 8)) uc(c)""".stripMargin,
+    "stac_zarr" ->
+      // arithmetic mirror of the two zarr stores: rank-2 13×11 (value
+      // 2000 + r·20 + c, the omitted bottom-right 5×4 chunk → fill −1 over
+      // its in-bounds 3×3 corner) and rank-3 2×6×8 (bands zb_0/zb_1,
+      // value b·1000 + r·10 + c); grid steps exactly 1.0 so x=c, y=r
+      """SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
+        |       TIMESTAMP '2024-03-01 00:00:00' AS t, 'za' AS bands,
+        |       CAST(CASE WHEN r >= 10 AND c >= 8 THEN -1.0
+        |                 ELSE 2000 + r*20 + c END AS DOUBLE) AS value
+        |FROM UNNEST(range(0, 13)) ur(r), UNNEST(range(0, 11)) uc(c)
+        |UNION ALL
+        |SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
+        |       TIMESTAMP '2024-03-02 00:00:00' AS t,
+        |       'zb_' || CAST(b AS VARCHAR) AS bands,
+        |       CAST(b*1000 + r*10 + c AS DOUBLE) AS value
+        |FROM UNNEST(range(0, 2)) ub(b), UNNEST(range(0, 6)) ur(r),
+        |     UNNEST(range(0, 8)) uc(c)""".stripMargin,
     "filter_temporal" ->
       """SELECT event_type AS band, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents

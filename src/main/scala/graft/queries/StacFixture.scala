@@ -81,4 +81,115 @@ object StacFixture {
     java.nio.file.Files.writeString(dir.resolve("catalog.json"), catalog)
     dir.toString
   }
+
+  // ---- zarr sibling fixture (driver-green ZarrReader chunk decode) ----
+
+  /** Rank-2 store: 13×11 `<f8` zlib, 5×4 chunks (edge chunks padded per
+    * spec), chunk (2,2) OMITTED so the sparse-store fill path decodes for
+    * real. value = 2000 + r·20 + c; fill −1.
+    */
+  val z2 = (13, 11, 5, 4, -1.0)
+
+  /** Rank-3 store: (2 bands, 6, 8) `<f4` uncompressed, (1,4,4) chunks,
+    * NESTED `/` dimension_separator. value = b·1000 + r·10 + c
+    * (float32-exact).
+    */
+  val z3 = (2, 6, 8)
+
+  def z2Value(r: Int, c: Int): Double = 2000.0 + r * 20 + c
+  def z3Value(b: Int, r: Int, c: Int): Float = (b * 1000 + r * 10 + c).toFloat
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(1)
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Write (idempotently — content is deterministic) two zarr v2 stores +
+    * a STAC catalog whose items carry them as `application/vnd+zarr`
+    * assets, and return the catalog directory. Grid steps are 1.0 (bbox
+    * spans = shape), so every x/y/value in the loaded cube is an exact
+    * small integer and the oracle mirrors the whole load arithmetically —
+    * catalog traversal, chunk fan-out, zlib inflate, edge-padding clip,
+    * missing-chunk fill and the nested-separator walk all sit under one
+    * hash-checked query. Reference zarr branch: cubes/load.py:245-304.
+    */
+  def ensureZarr(): String = synchronized {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v1")
+    val (h2, w2, cr2, cc2, fill2) = z2
+    val a = dir.resolve("zarr_a")
+    java.nio.file.Files.createDirectories(a)
+    java.nio.file.Files.writeString(a.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[$h2,$w2],"chunks":[$cr2,$cc2],
+         |"dtype":"<f8","compressor":{"id":"zlib","level":1},
+         |"fill_value":$fill2,"filters":null,"order":"C"}""".stripMargin)
+    val (gr2, gc2) = ((h2 + cr2 - 1) / cr2, (w2 + cc2 - 1) / cc2)
+    for (gr <- 0 until gr2; gc <- 0 until gc2
+         if (gr, gc) != (gr2 - 1, gc2 - 1)) { // last chunk omitted → fill
+      val bb = java.nio.ByteBuffer.allocate(cr2 * cc2 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (lr <- 0 until cr2; lc <- 0 until cc2) {
+        val (r, c) = (gr * cr2 + lr, gc * cc2 + lc)
+        bb.putDouble(if (r < h2 && c < w2) z2Value(r, c) else 0.0) // pad
+      }
+      java.nio.file.Files.write(a.resolve(s"$gr.$gc"), deflate(bb.array()))
+    }
+    val (nb, h3, w3) = z3
+    val b = dir.resolve("zarr_b")
+    for (bi <- 0 until nb; gr <- 0 until (h3 + 3) / 4) {
+      val chunkDir = b.resolve(s"$bi").resolve(s"$gr")
+      java.nio.file.Files.createDirectories(chunkDir)
+      for (gc <- 0 until (w3 + 3) / 4) {
+        val bb = java.nio.ByteBuffer.allocate(1 * 4 * 4 * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (lr <- 0 until 4; lc <- 0 until 4) {
+          val (r, c) = (gr * 4 + lr, gc * 4 + lc)
+          bb.putFloat(if (r < h3 && c < w3) z3Value(bi, r, c) else 0f)
+        }
+        java.nio.file.Files.write(chunkDir.resolve(s"$gc"), bb.array())
+      }
+    }
+    java.nio.file.Files.writeString(b.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[$nb,$h3,$w3],"chunks":[1,4,4],
+         |"dtype":"<f4","compressor":null,"fill_value":0,
+         |"filters":null,"order":"C","dimension_separator":"/"}""".stripMargin)
+    // catalog: bbox spans = shape so the loader's grid steps are exactly 1
+    val zitems = Seq(
+      ("zitem-0", "za", "zarr_a", "2024-03-01T00:00:00Z", w2, h2),
+      ("zitem-1", "zb", "zarr_b", "2024-03-02T00:00:00Z", w3, h3))
+    for ((id, band, store, dt, w, h) <- zitems) {
+      java.nio.file.Files.writeString(dir.resolve(s"$id.json"),
+        s"""{
+           |  "type": "Feature",
+           |  "stac_version": "1.0.0",
+           |  "id": "$id",
+           |  "bbox": [0.0, 0.0, $w.0, $h.0],
+           |  "properties": {"datetime": "$dt"},
+           |  "assets": {
+           |    "$band": {"href": "file://$dir/$store",
+           |      "type": "application/vnd+zarr",
+           |      "eo:bands": [{"name": "$band"}]}
+           |  }
+           |}""".stripMargin)
+    }
+    val links = zitems.map { case (id, _, _, _, _, _) =>
+      s"""    {"rel": "item", "href": "$id.json"}"""
+    }.mkString(",\n")
+    java.nio.file.Files.writeString(dir.resolve("zcatalog.json"),
+      s"""{
+         |  "type": "Catalog",
+         |  "stac_version": "1.0.0",
+         |  "id": "graft-stac-zarr-fixture",
+         |  "description": "deterministic zarr driver fixture",
+         |  "links": [
+         |$links
+         |  ]
+         |}""".stripMargin)
+    dir.toString
+  }
 }
