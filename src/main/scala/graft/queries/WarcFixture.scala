@@ -137,6 +137,14 @@ object WarcFixture {
     */
   private val corpusFp = scala.collection.mutable.HashMap[String, (Long, String)]()
 
+  /** Test hook: drop the memoized fingerprint for `sfDir`, simulating a
+    * fresh JVM over a possibly-rewritten corpus (the only situation where
+    * re-fingerprinting is meaningful — the memo exists precisely because
+    * the parquet cannot change under a running JVM).
+    */
+  private[graft] def forgetFingerprint(sfDir: String): Unit =
+    synchronized { corpusFp.remove(sfDir); () }
+
   /** Write (idempotently, keyed by doc count + content fingerprint) a
     * sharded WARC corpus — one page per `documents` row, hash-partitioned
     * into up to 4 `.warc.gz` shard files by `pmod(doc_id, 4)` (hash

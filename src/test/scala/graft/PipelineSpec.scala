@@ -1100,6 +1100,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L, "unique delta")))
   }
 
+  test("line dedup: null text yields n_lines=0, not NULL (r7 contract)") {
+    // a real crawl always carries some null-text rows (fetch failures);
+    // the count contract must stay defined so downstream aggregates of
+    // n_lines never silently null out
+    val d = Seq(
+      (1L, Option("Shared line. Own line one")),
+      (2L, None),
+      (3L, Option("shared line. Own line two"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(2L) == ((0L, 0L, "")))  // null text: zeros and empty, no NULLs
+    assert(out(1L) == ((2L, 2L, "Shared line. Own line one")))
+    assert(out(3L) == ((2L, 1L, "Own line two")))
+  }
+
   test("html extract: scripts/styles/comments dropped, tags stripped, entities decoded") {
     val page =
       """<html><head><style>body { color: red }</style>

@@ -198,6 +198,94 @@ class WarcReaderSpec extends AnyFunSuite {
     assert(r.getAs[String]("text") == "payload one")
   }
 
+  test("writer raises a typed error on a null url instead of serializing 'null'") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_nu").toString
+    val in = Seq((Option("https://ok.example/a"), "body a"),
+      (Option.empty[String], "body b")).toDF("url", "text")
+    val e = intercept[Exception] {
+      graft.sources.WarcWriter.writeResponses(in.coalesce(1), dir)
+    }
+    // the task failure wraps the writer's IllegalArgumentException; the
+    // typed message must survive the cause chain
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("WarcWriter: null url"))), e.toString)
+  }
+
+  test("writer coalesces present-but-null optionals to the column defaults") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_no").toString
+    // all optional columns PRESENT but null — must behave exactly like the
+    // bare url+text frame, not serialize the literal string "null"
+    val in = Seq(("https://n.example/x", "payload n",
+        null: String, null: String, null: String))
+      .toDF("url", "text", "warc_date", "record_id", "http_content_type")
+      .withColumn("http_status", lit(null).cast("int"))
+    val shards = graft.sources.WarcWriter.writeResponses(in.coalesce(1), dir)
+    val r = WarcReader.loadResponses(spark, shards).head()
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("http_content_type") == "text/html; charset=utf-8")
+    assert(r.getAs[String]("record_id").startsWith("<urn:graft:"))
+    assert(r.getAs[String]("warc_date") == "2024-01-01T00:00:00Z")
+    assert(r.getAs[String]("text") == "payload n")
+  }
+
+  test("early-terminated scan closes its file handle (completion listener)") {
+    assume(new java.io.File("/proc/self/fd").isDirectory) // Linux probe
+    def fdsFor(substr: String): Int =
+      new java.io.File("/proc/self/fd").listFiles().count { f =>
+        try java.nio.file.Files.readSymbolicLink(f.toPath)
+          .toString.contains(substr)
+        catch { case _: Exception => false }
+      }
+    // private copy of the fixture so no concurrent suite holds it open
+    val src = java.nio.file.Paths.get(graft.queries.WarcFixture.ensure())
+    val dir = java.nio.file.Files.createTempDirectory("graft_fd_probe")
+    val probe = dir.resolve("probe.warc.gz")
+    java.nio.file.Files.copy(src, probe)
+    // limit(1) ends the task after one of nine records: only the
+    // TaskCompletionListener can close the still-open stream
+    val one = WarcReader.load(spark, Seq(probe.toString)).limit(1).collect()
+    assert(one.length == 1)
+    assert(fdsFor("graft_fd_probe") == 0, "early-terminated task leaked a handle")
+    // fully drained scans close eagerly through the iterator itself
+    assert(WarcReader.load(spark, Seq(probe.toString)).count() == 9)
+    assert(fdsFor("graft_fd_probe") == 0, "drained scan leaked a handle")
+  }
+
+  test("corpus fixture is content-keyed: same count, changed text => rebuild") {
+    import spark.implicits._
+    val sfDir = java.nio.file.Files.createTempDirectory("graft_sf_fx").toString
+    def writeDocs(suffix: String): Unit =
+      Seq((0L, s"alpha document body $suffix"), (1L, s"beta document body $suffix"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    def corpusDir: java.nio.file.Path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_warc_corpus_${java.lang.Integer.toHexString(sfDir.hashCode)}_v1")
+    def marker: String = corpusDir.toFile.listFiles()
+      .map(_.getName).filter(_.startsWith("done-")).sorted.mkString
+    writeDocs("v1")
+    val shards1 = graft.queries.WarcFixture.ensureCorpus(spark, sfDir)
+    val m1 = marker
+    // unchanged content + warm memo: second build is a no-op (same marker)
+    assert(graft.queries.WarcFixture.ensureCorpus(spark, sfDir) == shards1)
+    assert(marker == m1)
+    // same row count, changed text, fresh JVM (memo dropped): the content
+    // fingerprint must differ => stale shards cleared, new marker written
+    writeDocs("v2")
+    graft.queries.WarcFixture.forgetFingerprint(sfDir)
+    val shards2 = graft.queries.WarcFixture.ensureCorpus(spark, sfDir)
+    val m2 = marker
+    assert(m2 != m1, "changed content must produce a new marker")
+    assert(shards2.nonEmpty)
+    val texts = WarcReader.loadResponses(spark, shards2)
+      .select("text").as[String].collect()
+    assert(texts.forall(_.contains("v2")), "shards must hold the new content")
+  }
+
   test("ingest feeds the crawl family: extract + line dedup run downstream") {
     val fix = graft.queries.WarcFixture.ensure()
     val resp = WarcReader.loadResponses(spark, Seq(fix))
