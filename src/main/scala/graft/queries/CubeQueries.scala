@@ -57,6 +57,21 @@ object CubeQueries {
         s"file://$fix/zcatalog.json")
       graft.sources.StacLoader.loadCube(s, assets).df
     },
+    "zarr_roundtrip" -> { (s, dir) =>
+      // save_result's zarr SINK under correctness: a dense lineitem grid
+      // is written at query build through the DISTRIBUTED ZarrWriter
+      // (executor-written zlib chunk files; once per JVM — RasterFixture),
+      // read back through ZarrReader's chunk fan-out, and index-mapped
+      // back to grid labels (row 0 = max y, north-up). NaN fill cells (a
+      // sparse corpus) drop on both sides, so the oracle is the plain
+      // parquet aggregate. This row crosses write+read: a codec or
+      // layout bug on either side breaks the hash.
+      val store = RasterFixture.ensureZarrGrid(s, dir)
+      graft.sources.ZarrReader.loadArray(s, store, Seq("_r", "_c"))
+        .where(!isnan(col("value")))
+        .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
+          col("_c").cast("bigint").as("x"), col("value"))
+    },
     // ---- filters (§2.2) ----
     "filter_temporal" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
@@ -419,6 +434,12 @@ object CubeQueries {
         |       CAST(b*1000 + r*10 + c AS DOUBLE) AS value
         |FROM UNNEST(range(0, 2)) ub(b), UNNEST(range(0, 6)) ur(r),
         |     UNNEST(range(0, 8)) uc(c)""".stripMargin,
+    "zarr_roundtrip" ->
+      // the parquet truth the zarr write→read chain must reproduce
+      """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
+        |       CAST(l_partkey % 25 AS BIGINT) AS x,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS value
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "filter_temporal" ->
       """SELECT event_type AS band, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.core.DataCube
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic zarr SINK fixture for the driver-green `zarr_roundtrip`
+  * query — the write-side twin of [[StacFixture.ensureZarr]], following the
+  * `warc_extract` precedent of crossing a WRITE path at query build: a
+  * dense 40×25 grid aggregated from `lineitem` is written through the
+  * distributed [[graft.sources.ZarrWriter]] (executor-written chunk files,
+  * one groupByKey shuffle — the 100-TB sink shape), then the query reads
+  * the store back through [[graft.sources.ZarrReader]] and must reproduce
+  * exactly what a DuckDB aggregate computes from the parquet directly.
+  *
+  * Once-per-JVM discipline (the `WarcFixture.ensureCorpus` lesson, r7):
+  * the source parquet cannot change under a running JVM, so the write job
+  * runs on the first build only; timed bench re-builds just re-read. Each
+  * JVM's first build rewrites the store from scratch, so a stale directory
+  * from a previous corpus generation cannot survive into this one.
+  */
+object RasterFixture {
+
+  /** Grid shape: y = l_orderkey mod 40 (rows), x = l_partkey mod 25
+    * (cols), value = sum(l_quantity) — integral doubles, f8-exact.
+    */
+  val (gridH, gridW) = (40, 25)
+
+  private val written = scala.collection.mutable.HashSet[String]()
+
+  def ensureZarrGrid(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_zarr_sink_${tag}_v1")
+      if (!written.contains(sfDir)) {
+        if (java.nio.file.Files.isDirectory(dir)) {
+          val fs = dir.toFile.listFiles()
+          if (fs != null) fs.foreach(f => { java.nio.file.Files.delete(f.toPath) })
+        }
+        val grid = Tables.lineitem(spark, sfDir)
+          .groupBy(pmod(col("l_orderkey"), lit(gridH)).cast("double").as("y"),
+            pmod(col("l_partkey"), lit(gridW)).cast("double").as("x"))
+          .agg(sum(col("l_quantity")).as("value"))
+        val cube = DataCube.fromTable(grid, Seq("y", "x"), "value")
+        graft.sources.ZarrWriter.writeGrid(cube, dir.toString,
+          rowDim = "y", colDim = "x", chunkR = 16, chunkC = 16)
+        written += sfDir
+      }
+      dir.toString
+    }
+}
