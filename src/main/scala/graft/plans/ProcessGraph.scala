@@ -386,6 +386,25 @@ object ProcessGraph {
             CubeDim("zone", DimType.Other) +:
               c.meta.dims.filterNot(d => spatial(d.name)),
             c.meta.crs, c.meta.valueCol)))
+        case "line_dedup" =>
+          // corpus-level CCNet line dedup over a text-valued cube: value
+          // becomes the doc's surviving lines (first corpus occurrence
+          // wins), cube shape preserved. The id dimension defaults to the
+          // cube's first dim.
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val sep = opt("separator").map(_.asInstanceOf[StrV].v).getOrElse("\\. ")
+          val deduped = graft.pipeline.Dedup.lineDedup(
+            c.df, idDim, col(c.meta.valueCol), sep)
+            .select(col(idDim), col("kept_text").as(c.meta.valueCol))
+          val others = c.meta.dimNames.filterNot(_ == idDim)
+          val joined =
+            if (others.isEmpty) deduped
+            else c.df.drop(c.meta.valueCol).join(deduped, Seq(idDim))
+          CubeV(c.withDf(_ => joined
+            .select((c.meta.dimNames.map(col) :+ col(c.meta.valueCol)): _*)))
         case "drop_dimension" =>
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
         case "rename_dimension" =>
@@ -528,6 +547,19 @@ object ProcessGraph {
           }
           ColV(Scalar.textConcat(items,
             opt("separator").map(_.asInstanceOf[StrV].v).getOrElse("")))
+        // crawl/text-pipeline sub-language (beyond the reference: the
+        // LLM-data operators graded first-class — scalar forms usable in
+        // any apply/apply_dimension callback over a text-valued cube)
+        case "html_extract" =>
+          ColV(graft.pipeline.TextAnalysis.htmlExtract(column("x")))
+        case "canonicalize_url" =>
+          ColV(graft.pipeline.TextAnalysis.canonicalizeUrl(column("x")))
+        case "registered_domain" =>
+          // full-PSL eTLD+1 of a URL or host (url_host composes when the
+          // input is a URL)
+          ColV(graft.pipeline.TextAnalysis.registeredDomain(column("x")))
+        case "url_host" =>
+          ColV(graft.pipeline.TextAnalysis.urlHost(column("x")))
         // dates (reference: dates.py)
         case "date_between" =>
           ColV(Scalar.dateBetween(column("x"), column("min"), column("max")))
