@@ -44,6 +44,51 @@ object Importance {
   def featureGrams(text: Column): Column =
     concat(Dedup.ngramArray(text, 1), Dedup.ngramArray(text, 2))
 
+  /** Fold the collected bucket census `(b, ct_all, ct_t)` into the
+    * per-bucket integer log-ratio weights. StrictMath.log = the exact
+    * function Spark's log() evaluates, so this driver fold is
+    * bit-identical to a distributed join form at every floor(x·10⁶+½)
+    * boundary (same discipline as [[LanguageModel]]).
+    */
+  private def foldWeights(bstats: Array[(Long, Long, Long)], buckets: Int,
+      scale: Long): Map[Long, Long] = {
+    val nAll = bstats.map(_._2).sum
+    val nT = bstats.map(_._3).sum
+    bstats.map { case (b, ctAll, ctT) =>
+      b -> math.floor(StrictMath.log(
+        ((ctT + 1L).toDouble * (nAll + buckets).toDouble) /
+          ((ctAll + 1L).toDouble * (nT + buckets).toDouble)) * scale + 0.5).toLong
+    }.toMap
+  }
+
+  /** `score_units` as a single scalar Column — the fused form composed
+    * selections want: one census job (explode + combinable groupBy over
+    * the FIXED-SIZE bucket space, collected and folded driver-side), then
+    * the score is `aggregate(grams, 0L, acc + lr_units[bucket(gram)])`
+    * usable in ANY select over the same corpus: no second gram explode,
+    * no score groupBy, no doc_id join. Bit-identical to [[dsirWeights]]'
+    * `score_units` — integer sums are summation-order-free, and every
+    * gram's bucket is in the census by construction (the census scanned
+    * the same corpus). Docs with no grams (null/short text) score 0L.
+    */
+  def dsirUnitsColumn(df: DataFrame, text: Column, isTarget: Column,
+      buckets: Int = 512, scale: Long = 1000000L): Column = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in (0, 2^20] (the census is collected), got $buckets")
+    val bstats = df
+      .select(isTarget.as("_tgt"), explode(featureGrams(text)).as("gram"))
+      .select(col("_tgt"), gramBucket(col("gram"), buckets).as("b"))
+      .groupBy(col("b")).agg(
+        count(lit(1)).as("ct_all"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lrMap = foldWeights(bstats, buckets, scale)
+    coalesce(
+      aggregate(featureGrams(text), lit(0L),
+        (acc, gm) => acc + element_at(typedLit(lrMap), gramBucket(gm, buckets))),
+      lit(0L))
+  }
+
   /** Per-document DSIR importance scores: `(idCol, score_units, score,
     * keep)` where `score_units = Σ_grams lr_units[bucket(gram)]`,
     * `lr_units[b] = floor(ln(p̂_target[b]/p̂_raw[b])·scale + ½)` with +1
@@ -76,16 +121,7 @@ object Importance {
         count(lit(1)).as("ct_all"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val nAll = bstats.map(_._2).sum
-    val nT = bstats.map(_._3).sum
-    // StrictMath.log = the exact function Spark's log() evaluates, so this
-    // driver fold is bit-identical to a distributed join form at every
-    // floor(x·10⁶+½) boundary (same discipline as LanguageModel)
-    val lrMap: Map[Long, Long] = bstats.map { case (b, ctAll, ctT) =>
-      b -> math.floor(StrictMath.log(
-        ((ctT + 1L).toDouble * (nAll + buckets).toDouble) /
-          ((ctAll + 1L).toDouble * (nT + buckets).toDouble)) * scale + 0.5).toLong
-    }.toMap
+    val lrMap = foldWeights(bstats, buckets, scale)
     val scores = g
       .withColumn("lr_units", element_at(typedLit(lrMap), col("b")))
       .groupBy(col(idCol)).agg(sum(col("lr_units")).as("score_units"))

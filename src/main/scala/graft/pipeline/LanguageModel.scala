@@ -53,43 +53,30 @@ object LanguageModel {
     * model size while the scoring loop is the same shared code
     * (spec-pinned bit-identical).
     */
-  def charTrigramScore(df: DataFrame, idCol: String, text: Column,
-      isTarget: Column, scale: Long = 1000000L,
-      cacheTrigrams: Boolean = true,
-      modelGate: Long = 1L << 20,
-      literalGate: Int = 100000): DataFrame = {
-    // Materialize the normalized string as a NAMED column before the HOF:
-    // transform() is interpreted and does no CSE, so inlining trim(lower())
-    // into the lambda would re-normalize the whole document PER TRIGRAM —
-    // O(len²) per doc, measured 45 s → 5.5 s on the 50k-doc stress corpus.
-    // The multi-use non-trivial alias survives CollapseProject (same
-    // discipline as Dedup.shinglesHof).
-    def normalized(d: DataFrame, cols: Column*): DataFrame =
-      d.select(cols :+ trim(lower(text)).as("_s"): _*)
+  /** The per-doc score as a single scalar STRUCT column `(n_tri, lp_sum)`
+    * — the fused form composed pipelines want: train the census (one tiny
+    * job), fold the model driver-side, and return a column usable in ANY
+    * select over the same corpus, so a multi-gate selection needs no
+    * doc_id join against a scoring frame. `None` when the observed
+    * trigram space exceeds `modelGate` (pathological alphabets — callers
+    * fall back to [[charTrigramScore]]'s relational path).
+    */
+  def scoreColumn(df: DataFrame, text: Column, isTarget: Column,
+      scale: Long = 1000000L, modelGate: Long = 1L << 20,
+      literalGate: Int = 100000): Option[Column] = {
+    val normText = trim(lower(text))
     val len = length(col("_s"))
     val nW = when(len < 3, lit(0L)).otherwise(len.cast("long") - 2L)
-    // sequence(1, 0) DESCENDS — the nW===0 guard avoids it
     val winArr = when(nW === 0L, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1L), nW),
         i => col("_s").substr(i.cast("int"), lit(3))))
-    // The MODEL pass touches only the TARGET subset and its output is tiny
-    // (bounded by the observed trigram space, gate-checked below): ONE
-    // collect action brings the census to the driver, and the smoothing
-    // scalars + per-trigram log-probs fold in Scala with arithmetic that
-    // mirrors the Spark expressions exactly (spec-pinned bit-identical to
-    // the relational fallback). Leaving the model as lazy sub-plans
-    // replays the corpus explode once per branch (measured 3 Generate
-    // nodes + two BroadcastNestedLoopJoin crossJoins in the cache-off
-    // plan); folding it driver-side also keeps construction to a single
-    // Spark job, so composed pipelines pay minimal scheduling latency.
-    val tcntPlan = normalized(df.filter(isTarget))
+    val tcntPlan = df.filter(isTarget).select(normText.as("_s"))
       .select(explode(winArr).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
     val gateN = math.min(modelGate, Int.MaxValue - 1L).toInt
     val census = tcntPlan.limit(gateN + 1).collect()
-    def xentCol: Column = when(col("n_tri") === 0L, 0.0).otherwise(
-      round(-col("lp_sum") / (col("n_tri") * scale).cast("double"), 6))
-    if (census.length <= gateN) {
+    if (census.length > gateN) None
+    else {
       val nTot = census.map(_.getLong(1)).sum
       val denom = (nTot + census.length + 1L).toDouble
       // floor(ln((cnt+1)/(N+D+1))·scale + ½) — StrictMath.log is the exact
@@ -111,7 +98,7 @@ object LanguageModel {
       // relational path (whose explode yields no rows + na.fill)
       import org.apache.spark.sql.graftbridge.ColumnBridge
       val textE = ColumnBridge.expression(coalesce(text.cast("string"), lit("")))
-      val scoreCol =
+      Some(
         if (census.length > literalGate) {
           val bc = df.sparkSession.sparkContext.broadcast(
             graft.functions.TrigramScore.toUtf8Map(modelMap))
@@ -119,12 +106,52 @@ object LanguageModel {
             graft.functions.TrigramScoreBcast(textE, bc, unseenUnits))
         } else ColumnBridge.column(graft.functions.TrigramScore(textE,
           ColumnBridge.expression(typedLit(modelMap)),
-          ColumnBridge.expression(lit(unseenUnits))))
-      df.select(col(idCol), scoreCol.as("_t"))
-        .select(col(idCol), col("_t").getField("n_tri").as("n_tri"),
-          col("_t").getField("lp_sum").as("lp_sum"))
-        .withColumn("xent", xentCol)
-    } else {
+          ColumnBridge.expression(lit(unseenUnits)))))
+    }
+  }
+
+  /** Cross-entropy in nats from a [[scoreColumn]] struct (0.0 for docs
+    * with no trigrams), rounded to 6 places — the thresholding form.
+    */
+  def xentOf(score: Column, scale: Long = 1000000L): Column =
+    when(score.getField("n_tri") === 0L, 0.0).otherwise(
+      round(-score.getField("lp_sum") /
+        (score.getField("n_tri") * scale).cast("double"), 6))
+
+  def charTrigramScore(df: DataFrame, idCol: String, text: Column,
+      isTarget: Column, scale: Long = 1000000L,
+      cacheTrigrams: Boolean = true,
+      modelGate: Long = 1L << 20,
+      literalGate: Int = 100000): DataFrame = {
+    // Materialize the normalized string as a NAMED column before the HOF:
+    // transform() is interpreted and does no CSE, so inlining trim(lower())
+    // into the lambda would re-normalize the whole document PER TRIGRAM —
+    // O(len²) per doc, measured 45 s → 5.5 s on the 50k-doc stress corpus.
+    // The multi-use non-trivial alias survives CollapseProject (same
+    // discipline as Dedup.shinglesHof).
+    def normalized(d: DataFrame, cols: Column*): DataFrame =
+      d.select(cols :+ trim(lower(text)).as("_s"): _*)
+    val len = length(col("_s"))
+    val nW = when(len < 3, lit(0L)).otherwise(len.cast("long") - 2L)
+    // sequence(1, 0) DESCENDS — the nW===0 guard avoids it
+    val winArr = when(nW === 0L, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1L), nW),
+        i => col("_s").substr(i.cast("int"), lit(3))))
+    def xentCol: Column = when(col("n_tri") === 0L, 0.0).otherwise(
+      round(-col("lp_sum") / (col("n_tri") * scale).cast("double"), 6))
+    // The MODEL pass lives in scoreColumn: census collected once, model
+    // folded driver-side, scoring a single scalar expression (see the
+    // scoreColumn scaladoc for the sub-plan-replay rationale).
+    scoreColumn(df, text, isTarget, scale, modelGate, literalGate) match {
+      case Some(scoreCol) =>
+        df.select(col(idCol), scoreCol.as("_t"))
+          .select(col(idCol), col("_t").getField("n_tri").as("n_tri"),
+            col("_t").getField("lp_sum").as("lp_sum"))
+          .withColumn("xent", xentCol)
+      case None =>
+        val tcntPlan = normalized(df.filter(isTarget))
+          .select(explode(winArr).as("tri"))
+          .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
       // fallback for pathological trigram spaces: recompute the census
       // distributed (checkpointed — it feeds two branches), log-probs in
       // Spark, relational explode + size-gated broadcast join scoring;

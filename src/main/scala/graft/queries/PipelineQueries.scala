@@ -464,21 +464,32 @@ object PipelineQueries {
     "selection_e2e" -> { (s, dir) =>
       // the full DATA-SELECTION chain as one Catalyst plan: repetition
       // quality gate -> LM cross-entropy gate -> DSIR target-likeness gate
-      // -> temperature-flattened source mixture. Every gate thresholds the
-      // ROUNDED/integer score its standalone query exposes, so the composed
-      // oracle reuses the exact per-op SQL
+      // -> temperature-flattened source mixture. The repetition + LM gates
+      // are scalar columns fused into ONE corpus scan (the LM model folds
+      // driver-side from its census job — scoreColumn/xentOf), collapsing
+      // the former three-frame doc_id join diamond to a single join with
+      // the DSIR keep-set. Every gate thresholds the ROUNDED/integer score
+      // its standalone query exposes, so the composed oracle reuses the
+      // exact per-op SQL.
       val docs = Tables.documents(s, dir)
-      val ttrOk = docs
+      val en = col("lang") === "en"
+      val lmScore = LanguageModel.scoreColumn(docs, col("text"), en).get
+      val scored = docs
         .withColumn("_st", Repetition.stats(col("text")))
-        .filter(round(col("_st.ttr"), 6) >= 0.35)
+        .withColumn("_xe", LanguageModel.xentOf(lmScore))
+        .filter(round(col("_st.ttr"), 6) >= 0.35 && col("_xe") <= 5.4)
         .select(col("doc_id"), col("source"))
-      val lmOk = LanguageModel.charTrigramScore(docs, "doc_id", col("text"),
-          col("lang") === "en")
-        .filter(col("xent") <= 5.4).select("doc_id")
+      // DSIR stays relational (codegen'd md5 after the explode — the HOF
+      // column form re-hashes per gram interpreted, measured slower); its
+      // keep-set joins the one scored scan
       val dsOk = Importance.dsirWeights(docs, "doc_id", col("text"),
-          col("lang") === "en", buckets = 512)
+          en, buckets = 512, cacheGrams = false)
         .filter(col("keep") === 1).select("doc_id")
-      val sel = ttrOk.join(lmOk, "doc_id").join(dsOk, "doc_id")
+      // the mixture consumes its input TWICE (source quotas + the ranked
+      // pass); materialize the post-gate survivors once — bounded by the
+      // selection, cluster-safe via Caching.eager — so the whole scoring
+      // chain runs a single time, not per consumer
+      val sel = graft.core.Caching.eager(scored.join(dsOk, "doc_id"))
       Sampling.temperatureMixture(sel, "doc_id", "source", tau = 0.5,
         targetFrac = 0.5, salt = "sel1").select(col("doc_id"), col("source"))
     },

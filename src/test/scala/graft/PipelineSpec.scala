@@ -854,6 +854,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) > 0)
   }
 
+  test("dsirUnitsColumn is bit-identical to dsirWeights score_units") {
+    // the fused scalar form (no explode/groupBy/join) and the relational
+    // form must agree to the unit on every doc, including a null-text row
+    val d = Seq(
+      (1L, Option("alpha beta alpha beta gamma"), true),
+      (2L, Option("gamma delta epsilon gamma"), false),
+      (3L, Option.empty[String], false),
+      (4L, Option("alpha"), true)
+    ).toDF("doc_id", "text", "tgt")
+    val rel = Importance.dsirWeights(d, "doc_id", col("text"), col("tgt"),
+        buckets = 64)
+      .select("doc_id", "score_units")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = d.select(col("doc_id"),
+        Importance.dsirUnitsColumn(d, col("text"), col("tgt"), buckets = 64)
+          .as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == rel)
+  }
+
+  test("LanguageModel.scoreColumn/xentOf match charTrigramScore exactly") {
+    val d = Seq(
+      (1L, Option("the quick brown fox is quick"), true),
+      (2L, Option("vastly different characters zzz"), false),
+      (3L, Option.empty[String], false),
+      (4L, Option("ab"), true) // sub-trigram doc scores (0, 0, 0.0)
+    ).toDF("doc_id", "text", "en")
+    val frame = LanguageModel.charTrigramScore(d, "doc_id", col("text"),
+        col("en"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val sc = LanguageModel.scoreColumn(d, col("text"), col("en")).get
+    val fused = d.select(col("doc_id"), sc.as("_t"),
+        LanguageModel.xentOf(sc).as("xe"))
+      .collect().map(r => r.getLong(0) -> {
+        val t = r.getStruct(1)
+        ((t.getLong(0), t.getLong(1), r.getDouble(2)))
+      }).toMap
+    assert(fused == frame)
+  }
+
   test("temperature mixture: tau<1 flattens toward small sources; tau=1 is natural") {
     val d = (1L to 90L).map(i => (i, if (i <= 80) "big" else "small"))
       .toDF("doc_id", "source")
