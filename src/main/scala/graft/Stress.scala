@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
   * gate decisions (collapse branch, union-find edge count) that the
   * SCALE.md linearity claims rest on.
   *
-  *   sbt "runMain graft.Stress 100"   # 100× = 500k docs
+  *   sbt "runMain graft.Stress 100"         # 100× = 500k docs
+  *   sbt "runMain graft.Stress 1000 crawl"  # crawl family only at 5M docs
+  *
+  * The optional second arg filters to one family: `dedup` (exact dedup,
+  * clusters, survivors, PPJoin), `score` (repetition, DSIR, LM,
+  * substring), `crawl` (html_extract, line_dedup, domain_stats, WARC
+  * round-trip).
   *
   * Results are recorded in SCALE.md's measured-scale-up table.
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(100)
+    val familyFilter = args.drop(1).headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -57,28 +64,32 @@ object Stress {
     // side preserves row count, so "time a count" times nothing)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def family(name: String)(body: => Unit): Unit =
+      if (familyFilter.forall(_ == name)) body
 
-    time("exact dedup (groups)") {
+    family("dedup") { time("exact dedup (groups)") {
       force(Dedup.exact(corpus, "doc_id", md5(col("text").cast("binary"))))
-    }
-    time("repetition scan") {
+    } }
+    family("score") { time("repetition scan") {
       force(corpus.select(col("doc_id"), Repetition.stats(col("text")).as("s")))
-    }
+    } }
     // caches OFF for the corpus-sized intermediates (the r4 stress
     // protocol): at scale the gram/trigram/window tables exceed executor
     // storage and recomputing the scan is the cheaper, predictable path —
     // the cached diamond is a small-corpus optimization
-    time("dsir_weights") {
-      force(Importance.dsirWeights(corpus, "doc_id", col("text"),
-        col("lang") === "en", cacheGrams = false))
-    }
-    time("lm_score") {
-      force(LanguageModel.charTrigramScore(corpus, "doc_id", col("text"),
-        col("lang") === "en", cacheTrigrams = false))
-    }
-    time("substring_dup") {
-      force(Dedup.substringDupStats(corpus, "doc_id", col("text"),
-        cacheWindows = false))
+    family("score") {
+      time("dsir_weights") {
+        force(Importance.dsirWeights(corpus, "doc_id", col("text"),
+          col("lang") === "en", cacheGrams = false))
+      }
+      time("lm_score") {
+        force(LanguageModel.charTrigramScore(corpus, "doc_id", col("text"),
+          col("lang") === "en", cacheTrigrams = false))
+      }
+      time("substring_dup") {
+        force(Dedup.substringDupStats(corpus, "doc_id", col("text"),
+          cacheWindows = false))
+      }
     }
     // ---- web-crawl family (r5 ops, r6 scale rows) ----
     // the same id-derived page wrapper the driver query uses: one match
@@ -90,18 +101,20 @@ object Stress {
       lit("</h1><p>"), substring(col("text"), 1, 500),
       lit("</p><ul><li>first &amp; second</li><li>10 &lt; 20</li></ul>"),
       lit("<div>tail&nbsp;words</div></body></html>"))
-    time("html_extract (one-pass expr)") {
-      force(corpus.select(col("doc_id"),
-        TextAnalysis.htmlExtract(page).as("clean")))
-    }
-    time("html_extract (regex chain)") {
-      force(corpus.select(col("doc_id"),
-        TextAnalysis.htmlExtractChain(page).as("clean")))
+    family("crawl") {
+      time("html_extract (one-pass expr)") {
+        force(corpus.select(col("doc_id"),
+          TextAnalysis.htmlExtract(page).as("clean")))
+      }
+      time("html_extract (regex chain)") {
+        force(corpus.select(col("doc_id"),
+          TextAnalysis.htmlExtractChain(page).as("clean")))
+      }
     }
     // line dedup over spliced boilerplate sentences (the driver-query
     // shape): on the replicated corpus EVERY line is a 100-clique member —
     // the adversarial case for the first-occurrence rule
-    time("line_dedup") {
+    family("crawl") { time("line_dedup") {
       val aug = concat(lit("Cookie notice applies. "),
         substring(col("text"), 1, 120),
         lit(". All rights reserved. "),
@@ -109,66 +122,72 @@ object Stress {
         lit(". Subscribe to newsletter"))
       force(Dedup.lineDedup(corpus.select(col("doc_id"), aug.as("t")),
         "doc_id", col("t")))
-    }
-    time("domain_stats (PSL eTLD+1)") {
-      val tld = when(pmod(col("doc_id"), lit(4L)) === 0L, lit("org"))
-        .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("co.uk"))
-        .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("com.au"))
-        .otherwise(lit("bd"))
-      val url = concat(lit("https://host"),
-        pmod(col("doc_id"), lit(50L)).cast("string"), lit(".example"),
-        pmod(col("doc_id"), lit(7L)).cast("string"), lit("."), tld,
-        lit("/p/"), col("doc_id").cast("string"))
-      force(corpus.select(length(col("text")).as("n_chars"), url.as("u"))
-        .select(col("n_chars"),
-          TextAnalysis.urlHost(col("u")).as("host"))
-        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
-        .groupBy(col("domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("host")).as("n_hosts"),
-          sum(col("n_chars")).as("sum_chars")))
+    } }
+    family("crawl") {
+      time("domain_stats (PSL eTLD+1)") {
+        val tld = when(pmod(col("doc_id"), lit(4L)) === 0L, lit("org"))
+          .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("co.uk"))
+          .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("com.au"))
+          .otherwise(lit("bd"))
+        val url = concat(lit("https://host"),
+          pmod(col("doc_id"), lit(50L)).cast("string"), lit(".example"),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit("."), tld,
+          lit("/p/"), col("doc_id").cast("string"))
+        force(corpus.select(length(col("text")).as("n_chars"), url.as("u"))
+          .select(col("n_chars"),
+            TextAnalysis.urlHost(col("u")).as("host"))
+          .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"),
+            sum(col("n_chars")).as("sum_chars")))
+      }
     }
     // ---- WARC round-trip (r6): write the whole corpus as sharded
     // .warc.gz, then re-ingest through gzip → envelope → HTTP → UTF-8 →
     // canonical URL → PSL domain. Shard count = partition count; both
     // directions are file-parallel with zero shuffles.
-    val warcDir = s"/tmp/graft_stress_warc_${rep}x"
-    val warcShards = time("warc write (sharded sink)") {
-      val url = concat(lit("https://crawl"),
-        pmod(col("doc_id"), lit(5L)).cast("string"), lit(".example"),
-        pmod(col("doc_id"), lit(3L)).cast("string"), lit(".org/docs/"),
-        col("doc_id").cast("string"))
-      graft.sources.WarcWriter.writeResponses(
-        corpus.select(url.as("url"), page.as("text")), warcDir)
+    family("crawl") {
+      val warcDir = s"/tmp/graft_stress_warc_${rep}x"
+      val warcShards = time("warc write (sharded sink)") {
+        val url = concat(lit("https://crawl"),
+          pmod(col("doc_id"), lit(5L)).cast("string"), lit(".example"),
+          pmod(col("doc_id"), lit(3L)).cast("string"), lit(".org/docs/"),
+          col("doc_id").cast("string"))
+        graft.sources.WarcWriter.writeResponses(
+          corpus.select(url.as("url"), page.as("text")), warcDir)
+      }
+      println(s"[stress]   warc shards: ${warcShards.size}")
+      time("warc ingest (responses)") {
+        force(graft.sources.WarcReader.loadResponses(spark, warcShards)
+          .select(col("canonical_url"), col("domain"),
+            TextAnalysis.htmlExtract(col("text")).as("clean")))
+      }
     }
-    println(s"[stress]   warc shards: ${warcShards.size}")
-    time("warc ingest (responses)") {
-      force(graft.sources.WarcReader.loadResponses(spark, warcShards)
-        .select(col("canonical_url"), col("domain"),
-          TextAnalysis.htmlExtract(col("text")).as("clean")))
+    family("dedup") {
+      val clusters = time("clusters (collapsed path)") {
+        val c = graft.core.Caching.eager(
+          Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text")))
+        println(s"[stress]   clustered docs: ${c.count()}")
+        c
+      }
+      time("survivors (collapsed path)") {
+        val s = Dedup.survivorsCollapsed(corpus, "doc_id", col("text")).count()
+        println(s"[stress]   survivors: $s")
+      }
+      // PPJoin n-gram Jaccard belongs AFTER the collapse in a production
+      // pipeline — run it on the unique-text set, same blocking + threshold
+      // as the driver query
+      time("ngram-jaccard PPJoin (uniques)") {
+        val uniq = corpus.groupBy(md5(col("text").cast("binary")).as("k"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
+            first(col("lang")).as("lang"))
+        val p = Dedup.ngramJaccardNearDups(uniq, "doc_id", col("text"),
+          blockCols = Seq("lang"), shingleLen = 3, threshold = 0.5)
+        println(s"[stress]   jaccard pairs: ${p.count()}")
+      }
+      clusters.unpersist()
     }
-    val clusters = time("clusters (collapsed path)") {
-      val c = graft.core.Caching.eager(
-        Dedup.nearDupClustersCollapsed(corpus, "doc_id", col("text")))
-      println(s"[stress]   clustered docs: ${c.count()}")
-      c
-    }
-    time("survivors (collapsed path)") {
-      val s = Dedup.survivorsCollapsed(corpus, "doc_id", col("text")).count()
-      println(s"[stress]   survivors: $s")
-    }
-    // PPJoin n-gram Jaccard belongs AFTER the collapse in a production
-    // pipeline — run it on the unique-text set, same blocking + threshold
-    // as the driver query
-    time("ngram-jaccard PPJoin (uniques)") {
-      val uniq = corpus.groupBy(md5(col("text").cast("binary")).as("k"))
-        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
-          first(col("lang")).as("lang"))
-      val p = Dedup.ngramJaccardNearDups(uniq, "doc_id", col("text"),
-        blockCols = Seq("lang"), shingleLen = 3, threshold = 0.5)
-      println(s"[stress]   jaccard pairs: ${p.count()}")
-    }
-    clusters.unpersist()
     spark.stop()
   }
 }
