@@ -517,23 +517,27 @@ object Dedup {
   def nearDupClustersCollapsed(df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5, collapseRatio: Double = 0.9): DataFrame = {
-    val keyed = df.select(col(idCol).cast("long").as("_doc"),
-      md5(text.cast("binary")).as("_k"), text.as("_t"))
     // gate (one cheap agg, the union-find-edge-gate pattern): the collapse
     // adds a groupBy + expansion joins that only pay off when the corpus
     // actually contains exact duplicates — on a mostly-unique corpus the
     // direct pair path is strictly cheaper. approx_count_distinct ships
-    // fixed-size sketches instead of every distinct key; the gate needs a
-    // ratio, not a census, and BOTH branches produce identical output so
-    // sketch error can only affect cost, never correctness
-    val Array(nDocs, nUnique) = keyed
-      .agg(count(lit(1)), approx_count_distinct(col("_k"))).first()
+    // fixed-size sketches instead of every distinct key, and it hashes
+    // its input internally (xxhash64), so the gate aggregates the TEXT
+    // column directly — an md5 pre-hash here would cost a second full-text
+    // digest pass for nothing. The gate needs a ratio, not a census, and
+    // BOTH branches produce identical output so sketch error can only
+    // affect cost, never correctness
+    val Array(nDocs, nUnique) = df
+      .agg(count(lit(1)), approx_count_distinct(text)).first()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     if (nUnique >= nDocs * collapseRatio) {
       return connectedComponents(minhashNearDups(df, idCol, text,
           shingleLen, k, rowsPerBand, threshold))
         .select(col("node").as("doc_id"), col("cluster"))
     }
+    // only the collapse branch needs the md5 group key
+    val keyed = df.select(col(idCol).cast("long").as("_doc"),
+      md5(text.cast("binary")).as("_k"), text.as("_t"))
     val groups = keyed.groupBy(col("_k"))
       .agg(min(col("_doc")).as("rep"), count(lit(1)).as("_gn"),
         first(col("_t")).as("_t")) // texts in a group are identical
