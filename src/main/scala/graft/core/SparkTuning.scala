@@ -56,6 +56,10 @@ object SparkTuning {
       exprs => graft.functions.TrigramScore(exprs(0), exprs(1), exprs(2)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dsir_units",
+      exprs => graft.functions.DsirUnits(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_html_extract",
       exprs => graft.functions.HtmlExtract(exprs(0)),
       "built-in")

@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.core.Joins
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** DSIR-style importance weighting for data selection (Xie et al. 2023,
   * "Data Selection for Language Models via Importance Resampling" — public):
@@ -61,18 +60,12 @@ object Importance {
     }.toMap
   }
 
-  /** `score_units` as a single scalar Column — the fused form composed
-    * selections want: one census job (explode + combinable groupBy over
-    * the FIXED-SIZE bucket space, collected and folded driver-side), then
-    * the score is `aggregate(grams, 0L, acc + lr_units[bucket(gram)])`
-    * usable in ANY select over the same corpus: no second gram explode,
-    * no score groupBy, no doc_id join. Bit-identical to [[dsirWeights]]'
-    * `score_units` — integer sums are summation-order-free, and every
-    * gram's bucket is in the census by construction (the census scanned
-    * the same corpus). Docs with no grams (null/short text) score 0L.
+  /** One census job — explode + combinable groupBy over the FIXED-SIZE
+    * bucket space, collected and folded driver-side into the per-bucket
+    * integer log-ratio weights every scoring form probes.
     */
-  def dsirUnitsColumn(df: DataFrame, text: Column, isTarget: Column,
-      buckets: Int = 512, scale: Long = 1000000L): Column = {
+  private def censusWeights(df: DataFrame, text: Column, isTarget: Column,
+      buckets: Int, scale: Long): Map[Long, Long] = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in (0, 2^20] (the census is collected), got $buckets")
     val bstats = df
@@ -82,7 +75,36 @@ object Importance {
         count(lit(1)).as("ct_all"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val lrMap = foldWeights(bstats, buckets, scale)
+    foldWeights(bstats, buckets, scale)
+  }
+
+  /** `score_units` as a single scalar Column — the fused form composed
+    * selections want: one census job ([[censusWeights]]), then the score
+    * is the one-pass codegen'd [[graft.functions.DsirUnits]] expression,
+    * usable in ANY select over the same corpus: no second gram explode,
+    * no score groupBy, no doc_id join. Bit-identical to [[dsirWeights]]'
+    * `score_units` — integer sums are summation-order-free, and every
+    * gram's bucket is in the census by construction (the census scanned
+    * the same corpus). Docs with no grams (null/short text) score 0L.
+    * Requires `graft.core.SparkTuning.tune` to have registered
+    * `graft_dsir_units` (every `Tables` load path does).
+    */
+  def dsirUnitsColumn(df: DataFrame, text: Column, isTarget: Column,
+      buckets: Int = 512, scale: Long = 1000000L): Column = {
+    val lrMap = censusWeights(df, text, isTarget, buckets, scale)
+    coalesce(
+      call_function("graft_dsir_units", text.cast("string"),
+        typedLit(lrMap), lit(buckets)),
+      lit(0L))
+  }
+
+  /** Reference HOF form of [[dsirUnitsColumn]] (interpreted per gram;
+    * specs pin the expression's bit-identity against it — and it is the
+    * exact per-gram arithmetic the DuckDB oracle mirrors).
+    */
+  def dsirUnitsHofColumn(df: DataFrame, text: Column, isTarget: Column,
+      buckets: Int = 512, scale: Long = 1000000L): Column = {
+    val lrMap = censusWeights(df, text, isTarget, buckets, scale)
     coalesce(
       aggregate(featureGrams(text), lit(0L),
         (acc, gm) => acc + element_at(typedLit(lrMap), gramBucket(gm, buckets))),
@@ -102,38 +124,23 @@ object Importance {
   def dsirWeights(df: DataFrame, idCol: String, text: Column,
       isTarget: Column, buckets: Int = 512, scale: Long = 1000000L,
       cacheGrams: Boolean = true): DataFrame = {
-    require(buckets > 0 && buckets <= (1 << 20),
-      s"buckets must be in (0, 2^20] (the census is collected), got $buckets")
-    val gBase = df
-      .select(col(idCol), isTarget.as("_tgt"),
-        explode(featureGrams(text)).as("gram"))
-      .select(col(idCol), col("_tgt"),
-        gramBucket(col("gram"), buckets).as("b"))
-    val g = if (cacheGrams) gBase.persist(StorageLevel.MEMORY_AND_DISK) else gBase
     // the bucket census is ≤ `buckets` rows BY CONSTRUCTION — collect it,
     // fold the totals driver-side, and inline the per-bucket weights as a
-    // LITERAL map: the scoring pass is then explode → map-lookup → groupBy
-    // with no join, no crossJoin, and no replayed corpus sub-plans (the
-    // lazy totals/weights diamond replayed the gram explode once per
-    // branch when the cache was off). Mirrors the Spark double arithmetic
-    // exactly, so scores are bit-identical to the join form.
-    val bstats = g.groupBy(col("b")).agg(
-        count(lit(1)).as("ct_all"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct_t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val lrMap = foldWeights(bstats, buckets, scale)
-    val scores = g
-      .withColumn("lr_units", element_at(typedLit(lrMap), col("b")))
-      .groupBy(col(idCol)).agg(sum(col("lr_units")).as("score_units"))
-    val res = df.select(col(idCol))
-      .join(scores, Seq(idCol), "left")
-      .na.fill(0L, Seq("score_units"))
+    // LITERAL map: the scoring pass is then ONE codegen'd scan over the
+    // corpus (the DsirUnits expression) with no second gram explode, no
+    // groupBy, no join — and therefore nothing for `cacheGrams` to cache
+    // (the parameter is retained for source compatibility; the census and
+    // the scoring scan each read the corpus once either way). Mirrors the
+    // Spark double arithmetic exactly, so scores are bit-identical to the
+    // historical explode → map-lookup → groupBy → join form.
+    val _ = cacheGrams
+    val lrMap = censusWeights(df, text, isTarget, buckets, scale)
+    val units = coalesce(
+      call_function("graft_dsir_units", text.cast("string"),
+        typedLit(lrMap), lit(buckets)),
+      lit(0L))
+    df.select(col(idCol), units.as("score_units"))
       .withColumn("score", round(col("score_units") / scale.toDouble, 6))
       .withColumn("keep", (col("score_units") > 0L).cast("int"))
-    // close the cache scope here: materialize the per-doc weights (both
-    // passes over the gram rows hit the cache), then release the
-    // corpus-sized gram table — otherwise every call leaks a cache entry
-    // into the session (see graft.core.Caching)
-    if (cacheGrams) graft.core.Caching.scoped(res, g) else res
   }
 }

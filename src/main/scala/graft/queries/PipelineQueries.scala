@@ -474,22 +474,25 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val en = col("lang") === "en"
       val lmScore = LanguageModel.scoreColumn(docs, col("text"), en).get
+      // ALL THREE gates fuse into one corpus scan: repetition stats, the
+      // LM cross-entropy and the DSIR units are scalar columns over
+      // driver-folded models (two census jobs — LM trigrams, DSIR bucket
+      // weights — then a single scored pass; the former relational DSIR
+      // keep-set join is gone with the codegen'd DsirUnits expression)
+      val dsirU = Importance.dsirUnitsColumn(docs, col("text"), en,
+        buckets = 512)
       val scored = docs
         .withColumn("_st", Repetition.stats(col("text")))
         .withColumn("_xe", LanguageModel.xentOf(lmScore))
-        .filter(round(col("_st.ttr"), 6) >= 0.35 && col("_xe") <= 5.4)
+        .withColumn("_du", dsirU)
+        .filter(round(col("_st.ttr"), 6) >= 0.35 && col("_xe") <= 5.4 &&
+          col("_du") > 0L)
         .select(col("doc_id"), col("source"))
-      // DSIR stays relational (codegen'd md5 after the explode — the HOF
-      // column form re-hashes per gram interpreted, measured slower); its
-      // keep-set joins the one scored scan
-      val dsOk = Importance.dsirWeights(docs, "doc_id", col("text"),
-          en, buckets = 512, cacheGrams = false)
-        .filter(col("keep") === 1).select("doc_id")
       // the mixture consumes its input TWICE (source quotas + the ranked
       // pass); materialize the post-gate survivors once — bounded by the
       // selection, cluster-safe via Caching.eager — so the whole scoring
       // chain runs a single time, not per consumer
-      val sel = graft.core.Caching.eager(scored.join(dsOk, "doc_id"))
+      val sel = graft.core.Caching.eager(scored)
       Sampling.temperatureMixture(sel, "doc_id", "source", tau = 0.5,
         targetFrac = 0.5, salt = "sel1").select(col("doc_id"), col("source"))
     },

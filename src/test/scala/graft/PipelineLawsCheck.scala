@@ -169,6 +169,21 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
         .forall(r => r.getSeq[Int](0) == r.getSeq[Int](1))
     }
 
+  property("dsir units: one-pass expression == HOF aggregate on random text") =
+    forAll(Gen.listOfN(6, genText), Gen.listOfN(6, Gen.oneOf(true, false)),
+        Gen.oneOf(16, 64, 512)) { (texts, tgts, buckets) =>
+      graft.core.SparkTuning.tune(spark) // registers graft_dsir_units
+      val df = texts.zip(tgts).zipWithIndex.map { case ((t, g), i) =>
+        (i.toLong, t, g)
+      }.toDF("doc_id", "text", "tgt")
+      val rows = df.select(
+          Importance.dsirUnitsColumn(df, col("text"), col("tgt"), buckets)
+            .as("e"),
+          Importance.dsirUnitsHofColumn(df, col("text"), col("tgt"), buckets)
+            .as("h")).collect()
+      rows.forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("lm trigram score: expression path == relational path on unicode") =
     forAll(Gen.listOfN(5, for {
       n <- Gen.choose(0, 24)

@@ -855,13 +855,18 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("dsirUnitsColumn is bit-identical to dsirWeights score_units") {
-    // the fused scalar form (no explode/groupBy/join) and the relational
-    // form must agree to the unit on every doc, including a null-text row
+    // the codegen'd DsirUnits scalar (which both dsirUnitsColumn and
+    // dsirWeights now score through) must agree to the unit with the
+    // interpreted HOF reference — the per-gram arithmetic the oracle
+    // mirrors — on every doc, including null-text, blank, sub-bigram and
+    // multi-byte rows
     val d = Seq(
       (1L, Option("alpha beta alpha beta gamma"), true),
       (2L, Option("gamma delta epsilon gamma"), false),
       (3L, Option.empty[String], false),
-      (4L, Option("alpha"), true)
+      (4L, Option("alpha"), true),
+      (5L, Option("  "), false),
+      (6L, Option("héllo wörld héllo é́ tab\tsep"), true)
     ).toDF("doc_id", "text", "tgt")
     val rel = Importance.dsirWeights(d, "doc_id", col("text"), col("tgt"),
         buckets = 64)
@@ -871,7 +876,12 @@ class PipelineSpec extends AnyFunSuite {
         Importance.dsirUnitsColumn(d, col("text"), col("tgt"), buckets = 64)
           .as("u"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(fused == rel)
+    val hof = d.select(col("doc_id"),
+        Importance.dsirUnitsHofColumn(d, col("text"), col("tgt"), buckets = 64)
+          .as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == hof)
+    assert(rel == hof)
   }
 
   test("LanguageModel.scoreColumn/xentOf match charTrigramScore exactly") {
