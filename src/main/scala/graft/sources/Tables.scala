@@ -20,17 +20,35 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; read the nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to micros with
-    * integer `div` (a double division would lose precision above 2^53 ns).
+  /** events.parquet has shipped with three different `ts` physical
+    * encodings across testdata generations: INT64 TIMESTAMP(NANOS) (read as
+    * long via spark.sql.legacy.parquet.nanosAsLong, floor-divided to micros
+    * with integer `div` — a double division would lose precision above
+    * 2^53 ns), TIMESTAMP_NTZ (isAdjustedToUTC=false micros, the current
+    * DuckDB-written form), and session-zoned TIMESTAMP. Normalize all three
+    * to TimestampType HERE so downstream epoch arithmetic
+    * (`ts.cast("double")`) never sees an NTZ column — Spark forbids that
+    * cast and every consumer would have to special-case it otherwise. The
+    * session timezone is pinned to UTC, so NTZ→LTZ relabeling is a no-op on
+    * the stored instant.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(read(spark, dir, "events"))
+  }
+
+  /** Normalize a `ts` column of any of the three observed encodings
+    * (long nanos / TIMESTAMP_NTZ / TIMESTAMP) to TimestampType micros.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema(tsCol).dataType match {
+      case LongType =>
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

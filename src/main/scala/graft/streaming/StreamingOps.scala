@@ -29,10 +29,10 @@ object StreamingOps {
     // file out of the shared testdata dir with a glob filter
     val dir = new java.io.File(eventsPath).getParent
     val fileName = new java.io.File(eventsPath).getName
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileName)
+        .parquet(dir))
       .withWatermark("ts", "1 day")
 
     val agg = events
