@@ -126,5 +126,13 @@ object Bench {
     System.setOut(realOut)
     System.out.println(prefix + topQs + "}")
     System.out.flush()
+    // nerr>0 must be unmissable in a human scroll of the log, not just a
+    // field in the JSON — a registry silently shrinking from 113 to 108
+    // measured queries is how a 5-query regression survived two rounds.
+    // stderr only: stdout stays one parseable line.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[bench] ******** ${errors.size}/${qseq.size} QUERIES ERRORED " +
+          s"(measured only ${results.size}): ${errors.keys.mkString(", ")} ********")
   }
 }

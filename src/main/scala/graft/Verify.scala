@@ -18,13 +18,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Every declared query MUST leave a trace in outDir: on failure, write
+    // an output dir containing only _FAILED.txt (no parquet), so the
+    // driver's comparator records an err row for the name instead of the
+    // registry silently shrinking (that's how a 5-query regression survived
+    // rounds 8-9 with an all-green 108-row artifact).
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        d.listFiles().foreach(f => if (f.isFile) f.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,5 +55,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ******** ${failed.size}/${SparkEntry.queries.size} " +
+          s"QUERIES FAILED: ${failed.keys.mkString(", ")} ********")
+      sys.exit(1)
+    }
   }
 }
