@@ -287,6 +287,18 @@ object CubeQueries {
       val r = ResampleOps.resampleCubeTemporal(c, targets)
       r.df.select(col("band"), col("t").cast("date").as("t"), col("value"))
     },
+    // valid_within branch (reference: cubes/resample.py:210-218): targets
+    // whose nearest label is farther than the tolerance keep their rows but
+    // yield null values. Events span January only, so 2024-02-15 with a
+    // 2-day tolerance is guaranteed out-of-range at every sf.
+    "resample_cube_temporal_tolerance" -> { (s, dir) =>
+      val targets = Seq("2024-01-10", "2024-01-31", "2024-02-15")
+        .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+      val c = Tables.eventsCube(s, dir)
+      val r = ResampleOps.resampleCubeTemporal(c, targets,
+        validWithinDays = Some(2.0))
+      r.df.select(col("band"), col("t").cast("date").as("t"), col("value"))
+    },
 
     // ---- dim utilities (§2.9) ----
     "dim_utils" -> { (s, dir) =>
@@ -595,6 +607,24 @@ object CubeQueries {
         |sel AS (SELECT g, ts FROM m WHERE rn = 1),
         |series AS (SELECT DISTINCT event_type AS band FROM events)
         |SELECT s.band, CAST(sel.g AS DATE) AS t, e.value
+        |FROM series s CROSS JOIN sel
+        |LEFT JOIN events e ON e.event_type = s.band AND e.ts = sel.ts""".stripMargin,
+    "resample_cube_temporal_tolerance" ->
+      // same nearest-label selection, but a chosen label farther than the
+      // 2-day tolerance nulls the value while keeping the row
+      """WITH tgt(g) AS (VALUES (TIMESTAMP '2024-01-10'),
+        |                       (TIMESTAMP '2024-01-31'),
+        |                       (TIMESTAMP '2024-02-15')),
+        |lab AS (SELECT DISTINCT ts FROM events),
+        |m AS (SELECT g, ts, abs(epoch_us(ts) - epoch_us(g)) AS dist,
+        |        row_number() OVER (PARTITION BY g
+        |          ORDER BY abs(epoch_us(ts) - epoch_us(g)), ts) AS rn
+        |      FROM lab CROSS JOIN tgt),
+        |sel AS (SELECT g, ts, dist FROM m WHERE rn = 1),
+        |series AS (SELECT DISTINCT event_type AS band FROM events)
+        |SELECT s.band, CAST(sel.g AS DATE) AS t,
+        |       CASE WHEN sel.dist > 2.0 * 86400 * 1000000 THEN NULL
+        |            ELSE e.value END AS value
         |FROM series s CROSS JOIN sel
         |LEFT JOIN events e ON e.event_type = s.band AND e.ts = sel.ts""".stripMargin,
     "dim_utils" ->

@@ -50,6 +50,12 @@ object MLQueries {
     "streaming_window" -> { (s, dir) =>
       StreamingOps.windowedEventAggregate(s, s"$dir/events.parquet")
     },
+    // Batch/stream parity: the flatMapGroupsWithState sessionizer driven to
+    // completion over the same parquet must reproduce the batch `sessionize`
+    // query exactly — it shares that query's DuckDB oracle.
+    "sessionize_stream" -> { (s, dir) =>
+      StreamingOps.sessionizeEventsFile(s, s"$dir/events.parquet")
+    },
 
     // run_udf: user Python source executed against the cube through the
     // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
@@ -139,6 +145,21 @@ object MLQueries {
       """SELECT epoch_us(ts) // 21600000000 AS bucket, event_type AS band,
         |       count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical to the batch `sessionize` oracle — the stream must converge
+    // on the same terminal per-user session stats
+    "sessionize_stream" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |l AS (SELECT user_id, sess_id, count(*) AS len FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(len) AS longest
+        |FROM l GROUP BY 1""".stripMargin,
     "process_graph" ->
       """SELECT event_type AS band, avg(floor(value * 100)) AS avg_cents
         |FROM events

@@ -56,6 +56,44 @@ object StreamingOps {
       col("band"), col("n"), col("sum_cents"))
   }
 
+  /** [[sessionizeStream]] driven to completion over a parquet-backed event
+    * stream (file source + Update-mode memory sink) so batch harnesses can
+    * verify batch/stream parity: the result must hash-match the batch
+    * `sessionize` query's DuckDB oracle. Snapshots are monotone per user
+    * (sessions only close as event time advances), so max-aggregating the
+    * emitted updates yields each user's terminal (n_sessions, longest).
+    */
+  def sessionizeEventsFile(spark: SparkSession, eventsPath: String,
+      gapSeconds: Long = 1800L, queryName: String = "graft_sess_stream")
+      : DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = new java.io.File(eventsPath).getParent
+    val fileName = new java.io.File(eventsPath).getName
+    val events = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileName)
+        .parquet(dir))
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
+    val out = sessionizeStream(typed, gapSeconds * 1000000L)
+    val q = out.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(queryName).groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("longest")).as("longest"))
+  }
+
   /** Streaming exact dedup — the ingest-side counterpart of
     * `pipeline.Dedup.exact` for a live training-data feed: keep the first
     * record per content key, with state BOUNDED by the watermark
