@@ -72,6 +72,19 @@ object CubeQueries {
         .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
           col("_c").cast("bigint").as("x"), col("value"))
     },
+    "tiff_roundtrip" -> { (s, dir) =>
+      // save_result's GTiff SINK under correctness: the same lineitem grid
+      // written through TiffWriter (deflate multi-strip) at query build,
+      // read back through TiffReader's distributed segment fan-out — a
+      // codec or strip-layout bug on either side breaks the hash. Sums are
+      // integral and < 2^24, so the f4 round-trip is exact.
+      val tif = RasterFixture.ensureTiffGrid(s, dir)
+      graft.sources.TiffReader.loadArray(s, tif, Seq("_r", "_c"))
+        .where(!isnan(col("value")))
+        .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
+          col("_c").cast("bigint").as("x"),
+          col("value").cast("double").as("value"))
+    },
     // ---- filters (§2.2) ----
     "filter_temporal" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
@@ -448,6 +461,12 @@ object CubeQueries {
         |     UNNEST(range(0, 8)) uc(c)""".stripMargin,
     "zarr_roundtrip" ->
       // the parquet truth the zarr write→read chain must reproduce
+      """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
+        |       CAST(l_partkey % 25 AS BIGINT) AS x,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS value
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "tiff_roundtrip" ->
+      // same truth through the TIFF write→read chain
       """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
         |       CAST(l_partkey % 25 AS BIGINT) AS x,
         |       CAST(sum(l_quantity) AS DOUBLE) AS value

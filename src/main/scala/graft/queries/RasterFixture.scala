@@ -50,4 +50,41 @@ object RasterFixture {
       }
       dir.toString
     }
+
+  private val tiffWritten = scala.collection.mutable.HashSet[String]()
+
+  /** TIFF SINK twin of [[ensureZarrGrid]] for the `tiff_roundtrip` query:
+    * the same lineitem grid written through [[graft.sources.TiffWriter]]
+    * (deflate strips, rowsPerStrip=7 → 6 strips, so the multi-strip
+    * offset/count arrays and the zlib codec are both on the hash path),
+    * read back through [[graft.sources.TiffReader.loadArray]]'s
+    * distributed segment fan-out. Row 0 is the TOP row (max y, north-up),
+    * matching the zarr layout; missing cells are NaN and drop on read.
+    * The grid itself is bounded (gridH×gridW = 1000 cells) — collecting
+    * it to write one driver-side file is the TIFF sink's real shape: a
+    * GTiff EXPORT is a per-tile artifact, not a sharded dataset sink
+    * (the sharded path is the zarr writer).
+    */
+  def ensureTiffGrid(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_tiff_sink_${tag}_v1.tif")
+      if (!tiffWritten.contains(sfDir)) {
+        val grid = Tables.lineitem(spark, sfDir)
+          .groupBy(pmod(col("l_orderkey"), lit(gridH)).cast("int").as("y"),
+            pmod(col("l_partkey"), lit(gridW)).cast("int").as("x"))
+          .agg(sum(col("l_quantity")).cast("float").as("v"))
+          .collect()
+        val values = Array.fill(gridH * gridW)(Float.NaN)
+        grid.foreach { r =>
+          val (y, x) = (r.getInt(0), r.getInt(1))
+          values((gridH - 1 - y) * gridW + x) = r.getFloat(2)
+        }
+        graft.sources.TiffWriter.write(path.toString, gridW, gridH, values,
+          deflate = true, rowsPerStrip = 7)
+        tiffWritten += sfDir
+      }
+      path.toString
+    }
 }
