@@ -56,6 +56,13 @@ object MLQueries {
     "sessionize_stream" -> { (s, dir) =>
       StreamingOps.sessionizeEventsFile(s, s"$dir/events.parquet")
     },
+    // Streaming exact dedup crossed under the oracle: exactly one survivor
+    // per (user_id, event_type) key must emerge from
+    // dropDuplicatesWithinWatermark — the key set is deterministic even
+    // though the surviving physical row is not.
+    "dedup_stream" -> { (s, dir) =>
+      StreamingOps.dedupEventsFile(s, s"$dir/events.parquet")
+    },
 
     // run_udf: user Python source executed against the cube through the
     // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
@@ -145,6 +152,8 @@ object MLQueries {
       """SELECT epoch_us(ts) // 21600000000 AS bucket, event_type AS band,
         |       count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
     // identical to the batch `sessionize` oracle — the stream must converge
     // on the same terminal per-user session stats
     "sessionize_stream" ->

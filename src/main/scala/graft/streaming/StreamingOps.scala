@@ -94,6 +94,39 @@ object StreamingOps {
         max(col("longest")).as("longest"))
   }
 
+  /** [[dedupStream]] driven to completion over a parquet-backed event
+    * stream, for the `dedup_stream` oracle row. Which physical row
+    * survives per key is arrival-order-dependent (partition race), so the
+    * verified output is the KEY SET — deterministic, and still a real
+    * crossing of `dropDuplicatesWithinWatermark`'s state path: emitting
+    * two rows for one key, or zero, breaks the hash.
+    */
+  def dedupEventsFile(spark: SparkSession, eventsPath: String,
+      queryName: String = "graft_dedup_stream"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = new java.io.File(eventsPath).getParent
+    val fileName = new java.io.File(eventsPath).getName
+    val events = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileName)
+        .parquet(dir))
+    val deduped = dedupStream(events, Seq("user_id", "event_type"), "ts",
+      watermarkDelay = "1 day")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(queryName).select(col("user_id"), col("event_type"))
+  }
+
   /** Streaming exact dedup — the ingest-side counterpart of
     * `pipeline.Dedup.exact` for a live training-data feed: keep the first
     * record per content key, with state BOUNDED by the watermark
