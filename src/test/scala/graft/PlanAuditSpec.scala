@@ -39,8 +39,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val filtered = FilterOps.filterTemporal(c, "2024-01-05", "2024-01-25")
     val p = plan(filtered.df)
     assert(p.contains("PushedFilters: ["), p)
-    // the nanos rewrite makes the pushed predicate an INT64 comparison on
-    // the raw column, not a post-scan cast
+    // whichever ts encoding the testdata carries, the loader's
+    // normalization must not strand the predicate above the scan: the
+    // nanos rewrite pushes an INT64 comparison on the raw column, and
+    // Catalyst's cast-unwrap pushes the NTZ comparison through the
+    // loader's NTZ→LTZ cast (UTC session tz makes it monotone-exact)
     assert("PushedFilters: \\[[^\\]]*GreaterThan".r.findFirstIn(p).isDefined ||
       "PushedFilters: \\[[^\\]]*ThanOrEqual".r.findFirstIn(p).isDefined, p)
   }
