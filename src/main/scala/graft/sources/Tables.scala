@@ -16,8 +16,14 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  // l_shipdate / o_orderdate ship as naive parquet timestamps too —
+  // normalize like events.ts so epoch arithmetic (`cast("double")`, which
+  // Spark forbids on TIMESTAMP_NTZ) is legal on every temporal column a
+  // loader hands out, whatever encoding the next testdata generation picks.
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
 
   /** events.parquet has shipped with three different `ts` physical
