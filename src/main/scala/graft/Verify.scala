@@ -24,19 +24,32 @@ object Verify {
     // registry silently shrinking (that's how a 5-query regression survived
     // rounds 8-9 with an all-green 108-row artifact).
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: $msg")
         failed(name) = msg
-        val d = new java.io.File(s"$outDir/$name")
-        d.mkdirs()
-        d.listFiles().foreach(f => if (f.isFile) f.delete())
-        Files.writeString(Paths.get(s"$outDir/$name/_FAILED.txt"), msg)
+        // best-effort marker: the cleanup/write must NEVER abort the loop
+        // (a full disk mid-write is exactly when loud reporting matters)
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          def purge(f: java.io.File): Unit = {
+            val fs = f.listFiles()
+            if (fs != null) fs.foreach { c =>
+              if (c.isDirectory) purge(c)
+              c.delete()
+            }
+          }
+          purge(d)
+          Files.writeString(Paths.get(s"$outDir/$name/_FAILED.txt"), msg)
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,7 +70,7 @@ object Verify {
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(
-        s"[verify] ******** ${failed.size}/${SparkEntry.queries.size} " +
+        s"[verify] ******** ${failed.size}/${selected.size} " +
           s"QUERIES FAILED: ${failed.keys.mkString(", ")} ********")
       sys.exit(1)
     }

@@ -154,21 +154,10 @@ object MLQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
-    // identical to the batch `sessionize` oracle — the stream must converge
-    // on the same terminal per-user session stats
-    "sessionize_stream" ->
-      """WITH g AS (SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events),
-        |s AS (SELECT user_id,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM g),
-        |l AS (SELECT user_id, sess_id, count(*) AS len FROM s GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions, max(len) AS longest
-        |FROM l GROUP BY 1""".stripMargin,
+    // THE batch `sessionize` oracle, shared by reference: the stream must
+    // converge on the same terminal per-user session stats, and a future
+    // change to the batch oracle must change this row with it
+    "sessionize_stream" -> PipelineQueries.oracles("sessionize"),
     "process_graph" ->
       """SELECT event_type AS band, avg(floor(value * 100)) AS avg_cents
         |FROM events

@@ -33,10 +33,13 @@ object PipelineQueries {
     * MEMORY_AND_DISK spills rather than evicts under pressure.
     */
   private val clustersCache =
-    scala.collection.mutable.HashMap[String, DataFrame]()
+    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
   private def collapsedClusters(s: SparkSession, dir: String): DataFrame =
     clustersCache.synchronized {
-      clustersCache.getOrElseUpdate(dir, {
+      // keyed by (session, dir): a persisted DataFrame is wired to its
+      // SparkContext, so a frame cached by a stopped session must not
+      // leak into a later one in the same JVM
+      clustersCache.getOrElseUpdate((s, dir), {
         val c = Dedup.nearDupClustersCollapsed(Tables.documents(s, dir),
           "doc_id", col("text"), shingleLen = 3, k = 32, rowsPerBand = 4,
           threshold = 0.5)

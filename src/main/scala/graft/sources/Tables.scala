@@ -13,6 +13,10 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.core.SparkTuning.tune(spark)
+    // set BEFORE any read, not just in events(): an INT64 TIMESTAMP(NANOS)
+    // column in ANY table would otherwise throw or not depending on
+    // whether an events-based query happened to run first in the session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -38,16 +42,20 @@ object Tables {
     * session timezone is pinned to UTC, so NTZ→LTZ relabeling is a no-op on
     * the stored instant.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(read(spark, dir, "events"))
-  }
 
   /** Normalize a `ts` column of any of the three observed encodings
     * (long nanos / TIMESTAMP_NTZ / TIMESTAMP) to TimestampType micros.
+    * A missing column is named loudly — that is the NEXT drift class
+    * (renamed/dropped temporal columns), and the generic schema-lookup
+    * error would not say which loader's contract broke.
     */
   def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    require(raw.schema.fieldNames.contains(tsCol),
+      s"testdata drift: expected temporal column '$tsCol' in " +
+        s"[${raw.schema.fieldNames.mkString(", ")}]")
     raw.schema(tsCol).dataType match {
       case LongType =>
         raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))

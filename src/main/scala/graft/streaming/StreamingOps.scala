@@ -13,6 +13,58 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Shared parquet-file-stream source setup: the batch footer provides
+    * the schema, the file source gets the table's DIRECTORY with a glob
+    * selecting the single table file, and the `ts` column is normalized
+    * through the same loader policy as the batch side ([[graft.sources.Tables.normalizeTs]]).
+    * One definition — the r8–r9 NTZ regression came from this exact
+    * setup logic drifting between call sites.
+    */
+  private def eventsFileStream(spark: SparkSession, eventsPath: String)
+      : DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = new java.io.File(eventsPath).getParent
+    val fileName = new java.io.File(eventsPath).getName
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileName)
+        .parquet(dir))
+  }
+
+  /** Drive a streaming frame to completion into a memory sink and return
+    * the sink table. When `requireSingleBatch` is set, assert that exactly
+    * one non-empty micro-batch ran: the stateful oracle rows
+    * ([[sessionizeEventsFile]], [[dedupEventsFile]]) are only
+    * oracle-equivalent under single-batch delivery (state expiry between
+    * batches re-emits keys / resets session counts), so a testdata change
+    * that splits the source into multiple files must fail LOUDLY here,
+    * not as a silent hash mismatch.
+    */
+  private def runToMemory(df: DataFrame, mode: String, queryName: String,
+      requireSingleBatch: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+      if (requireSingleBatch) {
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed <= 1,
+          s"$queryName: $fed non-empty micro-batches — the single-batch " +
+            "assumption behind oracle parity no longer holds (multi-file " +
+            "source?); re-derive the fold before trusting this row")
+      }
+    } finally {
+      q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan
@@ -22,35 +74,15 @@ object StreamingOps {
   def windowedEventAggregate(spark: SparkSession, eventsPath: String,
       windowLength: String = "6 hours", queryName: String = "graft_stream")
       : DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
-    // the file streaming source wants a DIRECTORY; select the single table
-    // file out of the shared testdata dir with a glob filter
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val events = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", fileName)
-        .parquet(dir))
+    val events = eventsFileStream(spark, eventsPath)
       .withWatermark("ts", "1 day")
-
     val agg = events
       .groupBy(window(col("ts"), windowLength), col("event_type").as("band"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
-
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    spark.table(queryName).select(
+    // complete-mode window agg needs no single-batch guard: the sink
+    // always holds the full aggregate
+    runToMemory(agg, "complete", queryName).select(
       (unix_micros(col("window.start")) / lit(21600000000L)).cast("bigint")
         .as("bucket"),
       col("band"), col("n"), col("sum_cents"))
@@ -59,37 +91,25 @@ object StreamingOps {
   /** [[sessionizeStream]] driven to completion over a parquet-backed event
     * stream (file source + Update-mode memory sink) so batch harnesses can
     * verify batch/stream parity: the result must hash-match the batch
-    * `sessionize` query's DuckDB oracle. Snapshots are monotone per user
-    * (sessions only close as event time advances), so max-aggregating the
-    * emitted updates yields each user's terminal (n_sessions, longest).
+    * `sessionize` query's DuckDB oracle. Within one state generation the
+    * snapshots are monotone per user, so max-aggregating the emitted
+    * updates yields the terminal (n_sessions, longest); the single-batch
+    * guard below makes the one-generation precondition explicit.
     */
   def sessionizeEventsFile(spark: SparkSession, eventsPath: String,
       gapSeconds: Long = 1800L, queryName: String = "graft_sess_stream")
       : DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val events = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", fileName)
-        .parquet(dir))
     import spark.implicits._
-    val typed = events
+    val typed = eventsFileStream(spark, eventsPath)
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
     val out = sessionizeStream(typed, gapSeconds * 1000000L)
-    val q = out.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    spark.table(queryName).groupBy(col("user_id"))
+    // single-batch REQUIRED: across an EventTimeTimeout state removal the
+    // snapshots are not monotone (a fresh generation restarts n_sessions
+    // at 1), so the max-fold is only exact when all data lands in one
+    // micro-batch — runToMemory asserts that instead of letting a future
+    // multi-file source silently undercount
+    runToMemory(out.toDF(), "update", queryName, requireSingleBatch = true)
+      .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("longest")).as("longest"))
   }
@@ -103,28 +123,13 @@ object StreamingOps {
     */
   def dedupEventsFile(spark: SparkSession, eventsPath: String,
       queryName: String = "graft_dedup_stream"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val events = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", fileName)
-        .parquet(dir))
-    val deduped = dedupStream(events, Seq("user_id", "event_type"), "ts",
-      watermarkDelay = "1 day")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    spark.table(queryName).select(col("user_id"), col("event_type"))
+    val deduped = dedupStream(eventsFileStream(spark, eventsPath),
+      Seq("user_id", "event_type"), "ts", watermarkDelay = "1 day")
+    // single-batch REQUIRED: once a key's state expires past the
+    // watermark delay, a later batch re-emits it — the key set is only
+    // exactly-distinct when all data lands in one micro-batch
+    runToMemory(deduped, "append", queryName, requireSingleBatch = true)
+      .select(col("user_id"), col("event_type"))
   }
 
   /** Streaming exact dedup — the ingest-side counterpart of

@@ -78,9 +78,16 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
   }
 
-  test("normalizeTs leaves non-ts frames and odd types untouched") {
+  test("normalizeTs leaves already-normalized frames untouched") {
     val df = Seq((1L, "a")).toDF("id", "name")
       .withColumn("ts", current_timestamp())
     assert(Tables.normalizeTs(df).schema == df.schema)
+  }
+
+  test("normalizeTs names the missing column on renamed/dropped drift") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException](Tables.normalizeTs(df))
+    assert(e.getMessage.contains("testdata drift") &&
+      e.getMessage.contains("'ts'"), e.getMessage)
   }
 }
