@@ -188,6 +188,83 @@ object Stress {
       }
       clusters.unpersist()
     }
+
+    // ---- streaming family: bounded-state sessionization at 1M events ----
+    // The claim under test (SCALE.md "sessionize (stream)" row): state is
+    // bounded by genuinely ACTIVE keys, not by every key ever seen — idle
+    // users' sessions close via EventTimeTimeout and their state is
+    // REMOVED as the watermark advances. Users are active in staggered
+    // hour-long windows (user u: [u·3.6 s, u·3.6 s + ~50 min]), the event
+    // stream arrives time-ordered in 20 micro-batches, so by the last
+    // batch the watermark has expired all but the newest users. A user
+    // never reappears after expiry, so the per-user max-fold of Update
+    // snapshots is exact and parity with the batch window computation is
+    // REQUIRED, not sampled.
+    family("stream") {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val nUsers = 20000
+      val perUser = 50 // = 1M events
+      val gapMicros = 1800L * 1000000L
+      // user u, event i: start at u·3.6 s; every 10th event jumps 31 min
+      // (> gap, opens a new session), others step 60 s — 5 sessions/user
+      val rows = (0 until nUsers).iterator.flatMap { u =>
+        var t = u.toLong * 3600000L * 1000L / 1000L // micros: u * 3.6 s
+        (0 until perUser).iterator.map { i =>
+          t += (if (i % 10 == 0 && i > 0) 31L * 60 else 60L) * 1000000L
+          (u.toLong, t)
+        }
+      }.toArray
+      val ordered = rows.sortBy(_._2)
+      val groundTruth = time("batch ground truth") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsu"))
+        ordered.toSeq.toDF("user_id", "tsu")
+          .withColumn("prev", lag(col("tsu"), 1).over(w))
+          .withColumn("ns", when(col("prev").isNull ||
+            col("tsu") - col("prev") > gapMicros, 1).otherwise(0))
+          .withColumn("sid", sum(col("ns")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("longest"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[(Long, Long)]
+      val out = graft.streaming.StreamingOps.sessionizeStream(
+        stream.toDS(), gapMicros)
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("stress_sess").start()
+      val nBatches = 20
+      val per = (ordered.length + nBatches - 1) / nBatches
+      var maxState = 0L
+      time(s"stream 1M events / $nBatches batches") {
+        ordered.grouped(per).foreach { chunk =>
+          stream.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+          val st = q.lastProgress.stateOperators
+          if (st.nonEmpty) maxState = math.max(maxState, st.map(_.numRowsTotal).max)
+        }
+        // one empty batch so the final watermark closes the tail users
+        stream.addData()
+        q.processAllAvailable()
+      }
+      val got = spark.table("stress_sess")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n"), max(col("longest")).as("l"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      q.stop()
+      println(s"[stress]   users: ${got.size} / $nUsers  peak state rows: $maxState")
+      require(got.size == nUsers, s"lost users: ${nUsers - got.size}")
+      val bad = groundTruth.count { case (u, v) => got.get(u) != Some(v) }
+      require(bad == 0, s"$bad users diverge from batch ground truth")
+      // bounded-state claim: peak live state must be a small fraction of
+      // the total key population (users expire as the watermark passes)
+      require(maxState < nUsers / 2,
+        s"state not bounded: peak $maxState of $nUsers users")
+      println(s"[stress]   parity: ${groundTruth.size} users exact; state bounded")
+    }
     spark.stop()
   }
 }
