@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * The optional second arg filters to one family: `dedup` (exact dedup,
   * clusters, survivors, PPJoin), `score` (repetition, DSIR, LM,
   * substring), `crawl` (html_extract, line_dedup, domain_stats, WARC
-  * round-trip).
+  * round-trip), `stream` (1M-event multi-batch sessionization:
+  * batch-parity + bounded-state assertions; ignores the replication arg).
   *
   * Results are recorded in SCALE.md's measured-scale-up table.
   */
