@@ -214,6 +214,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == (("plain & text", "")))
   }
 
+  test("file-driven oracle runners match their batch twins at sf0.001") {
+    // sessionize_stream / dedup_stream are otherwise exercised only by the
+    // driver gate; pin them in the suite so local dev catches breakage.
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+
+    val sessBatch = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      ev.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          col("ts").cast("double") - col("prev").cast("double") > 1800, 1)
+          .otherwise(0))
+        .withColumn("sid", sum(col("ns")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("longest"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    }
+    val sessStream = StreamingOps
+      .sessionizeEventsFile(spark, s"$dir/events.parquet",
+        queryName = "spec_sess_stream")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(sessStream == sessBatch)
+
+    val keysBatch = ev.select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val keysStream = StreamingOps
+      .dedupEventsFile(spark, s"$dir/events.parquet",
+        queryName = "spec_dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keysStream.length == keysStream.toSet.size, "duplicate keys emitted")
+    assert(keysStream.toSet == keysBatch)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
