@@ -35,24 +35,27 @@ object Stress {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.SparkTuning.tune(spark)
 
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("lang"))
-    val nBase = base.count()
     // replicate under shifted ids and round-trip through PARQUET: the timed
     // plans must see real file statistics (size-gated broadcasts fire off
     // Catalyst's scan estimates), exactly like a production corpus — a
     // checkpointed in-memory corpus reports unknown stats and silently
-    // degrades every maybeBroadcast join to sort-merge
-    val corpusPath = s"/tmp/graft_stress_${rep}x"
-    spark.range(rep).toDF("r")
-      .crossJoin(base)
-      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
-        col("text"), col("lang"))
-      .repartition(32) // scan parallelism like a real many-file corpus
-      .write.mode("overwrite").parquet(corpusPath)
-    val corpus = spark.read.parquet(corpusPath)
-    val n = corpus.count()
-    println(s"[stress] corpus: $nBase base docs x $rep = $n")
+    // degrades every maybeBroadcast join to sort-merge. LAZY: the `stream`
+    // family is synthetic-event-only and must not pay a corpus build.
+    lazy val corpus: org.apache.spark.sql.DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val nBase = base.count()
+      val corpusPath = s"/tmp/graft_stress_${rep}x"
+      spark.range(rep).toDF("r")
+        .crossJoin(base)
+        .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+          col("text"), col("lang"))
+        .repartition(32) // scan parallelism like a real many-file corpus
+        .write.mode("overwrite").parquet(corpusPath)
+      val c = spark.read.parquet(corpusPath)
+      println(s"[stress] corpus: $nBase base docs x $rep = ${c.count()}")
+      c
+    }
 
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -195,12 +198,17 @@ object Stress {
     // bounded by genuinely ACTIVE keys, not by every key ever seen — idle
     // users' sessions close via EventTimeTimeout and their state is
     // REMOVED as the watermark advances. Users are active in staggered
-    // hour-long windows (user u: [u·3.6 s, u·3.6 s + ~50 min]), the event
-    // stream arrives time-ordered in 20 micro-batches, so by the last
-    // batch the watermark has expired all but the newest users. A user
-    // never reappears after expiry, so the per-user max-fold of Update
+    // ~169-min windows (user u starts at u·3.6 s; 45 one-minute steps +
+    // 4 thirty-one-minute session gaps), the event stream arrives
+    // time-ordered in 20 micro-batches, so the watermark continually
+    // expires users whose windows have passed. Mid-activity expiry is
+    // impossible — the largest intra-activity gap (31 min) is below
+    // timeout + watermark delay (30 + 10 min) — and a user never
+    // reappears after expiry, so the per-user max-fold of Update
     // snapshots is exact and parity with the batch window computation is
-    // REQUIRED, not sampled.
+    // REQUIRED, not sampled. (The newest ~40 min of users never time out
+    // — the watermark is capped at maxEventTime − delay — but their last
+    // in-batch snapshot already carries their exact totals.)
     family("stream") {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -210,7 +218,7 @@ object Stress {
       // user u, event i: start at u·3.6 s; every 10th event jumps 31 min
       // (> gap, opens a new session), others step 60 s — 5 sessions/user
       val rows = (0 until nUsers).iterator.flatMap { u =>
-        var t = u.toLong * 3600000L * 1000L / 1000L // micros: u * 3.6 s
+        var t = u.toLong * 3600000L // micros: u * 3.6 s stagger
         (0 until perUser).iterator.map { i =>
           t += (if (i % 10 == 0 && i > 0) 31L * 60 else 60L) * 1000000L
           (u.toLong, t)
@@ -239,17 +247,27 @@ object Stress {
         .format("memory").queryName("stress_sess").start()
       val nBatches = 20
       val per = (ordered.length + nBatches - 1) / nBatches
+      // scan the FULL progress history, not just lastProgress: after a
+      // data batch Spark runs a watermark-advance batch that evicts state,
+      // and sampling only the latest entry would read the post-eviction
+      // count — understating the peak in the direction that flatters the
+      // claim. recentProgress retains 100 entries > the ~40 this run emits.
+      def peakState(): Long =
+        q.recentProgress.iterator
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
       var maxState = 0L
       time(s"stream 1M events / $nBatches batches") {
         ordered.grouped(per).foreach { chunk =>
           stream.addData(chunk.toIndexedSeq)
           q.processAllAvailable()
-          val st = q.lastProgress.stateOperators
-          if (st.nonEmpty) maxState = math.max(maxState, st.map(_.numRowsTotal).max)
+          maxState = math.max(maxState, peakState())
         }
-        // one empty batch so the final watermark closes the tail users
+        // a final empty batch advances the watermark one last time,
+        // closing every user whose window ends > delay before the stream's
+        // max event time (the newest tail stays open by construction)
         stream.addData()
         q.processAllAvailable()
+        maxState = math.max(maxState, peakState())
       }
       val got = spark.table("stress_sess")
         .groupBy(col("user_id"))

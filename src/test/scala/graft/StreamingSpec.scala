@@ -220,20 +220,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.sources.Tables.events(spark, dir)
 
-    val sessBatch = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"))
-      ev.withColumn("prev", lag(col("ts"), 1).over(w))
-        .withColumn("ns", when(col("prev").isNull ||
-          col("ts").cast("double") - col("prev").cast("double") > 1800, 1)
-          .otherwise(0))
-        .withColumn("sid", sum(col("ns")).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("len"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("longest"))
-        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-    }
+    // the batch twin is THE registered driver query — one definition, so a
+    // future change to its session semantics re-pins this parity test too
+    val sessBatch = graft.queries.PipelineQueries.queries("sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     val sessStream = StreamingOps
       .sessionizeEventsFile(spark, s"$dir/events.parquet",
         queryName = "spec_sess_stream")
