@@ -38,7 +38,13 @@ object PipelineQueries {
     clustersCache.synchronized {
       // keyed by (session, dir): a persisted DataFrame is wired to its
       // SparkContext, so a frame cached by a stopped session must not
-      // leak into a later one in the same JVM
+      // leak into a later one in the same JVM. Stopped sessions' entries
+      // are EVICTED here, too — without this the map pins dead sessions
+      // and their persisted frames for the JVM lifetime in long-lived
+      // multi-session JVMs (test suites)
+      clustersCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
       clustersCache.getOrElseUpdate((s, dir), {
         val c = Dedup.nearDupClustersCollapsed(Tables.documents(s, dir),
           "doc_id", col("text"), shingleLen = 3, k = 32, rowsPerBand = 4,

@@ -56,13 +56,22 @@ object Tables {
     require(raw.schema.fieldNames.contains(tsCol),
       s"testdata drift: expected temporal column '$tsCol' in " +
         s"[${raw.schema.fieldNames.mkString(", ")}]")
-    raw.schema(tsCol).dataType match {
+    val out = raw.schema(tsCol).dataType match {
       case LongType =>
         raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
       case TimestampNTZType =>
         raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => raw
     }
+    // a FOURTH encoding (DATE, string, …) must fail here with a drift
+    // message, not pass through and strand downstream epoch casts the way
+    // the r8 NTZ drift did — the catch-all above is only for frames that
+    // are already TimestampType
+    require(out.schema(tsCol).dataType == TimestampType,
+      s"testdata drift: '$tsCol' has unhandled encoding " +
+        s"${raw.schema(tsCol).dataType.catalogString}; teach normalizeTs " +
+        "the new physical type before trusting any temporal query")
+    out
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
