@@ -63,6 +63,17 @@ object MLQueries {
     "dedup_stream" -> { (s, dir) =>
       StreamingOps.dedupEventsFile(s, s"$dir/events.parquet")
     },
+    // MULTI-BATCH stateful evidence (r11): the same two operators driven
+    // over ≥5 time-ordered micro-batches — per-user/per-key state crosses
+    // real batch boundaries, with the watermark delay sized past the data
+    // span so no state expires mid-run and the fold stays exact. Shares
+    // the single-batch rows' oracles: parity must hold in both regimes.
+    "sessionize_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.sessionizeEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
+    "dedup_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.dedupEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
 
     // run_udf: user Python source executed against the cube through the
     // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
@@ -154,10 +165,13 @@ object MLQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "dedup_stream_multibatch" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
     // THE batch `sessionize` oracle, shared by reference: the stream must
     // converge on the same terminal per-user session stats, and a future
     // change to the batch oracle must change this row with it
     "sessionize_stream" -> PipelineQueries.oracles("sessionize"),
+    "sessionize_stream_multibatch" -> PipelineQueries.oracles("sessionize"),
     "process_graph" ->
       """SELECT event_type AS band, avg(floor(value * 100)) AS avg_cents
         |FROM events

@@ -43,7 +43,8 @@ object StreamingOps {
     * not as a silent hash mismatch.
     */
   private def runToMemory(df: DataFrame, mode: String, queryName: String,
-      requireSingleBatch: Boolean = false): DataFrame = {
+      requireSingleBatch: Boolean = false, requireMinBatches: Int = 0)
+      : DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
       .outputMode(mode)
@@ -52,17 +53,107 @@ object StreamingOps {
       .start()
     try {
       q.processAllAvailable()
-      if (requireSingleBatch) {
-        val fed = q.recentProgress.count(_.numInputRows > 0)
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      if (requireSingleBatch)
         require(fed <= 1,
           s"$queryName: $fed non-empty micro-batches — the single-batch " +
             "assumption behind oracle parity no longer holds (multi-file " +
             "source?); re-derive the fold before trusting this row")
-      }
+      if (requireMinBatches > 0)
+        require(fed >= requireMinBatches,
+          s"$queryName: only $fed non-empty micro-batches (need ≥ " +
+            s"$requireMinBatches) — the multi-batch evidence this row " +
+            "claims did not actually happen (source collapsed into fewer " +
+            "triggers?)")
     } finally {
       q.stop()
     }
     spark.table(queryName)
+  }
+
+  /** Split the events parquet into `shards` TIME-ORDERED single-file
+    * shards for multi-batch delivery: `repartitionByRange` on `ts` makes
+    * part-file NAME order the time order, and each file's mtime is bumped
+    * monotonically so `FileStreamSource` (which orders by modification
+    * time) discovers them oldest-range first under `maxFilesPerTrigger=1`.
+    * Returns the shard directory. Harness plumbing, driver-side by design:
+    * a production multi-batch source is a live feed, not a re-sharded file.
+    */
+  private def writeTimeOrderedShards(spark: SparkSession, eventsPath: String,
+      shards: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_shards").toFile
+    graft.sources.Tables
+      .normalizeTs(spark.read.parquet(eventsPath))
+      .repartitionByRange(shards, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir.getPath)
+    val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    require(parts.length > 1,
+      s"multi-batch shard split produced ${parts.length} file(s)")
+    val t0 = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 60000L)
+    }
+    dir.getPath
+  }
+
+  /** MULTI-BATCH [[sessionizeStream]] oracle run — the evidence class the
+    * single-batch [[sessionizeEventsFile]] row cannot provide: per-user
+    * state genuinely crosses micro-batch boundaries (one shard per
+    * trigger), and the run asserts ≥ `minBatches` non-empty batches so a
+    * source regression can't quietly collapse it back to one trigger.
+    *
+    * Exactness across batches: the watermark delay (40 days) exceeds the
+    * events table's full 30-day span, so no `EventTimeTimeout` fires and
+    * every user stays in ONE state generation for the whole run — within a
+    * generation the emitted Update snapshots are monotone per user, so the
+    * terminal max-fold is exact. Shards are time-range partitioned, so each
+    * user's events arrive in event-time order across batches (within-batch
+    * order is sorted by the operator itself).
+    */
+  def sessionizeEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
+      gapSeconds: Long = 1800L, shards: Int = 8, minBatches: Int = 5,
+      queryName: String = "graft_sess_stream_mb"): DataFrame = {
+    import spark.implicits._
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
+    val out = sessionizeStream(typed, gapSeconds * 1000000L,
+      watermarkDelay = "40 days")
+    runToMemory(out.toDF(), "update", queryName,
+      requireMinBatches = minBatches)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("longest")).as("longest"))
+  }
+
+  /** MULTI-BATCH [[dedupStream]] oracle run, same construction as
+    * [[sessionizeEventsFileMultiBatch]]: one time-ordered shard per
+    * trigger, watermark delay (40 days) beyond the data span so no key's
+    * state expires mid-run — the appended key set is exactly distinct
+    * across batches, and ≥ `minBatches` non-empty batches are asserted.
+    */
+  def dedupEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
+      shards: Int = 8, minBatches: Int = 5,
+      queryName: String = "graft_dedup_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+    val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts",
+      watermarkDelay = "40 days")
+    runToMemory(deduped, "append", queryName, requireMinBatches = minBatches)
+      .select(col("user_id"), col("event_type"))
   }
 
   /** Tumbling-window aggregation over a parquet-backed event stream,

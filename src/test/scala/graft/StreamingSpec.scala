@@ -240,6 +240,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(keysStream.toSet == keysBatch)
   }
 
+  test("MULTI-BATCH file-driven runners match batch twins at sf0.001") {
+    // the r11 evidence upgrade: state crosses ≥5 real micro-batch
+    // boundaries (asserted inside the runner) and parity must still hold
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+
+    val sessBatch = graft.queries.PipelineQueries.queries("sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val sessStream = StreamingOps
+      .sessionizeEventsFileMultiBatch(spark, s"$dir/events.parquet",
+        queryName = "spec_sess_stream_mb")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(sessStream == sessBatch)
+
+    val keysBatch = ev.select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val keysStream = StreamingOps
+      .dedupEventsFileMultiBatch(spark, s"$dir/events.parquet",
+        queryName = "spec_dedup_stream_mb")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keysStream.length == keysStream.toSet.size, "duplicate keys emitted")
+    assert(keysStream.toSet == keysBatch)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
