@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * clusters, survivors, PPJoin), `score` (repetition, DSIR, LM,
   * substring), `crawl` (html_extract, line_dedup, domain_stats, WARC
   * round-trip), `stream` (1M-event multi-batch sessionization:
-  * batch-parity + bounded-state assertions; ignores the replication arg).
+  * batch-parity + bounded-state assertions; ignores the replication arg),
+  * `raster` (dense-grid cube ops — resample_spatial average/near/bilinear,
+  * tiled kernel stencil, 2-D neighborhood, merge_cubes resolver join,
+  * aggregate_temporal_period — on a synthesized rep·100k-cell grid: the
+  * scale class the reference documents as its own dask OOM ceiling,
+  * docs/scalability/aggregate-large-spatial-extents.md:9-26).
   *
   * Results are recorded in SCALE.md's measured-scale-up table.
   */
@@ -191,6 +196,70 @@ object Stress {
         println(s"[stress]   jaccard pairs: ${p.count()}")
       }
       clusters.unpersist()
+    }
+
+    // ---- raster family: dense-grid cube ops at rep·100k cells ----
+    // The §2 cube operators' 100-TB claims rest on plan shape (single-
+    // shuffle binning, arithmetic halo exchange, no coordinate crossJoins);
+    // this family turns them into measured rows like the dedup family.
+    // Grid: side×side×4 timesteps with rep·100k total cells (rep=10 → 1M,
+    // rep=100 → 10M), written to a 32-file parquet so the timed plans see
+    // real file statistics, values id-derived and deterministic.
+    family("raster") {
+      import graft.core.DataCube
+      import graft.operators.{AggregateOps, KernelOps, MergeOps, ResampleOps, WindowOps}
+      val nT = 4L
+      val side = math.sqrt(rep.toDouble * 100000.0 / nT).toLong
+      val rasterPath = s"/tmp/graft_stress_raster_${rep}x"
+      val epoch = 1704067200000000L // 2024-01-01T00:00:00Z micros
+      spark.range(side * side * nT)
+        .select(
+          (col("id") % side).as("x"),
+          (expr(s"id div $side") % side).as("y"),
+          timestamp_micros(lit(epoch) +
+            expr(s"id div ${side * side}") * 86400000000L).as("t"),
+          (pmod(col("id") * 2654435761L, lit(10000L)).cast("double") / 10.0)
+            .as("value"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(rasterPath)
+      val grid = spark.read.parquet(rasterPath)
+      println(s"[stress] raster grid: $side x $side x $nT = ${grid.count()} cells")
+      def cube = DataCube.fromTable(grid, Seq("x", "y", "t"), "value")
+
+      time("resample_spatial avg 4x4") {
+        force(ResampleOps.resampleSpatialAgg(cube, 4.0, 4.0,
+          v => graft.functions.Reducers.meanR(v)).df)
+      }
+      time("resample_spatial near 4x4") {
+        force(ResampleOps.resampleSpatialNear(cube, 4.0, 4.0).df)
+      }
+      time("resample bilinear 10k targets") {
+        // bounded re-grid target list (broadcast), grid never shuffles
+        val step = side / 100.0
+        val targets = for { i <- 0 until 100; j <- 0 until 100 }
+          yield (i * step + 0.25, j * step + 0.25)
+        force(ResampleOps.resampleSpatialBilinear(cube, targets).df)
+      }
+      time("apply_kernel tiled 5x5") {
+        val k = Seq.fill(5)(Seq.fill(5)(1.0 / 25))
+        force(KernelOps.applyKernelTiled(cube, k, KernelOps.Replicate,
+          xRange = (0L, side - 1), yRange = (0L, side - 1)).df)
+      }
+      time("apply_neighborhood 8x8") {
+        force(WindowOps.applyNeighborhood2D(cube, 8, 8,
+          v => graft.functions.Reducers.meanR(v)).df)
+      }
+      time("merge_cubes resolver join") {
+        // fully-overlapping label sets + resolver: the data-sized
+        // full-outer equi-join — the one merge shape that cannot broadcast
+        val other = cube.withDf(_.withColumn("value", col("value") * 0.5))
+        force(MergeOps.mergeCubes(cube, other,
+          Some((a, b) => a + b)).df)
+      }
+      time("aggregate_temporal_period day") {
+        force(AggregateOps.aggregateTemporalPeriod(cube, "day",
+          v => graft.functions.Reducers.meanR(v)).df)
+      }
     }
 
     // ---- streaming family: bounded-state sessionization at 1M events ----

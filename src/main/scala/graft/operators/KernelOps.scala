@@ -155,9 +155,22 @@ object KernelOps {
     *      stay tile-local.
     *   2. '''One shuffle.''' groupBy (other dims, tile) collects the tile's
     *      cells — memory is one (T+2h)² tile, never a raster.
-    *   3. '''Stencil as Column HOFs.''' A per-tile lookup map (packed-long
-    *      key) + one `transform` over interior cells unrolls the kernel into
-    *      codegen-able map probes — no UDF, no custom plan node.
+    *   3. '''Stencil as ONE bounded imperative per-tile kernel.''' A single
+    *      UDF scatters the tile's cells into a dense (T+2hx)·(T+2hy)
+    *      halo-window array (local-offset indexed) and convolves the
+    *      interior with O(1) array probes — O(cells·k) per tile, the
+    *      sanctioned per-partition-imperative escape hatch. This replaced
+    *      the original `transform`-HOF-over-lookup-MAP form: Catalyst's
+    *      `element_at` on a map is a LINEAR SCAN of the keys (interpreted
+    *      and codegen'd both — GetMapValueUtil/complexTypeExtractors), so
+    *      map probes cost O(tile cells) EACH and the stencil went
+    *      quadratic per tile — invisible on the driver queries' small
+    *      cubes, found by the r11 raster stress at a 1M-cell grid
+    *      (500×500×4, T=256 ⇒ 68k-entry maps): >15 min there, ~2 s as the
+    *      imperative kernel. (HOF lambdas are interpreted per element
+    *      besides — the old "codegen-able map probes" claim was wrong on
+    *      both counts.) A null-valued cell scatters as absent — exactly
+    *      the map form's null-entry lookup semantics.
     *
     * Semantics are IDENTICAL to [[applyKernelBorder]] (spec'd cell-for-cell,
     * all five modes): missing in-grid neighbors contribute the fill under
@@ -212,49 +225,101 @@ object KernelOps {
       .filter(col("_tx").between(Math.floorDiv(xlo, T), Math.floorDiv(xhi, T)) &&
         col("_ty").between(Math.floorDiv(ylo, T), Math.floorDiv(yhi, T)))
 
+    // Per-tile stencil as ONE bounded imperative kernel (the sanctioned
+    // per-partition-imperative escape hatch): scatter the tile's cells into
+    // a dense (T+2hx)x(T+2hy) halo-window array indexed by local offset,
+    // then convolve the interior imperatively — O(cells·k) with O(1) array
+    // probes. Every assigned cell lies inside its tile's window by
+    // construction of the halo tile assignment, and every probe target
+    // does too (interior cells reach at most h beyond the tile; the remap
+    // modes stay within the global [lo, hi], which the edge tile's window
+    // covers) — the in-range guards are belt-and-braces. A null cell
+    // scatters as absent. The offset fold order and the `* factor` position
+    // mirror the former Column form exactly, so results stay bit-identical
+    // to the join form (spec-pinned, all five border modes).
+    val W = (T + 2 * hx).toInt; val H = (T + 2 * hy).toInt
+    val hxL = hx.toLong; val hyL = hy.toLong
+    val fillVal = border match { case Constant(f) => f; case _ => 0.0 }
+    val emitAll = border match { case Constant(_) => true; case _ => false }
+    val noRemap = border match { case Constant(_) | Wrap => true; case _ => false }
+    val offs: Array[(Int, Int, Double)] = offsets.toArray
+    // long-domain twin of remapCol (shared semantics, spec-pinned equal)
+    def remapL(c: Long, lo: Long, hi: Long): Long = {
+      val n = hi - lo + 1
+      border match {
+        case Constant(_) => c
+        case _ if n == 1 => lo
+        case Replicate => math.min(math.max(c, lo), hi)
+        case Wrap => lo + math.floorMod(c - lo, n)
+        case Reflect =>
+          val m = math.floorMod(c - lo, 2 * n)
+          lo + (if (m < n) m else 2 * n - 1 - m)
+        case ReflectPixel =>
+          val m = math.floorMod(c - lo, 2 * n - 2)
+          lo + (if (m < n) m else 2 * n - 2 - m)
+      }
+    }
+    val stencil = udf((xsIn: Seq[Long], ysIn: Seq[Long], vsIn: Seq[Double],
+        presentIn: Seq[Boolean], tx: Long, ty: Long) => {
+      // Spark may hand these in as immutable Lists — index through arrays
+      // or every xs(i) is an O(n) drop and both loops go quadratic
+      // (measured: 200 s vs 3 s on a 68k-cell tile)
+      val xs = xsIn.toArray; val ys = ysIn.toArray
+      val vs = vsIn.toArray; val present = presentIn.toArray
+      val x0 = tx * T - hxL; val y0 = ty * T - hyL
+      val arr = new Array[Double](W * H)
+      val has = new Array[Boolean](W * H)
+      var i = 0
+      while (i < xs.length) {
+        if (present(i)) {
+          val ix = (xs(i) - x0).toInt; val iy = (ys(i) - y0).toInt
+          if (ix >= 0 && ix < W && iy >= 0 && iy < H) {
+            arr(ix + iy * W) = vs(i); has(ix + iy * W) = true
+          }
+        }
+        i += 1
+      }
+      // interior = this tile's own in-grid cells (halo copies and Wrap
+      // virtual coordinates belong to another tile's interior)
+      val loX = math.max(xlo, tx * T); val hiX = math.min(xhi, tx * T + T - 1)
+      val loY = math.max(ylo, ty * T); val hiY = math.min(yhi, ty * T + T - 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      i = 0
+      while (i < xs.length) {
+        val cx = xs(i); val cy = ys(i)
+        if (cx >= loX && cx <= hiX && cy >= loY && cy <= hiY) {
+          var s = 0.0; var found = 0; var j = 0
+          while (j < offs.length) {
+            val (dx, dy, w) = offs(j)
+            var lx = cx - dx; var ly = cy - dy
+            if (!noRemap) { lx = remapL(lx, xlo, xhi); ly = remapL(ly, ylo, yhi) }
+            val ix = (lx - x0).toInt; val iy = (ly - y0).toInt
+            val in = ix >= 0 && ix < W && iy >= 0 && iy < H && has(ix + iy * W)
+            s += (if (in) { found += 1; arr(ix + iy * W) } else fillVal) * w
+            j += 1
+          }
+          if (emitAll || found > 0) out += ((cx, cy, s * factor))
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+
     val tiles = halo
       .groupBy((others.map(col) :+ col("_tx") :+ col("_ty")): _*)
       .agg(collect_list(struct(col("_vx").as("cx"), col("_vy").as("cy"),
         col(v).cast("double").as("cv"))).as("_cells"))
-      .withColumn("_m", map_from_entries(transform(col("_cells"),
-        c => struct(key(c.getField("cx"), c.getField("cy")), c.getField("cv")))))
 
-    val fillVal = border match { case Constant(f) => f; case _ => 0.0 }
-    val emitAll = border match { case Constant(_) => true; case _ => false }
-    def lookup(cx: Column, cy: Column, dx: Int, dy: Int): Column = {
-      val (lx0, ly0) = (cx - dx, cy - dy)
-      val (lx, ly) = border match {
-        // Constant: out-of-grid == missing == fill; Wrap: virtual copies
-        // make periodic neighbors resolvable without remap
-        case Constant(_) | Wrap => (lx0, ly0)
-        case _ => (remapCol(border)(lx0, xlo, xhi), remapCol(border)(ly0, ylo, yhi))
-      }
-      element_at(col("_m"), key(lx, ly)) // null when absent
-    }
-
-    val interior = filter(col("_cells"), c =>
-      c.getField("cx") >= greatest(lit(xlo), col("_tx") * T) &&
-        c.getField("cx") <= least(lit(xhi), col("_tx") * T + (T - 1)) &&
-        c.getField("cy") >= greatest(lit(ylo), col("_ty") * T) &&
-        c.getField("cy") <= least(lit(yhi), col("_ty") * T + (T - 1)))
-    val outCells = transform(interior, c => {
-      val lkups = offsets.map { case (dx, dy, w) =>
-        (w, lookup(c.getField("cx"), c.getField("cy"), dx, dy))
-      }
-      val sumV = lkups.map { case (w, l) => coalesce(l, lit(fillVal)) * w }
-        .reduce(_ + _) * factor
-      val found = lkups.map { case (_, l) => when(l.isNotNull, 1).otherwise(0) }
-        .reduce(_ + _)
-      struct(c.getField("cx").as("ox"), c.getField("cy").as("oy"),
-        sumV.as("ov"), (found > 0).as("emit"))
-    })
-
-    val out = tiles.select((others.map(col) :+ explode(outCells).as("_o")): _*)
-      .filter(if (emitAll) lit(true) else col("_o").getField("emit"))
+    val out = tiles.select((others.map(col) :+ explode(stencil(
+        transform(col("_cells"), c => c.getField("cx")),
+        transform(col("_cells"), c => c.getField("cy")),
+        transform(col("_cells"), c => coalesce(c.getField("cv"), lit(0.0))),
+        transform(col("_cells"), c => c.getField("cv").isNotNull),
+        col("_tx"), col("_ty"))).as("_o")): _*)
       .select((others.map(col) :+
-        col("_o").getField("ox").as(xd) :+
-        col("_o").getField("oy").as(yd) :+
-        col("_o").getField("ov").as(v)): _*)
+        col("_o").getField("_1").as(xd) :+
+        col("_o").getField("_2").as(yd) :+
+        col("_o").getField("_3").as(v)): _*)
     cube.copy(df = out)
   }
 }

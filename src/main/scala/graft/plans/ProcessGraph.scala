@@ -405,6 +405,146 @@ object ProcessGraph {
             else c.df.drop(c.meta.valueCol).join(deduped, Seq(idDim))
           CubeV(c.withDf(_ => joined
             .select((c.meta.dimNames.map(col) :+ col(c.meta.valueCol)): _*)))
+        // ---- LLM-pipeline family as cube/table-level graph nodes ----
+        // (beyond the reference, like the scalar crawl ops above: the
+        // repo's flagship dedup/quality/sampling operators become
+        // declaratively composable — a graph can express the full
+        // load → quality → redact → dedup → pack training-data pipeline,
+        // ProcessGraphSpec pins graph ≡ DataFrame-chain equivalence.)
+        // All operate on a text-valued cube whose id dimension defaults to
+        // the first dim (the line_dedup convention).
+        case "quality_filter" =>
+          // Gopher-style gate: keep docs with ≥ min_tokens whitespace
+          // tokens and type-token ratio ≥ min_ttr (round-6 like the
+          // pipeline_e2e chain, so graph and DataFrame gates agree on
+          // boundary docs)
+          val c = cube("data")
+          val v = col(c.meta.valueCol)
+          val minTok = args.get("min_tokens").collect {
+            case NumV(x) => x }.getOrElse(1.0)
+          val minTtr = args.get("min_ttr").collect {
+            case NumV(x) => x }.getOrElse(0.0)
+          CubeV(c.withDf(_.filter(
+            graft.pipeline.TextAnalysis.tokenCount(v) >= minTok &&
+              round(graft.pipeline.Repetition.typeTokenRatio(v), 6) >= minTtr)))
+        case "pii_redact" =>
+          val c = cube("data")
+          CubeV(c.withDf(_.withColumn(c.meta.valueCol,
+            graft.pipeline.TextAnalysis.redactPii(col(c.meta.valueCol)))))
+        case "exact_dedup" =>
+          // first doc per identical text survives: one md5 groupBy for the
+          // survivor id set, then a semi join (AQE broadcasts it when small)
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val surv = c.df
+            .groupBy(md5(col(c.meta.valueCol).cast("binary")).as("_k"))
+            .agg(min(col(idDim)).as(idDim)).select(col(idDim))
+          CubeV(c.withDf(_.join(surv, Seq(idDim), "left_semi")))
+        case "minhash_dedup_survivors" =>
+          // MinHash-LSH near-dup survivor selection through the
+          // exact-dup pre-collapse path (Dedup.survivorsCollapsed)
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val th = args.get("threshold").collect {
+            case NumV(x) => x }.getOrElse(0.5)
+          CubeV(c.withDf(df => graft.pipeline.Dedup.survivorsCollapsed(
+            df, idDim, col(c.meta.valueCol), threshold = th)))
+        case "lm_score" =>
+          // char-trigram LM quality scoring; `target` is an optional scalar
+          // callback over the text marking the model's target distribution
+          // (defaults to the whole corpus). With `max_xent` the node
+          // FILTERS (text cube in, text cube out); without it the value
+          // becomes the xent score.
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val v = c.meta.valueCol
+          val isTarget = opt("target")
+            .map(_ => scalarCallback("target")(col(v)).cast("boolean"))
+            .getOrElse(lit(true))
+          val scored = graft.pipeline.LanguageModel
+            .charTrigramScore(c.df, idDim, col(v), isTarget)
+          opt("max_xent") match {
+            case Some(NumV(mx)) =>
+              val keep = scored.filter(col("xent") <= mx).select(col(idDim))
+              CubeV(c.withDf(_.join(keep, Seq(idDim), "left_semi")))
+            case _ =>
+              val x = scored.select(col(idDim), col("xent").as("_xent"))
+              CubeV(c.withDf(df => df.drop(v).join(x, Seq(idDim))
+                .withColumn(v, col("_xent"))
+                .select((c.meta.dimNames.map(col) :+ col(v)): _*)))
+          }
+        case "dsir_weights" =>
+          // DSIR importance weight per doc becomes the cube value; `target`
+          // callback as in lm_score
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val v = c.meta.valueCol
+          val isTarget = opt("target")
+            .map(_ => scalarCallback("target")(col(v)).cast("boolean"))
+            .getOrElse(lit(true))
+          val weighted = graft.pipeline.Importance
+            .dsirWeights(c.df, idDim, col(v), isTarget)
+            .select(col(idDim), col("score").as("_w"))
+          CubeV(c.withDf(df => df.drop(v).join(weighted, Seq(idDim))
+            .withColumn(v, col("_w"))
+            .select((c.meta.dimNames.map(col) :+ col(v)): _*)))
+        case "split" =>
+          // deterministic hash split: `fractions` = {"train":0.8,...} (raw
+          // JSON), keep the named slice — shuffle-free, the 100-TB path
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val fracs = JsonMethods.parse(str("fractions")) match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(d)) => k -> d
+              case (k, JInt(i)) => k -> i.toDouble
+              case (k, JDecimal(d)) => k -> d.toDouble
+            }
+            case _ => throw new IllegalArgumentException(
+              "split.fractions: need a {name: fraction} object")
+          }
+          val salt = opt("salt").map(_.asInstanceOf[StrV].v)
+            .getOrElse("graft-split")
+          CubeV(c.withDf(_.filter(graft.pipeline.Sampling
+            .splitColumn(col(idDim), salt, fracs) === str("keep"))))
+        case "sample" =>
+          // proportional-in-expectation hash sample, shuffle-free
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val salt = opt("salt").map(_.asInstanceOf[StrV].v)
+            .getOrElse("graft-sample")
+          CubeV(c.withDf(df => graft.pipeline.Sampling.sampleByHash(
+            df, idDim, num("fraction"), salt)))
+        case "pack_sequences" =>
+          // terminal packing node: the cube becomes the packing table
+          // (id, n_tok, bin, offset_in_bin) with offset_in_bin as value —
+          // the exact shape the pack_sequences driver query emits
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val budget = num("budget").toInt
+          val nBuckets = args.get("buckets").collect {
+            case NumV(x) => x.toInt }.getOrElse(256)
+          val packed = graft.pipeline.Sampling.packSequences(c.df, idDim,
+            graft.pipeline.TextAnalysis.tokenCount(col(c.meta.valueCol)),
+            budget, nBuckets)
+          CubeV(DataCube(packed, CubeMetadata(Seq(
+            CubeDim(idDim, DimType.Other),
+            CubeDim("n_tok", DimType.Other),
+            CubeDim("bin", DimType.Other)), None, "offset_in_bin")))
+
         case "drop_dimension" =>
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
         case "rename_dimension" =>

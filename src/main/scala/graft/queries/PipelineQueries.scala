@@ -386,6 +386,39 @@ object PipelineQueries {
       Sampling.packSequences(Tables.documents(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), budget = 512, nBuckets = 64)
     },
+    // The LLM-pipeline family driven DECLARATIVELY through the process-graph
+    // compiler (r11): load → quality_filter → pii_redact → exact_dedup →
+    // pack_sequences → save_result as graph nodes — the same composition
+    // story every §2 operator has, now covering the flagship pipeline ops.
+    // The whole graph compiles to ONE lazy DataFrame plan (no per-node
+    // materialization), so Catalyst optimizes across node boundaries.
+    "graph_pipeline" -> { (s, dir) =>
+      val graph =
+        """{"process_graph": {
+          |  "load": {"process_id": "load_collection",
+          |           "arguments": {"id": "documents"}},
+          |  "q":    {"process_id": "quality_filter",
+          |           "arguments": {"data": {"from_node": "load"},
+          |                         "min_tokens": 10, "min_ttr": 0.3}},
+          |  "red":  {"process_id": "pii_redact",
+          |           "arguments": {"data": {"from_node": "q"}}},
+          |  "ded":  {"process_id": "exact_dedup",
+          |           "arguments": {"data": {"from_node": "red"}}},
+          |  "pack": {"process_id": "pack_sequences",
+          |           "arguments": {"data": {"from_node": "ded"},
+          |                         "budget": 512, "buckets": 64}},
+          |  "save": {"process_id": "save_result",
+          |           "arguments": {"data": {"from_node": "pack"},
+          |                         "format": "Parquet"},
+          |           "result": true}
+          |}}""".stripMargin
+      val out = graft.plans.ProcessGraph.execute(s, graph,
+        { case "documents" => graft.core.DataCube.fromTable(
+            Tables.documents(s, dir), Seq("doc_id"), "text")
+          case c => throw new IllegalArgumentException(s"unknown collection $c") })
+      out.df.select(col("doc_id"), col("n_tok"), col("bin"),
+        col("offset_in_bin"))
+    },
     "decontaminate" -> { (s, dir) =>
       // benchmark decontamination: 1-in-50 of the corpus plays the eval
       // set; the rest is the training corpus it must be checked against
@@ -1065,6 +1098,33 @@ object PipelineQueries {
         |       CAST(strt - CAST(floor(strt / 512.0) AS BIGINT) * 512
         |            AS BIGINT) AS offset_in_bin
         |FROM c""".stripMargin,
+    "graph_pipeline" ->
+      // CTE mirror of the graph chain: quality gate (token count + round-6
+      // TTR), PII scrub, md5 first-survivor dedup, contiguous 512-token
+      // packing over doc order — n_tok recomputed on the REDACTED text,
+      // exactly as the pack node sees it
+      s"""WITH tok AS (SELECT doc_id, text,
+         |        string_split_regex(trim(lower(text)), '\\s+') AS t
+         |      FROM documents),
+         |q AS (SELECT doc_id, text FROM tok
+         |      WHERE (${tokCntSql("text")}) >= 10
+         |        AND round(CASE WHEN len(t) = 0 THEN 0.0
+         |              ELSE len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+         |            END, 6) >= 0.3),
+         |r AS (SELECT doc_id, ${piiRedactedSql("text")} AS rtext FROM q),
+         |sv AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(rtext)),
+         |t2 AS (SELECT r.doc_id, ${tokCntSql("r.rtext")} AS n_tok
+         |       FROM r JOIN sv ON sv.doc_id = r.doc_id),
+         |c AS (SELECT doc_id, n_tok,
+         |        CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |          AS BIGINT) AS strt
+         |      FROM t2)
+         |SELECT doc_id, n_tok,
+         |       CAST(floor(strt / 512.0) AS BIGINT) AS bin,
+         |       CAST(strt - CAST(floor(strt / 512.0) AS BIGINT) * 512
+         |            AS BIGINT) AS offset_in_bin
+         |FROM c""".stripMargin,
     "decontaminate" ->
       s"""WITH $shingleSqlBase,
          |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 <> 0),

@@ -480,4 +480,98 @@ class ProcessGraphSpec extends AnyFunSuite {
     // !city.kobe.jp registers at city.kobe.jp itself
     assert(out(2L) == "city.kobe.jp")
   }
+
+  test("LLM-pipeline nodes: graph chain == DataFrame chain at sf0.001") {
+    // the r11 composition story: quality gate, PII scrub, MinHash-LSH
+    // survivor dedup, LM-score filter, hash split, and sequence packing as
+    // graph nodes must reproduce the hand-built DataFrame chain exactly
+    import graft.pipeline.{Dedup, LanguageModel, Repetition, Sampling, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+
+    val graph =
+      """{"process_graph": {
+        |  "l":  {"process_id": "load_collection", "arguments": {"id": "documents"}},
+        |  "q":  {"process_id": "quality_filter",
+        |         "arguments": {"data": {"from_node": "l"},
+        |                       "min_tokens": 5, "min_ttr": 0.2}},
+        |  "rp": {"process_id": "pii_redact",
+        |         "arguments": {"data": {"from_node": "q"}}},
+        |  "mh": {"process_id": "minhash_dedup_survivors",
+        |         "arguments": {"data": {"from_node": "rp"}, "threshold": 0.5}},
+        |  "lm": {"process_id": "lm_score",
+        |         "arguments": {"data": {"from_node": "mh"}, "max_xent": 6.0}},
+        |  "sp": {"process_id": "split",
+        |         "arguments": {"data": {"from_node": "lm"},
+        |                       "fractions": {"train": 0.8, "test": 0.2},
+        |                       "keep": "train"}},
+        |  "pk": {"process_id": "pack_sequences",
+        |         "arguments": {"data": {"from_node": "sp"},
+        |                       "budget": 128, "buckets": 16},
+        |         "result": true}
+        |}}""".stripMargin
+    val got = ProcessGraph.execute(spark, graph,
+        { case "documents" => DataCube.fromTable(docs, Seq("doc_id"), "text") })
+      .df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val v = col("text")
+    val gated = docs.filter(TextAnalysis.tokenCount(v) >= 5 &&
+      round(Repetition.typeTokenRatio(v), 6) >= 0.2)
+    val red = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
+    val surv = Dedup.survivorsCollapsed(red, "doc_id", col("text"),
+      threshold = 0.5)
+    val lmKeep = LanguageModel
+      .charTrigramScore(surv, "doc_id", col("text"), lit(true))
+      .filter(col("xent") <= 6.0).select(col("doc_id"))
+    val kept = surv.join(lmKeep, Seq("doc_id"), "left_semi")
+    val train = kept.filter(Sampling.splitColumn(col("doc_id"), "graft-split",
+      Seq("train" -> 0.8, "test" -> 0.2)) === "train")
+    val want = Sampling.packSequences(train, "doc_id",
+        TextAnalysis.tokenCount(col("text")), 128, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("sample + dsir_weights / lm_score value modes == DataFrame twins") {
+    import graft.pipeline.{Importance, LanguageModel, Sampling}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val coll: String => DataCube =
+      { case "documents" => DataCube.fromTable(docs, Seq("doc_id"), "text") }
+
+    val dsirGraph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "documents"}},
+        |  "s": {"process_id": "sample",
+        |        "arguments": {"data": {"from_node": "l"}, "fraction": 0.5}},
+        |  "w": {"process_id": "dsir_weights",
+        |        "arguments": {"data": {"from_node": "s"}}, "result": true}
+        |}}""".stripMargin
+    val gotW = ProcessGraph.execute(spark, dsirGraph, coll)
+      .df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sampled = Sampling.sampleByHash(docs, "doc_id", 0.5, "graft-sample")
+    val wantW = Importance.dsirWeights(sampled, "doc_id", col("text"), lit(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+    assert(gotW.nonEmpty && gotW == wantW)
+
+    val lmGraph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "documents"}},
+        |  "x": {"process_id": "lm_score",
+        |        "arguments": {"data": {"from_node": "l"}}, "result": true}
+        |}}""".stripMargin
+    val gotX = ProcessGraph.execute(spark, lmGraph, coll)
+      .df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantX = LanguageModel
+      .charTrigramScore(docs, "doc_id", col("text"), lit(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("xent"))).toMap
+    assert(gotX.nonEmpty && gotX == wantX)
+  }
 }
