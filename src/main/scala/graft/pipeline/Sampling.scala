@@ -71,7 +71,14 @@ object Sampling {
     require(budget > 0 && nBuckets > 0)
     val base = df.select(col(idCol).cast("long").as("_id"),
       tok.cast("long").as("n_tok"))
-    val maxId = base.agg(max(col("_id"))).first().getLong(0)
+    val maxRow = base.agg(max(col("_id"))).first()
+    // an empty corpus (every doc gated away upstream) must pack to an
+    // empty frame, not crash the max-id probe with a null-row error —
+    // found when an sf1 workload's LM gate rejected all docs (r11)
+    if (maxRow.isNullAt(0))
+      return base.select(col("_id").as(idCol), col("n_tok"),
+        lit(0L).as("bin"), lit(0L).as("offset_in_bin"))
+    val maxId = maxRow.getLong(0)
     val span = maxId / nBuckets + 1
     val withB = base.withColumn("_b",
       floor(col("_id").cast("double") / span).cast("long"))

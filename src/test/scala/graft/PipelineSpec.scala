@@ -230,6 +230,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(got(id) == (cum / 20, cum % 20), s"doc $id")
       cum += n
     }
+    // an empty corpus (everything gated away upstream) packs to an empty
+    // frame with the contract schema — the max-id probe must not throw on
+    // its null aggregate row (found by the sf1 workload, r11)
+    val empty = Sampling.packSequences(
+      rows.filter(lit(false)), "doc_id", lit(1), budget = 7, nBuckets = 8)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tok", "bin", "offset_in_bin") && empty.count() == 0)
   }
 
   test("ANN over int8-dequantized vectors preserves exact top-k (recall)") {
