@@ -201,7 +201,6 @@ object KernelOps {
     val v = cube.meta.valueCol
 
     def fdiv(c: Column): Column = ((c - pmod(c, lit(T))) / T).cast("long")
-    def key(cx: Column, cy: Column): Column = cx * (1L << 32) + cy
 
     // wrap halos: a cell within h of one global edge reappears one period
     // beyond the opposite edge (virtual coords are always outside [lo,hi],

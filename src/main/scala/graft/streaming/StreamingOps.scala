@@ -127,9 +127,10 @@ object StreamingOps {
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
     val out = sessionizeStream(typed, gapSeconds * 1000000L,
       watermarkDelay = "40 days")
-    runToMemory(out.toDF(), "update", queryName,
+    val sink = runToMemory(out.toDF(), "update", queryName,
       requireMinBatches = minBatches)
-      .groupBy(col("user_id"))
+    deleteShardDir(shardDir) // memory sink holds the rows; shards are done
+    sink.groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("longest")).as("longest"))
   }
@@ -152,8 +153,16 @@ object StreamingOps {
       .parquet(shardDir)
     val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts",
       watermarkDelay = "40 days")
-    runToMemory(deduped, "append", queryName, requireMinBatches = minBatches)
-      .select(col("user_id"), col("event_type"))
+    val sink = runToMemory(deduped, "append", queryName,
+      requireMinBatches = minBatches)
+    deleteShardDir(shardDir) // memory sink holds the rows; shards are done
+    sink.select(col("user_id"), col("event_type"))
+  }
+
+  private def deleteShardDir(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val fs = d.listFiles(); if (fs != null) fs.foreach(_.delete())
+    d.delete()
   }
 
   /** Tumbling-window aggregation over a parquet-backed event stream,
