@@ -544,6 +544,87 @@ object ProcessGraph {
             CubeDim(idDim, DimType.Other),
             CubeDim("n_tok", DimType.Other),
             CubeDim("bin", DimType.Other)), None, "offset_in_bin")))
+        case "simhash_dedup_survivors" =>
+          // SimHash near-dup survivor selection: pigeonhole-chunk candidate
+          // pairs within `max_hamming` (Dedup.simhashNearDups — lossless
+          // equi-join banding, no all-pairs), then the standard
+          // component-minimum survivor anti-join
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val maxHam = args.get("max_hamming").collect {
+            case NumV(x) => x.toInt }.getOrElse(3)
+          CubeV(c.withDf { df =>
+            val pairs = graft.pipeline.Dedup.simhashNearDups(
+              df, idDim, col(c.meta.valueCol), Seq.empty, maxHam)
+            graft.pipeline.Dedup.survivors(df, idDim, pairs)
+          })
+        case "ngram_jaccard_dedup" =>
+          // exact n-gram-Jaccard near-dup survivors: PPJoin prefix-filtered
+          // candidate pairs above `threshold` (Dedup.ngramJaccardNearDups),
+          // then the component-minimum survivor anti-join
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val n = args.get("n").collect { case NumV(x) => x.toInt }.getOrElse(3)
+          val th = args.get("threshold").collect {
+            case NumV(x) => x }.getOrElse(0.5)
+          CubeV(c.withDf { df =>
+            val pairs = graft.pipeline.Dedup.ngramJaccardNearDups(
+              df, idDim, col(c.meta.valueCol), Seq.empty, n, th)
+            graft.pipeline.Dedup.survivors(df, idDim, pairs)
+          })
+        case "decontaminate" =>
+          // benchmark decontamination against a second cube input: per-doc
+          // n-gram containment of `data`'s text in `train`'s distinct
+          // shingle set (Dedup.ngramContainment). With `max_containment`
+          // the node FILTERS data (text cube in, text cube out); without it
+          // the value becomes the containment score — the lm_score
+          // two-mode convention.
+          val c = cube("data")
+          val tr = cube("train")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val n = args.get("n").collect { case NumV(x) => x.toInt }.getOrElse(3)
+          val v = c.meta.valueCol
+          val scored = graft.pipeline.Dedup.ngramContainment(
+            tr.df.select(col(tr.meta.dimNames.head).as(idDim),
+              col(tr.meta.valueCol).as(v)),
+            c.df.select(col(idDim), col(v)), idDim, col(v), n)
+          opt("max_containment") match {
+            case Some(NumV(mc)) =>
+              // anti-join on the over-limit set (not semi on the keep set):
+              // docs too short to yield a shingle have no containment row
+              // and must be KEPT, not silently dropped
+              val drop = scored.filter(col("containment") > mc)
+                .select(col(idDim))
+              CubeV(c.withDf(_.join(drop, Seq(idDim), "left_anti")))
+            case _ =>
+              val x = scored.select(col(idDim), col("containment").as("_ct"))
+              CubeV(c.withDf(df => df.drop(v).join(x, Seq(idDim), "left")
+                .withColumn(v, coalesce(col("_ct"), lit(0.0)))
+                .select((c.meta.dimNames.map(col) :+ col(v)): _*)))
+          }
+        case "chunk_docs" =>
+          // overlapping token-window chunking: the id dimension gains a
+          // chunk_id companion and the value becomes the chunk text —
+          // the context-window prep step of the training pipeline
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val window = num("window").toInt
+          val stride = args.get("stride").collect {
+            case NumV(x) => x.toInt }.getOrElse(window)
+          val chunked = graft.pipeline.Chunking.chunkDocs(
+            c.df, idDim, col(c.meta.valueCol), window, stride)
+            .withColumnRenamed("chunk", c.meta.valueCol)
+          CubeV(DataCube(chunked, CubeMetadata(Seq(
+            CubeDim(idDim, DimType.Other),
+            CubeDim("chunk_id", DimType.Other)), None, c.meta.valueCol)))
 
         case "drop_dimension" =>
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
@@ -700,6 +781,22 @@ object ProcessGraph {
           ColV(graft.pipeline.TextAnalysis.registeredDomain(column("x")))
         case "url_host" =>
           ColV(graft.pipeline.TextAnalysis.urlHost(column("x")))
+        case "lang_id" =>
+          ColV(graft.pipeline.TextAnalysis.langId(column("x")))
+        case "token_count" =>
+          ColV(graft.pipeline.TextAnalysis.tokenCount(column("x")))
+        case "subword_count" =>
+          ColV(graft.pipeline.TextAnalysis.subwordCount(column("x")))
+        case "quality_score" =>
+          ColV(graft.pipeline.TextAnalysis.qualityScore(column("x")))
+        case "fingerprint" =>
+          ColV(graft.pipeline.TextAnalysis.fingerprint(column("x")))
+        case "content_hash" =>
+          ColV(graft.pipeline.TextAnalysis.contentHash(column("x")))
+        case "redact_pii" =>
+          // scalar form of the cube-level pii_redact, composable inside
+          // any apply callback
+          ColV(graft.pipeline.TextAnalysis.redactPii(column("x")))
         // dates (reference: dates.py)
         case "date_between" =>
           ColV(Scalar.dateBetween(column("x"), column("min"), column("max")))

@@ -2,7 +2,7 @@ package graft
 
 import graft.core._
 import graft.plans.ProcessGraph
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -408,7 +408,7 @@ class ProcessGraphSpec extends AnyFunSuite {
   }
 
   test("crawl family composes as a graph: load → html_extract → line_dedup → save") {
-    import graft.pipeline.{Dedup, TextAnalysis}
+    import graft.pipeline.{Chunking, Dedup, TextAnalysis}
     // a 3-doc crawl slice as a text-valued cube (dims = doc_id)
     val pages = Seq(
       (1L, "<html><body><p>Shared banner line. Unique alpha body</p></body></html>"),
@@ -573,5 +573,123 @@ class ProcessGraphSpec extends AnyFunSuite {
       .charTrigramScore(docs, "doc_id", col("text"), lit(true))
       .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("xent"))).toMap
     assert(gotX.nonEmpty && gotX == wantX)
+  }
+
+  test("scalar text-analysis nodes in apply callbacks == direct Columns") {
+    import graft.pipeline.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val c = DataCube.fromTable(docs, Seq("doc_id"), "text")
+    def applyGraph(node: String) =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "d"}},
+         |  "a": {"process_id": "apply",
+         |        "arguments": {"data": {"from_node": "l"},
+         |          "process": {"process_graph": {
+         |            "f": {"process_id": "$node",
+         |                  "arguments": {"x": {"from_parameter": "x"}},
+         |                  "result": true}}}},
+         |        "result": true}
+         |}}""".stripMargin
+    def run(node: String): Map[Long, Any] =
+      ProcessGraph.execute(spark, applyGraph(node), _ => c)
+        .df.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    def want(f: Column => Column): Map[Long, Any] =
+      docs.select(col("doc_id"), f(col("text"))).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(run("lang_id") == want(TextAnalysis.langId))
+    assert(run("token_count") == want(TextAnalysis.tokenCount))
+    assert(run("subword_count") == want(TextAnalysis.subwordCount))
+    assert(run("quality_score") == want(TextAnalysis.qualityScore))
+    assert(run("fingerprint") == want(TextAnalysis.fingerprint))
+    assert(run("content_hash") == want(TextAnalysis.contentHash))
+    assert(run("redact_pii") == want(TextAnalysis.redactPii))
+  }
+
+  test("simhash / ngram-jaccard dedup nodes == DataFrame twins") {
+    import graft.pipeline.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val coll: String => DataCube =
+      _ => DataCube.fromTable(docs, Seq("doc_id"), "text")
+    def g(node: String, extra: String) =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "d"}},
+         |  "s": {"process_id": "$node",
+         |        "arguments": {"data": {"from_node": "l"}$extra},
+         |        "result": true}
+         |}}""".stripMargin
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val gotSim = ids(ProcessGraph.execute(spark,
+      g("simhash_dedup_survivors", """, "max_hamming": 3"""), coll).df)
+    val wantSim = ids(Dedup.survivors(docs, "doc_id",
+      Dedup.simhashNearDups(docs, "doc_id", col("text"), Seq.empty, 3)))
+    assert(gotSim.nonEmpty && gotSim == wantSim)
+
+    val gotJac = ids(ProcessGraph.execute(spark,
+      g("ngram_jaccard_dedup", """, "n": 3, "threshold": 0.5"""), coll).df)
+    val wantJac = ids(Dedup.survivors(docs, "doc_id",
+      Dedup.ngramJaccardNearDups(docs, "doc_id", col("text"), Seq.empty, 3, 0.5)))
+    assert(gotJac.nonEmpty && gotJac == wantJac)
+  }
+
+  test("decontaminate node (two cube inputs) and chunk_docs == twins") {
+    import graft.pipeline.{Chunking, Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val trainDocs = docs.filter(col("doc_id") % 50 =!= 0)
+    val coll: String => DataCube = {
+      case "eval" => DataCube.fromTable(evalDocs, Seq("doc_id"), "text")
+      case "train" => DataCube.fromTable(trainDocs, Seq("doc_id"), "text")
+    }
+    def g(extra: String) =
+      s"""{"process_graph": {
+         |  "e": {"process_id": "load_collection", "arguments": {"id": "eval"}},
+         |  "t": {"process_id": "load_collection", "arguments": {"id": "train"}},
+         |  "d": {"process_id": "decontaminate",
+         |        "arguments": {"data": {"from_node": "e"},
+         |                      "train": {"from_node": "t"}$extra},
+         |        "result": true}
+         |}}""".stripMargin
+    val scored = Dedup.ngramContainment(trainDocs, evalDocs, "doc_id",
+      col("text"), 3)
+
+    // filter mode: keep docs at containment ≤ 0.64 (the corpus median —
+    // sf0.001 eval containments span 0.55..1.0, so the gate splits the set)
+    val gotF = ProcessGraph.execute(spark, g(""", "max_containment": 0.64"""),
+      coll).df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropIds = scored.filter(col("containment") > 0.64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantF = evalDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- dropIds
+    assert(gotF.nonEmpty && dropIds.nonEmpty && gotF == wantF)
+
+    // value mode: containment becomes the cube value
+    val gotV = ProcessGraph.execute(spark, g(""), coll)
+      .df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantV = scored.select(col("doc_id"), col("containment")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotV.nonEmpty &&
+      wantV.forall { case (k, v) => gotV.get(k).contains(v) })
+
+    // chunk_docs: (doc_id, chunk_id) dims, chunk text as value
+    val chunkGraph =
+      """{"process_graph": {
+        |  "e": {"process_id": "load_collection", "arguments": {"id": "eval"}},
+        |  "c": {"process_id": "chunk_docs",
+        |        "arguments": {"data": {"from_node": "e"},
+        |                      "window": 8, "stride": 4},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotC = ProcessGraph.execute(spark, chunkGraph, coll).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val wantC = Chunking.chunkDocs(evalDocs, "doc_id", col("text"), 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(gotC.nonEmpty && gotC == wantC)
   }
 }
