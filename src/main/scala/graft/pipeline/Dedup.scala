@@ -29,6 +29,44 @@ object Dedup {
     df.groupBy(key.as("content_key"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_dups"))
 
+  /** INCREMENTAL corpus dedup — the continuous-ingest shape: which rows of
+    * a (comparatively small) NEW SHARD are genuinely new against an
+    * existing (huge) corpus, with exact `key` anti-join semantics but
+    * WITHOUT ever shuffling the corpus.
+    *
+    * Mechanics: a Bloom filter is built over the NEW side's keys (one
+    * combinable aggregate over the small side; ~1.2 MB per million keys at
+    * 1% fpp) and broadcast into the corpus scan. Only corpus keys the
+    * bloom admits — the true shard∩corpus matches plus ~fpp·|corpus| false
+    * positives — survive the scan filter; that residue is deduplicated and
+    * anti-joined against the shard. At 100-TB corpus scale the corpus
+    * contributes a filtered key projection (no text, no full key set) to
+    * the exchange, the shard and hit set are both small, and AQE turns the
+    * anti-join into a broadcast join when the residue fits — the plain
+    * `shard ANTI JOIN corpus` alternative shuffles the ENTIRE corpus key
+    * set instead. (Spark's own `InjectRuntimeFilter` applies the same idea
+    * to inner equi-joins automatically; anti joins need it hand-built.)
+    *
+    * EXACT despite the sketch: a Bloom filter has no false negatives, so
+    * every corpus key equal to a shard key passes the prefilter and kills
+    * its shard row in the anti-join; false positives equal no shard key
+    * and fall out of the equi-join. A saturated bloom degrades to the
+    * plain anti-join, never to a wrong answer (spec-pinned). Shard-internal
+    * duplicates are out of scope by design — chain [[exact]] on the
+    * surviving shard for that.
+    */
+  def incrementalNew(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      key: Column, expectedNewKeys: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val keyed = newDocs.withColumn("_k", key.cast("string"))
+    val bloom = keyed.stat.bloomFilter("_k", expectedNewKeys, fpp)
+    val bc = keyed.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val corpusHits = corpus.select(key.cast("string").as("_k"))
+      .filter(mightContain(col("_k"))).distinct()
+    keyed.join(corpusHits, Seq("_k"), "left_anti").drop("_k")
+  }
+
   /** CCNet-style LINE-level dedup (Wenzek et al. 2020, public): split each
     * document into lines/sentences on `sep`, hash every non-empty line
     * (case/whitespace-normalized), and keep each distinct line's FIRST

@@ -608,6 +608,23 @@ object ProcessGraph {
                 .withColumn(v, coalesce(col("_ct"), lit(0.0)))
                 .select((c.meta.dimNames.map(col) :+ col(v)): _*)))
           }
+        case "incremental_dedup" =>
+          // keep only `data` docs whose content key is absent from the
+          // `corpus` cube — bloom-prefiltered exact anti-join
+          // (Dedup.incrementalNew: the corpus never shuffles)
+          val c = cube("data")
+          val corp = cube("corpus")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val keyOf: Column => Column = opt("key")
+            .map(_ => scalarCallback("key"))
+            .getOrElse(graft.pipeline.TextAnalysis.contentHash(_))
+          val expected = args.get("expected_keys").collect {
+            case NumV(x) => x.toLong }.getOrElse(1L << 20)
+          CubeV(c.withDf(df => graft.pipeline.Dedup.incrementalNew(
+            df, corp.df.select(col(corp.meta.valueCol).as(c.meta.valueCol)),
+            idDim, keyOf(col(c.meta.valueCol)), expected)))
         case "chunk_docs" =>
           // overlapping token-window chunking: the id dimension gains a
           // chunk_id companion and the value becomes the chunk text —

@@ -128,6 +128,18 @@ object PipelineQueries {
       Dedup.exact(Tables.documents(s, dir), "doc_id",
         TextAnalysis.fingerprint(col("text")))
     },
+    "dedup_incremental" -> { (s, dir) =>
+      // continuous-ingest dedup: every 10th doc plays the incoming shard,
+      // the rest the existing corpus; survivors are shard docs whose
+      // token-set fingerprint is absent from the corpus (6/50 shard docs
+      // are near-dup fingerprint matches at sf0.01, so the gate bites)
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNew(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
+          TextAnalysis.fingerprint(col("text")), expectedNewKeys = 1L << 16)
+        .select(col("doc_id"))
+    },
     "dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
         shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
@@ -761,6 +773,16 @@ object PipelineQueries {
         |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_key,
         |       min(doc_id) AS survivor, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      // the bloom prefilter is invisible to semantics: plain NOT EXISTS
+      // anti-join on the fingerprint is the oracle
+      """WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS f
+        |     FROM documents)
+        |SELECT d.doc_id FROM fp d
+        |WHERE d.doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp c
+        |                  WHERE c.doc_id % 10 <> 0 AND c.f = d.f)""".stripMargin,
     "dsir_weights" ->
       // mirror of Importance.dsirWeights: same md5-nibble bucket hash, same
       // +1-smoothed log-ratio quantized to integer micro-units, integer sums

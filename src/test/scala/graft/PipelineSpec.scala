@@ -34,6 +34,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupRow.getLong(1) == 1L) // survivor = min id
   }
 
+  test("incremental dedup: exact anti semantics, saturated bloom degrades safely") {
+    // shard 10..13 vs corpus 1..4: shard doc 10 duplicates corpus text,
+    // 11 matches nothing, 12 duplicates corpus text, 13 is new
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"), (4L, "kappa lambda mu")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "alpha beta gamma"), (11L, "nu xi omicron"),
+      (12L, "kappa lambda mu"), (13L, "pi rho sigma")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val key = TextAnalysis.contentHash(col("text"))
+    // well-sized bloom
+    assert(ids(Dedup.incrementalNew(shard, corpus, "doc_id", key,
+      expectedNewKeys = 1024)) == Set(11L, 13L))
+    // pathologically under-sized bloom (saturates: everything is "maybe")
+    // must still be EXACT — it degrades to the plain anti-join
+    assert(ids(Dedup.incrementalNew(shard, corpus, "doc_id", key,
+      expectedNewKeys = 1, fpp = 0.5)) == Set(11L, 13L))
+    // disjoint shard passes through whole
+    val fresh = Seq((20L, "tau upsilon phi")).toDF("doc_id", "text")
+    assert(ids(Dedup.incrementalNew(fresh, corpus, "doc_id", key)) == Set(20L))
+    // payload columns survive the round trip
+    val out = Dedup.incrementalNew(shard, corpus, "doc_id", key)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("minhash LSH finds the near-dup pair and the exact-dup pair") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
       shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.4)

@@ -677,6 +677,26 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(gotV.nonEmpty &&
       wantV.forall { case (k, v) => gotV.get(k).contains(v) })
 
+    // incremental_dedup (two cube inputs): shard docs whose fingerprint
+    // exists in the train cube are dropped, exact anti semantics
+    val incGraph =
+      """{"process_graph": {
+        |  "e": {"process_id": "load_collection", "arguments": {"id": "eval"}},
+        |  "t": {"process_id": "load_collection", "arguments": {"id": "train"}},
+        |  "i": {"process_id": "incremental_dedup",
+        |        "arguments": {"data": {"from_node": "e"},
+        |                      "corpus": {"from_node": "t"},
+        |                      "process": null,
+        |                      "expected_keys": 4096},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotI = ProcessGraph.execute(spark, incGraph, coll)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantI = Dedup.incrementalNew(evalDocs, trainDocs, "doc_id",
+        TextAnalysis.contentHash(col("text")), 4096)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotI == wantI && gotI.nonEmpty)
+
     // chunk_docs: (doc_id, chunk_id) dims, chunk text as value
     val chunkGraph =
       """{"process_graph": {
