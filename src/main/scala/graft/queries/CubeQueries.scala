@@ -72,6 +72,18 @@ object CubeQueries {
         .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
           col("_c").cast("bigint").as("x"), col("value"))
     },
+    "zarr_v3_roundtrip" -> { (s, dir) =>
+      // save_result's zarr V3 sink under correctness: the same lineitem
+      // grid written as a zarr.json store ([bytes, gzip, crc32c] codecs,
+      // nested c/r/c default keys) and read back through the reader's v3
+      // branch — metadata mapping, gzip decode and crc32c verification
+      // are all on the hash path
+      val store = RasterFixture.ensureZarrGridV3(s, dir)
+      graft.sources.ZarrReader.loadArray(s, store, Seq("_r", "_c"))
+        .where(!isnan(col("value")))
+        .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
+          col("_c").cast("bigint").as("x"), col("value"))
+    },
     "tiff_roundtrip" -> { (s, dir) =>
       // save_result's GTiff SINK under correctness: the same lineitem grid
       // written through TiffWriter (deflate multi-strip) at query build,
@@ -461,6 +473,12 @@ object CubeQueries {
         |     UNNEST(range(0, 8)) uc(c)""".stripMargin,
     "zarr_roundtrip" ->
       // the parquet truth the zarr write→read chain must reproduce
+      """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
+        |       CAST(l_partkey % 25 AS BIGINT) AS x,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS value
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "zarr_v3_roundtrip" ->
+      // same parquet truth through the v3 write→read chain
       """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
         |       CAST(l_partkey % 25 AS BIGINT) AS x,
         |       CAST(sum(l_quantity) AS DOUBLE) AS value

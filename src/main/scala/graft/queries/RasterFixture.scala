@@ -51,6 +51,39 @@ object RasterFixture {
       dir.toString
     }
 
+  private val v3Written = scala.collection.mutable.HashSet[String]()
+
+  /** zarr V3 sink twin of [[ensureZarrGrid]] for the `zarr_v3_roundtrip`
+    * query: the same lineitem grid written as a `zarr.json` store with the
+    * `[bytes, gzip, crc32c]` codec chain and nested `c/r/c` default chunk
+    * keys — the write side exercises the v3 metadata + gzip + crc32c
+    * encode, the read side the v3 branch of [[graft.sources.ZarrReader]]
+    * including per-chunk checksum verification.
+    */
+  def ensureZarrGridV3(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_zarr3_sink_${tag}_v1")
+      if (!v3Written.contains(sfDir)) {
+        if (java.nio.file.Files.isDirectory(dir)) {
+          // nested v3 keys → depth-first delete
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        val grid = Tables.lineitem(spark, sfDir)
+          .groupBy(pmod(col("l_orderkey"), lit(gridH)).cast("double").as("y"),
+            pmod(col("l_partkey"), lit(gridW)).cast("double").as("x"))
+          .agg(sum(col("l_quantity")).as("value"))
+        val cube = DataCube.fromTable(grid, Seq("y", "x"), "value")
+        graft.sources.ZarrWriter.writeGrid(cube, dir.toString,
+          rowDim = "y", colDim = "x", chunkR = 16, chunkC = 16, format = 3)
+        v3Written += sfDir
+      }
+      dir.toString
+    }
+
   private val tiffWritten = scala.collection.mutable.HashSet[String]()
 
   /** TIFF SINK twin of [[ensureZarrGrid]] for the `tiff_roundtrip` query:

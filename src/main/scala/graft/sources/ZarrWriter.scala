@@ -3,7 +3,7 @@ package graft.sources
 import graft.core.DataCube
 import org.apache.spark.sql.functions._
 
-/** Distributed zarr v2 store writer — the cloud-native counterpart of
+/** Distributed zarr v2/v3 store writer — the cloud-native counterpart of
   * [[TiffWriter]], and the reason save_result can export rasters of ANY
   * size: the driver writes only the `.zarray` metadata document, while the
   * chunk files are assembled and written BY THE EXECUTORS — each task owns
@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * decode out per-chunk. Cells absent from the cube become `fill_value`
   * (NaN), which round-trips through the reader's sparse-store path.
   *
-  * Scope matches the reader: little-endian float64 (`<f8`), C order, zlib,
-  * rank 2. The store is valid for any conforming zarr v2 reader.
+  * Scope matches the reader: little-endian float64 (`<f8`/`float64`), C
+  * order, rank 2; v2 stores use zlib + flat "." keys, v3 stores
+  * (`format = 3`) write `zarr.json` with a `[bytes, gzip, crc32c]` codec
+  * chain and nested `c/r/c` default-encoded keys. Either store is valid
+  * for any conforming reader of its format.
   */
 object ZarrWriter {
 
@@ -23,7 +26,9 @@ object ZarrWriter {
     * the only driver-side collects.
     */
   def writeGrid(cube: DataCube, dir: String, rowDim: String = "y",
-      colDim: String = "x", chunkR: Int = 256, chunkC: Int = 256): Unit = {
+      colDim: String = "x", chunkR: Int = 256, chunkC: Int = 256,
+      format: Int = 2): Unit = {
+    require(format == 2 || format == 3, s"ZarrWriter: format $format")
     require(cube.meta.dimNames.contains(rowDim) &&
       cube.meta.dimNames.contains(colDim),
       s"ZarrWriter: cube lacks $rowDim/$colDim dims")
@@ -44,12 +49,27 @@ object ZarrWriter {
     val rIdx = spark.sparkContext.broadcast(rows.zipWithIndex.toMap)
     val cIdx = spark.sparkContext.broadcast(cols.zipWithIndex.toMap)
     new java.io.File(dir).mkdirs()
-    val zarray =
-      s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkR,$chunkC],
-         |"dtype":"<f8","compressor":{"id":"zlib","level":1},
-         |"fill_value":"NaN","filters":null,"order":"C"}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, ".zarray"), zarray)
+    if (format == 2) {
+      val zarray =
+        s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkR,$chunkC],
+           |"dtype":"<f8","compressor":{"id":"zlib","level":1},
+           |"fill_value":"NaN","filters":null,"order":"C"}""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, ".zarray"), zarray)
+    } else {
+      val zjson =
+        s"""{"zarr_format":3,"node_type":"array","shape":[$h,$w],
+           |"data_type":"float64",
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkR,$chunkC]}},
+           |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+           |"fill_value":"NaN",
+           |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+           |{"name":"gzip","configuration":{"level":1}},
+           |{"name":"crc32c"}],
+           |"dimension_names":["$rowDim","$colDim"]}""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "zarr.json"), zjson)
+    }
     // one shuffle: every chunk's cells land in one group; the task that
     // owns the group assembles, deflates and writes that chunk file
     val sess = spark
@@ -68,14 +88,40 @@ object ZarrWriter {
       val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       buf.foreach(bb.putDouble)
-      val d = new java.util.zip.Deflater(1)
-      d.setInput(bb.array()); d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, key), out.toByteArray)
+      val bytes =
+        if (format == 2) {
+          val d = new java.util.zip.Deflater(1)
+          d.setInput(bb.array()); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          out.toByteArray
+        } else {
+          // v3 codec chain: bytes -> gzip -> crc32c (little-endian trailer)
+          val out = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(out) {
+            `def`.setLevel(1) // match the declared codec configuration
+          }
+          gz.write(bb.array()); gz.close()
+          val gzBytes = out.toByteArray
+          val crc = new java.util.zip.CRC32C()
+          crc.update(gzBytes, 0, gzBytes.length)
+          val withCrc = java.util.Arrays.copyOf(gzBytes, gzBytes.length + 4)
+          java.nio.ByteBuffer.wrap(withCrc, gzBytes.length, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            .putInt(crc.getValue.toInt)
+          withCrc
+        }
+      val path =
+        if (format == 2) java.nio.file.Paths.get(dir, key)
+        else {
+          val Array(cr, cc) = key.split('.')
+          val p = java.nio.file.Paths.get(dir, "c", cr, cc)
+          java.nio.file.Files.createDirectories(p.getParent)
+          p
+        }
+      java.nio.file.Files.write(path, bytes)
       key
     }.collect() // the action that drives the distributed writes
     ()

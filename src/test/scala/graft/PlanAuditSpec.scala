@@ -144,6 +144,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan(aj).contains("NestedLoop") && !plan(aj).contains("Cartesian"))
   }
 
+  test("incremental dedup: corpus prunes to the key column; exchanges carry keys only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val inc = pipeline.Dedup.incrementalNew(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
+      md5(col("text").cast("binary")), expectedNewKeys = 4096)
+    val p = plan(inc)
+    // the corpus side's scan prunes to the key source (+ the test's own
+    // shard-split column) — lang/source/n_chars never leave the parquet;
+    // at 100 TB the corpus contributes a bloom-filtered key projection,
+    // never documents
+    assert(
+      "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(p).length == 1, p)
+    // the bloom probe lands IN the corpus scan (a DataFilter on the
+    // FileScan), so bloom-rejected rows die before any downstream operator
+    assert(p.contains("UDF(md5"), p)
+    // the only exchange is the hit-set distinct, on the fixed-width key;
+    // the residue broadcasts into a LeftAnti hash join — the shard never
+    // shuffles either
+    assert(shuffles(inc) == 1 &&
+      "Exchange hashpartitioning\\(_k".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   test("pipeline ops: scan-speed ops shuffle-free; packing never serializes") {
     // split / redaction / quantization / chunking are single-pass Column
     // programs — ZERO exchanges, the 100-TB contract that makes them free

@@ -1,0 +1,181 @@
+package graft
+
+import graft.core.DataCube
+import graft.sources.{ZarrReader, ZarrWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** zarr v3 (zarr.json) read/write against hand-built stores — fixtures are
+  * written byte-by-byte from the PUBLIC v3 spec (zarr-specs v3 core), not
+  * through our own writer, so reader bugs can't cancel writer bugs; one
+  * test then closes the loop through the distributed writer.
+  */
+class ZarrV3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def f8le(vals: Seq[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vals.size * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  private def writeMeta(dir: String, json: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "zarr.json"), json)
+
+  private def metaJson(shape: (Int, Int), chunks: (Int, Int),
+      dataType: String = "float64",
+      codecs: String = """[{"name":"bytes","configuration":{"endian":"little"}}]""",
+      keyEncoding: String =
+        """{"name":"default","configuration":{"separator":"/"}}""",
+      fill: String = "\"NaN\""): String =
+    s"""{"zarr_format":3,"node_type":"array",
+       |"shape":[${shape._1},${shape._2}],
+       |"data_type":"$dataType",
+       |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks._1},${chunks._2}]}},
+       |"chunk_key_encoding":$keyEncoding,
+       |"fill_value":$fill,
+       |"codecs":$codecs,
+       |"dimension_names":["y","x"]}""".stripMargin
+
+  private def readMap(dir: String): Map[(Long, Long), Double] =
+    ZarrReader.loadArray(spark, dir, Seq("r", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("v3 raw bytes codec, nested default keys, missing chunk -> fill, edge clip") {
+    // shape 3x5, chunks 2x4 -> grid 2x2; omit chunk (1,1) -> fill NaN
+    val dir = tmp("zarr3_raw")
+    writeMeta(dir, metaJson((3, 5), (2, 4)))
+    def put(cr: Int, cc: Int, vals: Seq[Double]): Unit = {
+      val p = java.nio.file.Paths.get(dir, "c", cr.toString, cc.toString)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, f8le(vals))
+    }
+    // value = r*10 + c over the in-bounds region; pad cells arbitrary (-1)
+    def chunk(cr: Int, cc: Int): Seq[Double] =
+      for (lr <- 0 until 2; lc <- 0 until 4) yield {
+        val (r, c) = (cr * 2 + lr, cc * 4 + lc)
+        if (r < 3 && c < 5) r * 10.0 + c else -1.0
+      }
+    put(0, 0, chunk(0, 0)); put(0, 1, chunk(0, 1)); put(1, 0, chunk(1, 0))
+    val got = readMap(dir)
+    assert(got.size == 15) // 3x5, no pad cells
+    assert(got((0L, 0L)) == 0.0 && got((1L, 3L)) == 13.0 && got((2L, 3L)) == 23.0)
+    // the omitted chunk's in-bounds cell (2,4) reads as fill NaN
+    assert(got((2L, 4L)).isNaN)
+    // in-bounds cells of present chunks never see the -1 padding
+    assert(!got.values.exists(_ == -1.0))
+    // dimension_names surface in the metadata
+    assert(ZarrReader.readMeta(dir).dimensionNames.contains(Seq("y", "x")))
+  }
+
+  test("v3 gzip + crc32c codec chain decodes and VERIFIES; corruption is loud") {
+    val dir = tmp("zarr3_gz")
+    writeMeta(dir, metaJson((2, 2), (2, 2), codecs =
+      """[{"name":"bytes","configuration":{"endian":"little"}},
+        |{"name":"gzip","configuration":{"level":5}},
+        |{"name":"crc32c"}]""".stripMargin))
+    val payload = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(f8le(Seq(1.0, 2.0, 3.0, 4.0))); gz.close()
+      out.toByteArray
+    }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(payload, 0, payload.length)
+    val withCrc = java.util.Arrays.copyOf(payload, payload.length + 4)
+    java.nio.ByteBuffer.wrap(withCrc, payload.length, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+    val p = java.nio.file.Paths.get(dir, "c", "0", "0")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, withCrc)
+    assert(readMap(dir) == Map((0L, 0L) -> 1.0, (0L, 1L) -> 2.0,
+      (1L, 0L) -> 3.0, (1L, 1L) -> 4.0))
+    // flip one payload byte -> crc32c mismatch must raise, not misread
+    withCrc(3) = (withCrc(3) ^ 0x40).toByte
+    java.nio.file.Files.write(p, withCrc)
+    val e = intercept[Throwable] { readMap(dir) }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("crc32c")), chain(e).mkString(" | "))
+  }
+
+  test("v3 'v2' chunk key encoding and '.' default separator variants") {
+    // v2-encoding: flat "0.0" files, no c prefix
+    val d1 = tmp("zarr3_v2keys")
+    writeMeta(d1, metaJson((1, 2), (1, 2), keyEncoding =
+      """{"name":"v2","configuration":{"separator":"."}}"""))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d1, "0.0"), f8le(Seq(7.0, 8.0)))
+    assert(readMap(d1) == Map((0L, 0L) -> 7.0, (0L, 1L) -> 8.0))
+    // default-encoding with "." separator: flat "c.0.0" files
+    val d2 = tmp("zarr3_cdot")
+    writeMeta(d2, metaJson((1, 2), (1, 2), keyEncoding =
+      """{"name":"default","configuration":{"separator":"."}}"""))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d2, "c.0.0"), f8le(Seq(9.0, 10.0)))
+    assert(readMap(d2) == Map((0L, 0L) -> 9.0, (0L, 1L) -> 10.0))
+  }
+
+  test("v3 big-endian int16 dtype via the bytes codec endian") {
+    val dir = tmp("zarr3_i2be")
+    writeMeta(dir, metaJson((1, 3), (1, 3), dataType = "int16",
+      codecs = """[{"name":"bytes","configuration":{"endian":"big"}}]""",
+      fill = "0"))
+    val bb = java.nio.ByteBuffer.allocate(6).order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(-300, 0, 1234).foreach(v => bb.putShort(v.toShort))
+    val p = java.nio.file.Paths.get(dir, "c", "0", "0")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bb.array())
+    assert(readMap(dir) == Map((0L, 0L) -> -300.0, (0L, 1L) -> 0.0,
+      (0L, 2L) -> 1234.0))
+  }
+
+  test("unsupported v3 codecs raise NAMED errors") {
+    val dir = tmp("zarr3_shard")
+    writeMeta(dir, metaJson((2, 2), (2, 2), codecs =
+      """[{"name":"sharding_indexed","configuration":{}}]"""))
+    val e = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir) }
+    assert(e.getMessage.contains("ZarrUnsupported"))
+    val dir2 = tmp("zarr3_zstd")
+    writeMeta(dir2, metaJson((2, 2), (2, 2), codecs =
+      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd"}]"""))
+    val e2 = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir2) }
+    assert(e2.getMessage.contains("ZarrUnsupported") && e2.getMessage.contains("zstd"))
+  }
+
+  test("distributed v3 writer roundtrips through the v3 reader branch") {
+    val sess = spark
+    import sess.implicits._
+    // sparse 9x7 grid (some cells absent -> NaN fill on read)
+    val cells = (for (y <- 0 until 9; x <- 0 until 7
+      if (y * 7 + x) % 3 != 0) yield (y.toDouble, x.toDouble, y * 100.0 + x))
+    val cube = DataCube.fromTable(
+      cells.toDF("y", "x", "value"), Seq("y", "x"), "value")
+    val dir = tmp("zarr3_writer") + "/store"
+    ZarrWriter.writeGrid(cube, dir, chunkR = 4, chunkC = 4, format = 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "zarr.json")))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "c")))
+    val m = ZarrReader.readMeta(dir)
+    assert(m.format == 3 && m.compressor.contains("gzip") && m.crc32c)
+    // row 0 = max y (north-up): value at (_r, _c) = (8 - _r)*100 + _c
+    val got = ZarrReader.loadArray(spark, dir, Seq("_r", "_c"))
+      .where(!isnan(col("value")))
+      .select((lit(8) - col("_r")).cast("double").as("y"),
+        col("_c").cast("double").as("x"), col("value"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == cells.map(c => (c._1, c._2) -> c._3).toMap)
+  }
+}
