@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Stress 1000 crawl"  # crawl family only at 5M docs
   *
   * The optional second arg filters to one family: `dedup` (exact dedup,
-  * clusters, survivors, PPJoin), `score` (repetition, DSIR, LM,
+  * clusters, survivors, PPJoin), `incdedup` (incremental shard-vs-corpus
+  * dedup: bloom prefilter vs plain anti-join), `score` (repetition, DSIR, LM,
   * substring), `crawl` (html_extract, line_dedup, domain_stats, WARC
   * round-trip), `stream` (1M-event multi-batch sessionization:
   * batch-parity + bounded-state assertions; ignores the replication arg),
@@ -79,6 +80,27 @@ object Stress {
     family("dedup") { time("exact dedup (groups)") {
       force(Dedup.exact(corpus, "doc_id", md5(col("text").cast("binary"))))
     } }
+    // ---- incremental (shard vs corpus) dedup: bloom prefilter vs the
+    // plain anti-join it replaces. Shard = ~1% of the corpus, half true
+    // duplicates of corpus text, half genuinely new.
+    family("incdedup") {
+      val shard = corpus.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh-"),
+              col("doc_id").cast("string"))).as("text"))
+      val key = md5(col("text").cast("binary"))
+      val shardN = shard.count()
+      println(s"[stress]   shard docs: $shardN")
+      time("incremental (bloom prefilter)") {
+        force(Dedup.incrementalNew(shard, corpus, "doc_id", key,
+          expectedNewKeys = math.max(shardN, 1024L)))
+      }
+      time("incremental (plain anti-join)") {
+        force(shard.withColumn("_k", key).join(
+          corpus.select(key.as("_k")), Seq("_k"), "left_anti").drop("_k"))
+      }
+    }
     family("score") { time("repetition scan") {
       force(corpus.select(col("doc_id"), Repetition.stats(col("text")).as("s")))
     } }

@@ -44,14 +44,17 @@ object CubeQueries {
     },
     "stac_zarr" -> { (s, _) =>
       // load_stac's ZARR branch end to end against a deterministic
-      // file:// catalog of two zarr v2 stores written at query build
+      // file:// catalog of three zarr stores written at query build
       // (StacFixture.ensureZarr): catalog traversal → per-chunk executor
-      // fan-out → REAL decode covering zlib inflate (rank-2 <f8), raw
-      // little-endian <f4 (rank-3, axis-0 slices become bands zb_0/zb_1),
-      // spec edge-chunk padding clip, a MISSING chunk materializing as
-      // fill_value, and the nested "/" dimension_separator walk. Grid
-      // steps are exactly 1.0, so the oracle mirrors the load as pure
-      // integer arithmetic. Reference: cubes/load.py:245-304.
+      // fan-out → REAL decode covering zlib inflate (v2 rank-2 <f8), raw
+      // little-endian <f4 (v2 rank-3, axis-0 slices become bands
+      // zb_0/zb_1), spec edge-chunk padding clip, MISSING chunks
+      // materializing as fill_value, the nested "/" dimension_separator
+      // walk, AND a zarr V3 store (zarr.json metadata, float32,
+      // gzip+crc32c codec chain, default c/-prefixed keys) through the
+      // same load_stac path. Grid steps are exactly 1.0, so the oracle
+      // mirrors the load as pure integer arithmetic.
+      // Reference: cubes/load.py:245-304.
       val fix = StacFixture.ensureZarr()
       val assets = graft.sources.StacLoader.loadCatalogItems(
         s"file://$fix/zcatalog.json")
@@ -455,10 +458,12 @@ object CubeQueries {
         |       CAST(item * 1000 + bi * 100 + r * 10 + c AS DOUBLE) AS value
         |FROM it, bd, UNNEST(range(0, 6)) ur(r), UNNEST(range(0, 8)) uc(c)""".stripMargin,
     "stac_zarr" ->
-      // arithmetic mirror of the two zarr stores: rank-2 13×11 (value
+      // arithmetic mirror of the three zarr stores: v2 rank-2 13×11 (value
       // 2000 + r·20 + c, the omitted bottom-right 5×4 chunk → fill −1 over
-      // its in-bounds 3×3 corner) and rank-3 2×6×8 (bands zb_0/zb_1,
-      // value b·1000 + r·10 + c); grid steps exactly 1.0 so x=c, y=r
+      // its in-bounds 3×3 corner), v2 rank-3 2×6×8 (bands zb_0/zb_1,
+      // value b·1000 + r·10 + c), and V3 rank-2 5×6 (zarr.json,
+      // gzip+crc32c, nested c/ keys; value 3000 + r·30 + c, omitted chunk
+      // → fill −7 over r≥3 ∧ c≥4); grid steps exactly 1.0 so x=c, y=r
       """SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
         |       TIMESTAMP '2024-03-01 00:00:00' AS t, 'za' AS bands,
         |       CAST(CASE WHEN r >= 10 AND c >= 8 THEN -1.0
@@ -470,7 +475,13 @@ object CubeQueries {
         |       'zb_' || CAST(b AS VARCHAR) AS bands,
         |       CAST(b*1000 + r*10 + c AS DOUBLE) AS value
         |FROM UNNEST(range(0, 2)) ub(b), UNNEST(range(0, 6)) ur(r),
-        |     UNNEST(range(0, 8)) uc(c)""".stripMargin,
+        |     UNNEST(range(0, 8)) uc(c)
+        |UNION ALL
+        |SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
+        |       TIMESTAMP '2024-03-03 00:00:00' AS t, 'zc' AS bands,
+        |       CAST(CASE WHEN r >= 3 AND c >= 4 THEN -7.0
+        |                 ELSE 3000 + r*30 + c END AS DOUBLE) AS value
+        |FROM UNNEST(range(0, 5)) ur(r), UNNEST(range(0, 6)) uc(c)""".stripMargin,
     "zarr_roundtrip" ->
       // the parquet truth the zarr write→read chain must reproduce
       """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,

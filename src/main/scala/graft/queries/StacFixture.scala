@@ -99,6 +99,14 @@ object StacFixture {
   def z2Value(r: Int, c: Int): Double = 2000.0 + r * 20 + c
   def z3Value(b: Int, r: Int, c: Int): Float = (b * 1000 + r * 10 + c).toFloat
 
+  /** Rank-2 zarr V3 store: (5, 6) `float32` little-endian, (3, 4) chunks,
+    * `[bytes, gzip, crc32c]` codec chain, default "/"-separated `c/...`
+    * keys, bottom-right chunk omitted → fill −7.
+    * value = 3000 + r·30 + c (float32-exact).
+    */
+  val zv3 = (5, 6, 3, 4, -7.0)
+  def zv3Value(r: Int, c: Int): Float = (3000 + r * 30 + c).toFloat
+
   private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
     d.setInput(bytes); d.finish()
@@ -120,7 +128,7 @@ object StacFixture {
     */
   def ensureZarr(): String = synchronized {
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v1")
+      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v2")
     val (h2, w2, cr2, cc2, fill2) = z2
     val a = dir.resolve("zarr_a")
     java.nio.file.Files.createDirectories(a)
@@ -158,10 +166,47 @@ object StacFixture {
       s"""{"zarr_format":2,"shape":[$nb,$h3,$w3],"chunks":[1,4,4],
          |"dtype":"<f4","compressor":null,"fill_value":0,
          |"filters":null,"order":"C","dimension_separator":"/"}""".stripMargin)
+    // zarr V3 store: zarr.json metadata, nested c/ keys, gzip+crc32c
+    val (h4, w4, cr4, cc4, fill4) = zv3
+    val cdir = dir.resolve("zarr_c")
+    java.nio.file.Files.createDirectories(cdir)
+    java.nio.file.Files.writeString(cdir.resolve("zarr.json"),
+      s"""{"zarr_format":3,"node_type":"array","shape":[$h4,$w4],
+         |"data_type":"float32",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$cr4,$cc4]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":$fill4,
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+         |{"name":"gzip","configuration":{"level":1}},{"name":"crc32c"}],
+         |"dimension_names":["y","x"]}""".stripMargin)
+    val (gr4, gc4) = ((h4 + cr4 - 1) / cr4, (w4 + cc4 - 1) / cc4)
+    for (gr <- 0 until gr4; gc <- 0 until gc4
+         if (gr, gc) != (gr4 - 1, gc4 - 1)) { // last chunk omitted → fill
+      val bb = java.nio.ByteBuffer.allocate(cr4 * cc4 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (lr <- 0 until cr4; lc <- 0 until cc4) {
+        val (r, c) = (gr * cr4 + lr, gc * cc4 + lc)
+        bb.putFloat(if (r < h4 && c < w4) zv3Value(r, c) else 0f) // pad
+      }
+      val gz = {
+        val out = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(bb.array()); g.close(); out.toByteArray
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(gz, 0, gz.length)
+      val withCrc = java.util.Arrays.copyOf(gz, gz.length + 4)
+      java.nio.ByteBuffer.wrap(withCrc, gz.length, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+      val ck = cdir.resolve("c").resolve(s"$gr")
+      java.nio.file.Files.createDirectories(ck)
+      java.nio.file.Files.write(ck.resolve(s"$gc"), withCrc)
+    }
     // catalog: bbox spans = shape so the loader's grid steps are exactly 1
     val zitems = Seq(
       ("zitem-0", "za", "zarr_a", "2024-03-01T00:00:00Z", w2, h2),
-      ("zitem-1", "zb", "zarr_b", "2024-03-02T00:00:00Z", w3, h3))
+      ("zitem-1", "zb", "zarr_b", "2024-03-02T00:00:00Z", w3, h3),
+      ("zitem-2", "zc", "zarr_c", "2024-03-03T00:00:00Z", w4, h4))
     for ((id, band, store, dt, w, h) <- zitems) {
       java.nio.file.Files.writeString(dir.resolve(s"$id.json"),
         s"""{

@@ -153,12 +153,13 @@ object StacLoader {
     }
 
   /** Local zarr-store directory of an asset, when its href resolves to one
-    * (file:// or plain path holding a `.zarray`).
+    * (file:// or plain path holding a v2 `.zarray` or a v3 `zarr.json`).
     */
   def zarrDirOf(a: StacAsset): Option[String] = {
     if (!a.mediaType.contains("zarr")) return None
     val path = a.href.stripPrefix("file://")
-    if (new java.io.File(path, ".zarray").isFile) Some(path) else None
+    if (new java.io.File(path, ".zarray").isFile ||
+      new java.io.File(path, "zarr.json").isFile) Some(path) else None
   }
 
   /** Local single-file TIFF/COG path of an asset, when reachable. */

@@ -30,15 +30,29 @@ import org.apache.spark.sql.functions._
   * encodings, codec chains `[bytes]`, `[bytes, gzip|zlib]`, each
   * optionally followed by `crc32c` (checksum VERIFIED per chunk on the
   * executor), `fill_value` incl. the draft "NaN"/"Infinity" string forms,
-  * and `dimension_names`. Unsupported codecs (sharding_indexed,
-  * transpose, blosc, zstd) raise a NAMED ZarrUnsupported error.
+  * `dimension_names`, and the `sharding_indexed` codec (one shard file =
+  * an inner-chunk grid + an indexed footer, index crc32c verified; the
+  * task that owns a shard decodes all of it — the v3 feature that keeps a
+  * 100-TB store's object count sane). Unsupported codecs (transpose,
+  * blosc, zstd) raise a NAMED ZarrUnsupported error.
   */
 object ZarrReader {
+
+  /** v3 `sharding_indexed` layout: each top-level chunk (the SHARD) is one
+    * file holding a grid of `innerChunks`-shaped sub-chunks plus an index
+    * of (offset, nbytes) uint64-LE pairs in C order over the inner grid —
+    * at the file's start or end per `index_location`, optionally crc32c'd.
+    * Missing inner chunks are encoded as offset = nbytes = 2^64−1.
+    */
+  final case class ShardMeta(innerChunks: Seq[Int],
+      innerCompressor: Option[String], innerCrc32c: Boolean,
+      innerEndian: String, indexCrc32c: Boolean, indexAtEnd: Boolean)
 
   final case class ZarrMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
       compressor: Option[String], order: String, fillValue: Option[Double],
       separator: String = ".", format: Int = 2, crc32c: Boolean = false,
-      keyEncoding: String = "v2", dimensionNames: Option[Seq[String]] = None) {
+      keyEncoding: String = "v2", dimensionNames: Option[Seq[String]] = None,
+      shard: Option[ShardMeta] = None) {
     /** Store-relative chunk path for a grid index (encoding-aware). */
     def keyOf(idx: Seq[Int]): String =
       if (format == 3 && keyEncoding == "default")
@@ -132,33 +146,65 @@ object ZarrReader {
         }
         ints(g \ "configuration" \ "chunk_shape", "chunk_shape")
     }
-    // codec chain: [bytes(endian)] [+ gzip|zlib] [+ crc32c]
-    val codecs = (root \ "codecs") match {
+    // codec chain: [bytes(endian)] [+ gzip|zlib] [+ crc32c], or ONE
+    // sharding_indexed codec carrying such a chain for its inner chunks
+    def codecList(j: JValue, what: String): Seq[(String, JValue)] = j match {
       case JArray(cs) => cs.map { c =>
         val name = (c \ "name") match {
           case JString(s) => s
-          case v => throw new IllegalArgumentException(s"bad codec: $v")
+          case v => throw new IllegalArgumentException(s"bad codec in $what: $v")
         }
         name -> (c \ "configuration")
       }
-      case v => throw new IllegalArgumentException(s"bad codecs: $v")
+      case v => throw new IllegalArgumentException(s"bad $what: $v")
     }
-    require(codecs.nonEmpty && codecs.head._1 == "bytes",
-      s"ZarrUnsupported: codec chain ${codecs.map(_._1).mkString("[", ",", "]")} " +
-        "(must start with bytes; sharding_indexed/transpose not supported)")
-    val endian = (codecs.head._2 \ "endian") match {
-      case JString(e) => e
-      case _ => "little"
+    def parseChain(cs: Seq[(String, JValue)], what: String)
+        : (String, Option[String], Boolean) = {
+      require(cs.nonEmpty && cs.head._1 == "bytes",
+        s"ZarrUnsupported: $what ${cs.map(_._1).mkString("[", ",", "]")} " +
+          "(must start with bytes; transpose not supported)")
+      val endian = (cs.head._2 \ "endian") match {
+        case JString(e) => e
+        case _ => "little"
+      }
+      var compressor: Option[String] = None
+      var crc = false
+      cs.tail.foreach {
+        case ("gzip", _) if compressor.isEmpty && !crc => compressor = Some("gzip")
+        case ("zlib", _) if compressor.isEmpty && !crc => compressor = Some("zlib")
+        case ("crc32c", _) if !crc => crc = true
+        case (other, _) => throw new IllegalArgumentException(
+          s"ZarrUnsupported: codec $other in $what (bytes + gzip/zlib + crc32c only)")
+      }
+      (endian, compressor, crc)
     }
-    var compressor: Option[String] = None
-    var crc = false
-    codecs.tail.foreach {
-      case ("gzip", _) if compressor.isEmpty && !crc => compressor = Some("gzip")
-      case ("zlib", _) if compressor.isEmpty && !crc => compressor = Some("zlib")
-      case ("crc32c", _) if !crc => crc = true
-      case (other, _) => throw new IllegalArgumentException(
-        s"ZarrUnsupported: codec $other (bytes + gzip/zlib + crc32c only)")
-    }
+    val codecs = codecList(root \ "codecs", "codecs")
+    val (endian, compressor, crc, shardMeta) =
+      if (codecs.map(_._1) == Seq("sharding_indexed")) {
+        val conf = codecs.head._2
+        val inner = ints(conf \ "chunk_shape", "sharding chunk_shape")
+        val (ie, ic, icrc) =
+          parseChain(codecList(conf \ "codecs", "sharding codecs"),
+            "sharding inner codecs")
+        val idxCrc = (conf \ "index_codecs") match {
+          case JNothing | JNull => true // spec default: [bytes, crc32c]
+          case j => codecList(j, "index_codecs").map(_._1) match {
+            case Seq("bytes") => false
+            case Seq("bytes", "crc32c") => true
+            case other => throw new IllegalArgumentException(
+              s"ZarrUnsupported: index_codecs ${other.mkString("[", ",", "]")}")
+          }
+        }
+        val atEnd = (conf \ "index_location") match {
+          case JString("start") => false
+          case _ => true
+        }
+        (ie, ic, icrc,
+          Some(ShardMeta(inner, ic, icrc, ie, idxCrc, atEnd)))
+      } else {
+        val (e, c, cr) = parseChain(codecs, "codec chain")
+        (e, c, cr, None)
+      }
     val code = (root \ "data_type") match {
       case JString("float64") => "f8"
       case JString("float32") => "f4"
@@ -203,9 +249,15 @@ object ZarrReader {
       })
       case _ => None
     }
+    shardMeta.foreach { sm =>
+      require(sm.innerChunks.size == chunks.size &&
+        sm.innerChunks.zip(chunks).forall { case (i, o) => i > 0 && o % i == 0 },
+        s"ZarrCorrupt: sharding inner chunk_shape ${sm.innerChunks} does not " +
+          s"evenly divide the shard shape $chunks")
+    }
     ZarrMeta(shape, chunks, dtype, compressor, "C", fill, sep,
       format = 3, crc32c = crc, keyEncoding = keyEnc,
-      dimensionNames = dimNames)
+      dimensionNames = dimNames, shard = shardMeta)
   }
 
   /** Chunk keys present in the store. v2 / v3-with-v2-encoding: flat file
@@ -289,6 +341,114 @@ object ZarrReader {
     }
   }
 
+  /** Decode one whole SHARD file into a C-order double array of the
+    * shard's full (outer-chunk) shape: parse the (offset, nbytes) index —
+    * verifying its crc32c when declared — then run each present inner
+    * chunk through the inner codec chain ([[decodeChunk]]: the sharded
+    * meta carries the INNER compressor/crc32c) and scatter it at its
+    * origin; missing inner chunks (offset = nbytes = 2^64−1) stay
+    * `fill_value`. Executor-side: the task that owns a shard decodes all
+    * of it — one file read, no seeks shared across tasks.
+    */
+  def decodeShard(raw: Array[Byte], m: ZarrMeta): Array[Double] = {
+    val sm = m.shard.getOrElse(
+      throw new IllegalArgumentException("decodeShard on unsharded meta"))
+    val rank = m.chunks.size
+    val innerShape = sm.innerChunks.toArray
+    val innerGrid = m.chunks.toArray.zip(innerShape).map { case (o, i) => o / i }
+    val nInner = innerGrid.product
+    val idxSize = nInner * 16 + (if (sm.indexCrc32c) 4 else 0)
+    require(raw.length >= idxSize, "ZarrCorrupt: shard shorter than its index")
+    val idxOff = if (sm.indexAtEnd) raw.length - idxSize else 0
+    if (sm.indexCrc32c) {
+      val c = new java.util.zip.CRC32C()
+      c.update(raw, idxOff, nInner * 16)
+      val want = java.nio.ByteBuffer.wrap(raw, idxOff + nInner * 16, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+      require(c.getValue == want,
+        f"ZarrCorrupt: shard index crc32c mismatch (stored $want%08x, " +
+          f"computed ${c.getValue}%08x)")
+    }
+    val idx = java.nio.ByteBuffer.wrap(raw, idxOff, nInner * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](m.chunks.product)
+    // C-order strides over the shard array and the inner grid
+    val shardStrides = new Array[Int](rank)
+    val gridStrides = new Array[Int](rank)
+    val innerStrides = new Array[Int](rank)
+    shardStrides(rank - 1) = 1; gridStrides(rank - 1) = 1
+    innerStrides(rank - 1) = 1
+    var d = rank - 2
+    while (d >= 0) {
+      shardStrides(d) = shardStrides(d + 1) * m.chunks(d + 1)
+      gridStrides(d) = gridStrides(d + 1) * innerGrid(d + 1)
+      innerStrides(d) = innerStrides(d + 1) * innerShape(d + 1)
+      d -= 1
+    }
+    var anyMissing = false
+    var ci = 0
+    while (ci < nInner) {
+      val off = idx.getLong(idxOff + ci * 16)
+      val len = idx.getLong(idxOff + ci * 16 + 8)
+      if (off == -1L && len == -1L) anyMissing = true
+      else {
+        require(off >= 0 && len >= 0 && off + len <= raw.length,
+          s"ZarrCorrupt: inner chunk $ci spans [$off, ${off + len}) of a " +
+            s"${raw.length}-byte shard")
+        val vals = unpack(decodeChunk(
+          java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), m),
+          m.dtype)
+        require(vals.length == innerShape.product,
+          s"ZarrCorrupt: inner chunk $ci decoded ${vals.length} values, " +
+            s"expected ${innerShape.product}")
+        // scatter at the inner chunk's origin within the shard
+        var f = 0
+        while (f < vals.length) {
+          var outFlat = 0
+          var r = 0
+          while (r < rank) {
+            val ig = (ci / gridStrides(r)) % innerGrid(r)
+            val local = (f / innerStrides(r)) % innerShape(r)
+            outFlat += (ig * innerShape(r) + local) * shardStrides(r)
+            r += 1
+          }
+          out(outFlat) = vals(f)
+          f += 1
+        }
+      }
+      ci += 1
+    }
+    if (anyMissing) {
+      require(m.fillValue.isDefined,
+        "ZarrCorrupt: shard has missing inner chunks but no fill_value")
+      // fill AFTER scatter would overwrite data; instead pre-fill the
+      // missing inner chunks' cells only
+      var cj = 0
+      while (cj < nInner) {
+        val off = idx.getLong(idxOff + cj * 16)
+        val len = idx.getLong(idxOff + cj * 16 + 8)
+        if (off == -1L && len == -1L) {
+          var f = 0
+          val n = innerShape.product
+          while (f < n) {
+            var outFlat = 0
+            var r = 0
+            while (r < rank) {
+              val ig = (cj / gridStrides(r)) % innerGrid(r)
+              val local = (f / innerStrides(r)) % innerShape(r)
+              outFlat += (ig * innerShape(r) + local) * shardStrides(r)
+              r += 1
+            }
+            out(outFlat) = m.fillValue.get
+            f += 1
+          }
+        }
+        cj += 1
+      }
+    }
+    out
+  }
+
   def inflate(bytes: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(bytes)
@@ -336,13 +496,15 @@ object ZarrReader {
         it.flatMap { case (idx, isPresent) =>
           val gridIdx = idx.toArray
           val vals =
-            if (isPresent) {
+            if (!isPresent) Array.fill(m.chunks.product)(m.fillValue.get)
+            else {
               // encoding-aware relative path; "/"-separated keys resolve
               // as nested paths on the executors unchanged
               val raw = java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(base, m.keyOf(idx)))
-              unpack(decodeChunk(raw, m), m.dtype)
-            } else Array.fill(m.chunks.product)(m.fillValue.get)
+              if (m.shard.isDefined) decodeShard(raw, m)
+              else unpack(decodeChunk(raw, m), m.dtype)
+            }
           val rank = m.shape.size
           val chunkShape = m.chunks.toArray
           // C-order walk of the chunk, clipping edge padding against shape

@@ -78,11 +78,22 @@ object StreamingOps {
     * time) discovers them oldest-range first under `maxFilesPerTrigger=1`.
     * Returns the shard directory. Harness plumbing, driver-side by design:
     * a production multi-batch source is a live feed, not a re-sharded file.
+    *
+    * Memoized once per JVM per (eventsPath, shards) — the source parquet
+    * cannot change under a running JVM (the RasterFixture discipline), so
+    * warm bench repetitions and the sessionize/dedup query pair share ONE
+    * shard build instead of paying ~1.5 s of re-sharding per invocation.
     */
+  private val shardDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
   private def writeTimeOrderedShards(spark: SparkSession, eventsPath: String,
-      shards: Int): String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stream_shards").toFile
+      shards: Int): String = shardDirs.getOrElseUpdate((eventsPath, shards), {
+    val tag = java.lang.Integer.toHexString(eventsPath.hashCode)
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_shards_${tag}_$shards").toFile
+    if (dir.isDirectory)
+      dir.listFiles().foreach(f => java.nio.file.Files.delete(f.toPath))
     graft.sources.Tables
       .normalizeTs(spark.read.parquet(eventsPath))
       .repartitionByRange(shards, col("ts"))
@@ -97,7 +108,7 @@ object StreamingOps {
       f.setLastModified(t0 + i * 60000L)
     }
     dir.getPath
-  }
+  })
 
   /** MULTI-BATCH [[sessionizeStream]] oracle run — the evidence class the
     * single-batch [[sessionizeEventsFile]] row cannot provide: per-user
@@ -129,7 +140,6 @@ object StreamingOps {
       watermarkDelay = "40 days")
     val sink = runToMemory(out.toDF(), "update", queryName,
       requireMinBatches = minBatches)
-    deleteShardDir(shardDir) // memory sink holds the rows; shards are done
     sink.groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("longest")).as("longest"))
@@ -155,14 +165,7 @@ object StreamingOps {
       watermarkDelay = "40 days")
     val sink = runToMemory(deduped, "append", queryName,
       requireMinBatches = minBatches)
-    deleteShardDir(shardDir) // memory sink holds the rows; shards are done
     sink.select(col("user_id"), col("event_type"))
-  }
-
-  private def deleteShardDir(dir: String): Unit = {
-    val d = new java.io.File(dir)
-    val fs = d.listFiles(); if (fs != null) fs.foreach(_.delete())
-    d.delete()
   }
 
   /** Tumbling-window aggregation over a parquet-backed event stream,

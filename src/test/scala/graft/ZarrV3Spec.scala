@@ -143,9 +143,10 @@ class ZarrV3Spec extends AnyFunSuite {
   }
 
   test("unsupported v3 codecs raise NAMED errors") {
-    val dir = tmp("zarr3_shard")
+    val dir = tmp("zarr3_transpose")
     writeMeta(dir, metaJson((2, 2), (2, 2), codecs =
-      """[{"name":"sharding_indexed","configuration":{}}]"""))
+      """[{"name":"transpose","configuration":{"order":[1,0]}},
+        |{"name":"bytes","configuration":{"endian":"little"}}]""".stripMargin))
     val e = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir) }
     assert(e.getMessage.contains("ZarrUnsupported"))
     val dir2 = tmp("zarr3_zstd")
@@ -153,6 +154,85 @@ class ZarrV3Spec extends AnyFunSuite {
       """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd"}]"""))
     val e2 = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir2) }
     assert(e2.getMessage.contains("ZarrUnsupported") && e2.getMessage.contains("zstd"))
+  }
+
+  test("v3 sharding_indexed: inner grid + index footer, missing inner -> fill") {
+    // shape 4x6, SHARD (outer chunk) 4x4, inner 2x2 -> shard grid 1x2,
+    // 4 inner chunks per shard; inner codecs [bytes, gzip]; index
+    // [bytes, crc32c] at the end. value = r*100 + c; shard (0,1) has its
+    // inner (0,0) chunk MISSING -> fill NaN over rows 0-1, cols 4-5.
+    val dir = tmp("zarr3_sharded")
+    writeMeta(dir,
+      s"""{"zarr_format":3,"node_type":"array","shape":[4,6],
+         |"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4,4]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":"NaN",
+         |"codecs":[{"name":"sharding_indexed","configuration":{
+         |  "chunk_shape":[2,2],
+         |  "codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+         |            {"name":"gzip","configuration":{"level":1}}],
+         |  "index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+         |                  {"name":"crc32c"}],
+         |  "index_location":"end"}}],
+         |"dimension_names":["y","x"]}""".stripMargin)
+    def gz(vals: Seq[Double]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(f8le(vals)); g.close(); out.toByteArray
+    }
+    // inner chunk (ir, ic) of shard (sr, sc): rows sr*4+ir*2 .., cols
+    // sc*4+ic*2 ..; out-of-bounds pad = -5 (must never surface)
+    def inner(sr: Int, sc: Int, ir: Int, ic: Int): Seq[Double] =
+      for (lr <- 0 until 2; lc <- 0 until 2) yield {
+        val (r, c) = (sr * 4 + ir * 2 + lr, sc * 4 + ic * 2 + lc)
+        if (r < 4 && c < 6) r * 100.0 + c else -5.0
+      }
+    def writeShard(sr: Int, sc: Int, present: Set[(Int, Int)]): Unit = {
+      val chunksInOrder = for (ir <- 0 until 2; ic <- 0 until 2)
+        yield (ir, ic)
+      val bodies = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val entries = chunksInOrder.map { case (ir, ic) =>
+        if (!present((ir, ic))) (-1L, -1L)
+        else {
+          val b = gz(inner(sr, sc, ir, ic))
+          val off = bodies.length.toLong
+          bodies ++= b
+          (off, b.length.toLong)
+        }
+      }
+      val idx = java.nio.ByteBuffer.allocate(entries.size * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      entries.foreach { case (o, l) => idx.putLong(o); idx.putLong(l) }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx.array(), 0, idx.array().length)
+      val tail = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+      val p = java.nio.file.Paths.get(dir, "c", sr.toString, sc.toString)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        bodies.toArray ++ idx.array() ++ tail.array())
+    }
+    val all = Set((0, 0), (0, 1), (1, 0), (1, 1))
+    writeShard(0, 0, all)
+    writeShard(0, 1, all - ((0, 0))) // missing inner -> fill
+    val m = ZarrReader.readMeta(dir)
+    assert(m.shard.exists(_.innerChunks == Seq(2, 2)))
+    val got = readMap(dir)
+    assert(got.size == 24) // 4x6 in-bounds cells
+    assert(got((0L, 0L)) == 0.0 && got((3L, 3L)) == 303.0)
+    assert(got((2L, 4L)) == 204.0 && got((3L, 5L)) == 305.0) // shard 2 present inners
+    assert(got((0L, 4L)).isNaN && got((1L, 5L)).isNaN) // missing inner region
+    assert(!got.values.exists(_ == -5.0)) // pad cells clipped
+    // corrupt one byte of shard (0,0)'s index -> index crc32c must scream
+    val p0 = java.nio.file.Paths.get(dir, "c", "0", "0")
+    val bytes = java.nio.file.Files.readAllBytes(p0)
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x11).toByte
+    java.nio.file.Files.write(p0, bytes)
+    val e = intercept[Throwable] { readMap(dir) }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("crc32c")), chain(e).mkString(" | "))
   }
 
   test("distributed v3 writer roundtrips through the v3 reader branch") {
