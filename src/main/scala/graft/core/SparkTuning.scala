@@ -31,6 +31,10 @@ object SparkTuning {
       exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe",
+      exprs => graft.functions.BloomProbe(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition",
       exprs => graft.functions.RepetitionStats(exprs(0)),
       "built-in")

@@ -60,10 +60,19 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val keyed = newDocs.withColumn("_k", key.cast("string"))
     val bloom = keyed.stat.bloomFilter("_k", expectedNewKeys, fpp)
-    val bc = keyed.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val blmBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // codegen'd probe (graft.functions.BloomProbe): the sketch rides the
+    // generated class as a reference object, the key's UTF-8 bytes are
+    // hashed without a per-row String, and the filter stays inside the
+    // scan's whole-stage-codegen span (a UDF here broke the span AND
+    // forced the key expression to evaluate three times)
     val corpusHits = corpus.select(key.cast("string").as("_k"))
-      .filter(mightContain(col("_k"))).distinct()
+      .filter(call_function("graft_bloom_probe", lit(blmBytes), col("_k")))
+      .distinct()
     keyed.join(corpusHits, Seq("_k"), "left_anti").drop("_k")
   }
 

@@ -625,6 +625,47 @@ object ProcessGraph {
           CubeV(c.withDf(df => graft.pipeline.Dedup.incrementalNew(
             df, corp.df.select(col(corp.meta.valueCol).as(c.meta.valueCol)),
             idDim, keyOf(col(c.meta.valueCol)), expected)))
+        case "semdedup" =>
+          // SemDeDup over an embedding-valued cube (value = Array[Float]):
+          // IVF-bucketed cosine near-dup pairs above `threshold`, then the
+          // component-minimum survivor anti-join — the embedding twin of
+          // minhash_dedup_survivors
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val th = args.get("threshold").collect {
+            case NumV(x) => x }.getOrElse(0.95)
+          val cents = args.get("centroids").collect {
+            case NumV(x) => x.toInt }.getOrElse(16)
+          CubeV(c.withDf(df => graft.pipeline.Similarity.semDedupSurvivors(
+            df, idDim, c.meta.valueCol, th, cents)))
+        case "ann_topk" =>
+          // approximate top-k neighbors of a `queries` cube against a
+          // `corpus` cube (both embedding-valued): terminal node — the
+          // cube becomes the (query_id, rank) -> neighbor table with
+          // cosine as the value
+          val qc = cube("queries")
+          val cc = cube("corpus")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(qc.meta.dimNames.head)
+          qc.requireDim(idDim)
+          val k = args.get("k").collect { case NumV(x) => x.toInt }.getOrElse(10)
+          val cents = args.get("centroids").collect {
+            case NumV(x) => x.toInt }.getOrElse(16)
+          val corpusDf = cc.df.select(
+            col(cc.meta.dimNames.head).as(idDim),
+            col(cc.meta.valueCol).as(qc.meta.valueCol))
+          val centroids = graft.pipeline.Similarity.strideCentroids(
+            corpusDf, idDim, qc.meta.valueCol, cents)
+          val top = graft.pipeline.Similarity.ivfTopK(
+            qc.df.select(col(idDim), col(qc.meta.valueCol)), corpusDf,
+            idDim, qc.meta.valueCol, centroids, k)
+            .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+          CubeV(DataCube(top, CubeMetadata(Seq(
+            CubeDim("query_id", DimType.Other),
+            CubeDim("neighbor_id", DimType.Other),
+            CubeDim("rk", DimType.Other)), None, "cos")))
         case "chunk_docs" =>
           // overlapping token-window chunking: the id dimension gains a
           // chunk_id companion and the value becomes the chunk text —

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * Scope matches the reader: little-endian float64 (`<f8`/`float64`), C
   * order, rank 2; v2 stores use zlib + flat "." keys, v3 stores
   * (`format = 3`) write `zarr.json` with a `[bytes, gzip, crc32c]` codec
-  * chain and nested `c/r/c` default-encoded keys. Either store is valid
-  * for any conforming reader of its format.
+  * chain and nested `c/r/c` default-encoded keys; with `shardInner` set,
+  * v3 stores use the `sharding_indexed` codec instead — each chunk file
+  * becomes a SHARD of gzip'd inner chunks plus a crc32c'd index footer,
+  * with all-fill inner chunks omitted as missing sentinels (the sparse
+  * case round-trips through the reader's fill path). Either store is
+  * valid for any conforming reader of its format.
   */
 object ZarrWriter {
 
@@ -27,8 +31,15 @@ object ZarrWriter {
     */
   def writeGrid(cube: DataCube, dir: String, rowDim: String = "y",
       colDim: String = "x", chunkR: Int = 256, chunkC: Int = 256,
-      format: Int = 2): Unit = {
+      format: Int = 2, shardInner: Option[(Int, Int)] = None): Unit = {
     require(format == 2 || format == 3, s"ZarrWriter: format $format")
+    require(shardInner.isEmpty || format == 3,
+      "ZarrWriter: sharding is a v3 codec — set format = 3")
+    shardInner.foreach { case (ir, ic) =>
+      require(ir > 0 && ic > 0 && chunkR % ir == 0 && chunkC % ic == 0,
+        s"ZarrWriter: inner chunk ($ir, $ic) must evenly divide the " +
+          s"shard ($chunkR, $chunkC)")
+    }
     require(cube.meta.dimNames.contains(rowDim) &&
       cube.meta.dimNames.contains(colDim),
       s"ZarrWriter: cube lacks $rowDim/$colDim dims")
@@ -57,15 +68,27 @@ object ZarrWriter {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dir, ".zarray"), zarray)
     } else {
+      val codecJson = shardInner match {
+        case Some((ir, ic)) =>
+          s"""[{"name":"sharding_indexed","configuration":{
+             |"chunk_shape":[$ir,$ic],
+             |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+             |{"name":"gzip","configuration":{"level":1}}],
+             |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+             |{"name":"crc32c"}],
+             |"index_location":"end"}}]""".stripMargin
+        case None =>
+          """[{"name":"bytes","configuration":{"endian":"little"}},
+            |{"name":"gzip","configuration":{"level":1}},
+            |{"name":"crc32c"}]""".stripMargin
+      }
       val zjson =
         s"""{"zarr_format":3,"node_type":"array","shape":[$h,$w],
            |"data_type":"float64",
            |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkR,$chunkC]}},
            |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
            |"fill_value":"NaN",
-           |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
-           |{"name":"gzip","configuration":{"level":1}},
-           |{"name":"crc32c"}],
+           |"codecs":$codecJson,
            |"dimension_names":["$rowDim","$colDim"]}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dir, "zarr.json"), zjson)
@@ -88,6 +111,23 @@ object ZarrWriter {
       val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       buf.foreach(bb.putDouble)
+      def gzip1(payload: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(out) {
+          `def`.setLevel(1) // match the declared codec configuration
+        }
+        gz.write(payload); gz.close()
+        out.toByteArray
+      }
+      def crcTrailer(payload: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(payload, 0, payload.length)
+        val withCrc = java.util.Arrays.copyOf(payload, payload.length + 4)
+        java.nio.ByteBuffer.wrap(withCrc, payload.length, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(crc.getValue.toInt)
+        withCrc
+      }
       val bytes =
         if (format == 2) {
           val d = new java.util.zip.Deflater(1)
@@ -97,21 +137,40 @@ object ZarrWriter {
           while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
           d.end()
           out.toByteArray
-        } else {
-          // v3 codec chain: bytes -> gzip -> crc32c (little-endian trailer)
-          val out = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(out) {
-            `def`.setLevel(1) // match the declared codec configuration
-          }
-          gz.write(bb.array()); gz.close()
-          val gzBytes = out.toByteArray
-          val crc = new java.util.zip.CRC32C()
-          crc.update(gzBytes, 0, gzBytes.length)
-          val withCrc = java.util.Arrays.copyOf(gzBytes, gzBytes.length + 4)
-          java.nio.ByteBuffer.wrap(withCrc, gzBytes.length, 4)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            .putInt(crc.getValue.toInt)
-          withCrc
+        } else shardInner match {
+          case None =>
+            // v3 codec chain: bytes -> gzip -> crc32c trailer
+            crcTrailer(gzip1(bb.array()))
+          case Some((ir, ic)) =>
+            // sharding_indexed: gzip each inner chunk (all-fill inners
+            // become missing sentinels), then the crc32c'd index footer
+            val (gridR, gridC) = (chunkR / ir, chunkC / ic)
+            val bodies = new java.io.ByteArrayOutputStream()
+            val idx = java.nio.ByteBuffer.allocate(gridR * gridC * 16)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            for (gr <- 0 until gridR; gc <- 0 until gridC) {
+              val inner = new Array[Double](ir * ic)
+              var allNaN = true
+              var f = 0
+              while (f < inner.length) {
+                val v = buf((gr * ir + f / ic) * chunkC + gc * ic + f % ic)
+                inner(f) = v
+                if (!v.isNaN) allNaN = false
+                f += 1
+              }
+              if (allNaN) { idx.putLong(-1L); idx.putLong(-1L) }
+              else {
+                val ib = java.nio.ByteBuffer.allocate(inner.length * 8)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                inner.foreach(ib.putDouble)
+                val enc = gzip1(ib.array())
+                idx.putLong(bodies.size().toLong)
+                idx.putLong(enc.length.toLong)
+                bodies.write(enc)
+              }
+            }
+            bodies.write(crcTrailer(idx.array()))
+            bodies.toByteArray
         }
       val path =
         if (format == 2) java.nio.file.Paths.get(dir, key)

@@ -158,8 +158,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(
       "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(p).length == 1, p)
     // the bloom probe lands IN the corpus scan (a DataFilter on the
-    // FileScan), so bloom-rejected rows die before any downstream operator
-    assert(p.contains("UDF(md5"), p)
+    // FileScan) as the codegen'd expression, so bloom-rejected rows die
+    // before any downstream operator and the span stays whole-stage
+    assert(p.contains("graft_bloom_probe"), p)
     // the only exchange is the hit-set distinct, on the fixed-width key;
     // the residue broadcasts into a LeftAnti hash join — the shard never
     // shuffles either

@@ -575,6 +575,53 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(gotX.nonEmpty && gotX == wantX)
   }
 
+  test("embedding nodes semdedup / ann_topk == DataFrame twins") {
+    import graft.pipeline.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val coll: String => DataCube = {
+      case "emb" => DataCube.fromTable(emb, Seq("vec_id"), "embedding")
+      case "q" => DataCube.fromTable(emb.filter(col("vec_id") % 25 === 0),
+        Seq("vec_id"), "embedding")
+    }
+    val sdGraph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "emb"}},
+        |  "s": {"process_id": "semdedup",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "threshold": 0.95, "centroids": 16},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotS = ProcessGraph.execute(spark, sdGraph, coll)
+      .df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val wantS = Similarity.semDedupSurvivors(emb, "vec_id", "embedding",
+        0.95, 16).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotS.nonEmpty && gotS == wantS)
+
+    val annGraph =
+      """{"process_graph": {
+        |  "q": {"process_id": "load_collection", "arguments": {"id": "q"}},
+        |  "c": {"process_id": "load_collection", "arguments": {"id": "emb"}},
+        |  "a": {"process_id": "ann_topk",
+        |        "arguments": {"queries": {"from_node": "q"},
+        |                      "corpus": {"from_node": "c"},
+        |                      "k": 5, "centroids": 16},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotA = ProcessGraph.execute(spark, annGraph, coll).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+    val wantA = Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0),
+        emb, "vec_id", "embedding", cents, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(gotA.nonEmpty && gotA == wantA)
+  }
+
   test("scalar text-analysis nodes in apply callbacks == direct Columns") {
     import graft.pipeline.TextAnalysis
     val dir = "/root/testdata/sf0.001"
