@@ -54,17 +54,22 @@ object RasterFixture {
   private val v3Written = scala.collection.mutable.HashSet[String]()
 
   /** zarr V3 sink twin of [[ensureZarrGrid]] for the `zarr_v3_roundtrip`
-    * query: the same lineitem grid written as a `zarr.json` store with the
-    * `[bytes, gzip, crc32c]` codec chain and nested `c/r/c` default chunk
-    * keys — the write side exercises the v3 metadata + gzip + crc32c
-    * encode, the read side the v3 branch of [[graft.sources.ZarrReader]]
-    * including per-chunk checksum verification.
+    * query: the same lineitem grid written as a `zarr.json` store with
+    * nested `c/r/c` default chunk keys and the `sharding_indexed` codec —
+    * each 16×16 shard carries a 2×2 grid of gzip'd 8×8 inner chunks plus
+    * a crc32c'd index footer, with all-fill inner chunks omitted as
+    * missing sentinels. The write side exercises the v3 sharded encode,
+    * the read side the sharded branch of [[graft.sources.ZarrReader]]
+    * including index checksum verification and the missing-inner fill
+    * path: the bottom shard row (rows 32–47 over a 40-row array) has its
+    * lower 8×8 inner chunks fully out of bounds — all-NaN, hence omitted
+    * and re-materialized as fill on read.
     */
   def ensureZarrGridV3(spark: SparkSession, sfDir: String): String =
     synchronized {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_zarr3_sink_${tag}_v1")
+        sys.props("java.io.tmpdir"), s"graft_zarr3_sink_${tag}_v2")
       if (!v3Written.contains(sfDir)) {
         if (java.nio.file.Files.isDirectory(dir)) {
           // nested v3 keys → depth-first delete
@@ -78,7 +83,8 @@ object RasterFixture {
           .agg(sum(col("l_quantity")).as("value"))
         val cube = DataCube.fromTable(grid, Seq("y", "x"), "value")
         graft.sources.ZarrWriter.writeGrid(cube, dir.toString,
-          rowDim = "y", colDim = "x", chunkR = 16, chunkC = 16, format = 3)
+          rowDim = "y", colDim = "x", chunkR = 16, chunkC = 16, format = 3,
+          shardInner = Some((8, 8)))
         v3Written += sfDir
       }
       dir.toString
