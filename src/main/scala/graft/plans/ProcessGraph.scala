@@ -697,9 +697,9 @@ object ProcessGraph {
           // the returned cube themselves.
           val c = cube("data")
           val fmt = opt("format").map(_.asInstanceOf[StrV].v).getOrElse("Parquet")
-          require(Set("parquet", "csv", "json", "gtiff", "geotiff", "zarr")(
-            fmt.toLowerCase),
-            s"FormatUnsuitable: $fmt (parquet, csv, json, gtiff, zarr)")
+          require(Set("parquet", "csv", "json", "gtiff", "geotiff", "zarr",
+            "zarr3")(fmt.toLowerCase),
+            s"FormatUnsuitable: $fmt (parquet, csv, json, gtiff, zarr, zarr3)")
           val pathOpt = opt("options").flatMap {
             case StrV(j) => JsonMethods.parse(j) \ "path" match {
               case JString(p) => Some(p)

@@ -30,8 +30,11 @@ object CubeIO {
           .json(path)
       case "gtiff" | "geotiff" => saveGeoTiff(cube, path)
       case "zarr" => ZarrWriter.writeGrid(cube, path) // distributed chunks
+      case "zarr3" => // v3 store, sharded: the object-count-friendly sink
+        ZarrWriter.writeGrid(cube, path, format = 3,
+          shardInner = Some((64, 64)))
       case other => throw new IllegalArgumentException(
-        s"FormatUnsuitable: $other (parquet, csv, json, gtiff, zarr)")
+        s"FormatUnsuitable: $other (parquet, csv, json, gtiff, zarr, zarr3)")
     }
 
   /** save_result format "GTiff": one single-band float32 raster through the

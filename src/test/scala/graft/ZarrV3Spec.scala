@@ -268,6 +268,22 @@ class ZarrV3Spec extends AnyFunSuite {
     assert(shardFiles.length == 4) // 2x2 shard grid at (8,8) over 10x12
   }
 
+  test("save_result format zarr3 emits a sharded v3 store readable back") {
+    val sess = spark
+    import sess.implicits._
+    val cells = (for (y <- 0 until 20; x <- 0 until 20)
+      yield (y.toDouble, x.toDouble, y * 20.0 + x))
+    val cube = DataCube.fromTable(
+      cells.toDF("y", "x", "value"), Seq("y", "x"), "value")
+    val dir = tmp("zarr3_save") + "/store"
+    graft.sources.CubeIO.saveResult(cube, dir, format = "zarr3")
+    val m = ZarrReader.readMeta(dir)
+    assert(m.format == 3 && m.shard.exists(_.innerChunks == Seq(64, 64)))
+    val got = ZarrReader.loadArray(spark, dir, Seq("_r", "_c"))
+      .where(!isnan(col("value"))).count()
+    assert(got == 400L)
+  }
+
   test("distributed v3 writer roundtrips through the v3 reader branch") {
     val sess = spark
     import sess.implicits._
