@@ -137,6 +137,7 @@ object ProcessGraph {
       case JBool(b) => BoolV(b)
       case JArray(xs) => ArrV(xs.map(evalArg))
       case JNull | JNothing => NullV
+      case JSet(xs) => ArrV(xs.toSeq.map(evalArg)) // json4s-internal, never parsed from wire JSON
     }
 
     def applyProcess(pid: String, args: Map[String, PValue],

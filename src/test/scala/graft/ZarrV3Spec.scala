@@ -128,6 +128,35 @@ class ZarrV3Spec extends AnyFunSuite {
     assert(readMap(d2) == Map((0L, 0L) -> 9.0, (0L, 1L) -> 10.0))
   }
 
+  test("v3 rank-3 store reads with C-order chunk walk (bands, rows, cols)") {
+    val dir = tmp("zarr3_rank3")
+    writeMeta(dir,
+      """{"zarr_format":3,"node_type":"array","shape":[2,3,4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[1,2,2]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"dimension_names":["b","y","x"]}""".stripMargin)
+    // value = b*100 + r*10 + c; grid 2x2x2 chunks, edge rows padded
+    for (gb <- 0 until 2; gr <- 0 until 2; gc <- 0 until 2) {
+      val vals = for (lr <- 0 until 2; lc <- 0 until 2) yield {
+        val (r, c) = (gr * 2 + lr, gc * 2 + lc)
+        if (r < 3 && c < 4) gb * 100.0 + r * 10 + c else -9.0
+      }
+      val p = java.nio.file.Paths.get(dir, "c", gb.toString, gr.toString,
+        gc.toString)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, f8le(vals))
+    }
+    val got = ZarrReader.loadArray(spark, dir, Seq("b", "r", "c")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) -> x.getDouble(3))
+      .toMap
+    assert(got.size == 24)
+    assert(got((0L, 0L, 0L)) == 0.0 && got((1L, 2L, 3L)) == 123.0)
+    assert(!got.values.exists(_ == -9.0))
+  }
+
   test("v3 big-endian int16 dtype via the bytes codec endian") {
     val dir = tmp("zarr3_i2be")
     writeMeta(dir, metaJson((1, 3), (1, 3), dataType = "int16",
