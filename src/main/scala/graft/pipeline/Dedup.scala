@@ -673,6 +673,66 @@ object Dedup {
         (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
   }
 
+  /** R-S (two-table) exact n-gram-Jaccard similarity JOIN — the "fuzzy
+    * join" of record linkage: every (left, right) pair whose word-shingle
+    * Jaccard is ≥ `threshold`, with the exact score. Where
+    * [[ngramJaccardNearDups]] self-joins one corpus, this joins two tables
+    * (new shard vs corpus, queries vs catalog, dirty names vs canon).
+    *
+    * Same PPJoin construction as the self-join path, cross-table form:
+    * document frequencies — and hence the canonical (df, shingle) total
+    * order every prefix is computed under — come from the UNION of both
+    * sides (the prefix lemma needs only a SHARED total order, and union
+    * frequencies put either side's hot shingles in the excluded suffix),
+    * candidates come from a left-prefix ⋈ right-prefix equi-join on the
+    * shingle, and verification computes exact Jaccard from the full per-doc
+    * set arrays. Candidate volume scales with rare-shingle co-occurrence
+    * ACROSS the tables, never with |L|·|R|.
+    *
+    * Integer-derived doubles only (intersection and set sizes), so scores
+    * are bit-identical across engines. Thresholds below the self-join
+    * path's prefix cutoff are rejected — a tiny threshold makes any exact
+    * algorithm near-quadratic; use [[ngramContainment]]-style asymmetric
+    * screens there instead.
+    */
+  def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
+      text: Column, shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold >= PrefixCutoff,
+      s"jaccardJoin: threshold $threshold below $PrefixCutoff makes the " +
+        "prefix filter vacuous; use a containment screen for tiny thresholds")
+    val tagged = left.select(lit("L").as("_side"), col(idCol), text.as("_t"))
+      .unionByName(
+        right.select(lit("R").as("_side"), col(idCol), text.as("_t")))
+    val sh = tagged.select(col("_side"), col(idCol),
+      explode(shingleArray(col("_t"), shingleLen)).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val sets = sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("_side"), col(idCol))
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle"))))
+        .as("_ord"))
+      .select(col("_side"), col(idCol),
+        transform(col("_ord"), x => x.getField("shingle")).as("_set"),
+        size(col("_ord")).as("n_sh"))
+      .withColumn("_prefix", slice(col("_set"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+    def side(s: String, suffix: String) = sets.filter(col("_side") === s)
+      .select(col(idCol).as(s"id_$suffix"), col("_set").as(s"_set_$suffix"),
+        col("n_sh").as(s"n_$suffix"), col("_prefix").as(s"_pfx_$suffix"))
+    val l = side("L", "l"); val r = side("R", "r")
+    val cand = l.select(col("id_l"), explode(col("_pfx_l")).as("shingle"))
+      .join(r.select(col("id_r"), explode(col("_pfx_r")).as("shingle")),
+        Seq("shingle"))
+      .select(col("id_l"), col("id_r")).distinct()
+    cand
+      .join(l.drop("_pfx_l"), Seq("id_l"))
+      .join(r.drop("_pfx_r"), Seq("id_r"))
+      .withColumn("_ni", size(array_intersect(col("_set_l"), col("_set_r"))))
+      .withColumn("jaccard", col("_ni") /
+        (col("n_l") + col("n_r") - col("_ni")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
   /** Below this threshold the prefix filter is a no-op in disguise: the
     * prefix keeps n − ⌈t·n⌉ + 1 ≈ (1−t)·n shingles, so at tiny t the
     * "filtered" index is the full index plus the per-pair set-intersection

@@ -667,6 +667,25 @@ object ProcessGraph {
             CubeDim("query_id", DimType.Other),
             CubeDim("neighbor_id", DimType.Other),
             CubeDim("rk", DimType.Other)), None, "cos")))
+        case "fuzzy_join" =>
+          // R-S similarity join between two text cubes: terminal node —
+          // the cube becomes the (id_l, id_r) → jaccard pair table
+          val lc = cube("data")
+          val rc = cube("right")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(lc.meta.dimNames.head)
+          lc.requireDim(idDim)
+          val th = args.get("threshold").collect {
+            case NumV(x) => x }.getOrElse(0.5)
+          val n = args.get("n").collect { case NumV(x) => x.toInt }.getOrElse(3)
+          val joined = graft.pipeline.Dedup.jaccardJoin(
+            lc.df.select(col(idDim), col(lc.meta.valueCol)),
+            rc.df.select(col(rc.meta.dimNames.head).as(idDim),
+              col(rc.meta.valueCol).as(lc.meta.valueCol)),
+            idDim, col(lc.meta.valueCol), n, th)
+          CubeV(DataCube(joined, CubeMetadata(Seq(
+            CubeDim("id_l", DimType.Other),
+            CubeDim("id_r", DimType.Other)), None, "jaccard")))
         case "chunk_docs" =>
           // overlapping token-window chunking: the id dimension gains a
           // chunk_id companion and the value becomes the chunk text —

@@ -128,6 +128,17 @@ object PipelineQueries {
       Dedup.exact(Tables.documents(s, dir), "doc_id",
         TextAnalysis.fingerprint(col("text")))
     },
+    "fuzzy_join" -> { (s, dir) =>
+      // R-S similarity join (record linkage): every 10th doc plays the
+      // probe table, the rest the reference table; pairs at word-3-gram
+      // Jaccard ≥ 0.5 with exact scores (6 pairs at sf0.01 — the corpus's
+      // strong near-dups straddle the split, so the join finds real links)
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardJoin(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
+        col("text"), shingleLen = 3, threshold = 0.5)
+    },
     "dedup_incremental" -> { (s, dir) =>
       // continuous-ingest dedup: every 10th doc plays the incoming shard,
       // the rest the existing corpus; survivors are shard docs whose
@@ -773,6 +784,21 @@ object PipelineQueries {
         |         string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS content_key,
         |       min(doc_id) AS survivor, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "fuzzy_join" ->
+      // the prefix filter is invisible to semantics: the full R-S shingle
+      // join at the threshold is the oracle (integer-derived division on
+      // both sides, bit-identical scores)
+      s"""WITH $shingleSqlBase,
+         |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |inter AS (SELECT ev.doc_id AS id_l, tr.doc_id AS id_r,
+         |                 count(*) AS ni
+         |          FROM ev JOIN tr USING (shingle) GROUP BY 1, 2)
+         |SELECT i.id_l, i.id_r,
+         |       i.ni / CAST(ca.n + cb.n - i.ni AS DOUBLE) AS jaccard
+         |FROM inter i JOIN cnt ca ON ca.doc_id = i.id_l
+         |             JOIN cnt cb ON cb.doc_id = i.id_r
+         |WHERE i.ni / CAST(ca.n + cb.n - i.ni AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_incremental" ->
       // the bloom prefilter is invisible to semantics: plain NOT EXISTS
       // anti-join on the fingerprint is the oracle

@@ -61,6 +61,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("fuzzy join == brute-force R-S jaccard, hot shingles notwithstanding") {
+    // every doc shares a hot boilerplate prefix (the stop-word-class keys
+    // the prefix filter must suffix-exclude); uniqueness lives in the tail
+    def doc(tail: String) = s"terms of service apply here $tail"
+    val probes = Seq(
+      (1L, doc("alpha beta gamma delta")),
+      (2L, doc("epsilon zeta eta theta")),
+      (3L, doc("iota kappa lambda mu"))).toDF("doc_id", "text")
+    val refs = Seq(
+      (10L, doc("alpha beta gamma delta")),        // exact tail dup of 1
+      (11L, doc("alpha beta gamma DELTA extra")),  // near-dup of 1
+      (12L, doc("nu xi omicron pi")),              // boilerplate-only overlap
+      (13L, doc("iota kappa lambda mu"))           // exact tail dup of 3
+    ).toDF("doc_id", "text")
+    for (th <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardJoin(probes, refs, "doc_id", col("text"),
+          shingleLen = 3, threshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // brute force: all pairs, exact jaccard over distinct 3-gram sets
+      def sh(s: String): Set[String] = {
+        val t = s.trim.toLowerCase.split("\\s+")
+        (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val want = (for {
+        p <- probes.collect(); r <- refs.collect()
+        a = sh(p.getString(1)); b = sh(r.getString(1))
+        ni = (a & b).size
+        j = ni.toDouble / (a.size + b.size - ni)
+        if j >= th
+      } yield (p.getLong(0), r.getLong(0)) -> j).toMap
+      assert(got == want, s"threshold $th")
+      if (th == 0.3) {
+        // the gate separates structure: dups and near-dups link, the
+        // boilerplate-only pair does not
+        assert(got.contains((1L, 10L)) && got.contains((3L, 13L)))
+        assert(got.contains((1L, 11L)))
+        assert(!got.keySet.exists(_._2 == 12L))
+      }
+    }
+    // tiny thresholds are rejected, not silently quadratic
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(probes, refs, "doc_id", col("text"), 3, 0.01)
+    }
+  }
+
   test("minhash LSH finds the near-dup pair and the exact-dup pair") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
       shingleLen = 2, k = 16, rowsPerBand = 2, threshold = 0.4)

@@ -724,6 +724,24 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(gotV.nonEmpty &&
       wantV.forall { case (k, v) => gotV.get(k).contains(v) })
 
+    // fuzzy_join (two cube inputs): R-S jaccard pair table == twin
+    val fjGraph =
+      """{"process_graph": {
+        |  "e": {"process_id": "load_collection", "arguments": {"id": "eval"}},
+        |  "t": {"process_id": "load_collection", "arguments": {"id": "train"}},
+        |  "f": {"process_id": "fuzzy_join",
+        |        "arguments": {"data": {"from_node": "e"},
+        |                      "right": {"from_node": "t"},
+        |                      "threshold": 0.5},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotFJ = ProcessGraph.execute(spark, fjGraph, coll).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val wantFJ = Dedup.jaccardJoin(evalDocs, trainDocs, "doc_id",
+        col("text"), 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotFJ == wantFJ)
+
     // incremental_dedup (two cube inputs): shard docs whose fingerprint
     // exists in the train cube are dropped, exact anti semantics
     val incGraph =
