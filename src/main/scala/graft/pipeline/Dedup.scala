@@ -696,7 +696,8 @@ object Dedup {
     * screens there instead.
     */
   def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
-      text: Column, shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+      text: Column, shingleLen: Int = 3, threshold: Double = 0.5,
+      cacheSets: Boolean = true): DataFrame = {
     require(threshold >= PrefixCutoff,
       s"jaccardJoin: threshold $threshold below $PrefixCutoff makes the " +
         "prefix filter vacuous; use a containment screen for tiny thresholds")
@@ -706,7 +707,7 @@ object Dedup {
     val sh = tagged.select(col("_side"), col(idCol),
       explode(shingleArray(col("_t"), shingleLen)).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val sets = sh.join(dfreq, Seq("shingle"))
+    val setsPlan = sh.join(dfreq, Seq("shingle"))
       .groupBy(col("_side"), col(idCol))
       .agg(sort_array(collect_list(struct(col("_df"), col("shingle"))))
         .as("_ord"))
@@ -715,6 +716,19 @@ object Dedup {
         size(col("_ord")).as("n_sh"))
       .withColumn("_prefix", slice(col("_set"), lit(1),
         (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+    // the set frame feeds FOUR consumers (two prefix indexes, two verify
+    // sides) — without scoping the whole shingle pipeline (union scan,
+    // df join, sort aggregation) recomputes per consumer: 4 corpus-wide
+    // passes instead of 1. At sf0.1 the candidate+verify stage dominates
+    // either way (wall-clock measured equal), but at corpus scale the
+    // scan multiplier is the bill; Caching.scoped closes the cache inside
+    // the operator (the [[lineDedup]]/[[charTrigramScore]] diamond
+    // discipline), and `cacheSets = false` keeps the pure lazy plan for
+    // plan audits / cache-hostile deployments
+    val sets =
+      if (cacheSets)
+        setsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else setsPlan
     def side(s: String, suffix: String) = sets.filter(col("_side") === s)
       .select(col(idCol).as(s"id_$suffix"), col("_set").as(s"_set_$suffix"),
         col("n_sh").as(s"n_$suffix"), col("_prefix").as(s"_pfx_$suffix"))
@@ -723,7 +737,7 @@ object Dedup {
       .join(r.select(col("id_r"), explode(col("_pfx_r")).as("shingle")),
         Seq("shingle"))
       .select(col("id_l"), col("id_r")).distinct()
-    cand
+    val out = cand
       .join(l.drop("_pfx_l"), Seq("id_l"))
       .join(r.drop("_pfx_r"), Seq("id_r"))
       .withColumn("_ni", size(array_intersect(col("_set_l"), col("_set_r"))))
@@ -731,6 +745,7 @@ object Dedup {
         (col("n_l") + col("n_r") - col("_ni")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
+    if (cacheSets) graft.core.Caching.scoped(out, sets) else out
   }
 
   /** Below this threshold the prefix filter is a no-op in disguise: the
