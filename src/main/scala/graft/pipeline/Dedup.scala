@@ -697,55 +697,61 @@ object Dedup {
     */
   def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
       text: Column, shingleLen: Int = 3, threshold: Double = 0.5,
-      cacheSets: Boolean = true): DataFrame = {
+      cachePrefix: Boolean = true): DataFrame = {
     require(threshold >= PrefixCutoff,
       s"jaccardJoin: threshold $threshold below $PrefixCutoff makes the " +
         "prefix filter vacuous; use a containment screen for tiny thresholds")
     val tagged = left.select(lit("L").as("_side"), col(idCol), text.as("_t"))
       .unionByName(
         right.select(lit("R").as("_side"), col(idCol), text.as("_t")))
+    // verification arrays are SCAN-LOCAL: the per-doc distinct-shingle
+    // array comes straight off the one-pass graft_shingles expression —
+    // the full shingle sets never shuffle (array_intersect doesn't care
+    // about order), so the only corpus-wide exchanges below carry the df
+    // census and the slim prefix index
+    def setArrs(s: String, suffix: String) = tagged
+      .filter(col("_side") === s)
+      .select(col(idCol).as(s"id_$suffix"),
+        shingleArray(col("_t"), shingleLen).as(s"_set_$suffix"))
+      .withColumn(s"n_$suffix", size(col(s"_set_$suffix")))
     val sh = tagged.select(col("_side"), col(idCol),
       explode(shingleArray(col("_t"), shingleLen)).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val setsPlan = sh.join(dfreq, Seq("shingle"))
+    // each doc's prefix under the shared (union-df, shingle) total order —
+    // the lowest-df n − ⌈t·n⌉ + 1 shingles (prefix lemma, same
+    // construction as [[shingleSetsWithPrefix]]); exploded slim
+    // (_side, id, shingle) rows, the ONLY per-doc state that shuffles
+    val prefixPlan = sh.join(dfreq, Seq("shingle"))
       .groupBy(col("_side"), col(idCol))
       .agg(sort_array(collect_list(struct(col("_df"), col("shingle"))))
         .as("_ord"))
       .select(col("_side"), col(idCol),
-        transform(col("_ord"), x => x.getField("shingle")).as("_set"),
-        size(col("_ord")).as("n_sh"))
-      .withColumn("_prefix", slice(col("_set"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
-    // the set frame feeds FOUR consumers (two prefix indexes, two verify
-    // sides) — without scoping the whole shingle pipeline (union scan,
-    // df join, sort aggregation) recomputes per consumer: 4 corpus-wide
-    // passes instead of 1. At sf0.1 the candidate+verify stage dominates
-    // either way (wall-clock measured equal), but at corpus scale the
-    // scan multiplier is the bill; Caching.scoped closes the cache inside
-    // the operator (the [[lineDedup]]/[[charTrigramScore]] diamond
-    // discipline), and `cacheSets = false` keeps the pure lazy plan for
+        explode(slice(transform(col("_ord"), x => x.getField("shingle")),
+          lit(1), (size(col("_ord")) -
+            ceil(lit(threshold) * size(col("_ord"))) + 1).cast("int")))
+          .as("shingle"))
+    // two consumers (L and R arms) — scope a cache over the slim index so
+    // the df join + per-doc sort run once ([[lineDedup]] diamond
+    // discipline); `cachePrefix = false` keeps the pure lazy plan for
     // plan audits / cache-hostile deployments
-    val sets =
-      if (cacheSets)
-        setsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else setsPlan
-    def side(s: String, suffix: String) = sets.filter(col("_side") === s)
-      .select(col(idCol).as(s"id_$suffix"), col("_set").as(s"_set_$suffix"),
-        col("n_sh").as(s"n_$suffix"), col("_prefix").as(s"_pfx_$suffix"))
-    val l = side("L", "l"); val r = side("R", "r")
-    val cand = l.select(col("id_l"), explode(col("_pfx_l")).as("shingle"))
-      .join(r.select(col("id_r"), explode(col("_pfx_r")).as("shingle")),
-        Seq("shingle"))
+    val prefix =
+      if (cachePrefix) prefixPlan
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prefixPlan
+    val cand = prefix.filter(col("_side") === "L")
+      .select(col(idCol).as("id_l"), col("shingle"))
+      .join(prefix.filter(col("_side") === "R")
+        .select(col(idCol).as("id_r"), col("shingle")), Seq("shingle"))
       .select(col("id_l"), col("id_r")).distinct()
     val out = cand
-      .join(l.drop("_pfx_l"), Seq("id_l"))
-      .join(r.drop("_pfx_r"), Seq("id_r"))
+      .join(setArrs("L", "l"), Seq("id_l"))
+      .join(setArrs("R", "r"), Seq("id_r"))
       .withColumn("_ni", size(array_intersect(col("_set_l"), col("_set_r"))))
       .withColumn("jaccard", col("_ni") /
         (col("n_l") + col("n_r") - col("_ni")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
-    if (cacheSets) graft.core.Caching.scoped(out, sets) else out
+    if (cachePrefix) graft.core.Caching.scoped(out, prefix) else out
   }
 
   /** Below this threshold the prefix filter is a no-op in disguise: the
