@@ -170,6 +170,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("fuzzy join: set arrays never shuffle — exchanges carry census + prefix only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fj = pipeline.Dedup.jaccardJoin(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", col("text"),
+      3, 0.5, cachePrefix = false) // lazy plan for the audit
+    val p = plan(fj)
+    // no Exchange's partitioning or output carries a _set array: the
+    // verification arrays are built at the scan on the join's probe side
+    val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("_set")), exchanges.mkString("\n"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   test("pipeline ops: scan-speed ops shuffle-free; packing never serializes") {
     // split / redaction / quantization / chunking are single-pass Column
     // programs — ZERO exchanges, the 100-TB contract that makes them free
