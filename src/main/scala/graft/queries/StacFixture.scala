@@ -107,6 +107,23 @@ object StacFixture {
   val zv3 = (5, 6, 3, 4, -7.0)
   def zv3Value(r: Int, c: Int): Float = (3000 + r * 30 + c).toFloat
 
+  /** Rank-2 zarr v2 store: (38, 30) `<f8` BLOSC(lz4 + byte-shuffle) — the
+    * zarr-python DEFAULT compressor — (20, 16) chunks, bottom-right chunk
+    * omitted → fill −3. The 2560-byte chunk with a 1024-byte block hint
+    * decodes through the container's split path (two 128-element split
+    * blocks per chunk) AND its unsplit leftover block (512 B), with
+    * byte-lane unshuffle on every block. value = 4000 + r·40 + c (exact).
+    */
+  val zd = (38, 30, 20, 16, -3.0)
+  def zdValue(r: Int, c: Int): Double = 4000.0 + r * 40 + c
+
+  /** Rank-2 zarr V3 store: (6, 7) `float32`, (4, 4) chunks,
+    * `[bytes, zstd, crc32c]` codec chain, default `c/` keys, bottom-right
+    * chunk omitted → fill −9. value = 5000 + r·50 + c (float32-exact).
+    */
+  val ze = (6, 7, 4, 4, -9.0)
+  def zeValue(r: Int, c: Int): Float = (5000 + r * 50 + c).toFloat
+
   private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
     d.setInput(bytes); d.finish()
@@ -117,9 +134,11 @@ object StacFixture {
     out.toByteArray
   }
 
-  /** Write (idempotently — content is deterministic) two zarr v2 stores +
-    * a STAC catalog whose items carry them as `application/vnd+zarr`
-    * assets, and return the catalog directory. Grid steps are 1.0 (bbox
+  /** Write (idempotently — content is deterministic) five zarr stores —
+    * v2 zlib, v2 raw nested, v3 gzip+crc32c, v2 blosc(lz4+shuffle), v3
+    * zstd+crc32c — plus a STAC catalog whose items carry them as
+    * `application/vnd+zarr` assets, and return the catalog directory.
+    * Grid steps are 1.0 (bbox
     * spans = shape), so every x/y/value in the loaded cube is an exact
     * small integer and the oracle mirrors the whole load arithmetically —
     * catalog traversal, chunk fan-out, zlib inflate, edge-padding clip,
@@ -128,7 +147,7 @@ object StacFixture {
     */
   def ensureZarr(): String = synchronized {
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v2")
+      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v3")
     val (h2, w2, cr2, cc2, fill2) = z2
     val a = dir.resolve("zarr_a")
     java.nio.file.Files.createDirectories(a)
@@ -202,11 +221,68 @@ object StacFixture {
       java.nio.file.Files.createDirectories(ck)
       java.nio.file.Files.write(ck.resolve(s"$gc"), withCrc)
     }
+    // zarr v2 store zarr_d: blosc(lz4 + byte-shuffle) chunks through the
+    // pure-JVM container encoder (split + leftover blocks — see [[zd]])
+    val (h5, w5, cr5, cc5, fill5) = zd
+    val ddir = dir.resolve("zarr_d")
+    java.nio.file.Files.createDirectories(ddir)
+    java.nio.file.Files.writeString(ddir.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[$h5,$w5],"chunks":[$cr5,$cc5],
+         |"dtype":"<f8",
+         |"compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0},
+         |"fill_value":$fill5,"filters":null,"order":"C"}""".stripMargin)
+    val (gr5, gc5) = ((h5 + cr5 - 1) / cr5, (w5 + cc5 - 1) / cc5)
+    for (gr <- 0 until gr5; gc <- 0 until gc5
+         if (gr, gc) != (gr5 - 1, gc5 - 1)) { // last chunk omitted → fill
+      val bb = java.nio.ByteBuffer.allocate(cr5 * cc5 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (lr <- 0 until cr5; lc <- 0 until cc5) {
+        val (r, c) = (gr * cr5 + lr, gc * cc5 + lc)
+        bb.putDouble(if (r < h5 && c < w5) zdValue(r, c) else 0.0) // pad
+      }
+      java.nio.file.Files.write(ddir.resolve(s"$gr.$gc"),
+        graft.sources.Blosc.compress(bb.array(), typesize = 8,
+          cname = "lz4", byteShuffle = true, blocksizeHint = 1024))
+    }
+    // zarr V3 store zarr_e: [bytes, zstd, crc32c] codec chain
+    val (h6, w6, cr6, cc6, fill6) = ze
+    val edir = dir.resolve("zarr_e")
+    java.nio.file.Files.createDirectories(edir)
+    java.nio.file.Files.writeString(edir.resolve("zarr.json"),
+      s"""{"zarr_format":3,"node_type":"array","shape":[$h6,$w6],
+         |"data_type":"float32",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$cr6,$cc6]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":$fill6,
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+         |{"name":"zstd","configuration":{"level":3}},{"name":"crc32c"}],
+         |"dimension_names":["y","x"]}""".stripMargin)
+    val (gr6, gc6) = ((h6 + cr6 - 1) / cr6, (w6 + cc6 - 1) / cc6)
+    for (gr <- 0 until gr6; gc <- 0 until gc6
+         if (gr, gc) != (gr6 - 1, gc6 - 1)) { // last chunk omitted → fill
+      val bb = java.nio.ByteBuffer.allocate(cr6 * cc6 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (lr <- 0 until cr6; lc <- 0 until cc6) {
+        val (r, c) = (gr * cr6 + lr, gc * cc6 + lc)
+        bb.putFloat(if (r < h6 && c < w6) zeValue(r, c) else 0f) // pad
+      }
+      val z = graft.sources.Blosc.zstdCompress(bb.array())
+      val crc = new java.util.zip.CRC32C()
+      crc.update(z, 0, z.length)
+      val withCrc = java.util.Arrays.copyOf(z, z.length + 4)
+      java.nio.ByteBuffer.wrap(withCrc, z.length, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+      val ck = edir.resolve("c").resolve(s"$gr")
+      java.nio.file.Files.createDirectories(ck)
+      java.nio.file.Files.write(ck.resolve(s"$gc"), withCrc)
+    }
     // catalog: bbox spans = shape so the loader's grid steps are exactly 1
     val zitems = Seq(
       ("zitem-0", "za", "zarr_a", "2024-03-01T00:00:00Z", w2, h2),
       ("zitem-1", "zb", "zarr_b", "2024-03-02T00:00:00Z", w3, h3),
-      ("zitem-2", "zc", "zarr_c", "2024-03-03T00:00:00Z", w4, h4))
+      ("zitem-2", "zc", "zarr_c", "2024-03-03T00:00:00Z", w4, h4),
+      ("zitem-3", "zd", "zarr_d", "2024-03-04T00:00:00Z", w5, h5),
+      ("zitem-4", "ze", "zarr_e", "2024-03-05T00:00:00Z", w6, h6))
     for ((id, band, store, dt, w, h) <- zitems) {
       java.nio.file.Files.writeString(dir.resolve(s"$id.json"),
         s"""{

@@ -18,23 +18,25 @@ import org.apache.spark.sql.functions._
   * with no driver data path.
   *
   * v2 support: dtypes `<f8 <f4 <i8 <i4 <i2 |i1 |u1 >f8 >f4 >i8 >i4 >i2`,
-  * compressor `null` or `{"id":"zlib"}`, order C, flat "." or nested "/"
-  * chunk keys, any rank; edge chunks are padded per the spec and clipped
-  * against `shape` on read; absent chunks materialize `fill_value`.
-  * Blosc compression needs a native lib this environment lacks → clear
-  * error.
+  * compressor `null`, `zlib`, `gzip`, `zstd`, numcodecs `lz4`, or `blosc`
+  * (the zarr-python DEFAULT — decoded pure-JVM by [[Blosc]]: container
+  * header, per-block splits, byte-shuffle filter, lz4/lz4hc/zstd/zlib/
+  * snappy payloads; blosclz and bit-shuffle raise named errors), order C,
+  * flat "." or nested "/" chunk keys, any rank; edge chunks are padded
+  * per the spec and clipped against `shape` on read; absent chunks
+  * materialize `fill_value`.
   *
   * v3 support (zarr.json, `zarr_format: 3`): named data types
   * float64/float32/int64/int32/int16/int8/uint8, regular chunk grid,
   * `default` ("c"-prefixed, "/" or "." separator) and `v2` chunk key
-  * encodings, codec chains `[bytes]`, `[bytes, gzip|zlib]`, each
+  * encodings, codec chains `[bytes]`, `[bytes, gzip|zstd|blosc]`, each
   * optionally followed by `crc32c` (checksum VERIFIED per chunk on the
   * executor), `fill_value` incl. the draft "NaN"/"Infinity" string forms,
   * `dimension_names`, and the `sharding_indexed` codec (one shard file =
   * an inner-chunk grid + an indexed footer, index crc32c verified; the
   * task that owns a shard decodes all of it — the v3 feature that keeps a
-  * 100-TB store's object count sane). Unsupported codecs (transpose,
-  * blosc, zstd) raise a NAMED ZarrUnsupported error.
+  * 100-TB store's object count sane). Unsupported codecs (e.g.
+  * transpose) raise a NAMED ZarrUnsupported error.
   */
 object ZarrReader {
 
@@ -59,6 +61,13 @@ object ZarrReader {
         ("c" +: idx.map(_.toString)).mkString(separator)
       else idx.mkString(separator)
   }
+
+  /** numcodecs compressor ids this reader decodes on the v2 path. blosc is
+    * the zarr-python DEFAULT (`Blosc(cname='lz4', shuffle=SHUFFLE)`) —
+    * [[Blosc]] decodes the container pure-JVM; lz4 is numcodecs' raw
+    * size-prefixed LZ4; zstd/gzip/zlib are their standard streams.
+    */
+  val V2Compressors: Set[String] = Set("zlib", "gzip", "blosc", "zstd", "lz4")
 
   def readMeta(dir: String): ZarrMeta = {
     val v3Path = java.nio.file.Paths.get(dir, "zarr.json")
@@ -108,8 +117,8 @@ object ZarrReader {
     require(order == "C", s"ZarrUnsupported: order $order (C only)")
     require(sep == "." || sep == "/",
       s"ZarrUnsupported: dimension_separator '$sep'")
-    comp.foreach(c => require(c == "zlib",
-      s"ZarrUnsupported: compressor $c (null or zlib only — blosc needs a native lib)"))
+    comp.foreach(c => require(V2Compressors(c),
+      s"ZarrUnsupported: compressor $c (null, ${V2Compressors.mkString(", ")} only)"))
     ZarrMeta(ints("shape"), ints("chunks"), dtype, comp, order, fill, sep)
   }
 
@@ -170,11 +179,15 @@ object ZarrReader {
       var compressor: Option[String] = None
       var crc = false
       cs.tail.foreach {
+        // gzip, zstd and blosc are the REGISTERED v3 bytes->bytes codecs
+        // this reader decodes ("zlib" is a v2-only numcodecs id — kept off
+        // the v3 chain so our acceptance matches conforming writers)
         case ("gzip", _) if compressor.isEmpty && !crc => compressor = Some("gzip")
-        case ("zlib", _) if compressor.isEmpty && !crc => compressor = Some("zlib")
+        case ("zstd", _) if compressor.isEmpty && !crc => compressor = Some("zstd")
+        case ("blosc", _) if compressor.isEmpty && !crc => compressor = Some("blosc")
         case ("crc32c", _) if !crc => crc = true
         case (other, _) => throw new IllegalArgumentException(
-          s"ZarrUnsupported: codec $other in $what (bytes + gzip/zlib + crc32c only)")
+          s"ZarrUnsupported: codec $other in $what (bytes + gzip/zstd/blosc + crc32c only)")
       }
       (endian, compressor, crc)
     }
@@ -337,6 +350,9 @@ object ZarrReader {
     meta.compressor match {
       case Some("zlib") => inflate(body)
       case Some("gzip") => gunzip(body)
+      case Some("blosc") => Blosc.decompress(body)
+      case Some("zstd") => Blosc.zstdDecompress(body)
+      case Some("lz4") => Blosc.lz4NumcodecsDecompress(body)
       case _ => body
     }
   }
@@ -392,8 +408,10 @@ object ZarrReader {
       val len = idx.getLong(idxOff + ci * 16 + 8)
       if (off == -1L && len == -1L) anyMissing = true
       else {
-        require(off >= 0 && len >= 0 && off + len <= raw.length,
-          s"ZarrCorrupt: inner chunk $ci spans [$off, ${off + len}) of a " +
+        // subtraction form: off + len can overflow Long on corrupt indexes
+        require(off >= 0 && len >= 0 && off <= raw.length &&
+          len <= raw.length - off,
+          s"ZarrCorrupt: inner chunk $ci spans [$off, +$len) of a " +
             s"${raw.length}-byte shard")
         val vals = unpack(decodeChunk(
           java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), m),
@@ -449,10 +467,13 @@ object ZarrReader {
     out
   }
 
-  def inflate(bytes: Array[Byte]): Array[Byte] = {
+  def inflate(bytes: Array[Byte]): Array[Byte] =
+    inflate(bytes, 0, bytes.length)
+
+  def inflate(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(bytes)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    inf.setInput(bytes, off, len)
+    val out = new java.io.ByteArrayOutputStream(len * 4)
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val k = inf.inflate(buf)

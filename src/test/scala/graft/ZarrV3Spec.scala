@@ -178,11 +178,35 @@ class ZarrV3Spec extends AnyFunSuite {
         |{"name":"bytes","configuration":{"endian":"little"}}]""".stripMargin))
     val e = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir) }
     assert(e.getMessage.contains("ZarrUnsupported"))
-    val dir2 = tmp("zarr3_zstd")
+    // "zlib" is a numcodecs v2 id, NOT a registered zarr v3 codec name —
+    // the v3 chain accepts gzip/zstd/blosc only
+    val dir2 = tmp("zarr3_zlib")
     writeMeta(dir2, metaJson((2, 2), (2, 2), codecs =
-      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd"}]"""))
+      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zlib"}]"""))
     val e2 = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir2) }
-    assert(e2.getMessage.contains("ZarrUnsupported") && e2.getMessage.contains("zstd"))
+    assert(e2.getMessage.contains("ZarrUnsupported") && e2.getMessage.contains("zlib"))
+  }
+
+  test("v3 zstd codec chain decodes (zstd frame + crc32c trailer)") {
+    val dir = tmp("zarr3_zstd_ok")
+    writeMeta(dir, metaJson((2, 3), (2, 3), dataType = "float64", codecs =
+      """[{"name":"bytes","configuration":{"endian":"little"}},
+        |{"name":"zstd","configuration":{"level":3}},
+        |{"name":"crc32c"}]""".stripMargin))
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.5, -2.0, 3.25, 4.0, 5.5, -6.75).foreach(bb.putDouble)
+    val z = graft.sources.Blosc.zstdCompress(bb.array())
+    val crc = new java.util.zip.CRC32C()
+    crc.update(z, 0, z.length)
+    val out = java.util.Arrays.copyOf(z, z.length + 4)
+    java.nio.ByteBuffer.wrap(out, z.length, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+    val p = java.nio.file.Paths.get(dir, "c", "0", "0")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, out)
+    assert(readMap(dir) == Map((0L, 0L) -> 1.5, (0L, 1L) -> -2.0,
+      (0L, 2L) -> 3.25, (1L, 0L) -> 4.0, (1L, 1L) -> 5.5, (1L, 2L) -> -6.75))
   }
 
   test("v3 sharding_indexed: inner grid + index footer, missing inner -> fill") {
