@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * The optional second arg filters to one family: `dedup` (exact dedup,
   * clusters, survivors, PPJoin), `incdedup` (incremental shard-vs-corpus
-  * dedup: bloom prefilter vs plain anti-join), `score` (repetition, DSIR, LM,
+  * dedup: bloom prefilter vs plain anti-join), `fuzzyjoin` (R-S PPJoin
+  * exchange-volume instrumentation on a replica-salted linear-output
+  * corpus), `score` (repetition, DSIR, LM,
   * substring), `crawl` (html_extract, line_dedup, domain_stats, WARC
   * round-trip), `stream` (1M-event multi-batch sessionization:
   * batch-parity + bounded-state assertions; ignores the replication arg),
@@ -134,6 +136,58 @@ object Stress {
         force(shard.withColumn("_k", key).join(
           uCorpus.select(key.as("_k")), Seq("_k"), "left_anti").drop("_k"))
       }
+    }
+    // ---- R-S fuzzy join (PPJoin prefix filter): the sf0.1 probe verified
+    // the set arrays stay scan-local; this family measures it AT SCALE.
+    // The replica salt is interleaved between every pair of words, so
+    // every shingle carries the replica tag: cross-replica Jaccard is 0,
+    // the true-match structure per replica equals the base corpus's, and
+    // the workload scales linearly in rows instead of quadratically in
+    // output — the geometry a real record-linkage corpus has.
+    family("fuzzyjoin") {
+      val saltedPath = s"/tmp/graft_stress_fuzzy_${rep}x"
+      corpus.select(col("doc_id"),
+        regexp_replace(col("text"), lit(" "),
+          concat(lit(" r"), (col("doc_id") / 10000000L).cast("bigint")
+            .cast("string"), lit(" "))).as("text"))
+        .write.mode("overwrite").parquet(saltedPath)
+      val t = spark.read.parquet(saltedPath)
+      val probe = t.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      val ref = t.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      println(s"[stress]   probe docs: ${probe.count()}  ref docs: ${ref.count()}")
+      val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffled.addAndGet(
+              e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      shuffled.set(0)
+      time("fuzzy join (prefix)") {
+        force(Dedup.jaccardJoin(probe, ref, "doc_id", col("text"),
+          shingleLen = 3, threshold = 0.5))
+      }
+      Thread.sleep(1500) // let the listener bus drain
+      val exchanged = shuffled.get()
+      println(f"[stress]   prefix-join shuffle write: ${exchanged / 1e6}%.1f MB")
+      // counterfactuals, COMPUTED not guessed: (a) the bytes the exchanges
+      // would carry if the verification set arrays shuffled (sum of
+      // distinct-shingle string bytes + per-element array overhead);
+      // (b) the candidate pairs an any-shared-shingle join would verify
+      // (sum over shingles of nL·nR) vs the true result size
+      val sh = t.select(col("doc_id"),
+        explode(graft.pipeline.Dedup.shingleArray(col("text"), 3)).as("s"))
+      val arrBytes = sh.agg(sum(length(col("s")) + lit(16))).first().getLong(0)
+      val shL = sh.join(probe.select("doc_id"), Seq("doc_id"))
+      val shR = sh.join(ref.select("doc_id"), Seq("doc_id"))
+      val naiveCands = shL.groupBy(col("s")).agg(count(lit(1)).as("cl"))
+        .join(shR.groupBy(col("s")).agg(count(lit(1)).as("cr")), Seq("s"))
+        .agg(sum(col("cl") * col("cr"))).first().getLong(0)
+      println(f"[stress]   set-array counterfactual: ${arrBytes / 1e6}%.1f MB " +
+        f"(${arrBytes.toDouble / math.max(exchanged, 1)}%.1f x the measured exchange)")
+      println(s"[stress]   any-shared-shingle candidate pairs: $naiveCands " +
+        "(the no-prefix-filter verification load)")
     }
     family("score") { time("repetition scan") {
       force(corpus.select(col("doc_id"), Repetition.stats(col("text")).as("s")))

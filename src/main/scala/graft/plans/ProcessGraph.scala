@@ -30,6 +30,19 @@ object ProcessGraph {
   /** Runtime values a node can produce. */
   sealed trait PValue
   final case class CubeV(cube: DataCube) extends PValue
+  /** A non-cube relational result — vector cubes (load_geojson /
+    * load_vector_cube / vector_*) and label tables (dimension_labels,
+    * rqadeforestation summaries). The reference passes geopandas /
+    * xr.Dataset objects between such nodes; here it's an unexecuted
+    * DataFrame like everything else.
+    */
+  final case class TableV(df: org.apache.spark.sql.DataFrame) extends PValue
+  /** A fitted model flowing fit_* → predict_* (the reference passes the
+    * model object through the graph the same way, ml/random_forest.py).
+    * `features` pins the assembler's column order so predict uses exactly
+    * the training layout.
+    */
+  final case class ModelV(model: AnyRef, features: Seq[String]) extends PValue
   final case class ColV(col: Column) extends PValue
   final case class NumV(v: Double) extends PValue
   final case class StrV(v: String) extends PValue
@@ -83,6 +96,20 @@ object ProcessGraph {
       case other => throw new IllegalArgumentException(
         s"graph result is not a cube: $other")
     }
+  }
+
+  /** Like [[execute]] but returns whatever the result node produced —
+    * needed for graphs ending in a vector/table node (dimension_labels,
+    * vector_buffer, rqadeforestation) or a fitted model.
+    */
+  def executeValue(spark: SparkSession, json: String,
+      collections: String => DataCube): PValue = {
+    val root = JsonMethods.parse(json)
+    val pg = root \ "process_graph" match {
+      case JNothing => root
+      case x => x
+    }
+    evalGraph(pg, Map.empty, collections)
   }
 
   private def nodes(pg: JValue): Map[String, Node] = pg match {
@@ -179,12 +206,26 @@ object ProcessGraph {
         case CubeV(c) => c
         case v => throw new IllegalArgumentException(s"$pid.$name: not a cube ($v)")
       }
+      def table(name: String): org.apache.spark.sql.DataFrame = args(name) match {
+        case TableV(df) => df
+        case CubeV(c) => c.df // a cube is also a table; vector ops accept both
+        case v => throw new IllegalArgumentException(s"$pid.$name: not a table ($v)")
+      }
       def column(name: String): Column = args(name) match {
         case ColV(c) => c
         case NumV(v) => lit(v)
         case StrV(s) => lit(s)
         case BoolV(b) => lit(b)
         case NullV => lit(null)
+        case ArrV(xs) => array(xs.map { // literal arrays for array processes
+          case NumV(v) => lit(v)
+          case StrV(s) => lit(s)
+          case BoolV(b) => lit(b)
+          case NullV => lit(null)
+          case ColV(c) => c
+          case v => throw new IllegalArgumentException(
+            s"$pid.$name: array element $v is not scalar")
+        }: _*)
         case v => throw new IllegalArgumentException(s"$pid.$name: not scalar ($v)")
       }
       def str(name: String): String = args(name) match {
@@ -764,6 +805,244 @@ object ProcessGraph {
             src.zip(tgt).toMap))
         case "ndvi" =>
           CubeV(IndicesOps.ndvi(cube("data"), str("nir"), str("red")))
+
+        // ---- curve fitting / ML (reference: ml/curve_fitting.py:15-162,
+        // ml/random_forest.py:22-161) ----
+        case "fit_curve" =>
+          // The reference's `function` argument is an arbitrary scipy
+          // callback; the engine's closed-form fitter covers the models
+          // that are linear in their parameters — `linear` (a + b·x) and
+          // the reference's CANONICAL seasonal `harmonic`
+          // (a + b·sin(ωx) + c·cos(ωx)) — selected by `model`. The result
+          // is the openEO shape: the fitted dimension is replaced by a
+          // `param` dimension with labels a/b(/c).
+          val c = cube("data"); val dim = str("dimension")
+          val model = opt("model").map(_.asInstanceOf[StrV].v)
+            .getOrElse("linear")
+          val others = c.meta.dimNames.filterNot(_ == dim)
+          val params = model match {
+            case "linear" => (CurveOps.fitLinear(c, dim), Seq("a", "b"))
+            case "harmonic" =>
+              (CurveOps.fitHarmonic(c, dim, num("omega")), Seq("a", "b", "c"))
+            case m => throw new IllegalArgumentException(
+              s"ProcessUnsupported: fit_curve model $m (linear, harmonic)")
+          }
+          val (pdf, names) = params
+          val kv = names.flatMap(n => Seq(lit(n), col(n)))
+          val melted = pdf
+            .select((others.map(col) :+ explode(map(kv: _*))): _*)
+            .withColumnRenamed("key", "param")
+          CubeV(DataCube.fromTable(melted, others :+ "param", "value"))
+        case "predict_curve" =>
+          val pc = cube("parameters"); val dimName = str("dimension")
+          val labels = args("labels").asInstanceOf[ArrV].v
+            .map(_.asInstanceOf[NumV].v)
+          val model = opt("model").map(_.asInstanceOf[StrV].v)
+            .getOrElse("linear")
+          val series = pc.meta.dimNames.filterNot(_ == "param")
+          val v = pc.meta.valueCol
+          def wide(names: Seq[String]) =
+            pc.df.groupBy(series.map(col): _*).agg(
+              max(when(col("param") === names.head, col(v))).as(names.head),
+              names.tail.map(n =>
+                max(when(col("param") === n, col(v))).as(n)): _*)
+          val out = model match {
+            case "linear" =>
+              CurveOps.predictLinear(wide(Seq("a", "b")), series, labels, dimName)
+            case "harmonic" =>
+              val w = num("omega")
+              CurveOps.predictBasis2(wide(Seq("a", "b", "c")), series, labels,
+                x => sin(x * w), x => cos(x * w), dimName)
+            case m => throw new IllegalArgumentException(
+              s"ProcessUnsupported: predict_curve model $m (linear, harmonic)")
+          }
+          CubeV(DataCube.fromTable(out, series :+ dimName, "value"))
+        case "fit_regr_random_forest" =>
+          // `predictors`: cube whose `dimension` (default bands) labels
+          // are the feature names; `target`: cube over the same series
+          // dims. The band pivot is a #features-wide reshape; the label
+          // collect is metadata-scale (feature count), same class as dim
+          // labels. Training itself is MLlib's distributed forest.
+          val pred = cube("predictors"); val tgt = cube("target")
+          val bandDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse("bands")
+          pred.requireDim(bandDim)
+          val series = pred.meta.dimNames.filterNot(_ == bandDim)
+          val feats = pred.df.select(col(bandDim).cast("string"))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+          val wide = pred.df.groupBy(series.map(col): _*)
+            .pivot(bandDim, feats).agg(first(col(pred.meta.valueCol)))
+          val joined = wide.join(
+            tgt.df.select((series.map(col) :+
+              col(tgt.meta.valueCol).as("_target")): _*), series)
+          val numTrees = opt("num_trees").map(_.asInstanceOf[NumV].v.toInt)
+            .getOrElse(100)
+          val maxDepth = opt("max_depth").map(_.asInstanceOf[NumV].v.toInt)
+            .getOrElse(8)
+          val seed = opt("seed").map(_.asInstanceOf[NumV].v.toLong)
+            .getOrElse(42L)
+          ModelV(MLOps.fitRandomForest(joined, feats, "_target",
+            numTrees, maxDepth, seed), feats)
+        case "predict_random_forest" =>
+          val (model, feats) = args("model") match {
+            case ModelV(m, f) => (m, f)
+            case v => throw new IllegalArgumentException(
+              s"predict_random_forest.model: not a model ($v)")
+          }
+          val d = cube("data")
+          val bandDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse("bands")
+          d.requireDim(bandDim)
+          val series = d.meta.dimNames.filterNot(_ == bandDim)
+          val wide = d.df.groupBy(series.map(col): _*)
+            .pivot(bandDim, feats).agg(first(col(d.meta.valueCol)))
+          val scored = MLOps.predictRandomForest(
+            model.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel],
+            wide, feats)
+          CubeV(DataCube.fromTable(
+            scored.withColumn("value", col("prediction")), series, "value"))
+
+        // ---- cube-to-cube resample (reference: cubes/resample.py) ----
+        case "resample_cube_spatial" =>
+          val d = cube("data"); val t = cube("target")
+          val method = opt("method").map(_.asInstanceOf[StrV].v)
+            .getOrElse("near")
+          method match {
+            case "near" =>
+              // target axis labels: metadata-scale collects (axis lengths)
+              val sd = t.meta.spatialDims
+              require(sd.size == 2,
+                s"DimensionMissing: target has spatial dims $sd (need 2)")
+              def labels(dim: String): Seq[Double] =
+                t.df.select(col(dim).cast("double")).distinct()
+                  .collect().map(_.getDouble(0)).sorted.toSeq
+              CubeV(SpatialOps.resampleCubeSpatialNear(d,
+                labels(sd.head), labels(sd(1)), v => Reducers.meanR(v)))
+            case "bilinear" =>
+              CubeV(ResampleOps.resampleCubeSpatialBilinear(d, t))
+            case m => throw new IllegalArgumentException(
+              s"ProcessUnsupported: resample_cube_spatial method $m (near, bilinear)")
+          }
+        case "resample_cube_temporal" =>
+          val d = cube("data"); val t = cube("target")
+          val dim = opt("dimension").map(_.asInstanceOf[StrV].v)
+          val tdim = dim.getOrElse(t.temporalDim)
+          // target time labels: metadata-scale collect (axis length)
+          val targets = t.df.select(col(tdim).cast("timestamp")).distinct()
+            .collect().map(_.getTimestamp(0)).sortBy(_.getTime).toSeq
+          CubeV(ResampleOps.resampleCubeTemporal(d, targets, dim,
+            opt("valid_within").map(_.asInstanceOf[NumV].v)))
+
+        // ---- cumulative processes (reference: cubes/cummax.py etc. —
+        // cube-level along a dimension, like the reference's dim-aware
+        // wrappers over the array forms) ----
+        case "cumsum" => CubeV(WindowOps.cumsum(cube("data"), str("dimension")))
+        case "cummin" => CubeV(WindowOps.cummin(cube("data"), str("dimension")))
+        case "cummax" => CubeV(WindowOps.cummax(cube("data"), str("dimension")))
+        case "cumproduct" =>
+          CubeV(WindowOps.cumprodExact(cube("data"), str("dimension")))
+        case "array_interpolate_linear" =>
+          // dim-aware form (the array form is this along `dimension`)
+          CubeV(WindowOps.interpolateLinear(cube("data"), str("dimension")))
+
+        // ---- labeled-array scalar processes ----
+        case "array_create_labeled" =>
+          ColV(graft.functions.ArrayFns.arrayCreateLabeled(
+            column("data"), column("labels")))
+        case "array_find_label" =>
+          ColV(graft.functions.ArrayFns.arrayFindLabel(
+            column("data"), column("label")))
+
+        // ---- dimension metadata / constructors ----
+        case "dimension_labels" =>
+          TableV(CubeDimOps.dimensionLabels(cube("data"), str("dimension")))
+        case "create_data_cube" =>
+          CubeV(graft.sources.CubeIO.createDataCube(
+            org.apache.spark.sql.SparkSession.active))
+
+        // ---- domain composites (reference: experimental/ddmc.py:8-84,
+        // experimental/rqadeforestation.py) ----
+        case "ddmc" =>
+          // generalized band-difference composite: `pairs` maps each output
+          // band to its [minuend, subtrahend] input bands (the reference
+          // hard-codes the MNDWI/NDVI/... set; the math is identical)
+          val c = cube("data")
+          val bandDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse("band")
+          val pairsJson = JsonMethods.parse(str("pairs"))
+          val pairs = pairsJson match {
+            case JObject(fields) => fields.map {
+              case (name, JArray(Seq(JString(a), JString(b)))) => name -> (a, b)
+              case (name, v) => throw new IllegalArgumentException(
+                s"ddmc.pairs.$name: expected [bandA, bandB], got $v")
+            }
+            case v => throw new IllegalArgumentException(s"ddmc.pairs: $v")
+          }
+          CubeV(CompositeOps.bandDifferenceComposite(c, bandDim, pairs))
+        case "rqadeforestation" =>
+          TableV(WindowOps.recurrenceRate(cube("data"), str("dimension"),
+            num("eps"), num("max_lag").toInt))
+
+        // ---- vector processes (reference: vector/buffer.py,
+        // vector/reproject.py) ----
+        case "vector_buffer" =>
+          // buffer point geometries; polygon rows pass through unchanged
+          // (the point-ring buffer is the op the engine implements)
+          val df = table("geometries")
+          val dist = num("distance")
+          val pts = VectorOps.bufferPoints(
+            df.filter(col("geom_type") === "Point"), "geometry", dist)
+          TableV(pts.unionByName(df.filter(col("geom_type") =!= "Point")))
+        case "vector_reproject" =>
+          TableV(VectorOps.reprojectVector(table("data"), "geometry",
+            str("source"), str("projection")))
+        case "load_geojson" =>
+          TableV(VectorOps.loadGeoJson(
+            org.apache.spark.sql.SparkSession.active, str("data"),
+            opt("properties").map(_ => strs("properties")).getOrElse(Nil)))
+        case "load_vector_cube" =>
+          TableV(VectorOps.loadVectorCube(
+            org.apache.spark.sql.SparkSession.active,
+            url = opt("URL").orElse(opt("url")).map(_.asInstanceOf[StrV].v),
+            filename = opt("filename").map(_.asInstanceOf[StrV].v),
+            geometries = opt("geometries").map(_.asInstanceOf[StrV].v),
+            properties = opt("properties").map(_ => strs("properties"))
+              .getOrElse(Nil)))
+
+        // ---- load_stac (reference: cubes/load.py:94-322) ----
+        case "load_stac" =>
+          val assets = graft.sources.StacLoader.loadCatalogItems(str("url"))
+          val timeRange = opt("temporal_extent").map { _ =>
+            val ext = args("temporal_extent").asInstanceOf[ArrV].v
+            (ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v)
+          }
+          // properties: {"name": [[op, value], ...]} — the flattened form
+          // of the reference's property-filter callbacks
+          val props: Map[String, Seq[(String, String)]] =
+            opt("properties").map { _ =>
+              JsonMethods.parse(str("properties")) match {
+                case JObject(fields) => fields.map { case (k, v) =>
+                  k -> (v match {
+                    case JArray(conds) => conds.map {
+                      case JArray(Seq(JString(op), JString(value))) => (op, value)
+                      case JArray(Seq(JString(op), other)) =>
+                        (op, JsonMethods.compact(JsonMethods.render(other)))
+                      case c => throw new IllegalArgumentException(
+                        s"load_stac.properties.$k: bad condition $c")
+                    }
+                    case c => throw new IllegalArgumentException(
+                      s"load_stac.properties.$k: expected [[op, value]], got $c")
+                  })
+                }.toMap
+                case v => throw new IllegalArgumentException(
+                  s"load_stac.properties: $v")
+              }
+            }.getOrElse(Map.empty)
+          val sel = graft.sources.StacLoader.filterAssets(assets,
+            bands = opt("bands").map(_ => strs("bands")),
+            timeRange = timeRange, properties = props)
+          CubeV(graft.sources.StacLoader.loadCube(
+            org.apache.spark.sql.SparkSession.active, sel))
 
         // ---- scalar ----
         case "add" => ColV(Scalar.add(column("x"), column("y")))

@@ -89,11 +89,15 @@ object StreamingOps {
 
   private def writeTimeOrderedShards(spark: SparkSession, eventsPath: String,
       shards: Int): String = shardDirs.getOrElseUpdate((eventsPath, shards), {
+    // JVM-unique directory: two concurrent bench/test JVMs on one box must
+    // not delete each other's shard files mid-stream (the PID tag), and
+    // write.mode("overwrite") already clears any crashed prior run's
+    // leftovers — including nested _temporary dirs a manual per-file
+    // delete loop would trip over
     val tag = java.lang.Integer.toHexString(eventsPath.hashCode)
+    val pid = java.lang.ProcessHandle.current().pid()
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_shards_${tag}_$shards").toFile
-    if (dir.isDirectory)
-      dir.listFiles().foreach(f => java.nio.file.Files.delete(f.toPath))
+      s"graft_stream_shards_${tag}_${shards}_$pid").toFile
     graft.sources.Tables
       .normalizeTs(spark.read.parquet(eventsPath))
       .repartitionByRange(shards, col("ts"))
@@ -124,8 +128,22 @@ object StreamingOps {
     * user's events arrive in event-time order across batches (within-batch
     * order is sorted by the operator itself).
     */
+  /** Run `body` with the stateful-stream partition count dialed down to
+    * `n`: `spark.sql.shuffle.partitions` at query START fixes the state
+    * store count, and each micro-batch commits EVERY store — at 32
+    * session partitions a 5-trigger run pays 160 store commits for a
+    * key space that fits comfortably in a handful of stores. Harness-side
+    * only; a production stream sizes this to its key cardinality.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def sessionizeEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      gapSeconds: Long = 1800L, shards: Int = 8, minBatches: Int = 5,
+      gapSeconds: Long = 1800L, shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_sess_stream_mb"): DataFrame = {
     import spark.implicits._
     graft.core.SparkTuning.tune(spark)
@@ -138,8 +156,10 @@ object StreamingOps {
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
     val out = sessionizeStream(typed, gapSeconds * 1000000L,
       watermarkDelay = "40 days")
-    val sink = runToMemory(out.toDF(), "update", queryName,
-      requireMinBatches = minBatches)
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(out.toDF(), "update", queryName,
+        requireMinBatches = minBatches)
+    }
     sink.groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("longest")).as("longest"))
@@ -152,7 +172,7 @@ object StreamingOps {
     * across batches, and ≥ `minBatches` non-empty batches are asserted.
     */
   def dedupEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      shards: Int = 8, minBatches: Int = 5,
+      shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_dedup_stream_mb"): DataFrame = {
     graft.core.SparkTuning.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -163,8 +183,10 @@ object StreamingOps {
       .parquet(shardDir)
     val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts",
       watermarkDelay = "40 days")
-    val sink = runToMemory(deduped, "append", queryName,
-      requireMinBatches = minBatches)
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(deduped, "append", queryName,
+        requireMinBatches = minBatches)
+    }
     sink.select(col("user_id"), col("event_type"))
   }
 

@@ -1,0 +1,413 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.plans.ProcessGraph
+import graft.plans.ProcessGraph.{ColV, CubeV, TableV}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph ≡ DataFrame equivalence for the §2-tail registry nodes
+  * (fit/predict curve + random forest, cube-to-cube resample, cumulatives,
+  * vector processes, loaders, composites): every node here runs once
+  * through a process graph and once through its operator twin, and the two
+  * results must match row-for-row. Mirrors the reference's stance that the
+  * graph is the primary entry point (its README routes everything through
+  * the process graph).
+  */
+class GraphTailSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def runCube(graph: String, colls: Map[String, DataCube]): DataCube =
+    ProcessGraph.execute(spark, graph, colls(_))
+
+  private def runValue(graph: String, colls: Map[String, DataCube] = Map.empty)
+      : ProcessGraph.PValue =
+    ProcessGraph.executeValue(spark, graph, colls(_))
+
+  /** numeric-dim series cube: (d, band) -> value */
+  private def seriesCube: DataCube = {
+    val df = (for (b <- Seq("B1", "B2"); d <- 0 until 12) yield
+      (d.toDouble, b,
+        if (b == "B1") 2.0 + 3.0 * d + (d % 3) else 40.0 - d + (d % 4)))
+      .toDF("d", "band", "value")
+    DataCube.fromTable(df, Seq("d", "band"), "value")
+  }
+
+  // ---- fit_curve / predict_curve ----
+
+  test("fit_curve linear ≡ CurveOps.fitLinear (param dim melt)") {
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "f": {"process_id": "fit_curve",
+        |        "arguments": {"data": {"from_node": "l"}, "dimension": "d",
+        |                      "model": "linear"}, "result": true}}}""".stripMargin
+    val out = runCube(g, Map("c" -> seriesCube))
+    assert(out.meta.dimNames == Seq("band", "param"))
+    val got = out.df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = CurveOps.fitLinear(seriesCube, "d").collect()
+      .flatMap(r => Seq((r.getString(0), "a") -> r.getDouble(r.fieldIndex("a")),
+        (r.getString(0), "b") -> r.getDouble(r.fieldIndex("b")))).toMap
+    assert(got == direct)
+  }
+
+  test("predict_curve linear and harmonic ≡ CurveOps predict twins") {
+    val gLin =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "f": {"process_id": "fit_curve",
+        |        "arguments": {"data": {"from_node": "l"}, "dimension": "d"}},
+        |  "p": {"process_id": "predict_curve",
+        |        "arguments": {"parameters": {"from_node": "f"},
+        |                      "labels": [0.0, 2.5, 7.0], "dimension": "d"},
+        |        "result": true}}}""".stripMargin
+    val got = rows(runCube(gLin, Map("c" -> seriesCube)).df)
+    val direct = CurveOps.predictLinear(
+      CurveOps.fitLinear(seriesCube, "d"), Seq("band"),
+      Seq(0.0, 2.5, 7.0), "d")
+    assert(got == rows(direct))
+
+    val w = 0.5
+    val gHar =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "f": {"process_id": "fit_curve",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "d",
+         |                      "model": "harmonic", "omega": $w}},
+         |  "p": {"process_id": "predict_curve",
+         |        "arguments": {"parameters": {"from_node": "f"},
+         |                      "labels": [0.0, 3.0], "dimension": "d",
+         |                      "model": "harmonic", "omega": $w},
+         |        "result": true}}}""".stripMargin
+    val gotH = rows(runCube(gHar, Map("c" -> seriesCube)).df)
+    val directH = CurveOps.predictBasis2(
+      CurveOps.fitHarmonic(seriesCube, "d", w), Seq("band"),
+      Seq(0.0, 3.0), x => sin(x * w), x => cos(x * w), "d")
+    assert(gotH == rows(directH))
+  }
+
+  // ---- random forest ----
+
+  private def rfCubes: (DataCube, DataCube) = {
+    val base = (0 until 40).map { i =>
+      (i.toLong, (i % 7).toDouble, (i % 5).toDouble) }
+      .toDF("i", "f1", "f2")
+    val pred = base.select(col("i"),
+      explode(map(lit("f1"), col("f1"), lit("f2"), col("f2"))))
+      .toDF("i", "bands", "value")
+    val tgt = base.select(col("i"),
+      (col("f1") * 2 + col("f2")).as("value"))
+    (DataCube.fromTable(pred, Seq("i", "bands"), "value"),
+      DataCube.fromTable(tgt, Seq("i"), "value"))
+  }
+
+  test("fit/predict_random_forest: graph ≡ direct MLOps, deterministic") {
+    val (pred, tgt) = rfCubes
+    val g =
+      """{"process_graph": {
+        |  "p": {"process_id": "load_collection", "arguments": {"id": "p"}},
+        |  "t": {"process_id": "load_collection", "arguments": {"id": "t"}},
+        |  "m": {"process_id": "fit_regr_random_forest",
+        |        "arguments": {"predictors": {"from_node": "p"},
+        |                      "target": {"from_node": "t"},
+        |                      "num_trees": 10, "max_depth": 4, "seed": 7}},
+        |  "s": {"process_id": "predict_random_forest",
+        |        "arguments": {"data": {"from_node": "p"},
+        |                      "model": {"from_node": "m"}},
+        |        "result": true}}}""".stripMargin
+    val colls = Map("p" -> pred, "t" -> tgt)
+    val got = runCube(g, colls).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the identical pipeline by hand: same pivot, same join, same seed
+    val feats = Seq("f1", "f2")
+    val wide = pred.df.groupBy(col("i")).pivot("bands", feats)
+      .agg(first(col("value")))
+    val joined = wide.join(tgt.df.select(col("i"),
+      col("value").as("_target")), Seq("i"))
+    val model = MLOps.fitRandomForest(joined, feats, "_target",
+      numTrees = 10, maxDepth = 4, seed = 7L)
+    val direct = MLOps.predictRandomForest(model, wide, feats).collect()
+      .map(r => r.getLong(r.fieldIndex("i")) ->
+        r.getDouble(r.fieldIndex("prediction"))).toMap
+    assert(got == direct)
+    // a second graph run reproduces bit-identically (seeded, pinned layout)
+    val again = runCube(g, colls).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
+  // ---- cube-to-cube resample ----
+
+  private def gridCube(xs: Seq[Double], ys: Seq[Double],
+      f: (Double, Double) => Double): DataCube = {
+    val df = (for (x <- xs; y <- ys) yield (x, y, f(x, y)))
+      .toDF("x", "y", "value")
+    DataCube.fromTable(df, Seq("x", "y"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial))
+  }
+
+  test("resample_cube_spatial near and bilinear ≡ operator twins") {
+    val src = gridCube((0 until 8).map(_.toDouble),
+      (0 until 6).map(_.toDouble), (x, y) => x * 10 + y)
+    val target = gridCube(Seq(0.5, 2.5, 6.5), Seq(1.25, 3.75), (_, _) => 0.0)
+    val gNear =
+      """{"process_graph": {
+        |  "d": {"process_id": "load_collection", "arguments": {"id": "d"}},
+        |  "t": {"process_id": "load_collection", "arguments": {"id": "t"}},
+        |  "r": {"process_id": "resample_cube_spatial",
+        |        "arguments": {"data": {"from_node": "d"},
+        |                      "target": {"from_node": "t"}},
+        |        "result": true}}}""".stripMargin
+    val gotNear = rows(runCube(gNear, Map("d" -> src, "t" -> target)).df)
+    val directNear = SpatialOps.resampleCubeSpatialNear(src,
+      Seq(0.5, 2.5, 6.5), Seq(1.25, 3.75),
+      v => graft.functions.Reducers.meanR(v))
+    assert(gotNear == rows(directNear.df))
+
+    val gBil = gNear.replace(""""target": {"from_node": "t"}}""",
+      """"target": {"from_node": "t"}, "method": "bilinear"}""")
+    val gotBil = rows(runCube(gBil, Map("d" -> src, "t" -> target)).df)
+    val directBil = ResampleOps.resampleCubeSpatialBilinear(src, target)
+    assert(gotBil == rows(directBil.df))
+  }
+
+  test("resample_cube_temporal (incl. valid_within) ≡ operator twin") {
+    def tc(times: Seq[String]): DataCube = {
+      val df = (for (t <- times; b <- Seq("B1", "B2")) yield
+        (java.sql.Timestamp.valueOf(t), b, t.hashCode % 100 + (if (b == "B1") 0.0 else 1000.0)))
+        .toDF("t", "band", "value")
+      DataCube.fromTable(df, Seq("t", "band"), "value")
+    }
+    val src = tc(Seq("2024-01-01 00:00:00", "2024-01-04 00:00:00",
+      "2024-01-09 00:00:00", "2024-01-20 00:00:00"))
+    val tgt = tc(Seq("2024-01-02 00:00:00", "2024-01-10 00:00:00",
+      "2024-02-05 00:00:00"))
+    val g =
+      """{"process_graph": {
+        |  "d": {"process_id": "load_collection", "arguments": {"id": "d"}},
+        |  "t": {"process_id": "load_collection", "arguments": {"id": "t"}},
+        |  "r": {"process_id": "resample_cube_temporal",
+        |        "arguments": {"data": {"from_node": "d"},
+        |                      "target": {"from_node": "t"},
+        |                      "valid_within": 3.0},
+        |        "result": true}}}""".stripMargin
+    val got = rows(runCube(g, Map("d" -> src, "t" -> tgt)).df)
+    val targets = tgt.df.select(col("t")).distinct().collect()
+      .map(_.getTimestamp(0)).sortBy(_.getTime).toSeq
+    val direct = ResampleOps.resampleCubeTemporal(src, targets,
+      validWithinDays = Some(3.0))
+    assert(got == rows(direct.df))
+  }
+
+  // ---- cumulatives + interpolation ----
+
+  test("cumsum/cummin/cummax/cumproduct/array_interpolate_linear ≡ WindowOps") {
+    val masked = seriesCube.withDf(_.withColumn("value",
+      when(col("d") === 5.0, lit(null)).otherwise(col("value"))))
+    def g(pid: String) =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "n": {"process_id": "$pid",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "d"},
+         |        "result": true}}}""".stripMargin
+    val twins: Seq[(String, DataCube => DataCube)] = Seq(
+      "cumsum" -> (c => WindowOps.cumsum(c, "d")),
+      "cummin" -> (c => WindowOps.cummin(c, "d")),
+      "cummax" -> (c => WindowOps.cummax(c, "d")),
+      "cumproduct" -> (c => WindowOps.cumprodExact(c, "d")),
+      "array_interpolate_linear" -> (c => WindowOps.interpolateLinear(c, "d")))
+    for ((pid, direct) <- twins) {
+      assert(rows(runCube(g(pid), Map("c" -> masked)).df) ==
+        rows(direct(masked).df), pid)
+    }
+  }
+
+  // ---- labeled-array scalars ----
+
+  test("array_create_labeled / array_find_label evaluate as scalar nodes") {
+    val g1 =
+      """{"process_graph": {
+        |  "n": {"process_id": "array_create_labeled",
+        |        "arguments": {"data": [10.0, 20.0, 30.0],
+        |                      "labels": ["a", "b", "c"]},
+        |        "result": true}}}""".stripMargin
+    val c1 = runValue(g1) match {
+      case ColV(c) => c
+      case v => fail(s"expected ColV, got $v")
+    }
+    val made = spark.range(1).select(c1.as("out")).first().getAs[Any]("out")
+    val direct = spark.range(1).select(
+      graft.functions.ArrayFns.arrayCreateLabeled(
+        array(lit(10.0), lit(20.0), lit(30.0)),
+        array(lit("a"), lit("b"), lit("c"))).as("out"))
+      .first().getAs[Any]("out")
+    assert(made == direct)
+
+    val g2 =
+      """{"process_graph": {
+        |  "n": {"process_id": "array_find_label",
+        |        "arguments": {"data": ["x", "y", "z"], "label": "y"},
+        |        "result": true}}}""".stripMargin
+    val c2 = runValue(g2) match {
+      case ColV(c) => c
+      case v => fail(s"expected ColV, got $v")
+    }
+    val idx = spark.range(1).select(c2.cast("long").as("i")).first().getLong(0)
+    assert(idx == 1L)
+  }
+
+  // ---- dimension metadata / constructors ----
+
+  test("dimension_labels ≡ CubeDimOps.dimensionLabels; create_data_cube empty") {
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "dimension_labels",
+        |        "arguments": {"data": {"from_node": "l"}, "dimension": "band"},
+        |        "result": true}}}""".stripMargin
+    val got = runValue(g, Map("c" -> seriesCube)) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    assert(got == rows(CubeDimOps.dimensionLabels(seriesCube, "band")))
+
+    val gEmpty =
+      """{"process_graph": {
+        |  "n": {"process_id": "create_data_cube", "arguments": {},
+        |        "result": true}}}""".stripMargin
+    val empty = runValue(gEmpty) match {
+      case CubeV(c) => c
+      case v => fail(s"expected CubeV, got $v")
+    }
+    assert(empty.meta.dimNames.isEmpty && empty.df.isEmpty)
+  }
+
+  // ---- composites ----
+
+  test("ddmc ≡ CompositeOps.bandDifferenceComposite") {
+    val df = (for (t <- 0 until 6;
+                   b <- Seq("purchase", "click", "signup", "error")) yield
+      (t.toDouble, b, (t + 1.0) * (b.length + 1))).toDF("t", "band", "value")
+    val c = DataCube.fromTable(df, Seq("t", "band"), "value",
+      Map("band" -> DimType.Bands))
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "ddmc",
+        |        "arguments": {"data": {"from_node": "l"}, "dimension": "band",
+        |          "pairs": {"d1": ["purchase", "click"],
+        |                    "d2": ["signup", "error"]}},
+        |        "result": true}}}""".stripMargin
+    val got = rows(runCube(g, Map("c" -> c)).df)
+    val direct = CompositeOps.bandDifferenceComposite(c, "band",
+      Seq("d1" -> ("purchase", "click"), "d2" -> ("signup", "error")))
+    assert(got == rows(direct.df))
+  }
+
+  test("rqadeforestation ≡ WindowOps.recurrenceRate") {
+    val c = seriesCube
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "rqadeforestation",
+        |        "arguments": {"data": {"from_node": "l"}, "dimension": "d",
+        |                      "eps": 5.0, "max_lag": 4},
+        |        "result": true}}}""".stripMargin
+    val got = runValue(g, Map("c" -> c)) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    assert(got == rows(WindowOps.recurrenceRate(c, "d", 5.0, 4)))
+  }
+
+  // ---- vector processes + loaders ----
+
+  private val geojson =
+    """{"type": "FeatureCollection", "features": [
+      |  {"type": "Feature", "properties": {"class": "pt"},
+      |   "geometry": {"type": "Point", "coordinates": [2.0, 1.0]}},
+      |  {"type": "Feature", "properties": {"class": "pt"},
+      |   "geometry": {"type": "Point", "coordinates": [8.0, -2.0]}},
+      |  {"type": "Feature", "properties": {"class": "poly"},
+      |   "geometry": {"type": "Polygon", "coordinates":
+      |     [[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0], [0.0, 0.0]]]}}
+      |]}""".stripMargin
+
+  test("load_geojson → vector_buffer → vector_reproject ≡ VectorOps chain") {
+    val arg = geojson.replaceAll("\\s+", " ")
+    val g =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_geojson",
+         |        "arguments": {"data": $arg, "properties": ["class"]}},
+         |  "b": {"process_id": "vector_buffer",
+         |        "arguments": {"geometries": {"from_node": "l"},
+         |                      "distance": 1.5}},
+         |  "r": {"process_id": "vector_reproject",
+         |        "arguments": {"data": {"from_node": "b"},
+         |                      "source": "EPSG:4326",
+         |                      "projection": "EPSG:3857"},
+         |        "result": true}}}""".stripMargin
+    val got = runValue(g) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    val vc = VectorOps.loadGeoJson(spark, geojson, Seq("class"))
+    val buffered = VectorOps.bufferPoints(
+      vc.filter(col("geom_type") === "Point"), "geometry", 1.5)
+      .unionByName(vc.filter(col("geom_type") =!= "Point"))
+    val direct = VectorOps.reprojectVector(buffered, "geometry",
+      "EPSG:4326", "EPSG:3857")
+    assert(got == rows(direct))
+  }
+
+  test("load_vector_cube (inline geometries) ≡ VectorOps.loadVectorCube") {
+    val arg = geojson.replaceAll("\\s+", " ")
+    val g =
+      s"""{"process_graph": {
+         |  "n": {"process_id": "load_vector_cube",
+         |        "arguments": {"geometries": $arg, "properties": ["class"]},
+         |        "result": true}}}""".stripMargin
+    val got = runValue(g) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    assert(got == rows(VectorOps.loadVectorCube(spark,
+      geometries = Some(geojson), properties = Seq("class"))) && got.nonEmpty)
+  }
+
+  test("load_stac node ≡ StacLoader pipeline (bands + time + property pruning)") {
+    val fix = graft.queries.StacFixture.ensure()
+    val g =
+      s"""{"process_graph": {
+         |  "n": {"process_id": "load_stac",
+         |        "arguments": {"url": "file://$fix/catalog.json",
+         |          "bands": ["b01", "b02"],
+         |          "temporal_extent": ["2024-01-01T00:00:00Z",
+         |                              "2024-01-10T00:00:00Z"],
+         |          "properties": {"eo:cloud_cover": [["lt", "50"]]}},
+         |        "result": true}}}""".stripMargin
+    val got = rows(runCube(g, Map.empty).df)
+    val assets = graft.sources.StacLoader.loadCatalogItems(
+      s"file://$fix/catalog.json")
+    val sel = graft.sources.StacLoader.filterAssets(assets,
+      bands = Some(Seq("b01", "b02")),
+      timeRange = Some(("2024-01-01T00:00:00Z", "2024-01-10T00:00:00Z")),
+      properties = Map("eo:cloud_cover" -> Seq(("lt", "50"))))
+    val direct = graft.sources.StacLoader.loadCube(spark, sel)
+    assert(got == rows(direct.df) && got.nonEmpty)
+  }
+}
