@@ -145,9 +145,16 @@ object Stress {
     // the workload scales linearly in rows instead of quadratically in
     // output — the geometry a real record-linkage corpus has.
     family("fuzzyjoin") {
+      // 120-char records (name/address-scale record linkage): doc COUNT is
+      // the scale axis, and the truncation keeps the 5M point's shuffle
+      // spill inside this box's disk budget (the untruncated 5M run
+      // filled /tmp — prefix-build shuffles + the prefix cache). The
+      // prefix cache is OFF for the same reason: it disk-spills a second
+      // copy of the exploded index; recomputing the build for the L and R
+      // arms trades CPU for the scarcer resource here.
       val saltedPath = s"/tmp/graft_stress_fuzzy_${rep}x"
       corpus.select(col("doc_id"),
-        regexp_replace(col("text"), lit(" "),
+        regexp_replace(substring(col("text"), 1, 120), lit(" "),
           concat(lit(" r"), (col("doc_id") / 10000000L).cast("bigint")
             .cast("string"), lit(" "))).as("text"))
         .write.mode("overwrite").parquet(saltedPath)
@@ -166,7 +173,7 @@ object Stress {
       shuffled.set(0)
       time("fuzzy join (prefix)") {
         force(Dedup.jaccardJoin(probe, ref, "doc_id", col("text"),
-          shingleLen = 3, threshold = 0.5))
+          shingleLen = 3, threshold = 0.5, cachePrefix = false))
       }
       Thread.sleep(1500) // let the listener bus drain
       val exchanged = shuffled.get()

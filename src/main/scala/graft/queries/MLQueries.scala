@@ -145,14 +145,23 @@ object MLQueries {
 
   val oracles: Map[String, String] = Map(
     // ml_random_forest: FROZEN oracle — the seeded, partition-pinned model's
-    // predictions at sf0.01 (the driver gate's scale factor; other SFs have
-    // different data and will mismatch by construction), regenerated via
-    // tools/freeze_rf_oracle.py when the model config changes. MLlib trees
-    // aren't SQL-expressible, but the frozen VALUES make the query
-    // hash-checkable instead of rows-only.
+    // predictions, frozen at BOTH gate scales and dispatched by lineitem's
+    // row count (sf0.01 = 60k rows for the driver gate, sf0.1 = 600k for
+    // the 10x self-gate; other SFs have different data and mismatch by
+    // construction). Regenerate via tools/freeze_rf_oracle.py (once per
+    // SF) when the model config changes. MLlib trees aren't
+    // SQL-expressible, but the frozen VALUES make the query hash-checkable
+    // instead of rows-only; the sf0.1 freeze was reproduced bit-identically
+    // under concurrent load before pasting (partition-pinning works).
     "ml_random_forest" ->
-      """SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, p AS pred_qty
-        |FROM (VALUES (0, 1, '22.8322'::DOUBLE), (0, 2, '25.0253'::DOUBLE), (0, 4, '26.1163'::DOUBLE), (1, 3, '26.3265'::DOUBLE), (1, 7, '25.1268'::DOUBLE), (1, 7, '25.7087'::DOUBLE), (2, 2, '24.478'::DOUBLE), (2, 4, '25.9809'::DOUBLE), (2, 6, '24.9028'::DOUBLE), (2, 6, '25.0446'::DOUBLE), (2, 7, '22.9858'::DOUBLE), (3, 2, '26.2618'::DOUBLE), (3, 4, '25.3315'::DOUBLE), (3, 6, '25.127'::DOUBLE), (3, 7, '25.5974'::DOUBLE), (4, 2, '25.6342'::DOUBLE), (4, 4, '25.3837'::DOUBLE), (4, 5, '24.6474'::DOUBLE), (4, 6, '26.06'::DOUBLE), (4, 6, '25.6256'::DOUBLE), (5, 2, '26.3714'::DOUBLE), (5, 2, '25.7763'::DOUBLE), (5, 3, '24.7806'::DOUBLE), (5, 5, '24.1787'::DOUBLE), (6, 5, '24.0433'::DOUBLE), (6, 5, '24.9008'::DOUBLE), (6, 6, '24.7833'::DOUBLE), (6, 6, '24.63'::DOUBLE), (7, 1, '25.7142'::DOUBLE), (7, 2, '25.8156'::DOUBLE), (7, 3, '25.7163'::DOUBLE), (7, 4, '25.9781'::DOUBLE), (7, 4, '25.5622'::DOUBLE), (8, 2, '24.8124'::DOUBLE), (8, 4, '24.9688'::DOUBLE), (8, 6, '24.89'::DOUBLE), (9, 2, '25.1111'::DOUBLE), (9, 3, '23.6065'::DOUBLE), (9, 4, '26.4805'::DOUBLE), (9, 5, '24.5838'::DOUBLE), (10, 1, '25.8881'::DOUBLE), (10, 4, '25.2597'::DOUBLE), (11, 2, '25.4726'::DOUBLE), (11, 2, '23.197'::DOUBLE), (11, 4, '23.8384'::DOUBLE), (12, 5, '25.1128'::DOUBLE), (12, 7, '25.6039'::DOUBLE), (13, 2, '25.062'::DOUBLE), (13, 5, '24.6126'::DOUBLE), (13, 7, '25.2346'::DOUBLE), (14, 3, '25.9152'::DOUBLE), (14, 3, '25.6331'::DOUBLE), (14, 5, '25.5628'::DOUBLE), (14, 6, '25.8679'::DOUBLE), (15, 3, '25.4251'::DOUBLE), (15, 5, '24.7732'::DOUBLE), (15, 6, '26.16'::DOUBLE), (16, 5, '24.6463'::DOUBLE), (17, 1, '26.0134'::DOUBLE), (17, 5, '25.1551'::DOUBLE), (17, 5, '25.5843'::DOUBLE), (17, 7, '27.5641'::DOUBLE), (18, 1, '23.3994'::DOUBLE), (18, 3, '25.2568'::DOUBLE), (18, 7, '25.4334'::DOUBLE), (19, 1, '25.0257'::DOUBLE), (19, 1, '25.5628'::DOUBLE), (19, 2, '26.095'::DOUBLE), (19, 2, '25.2422'::DOUBLE), (19, 3, '25.1426'::DOUBLE), (19, 4, '24.2519'::DOUBLE), (20, 1, '25.4391'::DOUBLE), (20, 2, '24.0398'::DOUBLE), (20, 2, '25.7875'::DOUBLE), (20, 4, '27.8653'::DOUBLE), (20, 6, '25.4694'::DOUBLE), (20, 7, '23.2185'::DOUBLE), (21, 3, '27.2048'::DOUBLE), (21, 3, '24.7634'::DOUBLE), (21, 3, '23.8664'::DOUBLE), (21, 4, '26.1797'::DOUBLE), (21, 7, '25.1321'::DOUBLE), (22, 3, '24.7648'::DOUBLE), (22, 5, '24.5619'::DOUBLE), (22, 5, '26.1769'::DOUBLE), (22, 6, '24.3151'::DOUBLE), (23, 2, '27.0382'::DOUBLE), (23, 7, '25.8462'::DOUBLE), (24, 1, '23.9767'::DOUBLE), (24, 1, '24.3825'::DOUBLE), (25, 4, '26.2155'::DOUBLE), (25, 7, '24.1565'::DOUBLE), (26, 1, '25.8324'::DOUBLE), (26, 3, '25.6714'::DOUBLE), (26, 4, '25.1413'::DOUBLE), (26, 6, '24.8772'::DOUBLE), (26, 6, '25.333'::DOUBLE), (27, 1, '24.8334'::DOUBLE), (27, 3, '26.0134'::DOUBLE), (27, 7, '24.2903'::DOUBLE), (27, 7, '24.6463'::DOUBLE), (28, 1, '26.0339'::DOUBLE), (28, 6, '25.4972'::DOUBLE), (29, 1, '26.5736'::DOUBLE), (29, 2, '24.9446'::DOUBLE), (29, 4, '24.5947'::DOUBLE), (29, 5, '23.3497'::DOUBLE), (29, 5, '25.0472'::DOUBLE), (29, 7, '22.5549'::DOUBLE), (30, 3, '23.9958'::DOUBLE), (30, 5, '26.6626'::DOUBLE), (30, 7, '25.8156'::DOUBLE), (31, 4, '24.8362'::DOUBLE), (31, 5, '24.3886'::DOUBLE), (32, 4, '25.117'::DOUBLE), (33, 5, '24.7552'::DOUBLE), (34, 1, '24.3121'::DOUBLE), (34, 2, '23.2008'::DOUBLE), (34, 2, '23.714'::DOUBLE), (34, 3, '27.3341'::DOUBLE), (34, 6, '25.1116'::DOUBLE), (35, 1, '25.1222'::DOUBLE), (35, 6, '25.9291'::DOUBLE), (35, 7, '24.6732'::DOUBLE), (36, 1, '26.2833'::DOUBLE), (36, 1, '26.0124'::DOUBLE), (36, 5, '25.3801'::DOUBLE), (36, 7, '23.1266'::DOUBLE), (37, 3, '24.5944'::DOUBLE), (37, 3, '25.5104'::DOUBLE), (37, 6, '26.1433'::DOUBLE), (38, 2, '26.4729'::DOUBLE), (38, 2, '25.8067'::DOUBLE), (38, 7, '24.3691'::DOUBLE), (39, 7, '27.948'::DOUBLE), (41, 2, '28.0306'::DOUBLE), (41, 2, '26.2833'::DOUBLE), (41, 5, '26.3978'::DOUBLE), (41, 5, '26.3485'::DOUBLE), (41, 7, '23.9245'::DOUBLE), (41, 7, '25.8762'::DOUBLE), (42, 1, '25.6974'::DOUBLE), (42, 2, '25.8675'::DOUBLE), (42, 4, '24.771'::DOUBLE), (42, 4, '24.7071'::DOUBLE), (42, 5, '25.7398'::DOUBLE), (42, 7, '25.9333'::DOUBLE), (43, 1, '24.526'::DOUBLE), (43, 1, '26.2386'::DOUBLE), (43, 2, '25.5995'::DOUBLE), (43, 5, '25.7562'::DOUBLE), (43, 6, '25.4769'::DOUBLE), (44, 3, '24.6103'::DOUBLE), (44, 5, '23.4019'::DOUBLE), (44, 5, '23.6301'::DOUBLE), (45, 4, '24.2378'::DOUBLE), (45, 6, '25.5538'::DOUBLE), (45, 6, '22.8935'::DOUBLE), (45, 7, '26.2486'::DOUBLE), (45, 7, '27.8653'::DOUBLE), (46, 2, '26.477'::DOUBLE), (46, 3, '26.1243'::DOUBLE), (46, 4, '27.9337'::DOUBLE), (46, 4, '25.2065'::DOUBLE), (46, 5, '24.8433'::DOUBLE), (47, 2, '25.3176'::DOUBLE), (47, 3, '26.9213'::DOUBLE), (47, 3, '26.0492'::DOUBLE), (47, 3, '25.0038'::DOUBLE), (47, 5, '25.3597'::DOUBLE), (47, 6, '24.6972'::DOUBLE), (48, 4, '26.877'::DOUBLE), (48, 4, '24.7141'::DOUBLE), (48, 5, '29.317'::DOUBLE), (48, 7, '25.2513'::DOUBLE), (49, 4, '23.1584'::DOUBLE), (50, 3, '23.8108'::DOUBLE), (50, 3, '24.8241'::DOUBLE), (50, 4, '24.2006'::DOUBLE), (50, 6, '23.0197'::DOUBLE), (50, 6, '24.023'::DOUBLE), (50, 7, '24.6437'::DOUBLE), (51, 3, '25.0703'::DOUBLE), (51, 4, '26.0786'::DOUBLE), (51, 6, '24.3999'::DOUBLE), (51, 7, '25.4297'::DOUBLE), (51, 7, '24.2183'::DOUBLE), (52, 1, '25.0341'::DOUBLE), (52, 2, '24.129'::DOUBLE), (52, 6, '25.2568'::DOUBLE), (53, 2, '25.3375'::DOUBLE), (53, 4, '25.5962'::DOUBLE), (53, 7, '24.2125'::DOUBLE), (53, 7, '23.9686'::DOUBLE), (54, 2, '23.3819'::DOUBLE), (54, 2, '25.1882'::DOUBLE), (54, 5, '22.0117'::DOUBLE), (55, 2, '26.0534'::DOUBLE), (55, 3, '25.3152'::DOUBLE), (55, 4, '24.2085'::DOUBLE)) t(k, ln, p)""".stripMargin,
+      """WITH n AS (SELECT count(*) AS c FROM lineitem),
+        |v001(k, ln, p) AS (VALUES (0, 1, '22.8322'::DOUBLE), (0, 2, '25.0253'::DOUBLE), (0, 4, '26.1163'::DOUBLE), (1, 3, '26.3265'::DOUBLE), (1, 7, '25.1268'::DOUBLE), (1, 7, '25.7087'::DOUBLE), (2, 2, '24.478'::DOUBLE), (2, 4, '25.9809'::DOUBLE), (2, 6, '24.9028'::DOUBLE), (2, 6, '25.0446'::DOUBLE), (2, 7, '22.9858'::DOUBLE), (3, 2, '26.2618'::DOUBLE), (3, 4, '25.3315'::DOUBLE), (3, 6, '25.127'::DOUBLE), (3, 7, '25.5974'::DOUBLE), (4, 2, '25.6342'::DOUBLE), (4, 4, '25.3837'::DOUBLE), (4, 5, '24.6474'::DOUBLE), (4, 6, '26.06'::DOUBLE), (4, 6, '25.6256'::DOUBLE), (5, 2, '26.3714'::DOUBLE), (5, 2, '25.7763'::DOUBLE), (5, 3, '24.7806'::DOUBLE), (5, 5, '24.1787'::DOUBLE), (6, 5, '24.0433'::DOUBLE), (6, 5, '24.9008'::DOUBLE), (6, 6, '24.7833'::DOUBLE), (6, 6, '24.63'::DOUBLE), (7, 1, '25.7142'::DOUBLE), (7, 2, '25.8156'::DOUBLE), (7, 3, '25.7163'::DOUBLE), (7, 4, '25.9781'::DOUBLE), (7, 4, '25.5622'::DOUBLE), (8, 2, '24.8124'::DOUBLE), (8, 4, '24.9688'::DOUBLE), (8, 6, '24.89'::DOUBLE), (9, 2, '25.1111'::DOUBLE), (9, 3, '23.6065'::DOUBLE), (9, 4, '26.4805'::DOUBLE), (9, 5, '24.5838'::DOUBLE), (10, 1, '25.8881'::DOUBLE), (10, 4, '25.2597'::DOUBLE), (11, 2, '25.4726'::DOUBLE), (11, 2, '23.197'::DOUBLE), (11, 4, '23.8384'::DOUBLE), (12, 5, '25.1128'::DOUBLE), (12, 7, '25.6039'::DOUBLE), (13, 2, '25.062'::DOUBLE), (13, 5, '24.6126'::DOUBLE), (13, 7, '25.2346'::DOUBLE), (14, 3, '25.9152'::DOUBLE), (14, 3, '25.6331'::DOUBLE), (14, 5, '25.5628'::DOUBLE), (14, 6, '25.8679'::DOUBLE), (15, 3, '25.4251'::DOUBLE), (15, 5, '24.7732'::DOUBLE), (15, 6, '26.16'::DOUBLE), (16, 5, '24.6463'::DOUBLE), (17, 1, '26.0134'::DOUBLE), (17, 5, '25.1551'::DOUBLE), (17, 5, '25.5843'::DOUBLE), (17, 7, '27.5641'::DOUBLE), (18, 1, '23.3994'::DOUBLE), (18, 3, '25.2568'::DOUBLE), (18, 7, '25.4334'::DOUBLE), (19, 1, '25.0257'::DOUBLE), (19, 1, '25.5628'::DOUBLE), (19, 2, '26.095'::DOUBLE), (19, 2, '25.2422'::DOUBLE), (19, 3, '25.1426'::DOUBLE), (19, 4, '24.2519'::DOUBLE), (20, 1, '25.4391'::DOUBLE), (20, 2, '24.0398'::DOUBLE), (20, 2, '25.7875'::DOUBLE), (20, 4, '27.8653'::DOUBLE), (20, 6, '25.4694'::DOUBLE), (20, 7, '23.2185'::DOUBLE), (21, 3, '27.2048'::DOUBLE), (21, 3, '24.7634'::DOUBLE), (21, 3, '23.8664'::DOUBLE), (21, 4, '26.1797'::DOUBLE), (21, 7, '25.1321'::DOUBLE), (22, 3, '24.7648'::DOUBLE), (22, 5, '24.5619'::DOUBLE), (22, 5, '26.1769'::DOUBLE), (22, 6, '24.3151'::DOUBLE), (23, 2, '27.0382'::DOUBLE), (23, 7, '25.8462'::DOUBLE), (24, 1, '23.9767'::DOUBLE), (24, 1, '24.3825'::DOUBLE), (25, 4, '26.2155'::DOUBLE), (25, 7, '24.1565'::DOUBLE), (26, 1, '25.8324'::DOUBLE), (26, 3, '25.6714'::DOUBLE), (26, 4, '25.1413'::DOUBLE), (26, 6, '24.8772'::DOUBLE), (26, 6, '25.333'::DOUBLE), (27, 1, '24.8334'::DOUBLE), (27, 3, '26.0134'::DOUBLE), (27, 7, '24.2903'::DOUBLE), (27, 7, '24.6463'::DOUBLE), (28, 1, '26.0339'::DOUBLE), (28, 6, '25.4972'::DOUBLE), (29, 1, '26.5736'::DOUBLE), (29, 2, '24.9446'::DOUBLE), (29, 4, '24.5947'::DOUBLE), (29, 5, '23.3497'::DOUBLE), (29, 5, '25.0472'::DOUBLE), (29, 7, '22.5549'::DOUBLE), (30, 3, '23.9958'::DOUBLE), (30, 5, '26.6626'::DOUBLE), (30, 7, '25.8156'::DOUBLE), (31, 4, '24.8362'::DOUBLE), (31, 5, '24.3886'::DOUBLE), (32, 4, '25.117'::DOUBLE), (33, 5, '24.7552'::DOUBLE), (34, 1, '24.3121'::DOUBLE), (34, 2, '23.2008'::DOUBLE), (34, 2, '23.714'::DOUBLE), (34, 3, '27.3341'::DOUBLE), (34, 6, '25.1116'::DOUBLE), (35, 1, '25.1222'::DOUBLE), (35, 6, '25.9291'::DOUBLE), (35, 7, '24.6732'::DOUBLE), (36, 1, '26.2833'::DOUBLE), (36, 1, '26.0124'::DOUBLE), (36, 5, '25.3801'::DOUBLE), (36, 7, '23.1266'::DOUBLE), (37, 3, '24.5944'::DOUBLE), (37, 3, '25.5104'::DOUBLE), (37, 6, '26.1433'::DOUBLE), (38, 2, '26.4729'::DOUBLE), (38, 2, '25.8067'::DOUBLE), (38, 7, '24.3691'::DOUBLE), (39, 7, '27.948'::DOUBLE), (41, 2, '28.0306'::DOUBLE), (41, 2, '26.2833'::DOUBLE), (41, 5, '26.3978'::DOUBLE), (41, 5, '26.3485'::DOUBLE), (41, 7, '23.9245'::DOUBLE), (41, 7, '25.8762'::DOUBLE), (42, 1, '25.6974'::DOUBLE), (42, 2, '25.8675'::DOUBLE), (42, 4, '24.771'::DOUBLE), (42, 4, '24.7071'::DOUBLE), (42, 5, '25.7398'::DOUBLE), (42, 7, '25.9333'::DOUBLE), (43, 1, '24.526'::DOUBLE), (43, 1, '26.2386'::DOUBLE), (43, 2, '25.5995'::DOUBLE), (43, 5, '25.7562'::DOUBLE), (43, 6, '25.4769'::DOUBLE), (44, 3, '24.6103'::DOUBLE), (44, 5, '23.4019'::DOUBLE), (44, 5, '23.6301'::DOUBLE), (45, 4, '24.2378'::DOUBLE), (45, 6, '25.5538'::DOUBLE), (45, 6, '22.8935'::DOUBLE), (45, 7, '26.2486'::DOUBLE), (45, 7, '27.8653'::DOUBLE), (46, 2, '26.477'::DOUBLE), (46, 3, '26.1243'::DOUBLE), (46, 4, '27.9337'::DOUBLE), (46, 4, '25.2065'::DOUBLE), (46, 5, '24.8433'::DOUBLE), (47, 2, '25.3176'::DOUBLE), (47, 3, '26.9213'::DOUBLE), (47, 3, '26.0492'::DOUBLE), (47, 3, '25.0038'::DOUBLE), (47, 5, '25.3597'::DOUBLE), (47, 6, '24.6972'::DOUBLE), (48, 4, '26.877'::DOUBLE), (48, 4, '24.7141'::DOUBLE), (48, 5, '29.317'::DOUBLE), (48, 7, '25.2513'::DOUBLE), (49, 4, '23.1584'::DOUBLE), (50, 3, '23.8108'::DOUBLE), (50, 3, '24.8241'::DOUBLE), (50, 4, '24.2006'::DOUBLE), (50, 6, '23.0197'::DOUBLE), (50, 6, '24.023'::DOUBLE), (50, 7, '24.6437'::DOUBLE), (51, 3, '25.0703'::DOUBLE), (51, 4, '26.0786'::DOUBLE), (51, 6, '24.3999'::DOUBLE), (51, 7, '25.4297'::DOUBLE), (51, 7, '24.2183'::DOUBLE), (52, 1, '25.0341'::DOUBLE), (52, 2, '24.129'::DOUBLE), (52, 6, '25.2568'::DOUBLE), (53, 2, '25.3375'::DOUBLE), (53, 4, '25.5962'::DOUBLE), (53, 7, '24.2125'::DOUBLE), (53, 7, '23.9686'::DOUBLE), (54, 2, '23.3819'::DOUBLE), (54, 2, '25.1882'::DOUBLE), (54, 5, '22.0117'::DOUBLE), (55, 2, '26.0534'::DOUBLE), (55, 3, '25.3152'::DOUBLE), (55, 4, '24.2085'::DOUBLE)),
+        |v01(k, ln, p) AS (VALUES (0, 3, '25.572'::DOUBLE), (0, 4, '25.4455'::DOUBLE), (0, 5, '25.3903'::DOUBLE), (0, 5, '25.6427'::DOUBLE), (0, 7, '25.26'::DOUBLE), (0, 7, '25.468'::DOUBLE), (1, 3, '25.3171'::DOUBLE), (1, 4, '25.6545'::DOUBLE), (1, 4, '25.1741'::DOUBLE), (1, 4, '25.5189'::DOUBLE), (1, 4, '25.4266'::DOUBLE), (1, 5, '25.4793'::DOUBLE), (2, 1, '25.7222'::DOUBLE), (2, 3, '25.3487'::DOUBLE), (2, 5, '25.6706'::DOUBLE), (2, 5, '24.6199'::DOUBLE), (3, 2, '25.6583'::DOUBLE), (3, 2, '25.6166'::DOUBLE), (3, 3, '25.3748'::DOUBLE), (3, 4, '25.0687'::DOUBLE), (3, 5, '25.8076'::DOUBLE), (4, 5, '25.5986'::DOUBLE), (4, 7, '25.3809'::DOUBLE), (5, 3, '25.9299'::DOUBLE), (5, 4, '25.4913'::DOUBLE), (5, 4, '25.4435'::DOUBLE), (5, 4, '25.3576'::DOUBLE), (5, 6, '26.6214'::DOUBLE), (6, 1, '26.0828'::DOUBLE), (6, 3, '25.5995'::DOUBLE), (6, 4, '25.8011'::DOUBLE), (6, 6, '25.934'::DOUBLE), (6, 7, '25.3498'::DOUBLE), (7, 3, '25.5364'::DOUBLE), (7, 5, '25.5706'::DOUBLE), (7, 6, '26.1434'::DOUBLE), (8, 1, '25.4945'::DOUBLE), (8, 2, '25.6311'::DOUBLE), (8, 2, '25.569'::DOUBLE), (8, 4, '25.359'::DOUBLE), (8, 7, '24.7714'::DOUBLE), (8, 7, '25.4719'::DOUBLE), (9, 2, '25.4136'::DOUBLE), (9, 5, '25.301'::DOUBLE), (10, 6, '25.3635'::DOUBLE), (10, 6, '26.0149'::DOUBLE), (11, 1, '25.9724'::DOUBLE), (11, 2, '25.7298'::DOUBLE), (11, 7, '25.8145'::DOUBLE), (12, 2, '24.7523'::DOUBLE), (12, 3, '25.8288'::DOUBLE), (12, 5, '25.9491'::DOUBLE), (12, 7, '25.4087'::DOUBLE), (13, 3, '25.6708'::DOUBLE), (13, 4, '25.4099'::DOUBLE), (13, 6, '25.3179'::DOUBLE), (13, 6, '24.9913'::DOUBLE), (13, 7, '25.4743'::DOUBLE), (14, 3, '25.8697'::DOUBLE), (14, 5, '25.5328'::DOUBLE), (14, 6, '25.7985'::DOUBLE), (15, 2, '24.84'::DOUBLE), (15, 3, '25.6378'::DOUBLE), (15, 4, '25.6937'::DOUBLE), (15, 7, '25.528'::DOUBLE), (16, 3, '25.6691'::DOUBLE), (16, 3, '26.0365'::DOUBLE), (18, 5, '25.3644'::DOUBLE), (19, 1, '25.8877'::DOUBLE), (19, 1, '24.5474'::DOUBLE), (19, 6, '25.6882'::DOUBLE), (19, 6, '25.2039'::DOUBLE), (20, 2, '24.9565'::DOUBLE), (20, 2, '25.5643'::DOUBLE), (21, 4, '25.5745'::DOUBLE), (22, 2, '25.9634'::DOUBLE), (22, 6, '25.8308'::DOUBLE), (22, 7, '25.5826'::DOUBLE), (23, 5, '25.6604'::DOUBLE), (24, 1, '26.003'::DOUBLE), (24, 5, '25.5403'::DOUBLE), (24, 6, '25.8412'::DOUBLE), (25, 3, '25.9872'::DOUBLE), (25, 4, '25.6616'::DOUBLE), (25, 6, '25.2259'::DOUBLE), (25, 6, '26.0445'::DOUBLE), (25, 6, '26.149'::DOUBLE), (25, 7, '25.5046'::DOUBLE), (25, 7, '25.5144'::DOUBLE), (26, 1, '25.4674'::DOUBLE), (26, 3, '25.7'::DOUBLE), (26, 4, '25.5403'::DOUBLE), (26, 6, '25.5587'::DOUBLE), (27, 3, '25.2917'::DOUBLE), (27, 4, '25.759'::DOUBLE), (27, 6, '25.8556'::DOUBLE), (27, 7, '25.4841'::DOUBLE), (27, 7, '25.412'::DOUBLE), (28, 3, '25.4381'::DOUBLE), (28, 4, '25.5219'::DOUBLE), (28, 4, '25.6597'::DOUBLE), (29, 1, '26.003'::DOUBLE), (29, 6, '25.355'::DOUBLE), (30, 1, '25.3538'::DOUBLE), (30, 1, '25.6413'::DOUBLE), (30, 1, '25.4267'::DOUBLE), (30, 2, '25.507'::DOUBLE), (30, 3, '25.78'::DOUBLE), (30, 4, '25.6694'::DOUBLE), (30, 4, '25.2612'::DOUBLE), (30, 6, '25.49'::DOUBLE), (31, 1, '25.5229'::DOUBLE), (31, 1, '25.8895'::DOUBLE), (31, 4, '25.6559'::DOUBLE), (31, 4, '25.5601'::DOUBLE), (32, 5, '25.1707'::DOUBLE), (32, 6, '25.4432'::DOUBLE), (32, 6, '25.5169'::DOUBLE), (33, 1, '25.6536'::DOUBLE), (33, 2, '25.9135'::DOUBLE), (33, 3, '25.7675'::DOUBLE), (33, 4, '25.797'::DOUBLE), (33, 5, '25.1105'::DOUBLE), (33, 6, '25.8795'::DOUBLE), (34, 1, '25.0457'::DOUBLE), (34, 2, '25.3297'::DOUBLE), (34, 2, '26.7328'::DOUBLE), (34, 3, '25.1852'::DOUBLE), (34, 4, '26.1496'::DOUBLE), (34, 4, '25.2158'::DOUBLE), (34, 5, '25.9696'::DOUBLE), (34, 7, '25.5393'::DOUBLE), (35, 1, '25.2121'::DOUBLE), (36, 3, '25.8673'::DOUBLE), (36, 5, '26.0038'::DOUBLE), (37, 4, '25.3297'::DOUBLE), (37, 5, '25.8466'::DOUBLE), (37, 5, '24.3715'::DOUBLE), (37, 7, '25.4132'::DOUBLE), (38, 1, '25.4726'::DOUBLE), (38, 1, '26.0334'::DOUBLE), (38, 3, '25.7018'::DOUBLE), (38, 4, '25.5128'::DOUBLE), (38, 7, '25.5463'::DOUBLE), (39, 1, '25.8855'::DOUBLE), (39, 1, '25.5357'::DOUBLE), (39, 2, '25.4393'::DOUBLE), (39, 4, '25.4788'::DOUBLE), (39, 4, '25.6473'::DOUBLE), (39, 4, '25.3444'::DOUBLE), (39, 5, '25.7364'::DOUBLE), (39, 7, '24.9456'::DOUBLE), (40, 2, '25.5571'::DOUBLE), (40, 4, '25.7321'::DOUBLE), (40, 5, '25.7037'::DOUBLE), (41, 7, '25.6766'::DOUBLE), (42, 1, '25.6427'::DOUBLE), (42, 3, '25.5136'::DOUBLE), (42, 5, '25.8908'::DOUBLE), (42, 7, '24.2205'::DOUBLE), (43, 1, '25.3806'::DOUBLE), (43, 5, '25.2089'::DOUBLE), (43, 7, '25.712'::DOUBLE), (44, 4, '26.5477'::DOUBLE), (44, 5, '25.0689'::DOUBLE), (44, 6, '25.4845'::DOUBLE), (44, 7, '25.6008'::DOUBLE), (45, 2, '25.4118'::DOUBLE), (45, 3, '25.7'::DOUBLE), (45, 4, '25.636'::DOUBLE), (45, 7, '24.3699'::DOUBLE), (45, 7, '25.8103'::DOUBLE), (46, 3, '25.2921'::DOUBLE), (46, 4, '25.6545'::DOUBLE), (47, 2, '25.4289'::DOUBLE), (47, 3, '25.3178'::DOUBLE), (47, 5, '25.1264'::DOUBLE), (48, 1, '25.2946'::DOUBLE), (48, 1, '26.076'::DOUBLE), (48, 2, '25.8271'::DOUBLE), (48, 3, '25.5381'::DOUBLE), (48, 4, '25.1466'::DOUBLE), (48, 6, '25.7897'::DOUBLE), (49, 2, '25.7399'::DOUBLE), (49, 2, '26.0141'::DOUBLE), (49, 6, '25.8412'::DOUBLE), (50, 2, '25.5784'::DOUBLE), (50, 3, '26.3078'::DOUBLE), (50, 4, '25.9706'::DOUBLE), (50, 4, '25.9284'::DOUBLE), (50, 5, '24.8371'::DOUBLE), (50, 6, '25.5857'::DOUBLE), (51, 1, '25.1171'::DOUBLE), (51, 1, '25.2057'::DOUBLE), (51, 2, '25.8517'::DOUBLE), (51, 4, '25.5564'::DOUBLE), (51, 6, '24.4686'::DOUBLE), (52, 1, '25.5824'::DOUBLE), (52, 1, '25.8673'::DOUBLE), (53, 1, '26.0141'::DOUBLE))
+        |SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, p AS pred_qty
+        |FROM v001 WHERE (SELECT c FROM n) < 300000
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, p AS pred_qty
+        |FROM v01 WHERE (SELECT c FROM n) >= 300000""".stripMargin,
     "run_udf" ->
       // python int() truncates toward zero; events values are positive, so
       // floor(value*100) over the same parquet doubles is the same integer
