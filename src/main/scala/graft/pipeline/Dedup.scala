@@ -752,11 +752,24 @@ object Dedup {
     // joins LAST under a size-gated broadcast hint — when it broadcasts,
     // its arrays never ride an exchange at all; when both sides are huge,
     // the per-pair carry is at least the cheaper of the two orders.
-    val leftSmaller =
-      left.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        right.queryExecution.optimizedPlan.stats.sizeInBytes
+    // The probe (left) side's TRUE byte size comes from one bounded
+    // aggregate over the probe scan — O(|probe|) by the operator's
+    // contract that left is the probe/smaller table. Catalyst's
+    // post-filter size estimates overshoot by orders of magnitude here,
+    // and the r12 5M-doc stress measured the gate flipping to sort-merge
+    // exactly when it matters: candidates carried the reference arrays
+    // through their exchange, 38.7 GB shuffled where ~6 GB suffices.
+    val lTextBytes = left.select(text.cast("string").as("_t"))
+      .agg(coalesce(sum(octet_length(col("_t"))), lit(0L)))
+      .first().getLong(0)
+    // each word lands in up to `shingleLen` distinct shingles, plus array
+    // element overhead: 6x text bytes is a safe ceiling for the broadcast
     val out0 =
-      if (leftSmaller)
+      if (6L * lTextBytes <= graft.core.Joins.DefaultBroadcastCap)
+        cand.join(setArrs("R", "r"), Seq("id_r"))
+          .join(broadcast(setArrs("L", "l")), Seq("id_l"))
+      else if (left.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          right.queryExecution.optimizedPlan.stats.sizeInBytes)
         cand.join(setArrs("R", "r"), Seq("id_r"))
           .join(graft.core.Joins.maybeBroadcast(setArrs("L", "l")), Seq("id_l"))
       else
