@@ -90,6 +90,19 @@ object CubeQueries {
         .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
           col("_c").cast("bigint").as("x"), col("value"))
     },
+    "zarr_blosc_roundtrip" -> { (s, dir) =>
+      // save_result's zarr v2 sink under zarr-python's DEFAULT compressor:
+      // the same lineitem grid written as blosc(lz4 + byte-shuffle)
+      // chunks through the pure-JVM Blosc encoder (executor-side, one
+      // groupByKey shuffle) and read back through the container's
+      // split/stored-split/unshuffle decode paths — a header, split-rule
+      // or shuffle bug on either side breaks the hash
+      val store = RasterFixture.ensureZarrGridBlosc(s, dir)
+      graft.sources.ZarrReader.loadArray(s, store, Seq("_r", "_c"))
+        .where(!isnan(col("value")))
+        .select((lit(RasterFixture.gridH - 1) - col("_r")).cast("bigint").as("y"),
+          col("_c").cast("bigint").as("x"), col("value"))
+    },
     "tiff_roundtrip" -> { (s, dir) =>
       // save_result's GTiff SINK under correctness: the same lineitem grid
       // written through TiffWriter (deflate multi-strip) at query build,
@@ -508,6 +521,12 @@ object CubeQueries {
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "zarr_v3_roundtrip" ->
       // same parquet truth through the v3 write→read chain
+      """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
+        |       CAST(l_partkey % 25 AS BIGINT) AS x,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS value
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "zarr_blosc_roundtrip" ->
+      // same parquet truth through the blosc(lz4+shuffle) write→read chain
       """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,
         |       CAST(l_partkey % 25 AS BIGINT) AS x,
         |       CAST(sum(l_quantity) AS DOUBLE) AS value

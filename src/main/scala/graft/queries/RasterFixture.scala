@@ -51,6 +51,37 @@ object RasterFixture {
       dir.toString
     }
 
+  private val bloscWritten = scala.collection.mutable.HashSet[String]()
+
+  /** blosc(lz4 + byte-shuffle) SINK twin of [[ensureZarrGrid]] for the
+    * `zarr_blosc_roundtrip` query: the same lineitem grid written through
+    * the pure-JVM [[graft.sources.Blosc]] encoder under zarr-python's
+    * default v2 compressor declaration, read back through the container's
+    * split/unshuffle decode paths.
+    */
+  def ensureZarrGridBlosc(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_zarrb_sink_${tag}_v1")
+      if (!bloscWritten.contains(sfDir)) {
+        if (java.nio.file.Files.isDirectory(dir)) {
+          val fs = dir.toFile.listFiles()
+          if (fs != null) fs.foreach(f => java.nio.file.Files.delete(f.toPath))
+        }
+        val grid = Tables.lineitem(spark, sfDir)
+          .groupBy(pmod(col("l_orderkey"), lit(gridH)).cast("double").as("y"),
+            pmod(col("l_partkey"), lit(gridW)).cast("double").as("x"))
+          .agg(sum(col("l_quantity")).as("value"))
+        val cube = DataCube.fromTable(grid, Seq("y", "x"), "value")
+        graft.sources.ZarrWriter.writeGrid(cube, dir.toString,
+          rowDim = "y", colDim = "x", chunkR = 16, chunkC = 16,
+          compressor = "blosc-lz4")
+        bloscWritten += sfDir
+      }
+      dir.toString
+    }
+
   private val v3Written = scala.collection.mutable.HashSet[String]()
 
   /** zarr V3 sink twin of [[ensureZarrGrid]] for the `zarr_v3_roundtrip`

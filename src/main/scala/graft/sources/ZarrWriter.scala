@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * (NaN), which round-trips through the reader's sparse-store path.
   *
   * Scope matches the reader: little-endian float64 (`<f8`/`float64`), C
-  * order, rank 2; v2 stores use zlib + flat "." keys, v3 stores
-  * (`format = 3`) write `zarr.json` with a `[bytes, gzip, crc32c]` codec
+  * order, rank 2; v2 stores use flat "." keys with zlib or
+  * blosc(lz4 + byte-shuffle) — zarr-python's default compressor, emitted
+  * by the pure-JVM [[Blosc]] encoder; v3 stores (`format = 3`) write
+  * `zarr.json` with a `[bytes, gzip|zstd, crc32c]` codec
   * chain and nested `c/r/c` default-encoded keys; with `shardInner` set,
   * v3 stores use the `sharding_indexed` codec instead — each chunk file
   * becomes a SHARD of gzip'd inner chunks plus a crc32c'd index footer,
@@ -31,8 +33,18 @@ object ZarrWriter {
     */
   def writeGrid(cube: DataCube, dir: String, rowDim: String = "y",
       colDim: String = "x", chunkR: Int = 256, chunkC: Int = 256,
-      format: Int = 2, shardInner: Option[(Int, Int)] = None): Unit = {
+      format: Int = 2, shardInner: Option[(Int, Int)] = None,
+      compressor: String = "default"): Unit = {
     require(format == 2 || format == 3, s"ZarrWriter: format $format")
+    // v2 writes zlib (the reader-matrix baseline) or blosc(lz4+shuffle)
+    // (zarr-python's DEFAULT, through the pure-JVM [[Blosc]] encoder);
+    // v3 chains write gzip or zstd, both + crc32c
+    val comp = if (compressor == "default")
+      (if (format == 2) "zlib" else "gzip") else compressor
+    require((format == 2 && Set("zlib", "blosc-lz4")(comp)) ||
+      (format == 3 && Set("gzip", "zstd")(comp)),
+      s"ZarrWriter: compressor $comp unsupported for v$format " +
+        "(v2: zlib | blosc-lz4; v3: gzip | zstd)")
     require(shardInner.isEmpty || format == 3,
       "ZarrWriter: sharding is a v3 codec — set format = 3")
     shardInner.foreach { case (ir, ic) =>
@@ -61,26 +73,33 @@ object ZarrWriter {
     val cIdx = spark.sparkContext.broadcast(cols.zipWithIndex.toMap)
     new java.io.File(dir).mkdirs()
     if (format == 2) {
+      val compJson =
+        if (comp == "blosc-lz4")
+          """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+        else """{"id":"zlib","level":1}"""
       val zarray =
         s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkR,$chunkC],
-           |"dtype":"<f8","compressor":{"id":"zlib","level":1},
+           |"dtype":"<f8","compressor":$compJson,
            |"fill_value":"NaN","filters":null,"order":"C"}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dir, ".zarray"), zarray)
     } else {
+      val codecEntry =
+        if (comp == "zstd") """{"name":"zstd","configuration":{"level":3}}"""
+        else """{"name":"gzip","configuration":{"level":1}}"""
       val codecJson = shardInner match {
         case Some((ir, ic)) =>
           s"""[{"name":"sharding_indexed","configuration":{
              |"chunk_shape":[$ir,$ic],
              |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
-             |{"name":"gzip","configuration":{"level":1}}],
+             |$codecEntry],
              |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},
              |{"name":"crc32c"}],
              |"index_location":"end"}}]""".stripMargin
         case None =>
-          """[{"name":"bytes","configuration":{"endian":"little"}},
-            |{"name":"gzip","configuration":{"level":1}},
-            |{"name":"crc32c"}]""".stripMargin
+          s"""[{"name":"bytes","configuration":{"endian":"little"}},
+             |$codecEntry,
+             |{"name":"crc32c"}]""".stripMargin
       }
       val zjson =
         s"""{"zarr_format":3,"node_type":"array","shape":[$h,$w],
@@ -111,14 +130,16 @@ object ZarrWriter {
       val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       buf.foreach(bb.putDouble)
-      def gzip1(payload: Array[Byte]): Array[Byte] = {
-        val out = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(out) {
-          `def`.setLevel(1) // match the declared codec configuration
+      def encV3(payload: Array[Byte]): Array[Byte] =
+        if (comp == "zstd") Blosc.zstdCompress(payload)
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(out) {
+            `def`.setLevel(1) // match the declared codec configuration
+          }
+          gz.write(payload); gz.close()
+          out.toByteArray
         }
-        gz.write(payload); gz.close()
-        out.toByteArray
-      }
       def crcTrailer(payload: Array[Byte]): Array[Byte] = {
         val crc = new java.util.zip.CRC32C()
         crc.update(payload, 0, payload.length)
@@ -129,7 +150,10 @@ object ZarrWriter {
         withCrc
       }
       val bytes =
-        if (format == 2) {
+        if (format == 2 && comp == "blosc-lz4")
+          Blosc.compress(bb.array(), typesize = 8, cname = "lz4",
+            byteShuffle = true)
+        else if (format == 2) {
           val d = new java.util.zip.Deflater(1)
           d.setInput(bb.array()); d.finish()
           val out = new java.io.ByteArrayOutputStream()
@@ -139,8 +163,8 @@ object ZarrWriter {
           out.toByteArray
         } else shardInner match {
           case None =>
-            // v3 codec chain: bytes -> gzip -> crc32c trailer
-            crcTrailer(gzip1(bb.array()))
+            // v3 codec chain: bytes -> gzip|zstd -> crc32c trailer
+            crcTrailer(encV3(bb.array()))
           case Some((ir, ic)) =>
             // sharding_indexed: gzip each inner chunk (all-fill inners
             // become missing sentinels), then the crc32c'd index footer
@@ -163,7 +187,7 @@ object ZarrWriter {
                 val ib = java.nio.ByteBuffer.allocate(inner.length * 8)
                   .order(java.nio.ByteOrder.LITTLE_ENDIAN)
                 inner.foreach(ib.putDouble)
-                val enc = gzip1(ib.array())
+                val enc = encV3(ib.array())
                 idx.putLong(bodies.size().toLong)
                 idx.putLong(enc.length.toLong)
                 bodies.write(enc)

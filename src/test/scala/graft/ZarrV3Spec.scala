@@ -337,6 +337,38 @@ class ZarrV3Spec extends AnyFunSuite {
     assert(got == 400L)
   }
 
+  test("v3 writer with the zstd codec roundtrips; v2 writer with blosc too") {
+    val sess = spark
+    import sess.implicits._
+    val cells = (for (y <- 0 until 6; x <- 0 until 9)
+      yield (y.toDouble, x.toDouble, y * 50.0 + x))
+    val cube = DataCube.fromTable(
+      cells.toDF("y", "x", "value"), Seq("y", "x"), "value")
+    val want = cells.map(c => (c._1, c._2) -> c._3).toMap
+    def readBack(dir: String, maxY: Int): Map[(Double, Double), Double] =
+      ZarrReader.loadArray(spark, dir, Seq("_r", "_c"))
+        .where(!isnan(col("value")))
+        .select((lit(maxY) - col("_r")).cast("double").as("y"),
+          col("_c").cast("double").as("x"), col("value"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+    val dZstd = tmp("zarr3_zstd_writer") + "/store"
+    ZarrWriter.writeGrid(cube, dZstd, chunkR = 4, chunkC = 4, format = 3,
+      compressor = "zstd")
+    assert(ZarrReader.readMeta(dZstd).compressor.contains("zstd"))
+    assert(readBack(dZstd, 5) == want)
+    val dBlosc = tmp("zarr2_blosc_writer") + "/store"
+    ZarrWriter.writeGrid(cube, dBlosc, chunkR = 4, chunkC = 4,
+      compressor = "blosc-lz4")
+    assert(ZarrReader.readMeta(dBlosc).compressor.contains("blosc"))
+    assert(readBack(dBlosc, 5) == want)
+    val bad = intercept[IllegalArgumentException] {
+      ZarrWriter.writeGrid(cube, tmp("zarr_badcomp"), format = 2,
+        compressor = "zstd")
+    }
+    assert(bad.getMessage.contains("unsupported"))
+  }
+
   test("distributed v3 writer roundtrips through the v3 reader branch") {
     val sess = spark
     import sess.implicits._
