@@ -359,4 +359,209 @@ object Similarity {
       threshold: Double, numCentroids: Int = 16, probes: Int = 3): DataFrame =
     graft.pipeline.Dedup.survivors(df, idCol,
       ivfNearDups(df, idCol, vecCol, threshold, numCentroids, probes))
+
+  // ---- product quantization (Jégou et al. 2011, "Product quantization
+  // for nearest neighbor search" — public) ----
+
+  /** PQ codebook: `m` subspaces of `dims/m` contiguous components, each
+    * with its own centroid set, all arithmetic in INTEGER MICRO-UNITS
+    * (floor(x·1e6) of the double-cast component) so every step — distance,
+    * argmin, Lloyd average — is order-free and a DuckDB oracle mirrors it
+    * bit-exactly. `cents(j)(c)(d)` is centroid c of subspace j.
+    *
+    * Training is deterministic: the stride-quantizer init (every
+    * ceil(n/k)-th id's subvectors, centroid index = id rank — the
+    * [[strideCentroids]] contract) followed by ONE exact Lloyd refinement
+    * (assign every training row per-subspace to its nearest init centroid,
+    * tie to the lowest index; refined component = floorDiv of the
+    * micro-unit sum by the cell count; empty cells keep their init). Like
+    * any quantizer, training data volume is a model hyperparameter — at
+    * corpus scale feed a bounded sample, then [[pqEncode]] the full corpus.
+    */
+  final case class PqCodebook(m: Int, dsub: Int,
+      cents: Array[Array[Array[Long]]])
+
+  /** Micro-unit components of the NORMALIZED vector: on the unit sphere
+    * L2² = 2 − 2·cos, so PQ's L2-space codes rank by cosine — the metric
+    * every other similarity op here uses. The norm is the same sequential
+    * sum-of-squares fold as the cosine oracles (bit-identical across
+    * engines); zero vectors quantize to the origin.
+    */
+  private def microUnits(vecCol: Column): Column = {
+    val v = vecCol.cast("array<double>")
+    val n = norm2(v)
+    transform(v, x =>
+      floor(when(n === 0.0, lit(0.0)).otherwise(x / n) * lit(1000000.0))
+        .cast("long"))
+  }
+
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int): PqCodebook = {
+    require(m > 0 && dims % m == 0, s"PQ: $m subspaces must divide $dims dims")
+    val dsub = dims / m
+    val base = df.select(col(idCol).cast("long").as("id"),
+      microUnits(col(vecCol)).as("u"))
+    val stride = math.max(1L, math.ceil(df.count().toDouble / k).toLong)
+    // init: subvectors of the stride-selected ids, centroid index = id rank
+    val init: Array[Array[Array[Long]]] = {
+      val picks = base.filter(col("id") % stride === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).map(_._2)
+      Array.tabulate(m)(j => picks.map(_.slice(j * dsub, (j + 1) * dsub)))
+    }
+    val kEff = init(0).length
+    require(kEff > 0, "PQ: empty training frame")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val initB = sess.sparkContext.broadcast(init)
+    // one Lloyd pass: per-row per-subspace nearest init centroid
+    // (integer L2, tie to lowest index), emitted as (j, c, subvector) —
+    // scan-local work, no per-centroid row explosion
+    val assigned = base.select(col("id"), col("u")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cs = initB.value
+        it.flatMap { case (_, u) =>
+          (0 until cs.length).iterator.map { j =>
+            val sub = u.slice(j * (u.length / cs.length),
+              (j + 1) * (u.length / cs.length))
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < cs(j).length) {
+              var d = 0L; var i = 0
+              while (i < sub.length) {
+                val t = sub(i) - cs(j)(c)(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            (j, best, sub)
+          }
+        }
+      }.toDF("j", "c", "sub")
+    // exact integer averages per (subspace, centroid, component)
+    val sums = assigned
+      .select(col("j"), col("c"), posexplode(col("sub")).as(Seq("d", "u")))
+      .groupBy(col("j"), col("c"), col("d"))
+      .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        Math.floorDiv(r.getLong(3), r.getLong(4)))).toMap
+    val refined = Array.tabulate(m, kEff, dsub) { (j, c, d) =>
+      sums.getOrElse((j, c, d), init(j)(c)(d)) // empty cells keep init
+    }
+    PqCodebook(m, dsub, refined)
+  }
+
+  /** Encode every vector as `m` centroid indices — the 4×dims-bytes →
+    * m-bytes compression that lets a 100-TB embedding corpus sit in
+    * memory. Scan-local (broadcast codebook, no shuffle); same integer
+    * argmin as training.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      book: PqCodebook): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val bookB = sess.sparkContext.broadcast(book.cents)
+    df.select(col(idCol).cast("long").as("id"),
+        microUnits(col(vecCol)).as("u")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cs = bookB.value
+        it.map { case (id, u) =>
+          val dsub = u.length / cs.length
+          val codes = Array.tabulate(cs.length) { j =>
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < cs(j).length) {
+              var d = 0L; var i = 0
+              while (i < dsub) {
+                val t = u(j * dsub + i) - cs(j)(c)(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            best
+          }
+          (id, codes)
+        }
+      }.toDF("id", "codes")
+  }
+
+  /** PQ top-k via asymmetric distance (ADC): each query precomputes its
+    * m×k table of exact integer distances to every centroid, and a corpus
+    * row's approximate distance is the m-term table-lookup sum over its
+    * codes — the classic trade that replaces a dims-wide dot per pair
+    * with m lookups. The query tables are a broadcast-sized join table
+    * ((query, j, c) rows); the corpus codes explode to m rows each for
+    * the relational lookup join, then one window ranks per query
+    * ((distance, neighbor_id) ascending — deterministic). Self matches
+    * are excluded like [[bruteForceTopK]].
+    */
+  private def adcScores(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook): DataFrame = {
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val bookB = sess.sparkContext.broadcast(book.cents)
+    val qTables = queries.select(col(idCol).cast("long").as("query_id"),
+        microUnits(col(vecCol)).as("u")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cs = bookB.value
+        it.flatMap { case (qid, u) =>
+          val dsub = u.length / cs.length
+          for (j <- (0 until cs.length).iterator; c <- cs(j).indices.iterator)
+            yield {
+              var d = 0L; var i = 0
+              while (i < dsub) {
+                val t = u(j * dsub + i) - cs(j)(c)(i); d += t * t; i += 1
+              }
+              (qid, j, c, d)
+            }
+        }
+      }.toDF("query_id", "j", "c", "qd")
+    val codes = pqEncode(corpus, idCol, vecCol, book)
+      .select(col("id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("j", "c")))
+    codes.join(broadcast(qTables), Seq("j", "c"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).as("adist"))
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook, k: Int): DataFrame = {
+    val scored = adcScores(queries, corpus, idCol, vecCol, book)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rk"))
+  }
+
+  /** The production PQ pattern (FAISS's IVFPQ + refine): the ADC ranking
+    * SHORTLISTS `shortlist` candidates per query from the compressed
+    * codes alone, and exact cosine re-ranks only that shortlist — per
+    * query, `shortlist` full vectors are touched instead of the corpus.
+    * Deterministic end to end: the shortlist ranks by (integer adist,
+    * neighbor_id), the final ranking by (rounded cosine desc,
+    * neighbor_id).
+    */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook, k: Int, shortlist: Int): DataFrame = {
+    val scored = adcScores(queries, corpus, idCol, vecCol, book)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = scored.withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    def base(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col(idCol).cast("long").as(idAs),
+        col(vecCol).cast("array<double>").as(vAs))
+        .withColumn(nAs, norm2(col(vAs)))
+    val ver = short
+      .join(broadcast(base(queries, "query_id", "qv", "qn")), Seq("query_id"))
+      .join(base(corpus, "neighbor_id", "cv", "cn"), Seq("neighbor_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    ver.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
 }

@@ -216,6 +216,20 @@ object PipelineQueries {
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nPlanes = 16, bands = 4, k = 3)
     },
+    "ann_pq_topk" -> { (s, dir) =>
+      // product quantization (Jégou et al. 2011) under the hash gate, in
+      // its production shape (FAISS IVFPQ + refine): normalized micro-unit
+      // quantization, stride init, ONE exact Lloyd refinement, 16×4-dim
+      // subspace codes, ADC table-lookup SHORTLIST of 25, exact-cosine
+      // re-rank to top 3. Training/coding/shortlisting all run in
+      // order-free integer arithmetic, so the oracle mirrors a LEARNED
+      // quantizer end to end (not just a fixed grid).
+      val emb = Tables.embeddings(s, dir)
+      val book = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dims = 64, m = 16, k = 32)
+      Similarity.pqTopKRefined(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", book, k = 3, shortlist = 25)
+    },
 
     // ---- text analysis ----
     "token_count" -> { (s, dir) =>
@@ -1478,6 +1492,67 @@ object PipelineQueries {
          |       row_number() OVER (PARTITION BY query_id
          |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
          |FROM ver QUALIFY rk <= 3""".stripMargin,
+    "ann_pq_topk" ->
+      // Full PQ-refine mirror in integer micro-units: u = per-component
+      // floor(x/‖x‖·1e6); init centroids = subvectors of every
+      // ceil(n/32)-th id (index = id rank); one Lloyd pass (argmin by
+      // (dist, c), floor-div averages via the sign-safe mod formula,
+      // empty cells keep init); codes + the queries' ADC tables both fall
+      // out of the same corpus-vs-book distance CTE; ADC shortlist of 25
+      // by (lookup-sum, id), then exact cosine re-ranks to top 3.
+      s"""WITH $cosineSqlFns,
+        |nrm AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+        |u AS (
+        |  SELECT n.vec_id AS id, i - 1 AS d,
+        |         CAST(floor(CASE WHEN n.nn = 0 THEN 0.0
+        |             ELSE n.v[i] / n.nn END
+        |           * 1000000.0) AS BIGINT) AS u
+        |  FROM nrm n, UNNEST(range(1, 65)) r(i)),
+        |st AS (SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS v FROM embeddings),
+        |picks AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS c
+        |          FROM (SELECT DISTINCT id FROM u
+        |                WHERE id % (SELECT v FROM st) = 0)),
+        |init AS (SELECT p.c, u.d // 4 AS j, u.d % 4 AS sd, u.u AS cu
+        |         FROM u JOIN picks p USING (id)),
+        |adist AS (SELECT u.id, i.j, i.c,
+        |    sum((u.u - i.cu) * (u.u - i.cu)) AS dist
+        |  FROM u JOIN init i ON i.j = u.d // 4 AND i.sd = u.d % 4
+        |  GROUP BY 1, 2, 3),
+        |abest AS (SELECT id, j, c FROM (
+        |    SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+        |      ORDER BY dist ASC, c ASC) AS rn FROM adist) WHERE rn = 1),
+        |refsums AS (SELECT b.j, b.c, u.d % 4 AS sd,
+        |    CAST(sum(u.u) AS BIGINT) AS s, count(*) AS cnt
+        |  FROM abest b JOIN u ON u.id = b.id AND u.d // 4 = b.j
+        |  GROUP BY 1, 2, 3),
+        |book AS (SELECT i.j, i.c, i.sd,
+        |    COALESCE((r.s - ((r.s % r.cnt) + r.cnt) % r.cnt) // r.cnt, i.cu) AS cu
+        |  FROM init i LEFT JOIN refsums r
+        |    ON r.j = i.j AND r.c = i.c AND r.sd = i.sd),
+        |cdist AS (SELECT u.id, b.j, b.c,
+        |    sum((u.u - b.cu) * (u.u - b.cu)) AS dist
+        |  FROM u JOIN book b ON b.j = u.d // 4 AND b.sd = u.d % 4
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT id, j, c FROM (
+        |    SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+        |      ORDER BY dist ASC, c ASC) AS rn FROM cdist) WHERE rn = 1),
+        |qtab AS (SELECT id AS query_id, j, c, dist AS qd
+        |         FROM cdist WHERE id % 25 = 0),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, k.id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY sum(q.qd) ASC, k.id ASC) AS srk
+        |    FROM codes k JOIN qtab q ON q.j = k.j AND q.c = k.c
+        |    WHERE q.query_id <> k.id
+        |    GROUP BY q.query_id, k.id) WHERE srk <= 25),
+        |ver AS (SELECT s.query_id, s.neighbor_id,
+        |    round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+        |  FROM short s JOIN nrm a ON a.vec_id = s.query_id
+        |               JOIN nrm b ON b.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cos,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
+        |FROM ver QUALIFY rk <= 3""".stripMargin,
     "ann_lsh_topk" ->
       // Band-OR sign-LSH mirror: 16 seeded planes (inlined literals), 4 bands
       // of 4 bits; candidates share a full band; cosine over hoisted norms.

@@ -409,6 +409,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("PQ: codes compress to m indices, Lloyd refines, ADC recalls neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val book = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      dims = 64, m = 16, k = 32)
+    assert(book.m == 16 && book.dsub == 4)
+    assert(book.cents.forall(_.forall(_.length == 4)))
+    // determinism: training twice yields the identical codebook
+    val book2 = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      dims = 64, m = 16, k = 32)
+    assert(book.cents.flatten.flatten.toSeq == book2.cents.flatten.flatten.toSeq)
+    // codes are m per-subspace indices within range — the 4·dims bytes →
+    // m bytes compression that makes a 100-TB embedding corpus memory-scale
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", book)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.nonEmpty && codes.forall(_._2.length == 16))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < book.cents(0).length)))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+    // pure ADC ranks by code distance alone — lossy on these near-random
+    // synthetic embeddings (true neighbors at cos ~0.34 against a 0.0
+    // median barely clear the quantization noise)...
+    val adc = pairs(Similarity.pqTopK(queries, emb, "vec_id", "embedding", book, k = 3))
+    val adcRecall = (exact intersect adc).size.toDouble / exact.size
+    info(f"pure-ADC recall@3 = $adcRecall%.2f")
+    assert(adc.nonEmpty && adc.forall { case (q, n) => q != n })
+    // ...which is exactly why the production shape is shortlist + exact
+    // re-rank: 25 candidates from the codes, cosine re-ranks to 3
+    val pq = pairs(Similarity.pqTopKRefined(queries, emb, "vec_id",
+      "embedding", book, k = 3, shortlist = 25))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(f"PQ-refine recall@3 = $recall%.2f (${pq.size} returned)")
+    assert(recall >= 0.6, s"refined recall $recall too low")
+    assert(recall > adcRecall, "re-ranking must improve on raw ADC order")
+  }
+
   test("KMeans quantizer returns exactly k centroids and finds planted dups") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8,
