@@ -708,6 +708,36 @@ object ProcessGraph {
             CubeDim("query_id", DimType.Other),
             CubeDim("neighbor_id", DimType.Other),
             CubeDim("rk", DimType.Other)), None, "cos")))
+        case "pq_topk" =>
+          // product-quantized top-k in its production refine shape
+          // (codebook trained on the corpus, ADC shortlist from the
+          // compressed codes, exact-cosine re-rank): same terminal
+          // (query_id, neighbor_id, rk) -> cosine table as ann_topk
+          val qc = cube("queries")
+          val cc = cube("corpus")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(qc.meta.dimNames.head)
+          qc.requireDim(idDim)
+          val k = args.get("k").collect { case NumV(x) => x.toInt }.getOrElse(10)
+          val dims = num("dims").toInt
+          val m = args.get("m").collect { case NumV(x) => x.toInt }.getOrElse(16)
+          val cents = args.get("centroids").collect {
+            case NumV(x) => x.toInt }.getOrElse(32)
+          val shortlist = args.get("shortlist").collect {
+            case NumV(x) => x.toInt }.getOrElse(math.max(25, 5 * k))
+          val corpusDf = cc.df.select(
+            col(cc.meta.dimNames.head).as(idDim),
+            col(cc.meta.valueCol).as(qc.meta.valueCol))
+          val book = graft.pipeline.Similarity.pqCodebook(
+            corpusDf, idDim, qc.meta.valueCol, dims, m, cents)
+          val top = graft.pipeline.Similarity.pqTopKRefined(
+            qc.df.select(col(idDim), col(qc.meta.valueCol)), corpusDf,
+            idDim, qc.meta.valueCol, book, k, shortlist)
+            .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+          CubeV(DataCube(top, CubeMetadata(Seq(
+            CubeDim("query_id", DimType.Other),
+            CubeDim("neighbor_id", DimType.Other),
+            CubeDim("rk", DimType.Other)), None, "cos")))
         case "fuzzy_join" =>
           // R-S similarity join between two text cubes: terminal node —
           // the cube becomes the (id_l, id_r) → jaccard pair table

@@ -389,6 +389,39 @@ class GraphTailSpec extends AnyFunSuite {
       geometries = Some(geojson), properties = Seq("class"))) && got.nonEmpty)
   }
 
+  test("pq_topk node ≡ Similarity PQ-refine twin") {
+    import graft.pipeline.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val coll: Map[String, DataCube] = Map(
+      "emb" -> DataCube.fromTable(emb, Seq("vec_id"), "embedding"),
+      "q" -> DataCube.fromTable(emb.filter(col("vec_id") % 50 === 0),
+        Seq("vec_id"), "embedding"))
+    val g =
+      """{"process_graph": {
+        |  "q": {"process_id": "load_collection", "arguments": {"id": "q"}},
+        |  "c": {"process_id": "load_collection", "arguments": {"id": "emb"}},
+        |  "a": {"process_id": "pq_topk",
+        |        "arguments": {"queries": {"from_node": "q"},
+        |                      "corpus": {"from_node": "c"},
+        |                      "k": 3, "dims": 64, "m": 16,
+        |                      "centroids": 32, "shortlist": 25},
+        |        "result": true}
+        |}}""".stripMargin
+    val got = runCube(g, coll).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val book = Similarity.pqCodebook(emb, "vec_id", "embedding", 64, 16, 32)
+    val want = Similarity.pqTopKRefined(
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        book, k = 3, shortlist = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty && got == want)
+  }
+
   test("load_stac node ≡ StacLoader pipeline (bands + time + property pruning)") {
     val fix = graft.queries.StacFixture.ensure()
     val g =
