@@ -185,6 +185,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("PQ refine: no cartesian, query tables broadcast, no micro-array exchange") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val book = pipeline.Similarity.pqCodebook(emb, "vec_id", "embedding",
+      dims = 64, m = 16, k = 32)
+    val out = pipeline.Similarity.pqTopKRefined(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+      book, k = 3, shortlist = 25)
+    val p = plan(out)
+    // the ADC join must be an equi-join with the m×k query tables on the
+    // broadcast side — a nested-loop or cartesian over (codes × queries)
+    // is the scale-killer shape
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no exchange carries the micro-unit arrays ("u") or full vectors on
+    // the codes path: exchanges partition on ids/(j,c)/window keys only —
+    // the r12 fuzzy-join lesson (candidate rows silently carrying array
+    // payloads through an exchange), pinned here before scale finds it
+    val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains(" u#")), exchanges.mkString("\n"))
+    // shortlist + final rank windows partition per query, never globally
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("pipeline ops: scan-speed ops shuffle-free; packing never serializes") {
     // split / redaction / quantization / chunking are single-pass Column
     // programs — ZERO exchanges, the 100-TB contract that makes them free
