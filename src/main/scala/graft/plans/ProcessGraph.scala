@@ -312,7 +312,35 @@ object ProcessGraph {
 
       pid match {
         // ---- cube-level ----
-        case "load_collection" => CubeV(collections(str("id")))
+        case "load_collection" =>
+          // the canonical openEO load signature: every example graph
+          // passes spatial_extent/temporal_extent/bands here, so the
+          // node composes the corresponding filters over the resolved
+          // cube (each optional; the filters are plan-time no-ops on
+          // absent args, and Catalyst pushes the survivors into the scan)
+          var c = collections(str("id"))
+          opt("temporal_extent").foreach { _ =>
+            val ext = args("temporal_extent").asInstanceOf[ArrV].v
+            c = FilterOps.filterTemporal(c,
+              ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v, None)
+          }
+          opt("spatial_extent").foreach { _ =>
+            val e = JsonMethods.parse(str("spatial_extent"))
+            def d(f: String): Option[Double] = (e \ f) match {
+              case JDouble(x) => Some(x)
+              case JInt(x) => Some(x.toDouble)
+              case JDecimal(x) => Some(x.toDouble)
+              case _ => None
+            }
+            (d("west"), d("east"), d("south"), d("north")) match {
+              case (Some(w), Some(ea), Some(so), Some(no)) =>
+                c = FilterOps.filterBbox(c, w, ea, so, no)
+              case _ => throw new IllegalArgumentException(
+                "load_collection.spatial_extent: need west/east/south/north")
+            }
+          }
+          opt("bands").foreach(_ => c = FilterOps.filterBands(c, strs("bands")))
+          CubeV(c)
         case "filter_temporal" =>
           val ext = args("extent").asInstanceOf[ArrV].v
           CubeV(FilterOps.filterTemporal(cube("data"),
@@ -1046,8 +1074,51 @@ object ProcessGraph {
             val ext = args("temporal_extent").asInstanceOf[ArrV].v
             (ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v)
           }
-          // properties: {"name": [[op, value], ...]} — the flattened form
-          // of the reference's property-filter callbacks
+          // properties: either the flattened {"name": [[op, value], ...]}
+          // form, or the openEO WIRE form — one comparison callback
+          // sub-graph per property ({"name": {"process_graph": {... eq/lt
+          // over {"from_parameter": "value"} ...}}}), which is what real
+          // exported graphs carry (reference forwards it as the STAC query
+          // extension, cubes/load.py:153-154)
+          def litText(j: JValue): String = j match {
+            case JString(s) => s
+            case JInt(i) => i.toString
+            case JDouble(d) => d.toString
+            case JDecimal(d) => d.toString
+            case JBool(b) => b.toString
+            case other => JsonMethods.compact(JsonMethods.render(other))
+          }
+          def callbackCond(k: String, pg: JValue): (String, String) = {
+            val nodesJ = pg match {
+              case JObject(fs) => fs
+              case v => throw new IllegalArgumentException(
+                s"load_stac.properties.$k: bad callback $v")
+            }
+            val body = nodesJ.collectFirst {
+              case (_, b) if (b \ "result") == JBool(true) => b
+            }.getOrElse(nodesJ.head._2)
+            val pid = (body \ "process_id") match {
+              case JString(s) => s
+              case v => throw new IllegalArgumentException(
+                s"load_stac.properties.$k: no process_id ($v)")
+            }
+            require(Set("eq", "neq", "lt", "lte", "gt", "gte")(pid),
+              s"ProcessUnsupported: load_stac.properties.$k callback $pid " +
+                "(eq/neq/lt/lte/gt/gte only)")
+            def isParam(j: JValue) = (j \ "from_parameter") != JNothing
+            val x = body \ "arguments" \ "x"
+            val y = body \ "arguments" \ "y"
+            if (isParam(x)) (pid, litText(y))
+            else if (isParam(y)) {
+              // the property value sits on y: flip the comparison
+              val flipped = pid match {
+                case "lt" => "gt"; case "gt" => "lt"
+                case "lte" => "gte"; case "gte" => "lte"; case o => o
+              }
+              (flipped, litText(x))
+            } else throw new IllegalArgumentException(
+              s"load_stac.properties.$k: neither side is from_parameter")
+          }
           val props: Map[String, Seq[(String, String)]] =
             opt("properties").map { _ =>
               JsonMethods.parse(str("properties")) match {
@@ -1056,12 +1127,15 @@ object ProcessGraph {
                     case JArray(conds) => conds.map {
                       case JArray(Seq(JString(op), JString(value))) => (op, value)
                       case JArray(Seq(JString(op), other)) =>
-                        (op, JsonMethods.compact(JsonMethods.render(other)))
+                        (op, litText(other))
                       case c => throw new IllegalArgumentException(
                         s"load_stac.properties.$k: bad condition $c")
                     }
+                    case obj: JObject if (obj \ "process_graph") != JNothing =>
+                      Seq(callbackCond(k, obj \ "process_graph"))
                     case c => throw new IllegalArgumentException(
-                      s"load_stac.properties.$k: expected [[op, value]], got $c")
+                      s"load_stac.properties.$k: expected [[op, value]] or " +
+                        s"a comparison callback, got $c")
                   })
                 }.toMap
                 case v => throw new IllegalArgumentException(

@@ -389,6 +389,68 @@ class GraphTailSpec extends AnyFunSuite {
       geometries = Some(geojson), properties = Seq("class"))) && got.nonEmpty)
   }
 
+  test("load_collection composes temporal/spatial/bands extents (openEO shape)") {
+    val df = (for (x <- 0 until 8; y <- 0 until 6;
+                   b <- Seq("B1", "B2"); day <- Seq(2, 12, 22)) yield
+      (x.toDouble, y.toDouble, b,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
+        x * 100.0 + y + day)).toDF("x", "y", "bands", "t", "value")
+    val c = DataCube.fromTable(df, Seq("x", "y", "bands", "t"), "value",
+      Map("x" -> DimType.Spatial, "y" -> DimType.Spatial,
+        "bands" -> DimType.Bands, "t" -> DimType.Temporal))
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection",
+        |        "arguments": {"id": "c",
+        |          "spatial_extent": {"west": 2.0, "east": 5.0,
+        |                             "south": 1.0, "north": 4.0},
+        |          "temporal_extent": ["2024-01-10", "2024-01-20"],
+        |          "bands": ["B2"]},
+        |        "result": true}}}""".stripMargin
+    val got = rows(runCube(g, Map("c" -> c)).df)
+    val direct = FilterOps.filterBands(
+      FilterOps.filterBbox(
+        FilterOps.filterTemporal(c, "2024-01-10", "2024-01-20", None),
+        2.0, 5.0, 1.0, 4.0), Seq("B2"))
+    assert(got == rows(direct.df) && got.nonEmpty)
+  }
+
+  test("load_stac accepts openEO comparison-callback property filters") {
+    val fix = graft.queries.StacFixture.ensure()
+    // the WIRE form real graphs carry: lt callback over from_parameter
+    val gCallback =
+      s"""{"process_graph": {
+         |  "n": {"process_id": "load_stac",
+         |        "arguments": {"url": "file://$fix/catalog.json",
+         |          "bands": ["b01", "b02"],
+         |          "temporal_extent": ["2024-01-01T00:00:00Z",
+         |                              "2024-01-10T00:00:00Z"],
+         |          "properties": {"eo:cloud_cover": {"process_graph": {
+         |            "cc": {"process_id": "lt",
+         |                   "arguments": {"x": {"from_parameter": "value"},
+         |                                 "y": 50},
+         |                   "result": true}}}}},
+         |        "result": true}}}""".stripMargin
+    val gFlat = gCallback.replace(
+      """{"process_graph": {
+         |            "cc": {"process_id": "lt",
+         |                   "arguments": {"x": {"from_parameter": "value"},
+         |                                 "y": 50},
+         |                   "result": true}}}""".stripMargin,
+      """[["lt", "50"]]""")
+    val a = rows(runCube(gCallback, Map.empty).df)
+    val b = rows(runCube(gFlat, Map.empty).df)
+    assert(a == b && a.nonEmpty)
+    // flipped form: 50 gt value ≡ value lt 50
+    val gFlipped = gCallback
+      .replace(""""x": {"from_parameter": "value"},
+         |                                 "y": 50""".stripMargin,
+        """"y": {"from_parameter": "value"},
+         |                                 "x": 50""".stripMargin)
+      .replace(""""process_id": "lt"""", """"process_id": "gt"""")
+    assert(rows(runCube(gFlipped, Map.empty).df) == a)
+  }
+
   test("pq_topk node ≡ Similarity PQ-refine twin") {
     import graft.pipeline.Similarity
     val dir = "/root/testdata/sf0.001"
