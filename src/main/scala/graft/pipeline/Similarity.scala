@@ -495,8 +495,11 @@ object Similarity {
     * ((distance, neighbor_id) ascending — deterministic). Self matches
     * are excluded like [[bruteForceTopK]].
     */
-  private def adcScores(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, book: PqCodebook): DataFrame = {
+  /** The two ADC relations: each query's m×k integer distance table and
+    * the corpus codes exploded to (neighbor_id, j, c) rows.
+    */
+  private def adcParts(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook): (DataFrame, DataFrame) = {
     val sess = queries.sparkSession
     import sess.implicits._
     val bookB = sess.sparkContext.broadcast(book.cents)
@@ -519,6 +522,12 @@ object Similarity {
     val codes = pqEncode(corpus, idCol, vecCol, book)
       .select(col("id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("j", "c")))
+    (qTables, codes)
+  }
+
+  private def adcScores(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook): DataFrame = {
+    val (qTables, codes) = adcParts(queries, corpus, idCol, vecCol, book)
     codes.join(broadcast(qTables), Seq("j", "c"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -543,8 +552,46 @@ object Similarity {
     * neighbor_id).
     */
   def pqTopKRefined(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, book: PqCodebook, k: Int, shortlist: Int): DataFrame = {
-    val scored = adcScores(queries, corpus, idCol, vecCol, book)
+      vecCol: String, book: PqCodebook, k: Int, shortlist: Int): DataFrame =
+    pqRefine(adcScores(queries, corpus, idCol, vecCol, book),
+      queries, corpus, idCol, vecCol, k, shortlist)
+
+  /** IVFADC (the FAISS default composition): the IVF coarse quantizer
+    * bounds WHICH corpus rows each query ADC-scores — queries probe their
+    * `probes` nearest cells and only code rows in probed cells join the
+    * query's table — so per-query scan work is ~probes·n/cells code rows
+    * instead of n, and the flat-ADC O(n·q) pair volume becomes
+    * cell-local. Same deterministic ranking; recall < 1 by cell pruning
+    * exactly like [[ivfTopK]] (raise `probes` to trade time for recall).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Centroid], book: PqCodebook, k: Int,
+      shortlist: Int, probes: Int = 3): DataFrame = {
+    def baseOf(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+    val qAssign = assignProbes(baseOf(queries), cents, probes)
+      .select(col("id").as("query_id"), col("cid"))
+    val cAssign = assignProbes(baseOf(corpus), cents, 1)
+      .select(col("id").as("neighbor_id"), col("cid"))
+    val cellCand = qAssign.join(cAssign, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // candidate-driven ADC: the code rows fan out per ALLOWED pair only
+    // (m rows each), so the join/agg volume is candidates·m, not n·q·m —
+    // the pruning must happen BEFORE the lookup join, a semi-join above
+    // the aggregate would score every pair first
+    val (qTables, codes) = adcParts(queries, corpus, idCol, vecCol, book)
+    val scored = cellCand.join(codes, Seq("neighbor_id"))
+      .join(broadcast(qTables), Seq("query_id", "j", "c"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).as("adist"))
+    pqRefine(scored, queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  private def pqRefine(scored: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int): DataFrame = {
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = scored.withColumn("srk", row_number().over(ws))

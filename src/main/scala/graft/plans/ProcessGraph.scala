@@ -758,10 +758,22 @@ object ProcessGraph {
             col(cc.meta.valueCol).as(qc.meta.valueCol))
           val book = graft.pipeline.Similarity.pqCodebook(
             corpusDf, idDim, qc.meta.valueCol, dims, m, cents)
-          val top = graft.pipeline.Similarity.pqTopKRefined(
-            qc.df.select(col(idDim), col(qc.meta.valueCol)), corpusDf,
-            idDim, qc.meta.valueCol, book, k, shortlist)
-            .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+          val qDf = qc.df.select(col(idDim), col(qc.meta.valueCol))
+          // with `probes` set, the IVFADC composition bounds the ADC scan
+          // to the probed coarse cells (`coarse_centroids`, default 16)
+          val top = (args.get("probes").collect { case NumV(x) => x.toInt }
+            match {
+              case Some(pr) =>
+                val coarse = args.get("coarse_centroids").collect {
+                  case NumV(x) => x.toInt }.getOrElse(16)
+                val ivf = graft.pipeline.Similarity.strideCentroids(
+                  corpusDf, idDim, qc.meta.valueCol, coarse)
+                graft.pipeline.Similarity.ivfPqTopK(qDf, corpusDf,
+                  idDim, qc.meta.valueCol, ivf, book, k, shortlist, pr)
+              case None =>
+                graft.pipeline.Similarity.pqTopKRefined(qDf, corpusDf,
+                  idDim, qc.meta.valueCol, book, k, shortlist)
+            }).select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
           CubeV(DataCube(top, CubeMetadata(Seq(
             CubeDim("query_id", DimType.Other),
             CubeDim("neighbor_id", DimType.Other),

@@ -216,6 +216,20 @@ object PipelineQueries {
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nPlanes = 16, bands = 4, k = 3)
     },
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      // IVFADC — the FAISS-default composition under the hash gate: the
+      // stride IVF quantizer bounds WHICH corpus codes each query
+      // ADC-scores (probes=3 of 16 cells), then the PQ shortlist +
+      // exact-cosine refine rank what remains. Candidate-driven ADC: the
+      // lookup join fans out per allowed pair, never n×q.
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+      val book = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dims = 64, m = 16, k = 32)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", cents, book, k = 3, shortlist = 25,
+        probes = 3)
+    },
     "ann_pq_topk" -> { (s, dir) =>
       // product quantization (Jégou et al. 2011) under the hash gate, in
       // its production shape (FAISS IVFPQ + refine): normalized micro-unit
@@ -1492,6 +1506,79 @@ object PipelineQueries {
          |       row_number() OVER (PARTITION BY query_id
          |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
          |FROM ver QUALIFY rk <= 3""".stripMargin,
+    "ann_ivfpq_topk" ->
+      // IVFADC mirror = the ann_ivf cell CTEs (stride-16 quantizer,
+      // cosine-ranked probes) composed with the full PQ mirror: the
+      // shortlist aggregates only pairs allowed by the probed cells.
+      s"""WITH $cosineSqlFns,
+        |nrm AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nrm
+        |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+        |cscored AS (SELECT nrm.vec_id, cent.cid,
+        |    ${dotSql("nrm.v", "cent.cv")} / cent.cn AS ccos
+        |  FROM nrm CROSS JOIN cent),
+        |cranked AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+        |  FROM cscored),
+        |aq AS (SELECT vec_id AS query_id, cid FROM cranked
+        |       WHERE pr <= 3 AND vec_id % 25 = 0),
+        |ac AS (SELECT vec_id AS neighbor_id, cid FROM cranked WHERE pr = 1),
+        |cellcand AS (SELECT DISTINCT query_id, neighbor_id
+        |             FROM aq JOIN ac USING (cid)
+        |             WHERE query_id <> neighbor_id),
+        |u AS (
+        |  SELECT n.vec_id AS id, i - 1 AS d,
+        |         CAST(floor(CASE WHEN n.nn = 0 THEN 0.0
+        |             ELSE n.v[i] / n.nn END
+        |           * 1000000.0) AS BIGINT) AS u
+        |  FROM nrm n, UNNEST(range(1, 65)) r(i)),
+        |st AS (SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS v FROM embeddings),
+        |picks AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS c
+        |          FROM (SELECT DISTINCT id FROM u
+        |                WHERE id % (SELECT v FROM st) = 0)),
+        |init AS (SELECT p.c, u.d // 4 AS j, u.d % 4 AS sd, u.u AS cu
+        |         FROM u JOIN picks p USING (id)),
+        |adist AS (SELECT u.id, i.j, i.c,
+        |    sum((u.u - i.cu) * (u.u - i.cu)) AS dist
+        |  FROM u JOIN init i ON i.j = u.d // 4 AND i.sd = u.d % 4
+        |  GROUP BY 1, 2, 3),
+        |abest AS (SELECT id, j, c FROM (
+        |    SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+        |      ORDER BY dist ASC, c ASC) AS rn FROM adist) WHERE rn = 1),
+        |refsums AS (SELECT b.j, b.c, u.d % 4 AS sd,
+        |    CAST(sum(u.u) AS BIGINT) AS s, count(*) AS cnt
+        |  FROM abest b JOIN u ON u.id = b.id AND u.d // 4 = b.j
+        |  GROUP BY 1, 2, 3),
+        |book AS (SELECT i.j, i.c, i.sd,
+        |    COALESCE((r.s - ((r.s % r.cnt) + r.cnt) % r.cnt) // r.cnt, i.cu) AS cu
+        |  FROM init i LEFT JOIN refsums r
+        |    ON r.j = i.j AND r.c = i.c AND r.sd = i.sd),
+        |cdist AS (SELECT u.id, b.j, b.c,
+        |    sum((u.u - b.cu) * (u.u - b.cu)) AS dist
+        |  FROM u JOIN book b ON b.j = u.d // 4 AND b.sd = u.d % 4
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT id, j, c FROM (
+        |    SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+        |      ORDER BY dist ASC, c ASC) AS rn FROM cdist) WHERE rn = 1),
+        |qtab AS (SELECT id AS query_id, j, c, dist AS qd
+        |         FROM cdist WHERE id % 25 = 0),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, k.id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY sum(q.qd) ASC, k.id ASC) AS srk
+        |    FROM codes k
+        |    JOIN cellcand cc ON cc.neighbor_id = k.id
+        |    JOIN qtab q ON q.j = k.j AND q.c = k.c
+        |      AND q.query_id = cc.query_id
+        |    GROUP BY q.query_id, k.id) WHERE srk <= 25),
+        |ver AS (SELECT s.query_id, s.neighbor_id,
+        |    round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+        |  FROM short s JOIN nrm a ON a.vec_id = s.query_id
+        |               JOIN nrm b ON b.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cos,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
+        |FROM ver QUALIFY rk <= 3""".stripMargin,
     "ann_pq_topk" ->
       // Full PQ-refine mirror in integer micro-units: u = per-component
       // floor(x/‖x‖·1e6); init centroids = subvectors of every

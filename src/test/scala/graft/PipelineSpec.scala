@@ -444,6 +444,24 @@ class PipelineSpec extends AnyFunSuite {
     info(f"PQ-refine recall@3 = $recall%.2f (${pq.size} returned)")
     assert(recall >= 0.6, s"refined recall $recall too low")
     assert(recall > adcRecall, "re-ranking must improve on raw ADC order")
+
+    // IVFADC: probing EVERY cell makes the coarse filter a no-op — the
+    // composition must then equal plain PQ-refine exactly; pruned probes
+    // stay a subset-quality result
+    val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val allProbes = full(Similarity.ivfPqTopK(queries, emb, "vec_id",
+      "embedding", cents, book, k = 3, shortlist = 25, probes = cents.length))
+    val plain = full(Similarity.pqTopKRefined(queries, emb, "vec_id",
+      "embedding", book, k = 3, shortlist = 25))
+    assert(allProbes == plain, "all-cells IVFADC must equal flat PQ-refine")
+    val pruned = pairs(Similarity.ivfPqTopK(queries, emb, "vec_id",
+      "embedding", cents, book, k = 3, shortlist = 25, probes = 4))
+    val prunedRecall = (exact intersect pruned).size.toDouble / exact.size
+    info(f"IVFADC(4/16 cells) recall@3 = $prunedRecall%.2f")
+    assert(pruned.nonEmpty && prunedRecall >= 0.3)
   }
 
   test("KMeans quantizer returns exactly k centroids and finds planted dups") {
