@@ -66,6 +66,28 @@ object SfProbe {
         threshold = 0.35, numCentroids = 160, probes = 3)
         .select(col("vec_id")))
     }
+    // ---- PQ family (round 12): FIXED 200-query probe set so the sf axis
+    // measures corpus scaling, not query-set growth (the bench queries'
+    // %25 filter grows the query side with the corpus — quadratic by
+    // construction for the flat ADC scan). IVFADC's coarse cells scale
+    // with the corpus like the IVF rows above.
+    val n = emb.count()
+    val qmod = math.max(1L, n / 200L)
+    val queries = emb.filter(col("vec_id") % qmod === 0)
+    println(s"[sfprobe] pq probe queries: ${queries.count()}")
+    val book = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      dims = 64, m = 16, k = 32)
+    minOf3("pq_refine flat ADC (200 queries)") {
+      force(Similarity.pqTopKRefined(queries, emb, "vec_id", "embedding",
+        book, k = 3, shortlist = 25))
+    }
+    val coarseScaled = math.max(16, (n / 125L).toInt) // cells ∝ corpus
+    val coarse = Similarity.strideCentroids(emb, "vec_id", "embedding",
+      coarseScaled)
+    minOf3(s"ivfpq cells=$coarseScaled probes=3 (scaled)") {
+      force(Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        coarse, book, k = 3, shortlist = 25, probes = 3))
+    }
     spark.stop()
   }
 }
