@@ -714,8 +714,17 @@ object Dedup {
       .select(col(idCol).as(s"id_$suffix"),
         shingleArray(col("_t"), shingleLen).as(s"_set_$suffix"))
       .withColumn(s"n_$suffix", size(col(s"_set_$suffix")))
+    // the index rows carry xxhash64 TOKENS, not shingle strings: the
+    // prefix lemma holds under ANY shared total order, so ordering by
+    // (df, hash) instead of (df, string) is equally exact — a collision
+    // only merges two tokens' counts and can only ADD candidates, which
+    // the exact set verification kills. The prefix build's exchanges
+    // (census + per-doc sort + candidate join) then move 8-byte longs
+    // instead of multi-word strings — the dominant constant at corpus
+    // scale (measured below in SCALE.md's fuzzy-join table).
     val sh = tagged.select(col("_side"), col(idCol),
-      explode(shingleArray(col("_t"), shingleLen)).as("shingle"))
+      explode(shingleArray(col("_t"), shingleLen)).as("_s"))
+      .select(col("_side"), col(idCol), xxhash64(col("_s")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     // each doc's prefix under the shared (union-df, shingle) total order —
     // the lowest-df n − ⌈t·n⌉ + 1 shingles (prefix lemma, same
