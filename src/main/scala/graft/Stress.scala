@@ -115,27 +115,30 @@ object Stress {
       // local shuffle runs at memory speed — so ALSO measure exchanged
       // bytes: the quantity that crosses the network on a real cluster
       val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            shuffled.addAndGet(
-              e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      Thread.sleep(1500) // drain stragglers from the count() jobs above
+      spark.sparkContext.addSparkListener(listener)
       def measured(name: String)(f: => Unit): Unit = {
         shuffled.set(0)
         time(name)(f)
         Thread.sleep(1500) // let the listener bus drain
         println(f"[stress]   $name shuffle write: ${shuffled.get() / 1e6}%.1f MB")
       }
-      measured("incremental (bloom prefilter)") {
-        force(Dedup.incrementalNew(shard, uCorpus, "doc_id", key,
-          expectedNewKeys = math.max(shardN, 1024L)))
-      }
-      measured("incremental (plain anti-join)") {
-        force(shard.withColumn("_k", key).join(
-          uCorpus.select(key.as("_k")), Seq("_k"), "left_anti").drop("_k"))
-      }
+      try {
+        measured("incremental (bloom prefilter)") {
+          force(Dedup.incrementalNew(shard, uCorpus, "doc_id", key,
+            expectedNewKeys = math.max(shardN, 1024L)))
+        }
+        measured("incremental (plain anti-join)") {
+          force(shard.withColumn("_k", key).join(
+            uCorpus.select(key.as("_k")), Seq("_k"), "left_anti").drop("_k"))
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     // ---- R-S fuzzy join (PPJoin prefix filter): the sf0.1 probe verified
     // the set arrays stay scan-local; this family measures it AT SCALE.
@@ -163,20 +166,25 @@ object Stress {
       val ref = t.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
       println(s"[stress]   probe docs: ${probe.count()}  ref docs: ${ref.count()}")
       val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            shuffled.addAndGet(
-              e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
-      shuffled.set(0)
-      time("fuzzy join (prefix)") {
-        force(Dedup.jaccardJoin(probe, ref, "doc_id", col("text"),
-          shingleLen = 3, threshold = 0.5, cachePrefix = false))
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
-      Thread.sleep(1500) // let the listener bus drain
-      val exchanged = shuffled.get()
+      // drain straggler stages from the preceding count() jobs BEFORE
+      // attaching, so the counter sees only the timed join; detach in a
+      // finally so the listener never outlives the family
+      Thread.sleep(1500)
+      spark.sparkContext.addSparkListener(listener)
+      val exchanged = try {
+        time("fuzzy join (prefix)") {
+          force(Dedup.jaccardJoin(probe, ref, "doc_id", col("text"),
+            shingleLen = 3, threshold = 0.5, cachePrefix = false))
+        }
+        Thread.sleep(1500) // let the listener bus drain
+        shuffled.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
       println(f"[stress]   prefix-join shuffle write: ${exchanged / 1e6}%.1f MB")
       // counterfactuals, COMPUTED not guessed: (a) the bytes the exchanges
       // would carry if the verification set arrays shuffled (sum of

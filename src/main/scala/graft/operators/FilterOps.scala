@@ -16,13 +16,26 @@ object FilterOps {
     * the closed end; we express the same interval half-open directly).
     */
   def filterTemporal(cube: DataCube, start: String, end: String,
-      dimension: Option[String] = None): DataCube = {
+      dimension: Option[String] = None): DataCube =
+    filterTemporal(cube, Some(start), Some(end), dimension)
+
+  /** Open-interval form: a `None` bound leaves that side unbounded — openEO
+    * temporal extents allow `null` for open intervals (reference handles
+    * `extent[i] is None`, cubes/_filter.py:42-106); both-null is the spec's
+    * `TemporalExtentEmpty` error.
+    */
+  def filterTemporal(cube: DataCube, start: Option[String],
+      end: Option[String], dimension: Option[String]): DataCube = {
     val dim = dimension.getOrElse(cube.temporalDim)
     cube.requireDim(dim)
-    require(start < end, s"TemporalExtentEmpty: [$start, $end)")
+    require(start.nonEmpty || end.nonEmpty,
+      "TemporalExtentEmpty: both temporal bounds are null")
+    for (s <- start; e <- end)
+      require(s < e, s"TemporalExtentEmpty: [$s, $e)")
     val t = col(dim)
-    cube.withDf(_.filter(t.isNotNull &&
-      t >= to_timestamp(lit(start)) && t < to_timestamp(lit(end))))
+    val lower = start.map(s => t >= to_timestamp(lit(s))).getOrElse(lit(true))
+    val upper = end.map(e => t < to_timestamp(lit(e))).getOrElse(lit(true))
+    cube.withDf(_.filter(t.isNotNull && lower && upper))
   }
 
   /** Spatial bounding-box slice, inclusive on all edges like label-based

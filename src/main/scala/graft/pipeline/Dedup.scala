@@ -715,13 +715,17 @@ object Dedup {
         shingleArray(col("_t"), shingleLen).as(s"_set_$suffix"))
       .withColumn(s"n_$suffix", size(col(s"_set_$suffix")))
     // the index rows carry xxhash64 TOKENS, not shingle strings: the
-    // prefix lemma holds under ANY shared total order, so ordering by
-    // (df, hash) instead of (df, string) is equally exact — a collision
-    // only merges two tokens' counts and can only ADD candidates, which
-    // the exact set verification kills. The prefix build's exchanges
-    // (census + per-doc sort + candidate join) then move 8-byte longs
-    // instead of multi-word strings — the dominant constant at corpus
-    // scale (measured below in SCALE.md's fuzzy-join table).
+    // prefix lemma holds under ANY shared total order, and hashing can
+    // only RAISE a pair's Jaccard (h(A∩B) ⊆ h(A)∩h(B), |h(A)∪h(B)| ≤
+    // |A∪B|), so every pair passing on true sets also passes on hashed
+    // sets — provided the prefix length is computed from the DISTINCT
+    // hashed-token count (array_distinct below collapses within-doc
+    // collisions before the slice; without it a collision could shrink
+    // the covered-token count below the lemma's bound). Extra candidates
+    // from collisions are killed by the exact string-set verification.
+    // The prefix build's exchanges (census + per-doc sort + candidate
+    // join) then move 8-byte longs instead of multi-word strings — the
+    // dominant constant at corpus scale (measured in SCALE.md).
     val sh = tagged.select(col("_side"), col(idCol),
       explode(shingleArray(col("_t"), shingleLen)).as("_s"))
       .select(col("_side"), col(idCol), xxhash64(col("_s")).as("shingle"))
@@ -732,7 +736,8 @@ object Dedup {
     // (_side, id, shingle) rows, the ONLY per-doc state that shuffles
     val prefixPlan = sh.join(dfreq, Seq("shingle"))
       .groupBy(col("_side"), col(idCol))
-      .agg(sort_array(collect_list(struct(col("_df"), col("shingle"))))
+      .agg(array_distinct(
+        sort_array(collect_list(struct(col("_df"), col("shingle")))))
         .as("_ord"))
       .select(col("_side"), col(idCol),
         explode(slice(transform(col("_ord"), x => x.getField("shingle")),
@@ -771,10 +776,13 @@ object Dedup {
     val lTextBytes = left.select(text.cast("string").as("_t"))
       .agg(coalesce(sum(octet_length(col("_t"))), lit(0L)))
       .first().getLong(0)
-    // each word lands in up to `shingleLen` distinct shingles, plus array
-    // element overhead: 6x text bytes is a safe ceiling for the broadcast
+    // each word lands in up to `shingleLen` distinct shingles, so the
+    // exploded-array payload scales with shingleLen (the graph node
+    // exposes `n` to users) — plus array/struct element overhead: the
+    // ceiling must track it or a large shingleLen undershoots the real
+    // broadcast size and forces an over-cap broadcast onto the driver
     val out0 =
-      if (6L * lTextBytes <= graft.core.Joins.DefaultBroadcastCap)
+      if ((shingleLen + 3L) * lTextBytes <= graft.core.Joins.DefaultBroadcastCap)
         cand.join(setArrs("R", "r"), Seq("id_r"))
           .join(broadcast(setArrs("L", "l")), Seq("id_l"))
       else if (left.queryExecution.optimizedPlan.stats.sizeInBytes <=

@@ -395,18 +395,30 @@ object Similarity {
         .cast("long"))
   }
 
+  /** DENSE-ID CONTRACT (same as [[strideCentroids]]): the stride init
+    * selects `id % stride == 0`, which assumes a dense 0-based id space —
+    * sparse or offset ids silently select the wrong count, so the pick
+    * count is CHECKED below and a named error demands a row_number remap
+    * instead of degrading recall quietly.
+    */
   def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, k: Int): PqCodebook = {
     require(m > 0 && dims % m == 0, s"PQ: $m subspaces must divide $dims dims")
     val dsub = dims / m
     val base = df.select(col(idCol).cast("long").as("id"),
       microUnits(col(vecCol)).as("u"))
-    val stride = math.max(1L, math.ceil(df.count().toDouble / k).toLong)
+    val nRows = df.count()
+    val stride = math.max(1L, math.ceil(nRows.toDouble / k).toLong)
     // init: subvectors of the stride-selected ids, centroid index = id rank
     val init: Array[Array[Array[Long]]] = {
       val picks = base.filter(col("id") % stride === 0)
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).map(_._2)
+      // dense 0-based ids yield n/stride ∈ [k/2, k] picks once n ≥ k; a
+      // count outside that band means the id space violates the contract
+      require(picks.length <= k && (nRows < k || picks.length * 2L >= k),
+        s"PQ: stride init picked ${picks.length} of $k centroids — " +
+          s"'$idCol' must be dense 0-based (remap with row_number() first)")
       Array.tabulate(m)(j => picks.map(_.slice(j * dsub, (j + 1) * dsub)))
     }
     val kEff = init(0).length

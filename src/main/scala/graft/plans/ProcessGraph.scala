@@ -243,6 +243,16 @@ object ProcessGraph {
       def opt(name: String): Option[PValue] =
         args.get(name).filterNot(_ == NullV)
 
+      /** a nullable string element of an extent array: openEO allows
+        * `null` for an open temporal bound (reference: cubes/load.py:140-149)
+        */
+      def nullableStr(v: PValue, where: String): Option[String] = v match {
+        case NullV => None
+        case StrV(s) => Some(s)
+        case other => throw new IllegalArgumentException(
+          s"$pid.$where: expected string or null, got $other")
+      }
+
       /** run a callback sub-graph (stored as JSON text) as a scalar
         * Column→Column process (reference: `apply`'s `process` argument)
         */
@@ -322,7 +332,8 @@ object ProcessGraph {
           opt("temporal_extent").foreach { _ =>
             val ext = args("temporal_extent").asInstanceOf[ArrV].v
             c = FilterOps.filterTemporal(c,
-              ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v, None)
+              nullableStr(ext(0), "temporal_extent"),
+              nullableStr(ext(1), "temporal_extent"), None)
           }
           opt("spatial_extent").foreach { _ =>
             val e = JsonMethods.parse(str("spatial_extent"))
@@ -344,7 +355,7 @@ object ProcessGraph {
         case "filter_temporal" =>
           val ext = args("extent").asInstanceOf[ArrV].v
           CubeV(FilterOps.filterTemporal(cube("data"),
-            ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v,
+            nullableStr(ext(0), "extent"), nullableStr(ext(1), "extent"),
             opt("dimension").map(_.asInstanceOf[StrV].v)))
         case "filter_bands" =>
           CubeV(FilterOps.filterBands(cube("data"), strs("bands")))
@@ -1084,7 +1095,12 @@ object ProcessGraph {
           val assets = graft.sources.StacLoader.loadCatalogItems(str("url"))
           val timeRange = opt("temporal_extent").map { _ =>
             val ext = args("temporal_extent").asInstanceOf[ArrV].v
-            (ext(0).asInstanceOf[StrV].v, ext(1).asInstanceOf[StrV].v)
+            val (s, e) = (nullableStr(ext(0), "temporal_extent"),
+              nullableStr(ext(1), "temporal_extent"))
+            require(s.nonEmpty || e.nonEmpty,
+              "TemporalExtentEmpty: both temporal bounds are null")
+            // "" = open bound in filterAssets' lexicographic interval
+            (s.getOrElse(""), e.getOrElse(""))
           }
           // properties: either the flattened {"name": [[op, value], ...]}
           // form, or the openEO WIRE form — one comparison callback

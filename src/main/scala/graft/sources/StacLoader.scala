@@ -120,7 +120,9 @@ object StacLoader {
       .filter(a => bbox.forall { case (w, s, e, n) =>
         a.east >= w && a.west <= e && a.north >= s && a.south <= n })
       .filter(a => timeRange.forall { case (start, end) =>
-        a.datetime >= start && a.datetime < end })
+        // an empty-string bound is open (openEO null extent element):
+        // "" is <= every ISO datetime, so only the end needs a guard
+        a.datetime >= start && (end.isEmpty || a.datetime < end) })
       .filter(a => properties.forall { case (prop, preds) =>
         preds.forall { case (op, operand) =>
           propMatches(a.properties.get(prop), op, operand) }

@@ -57,6 +57,44 @@ class ProcessGraphSpec extends AnyFunSuite {
     assert(!out.contains("99"))
   }
 
+  test("filter_temporal / load_collection accept null (open) extent bounds") {
+    def run(extent: String): Set[Double] = {
+      val graph =
+        s"""{"process_graph": {
+           |  "l": {"process_id": "load_collection",
+           |        "arguments": {"id": "c", "temporal_extent": $extent}},
+           |  "r": {"process_id": "reduce_dimension",
+           |        "arguments": {"data": {"from_node": "l"}, "dimension": "band",
+           |          "reducer": {"process_graph": {
+           |            "m": {"process_id": "sum",
+           |                  "arguments": {"data": {"from_parameter": "data"}},
+           |                  "result": true}}}},
+           |        "result": true}
+           |}}""".stripMargin
+      ProcessGraph.execute(spark, graph, _ => cube)
+        .df.collect().map(_.getDouble(1)).toSet
+    }
+    // open start: everything before Feb → the two Jan slices
+    assert(run("""[null, "2024-02-01"]""") == Set(11.0, 23.0))
+    // open end: everything from Feb on → only the March cell
+    assert(run("""["2024-02-01", null]""") == Set(99.0))
+    // both null is the spec's TemporalExtentEmpty error, not a crash
+    val e = intercept[IllegalArgumentException](run("[null, null]"))
+    assert(e.getMessage.contains("TemporalExtentEmpty"))
+    // same shapes through the filter_temporal node
+    val g2 =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "f": {"process_id": "filter_temporal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "extent": ["2024-02-01", null]},
+        |        "result": true}
+        |}}""".stripMargin
+    val vals = ProcessGraph.execute(spark, g2, _ => cube)
+      .df.select("value").collect().map(_.getDouble(0)).toSet
+    assert(vals == Set(99.0))
+  }
+
   test("custom process registration: node + callback use, shadowing, removal") {
     import graft.plans.ProcessGraph.{ColV, CubeV, NumV}
     // a cube-level custom process with a numeric argument...

@@ -92,6 +92,13 @@ class StacLoaderSpec extends AnyFunSuite {
       timeRange = Some(("2023-06-01", "2023-06-03"))).size == 2)
     assert(StacLoader.filterAssets(assets,
       timeRange = Some(("2024-01-01", "2024-02-01"))).isEmpty)
+    // "" = open bound (openEO null extent element)
+    assert(StacLoader.filterAssets(assets,
+      timeRange = Some(("", "2023-06-03"))).size == 2)
+    assert(StacLoader.filterAssets(assets,
+      timeRange = Some(("2023-06-01", ""))).size == 2)
+    assert(StacLoader.filterAssets(assets,
+      timeRange = Some(("2024-01-01", ""))).isEmpty)
   }
 
   test("zarr assets join the catalog; property filters prune like the API") {
