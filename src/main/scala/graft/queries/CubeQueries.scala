@@ -44,7 +44,7 @@ object CubeQueries {
     },
     "stac_zarr" -> { (s, _) =>
       // load_stac's ZARR branch end to end against a deterministic
-      // file:// catalog of five zarr stores written at query build
+      // file:// catalog of six zarr stores written at query build
       // (StacFixture.ensureZarr): catalog traversal → per-chunk executor
       // fan-out → REAL decode covering zlib inflate (v2 rank-2 <f8), raw
       // little-endian <f4 (v2 rank-3, axis-0 slices become bands
@@ -54,9 +54,11 @@ object CubeQueries {
       // codec chain, default c/-prefixed keys), a v2 BLOSC(lz4 +
       // byte-shuffle) store — zarr-python's default compressor, decoded
       // pure-JVM through the container's split, leftover and unshuffle
-      // paths — AND a V3 [bytes, zstd, crc32c] store, all through the
-      // same load_stac path. Grid steps are exactly 1.0, so the oracle
-      // mirrors the load as pure integer arithmetic.
+      // paths — a V3 [bytes, zstd, crc32c] store, AND a v2
+      // BLOSC(blosclz + BIT-shuffle) store exercising the pure-JVM
+      // blosclz LZ77 decode and the bit-plane untranspose, all through
+      // the same load_stac path. Grid steps are exactly 1.0, so the
+      // oracle mirrors the load as pure integer arithmetic.
       // Reference: cubes/load.py:245-304.
       val fix = StacFixture.ensureZarr()
       val assets = graft.sources.StacLoader.loadCatalogItems(
@@ -474,15 +476,17 @@ object CubeQueries {
         |       CAST(item * 1000 + bi * 100 + r * 10 + c AS DOUBLE) AS value
         |FROM it, bd, UNNEST(range(0, 6)) ur(r), UNNEST(range(0, 8)) uc(c)""".stripMargin,
     "stac_zarr" ->
-      // arithmetic mirror of the five zarr stores: v2 rank-2 13×11 (value
+      // arithmetic mirror of the six zarr stores: v2 rank-2 13×11 (value
       // 2000 + r·20 + c, the omitted bottom-right 5×4 chunk → fill −1 over
       // its in-bounds 3×3 corner), v2 rank-3 2×6×8 (bands zb_0/zb_1,
       // value b·1000 + r·10 + c), and V3 rank-2 5×6 (zarr.json,
       // gzip+crc32c, nested c/ keys; value 3000 + r·30 + c, omitted chunk
       // → fill −7 over r≥3 ∧ c≥4), v2 rank-2 38×30 blosc(lz4+shuffle)
       // (value 4000 + r·40 + c, fill −3 over r≥20 ∧ c≥16), and V3 rank-2
-      // 6×7 zstd+crc32c (value 5000 + r·50 + c, fill −9 over r≥4 ∧ c≥4);
-      // grid steps exactly 1.0 so x=c, y=r
+      // 6×7 zstd+crc32c (value 5000 + r·50 + c, fill −9 over r≥4 ∧ c≥4),
+      // and v2 rank-2 23×19 blosc(blosclz+bit-shuffle) (value
+      // 6000 + r·60 + c, fill −5 over r≥16 ∧ c≥12); grid steps exactly
+      // 1.0 so x=c, y=r
       """SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
         |       TIMESTAMP '2024-03-01 00:00:00' AS t, 'za' AS bands,
         |       CAST(CASE WHEN r >= 10 AND c >= 8 THEN -1.0
@@ -512,7 +516,13 @@ object CubeQueries {
         |       TIMESTAMP '2024-03-05 00:00:00' AS t, 'ze' AS bands,
         |       CAST(CASE WHEN r >= 4 AND c >= 4 THEN -9.0
         |                 ELSE 5000 + r*50 + c END AS DOUBLE) AS value
-        |FROM UNNEST(range(0, 6)) ur(r), UNNEST(range(0, 7)) uc(c)""".stripMargin,
+        |FROM UNNEST(range(0, 6)) ur(r), UNNEST(range(0, 7)) uc(c)
+        |UNION ALL
+        |SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
+        |       TIMESTAMP '2024-03-06 00:00:00' AS t, 'zf' AS bands,
+        |       CAST(CASE WHEN r >= 16 AND c >= 12 THEN -5.0
+        |                 ELSE 6000 + r*60 + c END AS DOUBLE) AS value
+        |FROM UNNEST(range(0, 23)) ur(r), UNNEST(range(0, 19)) uc(c)""".stripMargin,
     "zarr_roundtrip" ->
       // the parquet truth the zarr write→read chain must reproduce
       """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,

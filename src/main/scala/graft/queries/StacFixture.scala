@@ -124,6 +124,17 @@ object StacFixture {
   val ze = (6, 7, 4, 4, -9.0)
   def zeValue(r: Int, c: Int): Float = (5000 + r * 50 + c).toFloat
 
+  /** Rank-2 zarr v2 store: (23, 19) `<f8` BLOSC(blosclz + BIT-shuffle) —
+    * numcodecs `Blosc(cname='blosclz', shuffle=BITSHUFFLE)` — (16, 12)
+    * chunks, bottom-right chunk omitted → fill −5. The 1536-byte chunk
+    * with a 1024-byte block hint decodes blosclz through the container's
+    * split path (8 byte-lane splits over the 128-element first block) AND
+    * the unsplit 512-byte leftover block, with the bit-plane untranspose
+    * on every block. value = 6000 + r·60 + c (exact).
+    */
+  val zf = (23, 19, 16, 12, -5.0)
+  def zfValue(r: Int, c: Int): Double = 6000.0 + r * 60 + c
+
   private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
     d.setInput(bytes); d.finish()
@@ -134,9 +145,10 @@ object StacFixture {
     out.toByteArray
   }
 
-  /** Write (idempotently — content is deterministic) five zarr stores —
+  /** Write (idempotently — content is deterministic) six zarr stores —
     * v2 zlib, v2 raw nested, v3 gzip+crc32c, v2 blosc(lz4+shuffle), v3
-    * zstd+crc32c — plus a STAC catalog whose items carry them as
+    * zstd+crc32c, v2 blosc(blosclz+bit-shuffle) — plus a STAC catalog
+    * whose items carry them as
     * `application/vnd+zarr` assets, and return the catalog directory.
     * Grid steps are 1.0 (bbox
     * spans = shape), so every x/y/value in the loaded cube is an exact
@@ -147,7 +159,7 @@ object StacFixture {
     */
   def ensureZarr(): String = synchronized {
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v3")
+      sys.props("java.io.tmpdir"), "graft_stac_zarr_fixture_v4")
     val (h2, w2, cr2, cc2, fill2) = z2
     val a = dir.resolve("zarr_a")
     java.nio.file.Files.createDirectories(a)
@@ -276,13 +288,38 @@ object StacFixture {
       java.nio.file.Files.createDirectories(ck)
       java.nio.file.Files.write(ck.resolve(s"$gc"), withCrc)
     }
+    // zarr v2 store zarr_f: blosc(blosclz + bit-shuffle) — the remaining
+    // numcodecs Blosc corner (cname='blosclz', shuffle=BITSHUFFLE)
+    val (h7, w7, cr7, cc7, fill7) = zf
+    val fdir = dir.resolve("zarr_f")
+    java.nio.file.Files.createDirectories(fdir)
+    java.nio.file.Files.writeString(fdir.resolve(".zarray"),
+      s"""{"zarr_format":2,"shape":[$h7,$w7],"chunks":[$cr7,$cc7],
+         |"dtype":"<f8",
+         |"compressor":{"id":"blosc","cname":"blosclz","clevel":5,"shuffle":2,"blocksize":1024},
+         |"fill_value":$fill7,"filters":null,"order":"C"}""".stripMargin)
+    val (gr7, gc7) = ((h7 + cr7 - 1) / cr7, (w7 + cc7 - 1) / cc7)
+    for (gr <- 0 until gr7; gc <- 0 until gc7
+         if (gr, gc) != (gr7 - 1, gc7 - 1)) { // last chunk omitted → fill
+      val bb = java.nio.ByteBuffer.allocate(cr7 * cc7 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (lr <- 0 until cr7; lc <- 0 until cc7) {
+        val (r, c) = (gr * cr7 + lr, gc * cc7 + lc)
+        bb.putDouble(if (r < h7 && c < w7) zfValue(r, c) else 0.0) // pad
+      }
+      java.nio.file.Files.write(fdir.resolve(s"$gr.$gc"),
+        graft.sources.Blosc.compress(bb.array(), typesize = 8,
+          cname = "blosclz", byteShuffle = false, blocksizeHint = 1024,
+          bitShuffle = true))
+    }
     // catalog: bbox spans = shape so the loader's grid steps are exactly 1
     val zitems = Seq(
       ("zitem-0", "za", "zarr_a", "2024-03-01T00:00:00Z", w2, h2),
       ("zitem-1", "zb", "zarr_b", "2024-03-02T00:00:00Z", w3, h3),
       ("zitem-2", "zc", "zarr_c", "2024-03-03T00:00:00Z", w4, h4),
       ("zitem-3", "zd", "zarr_d", "2024-03-04T00:00:00Z", w5, h5),
-      ("zitem-4", "ze", "zarr_e", "2024-03-05T00:00:00Z", w6, h6))
+      ("zitem-4", "ze", "zarr_e", "2024-03-05T00:00:00Z", w6, h6),
+      ("zitem-5", "zf", "zarr_f", "2024-03-06T00:00:00Z", w7, h7))
     for ((id, band, store, dt, w, h) <- zitems) {
       java.nio.file.Files.writeString(dir.resolve(s"$id.json"),
         s"""{

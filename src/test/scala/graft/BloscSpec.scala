@@ -88,7 +88,7 @@ class BloscSpec extends AnyFunSuite {
 
   // ---- named error contract ----
 
-  test("blosclz, bit-shuffle, c-blosc2 and truncated buffers error by name") {
+  test("unknown codec codes, c-blosc2 and truncated buffers error by name") {
     def hdr(flags: Int, version: Int = 2): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
       b.write(Array[Byte](version.toByte, 1, flags.toByte, 4))
@@ -96,11 +96,8 @@ class BloscSpec extends AnyFunSuite {
       b.write(le32(20)); b.write(le32(0))
       b.toByteArray
     }
-    val e1 = intercept[IllegalArgumentException](Blosc.decompress(hdr(0)))
-    assert(e1.getMessage.contains("blosclz"))
-    val e2 = intercept[IllegalArgumentException](
-      Blosc.decompress(hdr((1 << 5) | 0x4)))
-    assert(e2.getMessage.contains("bit-shuffle"))
+    val e1 = intercept[IllegalArgumentException](Blosc.decompress(hdr(5 << 5)))
+    assert(e1.getMessage.contains("compressor code 5"))
     val e3 = intercept[IllegalArgumentException](
       Blosc.decompress(hdr(1 << 5, version = 5)))
     assert(e3.getMessage.contains("version 5"))
@@ -109,25 +106,113 @@ class BloscSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("ZarrCorrupt"))
   }
 
+  // ---- blosclz instruction-format conformance (decode side only) ----
+
+  test("hand-built blosclz stream: literals, match, RLE, extended length") {
+    // instruction stream assembled byte-by-byte from the public format
+    // (c-blosc blosclz.c): literal run -> near match -> literal -> RLE
+    // via an extended-length d=1 match
+    val s = new java.io.ByteArrayOutputStream()
+    s.write(5); s.write("abcdef".getBytes) // literal run of 6
+    s.write((6 - 2) << 5); s.write(6 - 1)  // match L=6 d=6 -> "abcdef" again
+    s.write(0); s.write('z')               // literal run of 1
+    s.write(7 << 5); s.write(10 - 9); s.write(0) // RLE: L=10 d=1 -> 'z'*10
+    val blz = s.toByteArray
+    val want = ("abcdef" + "abcdef" + "z" + "z" * 10).getBytes
+    // wrap as a single unsplit block, no shuffle, codec 0
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(Array[Byte](2, 1, 0 << 5, 1))
+    buf.write(le32(want.length)); buf.write(le32(want.length))
+    buf.write(le32(16 + 4 + 4 + blz.length))
+    buf.write(le32(16 + 4))
+    buf.write(le32(blz.length)); buf.write(blz)
+    assert(Blosc.decompress(buf.toByteArray).sameElements(want))
+  }
+
+  test("hand-built blosclz far match (d >= 8192) decodes") {
+    // 8200 literal bytes, then a far match copying 16 bytes from the
+    // start: d = 8200 -> ofs16 = 8, extended length 16 -> ext byte 7
+    val lit = Array.tabulate[Byte](8200)(i => ((i * 13 + 5) & 0xff).toByte)
+    val s = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < lit.length) {
+      val run = math.min(32, lit.length - off)
+      s.write(run - 1); s.write(lit, off, run)
+      off += run
+    }
+    s.write((7 << 5) | 31); s.write(16 - 9); s.write(255) // far marker
+    s.write((8200 - 8192) >> 8); s.write((8200 - 8192) & 0xff)
+    val blz = s.toByteArray
+    val want = lit ++ lit.take(16)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(Array[Byte](2, 1, 0 << 5, 1))
+    buf.write(le32(want.length)); buf.write(le32(want.length))
+    buf.write(le32(16 + 4 + 4 + blz.length))
+    buf.write(le32(16 + 4))
+    buf.write(le32(blz.length)); buf.write(blz)
+    assert(Blosc.decompress(buf.toByteArray).sameElements(want))
+  }
+
+  // ---- bit-shuffle filter conformance ----
+
+  /** The public bitshuffle layout (Masui's bitshuffle as c-blosc vendors
+    * it), written out directly in the test so the decoder is checked
+    * against the documented formula, not against itself: for whole groups
+    * of 8 elements, plane row (k*8 + b) byte w carries bit b of byte k of
+    * elements 8w..8w+7 (bit e = element 8w+e); leftovers verbatim.
+    */
+  private def refBitShuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = data.length / typesize
+    val n8 = n - n % 8
+    val out = new Array[Byte](data.length)
+    for (k <- 0 until typesize; b <- 0 until 8; w <- 0 until n8 / 8) {
+      var acc = 0
+      for (e <- 0 until 8)
+        acc |= ((data((8 * w + e) * typesize + k) >> b) & 1) << e
+      out((k * 8 + b) * (n8 / 8) + w) = acc.toByte
+    }
+    for (i <- n8 * typesize until data.length) out(i) = data(i)
+    out
+  }
+
+  for (typesize <- Seq(1, 2, 4)) {
+    test(s"hand-shuffled bit-shuffle container decodes, typesize=$typesize") {
+      // 22 elements: 16 bit-shuffled + 6 leftover elements copied verbatim
+      val data = Array.tabulate[Byte](22 * typesize)(i =>
+        ((i * 29 + 3) & 0xff).toByte)
+      val lanes = refBitShuffle(data, typesize)
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(Array[Byte](2, 1, ((1 << 5) | 0x4 | 0x10).toByte,
+        typesize.toByte)) // lz4 | bit-shuffle | dont-split
+      buf.write(le32(data.length)); buf.write(le32(data.length))
+      buf.write(le32(16 + 4 + 4 + lanes.length))
+      buf.write(le32(16 + 4))
+      buf.write(le32(lanes.length)); buf.write(lanes) // stored raw split
+      assert(Blosc.decompress(buf.toByteArray).sameElements(data))
+    }
+  }
+
   // ---- round-trips over the writer (split, leftover, memcpy paths) ----
 
   private def pattern(n: Int): Array[Byte] =
     Array.tabulate[Byte](n)(i => ((i * 31 + (i >> 5) * 17) & 0xff).toByte)
 
-  for (cname <- Seq("lz4", "zstd", "zlib", "snappy");
-       typesize <- Seq(1, 2, 8); shuf <- Seq(false, true)) {
+  for (cname <- Seq("blosclz", "lz4", "zstd", "zlib", "snappy");
+       typesize <- Seq(1, 2, 8); shuf <- Seq("none", "byte", "bit")) {
     test(s"round-trip $cname typesize=$typesize shuffle=$shuf") {
-      // 2560 bytes with a 1024-byte block hint: two full blocks (the lz4
-      // ones split into byte lanes when typesize allows) + a 512-byte
-      // unsplit leftover block
+      // 2560 bytes with a 1024-byte block hint: two full blocks (the
+      // blosclz/lz4 ones split into byte lanes when typesize allows) + a
+      // 512-byte unsplit leftover block
       val data = pattern(2560)
-      val enc = Blosc.compress(data, typesize, cname, shuf,
-        blocksizeHint = 1024)
+      val enc = Blosc.compress(data, typesize, cname,
+        byteShuffle = shuf == "byte", blocksizeHint = 1024,
+        bitShuffle = shuf == "bit")
       assert(Blosc.decompress(enc).sameElements(data))
-      // and a single-block small buffer
-      val small = pattern(100)
+      // and a single-block small buffer (odd size: bit-shuffle leftovers)
+      val small = pattern(101)
       assert(Blosc.decompress(
-        Blosc.compress(small, typesize, cname, shuf)).sameElements(small))
+        Blosc.compress(small, typesize, cname, byteShuffle = shuf == "byte",
+          bitShuffle = shuf == "bit")).sameElements(small))
     }
   }
 
