@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * v2 support: dtypes `<f8 <f4 <i8 <i4 <i2 |i1 |u1 >f8 >f4 >i8 >i4 >i2`,
   * compressor `null`, `zlib`, `gzip`, `zstd`, numcodecs `lz4`, or `blosc`
   * (the zarr-python DEFAULT — decoded pure-JVM by [[Blosc]]: container
-  * header, per-block splits, byte-shuffle filter, lz4/lz4hc/zstd/zlib/
-  * snappy payloads; blosclz and bit-shuffle raise named errors), order C,
+  * header, per-block splits, byte-shuffle AND bit-shuffle filters,
+  * blosclz/lz4/lz4hc/zstd/zlib/snappy payloads), order C,
   * flat "." or nested "/" chunk keys, any rank; edge chunks are padded
   * per the spec and clipped against `shape` on read; absent chunks
   * materialize `fill_value`.
@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * v3 support (zarr.json, `zarr_format: 3`): named data types
   * float64/float32/int64/int32/int16/int8/uint8, regular chunk grid,
   * `default` ("c"-prefixed, "/" or "." separator) and `v2` chunk key
-  * encodings, codec chains `[bytes]`, `[bytes, gzip|zstd|blosc]`, each
+  * encodings, codec chains `[transpose?, bytes]`,
+  * `[transpose?, bytes, gzip|zstd|blosc]` (the `transpose` array->array
+  * codec — F-order and arbitrary axis permutations — undone at unpack
+  * time), each
   * optionally followed by `crc32c` (checksum VERIFIED per chunk on the
   * executor), `fill_value` incl. the draft "NaN"/"Infinity" string forms,
   * `dimension_names`, and the `sharding_indexed` codec (one shard file =
@@ -48,13 +51,15 @@ object ZarrReader {
     */
   final case class ShardMeta(innerChunks: Seq[Int],
       innerCompressor: Option[String], innerCrc32c: Boolean,
-      innerEndian: String, indexCrc32c: Boolean, indexAtEnd: Boolean)
+      innerEndian: String, indexCrc32c: Boolean, indexAtEnd: Boolean,
+      innerTranspose: Option[Seq[Int]] = None)
 
   final case class ZarrMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
       compressor: Option[String], order: String, fillValue: Option[Double],
       separator: String = ".", format: Int = 2, crc32c: Boolean = false,
       keyEncoding: String = "v2", dimensionNames: Option[Seq[String]] = None,
-      shard: Option[ShardMeta] = None) {
+      shard: Option[ShardMeta] = None,
+      transpose: Option[Seq[Int]] = None) {
     /** Store-relative chunk path for a grid index (encoding-aware). */
     def keyOf(idx: Seq[Int]): String =
       if (format == 3 && keyEncoding == "default")
@@ -167,11 +172,23 @@ object ZarrReader {
       }
       case v => throw new IllegalArgumentException(s"bad $what: $v")
     }
-    def parseChain(cs: Seq[(String, JValue)], what: String)
-        : (String, Option[String], Boolean) = {
+    def parseChain(cs0: Seq[(String, JValue)], what: String, rank: Int)
+        : (String, Option[String], Boolean, Option[Seq[Int]]) = {
+      // the one REGISTERED array->array codec: `transpose` ahead of
+      // `bytes` — its `order` permutation is undone at unpack time
+      // ([[untranspose]]); identity orders are dropped here
+      val (transpose, cs) = cs0 match {
+        case ("transpose", conf) +: rest =>
+          val ord = ints(conf \ "order", "transpose order")
+          require(ord.size == rank && ord.sorted == (0 until rank),
+            s"ZarrUnsupported: transpose order $ord is not a permutation " +
+              s"of 0..${rank - 1} in $what")
+          (Some(ord).filter(_ != (0 until rank).toSeq), rest)
+        case _ => (None, cs0)
+      }
       require(cs.nonEmpty && cs.head._1 == "bytes",
-        s"ZarrUnsupported: $what ${cs.map(_._1).mkString("[", ",", "]")} " +
-          "(must start with bytes; transpose not supported)")
+        s"ZarrUnsupported: $what ${cs0.map(_._1).mkString("[", ",", "]")} " +
+          "(must start with [transpose?, bytes])")
       val endian = (cs.head._2 \ "endian") match {
         case JString(e) => e
         case _ => "little"
@@ -189,16 +206,16 @@ object ZarrReader {
         case (other, _) => throw new IllegalArgumentException(
           s"ZarrUnsupported: codec $other in $what (bytes + gzip/zstd/blosc + crc32c only)")
       }
-      (endian, compressor, crc)
+      (endian, compressor, crc, transpose)
     }
     val codecs = codecList(root \ "codecs", "codecs")
-    val (endian, compressor, crc, shardMeta) =
+    val (endian, compressor, crc, shardMeta, transposeOrd) =
       if (codecs.map(_._1) == Seq("sharding_indexed")) {
         val conf = codecs.head._2
         val inner = ints(conf \ "chunk_shape", "sharding chunk_shape")
-        val (ie, ic, icrc) =
+        val (ie, ic, icrc, itr) =
           parseChain(codecList(conf \ "codecs", "sharding codecs"),
-            "sharding inner codecs")
+            "sharding inner codecs", inner.size)
         val idxCrc = (conf \ "index_codecs") match {
           case JNothing | JNull => true // spec default: [bytes, crc32c]
           case j => codecList(j, "index_codecs").map(_._1) match {
@@ -213,10 +230,10 @@ object ZarrReader {
           case _ => true
         }
         (ie, ic, icrc,
-          Some(ShardMeta(inner, ic, icrc, ie, idxCrc, atEnd)))
+          Some(ShardMeta(inner, ic, icrc, ie, idxCrc, atEnd, itr)), None)
       } else {
-        val (e, c, cr) = parseChain(codecs, "codec chain")
-        (e, c, cr, None)
+        val (e, c, cr, tr) = parseChain(codecs, "codec chain", shape.size)
+        (e, c, cr, None, tr)
       }
     val code = (root \ "data_type") match {
       case JString("float64") => "f8"
@@ -270,7 +287,47 @@ object ZarrReader {
     }
     ZarrMeta(shape, chunks, dtype, compressor, "C", fill, sep,
       format = 3, crc32c = crc, keyEncoding = keyEnc,
-      dimensionNames = dimNames, shard = shardMeta)
+      dimensionNames = dimNames, shard = shardMeta,
+      transpose = transposeOrd)
+  }
+
+  /** Undo the v3 `transpose` array->array codec: the stored chunk holds
+    * the logical chunk with its axes permuted by `order` (C-order over the
+    * permuted shape, stored shape S'(k) = S(order(k)), and stored element
+    * (j_0..j_{n-1}) = logical element with i_{order(k)} = j_k — the zarr
+    * v3 transpose codec spec). Returns the chunk in logical C-order.
+    */
+  private[sources] def untranspose(vals: Array[Double], shape: Seq[Int],
+      order: Seq[Int]): Array[Double] = {
+    val rank = shape.size
+    val permShape = Array.tabulate(rank)(k => shape(order(k)))
+    val permStrides = new Array[Int](rank)
+    val logStrides = new Array[Int](rank)
+    permStrides(rank - 1) = 1
+    logStrides(rank - 1) = 1
+    var d = rank - 2
+    while (d >= 0) {
+      permStrides(d) = permStrides(d + 1) * permShape(d + 1)
+      logStrides(d) = logStrides(d + 1) * shape(d + 1)
+      d -= 1
+    }
+    require(vals.length == permShape.product,
+      s"ZarrCorrupt: transpose chunk holds ${vals.length} values, " +
+        s"expected ${permShape.product}")
+    val out = new Array[Double](vals.length)
+    var f = 0
+    while (f < vals.length) {
+      var logFlat = 0
+      var k = 0
+      while (k < rank) {
+        val jk = (f / permStrides(k)) % permShape(k)
+        logFlat += jk * logStrides(order(k))
+        k += 1
+      }
+      out(logFlat) = vals(f)
+      f += 1
+    }
+    out
   }
 
   /** Chunk keys present in the store. v2 / v3-with-v2-encoding: flat file
@@ -413,9 +470,11 @@ object ZarrReader {
           len <= raw.length - off,
           s"ZarrCorrupt: inner chunk $ci spans [$off, +$len) of a " +
             s"${raw.length}-byte shard")
-        val vals = unpack(decodeChunk(
+        val vals0 = unpack(decodeChunk(
           java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), m),
           m.dtype)
+        val vals =
+          sm.innerTranspose.fold(vals0)(untranspose(vals0, sm.innerChunks, _))
         require(vals.length == innerShape.product,
           s"ZarrCorrupt: inner chunk $ci decoded ${vals.length} values, " +
             s"expected ${innerShape.product}")
@@ -524,7 +583,10 @@ object ZarrReader {
               val raw = java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(base, m.keyOf(idx)))
               if (m.shard.isDefined) decodeShard(raw, m)
-              else unpack(decodeChunk(raw, m), m.dtype)
+              else {
+                val u = unpack(decodeChunk(raw, m), m.dtype)
+                m.transpose.fold(u)(untranspose(u, m.chunks, _))
+              }
             }
           val rank = m.shape.size
           val chunkShape = m.chunks.toArray

@@ -172,12 +172,14 @@ class ZarrV3Spec extends AnyFunSuite {
   }
 
   test("unsupported v3 codecs raise NAMED errors") {
-    val dir = tmp("zarr3_transpose")
+    // a transpose order that is NOT a permutation errors by name
+    val dir = tmp("zarr3_transpose_bad")
     writeMeta(dir, metaJson((2, 2), (2, 2), codecs =
-      """[{"name":"transpose","configuration":{"order":[1,0]}},
+      """[{"name":"transpose","configuration":{"order":[1,1]}},
         |{"name":"bytes","configuration":{"endian":"little"}}]""".stripMargin))
     val e = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir) }
-    assert(e.getMessage.contains("ZarrUnsupported"))
+    assert(e.getMessage.contains("ZarrUnsupported") &&
+      e.getMessage.contains("permutation"))
     // "zlib" is a numcodecs v2 id, NOT a registered zarr v3 codec name —
     // the v3 chain accepts gzip/zstd/blosc only
     val dir2 = tmp("zarr3_zlib")
@@ -185,6 +187,65 @@ class ZarrV3Spec extends AnyFunSuite {
       """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zlib"}]"""))
     val e2 = intercept[IllegalArgumentException] { ZarrReader.readMeta(dir2) }
     assert(e2.getMessage.contains("ZarrUnsupported") && e2.getMessage.contains("zlib"))
+  }
+
+  test("v3 transpose codec: F-order chunks read back in logical order") {
+    // shape 4x6, chunks 2x3, order [1,0]: each stored chunk is its
+    // logical 2x3 block written COLUMN-major (3x2 C-order) — what
+    // tensorstore/zarr-python emit for F-order arrays. Edge behavior
+    // stays: omit chunk (1,1) -> fill. value = r*10 + c.
+    val dir = tmp("zarr3_transpose_f")
+    writeMeta(dir, metaJson((4, 6), (2, 3), fill = "-1.0", codecs =
+      """[{"name":"transpose","configuration":{"order":[1,0]}},
+        |{"name":"bytes","configuration":{"endian":"little"}}]""".stripMargin))
+    for ((cr, cc) <- Seq((0, 0), (0, 1), (1, 0))) {
+      // column-major walk of the 2x3 logical block
+      val vals = for (lc <- 0 until 3; lr <- 0 until 2)
+        yield ((cr * 2 + lr) * 10 + (cc * 3 + lc)).toDouble
+      val p = java.nio.file.Paths.get(dir, "c", cr.toString)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(cc.toString), f8le(vals))
+    }
+    val got = readMap(dir)
+    val want = (for (r <- 0 until 4; c <- 0 until 6) yield (r.toLong, c.toLong) ->
+      (if (r >= 2 && c >= 3) -1.0 else (r * 10 + c).toDouble)).toMap
+    assert(got == want)
+  }
+
+  test("v3 rank-3 transpose permutation reads back in logical order") {
+    // shape 2x3x4 single chunk, order [2,0,1]: stored shape (4,2,3),
+    // stored (j0,j1,j2) = logical (i0,i1,i2) with i2=j0, i0=j1, i1=j2.
+    // value = i0*100 + i1*10 + i2; gzip on top proves chain composition.
+    val dir = tmp("zarr3_transpose_r3")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[2,3,4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3,4]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0,
+        |"codecs":[{"name":"transpose","configuration":{"order":[2,0,1]}},
+        |{"name":"bytes","configuration":{"endian":"little"}},
+        |{"name":"gzip","configuration":{"level":1}}],
+        |"dimension_names":["a","b","c"]}""".stripMargin)
+    // C-order walk of the STORED (4,2,3) array
+    val stored = for (j0 <- 0 until 4; j1 <- 0 until 2; j2 <- 0 until 3)
+      yield (j1 * 100 + j2 * 10 + j0).toDouble // i0=j1, i1=j2, i2=j0
+    val gz = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(f8le(stored)); g.close(); out.toByteArray
+    }
+    val p = java.nio.file.Paths.get(dir, "c", "0", "0", "0")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, gz)
+    val got = ZarrReader.loadArray(spark, dir, Seq("a", "b", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val want = (for (i0 <- 0 until 2; i1 <- 0 until 3; i2 <- 0 until 4)
+      yield (i0.toLong, i1.toLong, i2.toLong) ->
+        (i0 * 100 + i1 * 10 + i2).toDouble).toMap
+    assert(got == want)
   }
 
   test("v3 zstd codec chain decodes (zstd frame + crc32c trailer)") {
