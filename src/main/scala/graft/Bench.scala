@@ -5,6 +5,43 @@ import java.io.{OutputStream, PrintStream}
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => " "
+    case c => c.toString
+  }
+  private def sec(t: Double): String = f"$t%.3f"
+  private def sec2(t: Double): String = f"$t%.2f"
+
+  /** Compose the ONE stdout record. The driver keeps only the last 2000
+    * chars of stdout and json-parses the line it finds there, so the whole
+    * line is budgeted to stay under 1900 chars NO MATTER how many queries
+    * the registry grows to: prefix + at most 8 capped error entries +
+    * slowest-first query mins packed into the remaining budget ("queries"
+    * last so even a clipped tail ends with the mins). Pure so
+    * [[BenchLineSpec]] can pin the invariant as the registry grows.
+    */
+  private[graft] def stdoutLine(total: Double, rounds: Int, warmups: Int,
+      sfDir: String, errors: collection.Map[String, String],
+      detailRef: String, results: Seq[(String, Double)]): String = {
+    val errShort = errors.take(8).map { case (k, v) =>
+      "\"" + k + "\":\"" + esc(v.take(40)) + "\""
+    }.mkString("{", ",", "}")
+    val prefix =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"nerr":${errors.size},"detail":"${esc(detailRef)}","errors":$errShort,"queries":"""
+    val budget = 1899 - prefix.length - 2 // closing "}}"; total < 1900
+    val bySlow = results.sortBy(-_._2)
+    val topEntries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    for ((k, mn) <- bySlow) {
+      val e = "\"" + k + "\":" + sec2(mn)
+      if (used + e.length + 1 <= budget) { topEntries += e; used += e.length + 1 }
+    }
+    prefix + topEntries.mkString("{", ",", "}") + "}"
+  }
+
   def main(args: Array[String]): Unit = {
     // Anything any library prints on stdout during the run (Spark, log4j
     // misconfig, shutdown chatter) would corrupt the single JSON line the
@@ -63,14 +100,6 @@ object Bench {
           samples.remove(name)
       }
     }
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    }
-    def sec(t: Double): String = f"$t%.3f"
-    def sec2(t: Double): String = f"$t%.2f"
     val results = samples.toSeq.map { case (k, ts) => (k, ts.min, ts.max - ts.min) }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
@@ -101,30 +130,12 @@ object Bench {
           (detail + "\n").getBytes("UTF-8"))
         detailPath
       } catch { case _: Throwable => "" }
-    // the WHOLE line must stay under the driver's 2000-char capture, so
-    // budget it as prefix + capped errors + whatever query mins still fit:
-    //  * errors: at most 8 entries with 40-char messages + an "nerr" total,
-    //    so a mass-failure run stays parseable (that is when the error
-    //    report matters most)
-    //  * queries: slowest-first into the remaining budget
-    val errShort = errors.take(8).map { case (k, v) =>
-      "\"" + k + "\":\"" + esc(v.take(40)) + "\""
-    }.mkString("{", ",", "}")
-    val prefix =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"nerr":${errors.size},"detail":"${esc(detailRef)}","errors":$errShort,"queries":"""
-    val budget = 1900 - prefix.length - 2 // closing "}}"
-    val bySlow = results.sortBy(-_._2)
-    val topEntries = scala.collection.mutable.ArrayBuffer[String]()
-    var used = 0
-    for ((k, mn, _) <- bySlow) {
-      val e = "\"" + k + "\":" + sec2(mn)
-      if (used + e.length + 1 <= budget) { topEntries += e; used += e.length + 1 }
-    }
-    val topQs = topEntries.mkString("{", ",", "}")
+    val line = stdoutLine(total, rounds, warmups, sfDir, errors, detailRef,
+      results.map { case (k, mn, _) => (k, mn) })
     spark.stop()
     // ONE parseable line, alone on stdout, "queries" (the mins) last
     System.setOut(realOut)
-    System.out.println(prefix + topQs + "}")
+    System.out.println(line)
     System.out.flush()
     // nerr>0 must be unmissable in a human scroll of the log, not just a
     // field in the JSON — a registry silently shrinking from 113 to 108
