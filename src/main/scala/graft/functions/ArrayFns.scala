@@ -130,6 +130,102 @@ object ArrayFns {
     transform(sorted, _.getField("i"))
   }
 
+  // ---- ARRAY forms of the statistical reducers ----
+  // openEO's general reducer semantics hand the callback the labeled value
+  // ARRAY along the reduced dimension (the published EVI example indexes it
+  // with array_element); when a reduce callback composes beyond one plain
+  // aggregate, [[graft.operators.ReduceOps.reduceDimensionArray]] builds
+  // that array per group and these scalar folds evaluate the callback.
+  // Null handling mirrors the aggregate twins (ignore_nodata = true):
+  // nulls are skipped, an all-null/empty array yields null. All are Spark
+  // higher-order builtins — codegen'd, no UDFs.
+
+  private def nonNull(arr: Column): Column = filter(arr, _.isNotNull)
+
+  def arraySum(arr: Column): Column = {
+    val nn = nonNull(arr)
+    when(size(nn) === 0, lit(null))
+      .otherwise(aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")))
+  }
+
+  def arrayProduct(arr: Column): Column = {
+    val nn = nonNull(arr)
+    when(size(nn) === 0, lit(null))
+      .otherwise(aggregate(nn, lit(1.0), (a, x) => a * x.cast("double")))
+  }
+
+  def arrayMean(arr: Column): Column = {
+    val nn = nonNull(arr)
+    when(size(nn) === 0, lit(null)).otherwise(
+      aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")) / size(nn))
+  }
+
+  def arrayMin(arr: Column): Column = array_min(arr) // builtin skips nulls
+  def arrayMax(arr: Column): Column = array_max(arr)
+  def arrayCountValid(arr: Column): Column = size(nonNull(arr))
+
+  def arrayMedian(arr: Column): Column = {
+    val sa = sort_array(nonNull(arr))
+    val n = size(sa)
+    // Column `/` is fractional division — element_at needs INT ordinals
+    val mid = ((n + 1) / 2).cast("int")
+    val lo = (n / 2).cast("int")
+    when(n === 0, lit(null))
+      .when(n % 2 === 1, element_at(sa, mid).cast("double"))
+      .otherwise((element_at(sa, lo).cast("double") +
+        element_at(sa, lo + 1).cast("double")) / 2.0)
+  }
+
+  /** Sample variance (ddof = 1, the openEO/reference convention). */
+  def arrayVariance(arr: Column): Column = {
+    val nn = nonNull(arr)
+    val n = size(nn)
+    val m = arrayMean(arr)
+    when(n < 2, lit(null)).otherwise(
+      aggregate(nn, lit(0.0),
+        (a, x) => a + (x.cast("double") - m) * (x.cast("double") - m)) / (n - 1))
+  }
+
+  def arraySd(arr: Column): Column = sqrt(arrayVariance(arr))
+
+  /** Quantiles over an array — linear interpolation on the sorted
+    * non-null values (h = p·(n−1)), the same estimator Spark's
+    * `percentile` aggregate and numpy's default use, so the array fold
+    * and the aggregate twin agree bit-for-bit on the same group.
+    */
+  def arrayQuantiles(arr: Column, probabilities: Seq[Double]): Column = {
+    val sa = sort_array(nonNull(arr))
+    val n = size(sa)
+    val qs = probabilities.map { p =>
+      val h = (n - 1).cast("double") * p
+      val lo = floor(h).cast("int")
+      val base = element_at(sa, lo + 1).cast("double")
+      base + (h - lo) * (element_at(sa, least(lo + 2, n)).cast("double") - base)
+    }
+    when(n === 0, lit(null)).otherwise(array(qs: _*))
+  }
+
+  def arrayExtrema(arr: Column): Column = array(array_min(arr), array_max(arr))
+
+  def arrayAnyTrue(arr: Column, ignoreNodata: Boolean = true): Column = {
+    val nn = nonNull(arr)
+    val anyTrue = exists(nn, x => x.cast("boolean"))
+    when(size(nn) === 0, lit(null)).otherwise(
+      if (ignoreNodata) anyTrue
+      else when(anyTrue, lit(true)) // true dominates null
+        .when(exists(arr, _.isNull), lit(null)).otherwise(lit(false)))
+  }
+
+  def arrayAllTrue(arr: Column, ignoreNodata: Boolean = true): Column = {
+    val nn = nonNull(arr)
+    val allNn = forall(nn, x => x.cast("boolean"))
+    when(size(nn) === 0, lit(null))
+      .otherwise(
+        if (ignoreNodata) allNn
+        else when(!allNn, lit(false))
+          .when(exists(arr, _.isNull), lit(null)).otherwise(lit(true)))
+  }
+
   /** first/last over an array (reference: arrays.py:461-508):
     * ignore_nodata skips nulls; the strict form reads the raw end cells.
     * `get`/size-guarded access returns null on an all-null array instead of

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.core._
-import graft.functions.{Reducers, Scalar}
+import graft.functions.{ArrayFns, Reducers, Scalar}
 import graft.operators._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
@@ -127,6 +127,31 @@ object ProcessGraph {
     }.toMap
     case _ => throw new IllegalArgumentException("process graph must be an object")
   }
+
+  /** Statistical reducers with a partial-aggregation fast path. */
+  private val PlainAggregates = Set("mean", "sum", "min", "max", "median",
+    "sd", "variance", "count", "product", "extrema", "any", "all",
+    "first", "last", "quantiles")
+
+  /** True when every node of a reducer callback is a plain statistical
+    * aggregate — the shape [[graft.operators.ReduceOps.reduceDimension]]'s
+    * map-side-combine path handles. Anything else (band math over
+    * `array_element`, scalar composition) gets the ordered-array reduce,
+    * which is the general openEO semantics at the cost of a
+    * collect_list per group.
+    */
+  private[plans] def isPlainAggregateReducer(cbJson: String): Boolean =
+    try {
+      (JsonMethods.parse(cbJson) \ "process_graph") match {
+        case JObject(fields) => fields.nonEmpty && fields.forall {
+          case (_, body) => (body \ "process_id") match {
+            case JString(p) => PlainAggregates(p)
+            case _ => false
+          }
+        }
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
 
   private def evalGraph(pg: JValue, params: Map[String, PValue],
       collections: String => DataCube): PValue = {
@@ -380,8 +405,35 @@ object ProcessGraph {
             args.get("factor").collect { case NumV(f) => f }.getOrElse(1.0)))
         case "reduce_dimension" =>
           val dim = str("dimension")
-          CubeV(ReduceOps.reduceDimension(cube("data"), dim,
-            reducerCallback("reducer", order = Some(col(dim)))))
+          if (isPlainAggregateReducer(str("reducer")))
+            CubeV(ReduceOps.reduceDimension(cube("data"), dim,
+              reducerCallback("reducer", order = Some(col(dim)))))
+          else {
+            // general openEO reducer semantics: the callback receives the
+            // label-ordered value ARRAY along the reduced dimension (the
+            // published EVI example indexes it with array_element); the
+            // `_array` context flips the statistical reducer arms to
+            // their array folds. Label-based element access needs the
+            // dimension's label list — collected ONLY when the callback
+            // mentions labels (metadata-scale: one distinct over the dim)
+            val cbJson = str("reducer")
+            val c = cube("data")
+            val labelCtx: Map[String, PValue] =
+              if (!cbJson.contains("\"label\"")) Map.empty
+              else Map("_labels" -> ArrV(
+                c.df.select(col(dim)).distinct()
+                  .orderBy(col(dim)).collect().toSeq // native order = the
+                  // ordered-array sort order
+                  .map(r => StrV(String.valueOf(r.get(0))))))
+            CubeV(ReduceOps.reduceDimensionArray(c, dim, arr =>
+              runCallback(cbJson, Map("data" -> ColV(arr),
+                "_array" -> BoolV(true)) ++ labelCtx) match {
+                case ColV(out) => out
+                case NumV(v) => lit(v)
+                case v => throw new IllegalArgumentException(
+                  s"reducer returned $v")
+              }))
+          }
         case "reduce_spatial" =>
           CubeV(ReduceOps.reduceSpatial(cube("data"), reducerCallback("reducer")))
         case "aggregate_temporal" =>
@@ -1296,7 +1348,27 @@ object ProcessGraph {
           ColV(Scalar.dateShift(column("date"), num("value").toInt, str("unit")))
         // array sub-language over ArrayType columns (reference: arrays.py)
         case "array_element" =>
-          ColV(graft.functions.ArrayFns.arrayElement(column("data"), num("index").toInt))
+          // index, or a `label` resolved against the reduced dimension's
+          // label list (injected by the ordered-array reduce as `_labels`;
+          // published NDVI graphs address bands by label)
+          val idx = args.get("index") match {
+            case Some(NumV(v)) => v.toInt
+            case _ => (args.get("label"), ctx.get("_labels")) match {
+              case (Some(StrV(lab)), Some(ArrV(ls))) =>
+                val i = ls.indexWhere {
+                  case StrV(s) => s == lab
+                  case _ => false
+                }
+                require(i >= 0, s"ArrayElementNotAvailable: label '$lab' " +
+                  s"not among ${ls.size} dimension labels")
+                i
+              case (Some(StrV(_)), _) => throw new IllegalArgumentException(
+                "array_element: label access needs a labeled reduce context")
+              case _ => throw new IllegalArgumentException(
+                "array_element: index or label required")
+            }
+          }
+          ColV(graft.functions.ArrayFns.arrayElement(column("data"), idx))
         case "array_concat" => ColV(concat(column("array1"), column("array2")))
         case "array_append" =>
           ColV(graft.functions.ArrayFns.arrayAppend(column("data"), column("value")))
@@ -1364,24 +1436,55 @@ object ProcessGraph {
           args.get("reject").map(_ => column("reject")).getOrElse(lit(null))))
 
         // ---- reducers (inside reduce_dimension callbacks) ----
-        case "mean" => ColV(Reducers.meanR(column("data")))
-        case "sum" => ColV(Reducers.sumR(column("data")))
-        case "min" => ColV(Reducers.minR(column("data")))
-        case "max" => ColV(Reducers.maxR(column("data")))
-        case "median" => ColV(Reducers.medianR(column("data")))
-        case "sd" => ColV(Reducers.sdR(column("data")))
-        case "variance" => ColV(Reducers.varianceR(column("data")))
-        case "count" => ColV(Reducers.countValid(column("data")))
-        case "product" => ColV(Reducers.productR(column("data")))
-        case "extrema" => ColV(Reducers.extremaR(column("data")))
-        case "any" => ColV(Reducers.anyR(column("data"),
-          !args.get("ignore_nodata").contains(BoolV(false))))
-        case "all" => ColV(Reducers.allR(column("data"),
-          !args.get("ignore_nodata").contains(BoolV(false))))
+        // Dual-context like first/last: in an `_array` reduce (the
+        // ordered-array path — and any argument that is itself a literal
+        // array, e.g. the published EVI example's sum over
+        // [1, nir, 6*red, -7.5*blue]) they fold the array scalar-wise;
+        // otherwise they are the partial-agg aggregates.
+        case "mean" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayMean(column("data"))
+          else Reducers.meanR(column("data")))
+        case "sum" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arraySum(column("data"))
+          else Reducers.sumR(column("data")))
+        case "min" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayMin(column("data"))
+          else Reducers.minR(column("data")))
+        case "max" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayMax(column("data"))
+          else Reducers.maxR(column("data")))
+        case "median" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayMedian(column("data"))
+          else Reducers.medianR(column("data")))
+        case "sd" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arraySd(column("data"))
+          else Reducers.sdR(column("data")))
+        case "variance" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayVariance(column("data"))
+          else Reducers.varianceR(column("data")))
+        case "count" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayCountValid(column("data"))
+          else Reducers.countValid(column("data")))
+        case "product" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayProduct(column("data"))
+          else Reducers.productR(column("data")))
+        case "extrema" =>
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayExtrema(column("data"))
+          else Reducers.extremaR(column("data")))
+        case "any" =>
+          val ig = !args.get("ignore_nodata").contains(BoolV(false))
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayAnyTrue(column("data"), ig)
+          else Reducers.anyR(column("data"), ig))
+        case "all" =>
+          val ig = !args.get("ignore_nodata").contains(BoolV(false))
+          ColV(if (ctx.contains("_array")) ArrayFns.arrayAllTrue(column("data"), ig)
+          else Reducers.allR(column("data"), ig))
         case "quantiles" =>
           val ps = args("probabilities").asInstanceOf[ArrV].v
             .map(_.asInstanceOf[NumV].v)
-          ColV(Reducers.quantilesR(column("data"), ps))
+          ColV(if (ctx.contains("_array"))
+            ArrayFns.arrayQuantiles(column("data"), ps)
+          else Reducers.quantilesR(column("data"), ps))
 
         case other =>
           throw new IllegalArgumentException(s"ProcessUnsupported: $other")
