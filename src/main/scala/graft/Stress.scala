@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Importance, LanguageModel, Repetition, TextAnalysis}
+import graft.pipeline.{Dedup, Importance, LanguageModel, Repetition, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -203,6 +203,71 @@ object Stress {
         f"(${arrBytes.toDouble / math.max(exchanged, 1)}%.1f x the measured exchange)")
       println(s"[stress]   any-shared-shingle candidate pairs: $naiveCands " +
         "(the no-prefix-filter verification load)")
+    }
+    // ---- PQ/IVFADC ANN on the VECTOR-count axis: the sf tables stop at
+    // 20k embeddings, so this synthesizes rep·50k deterministic 64-dim
+    // vectors (xxhash64-derived; parquet round-trip for real scan stats)
+    // and measures what crosses the wire on a cluster — exchange BYTES of
+    // the code-join shape vs the full-vector counterfactual — plus
+    // IVFADC's bounded probe fan-out. Production discipline throughout:
+    // quantizers train on a bounded dense-id sample, cells ∝ n.
+    family("annpq") {
+      val nVec = rep * 50000L
+      val vecPath = s"/tmp/graft_stress_vec_${rep}x"
+      spark.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (pmod(xxhash64(col("id"), d), lit(2001L)) - lit(1000L))
+            .cast("double") / 1000.0).as("embedding"))
+        .repartition(32).write.mode("overwrite").parquet(vecPath)
+      val emb = spark.read.parquet(vecPath)
+      println(s"[stress]   vectors: ${emb.count()}")
+      val sample = emb.filter(col("vec_id") < 100000L)
+      val nCells = math.max(16, (nVec / 10000L).toInt)
+      val (cents, book) = time("quantizer training (bounded sample)") {
+        (Similarity.strideCentroids(sample, "vec_id", "embedding", nCells),
+          Similarity.pqCodebook(sample, "vec_id", "embedding", 64, 16, 32))
+      }
+      val qMod = math.max(nVec / 64L, 1L)
+      val queries = emb.filter(pmod(col("vec_id"), lit(qMod)) === 0L)
+      println(s"[stress]   queries: ${queries.count()}  cells: $nCells (probes 3)")
+      val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      Thread.sleep(1500) // drain stragglers from the counts above
+      spark.sparkContext.addSparkListener(listener)
+      def measured(name: String)(f: => Unit): Unit = {
+        shuffled.set(0)
+        time(name)(f)
+        Thread.sleep(1500) // let the listener bus drain
+        println(f"[stress]   $name shuffle write: ${shuffled.get() / 1e6}%.1f MB")
+      }
+      try {
+        measured("ivfadc topk (k=3, sl=25)") {
+          force(Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+            cents, book, k = 3, shortlist = 25, probes = 3))
+        }
+        // counterfactuals, COMPUTED not guessed: per corpus vector the
+        // code join moves 16 one-byte codes + an 8-byte id; shipping raw
+        // vectors would move 64 doubles + the id
+        val codeBytes = nVec * (16L + 8L)
+        val rawBytes = nVec * (64L * 8L + 8L)
+        println(f"[stress]   full-vector counterfactual: ${rawBytes / 1e6}%.1f MB " +
+          f"vs ${codeBytes / 1e6}%.1f MB of codes " +
+          f"(${rawBytes.toDouble / codeBytes}%.1f x)")
+        if (rep <= 10)
+          measured("pq-refine flat (no IVF)") {
+            force(Similarity.pqTopKRefined(queries, emb, "vec_id",
+              "embedding", book, k = 3, shortlist = 25))
+          }
+        else
+          println("[stress]   pq-refine flat: skipped at this scale " +
+            "(O(n·q) by construction — SCALE.md pins flat as the " +
+            "probe-every-cell baseline)")
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     family("score") { time("repetition scan") {
       force(corpus.select(col("doc_id"), Repetition.stats(col("text")).as("s")))

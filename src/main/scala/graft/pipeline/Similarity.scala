@@ -510,12 +510,12 @@ object Similarity {
   /** The two ADC relations: each query's m×k integer distance table and
     * the corpus codes exploded to (neighbor_id, j, c) rows.
     */
-  private def adcParts(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, book: PqCodebook): (DataFrame, DataFrame) = {
+  private def adcQueryTables(queries: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook): DataFrame = {
     val sess = queries.sparkSession
     import sess.implicits._
     val bookB = sess.sparkContext.broadcast(book.cents)
-    val qTables = queries.select(col(idCol).cast("long").as("query_id"),
+    queries.select(col(idCol).cast("long").as("query_id"),
         microUnits(col(vecCol)).as("u")).as[(Long, Array[Long])]
       .mapPartitions { it =>
         val cs = bookB.value
@@ -531,6 +531,11 @@ object Similarity {
             }
         }
       }.toDF("query_id", "j", "c", "qd")
+  }
+
+  private def adcParts(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, book: PqCodebook): (DataFrame, DataFrame) = {
+    val qTables = adcQueryTables(queries, idCol, vecCol, book)
     val codes = pqEncode(corpus, idCol, vecCol, book)
       .select(col("id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("j", "c")))
@@ -592,9 +597,19 @@ object Similarity {
     // candidate-driven ADC: the code rows fan out per ALLOWED pair only
     // (m rows each), so the join/agg volume is candidates·m, not n·q·m —
     // the pruning must happen BEFORE the lookup join, a semi-join above
-    // the aggregate would score every pair first
-    val (qTables, codes) = adcParts(queries, corpus, idCol, vecCol, book)
-    val scored = cellCand.join(codes, Seq("neighbor_id"))
+    // the aggregate would score every pair first. The candidate join
+    // moves PACKED m-byte code arrays (one row per corpus vector), not
+    // the m-way explode — the explode happens after the join, inside the
+    // same stage as the broadcast table lookup, and the groupBy's
+    // map-side partial sum collapses it back to one row per pair before
+    // the final exchange (stress-measured: the exploded-first shape
+    // shipped ~10x the bytes at 500k vectors).
+    val qTables = adcQueryTables(queries, idCol, vecCol, book)
+    val packed = pqEncode(corpus, idCol, vecCol, book)
+      .withColumnRenamed("id", "neighbor_id")
+    val scored = cellCand.join(packed, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("j", "c")))
       .join(broadcast(qTables), Seq("query_id", "j", "c"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("qd")).as("adist"))
@@ -613,9 +628,16 @@ object Similarity {
       df.select(col(idCol).cast("long").as(idAs),
         col(vecCol).cast("array<double>").as(vAs))
         .withColumn(nAs, norm2(col(vAs)))
-    val ver = short
+    // Join order keeps the corpus's full vectors SCAN-LOCAL (same lesson
+    // as the fuzzy-join verification fix): `short` is bounded at
+    // q·shortlist id pairs, so broadcasting it turns the corpus-side
+    // exact rerank into a broadcast-hash probe on the corpus scan — a
+    // sort-merge here ships every corpus vector through an exchange
+    // (stress-measured ~vector-payload bytes at 500k vectors). The query
+    // vectors join after, against the q·shortlist survivors only.
+    val ver = base(corpus, "neighbor_id", "cv", "cn")
+      .join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(base(queries, "query_id", "qv", "qn")), Seq("query_id"))
-      .join(base(corpus, "neighbor_id", "cv", "cn"), Seq("neighbor_id"))
       .withColumn("cos",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
