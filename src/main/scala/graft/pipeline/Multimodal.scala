@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   * encoded access units + timestamps straight from the sample tables);
   * and frame PIXEL decode is REAL for MJPEG tracks
   * ([[videoFrameFeatures]] — each MJPEG access unit IS a complete JPEG,
-  * so the JDK's ImageIO decodes it with zero new dependencies). Only
+  * so the JDK's ImageIO decodes it with zero new dependencies) and for
+  * MPEG-1 I-pictures ([[Mpeg1]] — a from-scratch 11172-2 intra decoder:
+  * full B.14 run-level table, intra dequant, IDCT; the sequence context
+  * carries across access units like a real demuxer). Only later
   * inter-frame codecs (h264/h265/vp9/av1) remain a declared stub — those
   * genuinely need ffmpeg, absent here; the batching shape is identical,
-  * so swapping in a real codec changes nothing structurally.
+  * so swapping in a real codec changes nothing structurally (MPEG-1/2
+  * P/B pictures surface as `ok=false` rows for the same reason).
   */
 object Multimodal {
 
@@ -297,6 +301,14 @@ object Multimodal {
   private val JpegFourccs =
     Set("mjpa", "mjpb", "jpeg", "mjpg", "MJPG", "AVDJ", "dmb1")
 
+  /** Sample-entry fourccs that can carry MPEG-1/2 video elementary
+    * streams ('mp4v' is MPEG-4 Visual by default but also wraps MPEG-1
+    * per its esds objectTypeIndication; we sniff the access unit for the
+    * 00 00 01 B3 sequence header instead of walking esds). I-pictures
+    * decode for real via [[Mpeg1]]; P/B pictures stay `ok=false` rows.
+    */
+  private val MpegFourccs = Set("mp4v", "mp1v", "mp2v", "mpeg", "mpg1")
+
   /** One sampled frame with DECODED pixel statistics. `ok=false` rows are
     * frames whose codec ImageIO cannot decode (every non-MJPEG track) —
     * kept, not dropped, same contract as [[ImageFeatures]].
@@ -322,20 +334,84 @@ object Multimodal {
         case None => Iterator.empty
         case Some((samples, codec)) =>
           val jpeg = JpegFourccs.contains(codec)
+          val mpeg = MpegFourccs.contains(codec)
+          // MPEG tracks: the sequence header may sit only in the first
+          // access unit, so walk EVERY sample in order carrying the
+          // sequence context, and emit rows for the sampled ones
+          var mpegCtx: Option[Mpeg1.SeqCtx] = None
           samples.iterator.zipWithIndex
-            .filter(_._2 % everyNth == 0)
             .map { case ((off, len, tsMs), i) =>
+              val sampled = i % everyNth == 0
               val stats =
-                if (jpeg) decodeStats(b.blob.slice(off, off + len)) else None
-              stats match {
-                case Some((w, h, _, luma)) =>
-                  FrameFeatures(b.doc_id, i, tsMs, ok = true, w, h, luma)
-                case None =>
-                  FrameFeatures(b.doc_id, i, tsMs, ok = false, 0, 0, 0.0)
-              }
+                if (jpeg && sampled)
+                  decodeStats(b.blob.slice(off, off + len))
+                    .map { case (w, h, _, luma) => (w, h, luma) }
+                else if (mpeg && sampled) {
+                  val (ctx2, frame) = Mpeg1.decodeAccessUnit(mpegCtx,
+                    b.blob.slice(off, off + len))
+                  mpegCtx = ctx2
+                  frame.map(f => (f.width, f.height, f.meanLuma))
+                } else if (mpeg) {
+                  // skipped frame: scan for a sequence header only
+                  mpegCtx = Mpeg1.scanSequenceHeader(mpegCtx,
+                    b.blob.slice(off, off + len))
+                  None
+                } else None
+              (i, tsMs, stats)
+            }
+            .filter(_._1 % everyNth == 0)
+            .map {
+              case (i, tsMs, Some((w, h, luma))) =>
+                FrameFeatures(b.doc_id, i, tsMs, ok = true, w, h, luma)
+              case (i, tsMs, None) =>
+                FrameFeatures(b.doc_id, i, tsMs, ok = false, 0, 0, 0.0)
             }
       }
     })
+  }
+
+  /** Single-video-track MP4 muxer — the write-side twin of
+    * [[demuxSamples]]: packs encoded access units into a minimal
+    * ISO-BMFF container (ftyp + moov/trak/mdia/minf/stbl + mdat, one
+    * chunk per sample) that any box walker reads back. With
+    * [[Mpeg1Writer]] this closes the in-engine video round trip:
+    * encode → mux → demux → decode, all deterministic bytes.
+    */
+  def muxMp4(fourcc: String, samples: Seq[Array[Byte]],
+      timescale: Int = 1000, sampleDur: Int = 40): Array[Byte] = {
+    require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
+    require(samples.nonEmpty, "at least one sample")
+    import java.nio.ByteBuffer
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(body: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + body.length).putInt(0).put(body).array()
+    def ints(vs: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(b.putInt)
+      b.array()
+    }
+    val n = samples.length
+    val stsd = box("stsd", full(ByteBuffer.allocate(20).putInt(1)
+      .putInt(16).put(fourcc.getBytes("US-ASCII")).array()))
+    val stsz = box("stsz",
+      full(ints((0 +: n +: samples.map(_.length)): _*)))
+    val stsc = box("stsc", full(ints(1, 1, n, 1))) // one chunk, n samples
+    val stts = box("stts", full(ints(1, n, sampleDur)))
+    val mdhd = box("mdhd",
+      full(ints(0, 0, timescale, n * sampleDur)))
+    val hdlr = box("hdlr", full(ByteBuffer.allocate(20).putInt(0)
+      .put("vide".getBytes("US-ASCII")).array()))
+    def mkMoov(mdatPayloadOff: Int) = box("moov", box("trak", box("mdia",
+      hdlr ++ mdhd ++ box("minf", box("stbl",
+        stsd ++ stsz ++ stsc ++ stts ++
+          box("stco", full(ints(1, mdatPayloadOff))))))))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"))
+    val off = ftyp.length + mkMoov(0).length + 8
+    ftyp ++ mkMoov(off) ++ box("mdat", samples.flatten.toArray)
   }
 
   /** ((offset, size, ts_ms) per video sample, sample-entry fourcc), or

@@ -701,6 +701,25 @@ object PipelineQueries {
         Tables.documents(s, dir).withColumn("blob", col("text").cast("binary")),
         "doc_id", "blob")
     },
+    "video_mpeg1_roundtrip" -> { (s, dir) =>
+      // full in-engine video round trip, deterministic end to end:
+      // Mpeg1Writer encodes gray I-pictures (DC-only, valid 11172-2
+      // streams), muxMp4 packs them into an ISO-BMFF track, and
+      // videoFrameFeatures demuxes + intra-decodes on executors. DC-only
+      // frames make mean_luma EXACTLY the encoded gray (DC is a multiple
+      // of 8, the IDCT of a pure-DC block is flat dc/8), so the oracle
+      // is literal VALUES, not a frozen model. Doc-dependent gray levels
+      // prove per-blob decode, not a shared constant.
+      import org.apache.spark.sql.Encoders
+      val blobs = s.createDataset((1L to 3L).map { id =>
+        val grays = Seq(100 + id.toInt, 128, 10 * id.toInt)
+        Multimodal.Blob(id, Multimodal.muxMp4("mp1v",
+          Mpeg1Writer.grayPictures(32, 16, grays)))
+      })(Encoders.product[Multimodal.Blob])
+      Multimodal.videoFrameFeatures(blobs, everyNth = 1).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("ok"),
+          col("width"), col("height"), col("mean_luma"))
+    },
 
     // ---- pipeline staples ----
     "sessionize" -> { (s, dir) =>
@@ -1740,6 +1759,21 @@ object PipelineQueries {
         |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+    "video_mpeg1_roundtrip" ->
+      // literal VALUES: DC-only MPEG-1 I-pictures decode to exactly the
+      // encoded gray level (see the query comment)
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(frame_idx AS INT) AS frame_idx,
+        |       ok, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |       CAST(mean_luma AS DOUBLE) AS mean_luma
+        |FROM (VALUES
+        |  (1, 0, TRUE, 32, 16, 101), (1, 1, TRUE, 32, 16, 128),
+        |  (1, 2, TRUE, 32, 16, 10),
+        |  (2, 0, TRUE, 32, 16, 102), (2, 1, TRUE, 32, 16, 128),
+        |  (2, 2, TRUE, 32, 16, 20),
+        |  (3, 0, TRUE, 32, 16, 103), (3, 1, TRUE, 32, 16, 128),
+        |  (3, 2, TRUE, 32, 16, 30))
+        |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

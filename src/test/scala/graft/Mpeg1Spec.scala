@@ -1,0 +1,259 @@
+package graft
+
+import graft.pipeline.{Mpeg1, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG-1 intra decoder against HAND-ASSEMBLED bitstreams (ISO/IEC
+  * 11172-2 layout written bit by bit below — same discipline as the
+  * TIFF/zarr/blosc fixtures) with pixel oracles computed from the
+  * closed-form IDCT cosine arithmetic, independent of the decoder's
+  * parsing path.
+  */
+class Mpeg1Spec extends AnyFunSuite {
+
+  // ---- bit-level stream assembler ----
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nb = 0
+    def put(bit: Int): this.type = {
+      cur = (cur << 1) | bit; nb += 1
+      if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      this
+    }
+    /** Append literal bits, e.g. b("0100"). */
+    def b(s: String): this.type = { s.foreach(c => put(c - '0')); this }
+    def bits(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) { put((v >> i) & 1); i -= 1 }
+      this
+    }
+    def align(): this.type = { while (nb != 0) put(0); this }
+    def bytes: Array[Byte] = { align(); buf.toArray }
+  }
+
+  private def startCode(xx: Int)(w: BitWriter): Unit = {
+    w.align(); w.bits(0, 8).bits(0, 8).bits(1, 8).bits(xx, 8)
+  }
+
+  /** sequence header; intraQ=None keeps the spec default matrix. */
+  private def seqHeader(w: BitWriter, width: Int, height: Int,
+      intraQ: Option[Array[Int]] = None): Unit = {
+    startCode(0xb3)(w)
+    w.bits(width, 12).bits(height, 12)
+      .bits(1, 4) // pel_aspect_ratio
+      .bits(1, 4) // picture_rate
+      .bits(0x3ffff, 18).put(1) // bit_rate + marker
+      .bits(0, 10).put(0) // vbv_buffer_size + constrained flag
+    intraQ match {
+      case Some(m) => w.put(1); m.foreach(v => w.bits(v, 8))
+      case None => w.put(0)
+    }
+    w.put(0) // load_non_intra_quantizer_matrix
+  }
+
+  private def pictureHeader(w: BitWriter, ptype: Int): Unit = {
+    startCode(0x00)(w)
+    w.bits(0, 10).bits(ptype, 3).bits(0xffff, 16).put(0)
+    w.align()
+  }
+
+  // closed-form expectations (independent of the decoder's IDCT code)
+  private def c(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+  private def clamp(d: Double): Int =
+    math.max(0, math.min(255, math.round(d).toInt))
+
+  test("flat-gray I-frame: DC-only blocks, default matrix") {
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    pictureHeader(w, 1)
+    startCode(0x01)(w) // slice 1
+    w.bits(8, 5).put(0) // quantizer_scale, extra_bit
+    w.b("1").b("1") // addr_inc 1, type intra
+    for (_ <- 0 until 4) w.b("100").b("10") // luma DC diff 0, EOB
+    for (_ <- 0 until 2) w.b("00").b("10") // chroma DC diff 0, EOB
+    startCode(0xb7)(w) // sequence_end
+    val f = Mpeg1.decodeIntra(w.bytes).get
+    assert(f.width == 16 && f.height == 16)
+    assert(f.y.forall(_ == 128), "flat DC 1024 must decode to uniform 128")
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
+    assert(f.meanLuma == 128.0)
+  }
+
+  test("two macroblocks: DC prediction chain, AC coefficient, mid-MB quantizer change") {
+    val w = new BitWriter
+    seqHeader(w, 32, 16)
+    pictureHeader(w, 1)
+    startCode(0x01)(w)
+    w.bits(8, 5).put(0) // q_scale 8
+    // MB0: intra. Y0: DC diff +2 (size 2) + AC run0/level+2 at zigzag 1
+    w.b("1").b("1")
+    w.b("01").b("10") // dc_size 2, bits 10 -> diff +2 (DC 1040 -> 130)
+    w.b("0100").b("0") // run 0 / level 2, positive
+    w.b("10") // EOB
+    for (_ <- 0 until 3) w.b("100").b("10") // Y1..Y3 diff 0 (130)
+    w.b("01").b("1").b("10") // Cb: size 1, bit 1 -> diff +1 (1032 -> 129)
+    w.b("00").b("10") // Cr diff 0 (128)
+    // MB1: intra+quant, q_scale 10. Y0: DC diff -1, AC run0/level+1
+    w.b("1").b("01").bits(10, 5)
+    w.b("00").b("0") // dc_size 1, bit 0 -> diff -1 (pred 1040 -> 1032 -> 129)
+    w.b("11").b("0") // run 0 / level 1, positive
+    w.b("10") // EOB
+    for (_ <- 0 until 3) w.b("100").b("10") // Y1..Y3 diff 0 (129)
+    w.b("00").b("10") // Cb diff 0 (pred 1032 -> 129)
+    w.b("00").b("10") // Cr diff 0 (128)
+    startCode(0xb7)(w)
+    val f = Mpeg1.decodeIntra(w.bytes).get
+    assert(f.width == 32 && f.height == 16)
+    // dequant oracle: (2*level*q*W)/16, even -> toward zero by 1
+    // MB0 Y0: (2*2*8*16)/16 = 32 -> 31 at (u=1, v=0)
+    // MB1 Y0: (2*1*10*16)/16 = 20 -> 19 at (u=1, v=0)
+    def acPix(dcPix: Double, coeff: Int, x: Int): Int =
+      clamp(dcPix + c(1) * c(0) / 4.0 * coeff *
+        math.cos((2 * x + 1) * math.Pi / 16))
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert(f.y(y * 32 + x) == acPix(130.0, 31, x), s"MB0 Y0 ($x,$y)")
+      assert(f.y(y * 32 + 16 + x) == acPix(129.0, 19, x), s"MB1 Y0 ($x,$y)")
+      assert(f.y(y * 32 + 8 + x) == 130, s"MB0 Y1 ($x,$y)") // DC only
+      assert(f.y(y * 32 + 24 + x) == 129, s"MB1 Y1 ($x,$y)")
+      assert(f.y((y + 8) * 32 + x) == 130 && f.y((y + 8) * 32 + 8 + x) == 130)
+      assert(f.y((y + 8) * 32 + 16 + x) == 129)
+    }
+    // chroma plane is 16x8: MB0 Cb 129, MB1 Cb 129 (pred chain), Cr 128
+    assert(f.cb.forall(_ == 129) && f.cr.forall(_ == 128))
+  }
+
+  test("escape-coded level + custom intra matrix + clamping") {
+    val w = new BitWriter
+    seqHeader(w, 16, 16, intraQ = Some(Array.fill(64)(16)))
+    pictureHeader(w, 1)
+    startCode(0x01)(w)
+    w.bits(8, 5).put(0)
+    w.b("1").b("1")
+    // Y0: DC diff 0 then ESCAPE run=2 level=-100
+    w.b("100")
+    w.b("000001").bits(2, 6).bits(156, 8) // 156 = -100 two's complement
+    w.b("10") // EOB
+    for (_ <- 0 until 3) w.b("100").b("10")
+    for (_ <- 0 until 2) w.b("00").b("10")
+    startCode(0xb7)(w)
+    val f = Mpeg1.decodeIntra(w.bytes).get
+    // coefficient lands at zigzag index 1+2=3 -> raster 16 -> (u=0, v=2);
+    // dequant (2*-100*8*16)/16 = -1600 -> -1599; pixels depend on ROW only
+    // and swing past [0,255], exercising the clamp
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val want = clamp(128.0 + c(0) * c(2) / 4.0 * -1599 *
+        math.cos((2 * y + 1) * 2 * math.Pi / 16))
+      assert(f.y(y * 16 + x) == want, s"($x,$y)")
+    }
+    assert(f.y.slice(0, 16).exists(_ == 255) || f.y.exists(_ == 255))
+    assert(f.y.exists(_ == 0), "negative swing must clamp at 0")
+  }
+
+  test("writer round trip: grayStream encodes valid DC-only streams") {
+    import graft.pipeline.Mpeg1Writer
+    // multi-macroblock, non-multiple-of-16 height exercises padding rows
+    val es = Mpeg1Writer.grayStream(48, 24, Seq(200))
+    val f = Mpeg1.decodeIntra(es).get
+    assert(f.width == 48 && f.height == 24)
+    assert(f.meanLuma == 200.0)
+    // display-region pixels all 200 (the padded rows are excluded by
+    // meanLuma; the plane itself is uniform too since every MB encodes)
+    assert(f.y.forall(_ == 200))
+    // per-AU form: second picture decodes via carried context
+    val aus = Mpeg1Writer.grayPictures(16, 16, Seq(5, 250))
+    val (ctx, f0) = Mpeg1.decodeAccessUnit(None, aus(0))
+    val (_, f1) = Mpeg1.decodeAccessUnit(ctx, aus(1))
+    assert(f0.get.meanLuma == 5.0 && f1.get.meanLuma == 250.0)
+  }
+
+  test("no sequence header, P-pictures, truncation -> None") {
+    val p = new BitWriter
+    pictureHeader(p, 1)
+    assert(Mpeg1.decodeIntra(p.bytes).isEmpty) // picture but no context
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    pictureHeader(w, 2) // P-picture: intra-only decoder must decline
+    startCode(0x01)(w)
+    w.bits(8, 5).put(0).b("11")
+    assert(Mpeg1.decodeIntra(w.bytes).isEmpty)
+    assert(Mpeg1.decodeIntra(Array[Byte](0, 0, 1)).isEmpty)
+    assert(Mpeg1.decodeIntra(Array.empty[Byte]).isEmpty)
+  }
+
+  // ---- MP4 plumbing: mp1v track with the sequence header only in the
+  // first sample; later samples decode against the carried context ----
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("MP4 mp1v track: carried sequence context, real luma per sampled frame") {
+    import java.nio.ByteBuffer
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(body: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + body.length).putInt(0).put(body).array()
+    // sample 0: sequence header + flat-128 I picture
+    val s0 = {
+      val w = new BitWriter
+      seqHeader(w, 16, 16)
+      pictureHeader(w, 1)
+      startCode(0x01)(w)
+      w.bits(8, 5).put(0).b("1").b("1")
+      for (_ <- 0 until 4) w.b("100").b("10")
+      for (_ <- 0 until 2) w.b("00").b("10")
+      w.bytes
+    }
+    // sample 1: picture-only AU, DC diff +4 -> 132 gray, NO seq header
+    val s1 = {
+      val w = new BitWriter
+      pictureHeader(w, 1)
+      startCode(0x01)(w)
+      w.bits(8, 5).put(0).b("1").b("1")
+      w.b("101").b("100").b("10") // dc_size 3, bits 100 -> diff +4
+      for (_ <- 0 until 3) w.b("100").b("10")
+      for (_ <- 0 until 2) w.b("00").b("10")
+      w.bytes
+    }
+    def mkMp4(fcc: String): Array[Byte] = {
+      val stsd = box("stsd", full(ByteBuffer.allocate(20).putInt(1)
+        .putInt(16).put(fcc.getBytes("US-ASCII")).array()))
+      val mdhd = box("mdhd", full(ByteBuffer.allocate(20)
+        .putInt(0).putInt(0).putInt(10).putInt(10).array()))
+      val stsz = box("stsz", full(ByteBuffer.allocate(16)
+        .putInt(0).putInt(2).putInt(s0.length).putInt(s1.length).array()))
+      val stsc = box("stsc", full(ByteBuffer.allocate(16)
+        .putInt(1).putInt(1).putInt(2).putInt(1).array()))
+      val stts = box("stts", full(ByteBuffer.allocate(12)
+        .putInt(1).putInt(2).putInt(5).array()))
+      def mkMoov(off: Int) = box("moov", box("trak", box("mdia",
+        box("hdlr", full(ByteBuffer.allocate(20).putInt(0)
+          .put("vide".getBytes("US-ASCII")).array())) ++ mdhd ++
+          box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stts ++
+            box("stco", full(ByteBuffer.allocate(8).putInt(1).putInt(off)
+              .array())))))))
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"))
+      val off = ftyp.length + mkMoov(0).length + 8
+      ftyp ++ mkMoov(off) ++ box("mdat", s0 ++ s1)
+    }
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, mkMp4("mp1v")), Multimodal.Blob(2L, mkMp4("avc1"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(out.size == 4)
+    val f0 = out((1L, 0)); val f1 = out((1L, 1))
+    assert(f0.ok && f0.width == 16 && f0.height == 16 && f0.mean_luma == 128.0)
+    assert(f1.ok && f1.mean_luma == 132.0,
+      "picture-only AU must decode via the carried sequence context")
+    // an avc1 track must not sniff-decode
+    assert(!out((2L, 0)).ok && !out((2L, 1)).ok)
+  }
+}
