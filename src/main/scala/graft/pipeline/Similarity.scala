@@ -138,10 +138,18 @@ object Similarity {
   def strideCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Array[Centroid] = {
     val stride = math.max(1L, math.ceil(df.count().toDouble / k).toLong)
+    // picks by RANK, not id value: id-space independent (the sf1 gate
+    // caught offset/sparse id spaces tripping the old id-modulus), and on
+    // dense 0-based ids rank-1 == id so picks — and every downstream
+    // oracle hash — are unchanged. The rank window runs over the TRAINING
+    // frame only, which is bounded by contract (train-then-apply: pass a
+    // sample, exactly like kmeansCentroids' sampleRows).
     df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .filter(col("id") % stride === 0)
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))) - 1)
+      .filter(col("rn") % stride === 0)
       .withColumn("n", norm2(col("v")))
+      .select(col("id"), col("v"), col("n"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
@@ -409,16 +417,21 @@ object Similarity {
       microUnits(col(vecCol)).as("u"))
     val nRows = df.count()
     val stride = math.max(1L, math.ceil(nRows.toDouble / k).toLong)
-    // init: subvectors of the stride-selected ids, centroid index = id rank
+    // init: subvectors of the RANK-stride-selected rows, centroid index =
+    // id rank. Rank picks are id-space independent (the sf1 gate caught
+    // sparse/offset ids under-/over-picking with the old id-modulus) and
+    // identical to it on dense 0-based ids, so gate hashes are unchanged.
+    // The rank window covers the TRAINING frame only — bounded by
+    // contract (train-then-apply), like kmeansCentroids' sampleRows.
     val init: Array[Array[Array[Long]]] = {
-      val picks = base.filter(col("id") % stride === 0)
+      val picks = base
+        .withColumn("rn", row_number().over(Window.orderBy(col("id"))) - 1)
+        .filter(col("rn") % stride === 0)
+        .select(col("id"), col("u"))
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).map(_._2)
-      // dense 0-based ids yield n/stride ∈ [k/2, k] picks once n ≥ k; a
-      // count outside that band means the id space violates the contract
-      require(picks.length <= k && (nRows < k || picks.length * 2L >= k),
-        s"PQ: stride init picked ${picks.length} of $k centroids — " +
-          s"'$idCol' must be dense 0-based (remap with row_number() first)")
+      require(picks.length > 0 && picks.length <= k,
+        s"PQ: rank-stride init picked ${picks.length} of $k centroids")
       Array.tabulate(m)(j => picks.map(_.slice(j * dsub, (j + 1) * dsub)))
     }
     val kEff = init(0).length

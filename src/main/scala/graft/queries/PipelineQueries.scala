@@ -938,8 +938,9 @@ object PipelineQueries {
       // assigned centroid
       s"""WITH $cosineSqlFns,
          |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
-         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+         |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM n)
+         |  WHERE rnk % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
          |scored AS (SELECT n.vec_id, cent.cid,
          |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
          |  FROM n CROSS JOIN cent),
@@ -1470,8 +1471,9 @@ object PipelineQueries {
       // verify.
       s"""WITH $cosineSqlFns,
          |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
-         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+         |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM n)
+         |  WHERE rnk % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
          |scored AS (SELECT n.vec_id, cent.cid,
          |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
          |  FROM n CROSS JOIN cent),
@@ -1490,8 +1492,9 @@ object PipelineQueries {
       // everything not dropped
       s"""WITH RECURSIVE $cosineSqlFns,
          |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
-         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+         |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM n)
+         |  WHERE rnk % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
          |scored AS (SELECT n.vec_id, cent.cid,
          |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
          |  FROM n CROSS JOIN cent),
@@ -1531,8 +1534,9 @@ object PipelineQueries {
       // assigned pr=1, queries probe pr<=3, exact cosine ranks candidates.
       s"""WITH $cosineSqlFns,
          |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
-         |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+         |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM n)
+         |  WHERE rnk % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
          |scored AS (SELECT n.vec_id, cent.cid,
          |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
          |  FROM n CROSS JOIN cent),
@@ -1558,8 +1562,9 @@ object PipelineQueries {
       // shortlist aggregates only pairs allowed by the probed cells.
       s"""WITH $cosineSqlFns,
         |nrm AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
-        |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nrm
-        |  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+        |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM nrm)
+        |  WHERE rnk % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM e) = 0),
         |cscored AS (SELECT nrm.vec_id, cent.cid,
         |    ${dotSql("nrm.v", "cent.cv")} / cent.cn AS ccos
         |  FROM nrm CROSS JOIN cent),
@@ -1580,8 +1585,10 @@ object PipelineQueries {
         |  FROM nrm n, UNNEST(range(1, 65)) r(i)),
         |st AS (SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS v FROM embeddings),
         |picks AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS c
-        |          FROM (SELECT DISTINCT id FROM u
-        |                WHERE id % (SELECT v FROM st) = 0)),
+        |          FROM (SELECT id FROM (
+        |                  SELECT id, row_number() OVER (ORDER BY id) - 1 AS rnk
+        |                  FROM (SELECT DISTINCT id FROM u))
+        |                WHERE rnk % (SELECT v FROM st) = 0)),
         |init AS (SELECT p.c, u.d // 4 AS j, u.d % 4 AS sd, u.u AS cu
         |         FROM u JOIN picks p USING (id)),
         |adist AS (SELECT u.id, i.j, i.c,
@@ -1643,8 +1650,10 @@ object PipelineQueries {
         |  FROM nrm n, UNNEST(range(1, 65)) r(i)),
         |st AS (SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS v FROM embeddings),
         |picks AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS c
-        |          FROM (SELECT DISTINCT id FROM u
-        |                WHERE id % (SELECT v FROM st) = 0)),
+        |          FROM (SELECT id FROM (
+        |                  SELECT id, row_number() OVER (ORDER BY id) - 1 AS rnk
+        |                  FROM (SELECT DISTINCT id FROM u))
+        |                WHERE rnk % (SELECT v FROM st) = 0)),
         |init AS (SELECT p.c, u.d // 4 AS j, u.d % 4 AS sd, u.u AS cu
         |         FROM u JOIN picks p USING (id)),
         |adist AS (SELECT u.id, i.j, i.c,

@@ -419,14 +419,14 @@ class PipelineSpec extends AnyFunSuite {
     val book2 = Similarity.pqCodebook(emb, "vec_id", "embedding",
       dims = 64, m = 16, k = 32)
     assert(book.cents.flatten.flatten.toSeq == book2.cents.flatten.flatten.toSeq)
-    // the stride init's dense-id contract is ENFORCED, not silent: sparse
-    // ids (here 100×-spread) mis-populate the modulus pick and must raise
-    val sparse = emb.withColumn("vec_id", col("vec_id") * 100)
-    val err = intercept[IllegalArgumentException] {
-      Similarity.pqCodebook(sparse, "vec_id", "embedding",
-        dims = 64, m = 16, k = 32)
-    }
-    assert(err.getMessage.contains("dense 0-based"))
+    // id-space independence (the sf1-gate find): RANK-based stride picks
+    // make sparse/offset ids train the IDENTICAL codebook as dense ids —
+    // rank order is preserved under any monotone id remap
+    val sparse = emb.withColumn("vec_id", col("vec_id") * 100 + 7)
+    val book3 = Similarity.pqCodebook(sparse, "vec_id", "embedding",
+      dims = 64, m = 16, k = 32)
+    assert(book.cents.flatten.flatten.toSeq == book3.cents.flatten.flatten.toSeq,
+      "sparse ids must train the same codebook as dense ids")
     // codes are m per-subspace indices within range — the 4·dims bytes →
     // m bytes compression that makes a 100-TB embedding corpus memory-scale
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", book)

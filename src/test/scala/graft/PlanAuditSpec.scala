@@ -103,6 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(ReduceOps.reduceDimension(c, "t",
       v => Reducers.meanR(v)).df) == 1)
 
+    // the general ordered-array reduce (composed callbacks) must cost the
+    // SAME single exchange as the plain-aggregate fast path: the
+    // collect_list + scalar folds live in one aggregate projection
+    assert(shuffles(ReduceOps.reduceDimensionArray(c, "t", arr =>
+      graft.functions.ArrayFns.arrayMean(arr) +
+        graft.functions.ArrayFns.arraySd(arr)).df) == 1)
+
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     assert(shuffles(pipeline.Dedup.exact(docs, "doc_id",
       md5(col("text").cast("binary")))) == 1)
