@@ -450,6 +450,21 @@ object Stress {
         force(AggregateOps.aggregateTemporalPeriod(cube, "day",
           v => graft.functions.Reducers.meanR(v)).df)
       }
+      time("reduce_dimension plain (mean over t)") {
+        force(graft.operators.ReduceOps.reduceDimension(cube, "t",
+          v => graft.functions.Reducers.meanR(v)).df)
+      }
+      time("reduce_dimension ordered-array (composed callback over t)") {
+        // the general openEO reducer path: per-pixel ordered value array
+        // along t + composed scalar folds. Same single exchange as the
+        // plain path (PlanAuditSpec); the array length is the reduced
+        // dim's cardinality (here nT) — bounded by the cube's time depth,
+        // never by spatial size, which is what makes collect_list safe at
+        // 100-TB spatial extents
+        import graft.functions.ArrayFns
+        force(graft.operators.ReduceOps.reduceDimensionArray(cube, "t",
+          arr => ArrayFns.arrayMean(arr) + ArrayFns.arraySd(arr)).df)
+      }
     }
 
     // ---- streaming family: bounded-state sessionization at 1M events ----
