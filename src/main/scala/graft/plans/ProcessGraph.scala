@@ -1480,8 +1480,27 @@ object ProcessGraph {
           ColV(if (ctx.contains("_array")) ArrayFns.arrayAllTrue(column("data"), ig)
           else Reducers.allR(column("data"), ig))
         case "quantiles" =>
-          val ps = args("probabilities").asInstanceOf[ArrV].v
-            .map(_.asInstanceOf[NumV].v)
+          // probabilities XOR q, with q (or a bare int) expanding to the
+          // q-1 equidistant cut points (reference: math.py:341-365 —
+          // QuantilesParameterConflict / QuantilesParameterMissing)
+          def equidistant(q: Int): Seq[Double] =
+            (1 until q).map(i => i.toDouble / q)
+          val ps = (args.get("probabilities"), args.get("q")) match {
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              "QuantilesParameterConflict: set either `probabilities` or" +
+                " `q`, not both")
+            case (None, None) => throw new IllegalArgumentException(
+              "QuantilesParameterMissing: one of `probabilities` or `q`" +
+                " is required")
+            case (Some(NumV(n)), _) => equidistant(n.toInt)
+            case (Some(ArrV(vs)), _) =>
+              vs.map { case NumV(v) => v
+                case v => throw new IllegalArgumentException(
+                  s"quantiles: non-numeric probability $v") }
+            case (_, Some(NumV(n))) => equidistant(n.toInt)
+            case (p, q) => throw new IllegalArgumentException(
+              s"quantiles: invalid parameters $p / $q")
+          }
           ColV(if (ctx.contains("_array"))
             ArrayFns.arrayQuantiles(column("data"), ps)
           else Reducers.quantilesR(column("data"), ps))

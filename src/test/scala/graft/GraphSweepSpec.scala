@@ -226,12 +226,26 @@ class GraphSweepSpec extends AnyFunSuite {
       ("any", "", v => Reducers.anyR(v)),
       ("all", "", v => Reducers.allR(v)),
       ("quantiles", """, "probabilities": [0.25, 0.5]""",
-        v => Reducers.quantilesR(v, Seq(0.25, 0.5))))
+        v => Reducers.quantilesR(v, Seq(0.25, 0.5))),
+      // the q form expands to q-1 equidistant cuts (reference:
+      // math.py:354-362)
+      ("quantiles", """, "q": 4""",
+        v => Reducers.quantilesR(v, Seq(0.25, 0.5, 0.75))))
     for ((pid, extra, twin) <- twins) {
       val got = rows(reduceGraph(node(pid, extra)).df)
       val direct = ReduceOps.reduceDimension(tband, "d", twin)
       assert(got == rows(direct.df), pid)
     }
+    // parameter contract: both set and neither set raise the named errors
+    val conflict = intercept[Exception] {
+      reduceGraph(node("quantiles",
+        """, "probabilities": [0.5], "q": 4""")).df.collect()
+    }
+    assert(conflict.getMessage.contains("QuantilesParameterConflict"))
+    val missing = intercept[Exception] {
+      reduceGraph(node("quantiles", "")).df.collect()
+    }
+    assert(missing.getMessage.contains("QuantilesParameterMissing"))
     // first/last are ordered reduces: min_by/max_by over the reduced dim
     val gotFirst = reduceGraph(node("first")).df.collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
