@@ -229,6 +229,40 @@ class GraphConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("published job shape: load -> NDVI -> temporal max -> save_result, reloaded") {
+    // the canonical openEO batch-job graph every published example ends
+    // with: a save_result terminal (GTiff in the docs; parquet is this
+    // backend's native sink) — written eagerly, then reloaded and checked
+    // against the same independent oracle as the max-NDVI composite
+    val out = s"/tmp/graft_conf_save_${System.identityHashCode(this)}"
+    val g =
+      s"""{"process_graph": {
+        |  "load": {"process_id": "load_collection", "arguments": {"id": "c", "bands": ["B04", "B08"]}},
+        |  "ndvi": {"process_id": "reduce_dimension", "arguments": {
+        |    "data": {"from_node": "load"}, "dimension": "bands",
+        |    "reducer": {"process_graph": {
+        |      "r": {"process_id": "array_element", "arguments": {"data": {"from_parameter": "data"}, "index": 0}},
+        |      "n": {"process_id": "array_element", "arguments": {"data": {"from_parameter": "data"}, "index": 1}},
+        |      "nd": {"process_id": "normalized_difference", "arguments": {"x": {"from_node": "n"}, "y": {"from_node": "r"}}, "result": true}
+        |    }}}},
+        |  "composite": {"process_id": "reduce_dimension", "arguments": {
+        |    "data": {"from_node": "ndvi"}, "dimension": "t",
+        |    "reducer": {"process_graph": {
+        |      "max": {"process_id": "max", "arguments": {"data": {"from_parameter": "data"}}, "result": true}}}}},
+        |  "save": {"process_id": "save_result", "arguments": {
+        |    "data": {"from_node": "composite"}, "format": "Parquet",
+        |    "options": {"path": "$out"}}, "result": true}
+        |}}""".stripMargin
+    run(g)
+    val reloaded = spark.read.parquet(out).collect()
+      .map(r => (r.getDouble(r.fieldIndex("y")), r.getDouble(r.fieldIndex("x"))) ->
+        r.getDouble(r.fieldIndex("value"))).toMap
+    for (y <- 0 to 1; x <- 0 to 1) {
+      val want = (0 to 2).map(ti => ndvi(x, y, ti)).max
+      assert(math.abs(reloaded((y.toDouble, x.toDouble)) - want) < 1e-12, s"($y,$x)")
+    }
+  }
+
   test("composed quantiles/median/product callback takes the array folds") {
     // quantile IQR composed with median and product — every statistical
     // arm here must flip to its array fold (linear-interpolation
