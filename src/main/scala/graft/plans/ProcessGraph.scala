@@ -278,12 +278,20 @@ object ProcessGraph {
           s"$pid.$where: expected string or null, got $other")
       }
 
+      /** The openEO `context` argument, forwarded into callback graphs as
+        * the `context` parameter ({"from_parameter": "context"} — the
+        * reference threads it through every cube process's callback).
+        */
+      def callbackContext: Map[String, PValue] =
+        args.get("context").map("context" -> _).toMap
+
       /** run a callback sub-graph (stored as JSON text) as a scalar
         * Column→Column process (reference: `apply`'s `process` argument)
         */
       def scalarCallback(name: String): Column => Column = {
         val cbJson = str(name)
-        c => runCallback(cbJson, Map("x" -> ColV(c), "data" -> ColV(c))) match {
+        c => runCallback(cbJson,
+          Map("x" -> ColV(c), "data" -> ColV(c)) ++ callbackContext) match {
           case ColV(out) => out
           case NumV(v) => lit(v)
           case v => throw new IllegalArgumentException(s"callback returned $v")
@@ -338,7 +346,7 @@ object ProcessGraph {
         */
       def reducerCallback(name: String, order: Option[Column] = None): Column => Column = {
         val cbJson = str(name)
-        val ctx = order.map(o => "_order" -> ColV(o)).toMap
+        val ctx = order.map(o => "_order" -> ColV(o)).toMap ++ callbackContext
         c => runCallback(cbJson, Map("data" -> ColV(c)) ++ ctx) match {
           case ColV(out) => out
           case v => throw new IllegalArgumentException(s"reducer returned $v")
@@ -427,7 +435,7 @@ object ProcessGraph {
                   .map(r => StrV(String.valueOf(r.get(0))))))
             CubeV(ReduceOps.reduceDimensionArray(c, dim, arr =>
               runCallback(cbJson, Map("data" -> ColV(arr),
-                "_array" -> BoolV(true)) ++ labelCtx) match {
+                "_array" -> BoolV(true)) ++ labelCtx ++ callbackContext) match {
                 case ColV(out) => out
                 case NumV(v) => lit(v)
                 case v => throw new IllegalArgumentException(
@@ -920,7 +928,8 @@ object ProcessGraph {
               val cbJson = str("overlap_resolver")
               (a: Column, b: Column) =>
                 runCallback(cbJson, Map("x" -> ColV(a), "y" -> ColV(b),
-                    "cube1" -> ColV(a), "cube2" -> ColV(b))) match {
+                    "cube1" -> ColV(a), "cube2" -> ColV(b))
+                    ++ callbackContext) match {
                   case ColV(out) => out
                   case NumV(v) => lit(v)
                   case v => throw new IllegalArgumentException(s"resolver returned $v")
@@ -1377,7 +1386,7 @@ object ProcessGraph {
         case "array_apply" =>
           ColV(graft.functions.ArrayFns.arrayApply(column("data"),
             x => runCallback(str("process"),
-              Map("x" -> ColV(x), "data" -> ColV(x))) match {
+              Map("x" -> ColV(x), "data" -> ColV(x)) ++ callbackContext) match {
               case ColV(out) => out
               case NumV(v) => lit(v)
               case v => throw new IllegalArgumentException(s"array_apply cb $v")
@@ -1385,7 +1394,7 @@ object ProcessGraph {
         case "array_filter" =>
           ColV(graft.functions.ArrayFns.arrayFilter(column("data"),
             x => (runCallback(str("condition"),
-              Map("x" -> ColV(x), "data" -> ColV(x))) match {
+              Map("x" -> ColV(x), "data" -> ColV(x)) ++ callbackContext) match {
               case ColV(out) => out
               case v => throw new IllegalArgumentException(s"array_filter cb $v")
             }).cast("boolean")))

@@ -263,6 +263,36 @@ class GraphConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("context argument threads into apply and reduce callbacks") {
+    // the openEO `context` parameter: callbacks read it via
+    // {"from_parameter": "context"} — the published offset-by-context
+    // apply shape, and a reducer using context as a scale factor
+    val g =
+      """{"process_graph": {
+        |  "load": {"process_id": "load_collection", "arguments": {"id": "c", "bands": ["B04"]}},
+        |  "shift": {"process_id": "apply", "arguments": {
+        |    "data": {"from_node": "load"}, "context": 100,
+        |    "process": {"process_graph": {
+        |      "add": {"process_id": "add", "arguments": {
+        |        "x": {"from_parameter": "x"}, "y": {"from_parameter": "context"}},
+        |        "result": true}}}}},
+        |  "scaled": {"process_id": "reduce_dimension", "arguments": {
+        |    "data": {"from_node": "shift"}, "dimension": "t", "context": 2,
+        |    "reducer": {"process_graph": {
+        |      "m": {"process_id": "max", "arguments": {"data": {"from_parameter": "data"}}},
+        |      "k": {"process_id": "multiply", "arguments": {
+        |        "x": {"from_node": "m"}, "y": {"from_parameter": "context"}},
+        |        "result": true}}}},
+        |    "result": true}
+        |}}""".stripMargin
+    val got = run(g).df.collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    for (y <- 0 to 1; x <- 0 to 1) {
+      val want = ((0 to 2).map(ti => red(x, y, ti)).max + 100) * 2
+      assert(got((y.toDouble, x.toDouble)) == want, s"($y,$x)")
+    }
+  }
+
   test("composed quantiles/median/product callback takes the array folds") {
     // quantile IQR composed with median and product — every statistical
     // arm here must flip to its array fold (linear-interpolation
