@@ -21,16 +21,27 @@ object CurveOps {
     * `param` dimension (reference: curve_fitting.py:83-94).
     */
   def fitLinear(cube: DataCube, dim: String,
-      coord: Column => Column = identity): DataFrame = {
+      coord: Column => Column = identity,
+      exactIntMoments: Boolean = false): DataFrame = {
     cube.requireDim(dim)
     val others = cube.dimColsExcept(dim)
     val x = coord(col(dim)).cast("double")
     val y = cube.value
     val n = count(when(y.isNotNull, 1)).cast("double")
-    val sx = sum(when(y.isNotNull, x))
-    val sy = sum(y)
-    val sxx = sum(when(y.isNotNull, x * x))
-    val sxy = sum(x * y)
+    // exactIntMoments (integer-valued x and y only): each PRODUCT is an
+    // exact integer-valued double (< 2^53), but at large scales the SUM
+    // exceeds 2^53 and parallel double addition becomes order-dependent —
+    // the sf1 gate measured a ~1e-13 Spark/DuckDB divergence. Summing in
+    // decimal(38,0) is exact and order-independent; at gate scales it is
+    // bit-identical to the double sum (every partial exact), so hashes
+    // are unchanged. The DuckDB mirror sums BIGINT (exact HUGEINT).
+    def m(c: Column): Column =
+      if (exactIntMoments) sum(c.cast("decimal(38,0)")).cast("double")
+      else sum(c)
+    val sx = m(when(y.isNotNull, x))
+    val sy = m(y)
+    val sxx = m(when(y.isNotNull, x * x))
+    val sxy = m(x * y)
     cube.df.groupBy(others: _*)
       .agg(sxy.as("_sxy"), sx.as("_sx"), sy.as("_sy"), sxx.as("_sxx"), n.as("_n"))
       .withColumn("b", (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /

@@ -230,11 +230,12 @@ object SeriesQueries {
 
     // ---- curve fitting (§2.11) ----
     "fit_curve" -> { (s, dir) =>
-      CurveOps.fitLinear(eidCube(s, dir), "eid")
+      CurveOps.fitLinear(eidCube(s, dir), "eid", exactIntMoments = true)
         .select(col("band"), col("a"), col("b"))
     },
     "predict_curve" -> { (s, dir) =>
-      val params = CurveOps.fitLinear(eidCube(s, dir), "eid")
+      val params =
+        CurveOps.fitLinear(eidCube(s, dir), "eid", exactIntMoments = true)
       CurveOps.predictLinear(params, Seq("band"), Seq(0.0, 5000.0, 10000.0), "x")
     },
     "fit_curve_harmonic" -> { (s, dir) =>
@@ -459,21 +460,26 @@ object SeriesQueries {
         |       CAST(sum(valid) AS BIGINT) AS n_pairs,
         |       sum(rec) / CAST(sum(valid) AS DOUBLE) AS recurrence_rate
         |FROM p GROUP BY 1""".stripMargin,
+    // fit/predict_curve moments sum EXACT integers on both engines
+    // (DuckDB BIGINT sums are HUGEINT-exact; Spark sums decimal(38,0)) —
+    // parallel double sums went order-dependent past 2^53 at the sf1 axis
     "fit_curve" ->
-      """WITH c AS (SELECT event_type AS band, CAST(event_id AS DOUBLE) AS x,
+      """WITH c AS (SELECT event_type AS band, CAST(event_id AS BIGINT) AS x,
         |                  CAST(round(value*100) AS BIGINT) AS y FROM events),
-        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-        |             sum(x*x) AS sxx, sum(x*y) AS sxy
+        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
         |      FROM c GROUP BY band)
         |SELECT band,
         |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a,
         |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b
         |FROM m""".stripMargin,
     "predict_curve" ->
-      """WITH c AS (SELECT event_type AS band, CAST(event_id AS DOUBLE) AS x,
+      """WITH c AS (SELECT event_type AS band, CAST(event_id AS BIGINT) AS x,
         |                  CAST(round(value*100) AS BIGINT) AS y FROM events),
-        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-        |             sum(x*x) AS sxx, sum(x*y) AS sxy
+        |m AS (SELECT band, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
         |      FROM c GROUP BY band),
         |p AS (SELECT band,
         |        (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a,
