@@ -239,4 +239,80 @@ object ArrayFns {
       get(nn, size(nn) - 1)
     } else get(arr, size(arr) - 1)
   }
+
+  // ---- array forms of the along-dimension processes (reference:
+  // math.py:125-174 cumulative, arrays.py interpolate) — used when those
+  // processes appear INSIDE an ordered-array callback (apply_dimension /
+  // reduce_dimension graph callbacks), where `data` is the label-ordered
+  // series array rather than a cube. Null contract mirrors the window
+  // twins in WindowOps: null cells stay null, accumulation skips them.
+  // These are left-to-right `aggregate` folds (interpreted HOFs, array
+  // copy per step) — fine because the array length is the processed
+  // dimension's cardinality, never the spatial row count.
+
+  private def emptyDoubles: Column = lit(Array.empty[Double])
+
+  private def cumFold(arr: Column, init: Column,
+      step: (Column, Column) => Column): Column = {
+    val a = arr.cast("array<double>")
+    aggregate(a,
+      struct(init.as("s"), emptyDoubles.as("o")),
+      (acc, x) => {
+        val s = acc.getField("s")
+        val s2 = step(s, x)
+        struct(s2.as("s"),
+          concat(acc.getField("o"),
+            array(when(x.isNull, lit(null).cast("double"))
+              .otherwise(s2))).as("o"))
+      },
+      _.getField("o"))
+  }
+
+  def arrayCumsum(arr: Column): Column =
+    cumFold(arr, lit(0.0).cast("double"),
+      (s, x) => s + coalesce(x, lit(0.0)))
+
+  def arrayCumproduct(arr: Column): Column =
+    cumFold(arr, lit(1.0).cast("double"),
+      (s, x) => s * coalesce(x, lit(1.0)))
+
+  def arrayCummin(arr: Column): Column =
+    cumFold(arr, lit(null).cast("double"),
+      (s, x) => when(x.isNull, s).otherwise(least(s, x))) // least skips null s
+
+  def arrayCummax(arr: Column): Column =
+    cumFold(arr, lit(null).cast("double"),
+      (s, x) => when(x.isNull, s).otherwise(greatest(s, x)))
+
+  /** Linear interpolation of interior nulls by POSITION (the array form's
+    * coordinate, reference arrays.py); boundary nulls (no valid neighbor on
+    * one side) stay null — same fill rule as WindowOps.interpolateLinear.
+    * Two O(n) fill folds (forward + reversed) carrying the nearest valid
+    * (value, position) pair, then an element-wise blend.
+    */
+  def arrayInterpolateLinear(arr: Column): Column = {
+    val a = arr.cast("array<double>")
+    val idx = sequence(lit(0), size(a) - 1).cast("array<double>")
+    val pairs = zip_with(a, idx, (v, i) => struct(v.as("v"), i.as("x")))
+    def runFill(ps: Column): Column = aggregate(ps,
+      struct(
+        struct(lit(null).cast("double").as("v"),
+          lit(null).cast("double").as("x")).as("last"),
+        filter(ps, _ => lit(false)).as("o")),
+      (acc, e) => {
+        val nl = when(e.getField("v").isNull, acc.getField("last"))
+          .otherwise(e)
+        struct(nl.as("last"), concat(acc.getField("o"), array(nl)).as("o"))
+      },
+      _.getField("o"))
+    val prevs = runFill(pairs)
+    val nexts = reverse(runFill(reverse(pairs)))
+    val pn = zip_with(prevs, nexts, (p, n) => struct(p.as("p"), n.as("n")))
+    zip_with(pairs, pn, (e, x) => {
+      val (v, pos) = (e.getField("v"), e.getField("x"))
+      val (pv, px) = (x.getField("p").getField("v"), x.getField("p").getField("x"))
+      val (nv, nx) = (x.getField("n").getField("v"), x.getField("n").getField("x"))
+      when(v.isNotNull, v).otherwise(pv + (nv - pv) * (pos - px) / (nx - px))
+    })
+  }
 }

@@ -119,11 +119,19 @@ object ApplyOps {
     val grouped =
       if (others.nonEmpty) cube.df.groupBy(others.map(col): _*)
       else cube.df.groupBy(lit(1).as("_g"))
-    val arrays = grouped
+    val raw = grouped
       .agg(sort_array(collect_list(struct(col(dimension).as("_k"),
         cube.value.as("_v")))).as("_series"))
       .withColumn("_vals", expr("transform(_series, s -> s._v)"))
       .withColumn("_out", process(col("_vals")))
+    // a SCALAR-valued callback (e.g. `mean` as the whole process) reduces
+    // the series to one value: the reference relabels the dim to [0]
+    // (result_len = 1, cubes/apply.py:92-103) — wrap it so the posexplode
+    // below emits exactly that. Analysis-only dtype check, no job.
+    val arrays = raw.schema("_out").dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => raw
+      case _ => raw.withColumn("_out", array(col("_out")))
+    }
     val exploded = arrays
       .select((others.map(col) :+
         posexplode(col("_out")).as(Seq("_pos", cube.meta.valueCol))): _*)

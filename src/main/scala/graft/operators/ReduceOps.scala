@@ -50,11 +50,22 @@ object ReduceOps {
       sort_array(collect_list(struct(col(dimension).as("_o"),
         cube.value.as("_v")))),
       x => x.getField("_v"))
-    val agg = arrayReducer(ordered).cast("double").as(cube.meta.valueCol)
+    val agg = arrayReducer(ordered).as(cube.meta.valueCol)
     val out =
       if (keys.isEmpty) cube.df.agg(agg)
       else cube.df.groupBy(keys: _*).agg(agg)
-    DataCube(out, cube.meta.without(dimension))
+    // Scalar results normalize to double, matching the single-aggregate
+    // fast path in [[reduceDimension]]; ARRAY-valued composed reducers
+    // (extrema, multi-probability quantiles) keep their arrays — the old
+    // unconditional double cast silently nulled them. The dtype check is
+    // analysis-only (no job), and the post-hoc cast collapses into the
+    // same projection.
+    val scalarOut = out.schema(cube.meta.valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => out
+      case _ => out.withColumn(cube.meta.valueCol,
+        col(cube.meta.valueCol).cast("double"))
+    }
+    DataCube(scalarOut, cube.meta.without(dimension))
   }
 
   /** Reduce with several named reducers at once (used by queries that want a

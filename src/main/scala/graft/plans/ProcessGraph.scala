@@ -153,6 +153,66 @@ object ProcessGraph {
       }
     } catch { case _: Throwable => false }
 
+  /** Every process_id mentioned anywhere in a callback graph, including
+    * nested sub-callbacks (array_apply / count conditions / ...).
+    */
+  private def processIds(j: JValue): Set[String] = j match {
+    case JObject(fields) => fields.iterator.flatMap { case (k, v) =>
+      val self: Set[String] =
+        if (k == "process_id") v match {
+          case JString(s) => Set(s)
+          case _ => Set.empty
+        } else Set.empty
+      self ++ processIds(v)
+    }.toSet
+    case JArray(xs) => xs.iterator.flatMap(processIds).toSet
+    case _ => Set.empty
+  }
+
+  /** Process ids whose `data` argument means "the whole series array"
+    * inside an apply_dimension / reduce_dimension callback — anything NOT
+    * in this family (and not an `array_*` process) is an element-wise
+    * scalar process that broadcasts over the series, numpy-style
+    * (reference cubes/apply.py:42-128 hands the axis array to the
+    * callback; `data * 2` there is element-wise).
+    */
+  private val ArrayAwareIds: Set[String] = PlainAggregates ++ Set(
+    "sort", "order", "rearrange", "cumsum", "cummax", "cummin",
+    "cumproduct", "array_interpolate_linear")
+
+  /** True when the callback graph touches no array-aware process —
+    * a pure element-wise scalar chain.
+    */
+  private[plans] def isElementwiseCallback(cbJson: String): Boolean =
+    try {
+      val ids = processIds(JsonMethods.parse(cbJson))
+      ids.nonEmpty &&
+        ids.forall(id => !ArrayAwareIds(id) && !id.startsWith("array_"))
+    } catch { case _: Throwable => false }
+
+  /** Callback RESULT nodes statically known to keep series length — with
+    * target == source dimension these preserve the dimension's labels
+    * (the reference detects this at runtime by comparing axis lengths,
+    * cubes/apply.py:96-103; these ids always match).
+    */
+  private val LengthPreservingIds: Set[String] = Set(
+    "sort", "array_apply", "array_interpolate_linear",
+    "cumsum", "cummax", "cummin", "cumproduct")
+
+  private[plans] def isLengthPreservingCallback(cbJson: String): Boolean =
+    try {
+      (JsonMethods.parse(cbJson) \ "process_graph") match {
+        case JObject(fields) => fields.exists { case (_, body) =>
+          (body \ "result") == JBool(true) &&
+            ((body \ "process_id") match {
+              case JString(p) => LengthPreservingIds(p)
+              case _ => false
+            })
+        }
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
+
   private def evalGraph(pg: JValue, params: Map[String, PValue],
       collections: String => DataCube): PValue = {
     val ns = nodes(pg)
@@ -401,11 +461,55 @@ object ProcessGraph {
         case "apply" =>
           CubeV(ApplyOps.apply(cube("data"), scalarCallback("process")))
         case "apply_dimension" =>
-          CubeV(ApplyOps.applyDimensionTarget(cube("data"), str("dimension"),
-            scalarCallback("process"),
-            opt("target_dimension").map(_.asInstanceOf[StrV].v),
-            lengthPreserving =
-              args.get("length_preserving").contains(BoolV(true))))
+          // openEO contract: the callback receives the label-ordered value
+          // ARRAY along the dimension (reference cubes/apply.py:42-128).
+          // Three compiled shapes, cheapest first:
+          //  - pure element-wise callback, dim labels unchanged: identical
+          //    to `apply` — ZERO shuffle, no arrays ever built;
+          //  - element-wise under a target rename: the scalar chain maps
+          //    over the series array (`transform`);
+          //  - anything composing array-aware processes: the callback runs
+          //    with `_array` context — statistical reducers flip to array
+          //    folds, cumulative/interpolate to their array forms, and
+          //    label-based array_element gets the dim's label list (one
+          //    metadata-scale distinct, only when the callback says
+          //    "label"). Length-preserving result nodes keep the dim's
+          //    labels (the reference's runtime length check, decided
+          //    statically here); everything else relabels 0..n-1.
+          val dim = str("dimension")
+          val cbJson = str("process")
+          val c = cube("data")
+          val target = opt("target_dimension").map(_.asInstanceOf[StrV].v)
+          val elementwise = isElementwiseCallback(cbJson)
+          if (elementwise && target.forall(_ == dim)) {
+            c.requireDim(dim)
+            CubeV(ApplyOps.apply(c, scalarCallback("process")))
+          } else {
+            val labelCtx: Map[String, PValue] =
+              if (elementwise || !cbJson.contains("\"label\"")) Map.empty
+              else Map("_labels" -> ArrV(
+                c.df.select(col(dim)).distinct()
+                  .orderBy(col(dim)).collect().toSeq
+                  .map(r => StrV(String.valueOf(r.get(0))))))
+            def run(bind: Map[String, PValue]): Column =
+              runCallback(cbJson, bind ++ callbackContext) match {
+                case ColV(out) => out
+                case NumV(v) => lit(v)
+                case v => throw new IllegalArgumentException(
+                  s"apply_dimension callback returned $v")
+              }
+            val process: Column => Column =
+              if (elementwise)
+                arr => graft.functions.ArrayFns.arrayApply(arr,
+                  x => run(Map("x" -> ColV(x), "data" -> ColV(x))))
+              else
+                arr => run(Map("x" -> ColV(arr), "data" -> ColV(arr),
+                  "_array" -> BoolV(true)) ++ labelCtx)
+            CubeV(ApplyOps.applyDimensionTarget(c, dim, process, target,
+              lengthPreserving =
+                args.get("length_preserving").contains(BoolV(true)) ||
+                  elementwise || isLengthPreservingCallback(cbJson)))
+          }
         case "apply_kernel" =>
           val kern = args("kernel").asInstanceOf[ArrV].v.map(
             _.asInstanceOf[ArrV].v.map(_.asInstanceOf[NumV].v))
@@ -1078,14 +1182,34 @@ object ProcessGraph {
         // ---- cumulative processes (reference: cubes/cummax.py etc. —
         // cube-level along a dimension, like the reference's dim-aware
         // wrappers over the array forms) ----
-        case "cumsum" => CubeV(WindowOps.cumsum(cube("data"), str("dimension")))
-        case "cummin" => CubeV(WindowOps.cummin(cube("data"), str("dimension")))
-        case "cummax" => CubeV(WindowOps.cummax(cube("data"), str("dimension")))
-        case "cumproduct" =>
-          CubeV(WindowOps.cumprodExact(cube("data"), str("dimension")))
-        case "array_interpolate_linear" =>
-          // dim-aware form (the array form is this along `dimension`)
-          CubeV(WindowOps.interpolateLinear(cube("data"), str("dimension")))
+        // Dual-form like the statistical reducers: over a cube they are
+        // window functions along `dimension`; inside an ordered-array
+        // callback (`data` arrives as a ColV series array) they are the
+        // ArrayFns folds — dispatch on the argument, not the context, so
+        // they work in every array-callback site.
+        case "cumsum" => args("data") match {
+          case ColV(a) => ColV(graft.functions.ArrayFns.arrayCumsum(a))
+          case _ => CubeV(WindowOps.cumsum(cube("data"), str("dimension")))
+        }
+        case "cummin" => args("data") match {
+          case ColV(a) => ColV(graft.functions.ArrayFns.arrayCummin(a))
+          case _ => CubeV(WindowOps.cummin(cube("data"), str("dimension")))
+        }
+        case "cummax" => args("data") match {
+          case ColV(a) => ColV(graft.functions.ArrayFns.arrayCummax(a))
+          case _ => CubeV(WindowOps.cummax(cube("data"), str("dimension")))
+        }
+        case "cumproduct" => args("data") match {
+          case ColV(a) => ColV(graft.functions.ArrayFns.arrayCumproduct(a))
+          case _ => CubeV(WindowOps.cumprodExact(cube("data"), str("dimension")))
+        }
+        case "array_interpolate_linear" => args("data") match {
+          case ColV(a) =>
+            ColV(graft.functions.ArrayFns.arrayInterpolateLinear(a))
+          case _ =>
+            // dim-aware form (the array form is this along `dimension`)
+            CubeV(WindowOps.interpolateLinear(cube("data"), str("dimension")))
+        }
 
         // ---- labeled-array scalar processes ----
         case "array_create_labeled" =>
@@ -1502,6 +1626,14 @@ object ProcessGraph {
               "QuantilesParameterMissing: one of `probabilities` or `q`" +
                 " is required")
             case (Some(NumV(n)), _) => equidistant(n.toInt)
+            // a ONE-element integral list is the q-count form too
+            // (reference: math.py:356-362 expands [4] to quartile cuts).
+            // JSON numbers arrive as doubles here, so "integral" means
+            // whole-valued AND >= 2 — 0.0/1.0 stay literal probabilities
+            // (both are valid), and any whole number >= 2 cannot be one.
+            case (Some(ArrV(Seq(NumV(n)))), _)
+                if n == math.floor(n) && n >= 2 =>
+              equidistant(n.toInt)
             case (Some(ArrV(vs)), _) =>
               vs.map { case NumV(v) => v
                 case v => throw new IllegalArgumentException(

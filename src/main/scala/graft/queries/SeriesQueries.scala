@@ -107,6 +107,33 @@ object SeriesQueries {
       delta.df.select(col("band"), col("eid"), col("value").as("delta"))
     },
 
+    // ---- apply_dimension, composed array-callback GRAPH arm (§2.7/§2.11):
+    // a wire process graph whose apply_dimension callback composes array
+    // processes (gap-fill then running max along the series) — exercises
+    // the ordered-array callback contract end-to-end through the graph
+    // entry point. cummax (not cumsum) keeps every step order-independent
+    // for the oracle: interpolated values can be non-representable
+    // fractions, and a running MAX of them is accumulation-order free
+    // while a running sum is not. ----
+    "apply_dimension_graph" -> { (s, dir) =>
+      val graph =
+        """{"process_graph": {
+          |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+          |  "d": {"process_id": "apply_dimension",
+          |        "arguments": {"data": {"from_node": "l"}, "dimension": "eid",
+          |          "process": {"process_graph": {
+          |            "i": {"process_id": "array_interpolate_linear",
+          |                  "arguments": {"data": {"from_parameter": "data"}}},
+          |            "m": {"process_id": "cummax",
+          |                  "arguments": {"data": {"from_node": "i"}},
+          |                  "result": true}}}},
+          |        "result": true}
+          |}}""".stripMargin
+      graft.plans.ProcessGraph.execute(s, graph,
+        _ => eidCube(s, dir, maskMod = 7))
+        .df.select(col("band"), col("eid"), col("value").as("cum"))
+    },
+
     // ---- array sub-language HOFs (§2.8) ----
     "array_hofs" -> { (s, dir) =>
       val c = eidCube(s, dir)
@@ -362,6 +389,30 @@ object SeriesQueries {
         |SELECT band, eid,
         |       v - first_value(v) OVER (PARTITION BY band ORDER BY eid) AS delta
         |FROM c""".stripMargin,
+    "apply_dimension_graph" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(round(value*100) AS BIGINT) END AS v FROM events),
+        |p AS (SELECT band, eid, CAST(v AS DOUBLE) AS v,
+        |  CAST(row_number() OVER (PARTITION BY band ORDER BY eid) - 1 AS DOUBLE) AS x
+        |  FROM c),
+        |f AS (SELECT band, eid,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE last_value(v IGNORE NULLS) OVER pw
+        |            + (first_value(v IGNORE NULLS) OVER nw
+        |               - last_value(v IGNORE NULLS) OVER pw)
+        |            * (x - last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER pw)
+        |            / (first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER nw
+        |               - last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER pw)
+        |  END AS fv
+        |  FROM p
+        |  WINDOW pw AS (PARTITION BY band ORDER BY eid),
+        |         nw AS (PARTITION BY band ORDER BY eid
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT band, eid,
+        |  CASE WHEN fv IS NULL THEN NULL
+        |       ELSE max(fv) OVER (PARTITION BY band ORDER BY eid) END AS cum
+        |FROM f""".stripMargin,
     "array_hofs" ->
       """WITH c AS (SELECT event_type AS band, event_id AS eid,
         |                  CAST(round(value*100) AS BIGINT) AS v

@@ -1,0 +1,225 @@
+package graft
+
+import graft.core._
+import graft.operators.{ApplyOps, ReduceOps, WindowOps}
+import graft.plans.ProcessGraph
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The openEO ordered-array callback contract on apply_dimension GRAPH
+  * nodes (reference: cubes/apply.py:42-128 hands the callback the value
+  * array along the dimension): graph execution must equal the DataFrame
+  * API twins (WindowOps / ApplyOps) on window-class, array-class,
+  * element-wise and scalar-result callbacks — plus the compiled-shape
+  * guarantees (element-wise callbacks never shuffle).
+  */
+class ApplyDimensionGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // two series over t (equally spaced days so position- and
+  // coordinate-based interpolation agree), one interior null in B1
+  private def cube: DataCube = {
+    val df = Seq(
+      ("2024-01-01 00:00:00", "B1", Some(3.0)),
+      ("2024-01-02 00:00:00", "B1", None),
+      ("2024-01-03 00:00:00", "B1", Some(1.0)),
+      ("2024-01-01 00:00:00", "B2", Some(10.0)),
+      ("2024-01-02 00:00:00", "B2", Some(20.0)),
+      ("2024-01-03 00:00:00", "B2", Some(30.0)))
+      .toDF("t", "band", "value").withColumn("t", to_timestamp(col("t")))
+    DataCube.fromTable(df, Seq("t", "band"), "value")
+  }
+
+  private def applyDim(cb: String, extraArgs: String = ""): DataCube = {
+    val graph =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "d": {"process_id": "apply_dimension",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "t"
+         |                      $extraArgs,
+         |                      "process": {"process_graph": $cb}},
+         |        "result": true}
+         |}}""".stripMargin
+    ProcessGraph.execute(spark, graph, _ => cube)
+  }
+
+  /** (band, dim label) -> value, NULL-valued cells excluded (so presence
+    * in the map asserts non-null and absence plus a row count asserts a
+    * preserved-but-null cell).
+    */
+  private def byBand(c: DataCube): Map[(String, String), Double] =
+    c.df.collect().flatMap { r =>
+      val band = r.getAs[String]("band")
+      val key = r.schema.fieldNames.find(n => n == "t" || n == "idx").get
+      Option(r.getAs[Any]("value")).map(v =>
+        (band, String.valueOf(r.getAs[Any](key))) ->
+          v.asInstanceOf[Double])
+    }.toMap
+
+  test("window-class callback (cumsum along t): graph == WindowOps.cumsum") {
+    val cb =
+      """{"c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_parameter": "data"}},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val twin = WindowOps.cumsum(cube, "t")
+    assert(g.meta.dimNames == Seq("t", "band")) // labels preserved
+    val gm = byBand(g)
+    val tm = byBand(twin)
+    assert(gm == tm)
+    // null stays null, accumulation skips it
+    assert(gm(("B1", "2024-01-03 00:00:00.0")) == 4.0)
+    assert(!gm.contains(("B1", "2024-01-02 00:00:00.0")))
+    assert(g.df.filter(col("band") === "B1").count() == 3)
+  }
+
+  test("array-class composed callback (interpolate → cumsum): graph == DataFrame chain") {
+    val cb =
+      """{"i": {"process_id": "array_interpolate_linear",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_node": "i"}},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val twin = WindowOps.cumsum(WindowOps.interpolateLinear(cube, "t"), "t")
+    assert(byBand(g) == byBand(twin))
+    // B1 fills [3, 2, 1] then accumulates [3, 5, 6]
+    val b1 = byBand(g).collect { case (("B1", t), v) => t.take(10) -> v }
+    assert(b1 == Map("2024-01-01" -> 3.0, "2024-01-02" -> 5.0,
+      "2024-01-03" -> 6.0))
+  }
+
+  test("sort callback keeps length and labels; values re-assigned in order") {
+    val cb =
+      """{"s": {"process_id": "sort",
+        |       "arguments": {"data": {"from_parameter": "data"}},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    assert(g.meta.dimNames == Seq("t", "band"))
+    val b2 = g.df.filter(col("band") === "B2").orderBy(col("t"))
+      .select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assert(b2 == Seq(10.0, 20.0, 30.0))
+    // B1's null sorts last (dropped by sort's nodata placement at the
+    // series tail): [1, 3, null]
+    val b1 = g.df.filter(col("band") === "B1").orderBy(col("t"))
+      .select(col("value")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(b1.take(2) == Seq(Some(1.0), Some(3.0)))
+  }
+
+  test("element-wise callback compiles to apply: labels kept, ZERO exchanges") {
+    val cb =
+      """{"m": {"process_id": "multiply",
+        |       "arguments": {"x": {"from_parameter": "x"}, "y": 2},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val twin = ApplyOps.apply(cube, _ * 2)
+    assert(byBand(g) == byBand(twin))
+    val plan = g.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"element-wise apply_dimension must not shuffle:\n$plan")
+  }
+
+  test("scalar-result callback (mean) relabels the dim to [0]") {
+    val cb =
+      """{"m": {"process_id": "mean",
+        |       "arguments": {"data": {"from_parameter": "data"}},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val rows = g.df.collect().map(r =>
+      (r.getAs[String]("band"), r.getAs[Long]("t"), r.getAs[Double]("value")))
+    assert(rows.toSet == Set(("B1", 0L, 2.0), ("B2", 0L, 20.0)))
+  }
+
+  test("target_dimension rename still relabels positions for composed callbacks") {
+    val cb =
+      """{"c": {"process_id": "cummax",
+        |       "arguments": {"data": {"from_parameter": "data"}},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb, extraArgs = """, "target_dimension": "idx"""")
+    assert(g.meta.dimNames == Seq("band", "idx"))
+    val b2 = g.df.filter(col("band") === "B2").orderBy(col("idx"))
+      .select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assert(b2 == Seq(10.0, 20.0, 30.0))
+  }
+
+  test("cumulative + interpolate array forms: null contract") {
+    val arr = Seq((Seq[java.lang.Double](2.0, null, 4.0), 1))
+      .toDF("a", "id")
+    import graft.functions.ArrayFns
+    val out = arr.select(
+      ArrayFns.arrayCumsum(col("a")).as("cs"),
+      ArrayFns.arrayCummin(col("a")).as("cn"),
+      ArrayFns.arrayCummax(col("a")).as("cx"),
+      ArrayFns.arrayCumproduct(col("a")).as("cp"),
+      ArrayFns.arrayInterpolateLinear(col("a")).as("il")).head()
+    def seq(i: Int): Seq[Any] = out.getSeq[Any](i)
+    assert(seq(0) == Seq(2.0, null, 6.0))
+    assert(seq(1) == Seq(2.0, null, 2.0))
+    assert(seq(2) == Seq(2.0, null, 4.0))
+    assert(seq(3) == Seq(2.0, null, 8.0))
+    assert(seq(4) == Seq(2.0, 3.0, 4.0))
+    // boundary nulls stay null after interpolation
+    val edge = Seq((Seq[java.lang.Double](null, 1.0, null), 1)).toDF("a", "id")
+      .select(ArrayFns.arrayInterpolateLinear(col("a"))).head().getSeq[Any](0)
+    assert(edge == Seq(null, 1.0, null))
+  }
+
+  test("composed reducer with ARRAY result keeps the array (sort → extrema)") {
+    val cb =
+      """{"s": {"process_id": "sort",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "e": {"process_id": "extrema",
+        |       "arguments": {"data": {"from_node": "s"}},
+        |       "result": true}}""".stripMargin
+    val graph =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "r": {"process_id": "reduce_dimension",
+         |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+         |                      "reducer": {"process_graph": $cb}},
+         |        "result": true}
+         |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, graph, _ => cube)
+    val rows = out.df.collect().map(r =>
+      r.getAs[String]("band") -> r.getSeq[Double](1)).toMap
+    assert(rows("B1") == Seq(1.0, 3.0))
+    assert(rows("B2") == Seq(10.0, 30.0))
+  }
+
+  test("quantiles one-element integral probabilities list expands to cut points") {
+    def reduceQuantiles(probArg: String): Seq[Double] = {
+      val graph =
+        s"""{"process_graph": {
+           |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+           |  "r": {"process_id": "reduce_dimension",
+           |        "arguments": {"data": {"from_node": "l"}, "dimension": "t",
+           |                      "reducer": {"process_graph": {
+           |            "q": {"process_id": "quantiles",
+           |                  "arguments": {"data": {"from_parameter": "data"},
+           |                                $probArg},
+           |                  "result": true}}}},
+           |        "result": true}
+           |}}""".stripMargin
+      ProcessGraph.execute(spark, graph, _ => cube)
+        .df.filter(col("band") === "B2").head().getSeq[Double](1)
+    }
+    // [4] means q=4 (quartiles), like the bare number 4 — reference
+    // math.py:356-362 — NOT a literal probability 4.0
+    assert(reduceQuantiles(""""probabilities": [4]""") ==
+      reduceQuantiles(""""probabilities": [0.25, 0.5, 0.75]"""))
+    assert(reduceQuantiles(""""probabilities": [4]""") ==
+      reduceQuantiles(""""probabilities": 4"""))
+    // a genuine single probability stays literal
+    assert(reduceQuantiles(""""probabilities": [0.5]""").length == 1)
+  }
+}

@@ -328,4 +328,51 @@ class GraphConformanceSpec extends AnyFunSuite {
       assert(math.abs(got((y.toDouble, x.toDouble)) - want) < 1e-12, s"($y,$x)")
     }
   }
+
+  test("published gap-filling shape: apply_dimension array_interpolate_linear along t") {
+    // the openEO Python client docs' timeseries gap-fill —
+    // apply_dimension(process="array_interpolate_linear", dimension="t")
+    // — executed as its wire graph: the callback receives the ordered
+    // series array (cubes/apply.py:42-128). Fixture: one cloud-masked
+    // (null) observation per pixel at the middle date, equally spaced
+    // dates; the filled value is the midpoint of its neighbors, valid
+    // cells pass through untouched, dimension labels preserved.
+    val holes = {
+      val rows = for {
+        (d, ti) <- Seq("2024-01-05 00:00:00", "2024-01-10 00:00:00",
+          "2024-01-15 00:00:00").zipWithIndex
+        y <- 0 to 1; x <- 0 to 1
+      } yield (d, y.toDouble, x.toDouble,
+        if (ti == 1) None else Some(nir(x, y, ti)))
+      val df = rows.toDF("t", "y", "x", "value")
+        .withColumn("t", to_timestamp(col("t")))
+      DataCube.fromTable(df, Seq("t", "y", "x"), "value")
+    }
+    val g =
+      """{"process_graph": {
+        |  "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "fill": {"process_id": "apply_dimension",
+        |    "arguments": {
+        |      "data": {"from_node": "load"}, "dimension": "t",
+        |      "process": {"process_graph": {
+        |        "interp": {"process_id": "array_interpolate_linear",
+        |          "arguments": {"data": {"from_parameter": "data"}},
+        |          "result": true}
+        |      }}},
+        |    "result": true}
+        |}}""".stripMargin
+    val out = ProcessGraph.execute(spark, g, _ => holes)
+    assert(out.meta.dimNames == Seq("t", "y", "x")) // labels preserved
+    val got = out.df.select(col("t"), col("y"), col("x"), col("value"))
+      .collect().map(r =>
+        (String.valueOf(r.get(0)).take(10), r.getDouble(1), r.getDouble(2)) ->
+          r.getDouble(3)).toMap
+    assert(got.size == 12)
+    for (y <- 0 to 1; x <- 0 to 1) {
+      assert(got(("2024-01-05", y.toDouble, x.toDouble)) == nir(x, y, 0))
+      assert(got(("2024-01-15", y.toDouble, x.toDouble)) == nir(x, y, 2))
+      assert(math.abs(got(("2024-01-10", y.toDouble, x.toDouble)) -
+        (nir(x, y, 0) + nir(x, y, 2)) / 2.0) < 1e-12, s"fill ($y,$x)")
+    }
+  }
 }
