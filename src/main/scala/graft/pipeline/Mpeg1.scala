@@ -223,15 +223,24 @@ object Mpeg1 {
       def next(): (Int, Int) = { val v = nxt; advance(); v }
     }
 
-  /** Parse a sequence header whose payload starts at byte `off`. */
+  /** Parse a sequence header whose payload starts at byte `off`.
+    *
+    * The fixed fields are VALIDATED, not just skipped: pel_aspect_ratio
+    * and picture_rate have forbidden zero codes and the bit after
+    * bit_rate is a mandatory marker (11172-2 §2.4.3.2). This is what
+    * lets the fourcc sniffer treat `mp4v` tracks safely — an MPEG-4
+    * Visual group_of_vop start code is also 0x000001B3, and its
+    * time-code payload fails these checks instead of yielding garbage
+    * 12-bit dimensions that happen to be non-zero.
+    */
   def parseSequenceHeader(bytes: Array[Byte], off: Int): SeqCtx = {
     val br = new BitReader(bytes, off.toLong * 8)
     val w = br.bits(12)
     val h = br.bits(12)
-    br.bits(4) // pel_aspect_ratio
-    br.bits(4) // picture_rate
+    val aspect = br.bits(4) // pel_aspect_ratio: 0 and 15 forbidden
+    val rate = br.bits(4) // picture_rate: 0 forbidden, 9..15 reserved
     br.bits(18) // bit_rate
-    br.bit() // marker
+    val marker = br.bit() // marker_bit: always 1
     br.bits(10) // vbv_buffer_size
     br.bit() // constrained_parameters_flag
     val intraQ =
@@ -239,6 +248,11 @@ object Mpeg1 {
       else Zigzag.map(DefaultIntraQRaster) // default raster -> zigzag
     if (br.bit() == 1) br.bits(8 * 64) // non-intra matrix (unused for I)
     require(w > 0 && h > 0, "Mpeg1SequenceHeader: zero dimension")
+    require(aspect >= 1 && aspect <= 14,
+      "Mpeg1SequenceHeader: forbidden pel_aspect_ratio")
+    require(rate >= 1 && rate <= 8,
+      "Mpeg1SequenceHeader: forbidden picture_rate")
+    require(marker == 1, "Mpeg1SequenceHeader: missing marker bit")
     SeqCtx(w, h, intraQ)
   }
 
@@ -363,7 +377,13 @@ object Mpeg1 {
     val cb = new Array[Int](w16 / 2 * (h16 / 2))
     val cr = new Array[Int](w16 / 2 * (h16 / 2))
     var decodedAny = false
-    val scs = startCodes(bytes).dropWhile(_._2 <= picOff).toArray
+    // user_data (B2) / extension (B5) start codes may sit between the
+    // picture header and the first slice (11172-2 extension_and_user_data);
+    // drop them so they don't terminate the slice loop. MPEG-1 forbids
+    // start-code emulation inside their payloads, and they never occur
+    // BETWEEN slices, so this cannot shift a slice's end boundary.
+    val scs = startCodes(bytes).dropWhile(_._2 <= picOff)
+      .filterNot(c => c._1 == 0xb2 || c._1 == 0xb5).toArray
     var si = 0
     while (si < scs.length && scs(si)._1 >= 1 && scs(si)._1 <= 0xaf) {
       val (code, off) = scs(si)

@@ -304,8 +304,12 @@ object Multimodal {
   /** Sample-entry fourccs that can carry MPEG-1/2 video elementary
     * streams ('mp4v' is MPEG-4 Visual by default but also wraps MPEG-1
     * per its esds objectTypeIndication; we sniff the access unit for the
-    * 00 00 01 B3 sequence header instead of walking esds). I-pictures
-    * decode for real via [[Mpeg1]]; P/B pictures stay `ok=false` rows.
+    * 00 00 01 B3 sequence header instead of walking esds — safe because
+    * [[Mpeg1.parseSequenceHeader]] validates the fixed header fields
+    * (marker bit, aspect/rate forbidden codes), so an MPEG-4 Visual
+    * group_of_vop start code, which shares the B3 byte, fails the parse
+    * and the track stays `ok=false` instead of reporting garbage
+    * dimensions). I-pictures decode for real via [[Mpeg1]].
     */
   private val MpegFourccs = Set("mp4v", "mp1v", "mp2v", "mpeg", "mpg1")
 
