@@ -31,13 +31,25 @@ object CurveOps {
     // exactIntMoments (integer-valued x and y only): each PRODUCT is an
     // exact integer-valued double (< 2^53), but at large scales the SUM
     // exceeds 2^53 and parallel double addition becomes order-dependent —
-    // the sf1 gate measured a ~1e-13 Spark/DuckDB divergence. Summing in
-    // decimal(38,0) is exact and order-independent; at gate scales it is
-    // bit-identical to the double sum (every partial exact), so hashes
-    // are unchanged. The DuckDB mirror sums BIGINT (exact HUGEINT).
+    // the sf1 gate measured a ~1e-13 Spark/DuckDB divergence. The exact
+    // sum runs in SPLIT-LONG form: each product p (as a 64-bit long)
+    // splits into hi = p >> 31 and lo = p & (2^31-1), so 0 <= lo < 2^31
+    // and p == (hi << 31) + lo even for negative p (two's complement);
+    // both halves accumulate as codegen'd primitive long adds — exact and
+    // order-independent for |p| < 2^62 and up to 2^32 rows per series —
+    // and the two exact sums recombine ONCE per group in decimal,
+    // rounding to double a single time, exactly like the DuckDB oracle's
+    // CAST(HUGEINT-exact sum AS DOUBLE). This replaced per-row
+    // decimal(38,0) accumulation, which cost +77% wall on the driver
+    // bench for the same exactness.
     def m(c: Column): Column =
-      if (exactIntMoments) sum(c.cast("decimal(38,0)")).cast("double")
-      else sum(c)
+      if (exactIntMoments) {
+        val p = c.cast("bigint")
+        (sum(shiftright(p, 31)).cast("decimal(38,0)") *
+          lit(2147483648L) +
+          sum(p.bitwiseAND(lit(2147483647L))).cast("decimal(38,0)"))
+          .cast("double")
+      } else sum(c)
     val sx = m(when(y.isNotNull, x))
     val sy = m(y)
     val sxx = m(when(y.isNotNull, x * x))

@@ -368,6 +368,15 @@ object Similarity {
     graft.pipeline.Dedup.survivors(df, idCol,
       ivfNearDups(df, idCol, vecCol, threshold, numCentroids, probes))
 
+  /** [[semDedupSurvivors]] over an already-trained centroid set — the
+    * train-then-apply form, letting callers share one quantizer across
+    * the whole embedding-op family instead of re-training per call.
+    */
+  def semDedupSurvivorsWith(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Centroid], threshold: Double, probes: Int = 3): DataFrame =
+    graft.pipeline.Dedup.survivors(df, idCol,
+      ivfNearDupsWith(df, idCol, vecCol, cents, threshold, probes))
+
   // ---- product quantization (Jégou et al. 2011, "Product quantization
   // for nearest neighbor search" — public) ----
 
@@ -403,11 +412,14 @@ object Similarity {
         .cast("long"))
   }
 
-  /** DENSE-ID CONTRACT (same as [[strideCentroids]]): the stride init
-    * selects `id % stride == 0`, which assumes a dense 0-based id space —
-    * sparse or offset ids silently select the wrong count, so the pick
-    * count is CHECKED below and a named error demands a row_number remap
-    * instead of degrading recall quietly.
+  /** Codebook init is RANK-stride based: rows are ranked by id
+    * (`row_number` over the training frame, bounded by the train-then-
+    * apply contract) and every `stride`-th RANK is picked — id-space
+    * independent, so sparse or offset id spaces select exactly the same
+    * centroid count as dense 0-based ones (the sf1 gate caught the old
+    * `id % stride` form under-/over-picking there). The `picks.length`
+    * check below is a sanity bound on the pick arithmetic, not a
+    * dense-id contract.
     */
   def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, k: Int): PqCodebook = {

@@ -86,6 +86,17 @@ object PipelineQueries {
         "embedding", dims = 64, m = 16, k = 32)
     }
 
+  /** The IVF family's shared stride-16 coarse quantizer — trained once per
+    * (session, dir) like [[pqBook]]. Every embedding query that used to
+    * call strideCentroids per invocation (a count + a rank-window collect,
+    * i.e. two Spark jobs per bench rep) reads this instead.
+    */
+  private def ivfCents(s: SparkSession, dir: String): Array[Similarity.Centroid] =
+    memoModel("stride_centroids_16", s, dir) {
+      Similarity.strideCentroids(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 16)
+    }
+
   private def collapsedClusters(s: SparkSession, dir: String): DataFrame =
     memoFrame("clusters", s, dir) {
       Dedup.nearDupClustersCollapsed(Tables.documents(s, dir),
@@ -215,15 +226,15 @@ object PipelineQueries {
         blockCols = Seq("lang", "source"), shingleLen = 3, threshold = 0.015)
     },
     "dedup_embed_cosine" -> { (s, dir) =>
-      Similarity.ivfNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.35, numCentroids = 16, probes = 3)
+      Similarity.ivfNearDupsWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", ivfCents(s, dir), threshold = 0.35, probes = 3)
     },
     "semdedup" -> { (s, dir) =>
       // SemDeDup: semantic survivors after collapsing embedding near-dup
       // groups (IVF pairs → connected components → min-id representative);
       // output = the surviving ids with their L2 norm as a value check
-      Similarity.semDedupSurvivors(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.35, numCentroids = 16, probes = 3)
+      Similarity.semDedupSurvivorsWith(Tables.embeddings(s, dir), "vec_id",
+          "embedding", ivfCents(s, dir), threshold = 0.35, probes = 3)
         .select(col("vec_id"),
           round(Similarity.norm2(col("embedding").cast("array<double>")), 6)
             .as("norm"))
@@ -237,9 +248,8 @@ object PipelineQueries {
     },
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
       Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
-        "vec_id", "embedding", cents, k = 3, probes = 3)
+        "vec_id", "embedding", ivfCents(s, dir), k = 3, probes = 3)
     },
     "ann_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -252,10 +262,9 @@ object PipelineQueries {
       // exact-cosine refine rank what remains. Candidate-driven ADC: the
       // lookup join fans out per allowed pair, never n×q.
       val emb = Tables.embeddings(s, dir)
-      val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
       val book = pqBook(s, dir)
       Similarity.ivfPqTopK(emb.filter(col("vec_id") % 25 === 0), emb,
-        "vec_id", "embedding", cents, book, k = 3, shortlist = 25,
+        "vec_id", "embedding", ivfCents(s, dir), book, k = 3, shortlist = 25,
         probes = 3)
     },
     "ann_pq_topk" -> { (s, dir) =>
@@ -602,9 +611,8 @@ object PipelineQueries {
       // curation pass: flag vectors far from every IVF centroid (same
       // stride-16 quantizer as the other embedding ops)
       val emb = Tables.embeddings(s, dir)
-      val cents = Similarity.strideCentroids(emb, "vec_id", "embedding", 16)
-      Similarity.centroidOutliers(emb, "vec_id", "embedding", cents,
-        minCos = 0.1)
+      Similarity.centroidOutliers(emb, "vec_id", "embedding",
+        ivfCents(s, dir), minCos = 0.1)
     },
     "knn_classify" -> { (s, dir) =>
       // kNN label prediction over the embedding corpus: top-5 cosine
