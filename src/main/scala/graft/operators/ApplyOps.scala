@@ -109,6 +109,42 @@ object ApplyOps {
     } else applyDimensionRelabel(cube, dimension, process, target)
   }
 
+  /** The target_dimension rules applied AROUND an already-transformed,
+    * length- and label-preserving cube — the window-chain compilation
+    * path, where the callback ran as O(n) window operators and no series
+    * array ever existed. target == dimension keeps the cube as is;
+    * renames follow the same squeeze/relabel rules as
+    * [[applyDimensionTarget]], with the positional labels assigned by a
+    * rank window (one shuffle, only in the rename case).
+    */
+  def retargetPreserved(cube: DataCube, dimension: String,
+      targetDimension: Option[String]): DataCube = {
+    val target = targetDimension.getOrElse(dimension)
+    if (target == dimension) cube
+    else {
+      val base = if (cube.meta.has(target)) {
+        val nLabels = cube.meta.dims.find(_.name == target).flatMap(_.labels)
+          .map(_.size.toLong)
+          .getOrElse(cube.df.select(col(target)).distinct().count())
+        if (nLabels > 1) throw new IllegalArgumentException(
+          s"Cannot rename dimension $dimension to $target: $target already " +
+            s"exists and contains $nLabels labels")
+        DataCube(cube.df.drop(target), cube.meta.without(target))
+      } else cube
+      val others = base.meta.dimNames.filterNot(_ == dimension)
+      val w = Window.partitionBy(others.map(col): _*).orderBy(col(dimension))
+      val out = base.df
+        .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
+        .select((others.map(col) :+ col("_pos").as(target) :+
+          col(base.meta.valueCol)): _*)
+      val newMeta = CubeMetadata(
+        base.meta.dims.filterNot(_.name == dimension) :+
+          CubeDim(target, DimType.Other),
+        base.meta.crs, base.meta.valueCol)
+      DataCube(out, newMeta)
+    }
+  }
+
   /** Array-callback apply_dimension whose output dim `outDim` is labeled by
     * positions 0..n−1 — the shape-changing path (posexplode of the
     * per-series output array).

@@ -190,6 +190,68 @@ object ProcessGraph {
         ids.forall(id => !ArrayAwareIds(id) && !id.startsWith("array_"))
     } catch { case _: Throwable => false }
 
+  /** Process ids with O(n) cube-level WINDOW twins along a dimension. An
+    * apply_dimension callback that is a LINEAR chain of only these
+    * compiles to chained window operators — no series array is ever
+    * materialised. This is the scale path: the interpreted array folds
+    * are O(n²) per series (each `aggregate` step copies the accumulator
+    * array), which the sf0.1 bench measured at 88 s on a 20k-label
+    * dimension; the window compilation of the same callback runs in
+    * 0.5 s and holds at any dimension cardinality.
+    */
+  private val WindowChainIds: Set[String] = Set(
+    "cumsum", "cummax", "cummin", "cumproduct",
+    "array_interpolate_linear", "sort")
+
+  /** The callback as a linear window chain — Seq of (process_id, asc)
+    * first-to-last — or None when any node falls outside
+    * [[WindowChainIds]] or the data flow isn't a single chain rooted at
+    * the `data` parameter.
+    */
+  private[plans] def windowChainNodes(
+      cbJson: String): Option[Seq[(String, Boolean)]] =
+    try {
+      (JsonMethods.parse(cbJson) \ "process_graph") match {
+        case JObject(fs) if fs.nonEmpty =>
+          val ns = fs.toMap
+          val resOpt = ns.collectFirst {
+            case (id, b) if (b \ "result") == JBool(true) => id
+          }
+          var ok = resOpt.isDefined
+          var cur = resOpt.getOrElse("")
+          var chain = List.empty[(String, Boolean)]
+          var done = false
+          var steps = 0
+          while (ok && !done && steps <= ns.size) {
+            steps += 1
+            ns.get(cur) match {
+              case Some(body) => (body \ "process_id") match {
+                case JString(pid) if WindowChainIds(pid) =>
+                  val asc = (body \ "arguments" \ "asc") != JBool(false)
+                  chain = (pid, asc) :: chain
+                  (body \ "arguments" \ "data") match {
+                    case JObject(dataFields) =>
+                      val m = dataFields.toMap
+                      m.get("from_node") match {
+                        case Some(JString(prev)) => cur = prev
+                        case _ => m.get("from_parameter") match {
+                          case Some(JString(p)) if p == "data" || p == "x" =>
+                            done = true
+                          case _ => ok = false
+                        }
+                      }
+                    case _ => ok = false
+                  }
+                case _ => ok = false
+              }
+              case None => ok = false
+            }
+          }
+          if (ok && done && chain.size == ns.size) Some(chain) else None
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Callback RESULT nodes statically known to keep series length — with
     * target == source dimension these preserve the dimension's labels
     * (the reference detects this at runtime by comparing axis lengths,
@@ -484,7 +546,27 @@ object ProcessGraph {
           if (elementwise && target.forall(_ == dim)) {
             c.requireDim(dim)
             CubeV(ApplyOps.apply(c, scalarCallback("process")))
-          } else {
+          } else windowChainNodes(cbJson) match {
+            case Some(chain) =>
+              // linear chain of window-class processes: compile to O(n)
+              // window operators sharing one series shuffle — never
+              // materialise the series array (the scale path)
+              c.requireDim(dim)
+              var cur = c
+              chain.foreach { case (p, asc) =>
+                cur = p match {
+                  case "cumsum" => WindowOps.cumsum(cur, dim)
+                  case "cummax" => WindowOps.cummax(cur, dim)
+                  case "cummin" => WindowOps.cummin(cur, dim)
+                  case "cumproduct" => WindowOps.cumprodExact(cur, dim)
+                  case "array_interpolate_linear" =>
+                    WindowOps.interpolateLinearByPosition(cur, dim)
+                  case _ => WindowOps.sortAlong(cur, dim, ascending = asc)
+                }
+              }
+              CubeV(ApplyOps.retargetPreserved(cur, dim, target))
+            case None =>
+          {
             val labelCtx: Map[String, PValue] =
               if (elementwise || !cbJson.contains("\"label\"")) Map.empty
               else Map("_labels" -> ArrV(
@@ -509,6 +591,7 @@ object ProcessGraph {
               lengthPreserving =
                 args.get("length_preserving").contains(BoolV(true)) ||
                   elementwise || isLengthPreservingCallback(cbJson)))
+          }
           }
         case "apply_kernel" =>
           val kern = args("kernel").asInstanceOf[ArrV].v.map(
@@ -1046,11 +1129,19 @@ object ProcessGraph {
         case "add_dimension" =>
           CubeV(CubeDimOps.addDimension(cube("data"), str("name"), str("label")))
         case "rename_labels" =>
-          val src = strs("source"); val tgt = strs("target")
-          CubeV(CubeDimOps.renameLabels(cube("data"), str("dimension"),
-            src.zip(tgt).toMap))
+          // CHECKED form: the reference's full typed-error contract
+          // (LabelMismatch / LabelExists / LabelNotAvailable /
+          // LabelsNotEnumerated) validated against the dimension's label
+          // set — one pruned metadata-scale distinct, like the reference's
+          // coords lookup (cubes/general.py:150-222)
+          CubeV(CubeDimOps.renameLabelsChecked(cube("data"), str("dimension"),
+            strs("target"),
+            opt("source").map(_ => strs("source")).getOrElse(Nil)))
         case "ndvi" =>
-          CubeV(IndicesOps.ndvi(cube("data"), str("nir"), str("red")))
+          CubeV(IndicesOps.ndvi(cube("data"),
+            opt("nir").map(_.asInstanceOf[StrV].v).getOrElse("nir"),
+            opt("red").map(_.asInstanceOf[StrV].v).getOrElse("red"),
+            opt("target_band").map(_.asInstanceOf[StrV].v)))
 
         // ---- curve fitting / ML (reference: ml/curve_fitting.py:15-162,
         // ml/random_forest.py:22-161) ----
@@ -1253,9 +1344,21 @@ object ProcessGraph {
         // vector/reproject.py) ----
         case "vector_buffer" =>
           // buffer point geometries; polygon rows pass through unchanged
-          // (the point-ring buffer is the op the engine implements)
+          // (the point-ring buffer is the op the engine implements).
+          // UnitMismatch (reference geometries.py:127-135): when the
+          // vector frame CARRIES a crs column and it is geographic, the
+          // meter distance has the wrong unit — checked at metadata scale
+          // (one first()-row probe of a tiny vector table)
           val df = table("geometries")
           val dist = num("distance")
+          if (df.columns.contains("crs")) {
+            val geographic = df.select(col("crs")).limit(1).collect()
+              .headOption.map(r => String.valueOf(r.get(0)))
+              .exists(c => c == "EPSG:4326" || c == "OGC:CRS84")
+            if (geographic) throw new IllegalArgumentException(
+              "UnitMismatch: the unit of the spatial reference system is " +
+                "not meters, but the given distance is in meters")
+          }
           val pts = VectorOps.bufferPoints(
             df.filter(col("geom_type") === "Point"), "geometry", dist)
           TableV(pts.unionByName(df.filter(col("geom_type") =!= "Point")))
@@ -1484,6 +1587,11 @@ object ProcessGraph {
           // index, or a `label` resolved against the reduced dimension's
           // label list (injected by the ordered-array reduce as `_labels`;
           // published NDVI graphs address bands by label)
+          if (args.contains("index") && args.contains("label"))
+            throw new IllegalArgumentException(
+              "ArrayElementParameterConflict: the process `array_element` " +
+                "only allows that either the `index` or the `label` " +
+                "parameter is set") // reference arrays.py:79-83
           val idx = args.get("index") match {
             case Some(NumV(v)) => v.toInt
             case _ => (args.get("label"), ctx.get("_labels")) match {
@@ -1496,9 +1604,12 @@ object ProcessGraph {
                   s"not among ${ls.size} dimension labels")
                 i
               case (Some(StrV(_)), _) => throw new IllegalArgumentException(
-                "array_element: label access needs a labeled reduce context")
+                "ArrayNotLabeled: array_element label access needs a " +
+                  "labeled array context")
               case _ => throw new IllegalArgumentException(
-                "array_element: index or label required")
+                "ArrayElementParameterMissing: the process `array_element` " +
+                  "requires either the `index` or `label` parameter to be " +
+                  "set") // reference arrays.py:74-78
             }
           }
           ColV(graft.functions.ArrayFns.arrayElement(column("data"), idx))
