@@ -1,16 +1,18 @@
 package graft.pipeline
 
-/** Pure-JVM MPEG-1 video INTRA-frame decoder (ISO/IEC 11172-2) — the one
-  * inter-frame-era codec whose I-pictures are fully decodable without
-  * native libraries, extending [[Multimodal.videoFrameFeatures]]'s real
-  * pixel coverage past the Motion-JPEG family. Scope: sequence header
-  * (custom quantizer matrices included), GOP/extension/user-data skip,
-  * I-pictures only — every slice, every macroblock, the full B.14
-  * run-level table + escape coding, MPEG-1 intra dequantization with
-  * oddification, and a double-precision separable 8×8 IDCT. P/B pictures
-  * are deliberately out of scope (motion compensation needs reference
-  * frames; the pipeline contract is per-access-unit statistics) — callers
-  * get `None` and surface `ok=false` rows, same as any undecodable blob.
+/** Pure-JVM MPEG-1 video decoder for I- AND P-pictures (ISO/IEC 11172-2),
+  * extending [[Multimodal.videoFrameFeatures]]'s real pixel coverage past
+  * the Motion-JPEG family. Scope: sequence header (custom intra AND
+  * non-intra quantizer matrices), GOP/extension/user-data skip,
+  * I-pictures (every slice and macroblock, the full B.14 run-level table
+  * + escape coding, intra dequantization with oddification, a
+  * double-precision separable 8×8 IDCT) and P-pictures (B.2b macroblock
+  * types, B.4 motion vector VLC with f_code residuals and modulo wrap,
+  * half-pel forward compensation with spec rounding, B.3 coded block
+  * patterns, dct_coeff_first + non-intra dequantization, skipped-MB
+  * copy). B-pictures (bidirectional references) and D-pictures stay out
+  * of scope — callers get `None` and surface `ok=false` rows, same as
+  * any undecodable blob.
   *
   * Everything here implements the public bitstream layout; fixtures are
   * hand-assembled in `Mpeg1Spec` with independently computed pixel
@@ -40,10 +42,20 @@ object Mpeg1 {
     }
   }
 
-  /** Sequence-level state: dimensions + the intra quantizer matrix
-    * (zigzag order, as loaded from the stream or the spec default).
+  /** Sequence-level state: dimensions + the intra and non-intra quantizer
+    * matrices (zigzag order, as loaded from the stream or the spec
+    * defaults — the non-intra default is flat 16).
     */
-  final case class SeqCtx(width: Int, height: Int, intraQ: Array[Int])
+  final case class SeqCtx(width: Int, height: Int, intraQ: Array[Int],
+      nonIntraQ: Array[Int] = Array.fill(64)(16))
+
+  /** Inter-picture decode state carried across access units: the sequence
+    * context plus the last fully-decoded frame, which P-pictures predict
+    * from. `ref = None` whenever the chain broke (an undecoded or skipped
+    * picture) — a following P-picture then yields None rather than
+    * compensating against the wrong frame.
+    */
+  final case class StreamCtx(seq: SeqCtx, ref: Option[Frame])
 
   // default intra quantizer matrix (11172-2 §2.4.3.2), raster order
   private val DefaultIntraQRaster: Array[Int] = Array(
@@ -112,7 +124,7 @@ object Mpeg1 {
 
   // Table B.1: macroblock_address_increment (escape/stuffing handled by
   // caller via the 0000_0001 prefix values)
-  private val MbAddrInc = new Vlc[Int](Seq(
+  private val MbAddrIncEntries: Seq[(String, Int)] = Seq(
     "1" -> 1, "011" -> 2, "010" -> 3, "0011" -> 4, "0010" -> 5,
     "00011" -> 6, "00010" -> 7, "0000111" -> 8, "0000110" -> 9,
     "00001011" -> 10, "00001010" -> 11, "00001001" -> 12, "00001000" -> 13,
@@ -125,11 +137,58 @@ object Mpeg1 {
     "00000011010" -> 31, "00000011001" -> 32, "00000011000" -> 33,
     "00000001000" -> -1, // macroblock_escape: +33, read another code
     "00000001111" -> -2  // macroblock_stuffing: discard, read another code
-  ))
+  )
+  private val MbAddrInc = new Vlc[Int](MbAddrIncEntries)
+
+  // Table B.4: motion_code — the SAME codewords as B.1, re-labeled: B.1's
+  // value 1 is motion 0, and B.1's value v >= 2 is motion -(v/2) when v is
+  // even, +((v-1)/2) when odd (the standard constructed the two tables as
+  // one family), covering the full ±16 range. Escape/stuffing sentinels
+  // are B.1-only and excluded.
+  private val MvCode = new Vlc[Int](MbAddrIncEntries.collect {
+    case (code, v) if v == 1 => code -> 0
+    case (code, v) if v >= 2 =>
+      code -> (if (v % 2 == 0) -(v / 2) else (v - 1) / 2)
+  })
 
   // Table B.2a: macroblock_type in I-pictures: 1 = intra,
   // 01 = intra + new quantizer_scale
   private val MbTypeI = new Vlc[Int](Seq("1" -> 0, "01" -> 1))
+
+  // Table B.2b: macroblock_type in P-pictures, as a flag mask:
+  // 8 = macroblock_quant, 4 = motion_forward, 2 = coded_pattern, 1 = intra
+  private val MbQuantF = 8
+  private val MbMfF = 4
+  private val MbCbpF = 2
+  private val MbIntraF = 1
+  private val MbTypeP = new Vlc[Int](Seq(
+    "1" -> (MbMfF | MbCbpF),
+    "01" -> MbCbpF,
+    "001" -> MbMfF,
+    "00011" -> MbIntraF,
+    "00010" -> (MbQuantF | MbMfF | MbCbpF),
+    "00001" -> (MbQuantF | MbCbpF),
+    "000001" -> (MbQuantF | MbIntraF)))
+
+  // Table B.3: coded_block_pattern (which of the 6 blocks carry
+  // coefficients; bit 5 = Y0 .. bit 0 = Cr)
+  private val Cbp = new Vlc[Int](Seq(
+    "111" -> 60, "1101" -> 4, "1100" -> 8, "1011" -> 16, "1010" -> 32,
+    "10011" -> 12, "10010" -> 48, "10001" -> 20, "10000" -> 40,
+    "01111" -> 28, "01110" -> 44, "01101" -> 52, "01100" -> 56,
+    "01011" -> 1, "01010" -> 61, "01001" -> 2, "01000" -> 62,
+    "001111" -> 24, "001110" -> 36, "001101" -> 3, "001100" -> 63,
+    "0010111" -> 5, "0010110" -> 9, "0010101" -> 17, "0010100" -> 33,
+    "0010011" -> 6, "0010010" -> 10, "0010001" -> 18, "0010000" -> 34,
+    "00011111" -> 7, "00011110" -> 11, "00011101" -> 19, "00011100" -> 35,
+    "00011011" -> 13, "00011010" -> 49, "00011001" -> 21, "00011000" -> 41,
+    "00010111" -> 14, "00010110" -> 50, "00010101" -> 22, "00010100" -> 42,
+    "00010011" -> 15, "00010010" -> 51, "00010001" -> 23, "00010000" -> 43,
+    "00001111" -> 25, "00001110" -> 37, "00001101" -> 26, "00001100" -> 38,
+    "00001011" -> 29, "00001010" -> 45, "00001001" -> 53, "00001000" -> 57,
+    "00000111" -> 30, "00000110" -> 46, "00000101" -> 54, "00000100" -> 58,
+    "000000111" -> 31, "000000110" -> 47, "000000101" -> 55,
+    "000000100" -> 59, "000000011" -> 27, "000000010" -> 39))
 
   // Table B.5a/B.5b: dct_dc_size
   private val DcSizeLuma = new Vlc[Int](Seq(
@@ -246,23 +305,23 @@ object Mpeg1 {
     val intraQ =
       if (br.bit() == 1) Array.fill(64)(br.bits(8)) // arrives in ZIGZAG order
       else Zigzag.map(DefaultIntraQRaster) // default raster -> zigzag
-    if (br.bit() == 1) br.bits(8 * 64) // non-intra matrix (unused for I)
+    val nonIntraQ =
+      if (br.bit() == 1) Array.fill(64)(br.bits(8)) // zigzag order
+      else Array.fill(64)(16) // spec default: flat 16
     require(w > 0 && h > 0, "Mpeg1SequenceHeader: zero dimension")
     require(aspect >= 1 && aspect <= 14,
       "Mpeg1SequenceHeader: forbidden pel_aspect_ratio")
     require(rate >= 1 && rate <= 8,
       "Mpeg1SequenceHeader: forbidden picture_rate")
     require(marker == 1, "Mpeg1SequenceHeader: missing marker bit")
-    SeqCtx(w, h, intraQ)
+    SeqCtx(w, h, intraQ, nonIntraQ)
   }
 
-  /** True when the payload at `off` is an I-picture header
-    * (picture_coding_type == 1).
-    */
-  private def isIntraPicture(bytes: Array[Byte], off: Int): Boolean = {
+  /** picture_coding_type at `off` (1 = I, 2 = P, 3 = B, 4 = D). */
+  private def pictureType(bytes: Array[Byte], off: Int): Int = {
     val br = new BitReader(bytes, off.toLong * 8)
     br.bits(10) // temporal_reference
-    br.bits(3) == 1
+    br.bits(3)
   }
 
   private def idct(block: Array[Int]): Array[Double] = {
@@ -323,23 +382,9 @@ object Mpeg1 {
     var i = 1
     var done = false
     while (!done) {
-      val (run, mag) = AcCoeff.decode(br) match {
-        case `Eob` => done = true; (0, 0)
-        case `Esc` =>
-          val r = br.bits(6)
-          val first = br.bits(8)
-          // level: 8-bit unless forbidden_value -> 16-bit extension
-          val lvl =
-            if (first == 0) br.bits(8) // +128..255 positive
-            else if (first == 128) br.bits(8) - 256 // -255..-128
-            else if (first > 128) first - 256
-            else first
-          (r, lvl)
-        case (r, m) =>
-          val sign = br.bit()
-          (r, if (sign == 1) -m else m)
-      }
-      if (!done && mag != 0) {
+      val (run, mag) = nextRunLevel(br)
+      if (run < 0) done = true
+      else if (mag != 0) {
         i += run
         require(i < 64, "Mpeg1Block: coefficient index overflow")
         // MPEG-1 intra dequant + oddification, clamp [-2048, 2047]
@@ -349,10 +394,7 @@ object Mpeg1 {
         i += 1
       }
     }
-    val raster = new Array[Int](64)
-    var k = 0
-    while (k < 64) { raster(Zigzag(k)) = zz(k); k += 1 }
-    val px8 = idct(raster)
+    val px8 = idct(deZigzag(zz))
     var r = 0
     while (r < 8) {
       var c = 0
@@ -365,17 +407,167 @@ object Mpeg1 {
     dc
   }
 
-  /** Decode the I-picture whose PICTURE start code payload begins at
+  /** One AC run-level symbol from B.14 incl. the escape form; run == -1
+    * signals EOB.
+    */
+  private def nextRunLevel(br: BitReader): (Int, Int) =
+    AcCoeff.decode(br) match {
+      case `Eob` => (-1, 0)
+      case `Esc` =>
+        val r = br.bits(6)
+        val first = br.bits(8)
+        // level: 8-bit unless forbidden_value -> 16-bit extension
+        val lvl =
+          if (first == 0) br.bits(8) // +128..255 positive
+          else if (first == 128) br.bits(8) - 256 // -255..-128
+          else if (first > 128) first - 256
+          else first
+        (r, lvl)
+      case (r, m) =>
+        val sign = br.bit()
+        (r, if (sign == 1) -m else m)
+    }
+
+  private def deZigzag(zz: Array[Int]): Array[Int] = {
+    val raster = new Array[Int](64)
+    var k = 0
+    while (k < 64) { raster(Zigzag(k)) = zz(k); k += 1 }
+    raster
+  }
+
+  /** Decode one NON-intra residual block (P-pictures): dct_coeff_first —
+    * where the codeword "1"+sign means (0, ±1) and EOB cannot occur —
+    * then B.14 until EOB; non-intra dequantization with oddification
+    * (11172-2 §2.4.4.3); IDCT; residual ADDED onto the already-written
+    * motion prediction in `plane`.
+    */
+  private def decodeNonIntraBlock(br: BitReader, qScale: Int,
+      nonIntraQ: Array[Int], plane: Array[Int], stride: Int,
+      px: Int, py: Int): Unit = {
+    val zz = new Array[Int](64)
+    var i = 0 // next free zigzag position; first coeff lands at its run
+    var first = true
+    var done = false
+    while (!done) {
+      val (run, lvl) =
+        if (first) {
+          val save = br.pos
+          if (br.bit() == 1) { // dct_coeff_first "1s" = (0, ±1)
+            if (br.bit() == 1) (0, -1) else (0, 1)
+          } else { br.pos = save; nextRunLevel(br) }
+        } else nextRunLevel(br)
+      first = false
+      if (run < 0) done = true
+      else if (lvl != 0) {
+        i += run
+        require(i < 64, "Mpeg1Block: coefficient index overflow")
+        var recon = ((2 * lvl + Integer.signum(lvl)) * qScale *
+          nonIntraQ(i)) / 16
+        if ((recon & 1) == 0) recon = recon - Integer.signum(recon)
+        zz(i) = math.max(-2048, math.min(2047, recon))
+        i += 1
+      }
+    }
+    val res = idct(deZigzag(zz))
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val at = (py + r) * stride + px + c
+        plane(at) = clamp255(plane(at) + res(r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Reconstruct one motion-vector component from its code + residual
+    * against the predictor, with the modulo wrap into the f_code range
+    * (11172-2 §2.4.4.2).
+    */
+  private def reconMv(pred: Int, code: Int, r: Int, fCode: Int): Int = {
+    val f = 1 << (fCode - 1)
+    val delta =
+      if (code == 0 || f == 1) code
+      else {
+        val m = (math.abs(code) - 1) * f + r + 1
+        if (code < 0) -m else m
+      }
+    var v = pred + delta
+    val range = 16 * f
+    if (v > range - 1) v -= 2 * range
+    if (v < -range) v += 2 * range
+    v
+  }
+
+  /** Write the forward prediction for a w×h region at (px, py) from the
+    * reference plane, motion vector in HALF-pel units (11172-2 half-pel
+    * interpolation: +1/+2 rounding averages). Source coordinates clamp to
+    * the plane edge — the spec requires in-bounds vectors, the clamp just
+    * keeps damaged streams from throwing past the catch-all.
+    */
+  private def mcPredict(src: Array[Int], dst: Array[Int], stride: Int,
+      rows: Int, px: Int, py: Int, w: Int, h: Int,
+      mvx: Int, mvy: Int): Unit = {
+    val bx = px + (mvx >> 1)
+    val by = py + (mvy >> 1)
+    val dx = mvx & 1
+    val dy = mvy & 1
+    def s(yy: Int, xx: Int): Int = {
+      val cy = math.max(0, math.min(rows - 1, yy))
+      val cx = math.max(0, math.min(stride - 1, xx))
+      src(cy * stride + cx)
+    }
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val sy = by + r
+        val sx = bx + c
+        val p =
+          if (dx == 0 && dy == 0) s(sy, sx)
+          else if (dy == 0) (s(sy, sx) + s(sy, sx + 1) + 1) >> 1
+          else if (dx == 0) (s(sy, sx) + s(sy + 1, sx) + 1) >> 1
+          else (s(sy, sx) + s(sy, sx + 1) + s(sy + 1, sx) +
+            s(sy + 1, sx + 1) + 2) >> 2
+        dst((py + r) * stride + px + c) = p
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Decode the I- or P-picture whose PICTURE start code payload begins at
     * `picOff`, reading slices until the next non-slice start code.
+    * P-pictures need `ref`, the previously decoded frame, and return None
+    * without it; their planes START as a copy of the reference, which IS
+    * the skipped-macroblock semantics (copy with zero motion), so only
+    * coded/compensated macroblocks write. B/D pictures return None.
     */
   def decodePicture(ctx: SeqCtx, bytes: Array[Byte],
-      picOff: Int): Option[Frame] = {
+      picOff: Int, ref: Option[Frame] = None): Option[Frame] = {
+    val hbr = new BitReader(bytes, picOff.toLong * 8)
+    hbr.bits(10) // temporal_reference
+    val picType = hbr.bits(3)
+    hbr.bits(16) // vbv_delay
+    val isP = picType == 2
+    if (picType != 1 && !isP) return None
+    if (isP && ref.isEmpty) return None
+    val (fullPel, fCode) =
+      if (isP) (hbr.bit() == 1, hbr.bits(3)) else (false, 1)
+    if (isP && (fCode < 1 || fCode > 7)) return None
     val mbW = (ctx.width + 15) / 16
     val mbH = (ctx.height + 15) / 16
     val (w16, h16) = (mbW * 16, mbH * 16)
-    val y = new Array[Int](w16 * h16)
-    val cb = new Array[Int](w16 / 2 * (h16 / 2))
-    val cr = new Array[Int](w16 / 2 * (h16 / 2))
+    val y = if (isP) ref.get.y.clone() else new Array[Int](w16 * h16)
+    val cb = if (isP) ref.get.cb.clone()
+      else new Array[Int](w16 / 2 * (h16 / 2))
+    val cr = if (isP) ref.get.cr.clone()
+      else new Array[Int](w16 / 2 * (h16 / 2))
+    val (refY, refCb, refCr) = ref match {
+      case Some(f) => (f.y, f.cb, f.cr)
+      case None => (y, cb, cr) // unused on the I path
+    }
     var decodedAny = false
     // user_data (B2) / extension (B5) start codes may sit between the
     // picture header and the first slice (11172-2 extension_and_user_data);
@@ -393,11 +585,16 @@ object Mpeg1 {
         while (br.bit() == 1) br.bits(8) // extra_information_slice
         var mbAddr = (code - 1) * mbW - 1
         var yPred, cbPred, crPred = 1024
+        var pmx, pmy = 0 // forward MV predictors, half-pel units
         val sliceEndBit =
           (if (si + 1 < scs.length) (scs(si + 1)._2 - 4).toLong
           else bytes.length.toLong) * 8
         var sliceDone = false
-        while (!sliceDone && br.pos + 23 < sliceEndBit) {
+        // floor = the smallest legal macroblock (a P-picture MC-only MB is
+        // inc + type + two zero motion codes = 6 bits); zero-padding tails
+        // end the slice via the all-zero check below or, before any MB,
+        // via the invalid-VLC catch
+        while (!sliceDone && br.pos + 6 <= sliceEndBit) {
           // macroblock_address_increment with stuffing/escape
           var inc = 0
           var cont = true
@@ -409,25 +606,76 @@ object Mpeg1 {
             }
           }
           mbAddr += inc
-          if (inc != 1) { yPred = 1024; cbPred = 1024; crPred = 1024 }
-          if (MbTypeI.decode(br) == 1) qScale = br.bits(5)
+          if (inc != 1) {
+            // skipped macroblocks: DC predictors reset; in P also the MV
+            // predictors (skips copy the reference with zero motion, which
+            // the plane initialization already did)
+            yPred = 1024; cbPred = 1024; crPred = 1024
+            pmx = 0; pmy = 0
+          }
+          val flags =
+            if (isP) MbTypeP.decode(br)
+            else if (MbTypeI.decode(br) == 1) MbQuantF | MbIntraF
+            else MbIntraF
+          if ((flags & MbQuantF) != 0) qScale = br.bits(5)
+          if ((flags & MbMfF) != 0) {
+            val cx = MvCode.decode(br)
+            val rx = if (fCode > 1 && cx != 0) br.bits(fCode - 1) else 0
+            pmx = reconMv(pmx, cx, rx, fCode)
+            val cy = MvCode.decode(br)
+            val ry = if (fCode > 1 && cy != 0) br.bits(fCode - 1) else 0
+            pmy = reconMv(pmy, cy, ry, fCode)
+          } else { pmx = 0; pmy = 0 } // intra / coded-without-MC: zero MV
           val (mr, mc) = (mbAddr / mbW, mbAddr % mbW)
           require(mr < mbH, "Mpeg1Slice: macroblock row out of range")
-          var b = 0
-          while (b < 6) {
-            b match {
-              case 0 | 1 | 2 | 3 =>
-                yPred = decodeBlock(br, luma = true, yPred, qScale,
-                  ctx.intraQ, y, w16,
-                  mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
-              case 4 =>
-                cbPred = decodeBlock(br, luma = false, cbPred, qScale,
-                  ctx.intraQ, cb, w16 / 2, mc * 8, mr * 8)
-              case _ =>
-                crPred = decodeBlock(br, luma = false, crPred, qScale,
-                  ctx.intraQ, cr, w16 / 2, mc * 8, mr * 8)
+          if ((flags & MbIntraF) != 0) {
+            var b = 0
+            while (b < 6) {
+              b match {
+                case 0 | 1 | 2 | 3 =>
+                  yPred = decodeBlock(br, luma = true, yPred, qScale,
+                    ctx.intraQ, y, w16,
+                    mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                case 4 =>
+                  cbPred = decodeBlock(br, luma = false, cbPred, qScale,
+                    ctx.intraQ, cb, w16 / 2, mc * 8, mr * 8)
+                case _ =>
+                  crPred = decodeBlock(br, luma = false, crPred, qScale,
+                    ctx.intraQ, cr, w16 / 2, mc * 8, mr * 8)
+              }
+              b += 1
             }
-            b += 1
+          } else {
+            // non-intra P macroblock: forward prediction then residuals.
+            // full_pel vectors count whole pels — double into half-pel
+            // units; chroma vectors are the luma ones halved (truncation
+            // toward zero, §2.4.4.2)
+            yPred = 1024; cbPred = 1024; crPred = 1024
+            val vx = if (fullPel) pmx * 2 else pmx
+            val vy = if (fullPel) pmy * 2 else pmy
+            mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, vx, vy)
+            mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              vx / 2, vy / 2)
+            mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              vx / 2, vy / 2)
+            val cbp = if ((flags & MbCbpF) != 0) Cbp.decode(br) else 0
+            var b = 0
+            while (b < 6) {
+              if ((cbp & (1 << (5 - b))) != 0) {
+                b match {
+                  case 0 | 1 | 2 | 3 =>
+                    decodeNonIntraBlock(br, qScale, ctx.nonIntraQ, y, w16,
+                      mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                  case 4 =>
+                    decodeNonIntraBlock(br, qScale, ctx.nonIntraQ, cb,
+                      w16 / 2, mc * 8, mr * 8)
+                  case _ =>
+                    decodeNonIntraBlock(br, qScale, ctx.nonIntraQ, cr,
+                      w16 / 2, mc * 8, mr * 8)
+                }
+              }
+              b += 1
+            }
           }
           decodedAny = true
           // a slice ends when fewer than 23 non-stuffing bits remain or
@@ -474,6 +722,7 @@ object Mpeg1 {
     * found in `au` updates the carried context (MP4 tracks often put it
     * only in the first sample); an I-picture decodes against the current
     * context; P/B pictures and context-less AUs yield None. Never throws.
+    * I-only — [[decodeAccessUnitRef]] is the I+P form.
     */
   def decodeAccessUnit(carried: Option[SeqCtx],
       au: Array[Byte]): (Option[SeqCtx], Option[Frame]) = {
@@ -481,10 +730,37 @@ object Mpeg1 {
       var ctx = carried
       for ((code, off) <- startCodes(au)) {
         if (code == 0xb3) ctx = Some(parseSequenceHeader(au, off))
-        else if (code == 0x00 && ctx.isDefined && isIntraPicture(au, off))
+        else if (code == 0x00 && ctx.isDefined &&
+          pictureType(au, off) == 1)
           return (ctx, decodePicture(ctx.get, au, off))
       }
       (ctx, None)
     } catch { case _: Exception => (carried, None) }
+  }
+
+  /** Stateful access-unit decode carrying the inter-prediction REFERENCE
+    * frame: I-pictures decode standalone and become the new reference;
+    * P-pictures forward-compensate against the carried reference and, on
+    * success, replace it. Any picture that does not decode (B/D, damaged,
+    * P without a reference) DROPS the reference — the chain is broken and
+    * a later P must not predict from a stale frame. Never throws.
+    */
+  def decodeAccessUnitRef(carried: Option[StreamCtx],
+      au: Array[Byte]): (Option[StreamCtx], Option[Frame]) = {
+    try {
+      var seq = carried.map(_.seq)
+      var ref = carried.flatMap(_.ref)
+      for ((code, off) <- startCodes(au)) {
+        if (code == 0xb3) seq = Some(parseSequenceHeader(au, off))
+        else if (code == 0x00 && seq.isDefined) {
+          val frame = decodePicture(seq.get, au, off, ref)
+          return (Some(StreamCtx(seq.get, frame)), frame)
+        }
+      }
+      (seq.map(StreamCtx(_, ref)), None)
+    } catch {
+      case _: Exception =>
+        (carried.map(c => StreamCtx(c.seq, None)), None)
+    }
   }
 }

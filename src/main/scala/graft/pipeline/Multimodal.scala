@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   * and frame PIXEL decode is REAL for MJPEG tracks
   * ([[videoFrameFeatures]] — each MJPEG access unit IS a complete JPEG,
   * so the JDK's ImageIO decodes it with zero new dependencies) and for
-  * MPEG-1 I-pictures ([[Mpeg1]] — a from-scratch 11172-2 intra decoder:
-  * full B.14 run-level table, intra dequant, IDCT; the sequence context
-  * carries across access units like a real demuxer). Only later
-  * inter-frame codecs (h264/h265/vp9/av1) remain a declared stub — those
-  * genuinely need ffmpeg, absent here; the batching shape is identical,
-  * so swapping in a real codec changes nothing structurally (MPEG-1/2
-  * P/B pictures surface as `ok=false` rows for the same reason).
+  * MPEG-1 I- and P-pictures ([[Mpeg1]] — a from-scratch 11172-2 decoder:
+  * full B.14 run-level table, intra + non-intra dequant, IDCT, and
+  * forward motion compensation with half-pel interpolation; the sequence
+  * context and the reference frame carry across access units like a real
+  * decoder). Only later inter-frame codecs (h264/h265/vp9/av1) remain a
+  * declared stub — those genuinely need ffmpeg, absent here; the
+  * batching shape is identical, so swapping in a real codec changes
+  * nothing structurally (MPEG-1 B-pictures surface as `ok=false` rows
+  * for the same reason: bidirectional references need future-frame
+  * reordering the per-AU contract doesn't carry).
   */
 object Multimodal {
 
@@ -341,8 +344,14 @@ object Multimodal {
           val mpeg = MpegFourccs.contains(codec)
           // MPEG tracks: the sequence header may sit only in the first
           // access unit, so walk EVERY sample in order carrying the
-          // sequence context, and emit rows for the sampled ones
-          var mpegCtx: Option[Mpeg1.SeqCtx] = None
+          // sequence context AND the inter-prediction reference frame
+          // (I-pictures decode standalone; P-pictures compensate against
+          // the previous decoded frame). Skipped samples still only scan
+          // for a sequence header — everyNth stays the decode-cost bound
+          // — which breaks the reference chain, so P-frames after a skip
+          // honestly surface ok=false; at everyNth = 1 full I+P streams
+          // decode end to end.
+          var mpegCtx: Option[Mpeg1.StreamCtx] = None
           samples.iterator.zipWithIndex
             .map { case ((off, len, tsMs), i) =>
               val sampled = i % everyNth == 0
@@ -351,14 +360,16 @@ object Multimodal {
                   decodeStats(b.blob.slice(off, off + len))
                     .map { case (w, h, _, luma) => (w, h, luma) }
                 else if (mpeg && sampled) {
-                  val (ctx2, frame) = Mpeg1.decodeAccessUnit(mpegCtx,
+                  val (ctx2, frame) = Mpeg1.decodeAccessUnitRef(mpegCtx,
                     b.blob.slice(off, off + len))
                   mpegCtx = ctx2
                   frame.map(f => (f.width, f.height, f.meanLuma))
                 } else if (mpeg) {
-                  // skipped frame: scan for a sequence header only
-                  mpegCtx = Mpeg1.scanSequenceHeader(mpegCtx,
+                  // skipped frame: scan for a sequence header only; the
+                  // undecoded picture invalidates the reference frame
+                  mpegCtx = Mpeg1.scanSequenceHeader(mpegCtx.map(_.seq),
                     b.blob.slice(off, off + len))
+                    .map(Mpeg1.StreamCtx(_, None))
                   None
                 } else None
               (i, tsMs, stats)

@@ -53,10 +53,35 @@ class Mpeg1Spec extends AnyFunSuite {
     w.put(0) // load_non_intra_quantizer_matrix
   }
 
-  private def pictureHeader(w: BitWriter, ptype: Int): Unit = {
+  private def pictureHeader(w: BitWriter, ptype: Int,
+      fullPel: Boolean = false, fCode: Int = 1): Unit = {
     startCode(0x00)(w)
-    w.bits(0, 10).bits(ptype, 3).bits(0xffff, 16).put(0)
+    w.bits(0, 10).bits(ptype, 3).bits(0xffff, 16)
+    if (ptype == 2) { w.put(if (fullPel) 1 else 0); w.bits(fCode, 3) }
+    w.put(0) // extra_bit_picture
     w.align()
+  }
+
+  /** Access unit: sequence header + a 32x16 two-tone I-picture — left
+    * macroblock uniform luma 80, right uniform 160, chroma 128. DC chain:
+    * Y0 of MB0 carries -48, Y0 of MB1 +80, everything else predicts 0.
+    */
+  private def twoToneIntraAu: Array[Byte] = {
+    val w = new BitWriter
+    seqHeader(w, 32, 16)
+    pictureHeader(w, 1)
+    startCode(0x01)(w)
+    w.bits(8, 5).put(0) // q_scale 8
+    w.b("1").b("1") // MB0: inc 1, intra
+    w.b("11110").bits(-48 + 63, 6).b("10") // Y0 DC diff -48 (1024->640)
+    for (_ <- 0 until 3) w.b("100").b("10") // Y1..Y3 diff 0 (80)
+    for (_ <- 0 until 2) w.b("00").b("10") // chroma 128
+    w.b("1").b("1") // MB1: inc 1, intra
+    w.b("111110").bits(80, 7).b("10") // Y0 DC diff +80 (640->1280)
+    for (_ <- 0 until 3) w.b("100").b("10")
+    for (_ <- 0 until 2) w.b("00").b("10")
+    w.align()
+    w.bytes
   }
 
   // closed-form expectations (independent of the decoder's IDCT code)
@@ -255,5 +280,127 @@ class Mpeg1Spec extends AnyFunSuite {
       "picture-only AU must decode via the carried sequence context")
     // an avc1 track must not sniff-decode
     assert(!out((2L, 0)).ok && !out((2L, 1)).ok)
+  }
+
+  // ---- P-pictures: forward motion compensation (11172-2 §2.4.4.2) ----
+
+  test("P-picture full-pel vector copies the right macroblock; gaps keep ref") {
+    val (ctx1, f1) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    assert(f1.exists(_.meanLuma == 120.0)) // (80 + 160) / 2
+    val p = new BitWriter
+    pictureHeader(p, 2, fullPel = true, fCode = 2)
+    startCode(0x01)(p)
+    p.bits(8, 5).put(0) // q_scale, extra_bit
+    p.b("1") // inc 1
+    p.b("001") // type: motion_forward only, not coded
+    // +16 full pels with f_code 2: motion_code +8, residual r = 1
+    // (delta = (8-1)*2 + 1 + 1 = 16); +16 would WRAP at f_code 1
+    p.b("0000010110").bits(1, 1)
+    p.b("1") // vertical motion_code 0 (no residual when code == 0)
+    p.align()
+    val (ctx2, f2) = Mpeg1.decodeAccessUnitRef(ctx1, p.bytes)
+    val f = f2.get
+    // MB0 predicted from 16 px right (uniform 160); MB1 not covered by
+    // the slice -> keeps the reference content (160)
+    assert(f.y.forall(_ == 160), "full-pel copy of the right macroblock")
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
+    assert(ctx2.exists(_.ref.contains(f)), "decoded P becomes the reference")
+  }
+
+  test("P-picture half-pel vector: +1 rounding average across the tone edge") {
+    val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    val p = new BitWriter
+    pictureHeader(p, 2, fullPel = false, fCode = 1)
+    startCode(0x01)(p)
+    p.bits(8, 5).put(0)
+    p.b("1").b("001") // inc 1, MC only
+    p.b("00000011010") // motion_code +15 -> 7.5 px right
+    p.b("1") // vertical 0
+    p.align()
+    val (_, f2) = Mpeg1.decodeAccessUnitRef(ctx1, p.bytes)
+    val f = f2.get
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want =
+        if (x <= 7) 80 // both taps in the left tone
+        else if (x == 8) (80 + 160 + 1) >> 1 // taps straddle the edge
+        else 160
+      assert(f.y(y * 32 + x) == want, s"halfpel ($x,$y)")
+      assert(f.y(y * 32 + 16 + x) == 160, s"MB1 untouched ($x,$y)")
+    }
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
+  }
+
+  test("P-picture coded-no-MC: zero-vector copy plus a non-intra residual") {
+    val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    val p = new BitWriter
+    pictureHeader(p, 2)
+    startCode(0x01)(p)
+    p.bits(8, 5).put(0)
+    p.b("1").b("01") // inc 1, type: coded_pattern only (zero vector)
+    p.b("1010") // cbp = 32: only Y0 carries coefficients
+    p.b("10") // dct_coeff_first "1"+sign0 = run 0, level +1
+    p.b("10") // EOB
+    p.align()
+    val (_, f2) = Mpeg1.decodeAccessUnitRef(ctx1, p.bytes)
+    val f = f2.get
+    // non-intra dequant: (2*1+1)*8*16/16 = 24, even -> 23; DC-only IDCT
+    // adds 23/8 = 2.875 to every Y0 pixel: round(80 + 2.875) = 83
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (y < 8 && x < 8) 83 else 80
+      assert(f.y(y * 32 + x) == want, s"residual ($x,$y)")
+      assert(f.y(y * 32 + 16 + x) == 160, s"MB1 skipped ($x,$y)")
+    }
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
+  }
+
+  test("P without reference, B-pictures, broken chains -> None") {
+    // P as the first picture: sequence context exists but no reference
+    val w = new BitWriter
+    seqHeader(w, 32, 16)
+    pictureHeader(w, 2)
+    startCode(0x01)(w)
+    w.bits(8, 5).put(0).b("1").b("001").b("1").b("1")
+    w.align()
+    val (ctx, frame) = Mpeg1.decodeAccessUnitRef(None, w.bytes)
+    assert(frame.isEmpty)
+    assert(ctx.exists(_.ref.isEmpty), "undecoded picture leaves no reference")
+    // a B-picture never decodes (needs a future reference)
+    val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    val b = new BitWriter
+    pictureHeader(b, 3)
+    startCode(0x01)(b)
+    b.bits(8, 5).put(0).b("11")
+    b.align()
+    val (ctx2, fb) = Mpeg1.decodeAccessUnitRef(ctx1, b.bytes)
+    assert(fb.isEmpty)
+    assert(ctx2.exists(_.ref.isEmpty),
+      "an undecodable picture breaks the prediction chain")
+    // ... so a following P must decline rather than predict from stale data
+    val p = new BitWriter
+    pictureHeader(p, 2)
+    startCode(0x01)(p)
+    p.bits(8, 5).put(0).b("1").b("001").b("1").b("1")
+    p.align()
+    assert(Mpeg1.decodeAccessUnitRef(ctx2, p.bytes)._2.isEmpty)
+  }
+
+  test("MP4 mp1v I+P chain: videoFrameFeatures real pixels for both frames") {
+    val pAu = {
+      val p = new BitWriter
+      pictureHeader(p, 2, fullPel = true, fCode = 2)
+      startCode(0x01)(p)
+      p.bits(8, 5).put(0)
+      p.b("1").b("001").b("0000010110").bits(1, 1).b("1")
+      p.bytes
+    }
+    val mp4 = Multimodal.muxMp4("mp1v", Seq(twoToneIntraAu, pAu))
+    val blobs = spark.createDataset(Seq(Multimodal.Blob(9L, mp4)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+      .map(f => f.frame_idx -> f).toMap
+    assert(out.size == 2)
+    assert(out(0).ok && out(0).width == 32 && out(0).mean_luma == 120.0)
+    assert(out(1).ok && out(1).mean_luma == 160.0,
+      "P-picture must motion-compensate against the carried I frame")
   }
 }
