@@ -74,8 +74,16 @@ final case class DataCube(df: DataFrame, meta: CubeMetadata) {
     meta.dimNames.filterNot(_ == dim).map(col)
   def withDf(f: DataFrame => DataFrame): DataCube = copy(df = f(df))
 
-  def temporalDim: String = meta.temporalDims.headOption.getOrElse(
-    throw new IllegalArgumentException("DimensionNotAvailable: no temporal dimension"))
+  def temporalDim: String = meta.temporalDims match {
+    case Seq(d) => d
+    case Seq() => throw new IllegalArgumentException(
+      "DimensionNotAvailable: no temporal dimension")
+    case many => throw new IllegalArgumentException(
+      // reference _filter.py:63 / aggregate.py:52: with several temporal
+      // dims the `dimension` parameter is mandatory
+      s"TooManyDimensions: multiple temporal dimensions " +
+        s"(${many.mkString(",")}); the `dimension` parameter must be specified")
+  }
   def bandDim: String = meta.bandDims.headOption.getOrElse(
     throw new IllegalArgumentException("DimensionNotAvailable: no bands dimension"))
 

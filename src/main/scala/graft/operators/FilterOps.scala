@@ -59,7 +59,15 @@ object FilterOps {
   def filterBands(cube: DataCube, bands: Seq[String],
       validate: Boolean = false): DataCube = {
     val dim = cube.bandDim
-    val filtered = cube.withDf(_.filter(col(dim).isin(bands: _*)))
+    // narrow MATERIALISED label metadata too — a stale label set makes
+    // metadata-first consumers (merge_cubes' case dispatch) misclassify
+    // the filtered cube as identical to its parent
+    val keep = bands.toSet
+    val narrowed = cube.meta.copy(dims = cube.meta.dims.map(d =>
+      if (d.name == dim) d.copy(labels = d.labels.map(_.intersect(keep)))
+      else d))
+    val filtered = DataCube(
+      cube.df.filter(col(dim).isin(bands: _*)), narrowed)
     if (!validate) filtered
     else {
       val spark = cube.df.sparkSession
@@ -86,6 +94,11 @@ object FilterOps {
   def filterLabels(cube: DataCube, dimension: String,
       condition: Column => Column): DataCube = {
     cube.requireDim(dimension)
-    cube.withDf(_.filter(condition(col(dimension))))
+    // the kept label set is only known at runtime: DROP materialised
+    // labels (they revert to implicit distinct values) rather than leave
+    // a stale superset for metadata-first consumers
+    val cleared = cube.meta.copy(dims = cube.meta.dims.map(d =>
+      if (d.name == dimension) d.copy(labels = None) else d))
+    DataCube(cube.df.filter(condition(col(dimension))), cleared)
   }
 }

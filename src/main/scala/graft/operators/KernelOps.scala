@@ -43,7 +43,9 @@ object KernelOps {
 
     val kh = kernel.length
     val kw = kernel.head.length
-    require(kh % 2 == 1 && kw % 2 == 1, "kernel dims must be odd")
+    require(kh % 2 == 1 && kw % 2 == 1,
+      "KernelDimensionsUneven: each dimension of the kernel must have an " +
+        "uneven number of elements")
     val offsets = for {
       (row, j) <- kernel.zipWithIndex
       (w, i) <- row.zipWithIndex
@@ -81,7 +83,9 @@ object KernelOps {
   /** Kernel offset triples (dx, dy, w) with zero weights dropped. */
   private def kernelOffsets(kernel: Seq[Seq[Double]]): Seq[(Int, Int, Double)] = {
     val kh = kernel.length; val kw = kernel.head.length
-    require(kh % 2 == 1 && kw % 2 == 1, "kernel dims must be odd")
+    require(kh % 2 == 1 && kw % 2 == 1,
+      "KernelDimensionsUneven: each dimension of the kernel must have an " +
+        "uneven number of elements")
     for {
       (row, j) <- kernel.zipWithIndex
       (w, i) <- row.zipWithIndex
