@@ -34,19 +34,24 @@ object ZarrWriter {
   def writeGrid(cube: DataCube, dir: String, rowDim: String = "y",
       colDim: String = "x", chunkR: Int = 256, chunkC: Int = 256,
       format: Int = 2, shardInner: Option[(Int, Int)] = None,
-      compressor: String = "default"): Unit = {
+      compressor: String = "default", transposeF: Boolean = false): Unit = {
     require(format == 2 || format == 3, s"ZarrWriter: format $format")
-    // v2 writes zlib (the reader-matrix baseline) or blosc(lz4+shuffle)
-    // (zarr-python's DEFAULT, through the pure-JVM [[Blosc]] encoder);
-    // v3 chains write gzip or zstd, both + crc32c
+    // v2 writes zlib (the reader-matrix baseline), blosc(lz4+byte-shuffle)
+    // (zarr-python's DEFAULT, through the pure-JVM [[Blosc]] encoder) or
+    // blosc(blosclz+bit-shuffle) (the r13 reader-matrix corner, for
+    // write/read symmetry); v3 chains write gzip or zstd, both + crc32c,
+    // optionally behind the `transpose` array->array codec (`transposeF`
+    // stores chunks in F order with codec metadata order [1,0])
     val comp = if (compressor == "default")
       (if (format == 2) "zlib" else "gzip") else compressor
-    require((format == 2 && Set("zlib", "blosc-lz4")(comp)) ||
+    require((format == 2 && Set("zlib", "blosc-lz4", "blosc-blosclz")(comp)) ||
       (format == 3 && Set("gzip", "zstd")(comp)),
       s"ZarrWriter: compressor $comp unsupported for v$format " +
-        "(v2: zlib | blosc-lz4; v3: gzip | zstd)")
+        "(v2: zlib | blosc-lz4 | blosc-blosclz; v3: gzip | zstd)")
     require(shardInner.isEmpty || format == 3,
       "ZarrWriter: sharding is a v3 codec — set format = 3")
+    require(!transposeF || (format == 3 && shardInner.isEmpty),
+      "ZarrWriter: transpose is an unsharded v3 codec")
     shardInner.foreach { case (ir, ic) =>
       require(ir > 0 && ic > 0 && chunkR % ir == 0 && chunkC % ic == 0,
         s"ZarrWriter: inner chunk ($ir, $ic) must evenly divide the " +
@@ -76,6 +81,8 @@ object ZarrWriter {
       val compJson =
         if (comp == "blosc-lz4")
           """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+        else if (comp == "blosc-blosclz")
+          """{"id":"blosc","cname":"blosclz","clevel":5,"shuffle":2,"blocksize":0}"""
         else """{"id":"zlib","level":1}"""
       val zarray =
         s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkR,$chunkC],
@@ -97,7 +104,11 @@ object ZarrWriter {
              |{"name":"crc32c"}],
              |"index_location":"end"}}]""".stripMargin
         case None =>
-          s"""[{"name":"bytes","configuration":{"endian":"little"}},
+          val tr = if (transposeF)
+            """{"name":"transpose","configuration":{"order":[1,0]}},
+              |""".stripMargin
+          else ""
+          s"""[$tr{"name":"bytes","configuration":{"endian":"little"}},
              |$codecEntry,
              |{"name":"crc32c"}]""".stripMargin
       }
@@ -127,9 +138,26 @@ object ZarrWriter {
     cells.groupByKey(_._1).mapGroups { (key, it) =>
       val buf = Array.fill(chunkR * chunkC)(Double.NaN)
       it.foreach { case (_, local, v) => buf(local) = v }
-      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      // transpose codec: serialize the chunk in F order (order [1,0]);
+      // the bytes codec then encodes the PERMUTED array
+      val stored =
+        if (!transposeF) buf
+        else {
+          val t = new Array[Double](buf.length)
+          var ri = 0
+          while (ri < chunkR) {
+            var ci = 0
+            while (ci < chunkC) {
+              t(ci * chunkR + ri) = buf(ri * chunkC + ci)
+              ci += 1
+            }
+            ri += 1
+          }
+          t
+        }
+      val bb = java.nio.ByteBuffer.allocate(stored.length * 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      buf.foreach(bb.putDouble)
+      stored.foreach(bb.putDouble)
       def encV3(payload: Array[Byte]): Array[Byte] =
         if (comp == "zstd") Blosc.zstdCompress(payload)
         else {
@@ -153,6 +181,9 @@ object ZarrWriter {
         if (format == 2 && comp == "blosc-lz4")
           Blosc.compress(bb.array(), typesize = 8, cname = "lz4",
             byteShuffle = true)
+        else if (format == 2 && comp == "blosc-blosclz")
+          Blosc.compress(bb.array(), typesize = 8, cname = "blosclz",
+            byteShuffle = false, bitShuffle = true)
         else if (format == 2) {
           val d = new java.util.zip.Deflater(1)
           d.setInput(bb.array()); d.finish()

@@ -423,11 +423,29 @@ class ZarrV3Spec extends AnyFunSuite {
       compressor = "blosc-lz4")
     assert(ZarrReader.readMeta(dBlosc).compressor.contains("blosc"))
     assert(readBack(dBlosc, 5) == want)
+    // blosclz + bit-shuffle: the r13 reader-matrix corner, now emitted too
+    val dLz = tmp("zarr2_blosclz_writer") + "/store"
+    ZarrWriter.writeGrid(cube, dLz, chunkR = 4, chunkC = 4,
+      compressor = "blosc-blosclz")
+    assert(readBack(dLz, 5) == want)
+    // v3 transpose codec: chunks stored in F order, undone by the reader
+    val dTr = tmp("zarr3_transpose_writer") + "/store"
+    ZarrWriter.writeGrid(cube, dTr, chunkR = 4, chunkC = 4, format = 3,
+      compressor = "zstd", transposeF = true)
+    val trMeta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dTr, "zarr.json"))
+    assert(trMeta.contains("\"transpose\""), trMeta)
+    assert(readBack(dTr, 5) == want)
     val bad = intercept[IllegalArgumentException] {
       ZarrWriter.writeGrid(cube, tmp("zarr_badcomp"), format = 2,
         compressor = "zstd")
     }
     assert(bad.getMessage.contains("unsupported"))
+    val badTr = intercept[IllegalArgumentException] {
+      ZarrWriter.writeGrid(cube, tmp("zarr_badtr"), format = 2,
+        transposeF = true)
+    }
+    assert(badTr.getMessage.contains("transpose"))
   }
 
   test("distributed v3 writer roundtrips through the v3 reader branch") {
