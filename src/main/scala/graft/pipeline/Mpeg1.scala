@@ -1,18 +1,21 @@
 package graft.pipeline
 
-/** Pure-JVM MPEG-1 video decoder for I- AND P-pictures (ISO/IEC 11172-2),
-  * extending [[Multimodal.videoFrameFeatures]]'s real pixel coverage past
-  * the Motion-JPEG family. Scope: sequence header (custom intra AND
-  * non-intra quantizer matrices), GOP/extension/user-data skip,
+/** Pure-JVM MPEG-1 video decoder for I-, P- AND B-pictures (ISO/IEC
+  * 11172-2), extending [[Multimodal.videoFrameFeatures]]'s real pixel
+  * coverage past the Motion-JPEG family. Scope: sequence header (custom
+  * intra AND non-intra quantizer matrices), GOP/extension/user-data skip,
   * I-pictures (every slice and macroblock, the full B.14 run-level table
   * + escape coding, intra dequantization with oddification, a
-  * double-precision separable 8×8 IDCT) and P-pictures (B.2b macroblock
+  * double-precision separable 8×8 IDCT), P-pictures (B.2b macroblock
   * types, B.4 motion vector VLC with f_code residuals and modulo wrap,
   * half-pel forward compensation with spec rounding, B.3 coded block
   * patterns, dct_coeff_first + non-intra dequantization, skipped-MB
-  * copy). B-pictures (bidirectional references) and D-pictures stay out
-  * of scope — callers get `None` and surface `ok=false` rows, same as
-  * any undecodable blob.
+  * copy) and B-pictures (B.2c macroblock types, independent forward and
+  * backward f_codes, per-direction motion vector predictors, the rounded
+  * bidirectional average, and the B skip semantics — previous macroblock's
+  * direction and vectors, predictors NOT reset). D-pictures stay out of
+  * scope — callers get `None` and surface `ok=false` rows, same as any
+  * undecodable blob.
   *
   * Everything here implements the public bitstream layout; fixtures are
   * hand-assembled in `Mpeg1Spec` with independently computed pixel
@@ -50,12 +53,17 @@ object Mpeg1 {
       nonIntraQ: Array[Int] = Array.fill(64)(16))
 
   /** Inter-picture decode state carried across access units: the sequence
-    * context plus the last fully-decoded frame, which P-pictures predict
-    * from. `ref = None` whenever the chain broke (an undecoded or skipped
-    * picture) — a following P-picture then yields None rather than
-    * compensating against the wrong frame.
+    * context plus the last TWO decoded reference frames in stream order —
+    * `ref` is the most recent (a P-picture's forward reference, a
+    * B-picture's BACKWARD/future reference), `prevRef` the one before (a
+    * B-picture's forward/past reference; stream order always delivers
+    * both of a B's references before it). `ref = None` whenever the chain
+    * broke (an undecoded or skipped reference picture) — a following
+    * P/B-picture then yields None rather than compensating against the
+    * wrong frame. B-pictures never enter the reference slots.
     */
-  final case class StreamCtx(seq: SeqCtx, ref: Option[Frame])
+  final case class StreamCtx(seq: SeqCtx, ref: Option[Frame],
+      prevRef: Option[Frame] = None)
 
   // default intra quantizer matrix (11172-2 §2.4.3.2), raster order
   private val DefaultIntraQRaster: Array[Int] = Array(
@@ -157,10 +165,12 @@ object Mpeg1 {
 
   // Table B.2b: macroblock_type in P-pictures, as a flag mask:
   // 8 = macroblock_quant, 4 = motion_forward, 2 = coded_pattern, 1 = intra
+  // (16 = motion_backward, B-pictures only)
   private val MbQuantF = 8
   private val MbMfF = 4
   private val MbCbpF = 2
   private val MbIntraF = 1
+  private val MbMbF = 16
   private val MbTypeP = new Vlc[Int](Seq(
     "1" -> (MbMfF | MbCbpF),
     "01" -> MbCbpF,
@@ -168,6 +178,22 @@ object Mpeg1 {
     "00011" -> MbIntraF,
     "00010" -> (MbQuantF | MbMfF | MbCbpF),
     "00001" -> (MbQuantF | MbCbpF),
+    "000001" -> (MbQuantF | MbIntraF)))
+
+  // Table B.2c: macroblock_type in B-pictures. Prediction direction is
+  // explicit per macroblock: forward (past reference), backward (future
+  // reference), or both (interpolated — the per-pel rounded average).
+  private val MbTypeB = new Vlc[Int](Seq(
+    "10" -> (MbMfF | MbMbF),
+    "11" -> (MbMfF | MbMbF | MbCbpF),
+    "010" -> MbMbF,
+    "011" -> (MbMbF | MbCbpF),
+    "0010" -> MbMfF,
+    "0011" -> (MbMfF | MbCbpF),
+    "00011" -> MbIntraF,
+    "00010" -> (MbQuantF | MbMfF | MbMbF | MbCbpF),
+    "000011" -> (MbQuantF | MbMfF | MbCbpF),
+    "000010" -> (MbQuantF | MbMbF | MbCbpF),
     "000001" -> (MbQuantF | MbIntraF)))
 
   // Table B.3: coded_block_pattern (which of the 6 blocks carry
@@ -500,15 +526,19 @@ object Mpeg1 {
     v
   }
 
-  /** Write the forward prediction for a w×h region at (px, py) from the
-    * reference plane, motion vector in HALF-pel units (11172-2 half-pel
-    * interpolation: +1/+2 rounding averages). Source coordinates clamp to
-    * the plane edge — the spec requires in-bounds vectors, the clamp just
+  /** Write the motion-compensated prediction for a w×h region at (px, py)
+    * from the reference plane, motion vector in HALF-pel units (11172-2
+    * half-pel interpolation: +1/+2 rounding averages). With `blend` the
+    * prediction is AVERAGED into what the destination already holds —
+    * `(dst + pred + 1) >> 1` per pel, §2.4.4.4 — which is how a
+    * B-picture's interpolated mode composes: forward prediction written
+    * plain, backward blended on top. Source coordinates clamp to the
+    * plane edge — the spec requires in-bounds vectors, the clamp just
     * keeps damaged streams from throwing past the catch-all.
     */
   private def mcPredict(src: Array[Int], dst: Array[Int], stride: Int,
       rows: Int, px: Int, py: Int, w: Int, h: Int,
-      mvx: Int, mvy: Int): Unit = {
+      mvx: Int, mvy: Int, blend: Boolean = false): Unit = {
     val bx = px + (mvx >> 1)
     val by = py + (mvy >> 1)
     val dx = mvx & 1
@@ -530,43 +560,66 @@ object Mpeg1 {
           else if (dx == 0) (s(sy, sx) + s(sy + 1, sx) + 1) >> 1
           else (s(sy, sx) + s(sy, sx + 1) + s(sy + 1, sx) +
             s(sy + 1, sx + 1) + 2) >> 2
-        dst((py + r) * stride + px + c) = p
+        val at = (py + r) * stride + px + c
+        dst(at) = if (blend) (dst(at) + p + 1) >> 1 else p
         c += 1
       }
       r += 1
     }
   }
 
-  /** Decode the I- or P-picture whose PICTURE start code payload begins at
-    * `picOff`, reading slices until the next non-slice start code.
-    * P-pictures need `ref`, the previously decoded frame, and return None
-    * without it; their planes START as a copy of the reference, which IS
-    * the skipped-macroblock semantics (copy with zero motion), so only
-    * coded/compensated macroblocks write. B/D pictures return None.
+  /** Decode the I-, P- or B-picture whose PICTURE start code payload
+    * begins at `picOff`, reading slices until the next non-slice start
+    * code. P-pictures need `ref` (the previously decoded reference) and
+    * return None without it; their planes START as a copy of the
+    * reference, which IS the skipped-macroblock semantics (copy with zero
+    * motion), so only coded/compensated macroblocks write. B-pictures
+    * need BOTH `ref` (their backward/future reference — the most recently
+    * decoded one in stream order) and `past` (their forward reference);
+    * their skipped macroblocks repeat the PREVIOUS macroblock's
+    * prediction direction and vectors (§2.4.4.4), applied explicitly
+    * below. D pictures return None.
     */
   def decodePicture(ctx: SeqCtx, bytes: Array[Byte],
-      picOff: Int, ref: Option[Frame] = None): Option[Frame] = {
+      picOff: Int, ref: Option[Frame] = None,
+      past: Option[Frame] = None): Option[Frame] = {
     val hbr = new BitReader(bytes, picOff.toLong * 8)
     hbr.bits(10) // temporal_reference
     val picType = hbr.bits(3)
     hbr.bits(16) // vbv_delay
     val isP = picType == 2
-    if (picType != 1 && !isP) return None
+    val isB = picType == 3
+    if (picType != 1 && !isP && !isB) return None
     if (isP && ref.isEmpty) return None
-    val (fullPel, fCode) =
-      if (isP) (hbr.bit() == 1, hbr.bits(3)) else (false, 1)
-    if (isP && (fCode < 1 || fCode > 7)) return None
+    if (isB && (ref.isEmpty || past.isEmpty)) return None
+    val (fullPelF, fCodeF) =
+      if (isP || isB) (hbr.bit() == 1, hbr.bits(3)) else (false, 1)
+    if ((isP || isB) && (fCodeF < 1 || fCodeF > 7)) return None
+    val (fullPelB, fCodeB) =
+      if (isB) (hbr.bit() == 1, hbr.bits(3)) else (false, 1)
+    if (isB && (fCodeB < 1 || fCodeB > 7)) return None
     val mbW = (ctx.width + 15) / 16
     val mbH = (ctx.height + 15) / 16
     val (w16, h16) = (mbW * 16, mbH * 16)
-    val y = if (isP) ref.get.y.clone() else new Array[Int](w16 * h16)
-    val cb = if (isP) ref.get.cb.clone()
+    // P planes start as the reference copy (= skip semantics); B planes
+    // start as the FORWARD reference copy — a robustness default for
+    // macroblocks no slice covers (the spec requires full coverage), the
+    // decoded skip path below overwrites it with the real B semantics.
+    val base = if (isB) past else ref
+    val y = if (isP || isB) base.get.y.clone() else new Array[Int](w16 * h16)
+    val cb = if (isP || isB) base.get.cb.clone()
       else new Array[Int](w16 / 2 * (h16 / 2))
-    val cr = if (isP) ref.get.cr.clone()
+    val cr = if (isP || isB) base.get.cr.clone()
       else new Array[Int](w16 / 2 * (h16 / 2))
-    val (refY, refCb, refCr) = ref match {
+    // forward reference planes (P predicts from `ref`, B from `past`)
+    val (refY, refCb, refCr) = (if (isB) past else ref) match {
       case Some(f) => (f.y, f.cb, f.cr)
       case None => (y, cb, cr) // unused on the I path
+    }
+    // backward reference planes (B only)
+    val (bakY, bakCb, bakCr) = (if (isB) ref else None) match {
+      case Some(f) => (f.y, f.cb, f.cr)
+      case None => (y, cb, cr) // unused outside B
     }
     var decodedAny = false
     // user_data (B2) / extension (B5) start codes may sit between the
@@ -586,6 +639,37 @@ object Mpeg1 {
         var mbAddr = (code - 1) * mbW - 1
         var yPred, cbPred, crPred = 1024
         var pmx, pmy = 0 // forward MV predictors, half-pel units
+        var pmxb, pmyb = 0 // backward MV predictors (B-pictures)
+        // prediction direction of the previous macroblock — what a skipped
+        // B macroblock repeats (§2.4.4.4); zero-MV interpolation is the
+        // defensive default before any macroblock has decoded
+        var prevDir = MbMfF | MbMbF
+        // apply the B prediction for direction mask `dir` at (mr, mc) from
+        // the CURRENT predictors: forward written plain, backward blended
+        // over it when both — the rounded bidirectional average
+        def predictB(dir: Int, mr: Int, mc: Int): Unit = {
+          val fvx = if (fullPelF) pmx * 2 else pmx
+          val fvy = if (fullPelF) pmy * 2 else pmy
+          val bvx = if (fullPelB) pmxb * 2 else pmxb
+          val bvy = if (fullPelB) pmyb * 2 else pmyb
+          val f = (dir & MbMfF) != 0
+          val bk = (dir & MbMbF) != 0
+          if (f) {
+            mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, fvx, fvy)
+            mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              fvx / 2, fvy / 2)
+            mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              fvx / 2, fvy / 2)
+          }
+          if (bk) {
+            mcPredict(bakY, y, w16, h16, mc * 16, mr * 16, 16, 16,
+              bvx, bvy, blend = f)
+            mcPredict(bakCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              bvx / 2, bvy / 2, blend = f)
+            mcPredict(bakCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              bvx / 2, bvy / 2, blend = f)
+          }
+        }
         val sliceEndBit =
           (if (si + 1 < scs.length) (scs(si + 1)._2 - 4).toLong
           else bytes.length.toLong) * 8
@@ -607,25 +691,49 @@ object Mpeg1 {
           }
           mbAddr += inc
           if (inc != 1) {
-            // skipped macroblocks: DC predictors reset; in P also the MV
-            // predictors (skips copy the reference with zero motion, which
-            // the plane initialization already did)
+            // skipped macroblocks: DC predictors reset. In P the MV
+            // predictors reset too and the skip itself is a zero-motion
+            // reference copy, already provided by the plane
+            // initialization. In B the predictors PERSIST and each
+            // skipped macroblock repeats the previous macroblock's
+            // prediction direction with them (§2.4.4.4).
             yPred = 1024; cbPred = 1024; crPred = 1024
-            pmx = 0; pmy = 0
+            if (isB) {
+              var a = mbAddr - inc + 1
+              while (a < mbAddr && a >= 0) {
+                predictB(prevDir, a / mbW, a % mbW)
+                a += 1
+              }
+            } else { pmx = 0; pmy = 0 }
           }
           val flags =
-            if (isP) MbTypeP.decode(br)
+            if (isB) MbTypeB.decode(br)
+            else if (isP) MbTypeP.decode(br)
             else if (MbTypeI.decode(br) == 1) MbQuantF | MbIntraF
             else MbIntraF
           if ((flags & MbQuantF) != 0) qScale = br.bits(5)
           if ((flags & MbMfF) != 0) {
             val cx = MvCode.decode(br)
-            val rx = if (fCode > 1 && cx != 0) br.bits(fCode - 1) else 0
-            pmx = reconMv(pmx, cx, rx, fCode)
+            val rx = if (fCodeF > 1 && cx != 0) br.bits(fCodeF - 1) else 0
+            pmx = reconMv(pmx, cx, rx, fCodeF)
             val cy = MvCode.decode(br)
-            val ry = if (fCode > 1 && cy != 0) br.bits(fCode - 1) else 0
-            pmy = reconMv(pmy, cy, ry, fCode)
-          } else { pmx = 0; pmy = 0 } // intra / coded-without-MC: zero MV
+            val ry = if (fCodeF > 1 && cy != 0) br.bits(fCodeF - 1) else 0
+            pmy = reconMv(pmy, cy, ry, fCodeF)
+          } else if (!isB) {
+            pmx = 0; pmy = 0 // P intra / coded-without-MC: zero MV
+          } // B: an unread direction leaves its predictor UNCHANGED
+          if ((flags & MbMbF) != 0) {
+            val cx = MvCode.decode(br)
+            val rx = if (fCodeB > 1 && cx != 0) br.bits(fCodeB - 1) else 0
+            pmxb = reconMv(pmxb, cx, rx, fCodeB)
+            val cy = MvCode.decode(br)
+            val ry = if (fCodeB > 1 && cy != 0) br.bits(fCodeB - 1) else 0
+            pmyb = reconMv(pmyb, cy, ry, fCodeB)
+          }
+          if (isB && (flags & MbIntraF) != 0) {
+            // intra macroblock in a B-picture: ALL MV predictors reset
+            pmx = 0; pmy = 0; pmxb = 0; pmyb = 0
+          }
           val (mr, mc) = (mbAddr / mbW, mbAddr % mbW)
           require(mr < mbH, "Mpeg1Slice: macroblock row out of range")
           if ((flags & MbIntraF) != 0) {
@@ -646,18 +754,21 @@ object Mpeg1 {
               b += 1
             }
           } else {
-            // non-intra P macroblock: forward prediction then residuals.
+            // non-intra macroblock: motion prediction then residuals.
             // full_pel vectors count whole pels — double into half-pel
             // units; chroma vectors are the luma ones halved (truncation
             // toward zero, §2.4.4.2)
             yPred = 1024; cbPred = 1024; crPred = 1024
-            val vx = if (fullPel) pmx * 2 else pmx
-            val vy = if (fullPel) pmy * 2 else pmy
-            mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, vx, vy)
-            mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-              vx / 2, vy / 2)
-            mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-              vx / 2, vy / 2)
+            if (isB) predictB(flags & (MbMfF | MbMbF), mr, mc)
+            else {
+              val vx = if (fullPelF) pmx * 2 else pmx
+              val vy = if (fullPelF) pmy * 2 else pmy
+              mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, vx, vy)
+              mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+                vx / 2, vy / 2)
+              mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+                vx / 2, vy / 2)
+            }
             val cbp = if ((flags & MbCbpF) != 0) Cbp.decode(br) else 0
             var b = 0
             while (b < 6) {
@@ -677,6 +788,12 @@ object Mpeg1 {
               b += 1
             }
           }
+          // direction a following skipped B macroblock repeats; after an
+          // intra MB (skip is illegal there) fall back to the zero-MV
+          // interpolated default — the predictors were just reset
+          prevDir =
+            if ((flags & MbIntraF) != 0) MbMfF | MbMbF
+            else flags & (MbMfF | MbMbF)
           decodedAny = true
           // a slice ends when fewer than 23 non-stuffing bits remain or
           // the remaining bits are all zero up to the next start code
@@ -738,29 +855,44 @@ object Mpeg1 {
     } catch { case _: Exception => (carried, None) }
   }
 
-  /** Stateful access-unit decode carrying the inter-prediction REFERENCE
-    * frame: I-pictures decode standalone and become the new reference;
-    * P-pictures forward-compensate against the carried reference and, on
-    * success, replace it. Any picture that does not decode (B/D, damaged,
-    * P without a reference) DROPS the reference — the chain is broken and
-    * a later P must not predict from a stale frame. Never throws.
+  /** Stateful access-unit decode carrying the two inter-prediction
+    * REFERENCE frames: I-pictures decode standalone and become the new
+    * reference; P-pictures forward-compensate against the carried
+    * reference and, on success, replace it (the superseded reference
+    * slides into `prevRef` — it is a following B-picture's forward
+    * reference). B-pictures predict from BOTH carried references and
+    * never become one, so neither their success nor their failure
+    * touches the reference chain. A reference picture that does not
+    * decode (D, damaged, P without a reference) DROPS both references —
+    * the chain is broken and a later P/B must not predict from stale
+    * frames. Never throws.
     */
   def decodeAccessUnitRef(carried: Option[StreamCtx],
       au: Array[Byte]): (Option[StreamCtx], Option[Frame]) = {
     try {
       var seq = carried.map(_.seq)
       var ref = carried.flatMap(_.ref)
+      var prev = carried.flatMap(_.prevRef)
       for ((code, off) <- startCodes(au)) {
         if (code == 0xb3) seq = Some(parseSequenceHeader(au, off))
         else if (code == 0x00 && seq.isDefined) {
-          val frame = decodePicture(seq.get, au, off, ref)
-          return (Some(StreamCtx(seq.get, frame)), frame)
+          if (pictureType(au, off) == 3) {
+            val frame = decodePicture(seq.get, au, off, ref, prev)
+            return (Some(StreamCtx(seq.get, ref, prev)), frame)
+          } else {
+            val frame = decodePicture(seq.get, au, off, ref)
+            val ctx2 = frame match {
+              case Some(f) => StreamCtx(seq.get, Some(f), ref)
+              case None => StreamCtx(seq.get, None, None)
+            }
+            return (Some(ctx2), frame)
+          }
         }
       }
-      (seq.map(StreamCtx(_, ref)), None)
+      (seq.map(StreamCtx(_, ref, prev)), None)
     } catch {
       case _: Exception =>
-        (carried.map(c => StreamCtx(c.seq, None)), None)
+        (carried.map(c => StreamCtx(c.seq, None, None)), None)
     }
   }
 }

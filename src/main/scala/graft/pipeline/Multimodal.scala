@@ -20,16 +20,15 @@ import org.apache.spark.sql.functions._
   * and frame PIXEL decode is REAL for MJPEG tracks
   * ([[videoFrameFeatures]] — each MJPEG access unit IS a complete JPEG,
   * so the JDK's ImageIO decodes it with zero new dependencies) and for
-  * MPEG-1 I- and P-pictures ([[Mpeg1]] — a from-scratch 11172-2 decoder:
-  * full B.14 run-level table, intra + non-intra dequant, IDCT, and
-  * forward motion compensation with half-pel interpolation; the sequence
-  * context and the reference frame carry across access units like a real
-  * decoder). Only later inter-frame codecs (h264/h265/vp9/av1) remain a
-  * declared stub — those genuinely need ffmpeg, absent here; the
-  * batching shape is identical, so swapping in a real codec changes
-  * nothing structurally (MPEG-1 B-pictures surface as `ok=false` rows
-  * for the same reason: bidirectional references need future-frame
-  * reordering the per-AU contract doesn't carry).
+  * MPEG-1 I-, P- and B-pictures ([[Mpeg1]] — a from-scratch 11172-2
+  * decoder: full B.14 run-level table, intra + non-intra dequant, IDCT,
+  * forward AND bidirectional motion compensation with half-pel
+  * interpolation; the sequence context and the two reference frames
+  * carry across access units in stream order, which delivers both of a
+  * B-picture's references before it — like a real decoder). Only later
+  * inter-frame codecs (h264/h265/vp9/av1) remain a declared stub — those
+  * genuinely need ffmpeg, absent here; the batching shape is identical,
+  * so swapping in a real codec changes nothing structurally.
   */
 object Multimodal {
 
@@ -344,13 +343,14 @@ object Multimodal {
           val mpeg = MpegFourccs.contains(codec)
           // MPEG tracks: the sequence header may sit only in the first
           // access unit, so walk EVERY sample in order carrying the
-          // sequence context AND the inter-prediction reference frame
-          // (I-pictures decode standalone; P-pictures compensate against
-          // the previous decoded frame). Skipped samples still only scan
-          // for a sequence header — everyNth stays the decode-cost bound
-          // — which breaks the reference chain, so P-frames after a skip
-          // honestly surface ok=false; at everyNth = 1 full I+P streams
-          // decode end to end.
+          // sequence context AND the two inter-prediction reference
+          // frames (I-pictures decode standalone; P-pictures compensate
+          // against the previous reference; B-pictures against both —
+          // stream order delivers a B's references before it). Skipped
+          // samples still only scan for a sequence header — everyNth
+          // stays the decode-cost bound — which breaks the reference
+          // chain, so P/B-frames after a skip honestly surface ok=false;
+          // at everyNth = 1 full I+P+B streams decode end to end.
           var mpegCtx: Option[Mpeg1.StreamCtx] = None
           samples.iterator.zipWithIndex
             .map { case ((off, len, tsMs), i) =>

@@ -54,10 +54,14 @@ class Mpeg1Spec extends AnyFunSuite {
   }
 
   private def pictureHeader(w: BitWriter, ptype: Int,
-      fullPel: Boolean = false, fCode: Int = 1): Unit = {
+      fullPel: Boolean = false, fCode: Int = 1,
+      fullPelB: Boolean = false, fCodeB: Int = 1): Unit = {
     startCode(0x00)(w)
     w.bits(0, 10).bits(ptype, 3).bits(0xffff, 16)
-    if (ptype == 2) { w.put(if (fullPel) 1 else 0); w.bits(fCode, 3) }
+    if (ptype == 2 || ptype == 3) {
+      w.put(if (fullPel) 1 else 0); w.bits(fCode, 3)
+    }
+    if (ptype == 3) { w.put(if (fullPelB) 1 else 0); w.bits(fCodeB, 3) }
     w.put(0) // extra_bit_picture
     w.align()
   }
@@ -353,7 +357,7 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
   }
 
-  test("P without reference, B-pictures, broken chains -> None") {
+  test("P without reference, B without both references, chain semantics") {
     // P as the first picture: sequence context exists but no reference
     val w = new BitWriter
     seqHeader(w, 32, 16)
@@ -364,7 +368,16 @@ class Mpeg1Spec extends AnyFunSuite {
     val (ctx, frame) = Mpeg1.decodeAccessUnitRef(None, w.bytes)
     assert(frame.isEmpty)
     assert(ctx.exists(_.ref.isEmpty), "undecoded picture leaves no reference")
-    // a B-picture never decodes (needs a future reference)
+    // ... and a following P must decline rather than predict stale data
+    val p0 = new BitWriter
+    pictureHeader(p0, 2)
+    startCode(0x01)(p0)
+    p0.bits(8, 5).put(0).b("1").b("001").b("1").b("1")
+    p0.align()
+    assert(Mpeg1.decodeAccessUnitRef(ctx, p0.bytes)._2.isEmpty)
+    // a B-picture with only ONE carried reference cannot decode (its
+    // forward/past reference is missing), but B is NOT a reference: the
+    // failure leaves the I→P chain intact
     val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
     val b = new BitWriter
     pictureHeader(b, 3)
@@ -373,15 +386,125 @@ class Mpeg1Spec extends AnyFunSuite {
     b.align()
     val (ctx2, fb) = Mpeg1.decodeAccessUnitRef(ctx1, b.bytes)
     assert(fb.isEmpty)
-    assert(ctx2.exists(_.ref.isEmpty),
-      "an undecodable picture breaks the prediction chain")
-    // ... so a following P must decline rather than predict from stale data
+    assert(ctx2.exists(_.ref.nonEmpty),
+      "a failed B-picture must NOT break the reference chain")
+    // ... so a following P still predicts from the carried I frame
     val p = new BitWriter
     pictureHeader(p, 2)
     startCode(0x01)(p)
     p.bits(8, 5).put(0).b("1").b("001").b("1").b("1")
     p.align()
-    assert(Mpeg1.decodeAccessUnitRef(ctx2, p.bytes)._2.isEmpty)
+    val (_, fp) = Mpeg1.decodeAccessUnitRef(ctx2, p.bytes)
+    assert(fp.exists(_.meanLuma == 120.0),
+      "P after a failed B predicts from the intact reference")
+  }
+
+  // ---- B-pictures: bidirectional motion compensation (11172-2 §2.4.4.4) ----
+
+  /** Picture-only flat-128 I AU (`mbs` 16×16 macroblocks, DC diff 0). */
+  private def flatIntraPictureAu(mbs: Int): Array[Byte] = {
+    val w = new BitWriter
+    pictureHeader(w, 1)
+    startCode(0x01)(w)
+    w.bits(8, 5).put(0)
+    for (_ <- 0 until mbs) {
+      w.b("1").b("1")
+      for (_ <- 0 until 4) w.b("100").b("10")
+      for (_ <- 0 until 2) w.b("00").b("10")
+    }
+    w.align()
+    w.bytes
+  }
+
+  test("B interpolated zero-MV: rounded average of past and future") {
+    // past = two-tone (MB0 80, MB1 160), future = flat 128
+    val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    val (ctx2, ff) = Mpeg1.decodeAccessUnitRef(ctx1, flatIntraPictureAu(2))
+    assert(ff.exists(_.meanLuma == 128.0))
+    val b = new BitWriter
+    pictureHeader(b, 3)
+    startCode(0x01)(b)
+    b.bits(8, 5).put(0)
+    b.b("1").b("10") // MB0: inc 1, interpolated (fwd+bwd), not coded
+    b.b("1").b("1").b("1").b("1") // all four motion codes 0
+    b.b("1").b("0010") // MB1: inc 1, forward only, not coded
+    b.b("1").b("1")
+    b.align()
+    val (ctx3, fb) = Mpeg1.decodeAccessUnitRef(ctx2, b.bytes)
+    val f = fb.get
+    for (yy <- 0 until 16; x <- 0 until 16) {
+      assert(f.y(yy * 32 + x) == ((80 + 128 + 1) >> 1),
+        s"interpolated MB0 ($x,$yy)") // 104
+      assert(f.y(yy * 32 + 16 + x) == 160, s"forward-only MB1 ($x,$yy)")
+    }
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
+    // B never becomes a reference: the carried refs are untouched
+    assert(ctx3.exists(c => c.ref.exists(_.meanLuma == 128.0) &&
+      c.prevRef.exists(_.meanLuma == 120.0)))
+  }
+
+  test("B backward full-pel vector; skip repeats direction and vector") {
+    // past = flat 128 (3 MBs), future = tones 80 / 160 / 200: every
+    // assertion below differs from the past frame, so a pixel equal to
+    // the expectation PROVES backward prediction
+    val past = {
+      val w = new BitWriter
+      seqHeader(w, 48, 16)
+      w.bytes ++ flatIntraPictureAu(3)
+    }
+    val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, past)
+    val fut = {
+      val w = new BitWriter
+      pictureHeader(w, 1)
+      startCode(0x01)(w)
+      w.bits(8, 5).put(0)
+      w.b("1").b("1") // MB0: luma 80 (DC 1024 -> 640)
+      w.b("11110").bits(-48 + 63, 6).b("10")
+      for (_ <- 0 until 3) w.b("100").b("10")
+      for (_ <- 0 until 2) w.b("00").b("10")
+      w.b("1").b("1") // MB1: luma 160 (640 -> 1280)
+      w.b("111110").bits(80, 7).b("10")
+      for (_ <- 0 until 3) w.b("100").b("10")
+      for (_ <- 0 until 2) w.b("00").b("10")
+      w.b("1").b("1") // MB2: luma 200 (1280 -> 1600)
+      w.b("11110").bits(40, 6).b("10")
+      for (_ <- 0 until 3) w.b("100").b("10")
+      for (_ <- 0 until 2) w.b("00").b("10")
+      w.align()
+      w.bytes
+    }
+    val (ctx2, ff) = Mpeg1.decodeAccessUnitRef(ctx1, fut)
+    assert(ff.isDefined)
+    val b = new BitWriter
+    pictureHeader(b, 3, fullPelB = true, fCodeB = 2)
+    startCode(0x01)(b)
+    b.bits(8, 5).put(0)
+    // MB0: backward only, not coded; bwd MV +16 full pels (motion_code
+    // +8 with f_code 2, residual 1: delta = (8-1)*2 + 1 + 1 = 16)
+    b.b("1").b("010")
+    b.b("0000010110").bits(1, 1) // horizontal +16
+    b.b("1") // vertical 0
+    // MB1: SKIPPED (inc 2 next) — must repeat backward/+16, landing on
+    // the future's MB2 (200), NOT the past (128) or zero-MV future (160)
+    // MB2: backward + coded, motion codes 0 (predictor +16 persists,
+    // clamped at the right edge -> 200), cbp Y0 only, one +1 level
+    b.b("011").b("011")
+    b.b("1").b("1")
+    b.b("1010") // cbp = 32: Y0
+    b.b("10") // dct_coeff_first: run 0, level +1
+    b.b("10") // EOB
+    b.align()
+    val (_, fb) = Mpeg1.decodeAccessUnitRef(ctx2, b.bytes)
+    val f = fb.get
+    // non-intra dequant of +1 at q_scale 8: (2+1)*8*16/16 = 24, even ->
+    // 23; DC-only IDCT spreads 23/8 = 2.875 over Y0: round(200+2.875)
+    for (yy <- 0 until 16; x <- 0 until 16) {
+      assert(f.y(yy * 48 + x) == 160, s"bwd +16 MB0 ($x,$yy)")
+      assert(f.y(yy * 48 + 16 + x) == 200, s"skipped MB1 ($x,$yy)")
+      val want = if (yy < 8 && x < 8) 203 else 200
+      assert(f.y(yy * 48 + 32 + x) == want, s"MB2 residual ($x,$yy)")
+    }
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
   }
 
   test("MP4 mp1v I+P chain: videoFrameFeatures real pixels for both frames") {
