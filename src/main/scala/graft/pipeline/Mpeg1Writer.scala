@@ -1,13 +1,16 @@
 package graft.pipeline
 
-/** Minimal MPEG-1 video INTRA encoder (ISO/IEC 11172-2) — the write-side
-  * twin of [[Mpeg1]], producing VALID elementary streams any conformant
+/** Minimal MPEG-1 video encoder (ISO/IEC 11172-2) — the write-side twin
+  * of [[Mpeg1]], producing VALID elementary streams any conformant
   * decoder accepts: sequence header, I-pictures of uniform gray (DC-only
-  * blocks, chroma at 128), slice-per-picture. Deliberately minimal — the
-  * point is a deterministic, spec-true round-trip partner for the video
-  * feature pipeline (encode → mux → demux → decode, hash-checked by the
-  * driver gate), the same role the zarr/TIFF/WARC writers play for their
-  * readers.
+  * blocks, chroma at 128), P-pictures lifting the reference by an exact
+  * per-pel delta (zero-MV coded-pattern macroblocks, escape-coded
+  * residual levels), B-pictures interpolating their two references
+  * (zero-MV, no coefficients), slice-per-picture. Deliberately minimal —
+  * the point is a deterministic, spec-true round-trip partner covering
+  * all three decodable picture classes for the video feature pipeline
+  * (encode → mux → demux → decode, hash-checked by the driver gate), the
+  * same role the zarr/TIFF/WARC writers play for their readers.
   */
 object Mpeg1Writer {
 
@@ -103,5 +106,82 @@ object Mpeg1Writer {
     val aus = grayPictures(width, height, grays)
     val end = Array[Byte](0, 0, 1, 0xb7.toByte)
     (aus.flatten ++ end).toArray
+  }
+
+  /** One P-picture access unit lifting every LUMA pel of the reference by
+    * exactly `delta` (chroma untouched): zero-motion coded-pattern
+    * macroblocks (type "01"), cbp 60 (the four luma blocks), each block a
+    * single DC residual at quantizer_scale 1 — the non-intra dequant of
+    * level 4·delta is (2·4δ+1)·1·16/16 = 8δ+1, already odd so
+    * oddification keeps it, and its flat IDCT adds δ+1/8 per pel, which
+    * rounds to exactly +δ on integer pixels. `delta` is kept in 11..31:
+    * level 4δ = 44..124 sits ABOVE B.14's largest run-0 codeword (40), so
+    * the escape form (6-bit run + 8-bit level) is the encoding the spec
+    * itself prescribes there, and below the 16-bit extension threshold.
+    */
+  private def pPicture(w: BitWriter, width: Int, height: Int,
+      delta: Int): Unit = {
+    require(delta >= 11 && delta <= 31, s"delta outside 11..31: $delta")
+    w.bits(0, 8).bits(0, 8).bits(1, 8).bits(0x00, 8) // picture start code
+    w.bits(0, 10).bits(2, 3).bits(0xffff, 16) // P, vbv_delay
+    w.put(0).bits(1, 3) // full_pel_forward 0, forward_f_code 1
+    w.put(0) // extra_bit_picture
+    w.align()
+    w.bits(0, 8).bits(0, 8).bits(1, 8).bits(0x01, 8) // slice 1
+    w.bits(1, 5).put(0) // quantizer_scale 1, extra_bit 0
+    val nMb = ((width + 15) / 16) * ((height + 15) / 16)
+    for (_ <- 0 until nMb) {
+      w.b("1").b("01") // address_increment 1, type: coded_pattern only
+      w.b("111") // cbp 60: Y0..Y3 carry coefficients, chroma none
+      for (_ <- 0 until 4) {
+        w.b("000001").bits(0, 6).bits(4 * delta, 8) // escape: run 0
+        w.b("10") // EOB
+      }
+    }
+    w.align()
+  }
+
+  /** One B-picture access unit: every macroblock interpolated with zero
+    * motion and no coefficients (type "10", four motion codes 0), so a
+    * correct decoder reconstructs exactly (past + future + 1) >> 1 per
+    * pel — the rounded bidirectional average of its two references.
+    */
+  private def bPicture(w: BitWriter, width: Int, height: Int): Unit = {
+    w.bits(0, 8).bits(0, 8).bits(1, 8).bits(0x00, 8) // picture start code
+    w.bits(0, 10).bits(3, 3).bits(0xffff, 16) // B, vbv_delay
+    w.put(0).bits(1, 3).put(0).bits(1, 3) // fwd + bwd: half-pel, f_code 1
+    w.put(0) // extra_bit_picture
+    w.align()
+    w.bits(0, 8).bits(0, 8).bits(1, 8).bits(0x01, 8) // slice 1
+    w.bits(8, 5).put(0) // quantizer_scale (unused: no coefficients)
+    val nMb = ((width + 15) / 16) * ((height + 15) / 16)
+    for (_ <- 0 until nMb) {
+      w.b("1").b("10") // address_increment 1, type: interpolated not coded
+      w.b("1").b("1").b("1").b("1") // four motion codes 0
+    }
+    w.align()
+  }
+
+  /** STREAM-order I → P → B access units exercising all three picture
+    * classes: the I at uniform `gray`, the P lifting it to gray+delta,
+    * and a trailing B that interpolates the two — uniform luma
+    * (2·gray + delta + 1) >> 1, computable in closed form by the caller.
+    * AU 0 carries the sequence header, like [[grayPictures]].
+    */
+  def ipbPictures(width: Int, height: Int, gray: Int,
+      delta: Int): Seq[Array[Byte]] = {
+    val i = {
+      val w = new BitWriter
+      seqHeader(w, width, height)
+      picture(w, width, height, gray)
+      w.bytes
+    }
+    val p = {
+      val w = new BitWriter; pPicture(w, width, height, delta); w.bytes
+    }
+    val b = {
+      val w = new BitWriter; bPicture(w, width, height); w.bytes
+    }
+    Seq(i, p, b)
   }
 }

@@ -710,19 +710,22 @@ object PipelineQueries {
         "doc_id", "blob")
     },
     "video_mpeg1_roundtrip" -> { (s, dir) =>
-      // full in-engine video round trip, deterministic end to end:
-      // Mpeg1Writer encodes gray I-pictures (DC-only, valid 11172-2
-      // streams), muxMp4 packs them into an ISO-BMFF track, and
-      // videoFrameFeatures demuxes + intra-decodes on executors. DC-only
-      // frames make mean_luma EXACTLY the encoded gray (DC is a multiple
-      // of 8, the IDCT of a pure-DC block is flat dc/8), so the oracle
-      // is literal VALUES, not a frozen model. Doc-dependent gray levels
-      // prove per-blob decode, not a shared constant.
+      // full in-engine video round trip, deterministic end to end and
+      // covering ALL THREE decodable picture classes: Mpeg1Writer
+      // encodes an I-picture (DC-only, gray g), a P-picture lifting it
+      // by an exact per-pel delta (zero-MV escape-coded residuals) and
+      // a B-picture interpolating the two ((2g+δ+1)>>1 — the decoder's
+      // rounded bidirectional average); muxMp4 packs them into an
+      // ISO-BMFF track and videoFrameFeatures demuxes + decodes on
+      // executors, carrying the two-reference stream context. Every
+      // luma is exact closed-form arithmetic, so the oracle is literal
+      // VALUES, not a frozen model. Doc-dependent gray levels and
+      // deltas prove per-blob decode, not a shared constant.
       import org.apache.spark.sql.Encoders
       val blobs = s.createDataset((1L to 3L).map { id =>
-        val grays = Seq(100 + id.toInt, 128, 10 * id.toInt)
         Multimodal.Blob(id, Multimodal.muxMp4("mp1v",
-          Mpeg1Writer.grayPictures(32, 16, grays)))
+          Mpeg1Writer.ipbPictures(32, 16,
+            gray = 100 + id.toInt, delta = 4 * id.toInt + 8)))
       })(Encoders.product[Multimodal.Blob])
       Multimodal.videoFrameFeatures(blobs, everyNth = 1).toDF()
         .select(col("doc_id"), col("frame_idx"), col("ok"),
@@ -1777,19 +1780,20 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames
         |FROM documents""".stripMargin,
     "video_mpeg1_roundtrip" ->
-      // literal VALUES: DC-only MPEG-1 I-pictures decode to exactly the
-      // encoded gray level (see the query comment)
+      // literal VALUES, all closed-form: frame 0 the I gray g = 100+id,
+      // frame 1 the P at g + δ (δ = 4·id + 8), frame 2 the B at the
+      // rounded bidirectional average (2g+δ+1) >> 1 (see query comment)
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(frame_idx AS INT) AS frame_idx,
         |       ok, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
         |       CAST(mean_luma AS DOUBLE) AS mean_luma
         |FROM (VALUES
-        |  (1, 0, TRUE, 32, 16, 101), (1, 1, TRUE, 32, 16, 128),
-        |  (1, 2, TRUE, 32, 16, 10),
-        |  (2, 0, TRUE, 32, 16, 102), (2, 1, TRUE, 32, 16, 128),
-        |  (2, 2, TRUE, 32, 16, 20),
-        |  (3, 0, TRUE, 32, 16, 103), (3, 1, TRUE, 32, 16, 128),
-        |  (3, 2, TRUE, 32, 16, 30))
+        |  (1, 0, TRUE, 32, 16, 101), (1, 1, TRUE, 32, 16, 113),
+        |  (1, 2, TRUE, 32, 16, 107),
+        |  (2, 0, TRUE, 32, 16, 102), (2, 1, TRUE, 32, 16, 118),
+        |  (2, 2, TRUE, 32, 16, 110),
+        |  (3, 0, TRUE, 32, 16, 103), (3, 1, TRUE, 32, 16, 123),
+        |  (3, 2, TRUE, 32, 16, 113))
         |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts,

@@ -197,6 +197,24 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(f0.get.meanLuma == 5.0 && f1.get.meanLuma == 250.0)
   }
 
+  test("writer I+P+B round trip: exact closed-form lumas per picture class") {
+    import graft.pipeline.Mpeg1Writer
+    // non-multiple-of-16 height exercises padding through the P/B paths
+    val Seq(ai, ap, ab) = Mpeg1Writer.ipbPictures(48, 24, gray = 90, delta = 17)
+    val (c1, fi) = Mpeg1.decodeAccessUnitRef(None, ai)
+    val (c2, fp) = Mpeg1.decodeAccessUnitRef(c1, ap)
+    val (c3, fb) = Mpeg1.decodeAccessUnitRef(c2, ab)
+    assert(fi.get.y.forall(_ == 90), "I: uniform encoded gray")
+    // P: residual (2·4·17+1)·1·16/16 = 137, flat IDCT 17.125/pel -> +17
+    assert(fp.get.y.forall(_ == 107), "P: reference + exact delta")
+    // B: rounded bidirectional average (90 + 107 + 1) >> 1 = 99
+    assert(fb.get.y.forall(_ == 99), "B: interpolated references")
+    assert(Seq(fi, fp, fb).forall(_.get.cb.forall(_ == 128)))
+    // B is not a reference: the carried pair is still (P, I)
+    assert(c3.exists(c => c.ref.exists(_.meanLuma == 107.0) &&
+      c.prevRef.exists(_.meanLuma == 90.0)))
+  }
+
   test("no sequence header, P-pictures, truncation -> None") {
     val p = new BitWriter
     pictureHeader(p, 1)
