@@ -29,31 +29,53 @@ object CurveOps {
     val y = cube.value
     val n = count(when(y.isNotNull, 1)).cast("double")
     // exactIntMoments (integer-valued x and y only): each PRODUCT is an
-    // exact integer-valued double (< 2^53), but at large scales the SUM
-    // exceeds 2^53 and parallel double addition becomes order-dependent —
-    // the sf1 gate measured a ~1e-13 Spark/DuckDB divergence. The exact
-    // sum runs in SPLIT-LONG form: each product p (as a 64-bit long)
-    // splits into hi = p >> 31 and lo = p & (2^31-1), so 0 <= lo < 2^31
-    // and p == (hi << 31) + lo even for negative p (two's complement);
-    // both halves accumulate as codegen'd primitive long adds — exact and
-    // order-independent for |p| < 2^62 and up to 2^32 rows per series —
-    // and the two exact sums recombine ONCE per group in decimal,
-    // rounding to double a single time, exactly like the DuckDB oracle's
-    // CAST(HUGEINT-exact sum AS DOUBLE). This replaced per-row
-    // decimal(38,0) accumulation, which cost +77% wall on the driver
-    // bench for the same exactness.
-    def m(c: Column): Column =
-      if (exactIntMoments) {
-        val p = c.cast("bigint")
+    // exact integer-valued double while it stays under 2^53, but at
+    // large scales the SUM exceeds 2^53 and parallel double addition
+    // becomes order-dependent — the sf1 gate measured a ~1e-13
+    // Spark/DuckDB divergence. The exact sum runs in SPLIT-LONG form:
+    // each product p (as a 64-bit long) splits into hi = p >> 31 and
+    // lo = p & (2^31-1), so 0 <= lo < 2^31 and p == (hi << 31) + lo even
+    // for negative p (two's complement); both halves accumulate as
+    // codegen'd primitive long adds — exact and order-independent for
+    // |p| < 2^62 and up to 2^32 rows per series — and the two exact sums
+    // recombine ONCE per group in decimal, rounding to double a single
+    // time, exactly like the DuckDB oracle's CAST(HUGEINT-exact sum AS
+    // DOUBLE). This replaced per-row decimal(38,0) accumulation, which
+    // cost +77% wall on the driver bench for the same exactness.
+    //
+    // The split-long form is only EXACT while the double multiply itself
+    // is: |x·y| and x² must stay under 2^53 (beyond it the product
+    // arrives pre-rounded, and past 2^63 the bigint cast overflows
+    // outright — an sf1 bench with 10^10-magnitude ids crashed here). A
+    // one-pass magnitude probe (two pruned-column maxes) dispatches
+    // big-coordinate frames to decimal-EXACT products and sums instead:
+    // factors cast to decimal(19,0) BEFORE the multiply, so every
+    // product and sum is exact to 38 digits at any long-sized
+    // coordinate, same single round-to-double per group.
+    val bigDomain = exactIntMoments && {
+      val r = cube.df
+        .agg(max(abs(x)).cast("double"), max(abs(y.cast("double")))).first()
+      val mx = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      val my = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      math.max(mx * mx, mx * my) >= 9007199254740992.0 // 2^53
+    }
+    def mm(a: Column, b: Column): Column =
+      if (!exactIntMoments) sum(a * b)
+      else if (bigDomain)
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
+          .cast("double")
+      else {
+        val p = (a * b).cast("bigint")
         (sum(shiftright(p, 31)).cast("decimal(38,0)") *
           lit(2147483648L) +
           sum(p.bitwiseAND(lit(2147483647L))).cast("decimal(38,0)"))
           .cast("double")
-      } else sum(c)
-    val sx = m(when(y.isNotNull, x))
-    val sy = m(y)
-    val sxx = m(when(y.isNotNull, x * x))
-    val sxy = m(x * y)
+      }
+    val one = lit(1.0)
+    val sx = mm(when(y.isNotNull, x), one)
+    val sy = mm(y, one)
+    val sxx = mm(when(y.isNotNull, x), when(y.isNotNull, x))
+    val sxy = mm(x, y)
     cube.df.groupBy(others: _*)
       .agg(sxy.as("_sxy"), sx.as("_sx"), sy.as("_sy"), sxx.as("_sxx"), n.as("_n"))
       .withColumn("b", (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /

@@ -96,4 +96,33 @@ class SeriesOpsSpec extends AnyFunSuite {
     val (a, b) = (r.getDouble(r.fieldIndex("a")), r.getDouble(r.fieldIndex("b")))
     assert(math.abs(a - 1.0) < 1e-12 && math.abs(b - 2.0) < 1e-12)
   }
+
+  test("fitLinear exact moments: big-coordinate dispatch to decimal") {
+    // ids ~4e9: x² ≈ 1.6e19 overflows the split-long bigint cast (an sf1
+    // bench with 10^9-offset key spaces crashed exactly here) and is not
+    // even an exact double product — the magnitude probe must dispatch
+    // the whole aggregation to decimal-exact products. Oracle computed
+    // independently with BigDecimal normal equations.
+    val base = 4_000_000_000L
+    val pts = (0 until 7).map(k => (base + k * 1_000_003L, 2L * k + 5L))
+    val df = pts.map { case (x, y) => (x, "B1", y.toDouble) }
+      .toDF("i", "band", "value")
+    val c = DataCube.fromTable(df, Seq("i", "band"), "value",
+      Map("i" -> DimType.Other, "band" -> DimType.Bands))
+    val r = CurveOps.fitLinear(c, "i", exactIntMoments = true).collect()(0)
+    val (a, b) = (r.getDouble(r.fieldIndex("a")), r.getDouble(r.fieldIndex("b")))
+    // exact BigDecimal moment sums, rounded to double ONCE each, then
+    // the same double Cramer arithmetic the operator (and the DuckDB
+    // oracle) performs — bit-identical expectations, not a tolerance
+    val bd = pts.map { case (x, y) => (BigDecimal(x), BigDecimal(y)) }
+    val dn = bd.size.toDouble
+    val dsx = bd.map(_._1).sum.toDouble
+    val dsy = bd.map(_._2).sum.toDouble
+    val dsxx = bd.map(p => p._1 * p._1).sum.toDouble
+    val dsxy = bd.map(p => p._1 * p._2).sum.toDouble
+    val wantB = (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+    val wantA = (dsy - wantB * dsx) / dn
+    assert(b == wantB, s"slope $b != $wantB")
+    assert(a == wantA, s"intercept $a != $wantA")
+  }
 }
