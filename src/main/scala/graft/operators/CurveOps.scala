@@ -16,6 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object CurveOps {
 
+  /** 2^53 — the largest magnitude at which every integer-valued double
+    * is still exact; the dispatch bound for the exact-moment machinery.
+    */
+  private val Exact53 = 9007199254740992.0
+
+  /** Order-independent EXACT sum of integer-valued products a·b, for the
+    * closed-form moment aggregations. `bigDomain = false` (every product
+    * provably under 2^53): SPLIT-LONG form — the product as a 64-bit
+    * long splits into hi = p >> 31 and lo = p & (2^31-1), both halves
+    * accumulate as codegen'd primitive long adds (exact for |p| < 2^62
+    * and up to 2^32 rows per group) and recombine ONCE per group in
+    * decimal, rounding to double a single time, exactly like the DuckDB
+    * oracle's CAST(HUGEINT sum AS DOUBLE). `bigDomain = true` (products
+    * can reach or exceed 2^53, where the double multiply itself
+    * pre-rounds and past 2^63 the bigint cast overflows): factors cast
+    * to decimal(19,0) BEFORE the multiply — products and sums exact to
+    * 38 digits at any long-sized magnitude, same single round-to-double.
+    */
+  private def exactSum(bigDomain: Boolean)(a: Column, b: Column): Column =
+    if (bigDomain)
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+    else {
+      val p = (a * b).cast("bigint")
+      (sum(shiftright(p, 31)).cast("decimal(38,0)") * lit(2147483648L) +
+        sum(p.bitwiseAND(lit(2147483647L))).cast("decimal(38,0)"))
+        .cast("double")
+    }
+
   /** Fit value ≈ a + b·x per series (least squares). Returns one row per
     * series with columns `a`, `b` — the cube analogue of fit_curve's
     * `param` dimension (reference: curve_fitting.py:83-94).
@@ -28,49 +56,27 @@ object CurveOps {
     val x = coord(col(dim)).cast("double")
     val y = cube.value
     val n = count(when(y.isNotNull, 1)).cast("double")
-    // exactIntMoments (integer-valued x and y only): each PRODUCT is an
-    // exact integer-valued double while it stays under 2^53, but at
-    // large scales the SUM exceeds 2^53 and parallel double addition
-    // becomes order-dependent — the sf1 gate measured a ~1e-13
-    // Spark/DuckDB divergence. The exact sum runs in SPLIT-LONG form:
-    // each product p (as a 64-bit long) splits into hi = p >> 31 and
-    // lo = p & (2^31-1), so 0 <= lo < 2^31 and p == (hi << 31) + lo even
-    // for negative p (two's complement); both halves accumulate as
-    // codegen'd primitive long adds — exact and order-independent for
-    // |p| < 2^62 and up to 2^32 rows per series — and the two exact sums
-    // recombine ONCE per group in decimal, rounding to double a single
-    // time, exactly like the DuckDB oracle's CAST(HUGEINT-exact sum AS
-    // DOUBLE). This replaced per-row decimal(38,0) accumulation, which
-    // cost +77% wall on the driver bench for the same exactness.
-    //
-    // The split-long form is only EXACT while the double multiply itself
-    // is: |x·y| and x² must stay under 2^53 (beyond it the product
-    // arrives pre-rounded, and past 2^63 the bigint cast overflows
-    // outright — an sf1 bench with 10^10-magnitude ids crashed here). A
-    // one-pass magnitude probe (two pruned-column maxes) dispatches
-    // big-coordinate frames to decimal-EXACT products and sums instead:
-    // factors cast to decimal(19,0) BEFORE the multiply, so every
-    // product and sum is exact to 38 digits at any long-sized
-    // coordinate, same single round-to-double per group.
+    // exactIntMoments (integer-valued x and y only): parallel double
+    // addition goes order-dependent once sums pass 2^53 — the sf1 gate
+    // measured a ~1e-13 Spark/DuckDB divergence — so the moments run
+    // through [[exactSum]]. The split-long fast path needs every PRODUCT
+    // under 2^53 (beyond it the double multiply pre-rounds, and past
+    // 2^63 the bigint cast overflows outright — an sf1 bench with
+    // 10^10-magnitude ids crashed here); a one-pass magnitude probe (two
+    // pruned-column maxes) dispatches big-coordinate frames to the
+    // decimal-exact form instead. Split-long replaced per-row
+    // decimal(38,0) accumulation, which cost +77% wall on the driver
+    // bench for the same exactness — the decimal form is now paid ONLY
+    // where exact doubles are impossible.
     val bigDomain = exactIntMoments && {
       val r = cube.df
         .agg(max(abs(x)).cast("double"), max(abs(y.cast("double")))).first()
       val mx = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       val my = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-      math.max(mx * mx, mx * my) >= 9007199254740992.0 // 2^53
+      math.max(mx * mx, mx * my) >= Exact53
     }
     def mm(a: Column, b: Column): Column =
-      if (!exactIntMoments) sum(a * b)
-      else if (bigDomain)
-        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
-          .cast("double")
-      else {
-        val p = (a * b).cast("bigint")
-        (sum(shiftright(p, 31)).cast("decimal(38,0)") *
-          lit(2147483648L) +
-          sum(p.bitwiseAND(lit(2147483647L))).cast("decimal(38,0)"))
-          .cast("double")
-      }
+      if (!exactIntMoments) sum(a * b) else exactSum(bigDomain)(a, b)
     val one = lit(1.0)
     val sx = mm(when(y.isNotNull, x), one)
     val sy = mm(y, one)
@@ -93,29 +99,46 @@ object CurveOps {
     * and the fit is deterministic across partitionings when the basis values
     * are integer-quantized.
     *
-    * Moment sums aggregate Long basis values exactly (every intermediate
-    * < 2^53); the Cramer arithmetic runs in double on the already-exact
-    * moments, so both engines of the correctness gate produce bit-identical
-    * parameters.
+    * With `exactIntMoments` (INTEGER-valued bases and values only, e.g.
+    * the driver queries' ×1e4-quantized sin/cos) the nine moments run
+    * through the same [[exactSum]] machinery as [[fitLinear]] — exact
+    * and order-independent at ANY row count, split-long while the
+    * magnitude probe proves every product under 2^53 and decimal-exact
+    * beyond. Without it (raw double bases, e.g. [[fitHarmonic]]) plain
+    * double sums match the reference's scipy-in-doubles behavior. The
+    * Cramer arithmetic runs in double on the per-group moments either
+    * way, so both engines of the correctness gate produce bit-identical
+    * parameters whenever the moments are exact.
     */
   def fitBasis2(cube: DataCube, dim: String,
       f1: Column => Column, f2: Column => Column,
-      coord: Column => Column = identity): DataFrame = {
+      coord: Column => Column = identity,
+      exactIntMoments: Boolean = false): DataFrame = {
     cube.requireDim(dim)
     val others = cube.dimColsExcept(dim)
     val x = coord(col(dim)).cast("double")
     val y = cube.value
     val s = f1(x); val t = f2(x)
+    val bigDomain = exactIntMoments && {
+      val r = cube.df.agg(max(greatest(abs(s), abs(t),
+        abs(y.cast("double")))).cast("double")).first()
+      val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      m * m >= Exact53
+    }
+    def mm(a: Column, b: Column): Column =
+      if (!exactIntMoments) sum(a * b).cast("double")
+      else exactSum(bigDomain)(a, b)
+    val one = lit(1.0)
     val agg = cube.df.groupBy(others: _*).agg(
       count(when(y.isNotNull, 1)).cast("double").as("_n"),
-      sum(when(y.isNotNull, s)).cast("double").as("_ss"),
-      sum(when(y.isNotNull, t)).cast("double").as("_sc"),
-      sum(when(y.isNotNull, s * s)).cast("double").as("_sss"),
-      sum(when(y.isNotNull, t * t)).cast("double").as("_scc"),
-      sum(when(y.isNotNull, s * t)).cast("double").as("_ssc"),
-      sum(y).cast("double").as("_sy"),
-      sum(y * s).cast("double").as("_sys"),
-      sum(y * t).cast("double").as("_syc"))
+      mm(when(y.isNotNull, s), one).as("_ss"),
+      mm(when(y.isNotNull, t), one).as("_sc"),
+      mm(when(y.isNotNull, s), when(y.isNotNull, s)).as("_sss"),
+      mm(when(y.isNotNull, t), when(y.isNotNull, t)).as("_scc"),
+      mm(when(y.isNotNull, s), when(y.isNotNull, t)).as("_ssc"),
+      mm(y, one).as("_sy"),
+      mm(y, s).as("_sys"),
+      mm(y, t).as("_syc"))
     val n = col("_n"); val ss = col("_ss"); val sc = col("_sc")
     val sss = col("_sss"); val scc = col("_scc"); val ssc = col("_ssc")
     val sy = col("_sy"); val sys = col("_sys"); val syc = col("_syc")

@@ -272,14 +272,14 @@ object SeriesQueries {
       CurveOps.fitBasis2(tdayCube(s, dir), "t",
         x => floor(sin(x * HarmonicOmega) * 1e4),
         x => floor(cos(x * HarmonicOmega) * 1e4),
-        coord = dayCoord)
+        coord = dayCoord, exactIntMoments = true)
         .select(col("band"), col("a"), col("b"), col("c"))
     },
     "predict_curve_harmonic" -> { (s, dir) =>
       val params = CurveOps.fitBasis2(tdayCube(s, dir), "t",
         x => floor(sin(x * HarmonicOmega) * 1e4),
         x => floor(cos(x * HarmonicOmega) * 1e4),
-        coord = dayCoord)
+        coord = dayCoord, exactIntMoments = true)
       CurveOps.predictBasis2(params, Seq("band"), Seq(0.5, 3.25, 10.0, 17.75, 30.0),
         x => floor(sin(x * HarmonicOmega) * 1e4),
         x => floor(cos(x * HarmonicOmega) * 1e4))

@@ -125,4 +125,24 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(b == wantB, s"slope $b != $wantB")
     assert(a == wantA, s"intercept $a != $wantA")
   }
+
+  test("fitBasis2 exact moments: big-magnitude values take the decimal path") {
+    // values ~1e8 flip the magnitude probe (m² ≥ 2^53) so the nine
+    // moments run decimal-exact; every product here is still under 2^53,
+    // so the plain-double aggregation is exact too — the two paths must
+    // agree bit-for-bit, proving the decimal dispatch changes COST only
+    val df = (0 until 11).map { k =>
+      (k.toLong, "B1", 100_000_000.0 + 37.0 * k + 11.0 * (k % 3))
+    }.toDF("t", "band", "value")
+    val c = DataCube.fromTable(df, Seq("t", "band"), "value",
+      Map("t" -> DimType.Temporal, "band" -> DimType.Bands))
+    def fit(exact: Boolean) =
+      CurveOps.fitBasis2(c, "t",
+        x => floor(sin(x) * 1e4), x => floor(cos(x) * 1e4),
+        exactIntMoments = exact).collect()(0)
+    val (re, rd) = (fit(true), fit(false))
+    for (p <- Seq("a", "b", "c"))
+      assert(re.getDouble(re.fieldIndex(p)) == rd.getDouble(rd.fieldIndex(p)),
+        s"param $p diverged between decimal and double paths")
+  }
 }
