@@ -13,9 +13,10 @@ package graft.pipeline
   * copy) and B-pictures (B.2c macroblock types, independent forward and
   * backward f_codes, per-direction motion vector predictors, the rounded
   * bidirectional average, and the B skip semantics — previous macroblock's
-  * direction and vectors, predictors NOT reset). D-pictures stay out of
-  * scope — callers get `None` and surface `ok=false` rows, same as any
-  * undecodable blob.
+  * direction and vectors, predictors NOT reset) plus D-pictures (the
+  * DC-only fast-preview class: one-entry B.2d macroblock type, six
+  * predictive DC blocks, end_of_macroblock) — every 11172-2 picture
+  * type decodes.
   *
   * Everything here implements the public bitstream layout; fixtures are
   * hand-assembled in `Mpeg1Spec` with independently computed pixel
@@ -433,6 +434,32 @@ object Mpeg1 {
     dc
   }
 
+  /** Decode one D-picture block: DC only — no AC scan, no EOB (11172-2
+    * D-pictures carry nothing but the predictive DC chain; §2.4.4.1's
+    * block layer reduces to dct_dc_size + differential there). The
+    * reconstruction is the flat dc/8 everywhere, the IDCT of a pure-DC
+    * block. Returns the new DC predictor.
+    */
+  private def decodeDcOnlyBlock(br: BitReader, luma: Boolean, dcPred: Int,
+      plane: Array[Int], stride: Int, px: Int, py: Int): Int = {
+    val dcSize = (if (luma) DcSizeLuma else DcSizeChroma).decode(br)
+    val diff =
+      if (dcSize == 0) 0
+      else {
+        val v = br.bits(dcSize)
+        if ((v & (1 << (dcSize - 1))) != 0) v else v - (1 << dcSize) + 1
+      }
+    val dc = dcPred + diff * 8
+    val pel = clamp255(dc / 8.0)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) { plane((py + r) * stride + px + c) = pel; c += 1 }
+      r += 1
+    }
+    dc
+  }
+
   /** One AC run-level symbol from B.14 incl. the escape form; run == -1
     * signals EOB.
     */
@@ -589,7 +616,8 @@ object Mpeg1 {
     hbr.bits(16) // vbv_delay
     val isP = picType == 2
     val isB = picType == 3
-    if (picType != 1 && !isP && !isB) return None
+    val isD = picType == 4
+    if (picType < 1 || picType > 4) return None
     if (isP && ref.isEmpty) return None
     if (isB && (ref.isEmpty || past.isEmpty)) return None
     val (fullPelF, fCodeF) =
@@ -709,7 +737,11 @@ object Mpeg1 {
           val flags =
             if (isB) MbTypeB.decode(br)
             else if (isP) MbTypeP.decode(br)
-            else if (MbTypeI.decode(br) == 1) MbQuantF | MbIntraF
+            else if (isD) {
+              // B.2d: the one-entry D macroblock_type, always intra
+              require(br.bit() == 1, "Mpeg1D: macroblock_type must be 1")
+              MbIntraF
+            } else if (MbTypeI.decode(br) == 1) MbQuantF | MbIntraF
             else MbIntraF
           if ((flags & MbQuantF) != 0) qScale = br.bits(5)
           if ((flags & MbMfF) != 0) {
@@ -736,7 +768,25 @@ object Mpeg1 {
           }
           val (mr, mc) = (mbAddr / mbW, mbAddr % mbW)
           require(mr < mbH, "Mpeg1Slice: macroblock row out of range")
-          if ((flags & MbIntraF) != 0) {
+          if ((flags & MbIntraF) != 0 && isD) {
+            // D macroblock: six DC-only blocks, then end_of_macroblock
+            var b = 0
+            while (b < 6) {
+              b match {
+                case 0 | 1 | 2 | 3 =>
+                  yPred = decodeDcOnlyBlock(br, luma = true, yPred, y, w16,
+                    mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                case 4 =>
+                  cbPred = decodeDcOnlyBlock(br, luma = false, cbPred, cb,
+                    w16 / 2, mc * 8, mr * 8)
+                case _ =>
+                  crPred = decodeDcOnlyBlock(br, luma = false, crPred, cr,
+                    w16 / 2, mc * 8, mr * 8)
+              }
+              b += 1
+            }
+            require(br.bit() == 1, "Mpeg1D: end_of_macroblock must be 1")
+          } else if ((flags & MbIntraF) != 0) {
             var b = 0
             while (b < 6) {
               b match {
@@ -876,8 +926,16 @@ object Mpeg1 {
       for ((code, off) <- startCodes(au)) {
         if (code == 0xb3) seq = Some(parseSequenceHeader(au, off))
         else if (code == 0x00 && seq.isDefined) {
-          if (pictureType(au, off) == 3) {
+          val pt = pictureType(au, off)
+          if (pt == 3) {
             val frame = decodePicture(seq.get, au, off, ref, prev)
+            return (Some(StreamCtx(seq.get, ref, prev)), frame)
+          } else if (pt == 4) {
+            // D-pictures decode standalone and — like B — never enter
+            // the reference slots (the spec confines them to D-only
+            // sequences; in a mixed stream they must not displace a
+            // real reference)
+            val frame = decodePicture(seq.get, au, off)
             return (Some(StreamCtx(seq.get, ref, prev)), frame)
           } else {
             val frame = decodePicture(seq.get, au, off, ref)

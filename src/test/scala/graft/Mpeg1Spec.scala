@@ -434,6 +434,46 @@ class Mpeg1Spec extends AnyFunSuite {
     w.bytes
   }
 
+  test("D-pictures: DC-only decode, never a reference") {
+    import graft.pipeline.Mpeg1Writer
+    // writer/decoder round trip: two D AUs, gray chain via carried seq
+    val aus = Mpeg1Writer.dPictures(48, 24, Seq(77, 210))
+    val (c1, f0) = Mpeg1.decodeAccessUnitRef(None, aus(0))
+    val (c2, f1) = Mpeg1.decodeAccessUnitRef(c1, aus(1))
+    assert(f0.get.y.forall(_ == 77) && f0.get.meanLuma == 77.0)
+    assert(f1.get.y.forall(_ == 210))
+    assert(Seq(f0, f1).forall(_.get.cb.forall(_ == 128)))
+    // D never enters the reference slots...
+    assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty))
+    // ...and in a mixed stream it must not displace a real reference:
+    // I -> D -> P still predicts the P from the I
+    val (ci, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    val dAu = {
+      val w = new BitWriter
+      startCode(0x00)(w)
+      w.bits(0, 10).bits(4, 3).bits(0xffff, 16).put(0)
+      w.align()
+      startCode(0x01)(w)
+      w.bits(8, 5).put(0)
+      for (_ <- 0 until 2) {
+        w.b("1").b("1")
+        for (blk <- 0 until 6) w.b(if (blk < 4) "100" else "00")
+        w.b("1")
+      }
+      w.align()
+      w.bytes
+    }
+    val (cd, fd) = Mpeg1.decodeAccessUnitRef(ci, dAu)
+    assert(fd.exists(_.y.forall(_ == 128)), "flat-128 D in a mixed stream")
+    val p = new BitWriter
+    pictureHeader(p, 2)
+    startCode(0x01)(p)
+    p.bits(8, 5).put(0).b("1").b("001").b("1").b("1")
+    p.align()
+    assert(Mpeg1.decodeAccessUnitRef(cd, p.bytes)._2.exists(_.meanLuma == 120.0),
+      "P after a D predicts from the intact I reference")
+  }
+
   test("B interpolated zero-MV: rounded average of past and future") {
     // past = two-tone (MB0 80, MB1 160), future = flat 128
     val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
