@@ -88,7 +88,15 @@ object Bench {
     val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    for (round <- 0 until (warmups + rounds); (name, fn) <- qseq if !errors.contains(name)) {
+    // A query that kills the whole SparkContext (executor OOM in local
+    // mode, fatal task error) would otherwise grind every remaining
+    // (query, round) pair through a spurious "stopped SparkContext"
+    // error — burying the one real cause and poisoning the record (an
+    // sf1 capture did exactly that). Abort the loop on a dead context:
+    // ONE aggregate marker, the culprit's own error stays first.
+    var ctxDead = false
+    for (round <- 0 until (warmups + rounds); (name, fn) <- qseq
+        if !ctxDead && !errors.contains(name)) {
       val t0 = System.nanoTime()
       try {
         run(fn)
@@ -98,6 +106,11 @@ object Bench {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
           samples.remove(name)
+          if (spark.sparkContext.isStopped) {
+            ctxDead = true
+            errors("_aborted") =
+              s"SparkContext stopped after '$name' (round $round): remaining queries skipped"
+          }
       }
     }
     val results = samples.toSeq.map { case (k, ts) => (k, ts.min, ts.max - ts.min) }
