@@ -925,6 +925,20 @@ object Mpeg1 {
       var prev = carried.flatMap(_.prevRef)
       for ((code, off) <- startCodes(au)) {
         if (code == 0xb3) seq = Some(parseSequenceHeader(au, off))
+        else if (code == 0xb8) {
+          // group_of_pictures header (§2.4.2.4): time_code is 25 bits,
+          // then closed_gop, then broken_link. broken_link = 1 marks an
+          // edit point — the frames this GOP's leading B-pictures would
+          // forward-predict from are GONE, and the stale carried
+          // references must not stand in (wrong pixels marked ok). BOTH
+          // slots drop: the GOP's own I re-anchors the chain either way
+          // (it decodes standalone and, with the old ref gone, slides
+          // None — not a pre-edit frame — into the B's forward slot,
+          // whichever access unit the pictures arrive in).
+          val br = new BitReader(au, off.toLong * 8)
+          br.bits(25 + 1) // time_code + closed_gop
+          if (br.bit() == 1) { prev = None; ref = None }
+        }
         else if (code == 0x00 && seq.isDefined) {
           val pt = pictureType(au, off)
           if (pt == 3) {

@@ -474,6 +474,41 @@ class Mpeg1Spec extends AnyFunSuite {
       "P after a D predicts from the intact I reference")
   }
 
+  test("GOP broken_link drops stale references (edit-point semantics)") {
+    def bAu: Array[Byte] = {
+      val b = new BitWriter
+      pictureHeader(b, 3)
+      startCode(0x01)(b)
+      b.bits(8, 5).put(0)
+      for (_ <- 0 until 2) { b.b("1").b("10"); b.b("1").b("1").b("1").b("1") }
+      b.align()
+      b.bytes
+    }
+    def gopIAu(broken: Boolean): Array[Byte] = {
+      val w = new BitWriter
+      startCode(0xb8)(w)
+      w.put(0).bits(0, 5).bits(0, 6).put(1).bits(0, 6).bits(0, 6) // time_code
+      w.put(0) // closed_gop
+      w.put(if (broken) 1 else 0)
+      w.align()
+      w.bytes ++ flatIntraPictureAu(2)
+    }
+    // two references carried in, then a GOP boundary + its I, then a B
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
+    val (c2, _) = Mpeg1.decodeAccessUnitRef(c1, flatIntraPictureAu(2))
+    // control: intact GOP — the B after the boundary still has both refs
+    val (cOk, _) = Mpeg1.decodeAccessUnitRef(c2, gopIAu(broken = false))
+    assert(Mpeg1.decodeAccessUnitRef(cOk, bAu)._2.isDefined,
+      "open GOP: leading B predicts across the boundary")
+    // broken_link: the pre-edit references are unusable — the B declines
+    // instead of compensating from a stale frame
+    val (cBr, fi) = Mpeg1.decodeAccessUnitRef(c2, gopIAu(broken = true))
+    assert(fi.isDefined, "the GOP's own I still decodes")
+    assert(cBr.exists(_.prevRef.isEmpty))
+    assert(Mpeg1.decodeAccessUnitRef(cBr, bAu)._2.isEmpty,
+      "broken_link: no stale forward reference for the leading B")
+  }
+
   test("B interpolated zero-MV: rounded average of past and future") {
     // past = two-tone (MB0 80, MB1 160), future = flat 128
     val (ctx1, _) = Mpeg1.decodeAccessUnitRef(None, twoToneIntraAu)
