@@ -63,15 +63,21 @@ object WindowOps {
     cube.requireDim(dim)
     val others = cube.meta.dimNames.filterNot(_ == dim)
     val v = cube.value
+    // non-dim, non-value columns (e.g. side-branch per-series constants)
+    // ride the positions side: their per-row association with the dim
+    // label is what sort preserves
+    val extras = cube.df.columns.toSeq
+      .filterNot(n => n == dim || n == cube.meta.valueCol || others.contains(n))
     val posW = Window.partitionBy(others.map(col): _*).orderBy(col(dim))
     val valW = Window.partitionBy(others.map(col): _*)
       .orderBy(if (ascending) v.asc_nulls_last else v.desc_nulls_last, col(dim).asc)
-    val positions = cube.df.select((others.map(col) :+ col(dim) :+
-      (row_number().over(posW) - 1).as("_slot")): _*)
+    val positions = cube.df.select((others.map(col) ++ extras.map(col) :+
+      col(dim) :+ (row_number().over(posW) - 1).as("_slot")): _*)
     val values = cube.df.select((others.map(col) :+ v :+
       (row_number().over(valW) - 1).as("_slot")): _*)
     val joined = positions.join(values, others :+ "_slot").drop("_slot")
-    cube.copy(df = joined.select((others.map(col) :+ col(dim) :+ v): _*))
+    cube.copy(df = joined.select((others.map(col) :+ col(dim) :+ v) ++
+      extras.map(col): _*))
   }
 
   /** first/last non-null value along a dim, one row per series

@@ -203,51 +203,279 @@ object ProcessGraph {
     "cumsum", "cummax", "cummin", "cumproduct",
     "array_interpolate_linear", "sort")
 
-  /** The callback as a linear window chain — Seq of (process_id, asc)
-    * first-to-last — or None when any node falls outside
-    * [[WindowChainIds]] or the data flow isn't a single chain rooted at
-    * the `data` parameter.
+  /** A compiled apply_dimension chain segment: either a window-class
+    * process with an O(n) cube-level twin, or a maximal run of
+    * element-wise scalar nodes compiled to ONE zero-shuffle projection
+    * (re-rendered as a synthetic callback graph over `data`, with
+    * references to side-branch nodes rewired to `_sb_<id>` parameters).
     */
-  private[plans] def windowChainNodes(
-      cbJson: String): Option[Seq[(String, Boolean)]] =
+  private[plans] sealed trait ChainSeg
+  private[plans] final case class WinSeg(pid: String, asc: Boolean)
+    extends ChainSeg
+  private[plans] final case class ScalSeg(cbJson: String) extends ChainSeg
+
+  /** Head-anchored side branches of a compiled chain: `aggs` are
+    * aggregate nodes over the raw series (`mean(data)`, `sd(data)`, …)
+    * that compile to window aggregates partitioned by the series dims —
+    * the SAME partitioning the chain's window ops use, so they add no
+    * shuffle; `combos` are scalar combinations of those per-series
+    * constants (`subtract(max(data), min(data))`), in dependency order,
+    * each a synthetic single-node callback whose static references are
+    * `_sb_<id>` parameters.
+    */
+  private[plans] final case class SidePlan(
+      aggs: Seq[(String, String)], combos: Seq[(String, String)])
+
+  private[plans] final case class ChainPlan(
+      segs: Seq[ChainSeg], side: SidePlan)
+
+  /** Aggregate process ids with window twins usable as head-anchored
+    * side branches (openEO's numpy broadcast of a per-series statistic
+    * over the series, reference cubes/apply.py:42-128 — e.g.
+    * `subtract(data, mean(data))`).
+    */
+  private val WindowAggIds: Set[String] = Set(
+    "mean", "sum", "min", "max", "count", "median", "sd", "variance",
+    "product")
+
+  /** Window twin of a head-anchored side-branch aggregate: evaluated
+    * over the full series partition (no ordering, no frame), null-
+    * skipping — matching the openEO aggregates' ignore_nodata=true
+    * default and the array-fold twins in ArrayFns.
+    */
+  private def headAggCol(pid: String, v: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = pid match {
+    case "mean" => avg(v).over(w)
+    case "sum" => sum(v).over(w)
+    case "min" => min(v).over(w)
+    case "max" => max(v).over(w)
+    case "count" => count(v).over(w)
+    case "median" => median(v).over(w)
+    case "sd" => stddev_samp(v).over(w)
+    case "variance" => var_samp(v).over(w)
+    case "product" => graft.functions.ProductAgg.column(v).over(w)
+    case other => throw new IllegalArgumentException(
+      s"no window twin for side-branch aggregate $other")
+  }
+
+  /** The callback as a linear chain of window-class nodes and
+    * interleaved element-wise scalar nodes — plus head-anchored
+    * aggregate side branches — first-to-last; or None when the data flow
+    * isn't such a chain rooted at the `data` parameter (array-aware
+    * processes in the chain, aggregates of intermediate nodes, fan-out
+    * of the series into non-aggregate consumers, and non-literal extra
+    * arguments all bail to the safe array-fold path). Mixed shapes like
+    * `multiply(cumsum(data), 2)` and broadcast shapes like
+    * `subtract(data, mean(data))` — the commonest composed callbacks
+    * under the openEO ordered-array contract — thereby stay on the O(n)
+    * window path: scalar steps become projections between (or around)
+    * the window operators, sharing one series shuffle.
+    */
+  private[plans] def chainPlan(cbJson: String): Option[ChainPlan] =
     try {
       (JsonMethods.parse(cbJson) \ "process_graph") match {
         case JObject(fs) if fs.nonEmpty =>
           val ns = fs.toMap
+
+          // any series/node reference inside a JSON subtree — used to
+          // reject nodes whose NON-chain arguments are not plain
+          // literals (conservative: those callbacks take the safe path)
+          def hasRef(j: JValue): Boolean = j match {
+            case JObject(fields) => fields.exists {
+              case ("from_node", _) => true
+              case ("from_parameter", JString(p)) => p == "data" || p == "x"
+              case (_, v) => hasRef(v)
+            }
+            case JArray(xs) => xs.exists(hasRef)
+            case _ => false
+          }
+
+          def argFieldsOf(body: JValue): List[(String, JValue)] =
+            (body \ "arguments") match {
+              case JObject(af) => af
+              case _ => Nil
+            }
+          def directNodeRef(v: JValue): Option[String] = v match {
+            case JObject(vf) => vf.toMap.get("from_node") match {
+              case Some(JString(id)) => Some(id)
+              case _ => None
+            }
+            case _ => None
+          }
+          def isHeadParam(v: JValue): Boolean = v match {
+            case JObject(vf) => vf.toMap.get("from_parameter") match {
+              case Some(JString(p)) => p == "data" || p == "x"
+              case _ => false
+            }
+            case _ => false
+          }
+
+          // static classification: a node is a per-series CONSTANT when
+          // it is an aggregate of the raw series (head param) with
+          // default null handling, or a scalar combination of literals
+          // and other static nodes. Memoised; cycles classify false.
+          val staticMemo = scala.collection.mutable.Map.empty[String, Boolean]
+          val staticVisiting = scala.collection.mutable.Set.empty[String]
+          def isStatic(id: String): Boolean = staticMemo.getOrElseUpdate(id, {
+            if (!staticVisiting.add(id)) false
+            else try ns.get(id).exists { body =>
+              (body \ "process_id") match {
+                case JString(pid) if WindowAggIds(pid) =>
+                  val af = argFieldsOf(body)
+                  af.exists { case (k, v) => k == "data" && isHeadParam(v) } &&
+                    af.forall {
+                      case ("data", _) => true
+                      case ("ignore_nodata", JBool(true)) => true
+                      case _ => false // any other arg bails to the fold
+                    }
+                case JString(pid) if !ArrayAwareIds(pid) &&
+                    !pid.startsWith("array_") && !WindowChainIds(pid) =>
+                  argFieldsOf(body).forall { case (_, v) =>
+                    directNodeRef(v) match {
+                      case Some(rid) => isStatic(rid)
+                      case None => !hasRef(v)
+                    }
+                  }
+                case _ => false
+              }
+            } finally staticVisiting.remove(id)
+          })
+
           val resOpt = ns.collectFirst {
             case (id, b) if (b \ "result") == JBool(true) => id
           }
           var ok = resOpt.isDefined
           var cur = resOpt.getOrElse("")
-          var chain = List.empty[(String, Boolean)]
+          // (id, body, pid, chain-arg name, static refs), first-to-last
+          var chain =
+            List.empty[(String, JValue, String, String, Set[String])]
           var done = false
-          var steps = 0
-          while (ok && !done && steps <= ns.size) {
-            steps += 1
-            ns.get(cur) match {
+          val visited = scala.collection.mutable.Set.empty[String]
+          while (ok && !done) {
+            if (!visited.add(cur)) ok = false
+            else ns.get(cur) match {
               case Some(body) => (body \ "process_id") match {
-                case JString(pid) if WindowChainIds(pid) =>
-                  val asc = (body \ "arguments" \ "asc") != JBool(false)
-                  chain = (pid, asc) :: chain
-                  (body \ "arguments" \ "data") match {
-                    case JObject(dataFields) =>
-                      val m = dataFields.toMap
-                      m.get("from_node") match {
-                        case Some(JString(prev)) => cur = prev
-                        case _ => m.get("from_parameter") match {
-                          case Some(JString(p)) if p == "data" || p == "x" =>
-                            done = true
-                          case _ => ok = false
-                        }
-                      }
-                    case _ => ok = false
+                case JString(pid) =>
+                  val isWin = WindowChainIds(pid)
+                  val isScalar = !isWin && !ArrayAwareIds(pid) &&
+                    !pid.startsWith("array_")
+                  val argFields = argFieldsOf(body)
+                  // classify arguments: the ONE argument carrying the
+                  // series (a direct node ref to a non-static node, or
+                  // the head param), direct refs to static side-branch
+                  // nodes, and literals
+                  val chainArgs = argFields.filter { case (_, v) =>
+                    isHeadParam(v) ||
+                      directNodeRef(v).exists(rid => !isStatic(rid))
+                  }
+                  val staticRefs = argFields.flatMap { case (_, v) =>
+                    directNodeRef(v).filter(isStatic)
+                  }.toSet
+                  val otherRefs = argFields.exists { case (k, v) =>
+                    !chainArgs.exists(_._1 == k) &&
+                      directNodeRef(v).isEmpty && hasRef(v)
+                  }
+                  if (!(isWin || isScalar) || chainArgs.size != 1 ||
+                      otherRefs ||
+                      (isWin && (chainArgs.head._1 != "data" ||
+                        staticRefs.nonEmpty)))
+                    ok = false
+                  else {
+                    val (argName, argVal) = chainArgs.head
+                    chain = (cur, body, pid, argName, staticRefs) :: chain
+                    directNodeRef(argVal) match {
+                      case Some(prev) => cur = prev
+                      case None => done = true // head param
+                    }
                   }
                 case _ => ok = false
               }
               case None => ok = false
             }
           }
-          if (ok && done && chain.size == ns.size) Some(chain) else None
+          if (!(ok && done)) None
+          else {
+            // side-branch closure: every static node referenced from the
+            // chain, plus their static dependencies, in dependency order
+            val sideOrder =
+              scala.collection.mutable.LinkedHashMap.empty[String, JValue]
+            def addSide(id: String): Unit =
+              if (!sideOrder.contains(id)) ns.get(id).foreach { body =>
+                argFieldsOf(body).foreach { case (_, v) =>
+                  directNodeRef(v).foreach(addSide)
+                }
+                sideOrder.put(id, body)
+              }
+            chain.foreach { case (_, _, _, _, refs) => refs.foreach(addSide) }
+            val chainIds = chain.map(_._1).toSet
+            val covered = chainIds ++ sideOrder.keySet
+            val worthIt =
+              chain.exists { case (_, _, pid, _, _) => WindowChainIds(pid) } ||
+                sideOrder.nonEmpty
+            if (covered.size != ns.size || covered != ns.keySet ||
+                chainIds.exists(sideOrder.contains) || !worthIt) None
+            else {
+              // rewire a node body's static references to _sb_ params
+              def rewire(body: JValue, chainArg: Option[String],
+                  isResult: Boolean): JValue = {
+                val newArgs = argFieldsOf(body).map { case (k, v) =>
+                  if (chainArg.contains(k))
+                    k -> (JObject(List(
+                      "from_parameter" -> JString("data"))): JValue)
+                  else directNodeRef(v).filter(isStatic) match {
+                    case Some(rid) => k -> (JObject(List(
+                      "from_parameter" -> JString(s"_sb_$rid"))): JValue)
+                    case None => k -> v
+                  }
+                }
+                JObject(List(
+                  "process_id" -> (body \ "process_id"),
+                  "arguments" -> (JObject(newArgs): JValue),
+                  "result" -> (JBool(isResult): JValue)))
+              }
+              def wrap(nodes: Seq[(String, JValue)]): String =
+                JsonMethods.compact(JsonMethods.render(JObject(List(
+                  "process_graph" -> (JObject(nodes.toList): JValue)))))
+
+              val aggs = sideOrder.toSeq.collect {
+                case (id, body) if ((body \ "process_id") match {
+                  case JString(p) => WindowAggIds(p)
+                  case _ => false
+                }) => id -> (body \ "process_id").asInstanceOf[JString].s
+              }
+              val aggIds = aggs.map(_._1).toSet
+              val combos = sideOrder.toSeq.collect {
+                case (id, body) if !aggIds(id) =>
+                  id -> wrap(Seq(id -> rewire(body, None, isResult = true)))
+              }
+
+              val segs = scala.collection.mutable.ListBuffer.empty[ChainSeg]
+              var run = List.empty[(String, JValue, String)]
+              def flushRun(): Unit = if (run.nonEmpty) {
+                val nodesJson = run.zipWithIndex.map {
+                  case ((id, body, chainArg), i) =>
+                    // the first node of a run takes its series input
+                    // from outside the run (the previous window step or
+                    // the callback head) — rewire it to the `data`
+                    // parameter; internal from_node references stay
+                    id -> rewire(body,
+                      chainArg = if (i == 0) Some(chainArg) else None,
+                      isResult = i == run.size - 1)
+                }
+                segs += ScalSeg(wrap(nodesJson))
+                run = Nil
+              }
+              chain.foreach { case (id, body, pid, chainArg, _) =>
+                if (WindowChainIds(pid)) {
+                  flushRun()
+                  val asc = (body \ "arguments" \ "asc") != JBool(false)
+                  segs += WinSeg(pid, asc)
+                } else run = run :+ ((id, body, chainArg))
+              }
+              flushRun()
+              Some(ChainPlan(segs.toList, SidePlan(aggs, combos)))
+            }
+          }
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -546,27 +774,92 @@ object ProcessGraph {
           if (elementwise && target.forall(_ == dim)) {
             c.requireDim(dim)
             CubeV(ApplyOps.apply(c, scalarCallback("process")))
-          } else windowChainNodes(cbJson) match {
-            case Some(chain) =>
-              // linear chain of window-class processes: compile to O(n)
-              // window operators sharing one series shuffle — never
-              // materialise the series array (the scale path)
+          } else chainPlan(cbJson) match {
+            case Some(ChainPlan(segs, side)) =>
+              // linear chain of window-class processes, possibly with
+              // interleaved element-wise scalar nodes: compile to O(n)
+              // window operators sharing one series shuffle, with each
+              // scalar run a zero-shuffle projection between them —
+              // never materialise the series array (the scale path).
+              // Head-anchored aggregate side branches (`mean(data)` …)
+              // become window aggregates over the same series partition
+              // attached BEFORE the chain transforms the value, then
+              // per-series-constant columns the scalar runs reference.
               c.requireDim(dim)
               var cur = c
-              chain.foreach { case (p, asc) =>
-                cur = p match {
-                  case "cumsum" => WindowOps.cumsum(cur, dim)
-                  case "cummax" => WindowOps.cummax(cur, dim)
-                  case "cummin" => WindowOps.cummin(cur, dim)
-                  case "cumproduct" => WindowOps.cumprodExact(cur, dim)
-                  case "array_interpolate_linear" =>
-                    WindowOps.interpolateLinearByPosition(cur, dim)
-                  case _ => WindowOps.sortAlong(cur, dim, ascending = asc)
+              val sbCols = scala.collection.mutable.LinkedHashMap
+                .empty[String, Column]
+              if (side.aggs.nonEmpty) {
+                val others = c.dimColsExcept(dim)
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(others: _*)
+                side.aggs.foreach { case (id, aggPid) =>
+                  cur = cur.withDf(_.withColumn(s"_sb_$id",
+                    headAggCol(aggPid, cur.value, w)))
+                  sbCols(id) = col(s"_sb_$id")
                 }
               }
+              def sbBinds: Map[String, PValue] =
+                sbCols.map { case (id, sc) =>
+                  s"_sb_$id" -> (ColV(sc): PValue) }.toMap
+              side.combos.foreach { case (id, comboJson) =>
+                sbCols(id) = runCallback(comboJson,
+                  sbBinds ++ callbackContext) match {
+                  case ColV(out) => out
+                  case NumV(n) => lit(n)
+                  case other => throw new IllegalArgumentException(
+                    s"apply_dimension side branch returned $other")
+                }
+              }
+              segs.foreach {
+                case WinSeg(p, asc) =>
+                  cur = p match {
+                    case "cumsum" => WindowOps.cumsum(cur, dim)
+                    case "cummax" => WindowOps.cummax(cur, dim)
+                    case "cummin" => WindowOps.cummin(cur, dim)
+                    case "cumproduct" => WindowOps.cumprodExact(cur, dim)
+                    case "array_interpolate_linear" =>
+                      WindowOps.interpolateLinearByPosition(cur, dim)
+                    case _ => WindowOps.sortAlong(cur, dim, ascending = asc)
+                  }
+                case ScalSeg(segJson) =>
+                  cur = ApplyOps.apply(cur, v =>
+                    runCallback(segJson, Map("x" -> ColV(v),
+                      "data" -> ColV(v)) ++ sbBinds ++
+                      callbackContext) match {
+                      case ColV(out) => out
+                      case NumV(n) => lit(n)
+                      case other => throw new IllegalArgumentException(
+                        s"apply_dimension callback returned $other")
+                    })
+              }
+              if (side.aggs.nonEmpty)
+                cur = cur.withDf(
+                  _.drop(side.aggs.map(a => s"_sb_${a._1}"): _*))
               CubeV(ApplyOps.retargetPreserved(cur, dim, target))
             case None =>
           {
+            // the array-fold path is O(n²) per series (each aggregate
+            // step copies the accumulator array): measured 88 s vs 0.6 s
+            // on a 20k-label dimension at sf0.1. Guard the cliff: bail
+            // loudly above a label-cardinality cap instead of silently
+            // running a quadratic fold over a huge dimension. The
+            // element-wise form compiles to a linear `transform`, so it
+            // is exempt; the cap is a session conf escape hatch.
+            if (!elementwise) {
+              val maxFold = c.df.sparkSession.conf
+                .get("graft.applyDimension.foldMaxLabels", "8192").toLong
+              val nLabels = c.meta.dims.find(_.name == dim)
+                .flatMap(_.labels).map(_.size.toLong)
+                .getOrElse(c.df.select(col(dim)).distinct().count())
+              if (nLabels > maxFold) throw new IllegalArgumentException(
+                s"apply_dimension: callback is not window-compilable and " +
+                  s"dimension '$dim' has $nLabels labels (> $maxFold); the " +
+                  "array-fold path is O(n²) per series. Rewrite the " +
+                  "callback as a chain of element-wise and window-class " +
+                  "processes, or raise " +
+                  "spark.conf graft.applyDimension.foldMaxLabels to override")
+            }
             val labelCtx: Map[String, PValue] =
               if (elementwise || !cbJson.contains("\"label\"")) Map.empty
               else Map("_labels" -> ArrV(
@@ -1458,11 +1751,31 @@ object ProcessGraph {
                   s"load_stac.properties: $v")
               }
             }.getOrElse(Map.empty)
+          // spatial_extent prunes twice: item-level (assets whose bbox
+          // misses the extent never plan any pixel work) and store-level
+          // (the extent maps to chunk/segment index ranges inside
+          // ZarrReader/TiffReader — a small bbox over a huge store decodes
+          // only intersecting chunks, reference cubes/load.py:245-310)
+          val bboxOpt = opt("spatial_extent").map { _ =>
+            val e = JsonMethods.parse(str("spatial_extent"))
+            def d(f: String): Option[Double] = (e \ f) match {
+              case JDouble(x) => Some(x)
+              case JInt(x) => Some(x.toDouble)
+              case JDecimal(x) => Some(x.toDouble)
+              case _ => None
+            }
+            (d("west"), d("east"), d("south"), d("north")) match {
+              case (Some(w), Some(ea), Some(so), Some(no)) => (w, so, ea, no)
+              case _ => throw new IllegalArgumentException(
+                "load_stac.spatial_extent: need west/east/south/north")
+            }
+          }
           val sel = graft.sources.StacLoader.filterAssets(assets,
             bands = opt("bands").map(_ => strs("bands")),
+            bbox = bboxOpt,
             timeRange = timeRange, properties = props)
           CubeV(graft.sources.StacLoader.loadCube(
-            org.apache.spark.sql.SparkSession.active, sel))
+            org.apache.spark.sql.SparkSession.active, sel, bbox = bboxOpt))
 
         // ---- scalar ----
         case "add" => ColV(Scalar.add(column("x"), column("y")))

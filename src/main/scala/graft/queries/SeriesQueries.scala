@@ -108,13 +108,16 @@ object SeriesQueries {
     },
 
     // ---- apply_dimension, composed array-callback GRAPH arm (§2.7/§2.11):
-    // a wire process graph whose apply_dimension callback composes array
-    // processes (gap-fill then running max along the series) — exercises
-    // the ordered-array callback contract end-to-end through the graph
-    // entry point. cummax (not cumsum) keeps every step order-independent
-    // for the oracle: interpolated values can be non-representable
-    // fractions, and a running MAX of them is accumulation-order free
-    // while a running sum is not. ----
+    // a wire process graph whose apply_dimension callback MIXES array
+    // processes and element-wise scalars (gap-fill → ×2 → running max →
+    // +7 along the series) — exercises the ordered-array callback
+    // contract end-to-end through the graph entry point AND the mixed
+    // window-chain compiler (scalar steps become projections between the
+    // window operators; one series shuffle total). cummax (not cumsum)
+    // keeps every step order-independent for the oracle: interpolated
+    // values can be non-representable fractions, and a running MAX of
+    // them is accumulation-order free while a running sum is not; ×2 and
+    // +7 are exact on doubles. ----
     "apply_dimension_graph" -> { (s, dir) =>
       val graph =
         """{"process_graph": {
@@ -124,14 +127,44 @@ object SeriesQueries {
           |          "process": {"process_graph": {
           |            "i": {"process_id": "array_interpolate_linear",
           |                  "arguments": {"data": {"from_parameter": "data"}}},
+          |            "s1": {"process_id": "multiply",
+          |                   "arguments": {"x": {"from_node": "i"}, "y": 2}},
           |            "m": {"process_id": "cummax",
-          |                  "arguments": {"data": {"from_node": "i"}},
-          |                  "result": true}}}},
+          |                  "arguments": {"data": {"from_node": "s1"}}},
+          |            "s2": {"process_id": "add",
+          |                   "arguments": {"x": {"from_node": "m"}, "y": 7},
+          |                   "result": true}}}},
           |        "result": true}
           |}}""".stripMargin
       graft.plans.ProcessGraph.execute(s, graph,
         _ => eidCube(s, dir, maskMod = 7))
         .df.select(col("band"), col("eid"), col("value").as("cum"))
+    },
+
+    // ---- apply_dimension, broadcast side-branch GRAPH arm (§2.7):
+    // subtract(data, mean(data)) — openEO's numpy broadcast of a
+    // per-series statistic over the series. Compiles to a window
+    // aggregate sharing the series partition (zero extra shuffle).
+    // Values are integer cents, so Spark's avg (exact long partials
+    // under 2^53) and the oracle's sum/count agree bit-for-bit. ----
+    "apply_dimension_broadcast" -> { (s, dir) =>
+      val graph =
+        """{"process_graph": {
+          |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+          |  "d": {"process_id": "apply_dimension",
+          |        "arguments": {"data": {"from_node": "l"}, "dimension": "eid",
+          |          "process": {"process_graph": {
+          |            "me": {"process_id": "mean",
+          |                   "arguments": {"data": {"from_parameter": "data"}}},
+          |            "c":  {"process_id": "subtract",
+          |                   "arguments": {"x": {"from_parameter": "data"},
+          |                                 "y": {"from_node": "me"}},
+          |                   "result": true}}}},
+          |        "result": true}
+          |}}""".stripMargin
+      graft.plans.ProcessGraph.execute(s, graph,
+        _ => eidCube(s, dir, maskMod = 10))
+        .df.select(col("band"), col("eid"), col("value").as("centered"))
     },
 
     // ---- array sub-language HOFs (§2.8) ----
@@ -411,8 +444,15 @@ object SeriesQueries {
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT band, eid,
         |  CASE WHEN fv IS NULL THEN NULL
-        |       ELSE max(fv) OVER (PARTITION BY band ORDER BY eid) END AS cum
+        |       ELSE max(fv * 2) OVER (PARTITION BY band ORDER BY eid) + 7 END AS cum
         |FROM f""".stripMargin,
+    "apply_dimension_broadcast" ->
+      """WITH c AS (SELECT event_type AS band, event_id AS eid,
+        |  CASE WHEN event_id % 10 = 0 THEN NULL
+        |       ELSE CAST(round(value*100) AS BIGINT) END AS v FROM events)
+        |SELECT band, eid,
+        |  v - sum(v) OVER w / CAST(count(v) OVER w AS DOUBLE) AS centered
+        |FROM c WINDOW w AS (PARTITION BY band)""".stripMargin,
     "array_hofs" ->
       """WITH c AS (SELECT event_type AS band, event_id AS eid,
         |                  CAST(round(value*100) AS BIGINT) AS v

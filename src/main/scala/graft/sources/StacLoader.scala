@@ -192,8 +192,30 @@ object StacLoader {
       gridSize: Int = 8,
       projection: Option[String] = None,
       resolution: Option[Double] = None,
-      resampling: String = "near"): DataCube = {
+      resampling: String = "near",
+      bbox: Option[(Double, Double, Double, Double)] = None): DataCube = {
     import spark.implicits._
+    // bbox → conservative inclusive cell-index range along one axis of an
+    // asset's grid (cell i sits at origin + i·step): widened a cell each
+    // way so float edges can't drop a boundary pixel — the exact closed-
+    // bounds filter below trims the overshoot. This is what the chunk/
+    // segment pushdown in ZarrReader/TiffReader consumes: a small-extent
+    // load of a huge store decodes only intersecting chunks, the engine's
+    // twin of the reference's dask lazy slicing (cubes/load.py:245-310).
+    def axisRange(lo: Double, hi: Double, origin: Double, span: Double,
+        nCells: Long): Option[(Long, Long)] = {
+      if (span <= 0 || nCells <= 0) return None
+      val step = span / nCells
+      val a = math.max(0L, math.floor((lo - origin) / step).toLong - 1)
+      val b = math.min(nCells - 1, math.ceil((hi - origin) / step).toLong + 1)
+      Some((a, b)) // a > b = empty: the reader plans zero chunks
+    }
+    def rowColRanges(a: StacAsset, nr: Long, nc: Long) = bbox match {
+      case Some((w, s, e, n)) => (
+        axisRange(s, n, a.south, a.north - a.south, nr),
+        axisRange(w, e, a.west, a.east - a.west, nc))
+      case None => (None, None)
+    }
     def grid(a: StacAsset, df: org.apache.spark.sql.DataFrame,
         nr: Int, nc: Int) =
       df.select(
@@ -213,12 +235,15 @@ object StacLoader {
       // rank 2 = (row, col); rank 3 = (band, row, col) — the common
       // Sentinel layout: axis-0 slices become "<asset-band>_<index>" bands.
       // Rows map from the bbox's south edge up, matching the fake grid.
-      if (meta.shape.size == 2)
-        grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c")),
-          meta.shape(0), meta.shape(1))
-      else {
+      if (meta.shape.size == 2) {
+        val (rr, cr) = rowColRanges(a, meta.shape(0), meta.shape(1))
+        grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c"),
+          Seq(rr, cr)), meta.shape(0), meta.shape(1))
+      } else {
         val (nr, nc) = (meta.shape(1), meta.shape(2))
-        ZarrReader.loadArray(spark, dir, Seq("_b", "_r", "_c"))
+        val (rr, cr) = rowColRanges(a, nr, nc)
+        ZarrReader.loadArray(spark, dir, Seq("_b", "_r", "_c"),
+          Seq(None, rr, cr))
           .select(
             (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
             (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
@@ -229,11 +254,12 @@ object StacLoader {
     } ++ tiffReal.map { a =>
       val path = tiffPathOf(a).get
       val meta = TiffReader.readMeta(path)
+      val (rr, cr) = rowColRanges(a, meta.height, meta.width)
       if (meta.samplesPerPixel == 1)
-        grid(a, TiffReader.loadArray(spark, path, Seq("_r", "_c")),
-          meta.height, meta.width)
+        grid(a, TiffReader.loadArray(spark, path, Seq("_r", "_c"),
+          rowRange = rr, colRange = cr), meta.height, meta.width)
       else
-        TiffReader.loadArrayBands(spark, path)
+        TiffReader.loadArrayBands(spark, path, rowRange = rr, colRange = cr)
           .select(
             (lit(a.west) + col("col") * ((a.east - a.west) / meta.width)).as("x"),
             (lit(a.south) + col("row") * ((a.north - a.south) / meta.height)).as("y"),
@@ -258,7 +284,14 @@ object StacLoader {
             (pmod(hash(col("itemId"), col("band"), col("_i")), lit(10000)) / 100.0)
               .as("value")))
       }
-    val all = (realParts ++ fakeParts).reduceLeft(_ unionByName _)
+    val unioned = (realParts ++ fakeParts).reduceLeft(_ unionByName _)
+    // exact closed-bounds trim (same contract as FilterOps.filterBbox):
+    // the index-range pushdown above is deliberately a cell wider than the
+    // extent; this filter is the authoritative cut and also covers the
+    // fake-grid fallback assets
+    val all = bbox.fold(unioned) { case (w, s, e, n) =>
+      unioned.filter(col("x").between(w, e) && col("y").between(s, n))
+    }
     val native = DataCube.fromTable(all, Seq("x", "y", "t", "bands"), "value",
       crs = Some("EPSG:4326"))
     val warped = projection.fold(native)(p =>

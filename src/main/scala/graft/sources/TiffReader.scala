@@ -714,14 +714,43 @@ object TiffReader {
     out
   }
 
+  /** Strip/tile extent pushdown: the segments whose pixel footprint
+    * intersects the requested inclusive row/col ranges (`None` = full
+    * axis). The TIFF twin of [[ZarrReader.planChunks]] — a small-bbox read
+    * of a huge COG seeks only intersecting strips/tiles. Planar segment
+    * tables are band-major: geometry derives from the within-band index,
+    * and every band's matching segments are kept.
+    */
+  private[graft] def planSegments(meta: TiffMeta,
+      rowRange: Option[(Long, Long)],
+      colRange: Option[(Long, Long)]): Seq[Segment] = {
+    if (rowRange.isEmpty && colRange.isEmpty) return meta.segments
+    val spp = meta.samplesPerPixel
+    val segsPerBand =
+      if (meta.planar && spp > 0) meta.segments.size / spp
+      else meta.segments.size
+    meta.segments.filter { seg =>
+      val within = if (meta.planar) seg.index % segsPerBand else seg.index
+      val (tileRow, tileCol) = (within / meta.tilesAcross, within % meta.tilesAcross)
+      val (r0, c0) = (tileRow.toLong * meta.tileHeight, tileCol.toLong * meta.tileWidth)
+      val (r1, c1) = (r0 + meta.tileHeight - 1, c0 + meta.tileWidth - 1)
+      rowRange.forall { case (lo, hi) => r1 >= lo && r0 <= hi } &&
+        colRange.forall { case (lo, hi) => c1 >= lo && c0 <= hi }
+    }
+  }
+
   /** Load the raster as a long-form DataFrame (row, col, value), one
     * executor task per group of segments, each seeking only its own bytes.
     * `level` selects an overview IFD of a COG pyramid (0 = full
     * resolution) — reading a reduced copy touches only ITS segments, the
-    * cloud-optimized cheap-zoom path.
+    * cloud-optimized cheap-zoom path. `rowRange`/`colRange` (inclusive)
+    * prune the segment fan-out via [[planSegments]] and clip decoded
+    * pixels to the exact range.
     */
   def loadArray(spark: SparkSession, path: String,
-      dimNames: Seq[String] = Seq("row", "col"), level: Int = 0): DataFrame = {
+      dimNames: Seq[String] = Seq("row", "col"), level: Int = 0,
+      rowRange: Option[(Long, Long)] = None,
+      colRange: Option[(Long, Long)] = None): DataFrame = {
     val all = readMetaAll(path)
     require(level >= 0 && level < all.size,
       s"TiffCorrupt: overview level $level of ${all.size}")
@@ -730,9 +759,12 @@ object TiffReader {
       "TiffUnsupported: multi-band raster — use loadArrayBands")
     val bMeta = spark.sparkContext.broadcast(meta)
     val bPath = spark.sparkContext.broadcast(path)
+    val (rLo, rHi) = rowRange.getOrElse((0L, meta.height - 1L))
+    val (cLo, cHi) = colRange.getOrElse((0L, meta.width - 1L))
+    val selSegs = planSegments(meta, rowRange, colRange)
     import spark.implicits._
-    val rows = spark.createDataset(meta.segments)
-      .repartition(math.min(meta.segments.size, 64))
+    val rows = spark.createDataset(selSegs)
+      .repartition(math.max(1, math.min(selSegs.size, 64)))
       .mapPartitions { it =>
         val m = bMeta.value
         val raf = new java.io.RandomAccessFile(bPath.value, "r")
@@ -747,8 +779,10 @@ object TiffReader {
           vals.indices.iterator.flatMap { flat =>
             val r = baseR + flat / m.tileWidth
             val c = baseC + flat % m.tileWidth
-            if (r < m.height && c < m.width) Some((r.toLong, c.toLong, vals(flat)))
-            else None // tile edge padding, clipped like zarr
+            if (r < m.height && c < m.width &&
+              r >= rLo && r <= rHi && c >= cLo && c <= cHi)
+              Some((r.toLong, c.toLong, vals(flat)))
+            else None // tile edge padding / out-of-extent, clipped like zarr
           }
         }.toArray
         raf.close()
@@ -765,7 +799,9 @@ object TiffReader {
     * single-channel raster).
     */
   def loadArrayBands(spark: SparkSession, path: String,
-      level: Int = 0): DataFrame = {
+      level: Int = 0,
+      rowRange: Option[(Long, Long)] = None,
+      colRange: Option[(Long, Long)] = None): DataFrame = {
     val all = readMetaAll(path)
     require(level >= 0 && level < all.size,
       s"TiffCorrupt: overview level $level of ${all.size}")
@@ -774,9 +810,12 @@ object TiffReader {
       "TiffCorrupt: planar segment table not divisible by band count")
     val bMeta = spark.sparkContext.broadcast(meta)
     val bPath = spark.sparkContext.broadcast(path)
+    val (rLo, rHi) = rowRange.getOrElse((0L, meta.height - 1L))
+    val (cLo, cHi) = colRange.getOrElse((0L, meta.width - 1L))
+    val selSegs = planSegments(meta, rowRange, colRange)
     import spark.implicits._
-    spark.createDataset(meta.segments)
-      .repartition(math.min(meta.segments.size, 64))
+    spark.createDataset(selSegs)
+      .repartition(math.max(1, math.min(selSegs.size, 64)))
       .mapPartitions { it =>
         val m = bMeta.value
         val raf = new java.io.RandomAccessFile(bPath.value, "r")
@@ -798,7 +837,8 @@ object TiffReader {
             val band = if (m.planar) planarBand else flat % spp
             val r = baseR + pixel / m.tileWidth
             val c = baseC + pixel % m.tileWidth
-            if (r < m.height && c < m.width)
+            if (r < m.height && c < m.width &&
+              r >= rLo && r <= rHi && c >= cLo && c <= cHi)
               Some((r.toLong, c.toLong, band, vals(flat)))
             else None
           }

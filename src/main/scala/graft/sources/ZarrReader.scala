@@ -544,9 +544,44 @@ object ZarrReader {
     out.toByteArray
   }
 
+  /** Chunk-grid extent pushdown: the grid indices whose chunk intersects
+    * the requested per-dim global-index slices (inclusive bounds; a `None`
+    * entry or an empty `slices` list means the full dimension). This is
+    * the PLANNING step a small-extent read of a huge store rides on: only
+    * intersecting chunk files are ever fanned out, read or decoded — the
+    * zarr twin of the reference's dask lazy slicing after `odc.stac.load`
+    * (cubes/load.py:245-310). For `sharding_indexed` stores the selection
+    * is at shard (top-level chunk) granularity: a selected shard decodes
+    * all its inner chunks.
+    */
+  private[graft] def planChunks(meta: ZarrMeta,
+      slices: Seq[Option[(Long, Long)]]): Seq[Seq[Int]] = {
+    val gridDims = meta.shape.zip(meta.chunks).map { case (s, c) => (s + c - 1) / c }
+    require(slices.isEmpty || slices.size == gridDims.size,
+      s"need ${gridDims.size} slices, got ${slices.size}")
+    val ranges = gridDims.zipWithIndex.map { case (n, d) =>
+      slices.lift(d).flatten match {
+        case Some((lo, hi)) =>
+          val c = meta.chunks(d).toLong
+          val lo0 = math.max(0L, math.floorDiv(lo, c)).toInt
+          val hi0 = math.min(n - 1L, math.floorDiv(hi, c)).toInt
+          (lo0 to hi0): Seq[Int]
+        case None => (0 until n): Seq[Int]
+      }
+    }
+    if (ranges.exists(_.isEmpty)) Nil
+    else ranges.foldLeft(Seq(Seq.empty[Int]))((acc, r) =>
+      acc.flatMap(p => r.map(p :+ _)))
+  }
+
   /** Load a zarr array as a long-form DataFrame: one row per in-bounds
     * element, columns `dimNames :+ "value"`. The chunk-key table is the
     * unit of parallelism; every task decodes its own chunk files.
+    *
+    * `slices` (optional, per-dim inclusive global-index ranges) prunes the
+    * fan-out to intersecting chunks via [[planChunks]] and clips decoded
+    * cells to the exact range — a bbox/time extent mapped onto the index
+    * grid reads only its own chunks, never the whole store.
     *
     * Chunks ABSENT from the store read as `fill_value` — zarr v2 semantics
     * (writers omit all-fill chunks); the fill cells are generated on the
@@ -554,22 +589,26 @@ object ZarrReader {
     * declared fill_value is corrupt and errors clearly.
     */
   def loadArray(spark: SparkSession, dir: String,
-      dimNames: Seq[String]): DataFrame = {
+      dimNames: Seq[String],
+      slices: Seq[Option[(Long, Long)]] = Nil): DataFrame = {
     val meta = readMeta(dir)
     require(dimNames.size == meta.shape.size,
       s"need ${meta.shape.size} dim names, got ${dimNames.size}")
-    val gridDims = meta.shape.zip(meta.chunks).map { case (s, c) => (s + c - 1) / c }
-    val allKeys = gridDims.foldLeft(Seq(Seq.empty[Int]))((acc, n) =>
-      acc.flatMap(p => (0 until n).map(p :+ _)))
+    val selKeys = planChunks(meta, slices)
     val present = chunkKeys(dir, meta).toSet
-    require(allKeys.forall(present.contains) || meta.fillValue.isDefined,
+    require(selKeys.forall(present.contains) || meta.fillValue.isDefined,
       "ZarrCorrupt: store has missing chunks but no fill_value")
-    val keys = allKeys.map(k => (k, present.contains(k)))
+    val keys = selKeys.map(k => (k, present.contains(k)))
+    val rank0 = meta.shape.size
+    val sliceLo = Array.tabulate(rank0)(d =>
+      slices.lift(d).flatten.map(_._1).getOrElse(0L))
+    val sliceHi = Array.tabulate(rank0)(d =>
+      slices.lift(d).flatten.map(_._2).getOrElse(meta.shape(d) - 1L))
     val bMeta = spark.sparkContext.broadcast(meta)
     val bDir = spark.sparkContext.broadcast(dir)
     import spark.implicits._
     val rows = spark.createDataset(keys)
-      .repartition(math.min(keys.size, 64))
+      .repartition(math.max(1, math.min(keys.size, 64)))
       .mapPartitions { it =>
         val m = bMeta.value
         val base = bDir.value
@@ -602,7 +641,8 @@ object ZarrReader {
             while (r < rank) {
               val local = (flat / strides(r)) % chunkShape(r)
               val global = gridIdx(r).toLong * chunkShape(r) + local
-              if (global >= m.shape(r)) ok = false
+              if (global >= m.shape(r) ||
+                global < sliceLo(r) || global > sliceHi(r)) ok = false
               coords(r) = global
               r += 1
             }

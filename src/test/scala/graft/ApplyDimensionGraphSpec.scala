@@ -222,4 +222,175 @@ class ApplyDimensionGraphSpec extends AnyFunSuite {
     // a genuine single probability stays literal
     assert(reduceQuantiles(""""probabilities": [0.5]""").length == 1)
   }
+
+  private def exchangeCount(c: DataCube): Int =
+    // AQE's toString prints the final AND initial plans — count only the
+    // final section, and not ReusedExchange (not an extra shuffle)
+    c.df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+
+  test("mixed chain (multiply(cumsum(data), 2)) stays on the O(n) window path") {
+    val cb =
+      """{"c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "m": {"process_id": "multiply",
+        |       "arguments": {"x": {"from_node": "c"}, "y": 2},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val twin = ApplyOps.apply(WindowOps.cumsum(cube, "t"), _ * 2)
+    assert(g.meta.dimNames == Seq("t", "band")) // labels preserved
+    assert(byBand(g) == byBand(twin))
+    // the scalar step is a projection: it must not add exchanges beyond
+    // the window twin's single series shuffle
+    assert(exchangeCount(g) == exchangeCount(twin))
+  }
+
+  test("head scalar before a window step: cumsum(add(data, 1))") {
+    val cb =
+      """{"a": {"process_id": "add",
+        |       "arguments": {"x": {"from_parameter": "data"}, "y": 1}},
+        | "c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_node": "a"}},
+        |       "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val twin = WindowOps.cumsum(ApplyOps.apply(cube, _ + 1), "t")
+    assert(byBand(g) == byBand(twin))
+    // null cell: add keeps null, cumsum skips it — B1 day3 = (3+1)+(1+1)
+    assert(byBand(g)(("B1", "2024-01-03 00:00:00.0")) == 6.0)
+    assert(!byBand(g).contains(("B1", "2024-01-02 00:00:00.0")))
+  }
+
+  test("scalar run between and after window steps, internal refs intact") {
+    // multiply ×2 → cummax → (×3 then +1 as ONE merged projection run)
+    val cb =
+      """{"m1": {"process_id": "multiply",
+        |        "arguments": {"x": {"from_parameter": "data"}, "y": 2}},
+        | "c":  {"process_id": "cummax",
+        |        "arguments": {"data": {"from_node": "m1"}}},
+        | "m2": {"process_id": "multiply",
+        |        "arguments": {"x": {"from_node": "c"}, "y": 3}},
+        | "a":  {"process_id": "add",
+        |        "arguments": {"x": {"from_node": "m2"}, "y": 1},
+        |        "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    val twin = ApplyOps.apply(
+      WindowOps.cummax(ApplyOps.apply(cube, _ * 2), "t"), v => v * 3 + 1)
+    assert(byBand(g) == byBand(twin))
+    assert(exchangeCount(g) == exchangeCount(twin))
+  }
+
+  test("broadcast side branch: subtract(data, mean(data)) compiles to a window aggregate") {
+    val cb =
+      """{"me": {"process_id": "mean",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "s":  {"process_id": "subtract",
+        |        "arguments": {"x": {"from_parameter": "data"},
+        |                      "y": {"from_node": "me"}},
+        |        "result": true}}""".stripMargin
+    val g = applyDim(cb)
+    assert(g.meta.dimNames == Seq("t", "band")) // labels preserved
+    val gm = byBand(g)
+    assert(gm(("B2", "2024-01-01 00:00:00.0")) == -10.0)
+    assert(gm(("B2", "2024-01-03 00:00:00.0")) == 10.0)
+    // mean skips the null: B1 mean = 2 → centered (1, null, -1)
+    assert(gm(("B1", "2024-01-01 00:00:00.0")) == 1.0)
+    assert(!gm.contains(("B1", "2024-01-02 00:00:00.0")))
+    assert(g.df.filter(col("band") === "B1").count() == 3)
+    // ONE series shuffle: the side aggregate shares the partition
+    assert(exchangeCount(g) == 1)
+  }
+
+  test("standardize: divide(subtract(data, mean(data)), sd(data))") {
+    val cb =
+      """{"me": {"process_id": "mean",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "sd": {"process_id": "sd",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "c":  {"process_id": "subtract",
+        |        "arguments": {"x": {"from_parameter": "data"},
+        |                      "y": {"from_node": "me"}}},
+        | "z":  {"process_id": "divide",
+        |        "arguments": {"x": {"from_node": "c"},
+        |                      "y": {"from_node": "sd"}},
+        |        "result": true}}""".stripMargin
+    val gm = byBand(applyDim(cb))
+    // B2: mean 20, sample sd 10 → z-scores (-1, 0, 1)
+    assert(gm(("B2", "2024-01-01 00:00:00.0")) == -1.0)
+    assert(gm(("B2", "2024-01-02 00:00:00.0")) == 0.0)
+    assert(gm(("B2", "2024-01-03 00:00:00.0")) == 1.0)
+  }
+
+  test("min-max normalize: combo side branch subtract(max(data), min(data))") {
+    val cb =
+      """{"lo": {"process_id": "min",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "hi": {"process_id": "max",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "rg": {"process_id": "subtract",
+        |        "arguments": {"x": {"from_node": "hi"},
+        |                      "y": {"from_node": "lo"}}},
+        | "sh": {"process_id": "subtract",
+        |        "arguments": {"x": {"from_parameter": "data"},
+        |                      "y": {"from_node": "lo"}}},
+        | "n":  {"process_id": "divide",
+        |        "arguments": {"x": {"from_node": "sh"},
+        |                      "y": {"from_node": "rg"}},
+        |        "result": true}}""".stripMargin
+    val gm = byBand(applyDim(cb))
+    assert(gm(("B2", "2024-01-01 00:00:00.0")) == 0.0)
+    assert(gm(("B2", "2024-01-02 00:00:00.0")) == 0.5)
+    assert(gm(("B2", "2024-01-03 00:00:00.0")) == 1.0)
+    // B1: min 1, max 3 → (1.0, null, 0.0)
+    assert(gm(("B1", "2024-01-01 00:00:00.0")) == 1.0)
+    assert(gm(("B1", "2024-01-03 00:00:00.0")) == 0.0)
+  }
+
+  test("side branch feeding into a window step: cumsum(subtract(data, mean(data)))") {
+    val cb =
+      """{"me": {"process_id": "mean",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "s":  {"process_id": "subtract",
+        |        "arguments": {"x": {"from_parameter": "data"},
+        |                      "y": {"from_node": "me"}}},
+        | "c":  {"process_id": "cumsum",
+        |        "arguments": {"data": {"from_node": "s"}},
+        |        "result": true}}""".stripMargin
+    val gm = byBand(applyDim(cb))
+    // B2 centered (-10, 0, 10) → cumsum (-10, -10, 0)
+    assert(gm(("B2", "2024-01-01 00:00:00.0")) == -10.0)
+    assert(gm(("B2", "2024-01-02 00:00:00.0")) == -10.0)
+    assert(gm(("B2", "2024-01-03 00:00:00.0")) == 0.0)
+  }
+
+  test("fold path keeps the cardinality guard (scalar-result reducer)") {
+    // mean(data) as the result is array-aware with no chain: fold path;
+    // the guard refuses it above graft.applyDimension.foldMaxLabels
+    val cb =
+      """{"m": {"process_id": "mean",
+        |       "arguments": {"data": {"from_parameter": "data"}},
+        |       "result": true}}""".stripMargin
+    spark.conf.set("graft.applyDimension.foldMaxLabels", "2")
+    try {
+      val e = intercept[IllegalArgumentException](applyDim(cb).df.count())
+      assert(e.getMessage.contains("foldMaxLabels"))
+    } finally spark.conf.unset("graft.applyDimension.foldMaxLabels")
+    // below the (default) cap the fold path still runs
+    val rows = applyDim(cb).df.collect().map(r =>
+      (r.getAs[String]("band"), r.getAs[Double]("value"))).toSet
+    assert(rows == Set(("B1", 2.0), ("B2", 20.0)))
+  }
+
+  test("element-wise callbacks are exempt from the fold-label guard") {
+    val cb =
+      """{"m": {"process_id": "multiply",
+        |       "arguments": {"x": {"from_parameter": "x"}, "y": 2},
+        |       "result": true}}""".stripMargin
+    spark.conf.set("graft.applyDimension.foldMaxLabels", "1")
+    try {
+      val g = applyDim(cb)
+      assert(byBand(g) == byBand(ApplyOps.apply(cube, _ * 2)))
+    } finally spark.conf.unset("graft.applyDimension.foldMaxLabels")
+  }
 }

@@ -1002,4 +1002,94 @@ class StacLoaderSpec extends AnyFunSuite {
     assert(cube.meta.dimType("x") == DimType.Spatial)
     assert(cube.meta.crs.contains("EPSG:4326"))
   }
+
+  // ---- chunk-grid extent pushdown (store-internal lazy slicing, the
+  // engine's twin of dask's post-`odc.stac.load` slicing: a small-extent
+  // read of a huge store must plan ONLY intersecting chunks) ----
+
+  test("planChunks: a quarter-extent slice plans a quarter of the chunks") {
+    import graft.sources.ZarrReader
+    val meta = ZarrReader.ZarrMeta(shape = Seq(8, 8), chunks = Seq(2, 2),
+      dtype = "<f8", compressor = None, order = "C", fillValue = Some(0.0))
+    // full store: 4×4 = 16 chunks
+    assert(ZarrReader.planChunks(meta, Nil).size == 16)
+    // quarter extent (rows 0-3 × cols 0-3) → exactly 4 chunks, not 16
+    val quarter = ZarrReader.planChunks(meta,
+      Seq(Some((0L, 3L)), Some((0L, 3L))))
+    assert(quarter.size == 4)
+    assert(quarter.toSet == Set(Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(1, 1)))
+    // a single cell plans a single chunk
+    assert(ZarrReader.planChunks(meta,
+      Seq(Some((5L, 5L)), Some((6L, 6L)))).size == 1)
+    // open dim (None) stays full along that axis only
+    assert(ZarrReader.planChunks(meta, Seq(Some((0L, 1L)), None)).size == 4)
+    // disjoint / inverted range plans nothing
+    assert(ZarrReader.planChunks(meta,
+      Seq(Some((9L, 12L)), None)).isEmpty)
+    // mid-chunk bounds still include the boundary chunks
+    assert(ZarrReader.planChunks(meta,
+      Seq(Some((1L, 4L)), Some((3L, 3L)))).size == 3)
+  }
+
+  test("sliced zarr load equals the full load filtered; fan-out pruned") {
+    import graft.sources.ZarrReader
+    import org.apache.spark.sql.functions.col
+    val dir = writeZarrFixture() // shape (4,6), chunks (2,4): 2×2 grid
+    val slices = Seq(Some((1L, 2L)), Some((2L, 4L)))
+    val sliced = ZarrReader.loadArray(spark, dir, Seq("r", "c"), slices)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val full = ZarrReader.loadArray(spark, dir, Seq("r", "c"))
+      .filter(col("r").between(1, 2) && col("c").between(2, 4))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(sliced == full && sliced.size == 2 * 3)
+    // the slice crosses all 4 chunks rows-wise but planning is exact:
+    // a top-left-only slice plans ONE chunk of the four
+    assert(ZarrReader.planChunks(ZarrReader.readMeta(dir),
+      Seq(Some((0L, 1L)), Some((0L, 3L)))) == Seq(Seq(0, 0)))
+  }
+
+  test("planSegments prunes TIFF strips to the requested row range") {
+    import graft.sources.TiffReader
+    val path = writeTiffFixture(deflate = true)
+    val meta = TiffReader.readMeta(path)
+    assert(meta.segments.size > 1) // striped fixture
+    val rows = Some((0L, meta.tileHeight - 1L)) // first strip only
+    val pruned = TiffReader.planSegments(meta, rows, None)
+    assert(pruned.map(_.index) == Seq(0)) // exactly the first strip
+    // sliced read == full read filtered
+    import org.apache.spark.sql.functions.col
+    val sliced = TiffReader.loadArray(spark, path, rowRange = rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = TiffReader.loadArray(spark, path)
+      .filter(col("row") <= meta.tileHeight - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sliced == full && sliced.nonEmpty)
+  }
+
+  test("load_stac bbox pushes to chunk ranges AND trims exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeZarrFixture() // 4 rows × 6 cols over the item bbox
+    val zItem =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-bb",
+         |"bbox":[10.0,46.0,11.0,47.0],
+         |"properties":{"datetime":"2023-06-10T10:00:00Z"},
+         |"assets":{
+         |  "store":{"href":"file://$dir","type":"application/vnd+zarr"}
+         |}}""".stripMargin
+    val assets = StacLoader.parseItem(zItem)
+    val full = StacLoader.loadCube(spark, assets)
+    // south-west quadrant: y in [46, 46.3], x in [10, 10.4]
+    val bbox = Some((10.0, 46.0, 10.4, 46.3))
+    val pushed = StacLoader.loadCube(spark, assets, bbox = bbox)
+    val trimmed = full.df.filter(
+      col("x").between(10.0, 10.4) && col("y").between(46.0, 46.3))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getString(3)) ->
+        r.getDouble(4)).toMap
+    assert(key(pushed.df) == key(trimmed))
+    assert(pushed.df.count() == 2 * 3) // rows {0,1} × cols {0,1,2}
+    // a disjoint bbox loads nothing (and plans no chunks)
+    assert(StacLoader.loadCube(spark, assets,
+      bbox = Some((50.0, 50.0, 51.0, 51.0))).df.count() == 0)
+  }
 }
