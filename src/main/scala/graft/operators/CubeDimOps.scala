@@ -48,8 +48,12 @@ object CubeDimOps {
       mapping: Map[String, String]): DataCube = {
     cube.requireDim(dimension)
     val m = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // the fallback arm casts to string too: on a numeric dim the coalesce
+    // would otherwise coerce to the COLUMN type and die casting the new
+    // string label — renamed labels are names, the dim becomes string
     cube.withDf(_.withColumn(dimension,
-      coalesce(element_at(m, col(dimension).cast("string")), col(dimension))))
+      coalesce(element_at(m, col(dimension).cast("string")),
+        col(dimension).cast("string"))))
   }
 
   /** rename_labels with the reference's full error semantics
@@ -72,8 +76,15 @@ object CubeDimOps {
     if (source.nonEmpty && source.size != target.size)
       throw new IllegalArgumentException(
         "LabelMismatch - The number of labels in `source` and `target` don't match.")
-    val labels = cube.df.select(col(dimension).cast("string").as("l"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // order via the NATIVE column type before casting to string:
+    // numeric/enumerated dims must sort numerically (0,1,2,…,10), not
+    // lexically ("0","1","10","2"), or positional and enumerated-prefix
+    // renames map the wrong labels (reference general.py:171-204 keeps
+    // coord order; dimensionLabels orders the typed column the same way)
+    val labels = cube.df.select(col(dimension).as("_l"))
+      .distinct().orderBy(col("_l"))
+      .select(col("_l").cast("string"))
+      .collect().map(_.getString(0)).toSeq
     if (labels.exists(target.contains))
       throw new IllegalArgumentException(
         "LabelExists - A label with the specified name exists.")

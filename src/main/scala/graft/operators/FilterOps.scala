@@ -62,6 +62,13 @@ object FilterOps {
     // narrow MATERIALISED label metadata too — a stale label set makes
     // metadata-first consumers (merge_cubes' case dispatch) misclassify
     // the filtered cube as identical to its parent
+    // Label-order convention: materialised labels are an unordered SET
+    // (CubeDim.labels) used only for size/membership/set-compare —
+    // never for label→index resolution, which always goes through the
+    // native column ordering (dimensionLabels orderBy). The reference's
+    // filter_bands (sel(bands)) reorders coords to the requested order;
+    // here that ordering lives in the column, not the metadata, so the
+    // set intersect below loses nothing.
     val keep = bands.toSet
     val narrowed = cube.meta.copy(dims = cube.meta.dims.map(d =>
       if (d.name == dim) d.copy(labels = d.labels.map(_.intersect(keep)))

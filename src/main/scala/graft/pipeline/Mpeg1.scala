@@ -912,10 +912,12 @@ object Mpeg1 {
     * slides into `prevRef` — it is a following B-picture's forward
     * reference). B-pictures predict from BOTH carried references and
     * never become one, so neither their success nor their failure
-    * touches the reference chain. A reference picture that does not
-    * decode (D, damaged, P without a reference) DROPS both references —
-    * the chain is broken and a later P/B must not predict from stale
-    * frames. Never throws.
+    * touches the reference chain. D-pictures likewise leave the
+    * reference chain untouched — DC-only pictures are display-only and
+    * must not displace a real I/P reference. A reference-class picture
+    * that does NOT decode (damaged I/P, or P without a reference) DROPS
+    * both references — the chain is broken and a later P/B must not
+    * predict from stale frames. Never throws.
     */
   def decodeAccessUnitRef(carried: Option[StreamCtx],
       au: Array[Byte]): (Option[StreamCtx], Option[Frame]) = {

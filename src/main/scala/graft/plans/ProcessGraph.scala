@@ -1639,15 +1639,16 @@ object ProcessGraph {
           // buffer point geometries; polygon rows pass through unchanged
           // (the point-ring buffer is the op the engine implements).
           // UnitMismatch (reference geometries.py:127-135): when the
-          // vector frame CARRIES a crs column and it is geographic, the
-          // meter distance has the wrong unit — checked at metadata scale
-          // (one first()-row probe of a tiny vector table)
+          // vector frame CARRIES a crs column and ANY row is geographic,
+          // the meter distance has the wrong unit — probed as an
+          // existence filter (deterministic on mixed-CRS tables, unlike
+          // an arbitrary first-row sample) at metadata scale
           val df = table("geometries")
           val dist = num("distance")
           if (df.columns.contains("crs")) {
-            val geographic = df.select(col("crs")).limit(1).collect()
-              .headOption.map(r => String.valueOf(r.get(0)))
-              .exists(c => c == "EPSG:4326" || c == "OGC:CRS84")
+            val geographic = df
+              .filter(col("crs").isin("EPSG:4326", "OGC:CRS84"))
+              .limit(1).collect().nonEmpty
             if (geographic) throw new IllegalArgumentException(
               "UnitMismatch: the unit of the spatial reference system is " +
                 "not meters, but the given distance is in meters")

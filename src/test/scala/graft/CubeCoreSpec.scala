@@ -288,6 +288,36 @@ class CubeCoreSpec extends AnyFunSuite {
     }.getMessage.startsWith("LabelsNotEnumerated"))
   }
 
+  test("rename_labels positional order is native (numeric), not lexical") {
+    // 11 integer labels: a lexical string sort would order them
+    // 0,1,10,2,…,9 and an enumerated-prefix rename would hit label 10
+    // instead of label 2 — the label list must follow the NATIVE column
+    // order (reference general.py:171-204 maps in coord order)
+    val df = (0 to 10).map(i => (i, i * 1.0)).toDF("t", "value")
+    val c = DataCube.fromTable(df, Seq("t"), "value")
+    val renamed = CubeDimOps.renameLabelsChecked(c, "t", Seq("a", "b", "c"))
+    val got = renamed.df.select(col("t").cast("string"), col("value"))
+      .collect().map(r => r.getDouble(1) -> r.getString(0)).toMap
+    assert(got(0.0) == "a" && got(1.0) == "b" && got(2.0) == "c")
+    assert(got(10.0) == "10") // NOT renamed — it is not in the first three
+  }
+
+  test("filter_bands narrows materialised labels to the requested set") {
+    val df = Seq((1.0, "B1", 1.0), (1.0, "B2", 2.0), (1.0, "B3", 3.0))
+      .toDF("x", "band", "value")
+    val c = DataCube(df, CubeMetadata(Seq(
+      CubeDim("x", DimType.Spatial),
+      CubeDim("band", DimType.Bands,
+        labels = Some(Set("B1", "B2", "B3")))), None, "value"))
+    val f = FilterOps.filterBands(c, Seq("B3", "B1"))
+    assert(f.meta.dims.find(_.name == "band").flatMap(_.labels)
+      .contains(Set("B3", "B1")))
+    // label→index resolution goes through the native column ordering,
+    // never the metadata set (the documented label-order convention)
+    assert(f.df.select("band").distinct().collect()
+      .map(_.getString(0)).toSet == Set("B1", "B3"))
+  }
+
   test("run_udf pipes cells through a python subprocess and back") {
     val c = cube(Seq((1.0, "B1", 2.0), (2.0, "B1", 3.0), (1.0, "B2", null)))
     val out = UdfOps.runUdf(c,

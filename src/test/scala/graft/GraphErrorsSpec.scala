@@ -285,6 +285,27 @@ class GraphErrorsSpec extends AnyFunSuite {
     assert(e.contains("UnitMismatch"), e)
   }
 
+  test("UnitMismatch: mixed-CRS table with a geographic row later on") {
+    // the probe must be an existence filter, not an arbitrary first-row
+    // sample: a projected row sampled first must not mask a geographic
+    // row elsewhere in the table
+    val geoms = Seq(
+      (1L, "Point", Seq((500000.0, 4649776.0)), "EPSG:32632"),
+      (2L, "Point", Seq((1.0, 2.0)), "EPSG:4326"))
+      .toDF("geom_id", "geom_type", "_coords", "crs")
+      .withColumn("geometry",
+        expr("transform(_coords, c -> named_struct('x', c._1, 'y', c._2))"))
+      .drop("_coords")
+    val vcube = DataCube(geoms,
+      CubeMetadata(Seq(CubeDim("geom_id", DimType.Other)), None, "geom_id"))
+    val e = errorOf(g(
+      """"b": {"process_id": "vector_buffer",
+        |      "arguments": {"geometries": {"from_node": "l"},
+        |                    "distance": 100}, "result": true}""".stripMargin),
+      data = vcube)
+    assert(e.contains("UnitMismatch"), e)
+  }
+
   test("ProcessUnsupported: unknown process id") {
     val e = errorOf(g(
       """"u": {"process_id": "definitely_not_a_process",

@@ -126,6 +126,45 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(a == wantA, s"intercept $a != $wantA")
   }
 
+  test("fitLinear exact moments: single-pass dispatch — probe and result share one raw scan") {
+    // the magnitude dispatch must NOT cost a second scan of the raw
+    // series columns: the split-long moments and the max magnitudes
+    // aggregate together in ONE pass, the per-series result persists,
+    // and the probe reads that tiny cached frame. Asserted structurally:
+    // exactly one ACTION fires during the fit call (the probe — which is
+    // what materialises the cache), and the returned plan reads the
+    // InMemoryRelation, not the raw table. (Job counts are no proxy —
+    // AQE splits one action into a job per query stage.)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.incrementAndGet()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val c = series(Seq(1.0, 3.0, 5.0, 7.0))
+      val out = CurveOps.fitLinear(c, "i", exactIntMoments = true)
+      // listener delivery is async — poll to a deadline
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (actions.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(300) // catch a straggling SECOND action if one fired
+      assert(actions.get() == 1,
+        s"expected exactly 1 probe action during fit, saw ${actions.get()}")
+      val cached = out.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.nonEmpty,
+        "common-path result must read the persisted aggregate")
+      val r = out.collect()(0)
+      assert(math.abs(r.getDouble(r.fieldIndex("b")) - 2.0) < 1e-12)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("fitBasis2 exact moments: big-magnitude values take the decimal path") {
     // values ~1e8 flip the magnitude probe (m² ≥ 2^53) so the nine
     // moments run decimal-exact; every product here is still under 2^53,
