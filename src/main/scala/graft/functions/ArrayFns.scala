@@ -24,16 +24,62 @@ object ArrayFns {
   def arrayCreate(data: Column, repeat: Int = 1): Column =
     flatten(array_repeat(data, repeat))
 
-  /** labels→values map (reference: arrays.py:133-141). */
+  /** labels→values map, guarded with the reference's named error when the
+    * two lists disagree in length (reference: arrays.py:133-141).
+    */
   def arrayCreateLabeled(data: Column, labels: Column): Column =
-    map_from_arrays(labels, data)
+    when(size(labels) === size(data), map_from_arrays(labels, data))
+      .otherwise(raise_error(lit("ArrayLengthMismatch: the number of " +
+        "values in the parameters `data` and `labels` don't match")))
 
-  /** splice: replace `length` elements at 0-based `index` with `values`
+  /** splice: replace `length` elements at 0-based `index` with `values`;
+    * an index beyond the array raises the reference's named error
     * (reference: arrays.py:144-186).
     */
   def arrayModify(arr: Column, values: Column, index: Int, length: Int): Column =
-    concat(slice(arr, 1, index), values,
-      slice(arr, lit(index + length + 1), size(arr)))
+    when(lit(index) > size(arr), raise_error(lit(
+      "ArrayElementNotAvailable: the array can't be modified as the " +
+        "given index is larger than the number of elements in the array")))
+      .otherwise(concat(slice(arr, 1, index), values,
+        slice(arr, lit(index + length + 1), size(arr))))
+
+  /** Labeled (map-backed) concat: shared labels are the reference's
+    * ArrayLabelConflict (arrays.py:189-199); disjoint maps concatenate
+    * keeping each side's insertion order.
+    */
+  def labeledConcat(a1: Column, a2: Column): Column =
+    when(size(array_intersect(map_keys(a1), map_keys(a2))) > 0,
+      raise_error(lit("ArrayLabelConflict: at least one label exists in " +
+        "both arrays and the conflict must be resolved before")))
+      .otherwise(map_concat(a1, a2))
+
+  /** Labeled (map-backed) splice, via the entry list (map_from_arrays
+    * preserves insertion order, so entries are positional): shared labels
+    * raise ArrayLabelConflict, an out-of-range index raises
+    * ArrayElementNotAvailable (reference: arrays.py:144-186).
+    */
+  def labeledModify(data: Column, values: Column, index: Int,
+      length: Int): Column = {
+    val d = map_entries(data); val v = map_entries(values)
+    when(size(array_intersect(map_keys(data), map_keys(values))) > 0,
+      raise_error(lit("ArrayLabelConflict: at least one label exists in " +
+        "both arrays and the conflict must be resolved before")))
+      .when(lit(index) > size(d), raise_error(lit(
+        "ArrayElementNotAvailable: the array can't be modified as the " +
+          "given index is larger than the number of elements in the array")))
+      .otherwise(map_from_entries(concat(slice(d, 1, index), v,
+        slice(d, lit(index + length + 1), size(d)))))
+  }
+
+  /** Labeled element access: a missing label raises the reference's
+    * ArrayElementNotAvailable unless `returnNodata` (arrays.py:100-121).
+    */
+  def labeledElement(m: Column, label: Column,
+      returnNodata: Boolean = false): Column =
+    if (returnNodata) element_at(m, label)
+    else when(map_contains_key(m, label), element_at(m, label))
+      .otherwise(raise_error(lit("ArrayElementNotAvailable: the array " +
+        "has no element with the specified label")))
 
   /** reference: arrays.py:189-225. */
   def arrayConcat(a1: Column, a2: Column): Column = concat(a1, a2)

@@ -65,9 +65,13 @@ object Scalar {
   def arcosh(x: Column): Column = acosh(x)
   def artanh(x: Column): Column = atanh(x)
 
-  /** reference: math.py:332-338 — error when min > max is caller's duty. */
-  def clip(x: Column, min: Double, max: Double): Column =
+  /** reference: math.py:330-338. */
+  def clip(x: Column, min: Double, max: Double): Column = {
+    if (min > max) throw new IllegalArgumentException(
+      "MinMaxSwapped: the minimum value should be lower than or equal " +
+        "to the maximum value")
     least(greatest(x, lit(min)), lit(max))
+  }
 
   /** Rescale [inputMin, inputMax] → [outputMin, outputMax], clipping first
     * (reference: math.py:292-298).

@@ -58,6 +58,8 @@ object FilterOps {
     */
   def filterBands(cube: DataCube, bands: Seq[String],
       validate: Boolean = false): DataCube = {
+    if (cube.meta.bandDims.isEmpty) throw new IllegalArgumentException(
+      "DimensionMissing: a band dimension is missing") // _filter.py:139-140
     val dim = cube.bandDim
     // narrow MATERIALISED label metadata too — a stale label set makes
     // metadata-first consumers (merge_cubes' case dispatch) misclassify

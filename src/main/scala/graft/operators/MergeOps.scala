@@ -152,6 +152,20 @@ object MergeOps {
     */
   def mask(data: DataCube, maskCube: DataCube,
       replacement: Column = lit(null)): DataCube = {
+    // the reference's dimension contract (cubes/mask.py:28-70): a mask
+    // with temporal dims that differ from the data's is an error (a mask
+    // WITHOUT temporal dims broadcasts over time instead); spatial dim
+    // names must match exactly — both metadata-only checks, zero jobs
+    val dT = data.meta.temporalDims.toSet
+    val mT = maskCube.meta.temporalDims.toSet
+    if (dT != mT && mT.nonEmpty) throw new IllegalArgumentException(
+      s"DimensionMismatch: data and mask temporal dimensions do not " +
+        s"match: data has (${dT.mkString(",")}) and mask (${mT.mkString(",")})")
+    val dS = data.meta.spatialDims.toSet
+    val mS = maskCube.meta.spatialDims.toSet
+    if (dS != mS) throw new IllegalArgumentException(
+      s"DimensionMismatch: data and mask spatial dimensions do not " +
+        s"match: data has (${dS.mkString(",")}) and mask (${mS.mkString(",")})")
     val shared = data.meta.dimNames.intersect(maskCube.meta.dimNames)
     require(shared.nonEmpty, "mask: no shared dimensions")
     val m = maskCube.df.withColumnRenamed(maskCube.meta.valueCol, "_mask")

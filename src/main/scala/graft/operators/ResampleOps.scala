@@ -91,7 +91,7 @@ object ResampleOps {
   def resampleSpatialBilinear(cube: DataCube,
       targets: Seq[(Double, Double)]): DataCube = {
     val sd = cube.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
     val spark = cube.df.sparkSession
@@ -143,7 +143,7 @@ object ResampleOps {
     val to = Crs.parse(targetCrs)
     if (from == to) return cube
     val sd = cube.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val fn = udf((x: Double, y: Double) => {
       val (tx, ty) = Crs.transform(from, to, x, y)
@@ -167,7 +167,7 @@ object ResampleOps {
   def resampleSpatialAgg(cube: DataCube, xRes: Double, yRes: Double,
       reducer: Column => Column): DataCube = {
     val sd = cube.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
     val out = cube.df
@@ -188,7 +188,7 @@ object ResampleOps {
     */
   def resampleSpatialNear(cube: DataCube, xRes: Double, yRes: Double): DataCube = {
     val sd = cube.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
     val v = cube.meta.valueCol
@@ -270,7 +270,7 @@ object ResampleOps {
     */
   def resampleCubeSpatialBilinear(data: DataCube, target: DataCube): DataCube = {
     val sd = data.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val others = data.meta.dimNames.filterNot(d => d == xd || d == yd)
     val (txd, tyd) = {
@@ -317,7 +317,7 @@ object ResampleOps {
     */
   def resampleSpatialMode(cube: DataCube, xRes: Double, yRes: Double): DataCube = {
     val sd = cube.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
     val v = cube.meta.valueCol
@@ -403,7 +403,7 @@ object ResampleOps {
   def resampleSpatialKernel(cube: DataCube, targets: Seq[(Double, Double)],
       kernel: InterpKernel): DataCube = {
     val sd = cube.meta.spatialDims
-    require(sd.size >= 2, "DimensionNotAvailable: need x and y")
+    require(sd.size >= 2, "DimensionMissing: spatial dimension missing (need x and y)")
     val (xd, yd) = (sd.head, sd(1))
     val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
     val spark = cube.df.sparkSession

@@ -44,6 +44,14 @@ object ProcessGraph {
     */
   final case class ModelV(model: AnyRef, features: Seq[String]) extends PValue
   final case class ColV(col: Column) extends PValue
+  /** A LABELED array (openEO array_create_labeled): a labels→values map
+    * column. A distinct PValue so the labeled-array error contract
+    * (ArrayLabelConflict, ArrayElementNotAvailable by label) dispatches
+    * structurally, the way the reference dispatches on xr.DataArray vs
+    * ndarray (reference arrays.py:49-63); generic consumers unwrap it to
+    * the raw map column via `column(...)`.
+    */
+  final case class LabeledV(col: Column) extends PValue
   final case class NumV(v: Double) extends PValue
   final case class StrV(v: String) extends PValue
   final case class BoolV(v: Boolean) extends PValue
@@ -588,6 +596,7 @@ object ProcessGraph {
       }
       def column(name: String): Column = args(name) match {
         case ColV(c) => c
+        case LabeledV(c) => c
         case NumV(v) => lit(v)
         case StrV(s) => lit(s)
         case BoolV(b) => lit(b)
@@ -643,6 +652,7 @@ object ProcessGraph {
         c => runCallback(cbJson,
           Map("x" -> ColV(c), "data" -> ColV(c)) ++ callbackContext) match {
           case ColV(out) => out
+          case LabeledV(out) => out // labeled array result: the raw map
           case NumV(v) => lit(v)
           case v => throw new IllegalArgumentException(s"callback returned $v")
         }
@@ -741,6 +751,11 @@ object ProcessGraph {
             nullableStr(ext(0), "extent"), nullableStr(ext(1), "extent"),
             opt("dimension").map(_.asInstanceOf[StrV].v)))
         case "filter_bands" =>
+          // reference _filter.py:133-140: absent `bands` and a missing
+          // band dimension each have their own named error
+          if (opt("bands").isEmpty) throw new IllegalArgumentException(
+            "BandFilterParameterMissing: the process `filter_bands` " +
+              "requires the parameter `bands` to be set")
           CubeV(FilterOps.filterBands(cube("data"), strs("bands")))
         case "filter_bbox" =>
           val e = args("extent").asInstanceOf[ArrV].v.map(_.asInstanceOf[NumV].v)
@@ -917,6 +932,7 @@ object ProcessGraph {
               runCallback(cbJson, Map("data" -> ColV(arr),
                 "_array" -> BoolV(true)) ++ labelCtx ++ callbackContext) match {
                 case ColV(out) => out
+                case LabeledV(out) => out // labeled array result: the map
                 case NumV(v) => lit(v)
                 case v => throw new IllegalArgumentException(
                   s"reducer returned $v")
@@ -1517,7 +1533,8 @@ object ProcessGraph {
           val (model, feats) = args("model") match {
             case ModelV(m, f) => (m, f)
             case v => throw new IllegalArgumentException(
-              s"predict_random_forest.model: not a model ($v)")
+              "ModelNotFound: predict_random_forest's `model` does not " +
+                s"resolve to a loaded ML model ($v)") // exceptions.py:45
           }
           val d = cube("data")
           val bandDim = opt("dimension").map(_.asInstanceOf[StrV].v)
@@ -1597,7 +1614,7 @@ object ProcessGraph {
 
         // ---- labeled-array scalar processes ----
         case "array_create_labeled" =>
-          ColV(graft.functions.ArrayFns.arrayCreateLabeled(
+          LabeledV(graft.functions.ArrayFns.arrayCreateLabeled(
             column("data"), column("labels")))
         case "array_find_label" =>
           ColV(graft.functions.ArrayFns.arrayFindLabel(
@@ -1789,7 +1806,8 @@ object ProcessGraph {
         case "exp" => ColV(Scalar.expC(column("x")))
         case "absolute" => ColV(Scalar.absolute(column("x")))
         case "floor" => ColV(Scalar.floorC(column("x")))
-        case "clip" => ColV(Scalar.clip(column("x"), num("min"), num("max")))
+        case "clip" =>
+          ColV(Scalar.clip(column("x"), num("min"), num("max")))
         case "linear_scale_range" =>
           ColV(Scalar.linearScaleRange(column("x"),
             num("inputMin"), num("inputMax"),
@@ -1906,28 +1924,51 @@ object ProcessGraph {
               "ArrayElementParameterConflict: the process `array_element` " +
                 "only allows that either the `index` or the `label` " +
                 "parameter is set") // reference arrays.py:79-83
-          val idx = args.get("index") match {
-            case Some(NumV(v)) => v.toInt
-            case _ => (args.get("label"), ctx.get("_labels")) match {
-              case (Some(StrV(lab)), Some(ArrV(ls))) =>
-                val i = ls.indexWhere {
-                  case StrV(s) => s == lab
-                  case _ => false
+          args("data") match {
+            // LABELED array (a labels→values map): label access is a
+            // guarded map lookup — a missing label raises the reference's
+            // ArrayElementNotAvailable unless return_nodata; index access
+            // goes positionally through the entry values (arrays.py:85-121)
+            case LabeledV(m) =>
+              val rn = args.get("return_nodata").contains(BoolV(true))
+              args.get("label") match {
+                case Some(StrV(lab)) => ColV(
+                  graft.functions.ArrayFns.labeledElement(m, lit(lab), rn))
+                case Some(NumV(lab)) => ColV(
+                  graft.functions.ArrayFns.labeledElement(m, lit(lab), rn))
+                case _ => ColV(graft.functions.ArrayFns.arrayElement(
+                  map_values(m), num("index").toInt))
+              }
+            case _ =>
+              val idx = args.get("index") match {
+                case Some(NumV(v)) => v.toInt
+                case _ => (args.get("label"), ctx.get("_labels")) match {
+                  case (Some(StrV(lab)), Some(ArrV(ls))) =>
+                    val i = ls.indexWhere {
+                      case StrV(s) => s == lab
+                      case _ => false
+                    }
+                    require(i >= 0, s"ArrayElementNotAvailable: label '$lab' " +
+                      s"not among ${ls.size} dimension labels")
+                    i
+                  case (Some(StrV(_)), _) => throw new IllegalArgumentException(
+                    "ArrayNotLabeled: array_element label access needs a " +
+                      "labeled array context")
+                  case _ => throw new IllegalArgumentException(
+                    "ArrayElementParameterMissing: the process `array_element` " +
+                      "requires either the `index` or `label` parameter to be " +
+                      "set") // reference arrays.py:74-78
                 }
-                require(i >= 0, s"ArrayElementNotAvailable: label '$lab' " +
-                  s"not among ${ls.size} dimension labels")
-                i
-              case (Some(StrV(_)), _) => throw new IllegalArgumentException(
-                "ArrayNotLabeled: array_element label access needs a " +
-                  "labeled array context")
-              case _ => throw new IllegalArgumentException(
-                "ArrayElementParameterMissing: the process `array_element` " +
-                  "requires either the `index` or `label` parameter to be " +
-                  "set") // reference arrays.py:74-78
-            }
+              }
+              ColV(graft.functions.ArrayFns.arrayElement(column("data"), idx))
           }
-          ColV(graft.functions.ArrayFns.arrayElement(column("data"), idx))
-        case "array_concat" => ColV(concat(column("array1"), column("array2")))
+        case "array_concat" => (args("array1"), args("array2")) match {
+          // both labeled: shared labels are the reference's
+          // ArrayLabelConflict (arrays.py:189-199)
+          case (LabeledV(a), LabeledV(b)) =>
+            LabeledV(graft.functions.ArrayFns.labeledConcat(a, b))
+          case _ => ColV(concat(column("array1"), column("array2")))
+        }
         case "array_append" =>
           ColV(graft.functions.ArrayFns.arrayAppend(column("data"), column("value")))
         case "array_contains" =>
@@ -1951,9 +1992,15 @@ object ProcessGraph {
           ColV(graft.functions.ArrayFns.arrayCreate(column("data"),
             args.get("repeat").collect { case NumV(n) => n.toInt }.getOrElse(1)))
         case "array_modify" =>
-          ColV(graft.functions.ArrayFns.arrayModify(column("data"),
-            column("values"), num("index").toInt,
-            args.get("length").collect { case NumV(n) => n.toInt }.getOrElse(1)))
+          val mLen =
+            args.get("length").collect { case NumV(n) => n.toInt }.getOrElse(1)
+          (args("data"), args.get("values")) match {
+            case (LabeledV(d), Some(LabeledV(v))) =>
+              LabeledV(graft.functions.ArrayFns.labeledModify(
+                d, v, num("index").toInt, mLen))
+            case _ => ColV(graft.functions.ArrayFns.arrayModify(
+              column("data"), column("values"), num("index").toInt, mLen))
+          }
         case "array_find" =>
           ColV(graft.functions.ArrayFns.arrayFind(column("data"),
             column("value"),

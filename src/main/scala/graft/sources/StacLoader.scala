@@ -195,6 +195,10 @@ object StacLoader {
       resampling: String = "near",
       bbox: Option[(Double, Double, Double, Double)] = None): DataCube = {
     import spark.implicits._
+    // the openEO load contract (reference cubes/load.py:26-28): extents
+    // that select NO items/assets are a named error, not an empty cube
+    if (assets.isEmpty) throw new IllegalArgumentException(
+      "NoDataAvailable: there is no data available for the given extents")
     // bbox → conservative inclusive cell-index range along one axis of an
     // asset's grid (cell i sits at origin + i·step): widened a cell each
     // way so float edges can't drop a boundary pixel — the exact closed-

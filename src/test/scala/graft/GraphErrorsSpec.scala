@@ -333,4 +333,131 @@ class GraphErrorsSpec extends AnyFunSuite {
         |      "result": true}""".stripMargin), data = xyCube)
     assert(e.contains("GeometryInvalid"), e)
   }
+
+  // ---- the 10 remaining reference error classes (exceptions.py:17-113),
+  // pinned as WIRE-GRAPH behavior ----
+
+  test("ArrayNotLabeled: array_element label access without a labeled context") {
+    // `apply`'s scalar context carries no dimension labels — the label
+    // parameter has nothing to resolve against (reference arrays.py:86-90)
+    val e = errorOf(g(
+      """"a": {"process_id": "apply",
+        |      "arguments": {"data": {"from_node": "l"},
+        |        "process": {"process_graph": {
+        |          "el": {"process_id": "array_element",
+        |                 "arguments": {"data": {"from_parameter": "x"},
+        |                               "label": "B1"}, "result": true}}}},
+        |      "result": true}""".stripMargin))
+    assert(e.contains("ArrayNotLabeled"), e)
+  }
+
+  test("ArrayElementNotAvailable: reduce callback addresses an absent band label") {
+    val e = errorOf(g(
+      """"r": {"process_id": "reduce_dimension",
+        |      "arguments": {"data": {"from_node": "l"}, "dimension": "band",
+        |        "reducer": {"process_graph": {
+        |          "el": {"process_id": "array_element",
+        |                 "arguments": {"data": {"from_parameter": "data"},
+        |                               "label": "B9"}, "result": true}}}},
+        |      "result": true}""".stripMargin))
+    assert(e.contains("ArrayElementNotAvailable"), e)
+  }
+
+  test("ArrayLabelConflict: array_concat of labeled arrays sharing a label") {
+    val e = errorOf(g(
+      """"a": {"process_id": "apply",
+        |      "arguments": {"data": {"from_node": "l"},
+        |        "process": {"process_graph": {
+        |          "c1": {"process_id": "array_create_labeled",
+        |                 "arguments": {"data": [1, 2], "labels": ["a", "b"]}},
+        |          "c2": {"process_id": "array_create_labeled",
+        |                 "arguments": {"data": [3], "labels": ["a"]}},
+        |          "cc": {"process_id": "array_concat",
+        |                 "arguments": {"array1": {"from_node": "c1"},
+        |                               "array2": {"from_node": "c2"}},
+        |                 "result": true}}}},
+        |      "result": true}""".stripMargin), act = true)
+    assert(e.contains("ArrayLabelConflict"), e)
+  }
+
+  test("ArrayLengthMismatch: array_create_labeled with uneven lists") {
+    val e = errorOf(g(
+      """"a": {"process_id": "apply",
+        |      "arguments": {"data": {"from_node": "l"},
+        |        "process": {"process_graph": {
+        |          "c1": {"process_id": "array_create_labeled",
+        |                 "arguments": {"data": [1, 2, 3], "labels": ["a", "b"]},
+        |                 "result": true}}}},
+        |      "result": true}""".stripMargin), act = true)
+    assert(e.contains("ArrayLengthMismatch"), e)
+  }
+
+  test("ModelNotFound: predict_random_forest with an unresolved model") {
+    val e = errorOf(g(
+      """"p": {"process_id": "predict_random_forest",
+        |      "arguments": {"data": {"from_node": "l"},
+        |                    "model": "never-loaded", "dimension": "band"},
+        |      "result": true}""".stripMargin))
+    assert(e.contains("ModelNotFound"), e)
+  }
+
+  test("DimensionMissing: filter_bands on a cube without a band dimension") {
+    val e = errorOf(g(
+      """"f": {"process_id": "filter_bands",
+        |      "arguments": {"data": {"from_node": "l"}, "bands": ["B1"]},
+        |      "result": true}""".stripMargin), data = xyCube)
+    assert(e.contains("DimensionMissing"), e)
+  }
+
+  test("BandFilterParameterMissing: filter_bands without the bands parameter") {
+    val e = errorOf(g(
+      """"f": {"process_id": "filter_bands",
+        |      "arguments": {"data": {"from_node": "l"}}, "result": true}""".stripMargin))
+    assert(e.contains("BandFilterParameterMissing"), e)
+  }
+
+  test("NoDataAvailable: load_stac extent selecting zero items") {
+    val fix = graft.queries.StacFixture.ensure()
+    val graph =
+      s"""{"process_graph": {
+         |  "n": {"process_id": "load_stac",
+         |        "arguments": {"url": "file://$fix/catalog.json",
+         |          "temporal_extent": ["1999-01-01T00:00:00Z",
+         |                              "1999-01-02T00:00:00Z"]},
+         |        "result": true}}}""".stripMargin
+    val e = errorOf(graph)
+    assert(e.contains("NoDataAvailable"), e)
+  }
+
+  test("DimensionMismatch: mask carries temporal dims the data lacks") {
+    val graph =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "m": {"process_id": "load_collection", "arguments": {"id": "m"}},
+        |  "k": {"process_id": "mask",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "mask": {"from_node": "m"}}, "result": true}
+        |}}""".stripMargin
+    val e = try {
+      ProcessGraph.execute(spark, graph,
+        id => if (id == "m") twoTemporalCube else cube)
+      fail(s"graph was expected to raise: $graph")
+    } catch {
+      case ex: org.scalatest.exceptions.TestFailedException => throw ex
+      case ex: Throwable => String.valueOf(ex.getMessage)
+    }
+    assert(e.contains("DimensionMismatch"), e)
+  }
+
+  test("MinMaxSwapped: clip with min above max") {
+    val e = errorOf(g(
+      """"a": {"process_id": "apply",
+        |      "arguments": {"data": {"from_node": "l"},
+        |        "process": {"process_graph": {
+        |          "c": {"process_id": "clip",
+        |                "arguments": {"x": {"from_parameter": "x"},
+        |                              "min": 10, "max": 2}, "result": true}}}},
+        |      "result": true}""".stripMargin))
+    assert(e.contains("MinMaxSwapped"), e)
+  }
 }

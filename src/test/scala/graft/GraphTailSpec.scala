@@ -246,8 +246,8 @@ class GraphTailSpec extends AnyFunSuite {
         |                      "labels": ["a", "b", "c"]},
         |        "result": true}}}""".stripMargin
     val c1 = runValue(g1) match {
-      case ColV(c) => c
-      case v => fail(s"expected ColV, got $v")
+      case ProcessGraph.LabeledV(c) => c // labeled arrays are their own PValue
+      case v => fail(s"expected LabeledV, got $v")
     }
     val made = spark.range(1).select(c1.as("out")).first().getAs[Any]("out")
     val direct = spark.range(1).select(
