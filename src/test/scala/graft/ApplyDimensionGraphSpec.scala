@@ -393,4 +393,65 @@ class ApplyDimensionGraphSpec extends AnyFunSuite {
       assert(byBand(g) == byBand(ApplyOps.apply(cube, _ * 2)))
     } finally spark.conf.unset("graft.applyDimension.foldMaxLabels")
   }
+
+  /** SHUFFLE exchanges only (broadcast exchanges move a bounded small
+    * side, not the data), final AQE plan only.
+    */
+  private def shuffleCount(c: DataCube): Int =
+    c.df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") ||
+          l.contains("Exchange rangepartitioning"))
+
+  test("exchange budgets: the window-chain compile's shuffle inventory") {
+    // The compiled chain's scale contract, pinned as absolute budgets:
+    //  - a cumsum-family chain is ONE series shuffle, however long;
+    //  - interleaved scalar steps and broadcast side branches add ZERO;
+    //  - each `sort` step adds exactly ONE more (its value-ordered rank
+    //    branch; the rank->rank join reuses the series partitioning — a
+    //    join key superset of the partitioning keys needs no re-shuffle —
+    //    so no exchange is keyed by the join slot).
+    val pure = applyDim(
+      """{"c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "m": {"process_id": "cummax",
+        |       "arguments": {"data": {"from_node": "c"}},
+        |       "result": true}}""".stripMargin)
+    assert(shuffleCount(pure) == 1, s"pure chain: ${shuffleCount(pure)}")
+
+    val mixed = applyDim(
+      """{"c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "m": {"process_id": "multiply",
+        |       "arguments": {"x": {"from_node": "c"}, "y": 2}},
+        | "x": {"process_id": "cummax",
+        |       "arguments": {"data": {"from_node": "m"}},
+        |       "result": true}}""".stripMargin)
+    assert(shuffleCount(mixed) == 1, s"mixed chain: ${shuffleCount(mixed)}")
+
+    val broadcastSide = applyDim(
+      """{"me": {"process_id": "mean",
+        |        "arguments": {"data": {"from_parameter": "data"}}},
+        | "s":  {"process_id": "subtract",
+        |        "arguments": {"x": {"from_parameter": "data"},
+        |                      "y": {"from_node": "me"}},
+        |        "result": true}}""".stripMargin)
+    assert(shuffleCount(broadcastSide) == 1,
+      s"side branch: ${shuffleCount(broadcastSide)}")
+
+    val sortChain = applyDim(
+      """{"s": {"process_id": "sort",
+        |       "arguments": {"data": {"from_parameter": "data"}}},
+        | "c": {"process_id": "cumsum",
+        |       "arguments": {"data": {"from_node": "s"}},
+        |       "result": true}}""".stripMargin)
+    assert(shuffleCount(sortChain) == 2,
+      s"sort chain: ${shuffleCount(sortChain)}")
+    val sortPlan = sortChain.df.queryExecution.executedPlan.toString
+    assert(!sortPlan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_slot")),
+      "the rank->rank join must reuse the series partitioning, " +
+        "not re-shuffle by slot")
+  }
 }
