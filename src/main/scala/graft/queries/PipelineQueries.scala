@@ -97,6 +97,58 @@ object PipelineQueries {
         "embedding", 16)
     }
 
+  // ---- corpus-derived ANN geometry: the DEPLOYMENT law (SCALE.md /
+  // SfProbe — cells ∝ corpus, +1 LSH bit per band per corpus doubling),
+  // exercised under the driver's hash gate by the *_scaled queries. The
+  // oracle SQL derives the SAME numbers from count(*), so the sf axis
+  // scales the geometry on both engines identically. Integer-exact
+  // formulas only (a float log2 can land one ulp under an exact power
+  // and flip the floor on one engine but not the other). ----
+  private def embCount(s: SparkSession, dir: String): Long =
+    memoModel("emb_count", s, dir) {
+      java.lang.Long.valueOf(Tables.embeddings(s, dir).count())
+    }.longValue()
+
+  /** IVF cells ∝ corpus: max(16, ceil(n/125)) — ~125 vectors per cell. */
+  private def scaledCells(n: Long): Int =
+    math.max(16, math.ceil(n / 125.0).toInt)
+
+  /** LSH bits per band: 4 + one per corpus doubling past the 1000-vector
+    * base, capped at 16 (floor(log2(n/1000)) computed in integer
+    * arithmetic — bit length of n/1000, matching the oracle's threshold
+    * table exactly).
+    */
+  private def scaledBits(n: Long): Int = {
+    val base = n / 1000L
+    val extra =
+      if (base < 1L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(base)
+    4 + math.min(12, extra)
+  }
+
+  private def scaledIvfCents(
+      s: SparkSession, dir: String): Array[Similarity.Centroid] =
+    memoModel("stride_centroids_scaled", s, dir) {
+      Similarity.strideCentroids(Tables.embeddings(s, dir), "vec_id",
+        "embedding", scaledCells(embCount(s, dir)))
+    }
+
+  /** the scaled stride as SQL (mirrors strideCentroids(k=scaledCells)) */
+  private val scaledStrideSql =
+    """(SELECT CAST(ceil(count(*) / greatest(16.0, ceil(count(*) / 125.0)))
+      |         AS BIGINT) FROM e)""".stripMargin
+
+  /** bits-per-band from count(*) via an exact integer threshold table:
+    * max j with n >= 1000·2^j (floor(log2(n/1000)), no float log)
+    */
+  private val scaledBpbSql =
+    """g AS (SELECT 4 + COALESCE(max(t.j), 0) AS bpb
+      |  FROM (SELECT count(*) AS n FROM e) c
+      |  JOIN (VALUES (0, 1000), (1, 2000), (2, 4000), (3, 8000),
+      |               (4, 16000), (5, 32000), (6, 64000), (7, 128000),
+      |               (8, 256000), (9, 512000), (10, 1024000),
+      |               (11, 2048000), (12, 4096000)) t(j, thr)
+      |  ON c.n >= t.thr)""".stripMargin
+
   private def collapsedClusters(s: SparkSession, dir: String): DataFrame =
     memoFrame("clusters", s, dir) {
       Dedup.nearDupClustersCollapsed(Tables.documents(s, dir),
@@ -153,8 +205,19 @@ object PipelineQueries {
     * doubles by construction, so bucket keys agree bit-exactly.
     */
   private val annPlanes = Planes.hyperplanes(16, 64, "graft-lsh")
+  /** superset for the scaled-geometry LSH query: the generator is seeded
+    * per (plane, component), so the first nPlanes of this set ARE
+    * hyperplanes(nPlanes) — the oracle inlines all 64 and filters by the
+    * count-derived plane budget
+    */
+  private val annPlanes64 = Planes.hyperplanes(64, 64, "graft-lsh")
   private def planesSql: String =
     annPlanes.zipWithIndex
+      .map { case (w, p) => s"($p, ${Planes.sqlArray(w)})" }
+      .mkString("(VALUES ", ", ", ") planes(pid, w)")
+
+  private def planes64Sql: String =
+    annPlanes64.zipWithIndex
       .map { case (w, p) => s"($p, ${Planes.sqlArray(w)})" }
       .mkString("(VALUES ", ", ", ") planes(pid, w)")
 
@@ -254,6 +317,28 @@ object PipelineQueries {
     "ann_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, nPlanes = 16, bands = 4, k = 3)
+    },
+
+    // ---- scaled-geometry twins: the same three operators with geometry
+    // DERIVED from the corpus count (cells ∝ n; +1 LSH bit per band per
+    // doubling) — the deployment shape, hash-checked on the sf axis. The
+    // pinned-geometry originals stay: they anchor the oracle at the gate
+    // SFs; these keep the candidate volume linear as sf grows. ----
+    "dedup_embed_cosine_scaled" -> { (s, dir) =>
+      Similarity.ivfNearDupsWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", scaledIvfCents(s, dir), threshold = 0.35, probes = 3)
+    },
+    "semdedup_scaled" -> { (s, dir) =>
+      Similarity.semDedupSurvivorsWith(Tables.embeddings(s, dir), "vec_id",
+          "embedding", scaledIvfCents(s, dir), threshold = 0.35, probes = 3)
+        .select(col("vec_id"),
+          round(Similarity.norm2(col("embedding").cast("array<double>")), 6)
+            .as("norm"))
+    },
+    "ann_lsh_topk_scaled" -> { (s, dir) =>
+      val bits = scaledBits(embCount(s, dir))
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, nPlanes = 4 * bits, bands = 4, k = 3)
     },
     "ann_ivfpq_topk" -> { (s, dir) =>
       // IVFADC — the FAISS-default composition under the hash gate: the
@@ -1530,6 +1615,83 @@ object PipelineQueries {
          |SELECT n.vec_id, round(n.nn, 6) AS norm
          |FROM n LEFT JOIN dropped d ON d.node = n.vec_id
          |WHERE d.node IS NULL""".stripMargin,
+    "dedup_embed_cosine_scaled" ->
+      // the dedup_embed_cosine mirror with the DEPLOYMENT geometry: the
+      // centroid count derives from count(*) (cells = max(16, ceil(n/125)),
+      // stride = ceil(n/cells)) — same formula the Spark side computes
+      s"""WITH $cosineSqlFns,
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+         |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM n)
+         |  WHERE rnk % $scaledStrideSql = 0),
+         |scored AS (SELECT n.vec_id, cent.cid,
+         |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
+         |  FROM n CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+         |  FROM scored QUALIFY pr <= 3),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |ver AS (SELECT id_a, id_b,
+         |    round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+         |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM ver WHERE cos >= 0.35""".stripMargin,
+    "semdedup_scaled" ->
+      s"""WITH RECURSIVE $cosineSqlFns,
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM (
+         |    SELECT vec_id, v, nn, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM n)
+         |  WHERE rnk % $scaledStrideSql = 0),
+         |scored AS (SELECT n.vec_id, cent.cid,
+         |    ${dotSql("n.v", "cent.cv")} / cent.cn AS ccos
+         |  FROM n CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+         |  FROM scored QUALIFY pr <= 3),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM (SELECT id_a, id_b,
+         |          round(${dotSql("a.v", "b.v")} / (a.nn * b.nn), 6) AS cos
+         |        FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+         |  WHERE cos >= 0.35),
+         |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(x, y) AS (SELECT x, y FROM edges
+         |            UNION
+         |            SELECT r.x, e2.y FROM r JOIN edges e2 ON e2.x = r.y
+         |            WHERE e2.y <> r.x),
+         |lbl AS (SELECT x AS node, least(x, min(y)) AS cluster FROM r GROUP BY x),
+         |dropped AS (SELECT node FROM lbl WHERE node <> cluster)
+         |SELECT n.vec_id, round(n.nn, 6) AS norm
+         |FROM n LEFT JOIN dropped d ON d.node = n.vec_id
+         |WHERE d.node IS NULL""".stripMargin,
+    "ann_lsh_topk_scaled" ->
+      // the ann_lsh_topk mirror with count-derived plane budget: 64
+      // inlined planes filtered to 4·bpb, where bpb comes from the exact
+      // integer threshold table (one extra bit per corpus doubling past
+      // 1000 vectors) — the same numbers the Spark side computes
+      s"""WITH $cosineSqlFns,
+         |$scaledBpbSql,
+         |p AS (SELECT pid, w FROM $planes64Sql, g WHERE pid < 4 * g.bpb),
+         |bits AS (SELECT e.vec_id, p.pid,
+         |    CASE WHEN ${dotSql("e.v", "p.w")} > 0 THEN '1' ELSE '0' END AS bit
+         |  FROM e CROSS JOIN p),
+         |bands AS (SELECT vec_id, pid // g.bpb AS band,
+         |    string_agg(bit, '' ORDER BY pid) AS bkey
+         |  FROM bits, g GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nn FROM e),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dotSql("x.v", "y.v")} / (x.nn * y.nn), 6) AS cos
+         |  FROM cand c JOIN n x ON x.vec_id = c.query_id
+         |              JOIN n y ON y.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |FROM scored QUALIFY rk <= 3""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $cosineSqlFns,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
