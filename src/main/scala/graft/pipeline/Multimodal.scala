@@ -336,9 +336,20 @@ object Multimodal {
     require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     implicit val enc = Encoders.product[FrameFeatures]
     blobs.mapPartitions(_.flatMap { b =>
-      demuxSamples(b.blob) match {
+      // two containers feed the same walk: MP4 tracks (samples are
+      // slices of the blob) and 11172-1 PROGRAM STREAMS — the shape of a
+      // real `.mpg` file — whose access units are slices of the PES-
+      // reassembled elementary stream (always MPEG-1/2 video by
+      // container contract, so codec = "mpg1")
+      val demuxed: Option[(Array[Byte], Array[(Int, Int, Long)], String)] =
+        demuxSamples(b.blob) match {
+          case Some((samples, codec)) => Some((b.blob, samples, codec))
+          case None => Mpeg1Ps.demuxVideo(b.blob)
+            .map(ps => (ps.es, ps.units, "mpg1"))
+        }
+      demuxed match {
         case None => Iterator.empty
-        case Some((samples, codec)) =>
+        case Some((src, samples, codec)) =>
           val jpeg = JpegFourccs.contains(codec)
           val mpeg = MpegFourccs.contains(codec)
           // MPEG tracks: the sequence header may sit only in the first
@@ -357,18 +368,18 @@ object Multimodal {
               val sampled = i % everyNth == 0
               val stats =
                 if (jpeg && sampled)
-                  decodeStats(b.blob.slice(off, off + len))
+                  decodeStats(src.slice(off, off + len))
                     .map { case (w, h, _, luma) => (w, h, luma) }
                 else if (mpeg && sampled) {
                   val (ctx2, frame) = Mpeg1.decodeAccessUnitRef(mpegCtx,
-                    b.blob.slice(off, off + len))
+                    src.slice(off, off + len))
                   mpegCtx = ctx2
                   frame.map(f => (f.width, f.height, f.meanLuma))
                 } else if (mpeg) {
                   // skipped frame: scan for a sequence header only; the
                   // undecoded picture invalidates the reference frame
                   mpegCtx = Mpeg1.scanSequenceHeader(mpegCtx.map(_.seq),
-                    b.blob.slice(off, off + len))
+                    src.slice(off, off + len))
                     .map(Mpeg1.StreamCtx(_, None))
                   None
                 } else None

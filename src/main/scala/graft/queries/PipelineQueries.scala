@@ -807,10 +807,15 @@ object PipelineQueries {
       // VALUES, not a frozen model. Doc-dependent gray levels and
       // deltas prove per-blob decode, not a shared constant.
       import org.apache.spark.sql.Encoders
-      val blobs = s.createDataset((1L to 3L).map { id =>
-        Multimodal.Blob(id, Multimodal.muxMp4("mp1v",
-          Mpeg1Writer.ipbPictures(32, 16,
-            gray = 100 + id.toInt, delta = 4 * id.toInt + 8)))
+      // docs 1–3 ride an MP4 track; docs 4–5 the SAME encoded pictures
+      // inside an 11172-1 PROGRAM STREAM (pack/PES — the real `.mpg`
+      // container shape), so both demux paths sit under the hash gate
+      val blobs = s.createDataset((1L to 5L).map { id =>
+        val aus = Mpeg1Writer.ipbPictures(32, 16,
+          gray = 100 + id.toInt, delta = 4 * id.toInt + 8)
+        Multimodal.Blob(id,
+          if (id <= 3L) Multimodal.muxMp4("mp1v", aus)
+          else Mpeg1Ps.mux(aus))
       })(Encoders.product[Multimodal.Blob])
       Multimodal.videoFrameFeatures(blobs, everyNth = 1).toDF()
         .select(col("doc_id"), col("frame_idx"), col("ok"),
@@ -1955,7 +1960,11 @@ object PipelineQueries {
         |  (2, 0, TRUE, 32, 16, 102), (2, 1, TRUE, 32, 16, 118),
         |  (2, 2, TRUE, 32, 16, 110),
         |  (3, 0, TRUE, 32, 16, 103), (3, 1, TRUE, 32, 16, 123),
-        |  (3, 2, TRUE, 32, 16, 113))
+        |  (3, 2, TRUE, 32, 16, 113),
+        |  (4, 0, TRUE, 32, 16, 104), (4, 1, TRUE, 32, 16, 128),
+        |  (4, 2, TRUE, 32, 16, 116),
+        |  (5, 0, TRUE, 32, 16, 105), (5, 1, TRUE, 32, 16, 133),
+        |  (5, 2, TRUE, 32, 16, 119))
         |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts,

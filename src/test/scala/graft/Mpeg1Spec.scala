@@ -619,4 +619,83 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(out(1).ok && out(1).mean_luma == 160.0,
       "P-picture must motion-compensate against the carried I frame")
   }
+
+  // ---- ISO 11172-1 PROGRAM STREAM (the real `.mpg` container) ----
+
+  test("PS mux/demux round trip: packs, PES, PTS, access-unit split") {
+    import graft.pipeline.{Mpeg1Ps, Mpeg1Writer}
+    val aus = Mpeg1Writer.ipbPictures(48, 24, gray = 90, delta = 17)
+    val ps = Mpeg1Ps.mux(aus, fps = 25)
+    assert(Mpeg1Ps.isProgramStream(ps))
+    val v = Mpeg1Ps.demuxVideo(ps).get
+    assert(v.units.length == 3)
+    // each reassembled unit is byte-identical to the encoder's output
+    for ((au, k) <- aus.zipWithIndex) {
+      val (off, len, ts) = v.units(k)
+      assert(v.es.slice(off, off + len).sameElements(au), s"unit $k bytes")
+      // PTS = 90000·(k+1)/25 + 90000 ticks → ms = 40·(k+1) + 1000
+      assert(ts == 40L * (k + 1) + 1000L, s"unit $k ts=$ts")
+    }
+  }
+
+  test("PS: oversized access unit spans chunked PES packets losslessly") {
+    import graft.pipeline.Mpeg1Ps
+    // one synthetic 70000-byte "picture": start code + FF filler (FF can
+    // never alias a start-code prefix) — must cross the 16-bit PES length
+    // bound and reassemble byte-exact
+    val au = Array[Byte](0, 0, 1, 0) ++ Array.fill(70000)(0xff.toByte)
+    val v = Mpeg1Ps.demuxVideo(Mpeg1Ps.mux(Seq(au))).get
+    assert(v.units.length == 1)
+    val (off, len, _) = v.units(0)
+    assert(len == au.length && v.es.slice(off, off + len).sameElements(au))
+  }
+
+  test("PS blob: videoFrameFeatures decodes real pixels from a .mpg; non-PS unaffected") {
+    import graft.pipeline.{Mpeg1Ps, Mpeg1Writer}
+    val aus = Mpeg1Writer.ipbPictures(48, 24, gray = 90, delta = 17)
+    val mpg = Mpeg1Ps.mux(aus, fps = 25)
+    val junk = Array.fill(64)(0x55.toByte) // neither MP4 nor PS
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(21L, mpg), Multimodal.Blob(22L, junk)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+    assert(out.forall(_.doc_id == 21L), "non-PS junk must yield no rows")
+    val byIdx = out.map(f => f.frame_idx -> f).toMap
+    assert(byIdx.size == 3)
+    // same closed-form lumas as the raw I+P+B round trip — the PS walk
+    // carries the sequence context and both references across units
+    assert(byIdx(0).ok && byIdx(0).width == 48 && byIdx(0).mean_luma == 90.0)
+    assert(byIdx(1).ok && byIdx(1).mean_luma == 107.0)
+    assert(byIdx(2).ok && byIdx(2).mean_luma == 99.0)
+    assert(byIdx(0).ts_ms == 1040L && byIdx(2).ts_ms == 1120L)
+  }
+
+  test("PS: 13818-1 pack marker and flags-form PES header are tolerated") {
+    import graft.pipeline.{Mpeg1Ps, Mpeg1Writer}
+    val au = Mpeg1Writer.grayPictures(16, 16, Seq(200)).head
+    val out = new java.io.ByteArrayOutputStream()
+    // MPEG-2 pack: '01' marker, 10 header bytes, stuffing_length = 0
+    out.write(Array[Byte](0, 0, 1, 0xba.toByte))
+    out.write(Array[Byte](0x44, 0, 4, 0, 4, 1, 0, 0, 3, 0xf8.toByte))
+    // flags-form PES: '10'-marker byte, PTS flag, header_data_length 5
+    val pts = 90000L
+    out.write(Array[Byte](0, 0, 1, 0xe0.toByte))
+    val bodyLen = 3 + 5 + au.length
+    out.write((bodyLen >> 8) & 0xff); out.write(bodyLen & 0xff)
+    out.write(0x80); out.write(0x80); out.write(5)
+    out.write((0x2 << 4) | (((pts >> 30) & 7).toInt << 1) | 1)
+    out.write(((pts >> 22) & 0xff).toInt)
+    out.write((((pts >> 15) & 0x7f).toInt << 1) | 1)
+    out.write(((pts >> 7) & 0xff).toInt)
+    out.write((((pts & 0x7f) << 1) | 1).toInt)
+    out.write(au)
+    out.write(Array[Byte](0, 0, 1, 0xb9.toByte))
+    val v = Mpeg1Ps.demuxVideo(out.toByteArray).get
+    assert(v.units.length == 1)
+    val (off, len, ts) = v.units(0)
+    assert(v.es.slice(off, off + len).sameElements(au))
+    assert(ts == 1000L)
+    val (_, frame) = Mpeg1.decodeAccessUnitRef(None, v.es.slice(off, off + len))
+    assert(frame.exists(_.y.forall(_ == 200)))
+  }
 }
