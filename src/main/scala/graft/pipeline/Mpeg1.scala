@@ -48,10 +48,13 @@ object Mpeg1 {
 
   /** Sequence-level state: dimensions + the intra and non-intra quantizer
     * matrices (zigzag order, as loaded from the stream or the spec
-    * defaults — the non-intra default is flat 16).
+    * defaults — the non-intra default is flat 16). `m2` carries the
+    * 13818-2 sequence_extension when one follows the header — the marker
+    * that the stream is MPEG-2, whose pictures route to [[Mpeg2]].
     */
   final case class SeqCtx(width: Int, height: Int, intraQ: Array[Int],
-      nonIntraQ: Array[Int] = Array.fill(64)(16))
+      nonIntraQ: Array[Int] = Array.fill(64)(16),
+      m2: Option[Mpeg2.SeqExt] = None)
 
   /** Inter-picture decode state carried across access units: the sequence
     * context plus the last TWO decoded reference frames in stream order —
@@ -91,7 +94,7 @@ object Mpeg1 {
     order
   }
 
-  private final class BitReader(bytes: Array[Byte], startBit: Long) {
+  private[pipeline] final class BitReader(bytes: Array[Byte], startBit: Long) {
     var pos: Long = startBit
     def bit(): Int = {
       val b = (bytes((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1
@@ -109,7 +112,7 @@ object Mpeg1 {
 
   // ---- VLC tables as (codeString -> value) prefix maps ----
 
-  private final class Vlc[T](entries: Seq[(String, T)]) {
+  private[pipeline] final class Vlc[T](entries: Seq[(String, T)]) {
     private val byLen: Map[Int, Map[Int, T]] =
       entries.groupBy(_._1.length).map { case (len, es) =>
         len -> es.map { case (c, v) => Integer.parseInt(c, 2) -> v }.toMap
@@ -147,7 +150,7 @@ object Mpeg1 {
     "00000001000" -> -1, // macroblock_escape: +33, read another code
     "00000001111" -> -2  // macroblock_stuffing: discard, read another code
   )
-  private val MbAddrInc = new Vlc[Int](MbAddrIncEntries)
+  private[pipeline] val MbAddrInc = new Vlc[Int](MbAddrIncEntries)
 
   // Table B.4: motion_code — the SAME codewords as B.1, re-labeled: B.1's
   // value 1 is motion 0, and B.1's value v >= 2 is motion -(v/2) when v is
@@ -162,7 +165,7 @@ object Mpeg1 {
 
   // Table B.2a: macroblock_type in I-pictures: 1 = intra,
   // 01 = intra + new quantizer_scale
-  private val MbTypeI = new Vlc[Int](Seq("1" -> 0, "01" -> 1))
+  private[pipeline] val MbTypeI = new Vlc[Int](Seq("1" -> 0, "01" -> 1))
 
   // Table B.2b: macroblock_type in P-pictures, as a flag mask:
   // 8 = macroblock_quant, 4 = motion_forward, 2 = coded_pattern, 1 = intra
@@ -218,19 +221,23 @@ object Mpeg1 {
     "000000100" -> 59, "000000011" -> 27, "000000010" -> 39))
 
   // Table B.5a/B.5b: dct_dc_size
-  private val DcSizeLuma = new Vlc[Int](Seq(
+  // sizes 9-11 are the 13818-2 B.12 extension (prefix-compatible with
+  // 11172-2 B.5a, whose codes are unchanged)
+  private[pipeline] val DcSizeLuma = new Vlc[Int](Seq(
     "100" -> 0, "00" -> 1, "01" -> 2, "101" -> 3, "110" -> 4,
-    "1110" -> 5, "11110" -> 6, "111110" -> 7, "1111110" -> 8))
-  private val DcSizeChroma = new Vlc[Int](Seq(
+    "1110" -> 5, "11110" -> 6, "111110" -> 7, "1111110" -> 8,
+    "11111110" -> 9, "111111110" -> 10, "111111111" -> 11))
+  private[pipeline] val DcSizeChroma = new Vlc[Int](Seq(
     "00" -> 0, "01" -> 1, "10" -> 2, "110" -> 3, "1110" -> 4,
-    "11110" -> 5, "111110" -> 6, "1111110" -> 7, "11111110" -> 8))
+    "11110" -> 5, "111110" -> 6, "1111110" -> 7, "11111110" -> 8,
+    "111111110" -> 9, "1111111110" -> 10, "1111111111" -> 11))
 
   // Table B.14: dct_coeff_next (run, level-magnitude); sign bit follows.
   // EOB and ESCAPE are sentinel values. Intra blocks decode DC separately
   // and then use ONLY this table (dct_coeff_first is a non-intra shape).
-  private val Eob = (-1, -1)
-  private val Esc = (-2, -2)
-  private val AcCoeff = new Vlc[(Int, Int)](Seq(
+  private[pipeline] val Eob = (-1, -1)
+  private[pipeline] val Esc = (-2, -2)
+  private[pipeline] val AcCoeff = new Vlc[(Int, Int)](Seq(
     "10" -> Eob,
     "11" -> (0, 1), "011" -> (1, 1), "0100" -> (0, 2), "0101" -> (2, 1),
     "00101" -> (0, 3), "00111" -> (3, 1), "00110" -> (4, 1),
@@ -291,7 +298,7 @@ object Mpeg1 {
   // ---- start-code scan (byte-aligned 00 00 01 xx) ----
 
   /** (code byte, byte offset of the xx byte + 1 = payload start). */
-  private def startCodes(bytes: Array[Byte]): Iterator[(Int, Int)] =
+  private[pipeline] def startCodes(bytes: Array[Byte]): Iterator[(Int, Int)] =
     new Iterator[(Int, Int)] {
       private var i = 0
       private var nxt: (Int, Int) = null
@@ -344,6 +351,20 @@ object Mpeg1 {
     SeqCtx(w, h, intraQ, nonIntraQ)
   }
 
+  /** Parse a sequence header and, when a 13818-2 sequence_extension
+    * IMMEDIATELY follows (the next start code is B5 with identifier
+    * 0001), attach it and apply the 2-bit dimension extensions — the
+    * stream is then MPEG-2 and pictures route to [[Mpeg2]]. The 0xB3
+    * payload layout itself is identical between 11172-2 and 13818-2 for
+    * every field [[parseSequenceHeader]] reads or validates.
+    */
+  private def parseSeqWithExt(bytes: Array[Byte], off: Int): SeqCtx = {
+    val base = parseSequenceHeader(bytes, off)
+    Mpeg2.sequenceExtensionAfter(bytes, off).fold(base)(ext =>
+      base.copy(width = base.width | (ext.widthExt << 12),
+        height = base.height | (ext.heightExt << 12), m2 = Some(ext)))
+  }
+
   /** picture_coding_type at `off` (1 = I, 2 = P, 3 = B, 4 = D). */
   private def pictureType(bytes: Array[Byte], off: Int): Int = {
     val br = new BitReader(bytes, off.toLong * 8)
@@ -351,7 +372,7 @@ object Mpeg1 {
     br.bits(3)
   }
 
-  private def idct(block: Array[Int]): Array[Double] = {
+  private[pipeline] def idct(block: Array[Int]): Array[Double] = {
     // separable 2-D inverse DCT, double precision
     val tmp = new Array[Double](64)
     val out = new Array[Double](64)
@@ -386,7 +407,7 @@ object Mpeg1 {
     out
   }
 
-  private def clamp255(d: Double): Int =
+  private[pipeline] def clamp255(d: Double): Int =
     math.max(0, math.min(255, math.round(d).toInt))
 
   /** Decode one intra block: DC (predictive) + AC run-level until EOB,
@@ -610,6 +631,7 @@ object Mpeg1 {
   def decodePicture(ctx: SeqCtx, bytes: Array[Byte],
       picOff: Int, ref: Option[Frame] = None,
       past: Option[Frame] = None): Option[Frame] = {
+    if (ctx.m2.isDefined) return None // MPEG-2 pictures route via Mpeg2
     val hbr = new BitReader(bytes, picOff.toLong * 8)
     hbr.bits(10) // temporal_reference
     val picType = hbr.bits(3)
@@ -880,7 +902,7 @@ object Mpeg1 {
       au: Array[Byte]): Option[SeqCtx] = {
     try {
       startCodes(au).collectFirst { case (0xb3, off) =>
-        parseSequenceHeader(au, off)
+        parseSeqWithExt(au, off)
       }.orElse(carried)
     } catch { case _: Exception => carried }
   }
@@ -896,10 +918,12 @@ object Mpeg1 {
     try {
       var ctx = carried
       for ((code, off) <- startCodes(au)) {
-        if (code == 0xb3) ctx = Some(parseSequenceHeader(au, off))
+        if (code == 0xb3) ctx = Some(parseSeqWithExt(au, off))
         else if (code == 0x00 && ctx.isDefined &&
           pictureType(au, off) == 1)
-          return (ctx, decodePicture(ctx.get, au, off))
+          return (ctx,
+            if (ctx.get.m2.isDefined) Mpeg2.decodeIntraPicture(ctx.get, au, off)
+            else decodePicture(ctx.get, au, off))
       }
       (ctx, None)
     } catch { case _: Exception => (carried, None) }
@@ -926,7 +950,7 @@ object Mpeg1 {
       var ref = carried.flatMap(_.ref)
       var prev = carried.flatMap(_.prevRef)
       for ((code, off) <- startCodes(au)) {
-        if (code == 0xb3) seq = Some(parseSequenceHeader(au, off))
+        if (code == 0xb3) seq = Some(parseSeqWithExt(au, off))
         else if (code == 0xb8) {
           // group_of_pictures header (§2.4.2.4): time_code is 25 bits,
           // then closed_gop, then broken_link. broken_link = 1 marks an
@@ -943,6 +967,22 @@ object Mpeg1 {
         }
         else if (code == 0x00 && seq.isDefined) {
           val pt = pictureType(au, off)
+          if (seq.get.m2.isDefined) {
+            // MPEG-2 stream: I frame-pictures decode via [[Mpeg2]] and
+            // become the reference like any I; P/B are the declared
+            // boundary — the chain drops honestly, like a damaged
+            // reference, so nothing downstream compensates against a
+            // frame decoded under the wrong standard
+            if (pt == 1) {
+              val frame = Mpeg2.decodeIntraPicture(seq.get, au, off)
+              val ctx2 = frame match {
+                case Some(f) => StreamCtx(seq.get, Some(f), ref)
+                case None => StreamCtx(seq.get, None, None)
+              }
+              return (Some(ctx2), frame)
+            }
+            return (Some(StreamCtx(seq.get, None, None)), None)
+          }
           if (pt == 3) {
             val frame = decodePicture(seq.get, au, off, ref, prev)
             return (Some(StreamCtx(seq.get, ref, prev)), frame)

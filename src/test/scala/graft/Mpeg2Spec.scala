@@ -1,0 +1,283 @@
+package graft
+
+import graft.pipeline.{Mpeg1, Mpeg1Ps, Mpeg2, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG-2 (13818-2) intra decoder against HAND-ASSEMBLED bitstreams,
+  * pixel oracles computed from the closed-form IDCT cosine arithmetic
+  * independent of the decoder — the Mpeg1Spec discipline. The fixtures
+  * cross every 13818-2-specific mechanism in scope: sequence/picture
+  * extensions, intra DC precision, the non-linear quantiser scale, the
+  * alternate scan, and MISMATCH CONTROL (whose ±1 toggle on F[7][7] is
+  * made pixel-visible by placing a second coefficient near a rounding
+  * boundary — the fixture asserts the with/without-toggle oracles
+  * actually differ, so the test is guaranteed to discriminate).
+  */
+class Mpeg2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- bit-level stream assembler (Mpeg1Spec's, duplicated: both are
+  // private test helpers) ----
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nb = 0
+    def put(bit: Int): this.type = {
+      cur = (cur << 1) | bit; nb += 1
+      if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      this
+    }
+    def b(s: String): this.type = { s.foreach(c => put(c - '0')); this }
+    def bits(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) { put((v >> i) & 1); i -= 1 }
+      this
+    }
+    def align(): this.type = { while (nb != 0) put(0); this }
+    def bytes: Array[Byte] = { align(); buf.toArray }
+  }
+
+  private def startCode(xx: Int)(w: BitWriter): Unit = {
+    w.align(); w.bits(0, 8).bits(0, 8).bits(1, 8).bits(xx, 8)
+  }
+
+  /** 11172-2-layout sequence header (identical fields in 13818-2) with a
+    * FLAT custom intra matrix: W[0][0]=8 (spec-required), all else 16 —
+    * makes every dequant product a round number.
+    */
+  private def seqHeader(w: BitWriter, width: Int, height: Int): Unit = {
+    startCode(0xb3)(w)
+    w.bits(width, 12).bits(height, 12)
+      .bits(1, 4).bits(1, 4)
+      .bits(0x3ffff, 18).put(1)
+      .bits(0, 10).put(0)
+    w.put(1) // load_intra_quantizer_matrix (arrives in zigzag order;
+    w.bits(8, 8) // zigzag 0 = raster 0 = the fixed DC weight 8
+    for (_ <- 1 until 64) w.bits(16, 8)
+    w.put(0) // load_non_intra_quantizer_matrix
+  }
+
+  /** 13818-2 sequence_extension: progressive 4:2:0, no dim extensions. */
+  private def seqExtension(w: BitWriter): Unit = {
+    startCode(0xb5)(w)
+    w.bits(1, 4) // identifier: Sequence Extension
+      .bits(0x48, 8) // profile_and_level: Main@Main
+      .put(1) // progressive_sequence
+      .bits(1, 2) // chroma_format 4:2:0
+      .bits(0, 2).bits(0, 2) // horizontal/vertical size extensions
+      .bits(0, 12).put(1) // bit_rate_extension + marker
+      .bits(0, 8).put(0) // vbv_buffer_size_extension + low_delay
+      .bits(0, 2).bits(0, 5) // frame_rate extensions
+  }
+
+  private def pictureHeader(w: BitWriter, ptype: Int): Unit = {
+    startCode(0x00)(w)
+    w.bits(0, 10).bits(ptype, 3).bits(0xffff, 16)
+    if (ptype == 2 || ptype == 3) { w.put(0); w.bits(1, 3) }
+    if (ptype == 3) { w.put(0); w.bits(1, 3) }
+    w.put(0)
+    w.align()
+  }
+
+  /** 13818-2 picture_coding_extension: frame picture, frame-pred-frame-
+    * DCT, intra_vlc_format 0, no concealment.
+    */
+  private def picExtension(w: BitWriter, dcPrec: Int = 0,
+      qScaleType: Int = 0, altScan: Int = 0): Unit = {
+    startCode(0xb5)(w)
+    w.bits(8, 4) // identifier: Picture Coding Extension
+      .bits(0xffff, 16) // f_codes: 1111 = unused
+      .bits(dcPrec, 2)
+      .bits(3, 2) // picture_structure: frame
+      .put(0) // top_field_first
+      .put(1) // frame_pred_frame_dct
+      .put(0) // concealment_motion_vectors
+      .bits(qScaleType, 1)
+      .put(0) // intra_vlc_format (B.14)
+      .bits(altScan, 1)
+      .put(0).put(1).put(1).put(0) // repeat_first/chroma420/progressive/composite
+  }
+
+  /** DC size code + differential bits (the shared 8-bit-precision form
+    * used by every fixture: diffs stay small).
+    */
+  private def dcLuma(w: BitWriter, diff: Int): Unit = {
+    if (diff == 0) { w.b("100"); return }
+    val size = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    val code = Seq("", "00", "01", "101", "110", "1110", "11110",
+      "111110", "1111110")(size)
+    w.b(code)
+    w.bits(if (diff > 0) diff else diff + (1 << size) - 1, size)
+  }
+  private def dcChroma0(w: BitWriter): Unit = w.b("00") // diff 0
+
+  /** One 16×16 I-macroblock: inc 1, intra, Y0 optionally carrying ONE
+    * B.14-coded AC coefficient at scan index 1 (run 0), Y1–Y3 and chroma
+    * DC-only.
+    */
+  private def intraMb(w: BitWriter, y0Diff: Int, acLevel: Int): Unit = {
+    w.b("1").b("1") // macroblock_address_increment 1, macroblock_type intra
+    dcLuma(w, y0Diff)
+    if (acLevel == 2) w.b("0100").put(0) // B.14 (0,2), positive sign
+    else if (acLevel != 0) fail(s"fixture supports acLevel 0/2, got $acLevel")
+    w.b("10") // EOB
+    for (_ <- 0 until 3) { dcLuma(w, 0); w.b("10") }
+    for (_ <- 0 until 2) { dcChroma0(w); w.b("10") }
+  }
+
+  /** A full MPEG-2 intra access unit: 16×16, one macroblock. */
+  private def m2Au(dcPrec: Int = 0, qScaleType: Int = 0, altScan: Int = 0,
+      qCode: Int = 1, acLevel: Int = 2): Array[Byte] = {
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    seqExtension(w)
+    pictureHeader(w, 1)
+    picExtension(w, dcPrec, qScaleType, altScan)
+    startCode(0x01)(w)
+    w.bits(qCode, 5).put(0) // quantiser_scale_code, no slice extras
+    intraMb(w, y0Diff = 0, acLevel = acLevel)
+    w.bytes
+  }
+
+  // ---- independent closed-form IDCT oracle ----
+  private def cc(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+  private def idctPix(coeffs: Map[(Int, Int), Int], x: Int, y: Int): Int = {
+    var s = 0.0
+    for (((v, u), f) <- coeffs)
+      s += cc(u) * cc(v) * f *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+        math.cos((2 * y + 1) * v * math.Pi / 16.0)
+    math.max(0, math.min(255, math.round(s / 4.0).toInt))
+  }
+  private def block(coeffs: Map[(Int, Int), Int]): Seq[Int] =
+    for (y <- 0 until 8; x <- 0 until 8) yield idctPix(coeffs, x, y)
+
+  private def y0Of(f: Mpeg1.Frame): Seq[Int] =
+    for (y <- 0 until 8; x <- 0 until 8) yield f.y(y * 16 + x)
+
+  test("sequence_extension routes the stream to the MPEG-2 decoder") {
+    val au = m2Au()
+    val (ctx, frame) = Mpeg1.decodeAccessUnitRef(None, au)
+    assert(ctx.exists(_.seq.m2.exists(e =>
+      e.chromaFormat == 1 && e.progressive)))
+    assert(frame.isDefined)
+    // plain MPEG-1 headers must NOT acquire an m2 context
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None,
+      graft.pipeline.Mpeg1Writer.grayPictures(16, 16, Seq(100)).head)
+    assert(c1.exists(_.seq.m2.isEmpty))
+  }
+
+  test("intra decode: /32 dequant, B.14 AC, MISMATCH CONTROL pixel-exact") {
+    // qs = 2 (linear code 1), flat W=16: the (0,2) codeword dequants to
+    // F[0][1] = 2·2·2·16/32 = 4; DC = 128·8 = 1024. Sum 1028 is EVEN, so
+    // mismatch control sets F[7][7] = +1. The oracle INCLUDES the toggle;
+    // the no-toggle twin must differ (the fixture discriminates).
+    val (_, frame) = Mpeg1.decodeAccessUnitRef(None, m2Au())
+    val f = frame.get
+    assert(f.width == 16 && f.height == 16)
+    val withToggle =
+      block(Map((0, 0) -> 1024, (0, 1) -> 4, (7, 7) -> 1))
+    val noToggle = block(Map((0, 0) -> 1024, (0, 1) -> 4))
+    assert(withToggle != noToggle,
+      "fixture must make the mismatch toggle pixel-visible")
+    assert(y0Of(f) == withToggle)
+    // DC-only blocks: sum 1024 even -> toggle fires but stays invisible
+    // at this magnitude: flat 128
+    assert((for (y <- 0 until 8; x <- 8 until 16) yield f.y(y * 16 + x))
+      .forall(_ == 128))
+    assert(f.cb.forall(_ == 128) && f.cr.forall(_ == 128))
+  }
+
+  test("intra_dc_precision: the DC multiplier and predictor reset scale") {
+    // precision 10 (code 2): mult 2, predictor reset 512 -> F[0][0] =
+    // 512·2 = 1024, same flat 128 DC — but the AC dequant is unchanged,
+    // so Y0 must decode exactly like the precision-8 fixture
+    val (_, f8) = Mpeg1.decodeAccessUnitRef(None, m2Au(dcPrec = 0))
+    val (_, f10) = Mpeg1.decodeAccessUnitRef(None, m2Au(dcPrec = 2))
+    assert(y0Of(f8.get) == y0Of(f10.get))
+  }
+
+  test("q_scale_type = 1 selects the non-linear Table 7-6 mapping") {
+    // code 9: linear qs = 18, NON-linear qs = 10 -> F[0][1] = 2·2·qs·16/32
+    // = 2·qs: 20 (non-linear) vs 36 (linear)
+    val (_, fNl) = Mpeg1.decodeAccessUnitRef(None,
+      m2Au(qScaleType = 1, qCode = 9))
+    assert(y0Of(fNl.get) ==
+      block(Map((0, 0) -> 1024, (0, 1) -> 20, (7, 7) -> 1)))
+    val (_, fLin) = Mpeg1.decodeAccessUnitRef(None,
+      m2Au(qScaleType = 0, qCode = 9))
+    assert(y0Of(fLin.get) ==
+      block(Map((0, 0) -> 1024, (0, 1) -> 36, (7, 7) -> 1)))
+  }
+
+  test("alternate_scan moves scan index 1 from raster (0,1) to (1,0)") {
+    val (_, fAlt) = Mpeg1.decodeAccessUnitRef(None, m2Au(altScan = 1))
+    // same coded bits, alternate scan: the coefficient lands on the
+    // VERTICAL basis function (v=1, u=0)
+    assert(y0Of(fAlt.get) ==
+      block(Map((0, 0) -> 1024, (1, 0) -> 4, (7, 7) -> 1)))
+    assert(y0Of(fAlt.get) !=
+      block(Map((0, 0) -> 1024, (0, 1) -> 4, (7, 7) -> 1)))
+  }
+
+  test("MPEG-2 P-pictures are a declared boundary: chain drops, no wrong pixels") {
+    val i = m2Au()
+    val p = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1")
+      w.bytes
+    }
+    val (c1, f1) = Mpeg1.decodeAccessUnitRef(None, i)
+    assert(f1.isDefined && c1.exists(_.ref.isDefined))
+    val (c2, f2) = Mpeg1.decodeAccessUnitRef(c1, p)
+    assert(f2.isEmpty, "MPEG-2 P must not decode via the MPEG-1 path")
+    assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty),
+      "the reference chain must drop honestly")
+  }
+
+  test("MPEG-2 intra inside a program stream: end-to-end real pixels") {
+    import org.apache.spark.sql.Encoders
+    val mpg = Mpeg1Ps.mux(Seq(m2Au()))
+    val blobs = spark.createDataset(Seq(Multimodal.Blob(31L, mpg)))(
+      Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+    assert(out.length == 1 && out(0).ok)
+    assert(out(0).width == 16 && out(0).height == 16)
+    // mean luma: 3 flat-128 luma blocks + Y0 (flat 128 + zero-mean AC
+    // cosines, up to rounding): within half a gray level of 128
+    assert(math.abs(out(0).mean_luma - 128.0) < 0.5, out(0).mean_luma)
+  }
+
+  test("13818-2 escape form: 6-bit run + 12-bit signed level") {
+    // hand-code ESCAPE with run 2, level -5: F at scan 3 (raster (2,0))
+    // = 2·(-5)·2·16/32 = -10; DC 1024; sum 1014 even -> toggle
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    seqExtension(w)
+    pictureHeader(w, 1)
+    picExtension(w)
+    startCode(0x01)(w)
+    w.bits(1, 5).put(0)
+    w.b("1").b("1")
+    dcLuma(w, 0)
+    w.b("000001").bits(2, 6).bits((-5 + 4096) & 0xfff, 12) // escape
+    w.b("10")
+    for (_ <- 0 until 3) { dcLuma(w, 0); w.b("10") }
+    for (_ <- 0 until 2) { dcChroma0(w); w.b("10") }
+    val (_, frame) = Mpeg1.decodeAccessUnitRef(None, w.bytes)
+    // zigzag scan index 3 = raster 16 = (v,u) = (2,0)
+    assert(y0Of(frame.get) ==
+      block(Map((0, 0) -> 1024, (2, 0) -> -10, (7, 7) -> 1)))
+  }
+}
