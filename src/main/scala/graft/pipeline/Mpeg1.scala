@@ -157,7 +157,7 @@ object Mpeg1 {
   // even, +((v-1)/2) when odd (the standard constructed the two tables as
   // one family), covering the full ±16 range. Escape/stuffing sentinels
   // are B.1-only and excluded.
-  private val MvCode = new Vlc[Int](MbAddrIncEntries.collect {
+  private[pipeline] val MvCode = new Vlc[Int](MbAddrIncEntries.collect {
     case (code, v) if v == 1 => code -> 0
     case (code, v) if v >= 2 =>
       code -> (if (v % 2 == 0) -(v / 2) else (v - 1) / 2)
@@ -170,12 +170,12 @@ object Mpeg1 {
   // Table B.2b: macroblock_type in P-pictures, as a flag mask:
   // 8 = macroblock_quant, 4 = motion_forward, 2 = coded_pattern, 1 = intra
   // (16 = motion_backward, B-pictures only)
-  private val MbQuantF = 8
-  private val MbMfF = 4
-  private val MbCbpF = 2
-  private val MbIntraF = 1
-  private val MbMbF = 16
-  private val MbTypeP = new Vlc[Int](Seq(
+  private[pipeline] val MbQuantF = 8
+  private[pipeline] val MbMfF = 4
+  private[pipeline] val MbCbpF = 2
+  private[pipeline] val MbIntraF = 1
+  private[pipeline] val MbMbF = 16
+  private[pipeline] val MbTypeP = new Vlc[Int](Seq(
     "1" -> (MbMfF | MbCbpF),
     "01" -> MbCbpF,
     "001" -> MbMfF,
@@ -187,7 +187,7 @@ object Mpeg1 {
   // Table B.2c: macroblock_type in B-pictures. Prediction direction is
   // explicit per macroblock: forward (past reference), backward (future
   // reference), or both (interpolated — the per-pel rounded average).
-  private val MbTypeB = new Vlc[Int](Seq(
+  private[pipeline] val MbTypeB = new Vlc[Int](Seq(
     "10" -> (MbMfF | MbMbF),
     "11" -> (MbMfF | MbMbF | MbCbpF),
     "010" -> MbMbF,
@@ -202,7 +202,7 @@ object Mpeg1 {
 
   // Table B.3: coded_block_pattern (which of the 6 blocks carry
   // coefficients; bit 5 = Y0 .. bit 0 = Cr)
-  private val Cbp = new Vlc[Int](Seq(
+  private[pipeline] val Cbp = new Vlc[Int](Seq(
     "111" -> 60, "1101" -> 4, "1100" -> 8, "1011" -> 16, "1010" -> 32,
     "10011" -> 12, "10010" -> 48, "10001" -> 20, "10000" -> 40,
     "01111" -> 28, "01110" -> 44, "01101" -> 52, "01100" -> 56,
@@ -559,7 +559,7 @@ object Mpeg1 {
     * against the predictor, with the modulo wrap into the f_code range
     * (11172-2 §2.4.4.2).
     */
-  private def reconMv(pred: Int, code: Int, r: Int, fCode: Int): Int = {
+  private[pipeline] def reconMv(pred: Int, code: Int, r: Int, fCode: Int): Int = {
     val f = 1 << (fCode - 1)
     val delta =
       if (code == 0 || f == 1) code
@@ -584,7 +584,7 @@ object Mpeg1 {
     * plane edge — the spec requires in-bounds vectors, the clamp just
     * keeps damaged streams from throwing past the catch-all.
     */
-  private def mcPredict(src: Array[Int], dst: Array[Int], stride: Int,
+  private[pipeline] def mcPredict(src: Array[Int], dst: Array[Int], stride: Int,
       rows: Int, px: Int, py: Int, w: Int, h: Int,
       mvx: Int, mvy: Int, blend: Boolean = false): Unit = {
     val bx = px + (mvx >> 1)
@@ -968,20 +968,22 @@ object Mpeg1 {
         else if (code == 0x00 && seq.isDefined) {
           val pt = pictureType(au, off)
           if (seq.get.m2.isDefined) {
-            // MPEG-2 stream: I frame-pictures decode via [[Mpeg2]] and
-            // become the reference like any I; P/B are the declared
-            // boundary — the chain drops honestly, like a damaged
-            // reference, so nothing downstream compensates against a
-            // frame decoded under the wrong standard
-            if (pt == 1) {
-              val frame = Mpeg2.decodeIntraPicture(seq.get, au, off)
-              val ctx2 = frame match {
-                case Some(f) => StreamCtx(seq.get, Some(f), ref)
-                case None => StreamCtx(seq.get, None, None)
-              }
-              return (Some(ctx2), frame)
+            // MPEG-2 stream: I/P/B frame-pictures decode via [[Mpeg2]]
+            // with the SAME reference-chain semantics as the MPEG-1
+            // dispatch below (13818-2 has no D class). Out-of-scope
+            // shapes (field pictures, B.15, dual-prime, …) return None
+            // from Mpeg2 and the chain drops honestly — nothing
+            // downstream compensates against a wrong frame.
+            if (pt == 3) {
+              val frame = Mpeg2.decodePicture(seq.get, au, off, ref, prev)
+              return (Some(StreamCtx(seq.get, ref, prev)), frame)
             }
-            return (Some(StreamCtx(seq.get, None, None)), None)
+            val frame = Mpeg2.decodePicture(seq.get, au, off, ref)
+            val ctx2 = frame match {
+              case Some(f) => StreamCtx(seq.get, Some(f), ref)
+              case None => StreamCtx(seq.get, None, None)
+            }
+            return (Some(ctx2), frame)
           }
           if (pt == 3) {
             val frame = decodePicture(seq.get, au, off, ref, prev)

@@ -1,28 +1,38 @@
 package graft.pipeline
 
-/** MPEG-2 video INTRA decode (ISO/IEC 13818-2 / ITU-T H.262) — the delta
-  * over the complete 11172-2 machinery in [[Mpeg1]], for I frame-pictures:
-  * sequence_extension / picture_coding_extension parsing, configurable
-  * intra DC precision (8–11 bits, with the extended B.12/B.13 dct_dc_size
-  * codes), linear AND non-linear quantiser_scale mappings (Table 7-6),
-  * the alternate scan (Figure 7-3), the 12-bit signed escape form, the
-  * /32 intra dequantisation, and MISMATCH CONTROL (§7.4.4 — the LSB of
-  * F[7][7] toggles when the coefficient sum is even) in place of MPEG-1's
-  * per-coefficient oddification.
+/** MPEG-2 video decode (ISO/IEC 13818-2 / ITU-T H.262) — the delta over
+  * the complete 11172-2 machinery in [[Mpeg1]], for I-, P- AND B- FRAME
+  * pictures under frame prediction and frame DCT (the progressive
+  * main-profile shape): sequence_extension / picture_coding_extension
+  * parsing, configurable intra DC precision (8–11 bits, with the extended
+  * B.12/B.13 dct_dc_size codes), PER-COMPONENT f_codes (horizontal and
+  * vertical ranges independent, from the picture coding extension — MVs
+  * are always half-pel, the full_pel flags are gone), linear AND
+  * non-linear quantiser_scale mappings (Table 7-6), the alternate scan
+  * (Figure 7-3), the 12-bit signed escape form, /32 dequantisation for
+  * both intra and non-intra blocks, and MISMATCH CONTROL (§7.4.4 — the
+  * LSB of F[7][7] toggles when the coefficient sum is even) in place of
+  * MPEG-1's per-coefficient oddification. Motion compensation, the
+  * B-picture direction semantics (per-direction predictors, rounded
+  * bidirectional average, skip repeats the previous direction and
+  * vectors) and the macroblock-type/CBP tables are shared with [[Mpeg1]]
+  * — 13818-2 kept them bit-identical.
   *
   * Declared boundaries (decode returns None, never wrong pixels): field
-  * pictures and field DCT, intra_vlc_format = 1 (Table B.15),
-  * concealment motion vectors, chroma formats other than 4:2:0, and
-  * P/B-pictures (the full 13818-2 inter machinery — dual-prime, 16×8 MC,
-  * field prediction — stays out of scope; [[Mpeg1.decodeAccessUnitRef]]
-  * drops the reference chain honestly when it meets one).
+  * pictures, field prediction / field DCT (P/B require
+  * frame_pred_frame_dct = 1; intra tolerates the per-MB dct_type bit but
+  * only the frame value), dual-prime, intra_vlc_format = 1 (Table B.15),
+  * concealment motion vectors, and chroma formats other than 4:2:0.
+  * [[Mpeg1.decodeAccessUnitRef]] drops the reference chain honestly when
+  * it meets one.
   *
   * The reference ships no video codecs (multimodal blobs are opaque bytes
   * there); this extends the engine's LLM-pipeline multimodal family,
   * written against the public 13818-2 spec like the 11172-2 decoder.
   */
 object Mpeg2 {
-  import Mpeg1.{BitReader, Frame, SeqCtx, Zigzag, clamp255, idct, startCodes}
+  import Mpeg1.{BitReader, Frame, SeqCtx, Zigzag, clamp255, idct, mcPredict,
+    reconMv, startCodes, MbQuantF, MbMfF, MbCbpF, MbIntraF, MbMbF}
 
   /** sequence_extension payload (13818-2 §6.2.2.3): the fields the
     * decoder acts on. `chromaFormat` 1 = 4:2:0 (the only decoded form).
@@ -30,8 +40,11 @@ object Mpeg2 {
   final case class SeqExt(widthExt: Int, heightExt: Int,
       progressive: Boolean, chromaFormat: Int)
 
-  /** picture_coding_extension payload (§6.2.3.1), intra-relevant fields. */
-  private final case class PicExt(intraDcPrecision: Int,
+  /** picture_coding_extension payload (§6.2.3.1). `fCodes` indexes
+    * [s*2 + t]: s = 0 forward / 1 backward, t = 0 horizontal / 1
+    * vertical; 15 = unused.
+    */
+  private final case class PicExt(fCodes: Array[Int], intraDcPrecision: Int,
       pictureStructure: Int, framePredFrameDct: Boolean,
       concealmentMv: Boolean, qScaleType: Boolean,
       intraVlcFormat: Boolean, alternateScan: Boolean)
@@ -75,7 +88,7 @@ object Mpeg2 {
         val br = new BitReader(bytes, eoff.toLong * 8)
         if (br.bits(4) != 8) None
         else {
-          br.bits(16) // f_code[4][4] (unused for intra)
+          val f = Array.fill(4)(br.bits(4))
           val dcPrec = br.bits(2) // 0..3 -> 8..11 bits
           val struct = br.bits(2) // 3 = frame picture
           br.bit() // top_field_first
@@ -84,7 +97,7 @@ object Mpeg2 {
           val qst = br.bit() == 1
           val ivf = br.bit() == 1
           val alt = br.bit() == 1
-          Some(PicExt(8 + dcPrec, struct, fpfd, conceal, qst, ivf, alt))
+          Some(PicExt(f, 8 + dcPrec, struct, fpfd, conceal, qst, ivf, alt))
         }
       }
       .collectFirst { case Some(p) => p }
@@ -124,9 +137,18 @@ object Mpeg2 {
         (r, if (sign == 1) -m else m)
     }
 
+  /** mismatch control (§7.4.4): the coefficient sum must be odd; when
+    * even, toggle the LSB of F[7][7] (-1 if odd, +1 if even — parity
+    * flips either way, matching the spec's stated direction).
+    */
+  private def mismatch(raster: Array[Int], sum: Int): Unit =
+    if ((sum & 1) == 0)
+      raster(63) =
+        if ((raster(63) & 1) != 0) raster(63) - 1 else raster(63) + 1
+
   /** Decode one MPEG-2 intra block (§7.2–7.4): predictive DC at the
     * configured precision, B.14 AC scan under the selected scan order,
-    * /32 intra dequantisation with saturation, MISMATCH CONTROL, IDCT.
+    * /32 intra dequantisation with saturation, mismatch control, IDCT.
     * `wRaster` is the intra weight matrix in RASTER order (the scan can
     * be alternate, so weights index through the scan table). Returns the
     * new (unscaled) DC predictor.
@@ -164,11 +186,7 @@ object Mpeg2 {
         i += 1
       }
     }
-    // mismatch control (§7.4.4): the coefficient sum must be odd; when
-    // even, toggle the LSB of F[7][7] (-1 if odd, +1 if even — parity
-    // flips either way, matching the spec's stated direction)
-    if ((sum & 1) == 0)
-      raster(63) = if ((raster(63) & 1) != 0) raster(63) - 1 else raster(63) + 1
+    mismatch(raster, sum)
     val px8 = idct(raster)
     var r = 0
     while (r < 8) {
@@ -182,34 +200,120 @@ object Mpeg2 {
     dc
   }
 
-  /** Decode an MPEG-2 I FRAME-picture whose picture header starts at
-    * `picOff`. Returns None for any out-of-scope shape (see the object
+  /** Decode one NON-intra residual block: dct_coeff_first (the "1s"
+    * codeword means (0, ±1) and EOB cannot occur — unchanged from
+    * MPEG-1), then B.14 with the 13818-2 escape until EOB; non-intra
+    * dequantisation F'' = ((2·QF + Sign(QF))·W·qs)/32 with saturation
+    * and mismatch control (§7.4.2.3/§7.4.4); IDCT; residual ADDED onto
+    * the motion prediction already in `plane`.
+    */
+  private def decodeNonIntraBlock2(br: BitReader, qs: Int,
+      wRaster: Array[Int], scan: Array[Int], plane: Array[Int],
+      stride: Int, px: Int, py: Int): Unit = {
+    val raster = new Array[Int](64)
+    var sum = 0
+    var i = 0 // next free scan position; first coeff lands at its run
+    var first = true
+    var done = false
+    while (!done) {
+      val (run, lvl) =
+        if (first) {
+          val save = br.pos
+          if (br.bit() == 1) { // dct_coeff_first "1s" = (0, ±1)
+            if (br.bit() == 1) (0, -1) else (0, 1)
+          } else { br.pos = save; nextRunLevel2(br) }
+        } else nextRunLevel2(br)
+      first = false
+      if (run < 0) done = true
+      else if (lvl != 0) {
+        i += run
+        require(i < 64, "Mpeg2Block: coefficient index overflow")
+        val ri = scan(i)
+        val recon0 = ((2 * lvl + Integer.signum(lvl)) * qs * wRaster(ri)) / 32
+        val recon = math.max(-2048, math.min(2047, recon0))
+        raster(ri) = recon
+        sum += recon
+        i += 1
+      }
+    }
+    mismatch(raster, sum)
+    val res = idct(raster)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val at = (py + r) * stride + px + c
+        plane(at) = clamp255(plane(at) + res(r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Back-compat intra entry (I frame-pictures). */
+  def decodeIntraPicture(ctx: SeqCtx, bytes: Array[Byte],
+      picOff: Int): Option[Frame] = decodePicture(ctx, bytes, picOff)
+
+  /** Decode an MPEG-2 I/P/B FRAME-picture whose picture header starts at
+    * `picOff`. P needs `ref` (its forward reference); B needs `ref`
+    * (backward/future) AND `past` (forward) — the [[Mpeg1]] carry
+    * convention. Returns None for any out-of-scope shape (see the object
     * doc) or when nothing decodes — never wrong pixels.
     */
-  def decodeIntraPicture(ctx: SeqCtx, bytes: Array[Byte],
-      picOff: Int): Option[Frame] = {
+  def decodePicture(ctx: SeqCtx, bytes: Array[Byte], picOff: Int,
+      ref: Option[Frame] = None, past: Option[Frame] = None): Option[Frame] = {
     val ext = ctx.m2.getOrElse(return None)
     if (ext.chromaFormat != 1) return None // 4:2:0 only
     val hbr = new BitReader(bytes, picOff.toLong * 8)
     hbr.bits(10) // temporal_reference
-    if (hbr.bits(3) != 1) return None // intra only here
+    val picType = hbr.bits(3)
+    val isP = picType == 2
+    val isB = picType == 3
+    if (picType < 1 || picType > 3) return None // no D in 13818-2
+    if (isP && ref.isEmpty) return None
+    if (isB && (ref.isEmpty || past.isEmpty)) return None
     val pic = pictureCodingExtensionAfter(bytes, picOff).getOrElse(return None)
     if (pic.pictureStructure != 3) return None // frame pictures only
     if (pic.concealmentMv || pic.intraVlcFormat) return None // boundaries
+    if ((isP || isB) && !pic.framePredFrameDct) return None // frame pred only
+    val fwdOk = pic.fCodes(0) >= 1 && pic.fCodes(0) <= 9 &&
+      pic.fCodes(1) >= 1 && pic.fCodes(1) <= 9
+    val bwdOk = pic.fCodes(2) >= 1 && pic.fCodes(2) <= 9 &&
+      pic.fCodes(3) >= 1 && pic.fCodes(3) <= 9
+    if ((isP || isB) && !fwdOk) return None
+    if (isB && !bwdOk) return None
     val scan = if (pic.alternateScan) AltScan else Zigzag
     val dcMult = 8 >> (pic.intraDcPrecision - 8) // 8,4,2,1
     val dcReset = 1 << (pic.intraDcPrecision - 1) // unscaled predictor
-    // ctx.intraQ is stored in ZIGZAG order (download order); re-raster it
-    // once so alternate-scan weights index correctly
-    val wRaster = new Array[Int](64)
+    // ctx matrices are stored in ZIGZAG order (download order); re-raster
+    // them once so alternate-scan weights index correctly
+    val wIntra = new Array[Int](64)
+    val wNon = new Array[Int](64)
     var k = 0
-    while (k < 64) { wRaster(Zigzag(k)) = ctx.intraQ(k); k += 1 }
+    while (k < 64) {
+      wIntra(Zigzag(k)) = ctx.intraQ(k)
+      wNon(Zigzag(k)) = ctx.nonIntraQ(k)
+      k += 1
+    }
     val mbW = (ctx.width + 15) / 16
     val mbH = (ctx.height + 15) / 16
     val (w16, h16) = (mbW * 16, mbH * 16)
-    val y = new Array[Int](w16 * h16)
-    val cb = new Array[Int](w16 / 2 * (h16 / 2))
-    val cr = new Array[Int](w16 / 2 * (h16 / 2))
+    // P planes start as the reference copy (= skip semantics); B planes
+    // start as the FORWARD reference copy, same rationale as Mpeg1
+    val base = if (isB) past else ref
+    val y = if (isP || isB) base.get.y.clone() else new Array[Int](w16 * h16)
+    val cb = if (isP || isB) base.get.cb.clone()
+      else new Array[Int](w16 / 2 * (h16 / 2))
+    val cr = if (isP || isB) base.get.cr.clone()
+      else new Array[Int](w16 / 2 * (h16 / 2))
+    val (refY, refCb, refCr) = (if (isB) past else ref) match {
+      case Some(f) => (f.y, f.cb, f.cr)
+      case None => (y, cb, cr) // unused on the I path
+    }
+    val (bakY, bakCb, bakCr) = (if (isB) ref else None) match {
+      case Some(f) => (f.y, f.cb, f.cr)
+      case None => (y, cb, cr) // unused outside B
+    }
     var decodedAny = false
     val scs = startCodes(bytes).dropWhile(_._2 <= picOff)
       .filterNot(c => c._1 == 0xb2 || c._1 == 0xb5).toArray
@@ -228,6 +332,28 @@ object Mpeg2 {
         }
         var mbAddr = (code - 1) * mbW - 1
         var yPred, cbPred, crPred = dcReset
+        var pmx, pmy = 0 // forward MV predictors, half-pel units
+        var pmxb, pmyb = 0 // backward MV predictors (B-pictures)
+        var prevDir = MbMfF | MbMbF // what a skipped B macroblock repeats
+        def predictB(dir: Int, mr: Int, mc: Int): Unit = {
+          val f = (dir & MbMfF) != 0
+          val bk = (dir & MbMbF) != 0
+          if (f) {
+            mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, pmx, pmy)
+            mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              pmx / 2, pmy / 2)
+            mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              pmx / 2, pmy / 2)
+          }
+          if (bk) {
+            mcPredict(bakY, y, w16, h16, mc * 16, mr * 16, 16, 16,
+              pmxb, pmyb, blend = f)
+            mcPredict(bakCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              pmxb / 2, pmyb / 2, blend = f)
+            mcPredict(bakCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              pmxb / 2, pmyb / 2, blend = f)
+          }
+        }
         val sliceEndBit =
           (if (si + 1 < scs.length) (scs(si + 1)._2 - 4).toLong
           else bytes.length.toLong) * 8
@@ -246,42 +372,130 @@ object Mpeg2 {
             }
           }
           mbAddr += inc
-          if (inc != 1) { yPred = dcReset; cbPred = dcReset; crPred = dcReset }
-          if (Mpeg1.MbTypeI.decode(br) == 1) // intra + quant
+          if (inc != 1) {
+            // skipped macroblocks: DC predictors reset; in P the MV
+            // predictors reset too and the skip is a zero-motion copy
+            // (already provided by the plane init); in B the predictors
+            // PERSIST and each skipped macroblock repeats the previous
+            // macroblock's direction with them (§7.6.6)
+            yPred = dcReset; cbPred = dcReset; crPred = dcReset
+            if (isB) {
+              var a = mbAddr - inc + 1
+              while (a < mbAddr && a >= 0) {
+                predictB(prevDir, a / mbW, a % mbW)
+                a += 1
+              }
+            } else { pmx = 0; pmy = 0 }
+          }
+          val flags =
+            if (isB) Mpeg1.MbTypeB.decode(br)
+            else if (isP) Mpeg1.MbTypeP.decode(br)
+            else if (Mpeg1.MbTypeI.decode(br) == 1) MbQuantF | MbIntraF
+            else MbIntraF
+          if ((flags & MbQuantF) != 0)
             qs = quantScale(pic.qScaleType, br.bits(5))
           // frame pictures with frame_pred_frame_dct = 0 signal dct_type
-          // per macroblock; field DCT (1) is out of scope
+          // per intra macroblock; field DCT (1) is out of scope. (P/B
+          // require fpfd = 1 above, so this only triggers on I.)
           if (!pic.framePredFrameDct && br.bit() == 1)
             throw new IllegalArgumentException(
               "Mpeg2Slice: field DCT not decoded")
+          if ((flags & MbMfF) != 0) {
+            // frame motion vectors, PER-COMPONENT f_codes, half-pel units
+            val cx = Mpeg1.MvCode.decode(br)
+            val rx =
+              if (pic.fCodes(0) > 1 && cx != 0) br.bits(pic.fCodes(0) - 1)
+              else 0
+            pmx = reconMv(pmx, cx, rx, pic.fCodes(0))
+            val cy = Mpeg1.MvCode.decode(br)
+            val ry =
+              if (pic.fCodes(1) > 1 && cy != 0) br.bits(pic.fCodes(1) - 1)
+              else 0
+            pmy = reconMv(pmy, cy, ry, pic.fCodes(1))
+          } else if (!isB) {
+            pmx = 0; pmy = 0 // P intra / coded-without-MC: zero MV
+          } // B: an unread direction leaves its predictor UNCHANGED
+          if ((flags & MbMbF) != 0) {
+            val cx = Mpeg1.MvCode.decode(br)
+            val rx =
+              if (pic.fCodes(2) > 1 && cx != 0) br.bits(pic.fCodes(2) - 1)
+              else 0
+            pmxb = reconMv(pmxb, cx, rx, pic.fCodes(2))
+            val cy = Mpeg1.MvCode.decode(br)
+            val ry =
+              if (pic.fCodes(3) > 1 && cy != 0) br.bits(pic.fCodes(3) - 1)
+              else 0
+            pmyb = reconMv(pmyb, cy, ry, pic.fCodes(3))
+          }
+          if (isB && (flags & MbIntraF) != 0) {
+            // intra macroblock in a B-picture: ALL MV predictors reset
+            pmx = 0; pmy = 0; pmxb = 0; pmyb = 0
+          }
           val (mr, mc) = (mbAddr / mbW, mbAddr % mbW)
           require(mr < mbH, "Mpeg2Slice: macroblock row out of range")
-          var b = 0
-          while (b < 6) {
-            b match {
-              case 0 | 1 | 2 | 3 =>
-                yPred = decodeBlock2(br, luma = true, yPred, qs, dcMult,
-                  wRaster, scan, y, w16,
-                  mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
-              case 4 =>
-                cbPred = decodeBlock2(br, luma = false, cbPred, qs, dcMult,
-                  wRaster, scan, cb, w16 / 2, mc * 8, mr * 8)
-              case _ =>
-                crPred = decodeBlock2(br, luma = false, crPred, qs, dcMult,
-                  wRaster, scan, cr, w16 / 2, mc * 8, mr * 8)
+          if ((flags & MbIntraF) != 0) {
+            var b = 0
+            while (b < 6) {
+              b match {
+                case 0 | 1 | 2 | 3 =>
+                  yPred = decodeBlock2(br, luma = true, yPred, qs, dcMult,
+                    wIntra, scan, y, w16,
+                    mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                case 4 =>
+                  cbPred = decodeBlock2(br, luma = false, cbPred, qs, dcMult,
+                    wIntra, scan, cb, w16 / 2, mc * 8, mr * 8)
+                case _ =>
+                  crPred = decodeBlock2(br, luma = false, crPred, qs, dcMult,
+                    wIntra, scan, cr, w16 / 2, mc * 8, mr * 8)
+              }
+              b += 1
             }
-            b += 1
+          } else {
+            // non-intra macroblock: motion prediction then residuals;
+            // chroma vectors are the luma ones halved (§7.6.3.7)
+            yPred = dcReset; cbPred = dcReset; crPred = dcReset
+            if (isB) predictB(flags & (MbMfF | MbMbF), mr, mc)
+            else {
+              mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, pmx, pmy)
+              mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+                pmx / 2, pmy / 2)
+              mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+                pmx / 2, pmy / 2)
+            }
+            val cbp = if ((flags & MbCbpF) != 0) Mpeg1.Cbp.decode(br) else 0
+            var b = 0
+            while (b < 6) {
+              if ((cbp & (1 << (5 - b))) != 0) {
+                b match {
+                  case 0 | 1 | 2 | 3 =>
+                    decodeNonIntraBlock2(br, qs, wNon, scan, y, w16,
+                      mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                  case 4 =>
+                    decodeNonIntraBlock2(br, qs, wNon, scan, cb,
+                      w16 / 2, mc * 8, mr * 8)
+                  case _ =>
+                    decodeNonIntraBlock2(br, qs, wNon, scan, cr,
+                      w16 / 2, mc * 8, mr * 8)
+                }
+              }
+              b += 1
+            }
           }
+          prevDir =
+            if ((flags & MbIntraF) != 0) MbMfF | MbMbF
+            else flags & (MbMfF | MbMbF)
           decodedAny = true
-          // zero-padding tail: 11+ zero bits cannot start a macroblock
-          if (br.pos + 11 <= sliceEndBit) {
+          // padding tail: if every bit to the slice end is 0, done
+          if (br.remaining <= 0 || br.pos >= sliceEndBit) sliceDone = true
+          else {
             val save = br.pos
             var allZero = true
-            var t = 0
-            while (t < 11 && allZero) { if (br.bit() == 1) allZero = false; t += 1 }
+            while (allZero && br.pos < sliceEndBit) {
+              if (br.bit() == 1) allZero = false
+            }
             br.pos = save
             if (allZero) sliceDone = true
-          } else sliceDone = true
+          }
         }
       } catch { case _: Exception => } // damaged slice: keep what decoded
       si += 1

@@ -4,15 +4,18 @@ import graft.pipeline.{Mpeg1, Mpeg1Ps, Mpeg2, Multimodal}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** MPEG-2 (13818-2) intra decoder against HAND-ASSEMBLED bitstreams,
-  * pixel oracles computed from the closed-form IDCT cosine arithmetic
+/** MPEG-2 (13818-2) decoder against HAND-ASSEMBLED bitstreams, pixel
+  * oracles computed from the closed-form IDCT cosine arithmetic
   * independent of the decoder — the Mpeg1Spec discipline. The fixtures
   * cross every 13818-2-specific mechanism in scope: sequence/picture
   * extensions, intra DC precision, the non-linear quantiser scale, the
-  * alternate scan, and MISMATCH CONTROL (whose ±1 toggle on F[7][7] is
-  * made pixel-visible by placing a second coefficient near a rounding
+  * alternate scan, MISMATCH CONTROL (whose ±1 toggle on F[7][7] is made
+  * pixel-visible by placing a second coefficient near a rounding
   * boundary — the fixture asserts the with/without-toggle oracles
-  * actually differ, so the test is guaranteed to discriminate).
+  * actually differ, so the test is guaranteed to discriminate), the
+  * 12-bit signed escape, P/B frame prediction with PER-COMPONENT
+  * f_codes, the /32 non-intra dequant, and the declared boundaries
+  * (field prediction, unused f_codes).
   */
 class Mpeg2Spec extends AnyFunSuite {
 
@@ -86,18 +89,20 @@ class Mpeg2Spec extends AnyFunSuite {
     w.align()
   }
 
-  /** 13818-2 picture_coding_extension: frame picture, frame-pred-frame-
-    * DCT, intra_vlc_format 0, no concealment.
+  /** 13818-2 picture_coding_extension: frame picture, intra_vlc_format
+    * 0, no concealment. `fc` = f_code[s][t] in (fwd-h, fwd-v, bwd-h,
+    * bwd-v) order; 15 = unused.
     */
   private def picExtension(w: BitWriter, dcPrec: Int = 0,
-      qScaleType: Int = 0, altScan: Int = 0): Unit = {
+      qScaleType: Int = 0, altScan: Int = 0,
+      fc: Seq[Int] = Seq(15, 15, 15, 15), fpfd: Int = 1): Unit = {
     startCode(0xb5)(w)
     w.bits(8, 4) // identifier: Picture Coding Extension
-      .bits(0xffff, 16) // f_codes: 1111 = unused
-      .bits(dcPrec, 2)
+    fc.foreach(f => w.bits(f, 4))
+    w.bits(dcPrec, 2)
       .bits(3, 2) // picture_structure: frame
       .put(0) // top_field_first
-      .put(1) // frame_pred_frame_dct
+      .bits(fpfd, 1) // frame_pred_frame_dct
       .put(0) // concealment_motion_vectors
       .bits(qScaleType, 1)
       .put(0) // intra_vlc_format (B.14)
@@ -227,12 +232,12 @@ class Mpeg2Spec extends AnyFunSuite {
       block(Map((0, 0) -> 1024, (0, 1) -> 4, (7, 7) -> 1)))
   }
 
-  test("MPEG-2 P-pictures are a declared boundary: chain drops, no wrong pixels") {
+  test("MPEG-2 P with unused (1111) forward f_codes: chain drops, no wrong pixels") {
     val i = m2Au()
     val p = {
       val w = new BitWriter
       pictureHeader(w, 2)
-      picExtension(w)
+      picExtension(w) // f_codes all 15 = 'unused' — invalid for a P
       startCode(0x01)(w)
       w.bits(1, 5).put(0)
       w.b("1").b("1")
@@ -241,7 +246,7 @@ class Mpeg2Spec extends AnyFunSuite {
     val (c1, f1) = Mpeg1.decodeAccessUnitRef(None, i)
     assert(f1.isDefined && c1.exists(_.ref.isDefined))
     val (c2, f2) = Mpeg1.decodeAccessUnitRef(c1, p)
-    assert(f2.isEmpty, "MPEG-2 P must not decode via the MPEG-1 path")
+    assert(f2.isEmpty, "a P without valid forward f_codes must not decode")
     assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty),
       "the reference chain must drop honestly")
   }
@@ -257,6 +262,144 @@ class Mpeg2Spec extends AnyFunSuite {
     // mean luma: 3 flat-128 luma blocks + Y0 (flat 128 + zero-mean AC
     // cosines, up to rounding): within half a gray level of 128
     assert(math.abs(out(0).mean_luma - 128.0) < 0.5, out(0).mean_luma)
+  }
+
+  /** FLAT 32×16 two-tone MPEG-2 I access unit: left macroblock luma 80,
+    * right 160, chroma 128 (DC-only blocks; every per-block mismatch
+    * toggle stays sub-rounding).
+    */
+  private def m2TwoToneAu: Array[Byte] = {
+    val w = new BitWriter
+    seqHeader(w, 32, 16)
+    seqExtension(w)
+    pictureHeader(w, 1)
+    picExtension(w)
+    startCode(0x01)(w)
+    w.bits(1, 5).put(0)
+    intraMb(w, y0Diff = -48, acLevel = 0) // 128 -> 80
+    intraMb(w, y0Diff = 80, acLevel = 0) // 80 -> 160
+    w.bytes
+  }
+
+  test("MPEG-2 P: zero-MV escape residual, /32 non-intra dequant") {
+    val iAu = m2Au(acLevel = 0) // flat 128
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15))
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0) // qs = 2
+      w.b("1").b("1") // inc 1, type = MC + coded
+      w.b("1").b("1") // zero motion codes (f_code 1: no residuals)
+      w.b("1010") // cbp = 32: Y0 only
+      // dct_coeff_first via ESCAPE: run 0, level +30 ->
+      // F[0][0] = (2·30 + 1)·2·16/32 = 61 (sum odd: no toggle);
+      // DC-only residual = 61/8 = 7.625 per pel
+      w.b("000001").bits(0, 6).bits(30, 12)
+      w.b("10") // EOB
+      w.bytes
+    }
+    val (c1, fI) = Mpeg1.decodeAccessUnitRef(None, iAu)
+    assert(fI.exists(_.y.forall(_ == 128)))
+    val (c2, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    assert(fP.isDefined, "MPEG-2 P must decode")
+    // the residual covers Y0 only (cbp = 32): its 8x8 lands at 136 =
+    // round(128 + 7.625); Y1-Y3 stay the reference copy 128
+    val py = fP.get.y
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val want = if (r < 8 && c < 8) 136 else 128
+      assert(py(r * 16 + c) == want, s"P ($r,$c): ${py(r * 16 + c)}")
+    }
+    assert(fP.get.cb.forall(_ == 128) && fP.get.cr.forall(_ == 128))
+    // P slides into the reference chain like MPEG-1; its mean is
+    // (64·136 + 192·128)/256 = 130
+    assert(c2.exists(c => c.ref.exists(_.meanLuma == 130.0) &&
+      c.prevRef.exists(_.meanLuma == 128.0)))
+  }
+
+  test("MPEG-2 B: rounded bidirectional average; never a reference") {
+    val iAu = m2Au(acLevel = 0)
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15))
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1").b("1").b("1").b("1010")
+      w.b("000001").bits(0, 6).bits(30, 12).b("10")
+      w.bytes
+    }
+    val bAu = {
+      val w = new BitWriter
+      pictureHeader(w, 3)
+      picExtension(w, fc = Seq(1, 1, 1, 1))
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("10") // inc 1, type = fwd + bwd, no cbp
+      w.b("1").b("1") // forward zero MV
+      w.b("1").b("1") // backward zero MV
+      w.bytes
+    }
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None, iAu)
+    val (c2, _) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    val (c3, fB) = Mpeg1.decodeAccessUnitRef(c2, bAu)
+    // rounded bidirectional average per pel: Y0 region (past 128,
+    // future 136) -> (128 + 136 + 1) >> 1 = 132; elsewhere both 128
+    val by = fB.get.y
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val want = if (r < 8 && c < 8) 132 else 128
+      assert(by(r * 16 + c) == want, s"B ($r,$c): ${by(r * 16 + c)}")
+    }
+    // B never enters the reference slots
+    assert(c3.exists(c => c.ref.exists(_.meanLuma == 130.0) &&
+      c.prevRef.exists(_.meanLuma == 128.0)))
+  }
+
+  test("MPEG-2 P: per-component f_codes, half-pel units, predictor persistence") {
+    // forward f_codes (2, 1): horizontal residuals exist, vertical none.
+    // MB0 codes MV x = +1 (code) with residual 1 -> delta (1-1)·2+1+1 = 2
+    // half-pel = +1 pel; MB1 codes motion 0, so the PREDICTOR persists
+    // and both macroblocks shift the reference LEFT by one pel.
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(2, 1, 15, 15))
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("001") // MB0: inc 1, type = MC only
+      w.b("010").bits(1, 1) // x: code +1, residual 1
+      w.b("1") // y: code 0
+      w.b("1").b("001") // MB1: inc 1, type = MC only
+      w.b("1") // x: code 0 -> predictor persists (+2)
+      w.b("1") // y: code 0
+      w.bytes
+    }
+    val (c1, fI) = Mpeg1.decodeAccessUnitRef(None, m2TwoToneAu)
+    assert(fI.exists(f => f.y(0) == 80 && f.y(16) == 160))
+    val (_, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    val f = fP.get
+    for (r <- 0 until 16) {
+      assert(f.y(r * 32 + 14) == 80, s"row $r col 14") // ref col 15
+      assert(f.y(r * 32 + 15) == 160, s"row $r col 15") // ref col 16
+      assert(f.y(r * 32 + 30) == 160, s"row $r col 30")
+      assert(f.y(r * 32 + 31) == 160, s"row $r col 31 (edge clamp)")
+    }
+  }
+
+  test("field prediction (fpfd = 0) P-pictures are out of scope") {
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15), fpfd = 0)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1").b("1").b("1").b("1010").b("1").put(0).b("10")
+      w.bytes
+    }
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None, m2Au(acLevel = 0))
+    val (c2, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    assert(fP.isEmpty, "field-prediction P must not decode")
+    assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty))
   }
 
   test("13818-2 escape form: 6-bit run + 12-bit signed level") {
