@@ -18,13 +18,21 @@ package graft.pipeline
   * vectors) and the macroblock-type/CBP tables are shared with [[Mpeg1]]
   * — 13818-2 kept them bit-identical.
   *
-  * Declared boundaries (decode returns None, never wrong pixels): field
-  * pictures, field prediction / field DCT (P/B require
-  * frame_pred_frame_dct = 1; intra tolerates the per-MB dct_type bit but
-  * only the frame value), dual-prime, intra_vlc_format = 1 (Table B.15),
-  * concealment motion vectors, and chroma formats other than 4:2:0.
-  * [[Mpeg1.decodeAccessUnitRef]] drops the reference chain honestly when
-  * it meets one.
+  * Frame pictures may set frame_pred_frame_dct = 0: the per-macroblock
+  * frame_motion_type is parsed (only the frame-based '10' class decodes)
+  * and FIELD DCT (dct_type = 1, §6.3.17.1 Figure 6-14) is fully decoded —
+  * the four luma blocks carry the top-field (even) and bottom-field (odd)
+  * lines of the macroblock, so coefficient placement interleaves rows
+  * with stride 2; 4:2:0 chroma stays frame-organised. The parse order is
+  * the spec's macroblock_modes() one: macroblock_type, frame_motion_type,
+  * dct_type, THEN quantiser_scale_code.
+  *
+  * Declared boundaries (decode returns None for the WHOLE picture, never
+  * wrong or partial pixels): field pictures, field-based prediction
+  * (frame_motion_type '01'), dual-prime ('11'), intra_vlc_format = 1
+  * (Table B.15), concealment motion vectors, and chroma formats other
+  * than 4:2:0. [[Mpeg1.decodeAccessUnitRef]] drops the reference chain
+  * honestly when it meets one.
   *
   * The reference ships no video codecs (multimodal blobs are opaque bytes
   * there); this extends the engine's LLM-pipeline multimodal family,
@@ -102,6 +110,14 @@ object Mpeg2 {
       }
       .collectFirst { case Some(p) => p }
 
+  /** An in-scope picture met an out-of-scope macroblock shape (field
+    * prediction, dual prime). Unlike a damaged slice — where keeping the
+    * already-decoded macroblocks is the right recovery — a shape we do
+    * not decode means the REST of the picture would be built on pixels we
+    * never reconstructed, so the whole picture must return None.
+    */
+  private final class OutOfScopeShape(msg: String) extends Exception(msg)
+
   /** quantiser_scale from the 5-bit code (Table 7-6): linear = 2·code;
     * non-linear = the spec's stepped table.
     */
@@ -155,7 +171,8 @@ object Mpeg2 {
     */
   private def decodeBlock2(br: BitReader, luma: Boolean, dcPred: Int,
       qs: Int, dcMult: Int, wRaster: Array[Int], scan: Array[Int],
-      plane: Array[Int], stride: Int, px: Int, py: Int): Int = {
+      plane: Array[Int], stride: Int, px: Int, py: Int,
+      rowStep: Int = 1): Int = {
     val dcSize =
       (if (luma) Mpeg1.DcSizeLuma else Mpeg1.DcSizeChroma).decode(br)
     val diff =
@@ -192,7 +209,7 @@ object Mpeg2 {
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        plane((py + r) * stride + px + c) = clamp255(px8(r * 8 + c))
+        plane((py + r * rowStep) * stride + px + c) = clamp255(px8(r * 8 + c))
         c += 1
       }
       r += 1
@@ -209,7 +226,7 @@ object Mpeg2 {
     */
   private def decodeNonIntraBlock2(br: BitReader, qs: Int,
       wRaster: Array[Int], scan: Array[Int], plane: Array[Int],
-      stride: Int, px: Int, py: Int): Unit = {
+      stride: Int, px: Int, py: Int, rowStep: Int = 1): Unit = {
     val raster = new Array[Int](64)
     var sum = 0
     var i = 0 // next free scan position; first coeff lands at its run
@@ -242,7 +259,7 @@ object Mpeg2 {
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        val at = (py + r) * stride + px + c
+        val at = (py + r * rowStep) * stride + px + c
         plane(at) = clamp255(plane(at) + res(r * 8 + c))
         c += 1
       }
@@ -275,7 +292,6 @@ object Mpeg2 {
     val pic = pictureCodingExtensionAfter(bytes, picOff).getOrElse(return None)
     if (pic.pictureStructure != 3) return None // frame pictures only
     if (pic.concealmentMv || pic.intraVlcFormat) return None // boundaries
-    if ((isP || isB) && !pic.framePredFrameDct) return None // frame pred only
     val fwdOk = pic.fCodes(0) >= 1 && pic.fCodes(0) <= 9 &&
       pic.fCodes(1) >= 1 && pic.fCodes(1) <= 9
     val bwdOk = pic.fCodes(2) >= 1 && pic.fCodes(2) <= 9 &&
@@ -318,7 +334,7 @@ object Mpeg2 {
     val scs = startCodes(bytes).dropWhile(_._2 <= picOff)
       .filterNot(c => c._1 == 0xb2 || c._1 == 0xb5).toArray
     var si = 0
-    while (si < scs.length && scs(si)._1 >= 1 && scs(si)._1 <= 0xaf) {
+    try while (si < scs.length && scs(si)._1 >= 1 && scs(si)._1 <= 0xaf) {
       val (code, off) = scs(si)
       try {
         val br = new BitReader(bytes, off.toLong * 8)
@@ -392,14 +408,27 @@ object Mpeg2 {
             else if (isP) Mpeg1.MbTypeP.decode(br)
             else if (Mpeg1.MbTypeI.decode(br) == 1) MbQuantF | MbIntraF
             else MbIntraF
+          // macroblock_modes() order (§6.2.5.1): after macroblock_type
+          // come frame_motion_type (motion-bearing MBs, fpfd = 0) and
+          // dct_type (intra/pattern MBs, fpfd = 0), and only THEN the
+          // quantiser_scale_code of the macroblock() layer.
+          if (!pic.framePredFrameDct &&
+              (flags & (MbMfF | MbMbF)) != 0 && br.bits(2) != 2)
+            // '10' = frame-based; '01' field-based and '11' dual-prime
+            // are undecodable shapes — the WHOLE picture must drop
+            throw new OutOfScopeShape(
+              "Mpeg2Slice: field / dual-prime prediction not decoded")
+          val fieldDct = !pic.framePredFrameDct &&
+            (flags & (MbIntraF | MbCbpF)) != 0 && br.bit() == 1
+          // field DCT (Figure 6-14): luma blocks 0/1 carry the TOP field
+          // (even macroblock lines), 2/3 the BOTTOM field (odd lines),
+          // each spanning all 16 lines at row stride 2; chroma in 4:2:0
+          // is always frame-organised
+          val lumaStep = if (fieldDct) 2 else 1
+          def lumaY(mr: Int, b: Int): Int =
+            if (fieldDct) mr * 16 + (b / 2) else mr * 16 + (b / 2) * 8
           if ((flags & MbQuantF) != 0)
             qs = quantScale(pic.qScaleType, br.bits(5))
-          // frame pictures with frame_pred_frame_dct = 0 signal dct_type
-          // per intra macroblock; field DCT (1) is out of scope. (P/B
-          // require fpfd = 1 above, so this only triggers on I.)
-          if (!pic.framePredFrameDct && br.bit() == 1)
-            throw new IllegalArgumentException(
-              "Mpeg2Slice: field DCT not decoded")
           if ((flags & MbMfF) != 0) {
             // frame motion vectors, PER-COMPONENT f_codes, half-pel units
             val cx = Mpeg1.MvCode.decode(br)
@@ -440,7 +469,7 @@ object Mpeg2 {
                 case 0 | 1 | 2 | 3 =>
                   yPred = decodeBlock2(br, luma = true, yPred, qs, dcMult,
                     wIntra, scan, y, w16,
-                    mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                    mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
                 case 4 =>
                   cbPred = decodeBlock2(br, luma = false, cbPred, qs, dcMult,
                     wIntra, scan, cb, w16 / 2, mc * 8, mr * 8)
@@ -469,7 +498,7 @@ object Mpeg2 {
                 b match {
                   case 0 | 1 | 2 | 3 =>
                     decodeNonIntraBlock2(br, qs, wNon, scan, y, w16,
-                      mc * 16 + (b % 2) * 8, mr * 16 + (b / 2) * 8)
+                      mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
                   case 4 =>
                     decodeNonIntraBlock2(br, qs, wNon, scan, cb,
                       w16 / 2, mc * 8, mr * 8)
@@ -497,9 +526,12 @@ object Mpeg2 {
             if (allZero) sliceDone = true
           }
         }
-      } catch { case _: Exception => } // damaged slice: keep what decoded
+      } catch {
+        case oos: OutOfScopeShape => throw oos // whole picture drops
+        case _: Exception => // damaged slice: keep what decoded
+      }
       si += 1
-    }
+    } catch { case _: OutOfScopeShape => return None }
     if (decodedAny) Some(Frame(ctx.width, ctx.height, y, cb, cr)) else None
   }
 }

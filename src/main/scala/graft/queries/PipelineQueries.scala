@@ -821,6 +821,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("frame_idx"), col("ok"),
           col("width"), col("height"), col("mean_luma"))
     },
+    "video_mpeg2_roundtrip" -> { (s, dir) =>
+      // the 13818-2 twin of video_mpeg1_roundtrip: Mpeg2Writer encodes
+      // an I (DC-only gray g), a P lifting it by an exact δ (zero-MV
+      // 12-bit-escape residuals, /32 dequant), a B interpolating the two
+      // ((2g+δ+1)>>1), and a FIELD-DCT I whose even lines sit at g and
+      // odd lines at g+2δ (mean g+δ — the interleaved-field organisation
+      // a frame-DCT decode could not produce). Docs 1–3 ride an MP4
+      // 'mp2v' track; 4–5 the same access units in a program stream, so
+      // both containers cross the MPEG-2 decode under the hash gate.
+      import org.apache.spark.sql.Encoders
+      val blobs = s.createDataset((1L to 5L).map { id =>
+        val aus = Mpeg2Writer.ipbfPictures(32, 16,
+          gray = 100 + id.toInt, delta = 4 * id.toInt + 8)
+        Multimodal.Blob(id,
+          if (id <= 3L) Multimodal.muxMp4("mp2v", aus)
+          else Mpeg1Ps.mux(aus))
+      })(Encoders.product[Multimodal.Blob])
+      Multimodal.videoFrameFeatures(blobs, everyNth = 1).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("ok"),
+          col("width"), col("height"), col("mean_luma"))
+    },
 
     // ---- pipeline staples ----
     "sessionize" -> { (s, dir) =>
@@ -1965,6 +1986,27 @@ object PipelineQueries {
         |  (4, 2, TRUE, 32, 16, 116),
         |  (5, 0, TRUE, 32, 16, 105), (5, 1, TRUE, 32, 16, 133),
         |  (5, 2, TRUE, 32, 16, 119))
+        |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
+    "video_mpeg2_roundtrip" ->
+      // literal VALUES, all closed-form: frame 0 the I gray g = 100+id,
+      // frame 1 the P at g + δ (δ = 4·id + 8), frame 2 the B at
+      // (2g+δ+1) >> 1, frame 3 the field-DCT I with fields g and g+2δ
+      // (mean g+δ) — see the query comment
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(frame_idx AS INT) AS frame_idx,
+        |       ok, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |       CAST(mean_luma AS DOUBLE) AS mean_luma
+        |FROM (VALUES
+        |  (1, 0, TRUE, 32, 16, 101), (1, 1, TRUE, 32, 16, 113),
+        |  (1, 2, TRUE, 32, 16, 107), (1, 3, TRUE, 32, 16, 113),
+        |  (2, 0, TRUE, 32, 16, 102), (2, 1, TRUE, 32, 16, 118),
+        |  (2, 2, TRUE, 32, 16, 110), (2, 3, TRUE, 32, 16, 118),
+        |  (3, 0, TRUE, 32, 16, 103), (3, 1, TRUE, 32, 16, 123),
+        |  (3, 2, TRUE, 32, 16, 113), (3, 3, TRUE, 32, 16, 123),
+        |  (4, 0, TRUE, 32, 16, 104), (4, 1, TRUE, 32, 16, 128),
+        |  (4, 2, TRUE, 32, 16, 116), (4, 3, TRUE, 32, 16, 128),
+        |  (5, 0, TRUE, 32, 16, 105), (5, 1, TRUE, 32, 16, 133),
+        |  (5, 2, TRUE, 32, 16, 119), (5, 3, TRUE, 32, 16, 133))
         |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts,

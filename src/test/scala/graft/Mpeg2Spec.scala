@@ -402,6 +402,166 @@ class Mpeg2Spec extends AnyFunSuite {
     assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty))
   }
 
+  /** One intra macroblock under fpfd = 0: type, dct_type bit, then the
+    * four luma DC diffs and two chroma-0 blocks (all DC-only).
+    */
+  private def intraMbField(w: BitWriter, dct: Int, diffs: Seq[Int]): Unit = {
+    w.b("1").b("1") // inc 1, type intra (no quant)
+    w.put(dct) // dct_type — macroblock_modes() order, BEFORE any qs
+    diffs.foreach { d => dcLuma(w, d); w.b("10") }
+    for (_ <- 0 until 2) { dcChroma0(w); w.b("10") }
+  }
+
+  test("field DCT intra: luma blocks carry the two FIELDS — lines interleave") {
+    // dct_type = 1: blocks 0/1 are the TOP field (even lines), 2/3 the
+    // BOTTOM field (odd lines). DC chain 128 →(−48) 80 → 80 →(+80) 160 →
+    // 160: even lines flat 80, odd lines flat 160 — a frame-DCT decoder
+    // would instead show an 80-over-160 half split, so the oracle
+    // discriminates the organisations.
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    seqExtension(w)
+    pictureHeader(w, 1)
+    picExtension(w, fpfd = 0)
+    startCode(0x01)(w)
+    w.bits(1, 5).put(0)
+    intraMbField(w, dct = 1, diffs = Seq(-48, 0, 80, 0))
+    val (_, frame) = Mpeg1.decodeAccessUnitRef(None, w.bytes)
+    val f = frame.get
+    for (line <- 0 until 16; c <- 0 until 16) {
+      val want = if (line % 2 == 0) 80 else 160
+      assert(f.y(line * 16 + c) == want, s"line $line col $c")
+    }
+    // the SAME DC stream under dct_type = 0 is the frame organisation:
+    // top half 80, bottom half 160
+    val w2 = new BitWriter
+    seqHeader(w2, 16, 16)
+    seqExtension(w2)
+    pictureHeader(w2, 1)
+    picExtension(w2, fpfd = 0)
+    startCode(0x01)(w2)
+    w2.bits(1, 5).put(0)
+    intraMbField(w2, dct = 0, diffs = Seq(-48, 0, 80, 0))
+    val (_, frame2) = Mpeg1.decodeAccessUnitRef(None, w2.bytes)
+    val f2 = frame2.get
+    for (line <- 0 until 16; c <- 0 until 16) {
+      val want = if (line < 8) 80 else 160
+      assert(f2.y(line * 16 + c) == want, s"frame-DCT line $line col $c")
+    }
+  }
+
+  test("macroblock_modes() order: dct_type PRECEDES quantiser_scale_code") {
+    // intra + quant MB under fpfd = 0: '01' type, dct_type 1, THEN the
+    // 5-bit qs code 4 (qs = 8, overriding the slice's qs = 2). The AC
+    // (0,2) dequants against the NEW qs: F = 2·2·8·16/32 = 16, placed by
+    // the ALTERNATE field layout on even lines. A decoder reading qs
+    // before dct_type misparses the stream entirely.
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    seqExtension(w)
+    pictureHeader(w, 1)
+    picExtension(w, fpfd = 0)
+    startCode(0x01)(w)
+    w.bits(1, 5).put(0) // slice qs = 2
+    w.b("1").b("01") // inc 1, type intra + quant
+    w.put(1) // dct_type = 1 (field)
+    w.bits(4, 5) // quantiser_scale_code 4 -> qs 8
+    dcLuma(w, 0)
+    w.b("0100").put(0) // B.14 (0,2) positive
+    w.b("10")
+    for (_ <- 0 until 3) { dcLuma(w, 0); w.b("10") }
+    for (_ <- 0 until 2) { dcChroma0(w); w.b("10") }
+    val (_, frame) = Mpeg1.decodeAccessUnitRef(None, w.bytes)
+    val f = frame.get
+    // sum 1024 + 16 = 1040 even -> mismatch toggle included in the oracle
+    val oracle = block(Map((0, 0) -> 1024, (0, 1) -> 16, (7, 7) -> 1))
+    for (r <- 0 until 8; c <- 0 until 8)
+      assert(f.y(2 * r * 16 + c) == oracle(r * 8 + c),
+        s"top-field block row $r col $c")
+    // the other three luma blocks are DC-only 128: odd lines and the
+    // right half stay flat
+    for (r <- 0 until 8; c <- 0 until 16)
+      assert(f.y((2 * r + 1) * 16 + c) == 128, s"bottom line ${2 * r + 1}")
+  }
+
+  test("P with fpfd = 0: frame_motion_type '10' decodes, field-DCT residual") {
+    val iAu = m2Au(acLevel = 0) // flat 128 reference
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15), fpfd = 0)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0) // qs = 2
+      w.b("1").b("1") // inc 1, type = MC + coded
+      w.b("10") // frame_motion_type: frame-based
+      w.put(1) // dct_type = 1 (field)
+      w.b("1").b("1") // zero motion codes
+      w.b("1010") // cbp = 32: Y0 only
+      w.b("000001").bits(0, 6).bits(30, 12) // escape run 0, +30
+      w.b("10") // EOB
+      w.bytes
+    }
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None, iAu)
+    val (_, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    assert(fP.isDefined, "fpfd=0 frame-based P must decode")
+    // residual F[0][0] = 61 -> +7.625/pel rounds to 136, landing on the
+    // TOP-FIELD lines of the left half; everything else stays 128
+    val py = fP.get.y
+    for (line <- 0 until 16; c <- 0 until 16) {
+      val want = if (line % 2 == 0 && c < 8) 136 else 128
+      assert(py(line * 16 + c) == want, s"P field ($line,$c): ${py(line * 16 + c)}")
+    }
+  }
+
+  test("field-based and dual-prime prediction drop the WHOLE picture") {
+    for (fmt <- Seq("01", "11")) {
+      val pAu = {
+        val w = new BitWriter
+        pictureHeader(w, 2)
+        picExtension(w, fc = Seq(1, 1, 15, 15), fpfd = 0)
+        startCode(0x01)(w)
+        w.bits(1, 5).put(0)
+        w.b("1").b("1") // inc 1, type = MC + coded
+        w.b(fmt) // field-based / dual-prime frame_motion_type
+        w.bytes
+      }
+      val (c1, _) = Mpeg1.decodeAccessUnitRef(None, m2Au(acLevel = 0))
+      val (c2, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+      assert(fP.isEmpty, s"frame_motion_type $fmt must not decode")
+      assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty),
+        "the reference chain must drop honestly")
+    }
+  }
+
+  test("Mpeg2Writer: encode → decode closed-form, all four picture shapes") {
+    import graft.pipeline.Mpeg2Writer
+    val aus = Mpeg2Writer.ipbfPictures(32, 16, gray = 96, delta = 20)
+    var ctx: Option[Mpeg1.StreamCtx] = None
+    val frames = aus.map { au =>
+      val (c, f) = Mpeg1.decodeAccessUnitRef(ctx, au)
+      ctx = c
+      f
+    }
+    assert(frames.forall(_.isDefined), "every encoded picture must decode")
+    assert(frames(0).get.y.forall(_ == 96), "I: flat gray")
+    assert(frames(1).get.y.forall(_ == 116), "P: flat gray + delta")
+    assert(frames(2).get.y.forall(_ == 106), "B: rounded average (213>>1)")
+    val fy = frames(3).get.y
+    for (line <- 0 until 16; c <- 0 until 32) {
+      val want = if (line % 2 == 0) 96 else 136
+      assert(fy(line * 32 + c) == want, s"field-DCT I line $line col $c")
+    }
+    // and through the program-stream container end to end
+    import org.apache.spark.sql.Encoders
+    val mpg = Mpeg1Ps.mux(aus)
+    val blobs = spark.createDataset(Seq(Multimodal.Blob(7L, mpg)))(
+      Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(out.length == 4 && out.forall(_.ok))
+    assert(out.map(_.mean_luma).toSeq == Seq(96.0, 116.0, 106.0, 116.0))
+  }
+
   test("13818-2 escape form: 6-bit run + 12-bit signed level") {
     // hand-code ESCAPE with run 2, level -5: F at scan 3 (raster (2,0))
     // = 2·(-5)·2·16/32 = -10; DC 1024; sum 1014 even -> toggle
