@@ -920,10 +920,13 @@ object Mpeg1 {
       for ((code, off) <- startCodes(au)) {
         if (code == 0xb3) ctx = Some(parseSeqWithExt(au, off))
         else if (code == 0x00 && ctx.isDefined &&
-          pictureType(au, off) == 1)
-          return (ctx,
-            if (ctx.get.m2.isDefined) Mpeg2.decodeIntraPicture(ctx.get, au, off)
-            else decodePicture(ctx.get, au, off))
+          pictureType(au, off) == 1) {
+          if (ctx.get.m2.isDefined) {
+            val s2 = Mpeg2.withQuantExtensions(ctx.get, au, off)
+            return (Some(s2), Mpeg2.decodeIntraPicture(s2, au, off))
+          }
+          return (ctx, decodePicture(ctx.get, au, off))
+        }
       }
       (ctx, None)
     } catch { case _: Exception => (carried, None) }
@@ -973,15 +976,18 @@ object Mpeg1 {
             // dispatch below (13818-2 has no D class). Out-of-scope
             // shapes (field pictures, B.15, dual-prime, …) return None
             // from Mpeg2 and the chain drops honestly — nothing
-            // downstream compensates against a wrong frame.
+            // downstream compensates against a wrong frame. Any
+            // quant_matrix_extension updates the carried matrices for
+            // this AND subsequent pictures (§6.3.11).
+            val s2 = Mpeg2.withQuantExtensions(seq.get, au, off)
             if (pt == 3) {
-              val frame = Mpeg2.decodePicture(seq.get, au, off, ref, prev)
-              return (Some(StreamCtx(seq.get, ref, prev)), frame)
+              val frame = Mpeg2.decodePicture(s2, au, off, ref, prev)
+              return (Some(StreamCtx(s2, ref, prev)), frame)
             }
-            val frame = Mpeg2.decodePicture(seq.get, au, off, ref)
+            val frame = Mpeg2.decodePicture(s2, au, off, ref)
             val ctx2 = frame match {
-              case Some(f) => StreamCtx(seq.get, Some(f), ref)
-              case None => StreamCtx(seq.get, None, None)
+              case Some(f) => StreamCtx(s2, Some(f), ref)
+              case None => StreamCtx(s2, None, None)
             }
             return (Some(ctx2), frame)
           }

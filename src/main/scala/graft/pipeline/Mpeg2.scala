@@ -27,12 +27,17 @@ package graft.pipeline
   * the spec's macroblock_modes() one: macroblock_type, frame_motion_type,
   * dct_type, THEN quantiser_scale_code.
   *
+  * I-pictures carrying concealment motion vectors decode: the vectors
+  * are parsed through (their bit length is predictor-independent, and
+  * intra pixels never depend on their values) so slices stay in sync.
+  *
   * Declared boundaries (decode returns None for the WHOLE picture, never
   * wrong or partial pixels): field pictures, field-based prediction
   * (frame_motion_type '01'), dual-prime ('11'), intra_vlc_format = 1
-  * (Table B.15), concealment motion vectors, and chroma formats other
-  * than 4:2:0. [[Mpeg1.decodeAccessUnitRef]] drops the reference chain
-  * honestly when it meets one.
+  * (Table B.15), concealment motion vectors in P/B pictures (their
+  * intra-MB vectors feed later non-intra predictors), and chroma formats
+  * other than 4:2:0. [[Mpeg1.decodeAccessUnitRef]] drops the reference
+  * chain honestly when it meets one.
   *
   * The reference ships no video codecs (multimodal blobs are opaque bytes
   * there); this extends the engine's LLM-pipeline multimodal family,
@@ -117,6 +122,52 @@ object Mpeg2 {
     * never reconstructed, so the whole picture must return None.
     */
   private final class OutOfScopeShape(msg: String) extends Exception(msg)
+
+  /** quant_matrix_extension (§6.2.3.2, identifier 0011) between the
+    * picture header at `picOff` and the first slice: freshly downloaded
+    * intra / non-intra matrices in ZIGZAG download order (values 1..255).
+    * The chroma matrices that may follow are parsed PAST for bit
+    * consistency but unused — in 4:2:0 the luma matrices apply to every
+    * block (§6.3.11).
+    */
+  private[pipeline] def quantMatrixExtensionAfter(bytes: Array[Byte],
+      picOff: Int): (Option[Array[Int]], Option[Array[Int]]) =
+    startCodes(bytes).dropWhile(_._2 <= picOff)
+      .takeWhile(c => !(c._1 >= 0x01 && c._1 <= 0xaf)) // stop at slices
+      .collect { case (0xb5, eoff) => eoff }
+      .map { eoff =>
+        val br = new BitReader(bytes, eoff.toLong * 8)
+        if (br.bits(4) != 3) None
+        else {
+          def mat(): Array[Int] = Array.fill(64) {
+            val v = br.bits(8)
+            require(v != 0, "Mpeg2QuantExt: zero matrix value")
+            v
+          }
+          val intra = if (br.bit() == 1) Some(mat()) else None
+          val non = if (br.bit() == 1) Some(mat()) else None
+          if (br.bit() == 1) mat() // chroma intra: unused in 4:2:0
+          if (br.bit() == 1) mat() // chroma non-intra: unused in 4:2:0
+          Some((intra, non))
+        }
+      }
+      .collectFirst { case Some(p) => p }
+      .getOrElse((None, None))
+
+  /** The carried sequence context with any quant_matrix_extension in
+    * this access unit applied. Downloaded matrices PERSIST until the
+    * next sequence header or download (§6.3.11) — callers carry the
+    * returned context forward, and a later sequence header naturally
+    * resets via [[Mpeg1.parseSequenceHeader]].
+    */
+  def withQuantExtensions(ctx: SeqCtx, bytes: Array[Byte],
+      picOff: Int): SeqCtx =
+    try {
+      val (i, n) = quantMatrixExtensionAfter(bytes, picOff)
+      if (i.isEmpty && n.isEmpty) ctx
+      else ctx.copy(intraQ = i.getOrElse(ctx.intraQ),
+        nonIntraQ = n.getOrElse(ctx.nonIntraQ))
+    } catch { case scala.util.control.NonFatal(_) => ctx }
 
   /** quantiser_scale from the 5-bit code (Table 7-6): linear = 2·code;
     * non-linear = the spec's stepped table.
@@ -291,7 +342,14 @@ object Mpeg2 {
     if (isB && (ref.isEmpty || past.isEmpty)) return None
     val pic = pictureCodingExtensionAfter(bytes, picOff).getOrElse(return None)
     if (pic.pictureStructure != 3) return None // frame pictures only
-    if (pic.concealmentMv || pic.intraVlcFormat) return None // boundaries
+    if (pic.intraVlcFormat) return None // Table B.15: declared boundary
+    // concealment motion vectors (§7.6.3.9): in I-pictures they exist for
+    // error resilience only — intra pixels never depend on their values,
+    // and their bit length never depends on predictor state, so parsing
+    // them through keeps slice sync with zero semantic risk. P/B pictures
+    // with concealment stay a declared boundary (their intra-MB conceal
+    // vectors feed later non-intra predictors).
+    if (pic.concealmentMv && picType != 1) return None
     val fwdOk = pic.fCodes(0) >= 1 && pic.fCodes(0) <= 9 &&
       pic.fCodes(1) >= 1 && pic.fCodes(1) <= 9
     val bwdOk = pic.fCodes(2) >= 1 && pic.fCodes(2) <= 9 &&
@@ -429,7 +487,10 @@ object Mpeg2 {
             if (fieldDct) mr * 16 + (b / 2) else mr * 16 + (b / 2) * 8
           if ((flags & MbQuantF) != 0)
             qs = quantScale(pic.qScaleType, br.bits(5))
-          if ((flags & MbMfF) != 0) {
+          // macroblock() reads motion_vectors(0) for forward-predicted
+          // MBs AND for intra MBs under concealment_motion_vectors
+          val concealRead = (flags & MbIntraF) != 0 && pic.concealmentMv
+          if ((flags & MbMfF) != 0 || concealRead) {
             // frame motion vectors, PER-COMPONENT f_codes, half-pel units
             val cx = Mpeg1.MvCode.decode(br)
             val rx =
@@ -456,6 +517,8 @@ object Mpeg2 {
               else 0
             pmyb = reconMv(pmyb, cy, ry, pic.fCodes(3))
           }
+          if (concealRead)
+            require(br.bit() == 1, "Mpeg2Slice: missing concealment marker")
           if (isB && (flags & MbIntraF) != 0) {
             // intra macroblock in a B-picture: ALL MV predictors reset
             pmx = 0; pmy = 0; pmxb = 0; pmyb = 0

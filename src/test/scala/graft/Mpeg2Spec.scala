@@ -95,7 +95,8 @@ class Mpeg2Spec extends AnyFunSuite {
     */
   private def picExtension(w: BitWriter, dcPrec: Int = 0,
       qScaleType: Int = 0, altScan: Int = 0,
-      fc: Seq[Int] = Seq(15, 15, 15, 15), fpfd: Int = 1): Unit = {
+      fc: Seq[Int] = Seq(15, 15, 15, 15), fpfd: Int = 1,
+      conceal: Int = 0): Unit = {
     startCode(0xb5)(w)
     w.bits(8, 4) // identifier: Picture Coding Extension
     fc.foreach(f => w.bits(f, 4))
@@ -103,7 +104,7 @@ class Mpeg2Spec extends AnyFunSuite {
       .bits(3, 2) // picture_structure: frame
       .put(0) // top_field_first
       .bits(fpfd, 1) // frame_pred_frame_dct
-      .put(0) // concealment_motion_vectors
+      .bits(conceal, 1) // concealment_motion_vectors
       .bits(qScaleType, 1)
       .put(0) // intra_vlc_format (B.14)
       .bits(altScan, 1)
@@ -531,6 +532,94 @@ class Mpeg2Spec extends AnyFunSuite {
       assert(c2.exists(c => c.ref.isEmpty && c.prevRef.isEmpty),
         "the reference chain must drop honestly")
     }
+  }
+
+  test("I-picture concealment motion vectors parse through; P with conceal drops") {
+    // two-tone 32×16 I with conceal = 1: each intra MB carries a frame
+    // MV (nonzero codes + residual, f_codes (2,1)) and a marker bit. If
+    // the parse skipped or mis-sized them, MB1's DC would misread — so
+    // pixel equality with the no-conceal twin proves bit sync.
+    def au(conceal: Int): Array[Byte] = {
+      val w = new BitWriter
+      seqHeader(w, 32, 16)
+      seqExtension(w)
+      pictureHeader(w, 1)
+      picExtension(w, fc = Seq(2, 1, 15, 15), conceal = conceal)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      def mb(diff: Int): Unit = {
+        w.b("1").b("1") // inc 1, type intra
+        if (conceal == 1) {
+          w.b("010").bits(1, 1) // x: motion_code +1, residual 1
+          w.b("1") // y: motion_code 0
+          w.put(1) // marker_bit
+        }
+        dcLuma(w, diff); w.b("10")
+        for (_ <- 0 until 3) { dcLuma(w, 0); w.b("10") }
+        for (_ <- 0 until 2) { dcChroma0(w); w.b("10") }
+      }
+      mb(-48) // 80
+      mb(80) // 160
+      w.bytes
+    }
+    val (_, fC) = Mpeg1.decodeAccessUnitRef(None, au(1))
+    val (_, fN) = Mpeg1.decodeAccessUnitRef(None, au(0))
+    assert(fC.isDefined, "conceal-MV I-picture must decode")
+    assert(fC.get.y.toSeq == fN.get.y.toSeq &&
+      fC.get.cb.toSeq == fN.get.cb.toSeq,
+      "conceal vectors must not change intra pixels")
+    assert(fC.get.y(0) == 80 && fC.get.y(16) == 160)
+    // P with conceal stays a boundary: whole picture drops
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15), conceal = 1)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1").b("1").b("1").b("1010")
+      w.b("000001").bits(0, 6).bits(30, 12).b("10")
+      w.bytes
+    }
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None, m2Au(acLevel = 0))
+    val (c2, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    assert(fP.isEmpty && c2.exists(_.ref.isEmpty))
+  }
+
+  test("quant_matrix_extension: fresh intra matrix applies AND persists") {
+    // AU 1 downloads a flat-32 intra matrix via the extension: the (0,2)
+    // AC dequants to 2·2·2·32/32 = 8 (not 4). AU 2 carries NO extension —
+    // §6.3.11 persistence means it must still decode with the downloaded
+    // matrix, not the sequence header's flat 16.
+    def picAu(withExt: Boolean, withSeq: Boolean): Array[Byte] = {
+      val w = new BitWriter
+      if (withSeq) { seqHeader(w, 16, 16); seqExtension(w) }
+      pictureHeader(w, 1)
+      picExtension(w)
+      if (withExt) {
+        startCode(0xb5)(w)
+        w.bits(3, 4) // identifier: Quant Matrix Extension
+        w.put(1) // load_intra_quantiser_matrix
+        for (_ <- 0 until 64) w.bits(32, 8)
+        w.put(0).put(0).put(0) // no non-intra / chroma downloads
+      }
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      intraMb(w, y0Diff = 0, acLevel = 2)
+      w.bytes
+    }
+    val (c1, f1) = Mpeg1.decodeAccessUnitRef(None, picAu(withExt = true, withSeq = true))
+    val want = block(Map((0, 0) -> 1024, (0, 1) -> 8, (7, 7) -> 1))
+    assert(y0Of(f1.get) == want, "downloaded matrix must apply")
+    assert(y0Of(f1.get) != y0Of {
+      Mpeg1.decodeAccessUnitRef(None, m2Au())._2.get
+    }, "the fixture must discriminate from the sequence-header matrix")
+    val (_, f2) = Mpeg1.decodeAccessUnitRef(c1, picAu(withExt = false, withSeq = false))
+    assert(y0Of(f2.get) == want, "download must PERSIST to the next picture")
+    // a fresh sequence header resets to the header's own matrices
+    val (_, f3) = Mpeg1.decodeAccessUnitRef(c1, picAu(withExt = false, withSeq = true))
+    assert(y0Of(f3.get) ==
+      block(Map((0, 0) -> 1024, (0, 1) -> 4, (7, 7) -> 1)),
+      "a sequence header must reset the matrices")
   }
 
   test("Mpeg2Writer: encode → decode closed-form, all four picture shapes") {
