@@ -31,13 +31,17 @@ package graft.pipeline
   * are parsed through (their bit length is predictor-independent, and
   * intra pixels never depend on their values) so slices stay in sync.
   *
+  * 4:2:2 chroma decodes (half-width full-height chroma planes, the
+  * eight-block macroblock with coded_block_pattern_1, horizontal-only
+  * chroma vector halving per §7.6.3.7).
+  *
   * Declared boundaries (decode returns None for the WHOLE picture, never
   * wrong or partial pixels): field pictures, field-based prediction
   * (frame_motion_type '01'), dual-prime ('11'), intra_vlc_format = 1
   * (Table B.15), concealment motion vectors in P/B pictures (their
-  * intra-MB vectors feed later non-intra predictors), and chroma formats
-  * other than 4:2:0. [[Mpeg1.decodeAccessUnitRef]] drops the reference
-  * chain honestly when it meets one.
+  * intra-MB vectors feed later non-intra predictors), field-DCT
+  * macroblocks in 4:2:2, and 4:4:4 chroma. [[Mpeg1.decodeAccessUnitRef]]
+  * drops the reference chain honestly when it meets one.
   *
   * The reference ships no video codecs (multimodal blobs are opaque bytes
   * there); this extends the engine's LLM-pipeline multimodal family,
@@ -48,7 +52,8 @@ object Mpeg2 {
     reconMv, startCodes, MbQuantF, MbMfF, MbCbpF, MbIntraF, MbMbF}
 
   /** sequence_extension payload (13818-2 §6.2.2.3): the fields the
-    * decoder acts on. `chromaFormat` 1 = 4:2:0 (the only decoded form).
+    * decoder acts on. `chromaFormat`: 1 = 4:2:0, 2 = 4:2:2 (both
+    * decoded), 3 = 4:4:4 (declared boundary).
     */
   final case class SeqExt(widthExt: Int, heightExt: Int,
       progressive: Boolean, chromaFormat: Int)
@@ -331,7 +336,14 @@ object Mpeg2 {
   def decodePicture(ctx: SeqCtx, bytes: Array[Byte], picOff: Int,
       ref: Option[Frame] = None, past: Option[Frame] = None): Option[Frame] = {
     val ext = ctx.m2.getOrElse(return None)
-    if (ext.chromaFormat != 1) return None // 4:2:0 only
+    // 4:2:0 and 4:2:2 decode; 4:4:4 is a declared boundary. In 4:2:2 the
+    // chroma planes are half WIDTH only (full height): each macroblock
+    // carries EIGHT blocks — 4 luma, then Cb/Cr of the top 8 chroma
+    // lines (blocks 4/5) and Cb/Cr of the bottom 8 (blocks 6/7) — and
+    // chroma motion vectors halve only their horizontal component
+    // (§7.6.3.7).
+    val c422 = ext.chromaFormat == 2
+    if (ext.chromaFormat != 1 && !c422) return None
     val hbr = new BitReader(bytes, picOff.toLong * 8)
     hbr.bits(10) // temporal_reference
     val picType = hbr.bits(3)
@@ -375,11 +387,12 @@ object Mpeg2 {
     // P planes start as the reference copy (= skip semantics); B planes
     // start as the FORWARD reference copy, same rationale as Mpeg1
     val base = if (isB) past else ref
+    val chH = if (c422) h16 else h16 / 2 // chroma plane height
     val y = if (isP || isB) base.get.y.clone() else new Array[Int](w16 * h16)
     val cb = if (isP || isB) base.get.cb.clone()
-      else new Array[Int](w16 / 2 * (h16 / 2))
+      else new Array[Int](w16 / 2 * chH)
     val cr = if (isP || isB) base.get.cr.clone()
-      else new Array[Int](w16 / 2 * (h16 / 2))
+      else new Array[Int](w16 / 2 * chH)
     val (refY, refCb, refCr) = (if (isB) past else ref) match {
       case Some(f) => (f.y, f.cb, f.cr)
       case None => (y, cb, cr) // unused on the I path
@@ -409,23 +422,30 @@ object Mpeg2 {
         var pmx, pmy = 0 // forward MV predictors, half-pel units
         var pmxb, pmyb = 0 // backward MV predictors (B-pictures)
         var prevDir = MbMfF | MbMbF // what a skipped B macroblock repeats
+        // chroma MC: 4:2:0 halves both vector components over 8×8
+        // blocks; 4:2:2 halves only the horizontal one over 8×16
+        // (§7.6.3.7 — chroma keeps full vertical resolution)
+        def mcChroma(src: Array[Int], dst: Array[Int], mr: Int, mc: Int,
+            mvx: Int, mvy: Int, blend: Boolean): Unit =
+          if (c422)
+            mcPredict(src, dst, w16 / 2, h16, mc * 8, mr * 16, 8, 16,
+              mvx / 2, mvy, blend)
+          else
+            mcPredict(src, dst, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
+              mvx / 2, mvy / 2, blend)
         def predictB(dir: Int, mr: Int, mc: Int): Unit = {
           val f = (dir & MbMfF) != 0
           val bk = (dir & MbMbF) != 0
           if (f) {
             mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, pmx, pmy)
-            mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-              pmx / 2, pmy / 2)
-            mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-              pmx / 2, pmy / 2)
+            mcChroma(refCb, cb, mr, mc, pmx, pmy, blend = false)
+            mcChroma(refCr, cr, mr, mc, pmx, pmy, blend = false)
           }
           if (bk) {
             mcPredict(bakY, y, w16, h16, mc * 16, mr * 16, 16, 16,
               pmxb, pmyb, blend = f)
-            mcPredict(bakCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-              pmxb / 2, pmyb / 2, blend = f)
-            mcPredict(bakCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-              pmxb / 2, pmyb / 2, blend = f)
+            mcChroma(bakCb, cb, mr, mc, pmxb, pmyb, blend = f)
+            mcChroma(bakCr, cr, mr, mc, pmxb, pmyb, blend = f)
           }
         }
         val sliceEndBit =
@@ -481,10 +501,22 @@ object Mpeg2 {
           // field DCT (Figure 6-14): luma blocks 0/1 carry the TOP field
           // (even macroblock lines), 2/3 the BOTTOM field (odd lines),
           // each spanning all 16 lines at row stride 2; chroma in 4:2:0
-          // is always frame-organised
+          // is always frame-organised. Field-DCT macroblocks in 4:2:2
+          // (where chroma has the vertical resolution to be field
+          // organised too) stay a declared boundary.
+          if (fieldDct && c422)
+            throw new OutOfScopeShape(
+              "Mpeg2Slice: 4:2:2 field DCT not decoded")
           val lumaStep = if (fieldDct) 2 else 1
           def lumaY(mr: Int, b: Int): Int =
             if (fieldDct) mr * 16 + (b / 2) else mr * 16 + (b / 2) * 8
+          // chroma block geometry: 4:2:0 has one 8×8 Cb + Cr pair per
+          // macroblock; 4:2:2 has two pairs — blocks 4/5 the top 8
+          // chroma lines, 6/7 the bottom 8. Block b ≥ 4: even = Cb,
+          // odd = Cr.
+          val nBlocks = if (c422) 8 else 6
+          def chromaY(mr: Int, b: Int): Int =
+            if (c422) mr * 16 + (if (b >= 6) 8 else 0) else mr * 8
           if ((flags & MbQuantF) != 0)
             qs = quantScale(pic.qScaleType, br.bits(5))
           // macroblock() reads motion_vectors(0) for forward-predicted
@@ -527,48 +559,50 @@ object Mpeg2 {
           require(mr < mbH, "Mpeg2Slice: macroblock row out of range")
           if ((flags & MbIntraF) != 0) {
             var b = 0
-            while (b < 6) {
-              b match {
-                case 0 | 1 | 2 | 3 =>
-                  yPred = decodeBlock2(br, luma = true, yPred, qs, dcMult,
-                    wIntra, scan, y, w16,
-                    mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
-                case 4 =>
-                  cbPred = decodeBlock2(br, luma = false, cbPred, qs, dcMult,
-                    wIntra, scan, cb, w16 / 2, mc * 8, mr * 8)
-                case _ =>
-                  crPred = decodeBlock2(br, luma = false, crPred, qs, dcMult,
-                    wIntra, scan, cr, w16 / 2, mc * 8, mr * 8)
-              }
+            while (b < nBlocks) {
+              if (b < 4)
+                yPred = decodeBlock2(br, luma = true, yPred, qs, dcMult,
+                  wIntra, scan, y, w16,
+                  mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
+              else if (b % 2 == 0)
+                cbPred = decodeBlock2(br, luma = false, cbPred, qs, dcMult,
+                  wIntra, scan, cb, w16 / 2, mc * 8, chromaY(mr, b))
+              else
+                crPred = decodeBlock2(br, luma = false, crPred, qs, dcMult,
+                  wIntra, scan, cr, w16 / 2, mc * 8, chromaY(mr, b))
               b += 1
             }
           } else {
             // non-intra macroblock: motion prediction then residuals;
-            // chroma vectors are the luma ones halved (§7.6.3.7)
+            // chroma vectors per §7.6.3.7 (see mcChroma)
             yPred = dcReset; cbPred = dcReset; crPred = dcReset
             if (isB) predictB(flags & (MbMfF | MbMbF), mr, mc)
             else {
               mcPredict(refY, y, w16, h16, mc * 16, mr * 16, 16, 16, pmx, pmy)
-              mcPredict(refCb, cb, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-                pmx / 2, pmy / 2)
-              mcPredict(refCr, cr, w16 / 2, h16 / 2, mc * 8, mr * 8, 8, 8,
-                pmx / 2, pmy / 2)
+              mcChroma(refCb, cb, mr, mc, pmx, pmy, blend = false)
+              mcChroma(refCr, cr, mr, mc, pmx, pmy, blend = false)
             }
+            // coded_block_pattern(): the 6-bit B.9 VLC covers blocks
+            // 0–5; 4:2:2 appends coded_block_pattern_1 (2 bits) for
+            // blocks 6–7 (§6.2.5.3)
             val cbp = if ((flags & MbCbpF) != 0) Mpeg1.Cbp.decode(br) else 0
+            val cbp1 =
+              if (c422 && (flags & MbCbpF) != 0) br.bits(2) else 0
+            def coded(b: Int): Boolean =
+              if (b < 6) (cbp & (1 << (5 - b))) != 0
+              else (cbp1 & (1 << (7 - b))) != 0
             var b = 0
-            while (b < 6) {
-              if ((cbp & (1 << (5 - b))) != 0) {
-                b match {
-                  case 0 | 1 | 2 | 3 =>
-                    decodeNonIntraBlock2(br, qs, wNon, scan, y, w16,
-                      mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
-                  case 4 =>
-                    decodeNonIntraBlock2(br, qs, wNon, scan, cb,
-                      w16 / 2, mc * 8, mr * 8)
-                  case _ =>
-                    decodeNonIntraBlock2(br, qs, wNon, scan, cr,
-                      w16 / 2, mc * 8, mr * 8)
-                }
+            while (b < nBlocks) {
+              if (coded(b)) {
+                if (b < 4)
+                  decodeNonIntraBlock2(br, qs, wNon, scan, y, w16,
+                    mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
+                else if (b % 2 == 0)
+                  decodeNonIntraBlock2(br, qs, wNon, scan, cb,
+                    w16 / 2, mc * 8, chromaY(mr, b))
+                else
+                  decodeNonIntraBlock2(br, qs, wNon, scan, cr,
+                    w16 / 2, mc * 8, chromaY(mr, b))
               }
               b += 1
             }

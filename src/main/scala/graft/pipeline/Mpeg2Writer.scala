@@ -64,9 +64,11 @@ object Mpeg2Writer {
   }
 
   /** sequence header (default quantiser matrices) + sequence_extension:
-    * progressive 4:2:0, Main@Main, no size extensions.
+    * progressive, Main@Main, no size extensions. `chroma` 1 = 4:2:0,
+    * 2 = 4:2:2.
     */
-  private def seqHeaders(w: BitWriter, width: Int, height: Int): Unit = {
+  private def seqHeaders(w: BitWriter, width: Int, height: Int,
+      chroma: Int = 1): Unit = {
     startCode(0xb3)(w)
     w.bits(width, 12).bits(height, 12)
       .bits(1, 4).bits(1, 4) // aspect, frame_rate
@@ -77,7 +79,7 @@ object Mpeg2Writer {
     w.bits(1, 4) // extension id: Sequence Extension
       .bits(0x48, 8) // profile_and_level: Main@Main
       .put(1) // progressive_sequence
-      .bits(1, 2) // chroma_format 4:2:0
+      .bits(chroma, 2) // chroma_format
       .bits(0, 2).bits(0, 2) // size extensions
       .bits(0, 12).put(1) // bit_rate_extension + marker
       .bits(0, 8).put(0) // vbv_buffer_size_extension + low_delay
@@ -108,16 +110,18 @@ object Mpeg2Writer {
       .put(0).put(1).put(1).put(0) // repeat_first/chroma420/progressive/composite
   }
 
-  /** DC-only uniform-gray I slice (one slice per picture). */
+  /** DC-only uniform-gray I slice (one slice per picture). `nBlocks` is
+    * 6 for 4:2:0, 8 for 4:2:2 (the second Cb/Cr pair).
+    */
   private def iSlice(w: BitWriter, width: Int, height: Int,
-      gray: Int): Unit = {
+      gray: Int, nBlocks: Int = 6): Unit = {
     require(gray >= 0 && gray <= 255, s"gray out of range: $gray")
     startCode(0x01)(w)
     w.bits(8, 5).put(0) // quantiser_scale_code (unused: DC-only), extras 0
     val nMb = ((width + 15) / 16) * ((height + 15) / 16)
     for (mb <- 0 until nMb) {
       w.b("1").b("1") // address_increment 1, macroblock_type intra
-      for (blk <- 0 until 6) {
+      for (blk <- 0 until nBlocks) {
         val diff = if (mb == 0 && blk == 0) gray - 128 else 0
         putDc(w, diff, luma = blk < 4)
         w.b("10") // EOB
@@ -130,7 +134,7 @@ object Mpeg2Writer {
     * of level 4·delta at qs = 2 — per-pel +delta exactly (see object doc).
     */
   private def pSlice(w: BitWriter, width: Int, height: Int,
-      delta: Int): Unit = {
+      delta: Int, c422: Boolean = false): Unit = {
     require(delta >= 11 && delta <= 31, s"delta outside 11..31: $delta")
     startCode(0x01)(w)
     w.bits(1, 5).put(0) // quantiser_scale_code 1 -> qs 2
@@ -138,6 +142,7 @@ object Mpeg2Writer {
     for (_ <- 0 until nMb) {
       w.b("1").b("01") // address_increment 1, type: coded_pattern only
       w.b("111") // cbp 60: Y0..Y3 carry coefficients, chroma none
+      if (c422) w.b("00") // coded_block_pattern_1: blocks 6/7 uncoded
       for (_ <- 0 until 4) {
         // 13818-2 escape: 6-bit run + 12-bit SIGNED level
         w.b("000001").bits(0, 6).bits(4 * delta, 12)
@@ -219,5 +224,33 @@ object Mpeg2Writer {
       w.bytes
     }
     Seq(i, p, b, fld)
+  }
+
+  /** STREAM-order 4:2:2 I → P → B access units: the eight-block
+    * macroblock, coded_block_pattern_1, half-width full-height chroma —
+    * same closed-form luma outcomes as [[ipbfPictures]]'s first three.
+    */
+  def ipb422Pictures(width: Int, height: Int, gray: Int,
+      delta: Int): Seq[Array[Byte]] = {
+    val i = {
+      val w = new BitWriter
+      seqHeaders(w, width, height, chroma = 2)
+      picHeaders(w, 1, fc = Seq(15, 15, 15, 15))
+      iSlice(w, width, height, gray, nBlocks = 8)
+      w.bytes
+    }
+    val p = {
+      val w = new BitWriter
+      picHeaders(w, 2, fc = Seq(1, 1, 15, 15))
+      pSlice(w, width, height, delta, c422 = true)
+      w.bytes
+    }
+    val b = {
+      val w = new BitWriter
+      picHeaders(w, 3, fc = Seq(1, 1, 1, 1))
+      bSlice(w, width, height)
+      w.bytes
+    }
+    Seq(i, p, b)
   }
 }

@@ -830,12 +830,19 @@ object PipelineQueries {
       // a frame-DCT decode could not produce). Docs 1–3 ride an MP4
       // 'mp2v' track; 4–5 the same access units in a program stream, so
       // both containers cross the MPEG-2 decode under the hash gate.
+      // Docs 6–7 are 4:2:2 I/P/B (eight-block macroblocks,
+      // coded_block_pattern_1, half-width FULL-height chroma) — one per
+      // container.
       import org.apache.spark.sql.Encoders
-      val blobs = s.createDataset((1L to 5L).map { id =>
-        val aus = Mpeg2Writer.ipbfPictures(32, 16,
-          gray = 100 + id.toInt, delta = 4 * id.toInt + 8)
+      val blobs = s.createDataset((1L to 7L).map { id =>
+        val aus =
+          if (id <= 5L) Mpeg2Writer.ipbfPictures(32, 16,
+            gray = 100 + id.toInt, delta = 4 * id.toInt + 8)
+          else Mpeg2Writer.ipb422Pictures(32, 16,
+            gray = 100 + id.toInt, delta = 2 * id.toInt + 8)
         Multimodal.Blob(id,
-          if (id <= 3L) Multimodal.muxMp4("mp2v", aus)
+          if (id == 6L) Multimodal.muxMp4("mp2v", aus)
+          else if (id <= 3L) Multimodal.muxMp4("mp2v", aus)
           else Mpeg1Ps.mux(aus))
       })(Encoders.product[Multimodal.Blob])
       Multimodal.videoFrameFeatures(blobs, everyNth = 1).toDF()
@@ -1991,7 +1998,8 @@ object PipelineQueries {
       // literal VALUES, all closed-form: frame 0 the I gray g = 100+id,
       // frame 1 the P at g + δ (δ = 4·id + 8), frame 2 the B at
       // (2g+δ+1) >> 1, frame 3 the field-DCT I with fields g and g+2δ
-      // (mean g+δ) — see the query comment
+      // (mean g+δ); docs 6–7 are 4:2:2 I/P/B with δ = 2·id + 8 — see
+      // the query comment
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(frame_idx AS INT) AS frame_idx,
         |       ok, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -2006,7 +2014,11 @@ object PipelineQueries {
         |  (4, 0, TRUE, 32, 16, 104), (4, 1, TRUE, 32, 16, 128),
         |  (4, 2, TRUE, 32, 16, 116), (4, 3, TRUE, 32, 16, 128),
         |  (5, 0, TRUE, 32, 16, 105), (5, 1, TRUE, 32, 16, 133),
-        |  (5, 2, TRUE, 32, 16, 119), (5, 3, TRUE, 32, 16, 133))
+        |  (5, 2, TRUE, 32, 16, 119), (5, 3, TRUE, 32, 16, 133),
+        |  (6, 0, TRUE, 32, 16, 106), (6, 1, TRUE, 32, 16, 126),
+        |  (6, 2, TRUE, 32, 16, 116),
+        |  (7, 0, TRUE, 32, 16, 107), (7, 1, TRUE, 32, 16, 129),
+        |  (7, 2, TRUE, 32, 16, 118))
         |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts,

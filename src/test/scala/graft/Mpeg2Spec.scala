@@ -67,13 +67,13 @@ class Mpeg2Spec extends AnyFunSuite {
     w.put(0) // load_non_intra_quantizer_matrix
   }
 
-  /** 13818-2 sequence_extension: progressive 4:2:0, no dim extensions. */
-  private def seqExtension(w: BitWriter): Unit = {
+  /** 13818-2 sequence_extension: progressive, no dim extensions. */
+  private def seqExtension(w: BitWriter, chroma: Int = 1): Unit = {
     startCode(0xb5)(w)
     w.bits(1, 4) // identifier: Sequence Extension
       .bits(0x48, 8) // profile_and_level: Main@Main
       .put(1) // progressive_sequence
-      .bits(1, 2) // chroma_format 4:2:0
+      .bits(chroma, 2) // chroma_format: 1 = 4:2:0, 2 = 4:2:2
       .bits(0, 2).bits(0, 2) // horizontal/vertical size extensions
       .bits(0, 12).put(1) // bit_rate_extension + marker
       .bits(0, 8).put(0) // vbv_buffer_size_extension + low_delay
@@ -123,6 +123,14 @@ class Mpeg2Spec extends AnyFunSuite {
     w.bits(if (diff > 0) diff else diff + (1 << size) - 1, size)
   }
   private def dcChroma0(w: BitWriter): Unit = w.b("00") // diff 0
+  private def dcChroma(w: BitWriter, diff: Int): Unit = {
+    if (diff == 0) { w.b("00"); return }
+    val size = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    val code = Seq("", "01", "10", "110", "1110", "11110", "111110",
+      "1111110", "11111110")(size)
+    w.b(code)
+    w.bits(if (diff > 0) diff else diff + (1 << size) - 1, size)
+  }
 
   /** One 16×16 I-macroblock: inc 1, intra, Y0 optionally carrying ONE
     * B.14-coded AC coefficient at scan index 1 (run 0), Y1–Y3 and chroma
@@ -622,6 +630,141 @@ class Mpeg2Spec extends AnyFunSuite {
       "a sequence header must reset the matrices")
   }
 
+  /** 16×16 4:2:2 intra AU: luma flat 128, Cb TOP-half 160 / BOTTOM-half
+    * 96 (eight-block macroblock, chroma DC chain 128 → 160 → 96), Cr 128.
+    */
+  private def m422IntraAu: Array[Byte] = {
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    seqExtension(w, chroma = 2)
+    pictureHeader(w, 1)
+    picExtension(w)
+    startCode(0x01)(w)
+    w.bits(1, 5).put(0)
+    w.b("1").b("1") // inc 1, type intra
+    for (_ <- 0 until 4) { dcLuma(w, 0); w.b("10") } // Y0..Y3 flat
+    dcChroma(w, 32); w.b("10") // block 4: Cb top 128 -> 160
+    dcChroma0(w); w.b("10") // block 5: Cr top 128
+    dcChroma(w, -64); w.b("10") // block 6: Cb bottom 160 -> 96
+    dcChroma0(w); w.b("10") // block 7: Cr bottom 128
+    w.bytes
+  }
+
+  test("4:2:2 intra: eight-block macroblock, half-width full-height chroma") {
+    val (ctx, frame) = Mpeg1.decodeAccessUnitRef(None, m422IntraAu)
+    assert(ctx.exists(_.seq.m2.exists(_.chromaFormat == 2)))
+    val f = frame.get
+    assert(f.y.forall(_ == 128), "luma flat")
+    assert(f.cb.length == 8 * 16 && f.cr.length == 8 * 16,
+      "4:2:2 chroma planes are half width, FULL height")
+    for (r <- 0 until 16; c <- 0 until 8) {
+      val want = if (r < 8) 160 else 96
+      assert(f.cb(r * 8 + c) == want, s"cb ($r,$c): ${f.cb(r * 8 + c)}")
+    }
+    assert(f.cr.forall(_ == 128), "cr flat")
+  }
+
+  test("4:2:2 P: coded_block_pattern_1 reaches the second chroma pair") {
+    // flat-128 4:2:2 reference, then P with cbp 60 ('111') + cbp_1 '11':
+    // all four luma blocks AND chroma blocks 6/7 carry the escape +30
+    // residual (F = 61 -> +7.625 -> +8 rounded). Luma lifts to 136
+    // everywhere; Cb/Cr lift ONLY on their bottom 8 lines.
+    val iAu = {
+      val w = new BitWriter
+      seqHeader(w, 16, 16)
+      seqExtension(w, chroma = 2)
+      pictureHeader(w, 1)
+      picExtension(w)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1")
+      for (_ <- 0 until 4) { dcLuma(w, 0); w.b("10") }
+      for (_ <- 0 until 4) { dcChroma0(w); w.b("10") }
+      w.bytes
+    }
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15))
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0) // qs = 2
+      w.b("1").b("01") // inc 1, type: coded_pattern only
+      w.b("111") // cbp 60: the four luma blocks
+      w.b("11") // coded_block_pattern_1: chroma blocks 6 AND 7
+      for (_ <- 0 until 6) { // Y0..Y3, then blocks 6, 7
+        w.b("000001").bits(0, 6).bits(30, 12)
+        w.b("10")
+      }
+      w.bytes
+    }
+    val (c1, fI) = Mpeg1.decodeAccessUnitRef(None, iAu)
+    assert(fI.exists(f => f.y.forall(_ == 128) && f.cb.forall(_ == 128)))
+    val (_, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    val f = fP.get
+    assert(f.y.forall(_ == 136), "luma lifted everywhere")
+    for (r <- 0 until 16; c <- 0 until 8) {
+      val want = if (r < 8) 128 else 136
+      assert(f.cb(r * 8 + c) == want, s"cb ($r,$c)")
+      assert(f.cr(r * 8 + c) == want, s"cr ($r,$c)")
+    }
+  }
+
+  test("4:2:2 chroma motion: horizontal halved, VERTICAL unscaled") {
+    // reference: Cb top 160 / bottom 96. P with a pure vertical MV of
+    // +2 half-pel (= 1 luma pel = 1 CHROMA pel in 4:2:2): the chroma
+    // prediction shifts up one chroma line — row 7 becomes 96. A 4:2:0-
+    // style halving (0.5 chroma pel) would interpolate row 7 to ~128.
+    val pAu = {
+      val w = new BitWriter
+      pictureHeader(w, 2)
+      picExtension(w, fc = Seq(1, 1, 15, 15))
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("001") // inc 1, type: MC only
+      w.b("1") // x: motion_code 0
+      w.b("0010") // y: motion_code +2 (f_code 1: no residual)
+      w.bytes
+    }
+    val (c1, _) = Mpeg1.decodeAccessUnitRef(None, m422IntraAu)
+    val (_, fP) = Mpeg1.decodeAccessUnitRef(c1, pAu)
+    val f = fP.get
+    for (r <- 0 until 16; c <- 0 until 8) {
+      val want = if (r < 7) 160 else 96 // rows fetch ref row r+1
+      assert(f.cb(r * 8 + c) == want, s"cb ($r,$c): ${f.cb(r * 8 + c)}")
+    }
+    assert(f.y.forall(_ == 128) && f.cr.forall(_ == 128))
+  }
+
+  test("4:2:2 field-DCT macroblocks and 4:4:4 chroma stay boundaries") {
+    val fieldAu = {
+      val w = new BitWriter
+      seqHeader(w, 16, 16)
+      seqExtension(w, chroma = 2)
+      pictureHeader(w, 1)
+      picExtension(w, fpfd = 0)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1")
+      w.put(1) // dct_type = 1: out of scope in 4:2:2
+      w.bytes
+    }
+    val (_, f1) = Mpeg1.decodeAccessUnitRef(None, fieldAu)
+    assert(f1.isEmpty, "4:2:2 field DCT must not decode")
+    val c444 = {
+      val w = new BitWriter
+      seqHeader(w, 16, 16)
+      seqExtension(w, chroma = 3)
+      pictureHeader(w, 1)
+      picExtension(w)
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0)
+      w.b("1").b("1")
+      w.bytes
+    }
+    val (_, f2) = Mpeg1.decodeAccessUnitRef(None, c444)
+    assert(f2.isEmpty, "4:4:4 must not decode")
+  }
+
   test("Mpeg2Writer: encode → decode closed-form, all four picture shapes") {
     import graft.pipeline.Mpeg2Writer
     val aus = Mpeg2Writer.ipbfPictures(32, 16, gray = 96, delta = 20)
@@ -649,6 +792,23 @@ class Mpeg2Spec extends AnyFunSuite {
       .sortBy(_.frame_idx)
     assert(out.length == 4 && out.forall(_.ok))
     assert(out.map(_.mean_luma).toSeq == Seq(96.0, 116.0, 106.0, 116.0))
+  }
+
+  test("Mpeg2Writer 4:2:2: encode → decode closed-form I/P/B") {
+    import graft.pipeline.Mpeg2Writer
+    val aus = Mpeg2Writer.ipb422Pictures(32, 16, gray = 106, delta = 20)
+    var ctx: Option[Mpeg1.StreamCtx] = None
+    val frames = aus.map { au =>
+      val (c, f) = Mpeg1.decodeAccessUnitRef(ctx, au)
+      ctx = c
+      f
+    }
+    assert(frames.forall(_.isDefined))
+    assert(frames(0).get.y.forall(_ == 106))
+    assert(frames(0).get.cb.length == 16 * 16, "4:2:2 chroma: full height")
+    assert(frames(1).get.y.forall(_ == 126))
+    assert(frames(2).get.y.forall(_ == 116)) // (212 + 20 + 1) >> 1
+    assert(frames.forall(_.get.cb.forall(_ == 128)))
   }
 
   test("13818-2 escape form: 6-bit run + 12-bit signed level") {
