@@ -115,40 +115,48 @@ object Mpeg1Ps {
           case _ => pos += 1 // stray byte pattern: resync
         }
       }
-      val e = es.toByteArray
-      if (e.isEmpty) return None
-
-      // split the ES into access units: a unit starts at each PICTURE
-      // start code (00 00 01 00), widened backwards over any immediately
-      // preceding sequence (B3) / GOP (B8) / extension (B5) / user-data
-      // (B2) headers — the shape decodeAccessUnitRef expects
-      val auStarts = ArrayBuffer.empty[Int]
-      var pending = -1
-      var i = 0
-      while (i + 3 < e.length) {
-        if (e(i) == 0 && e(i + 1) == 0 && e(i + 2) == 1) {
-          val code = e(i + 3) & 0xff
-          if (code == 0xb3 || code == 0xb8 || code == 0xb5 || code == 0xb2) {
-            if (pending < 0) pending = i
-          } else if (code == 0x00) {
-            auStarts += (if (pending >= 0) pending else i)
-            pending = -1
-          } else pending = -1 // slice or other code: headers consumed
-          i += 4
-        } else i += 1
-      }
-      if (auStarts.isEmpty) return None
-      val units = Array.tabulate(auStarts.length) { k =>
-        val s = auStarts(k)
-        val until = if (k + 1 < auStarts.length) auStarts(k + 1) else e.length
-        // tsMs from the latest PES mark at or before the unit start
-        val pts = marks.reverseIterator.collectFirst {
-          case (off, t) if off <= s => t
-        }.getOrElse(-90L)
-        (s, until - s, pts / 90)
-      }
-      Some(PsVideo(e, units))
+      splitVideo(es.toByteArray, marks)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Split a reassembled video elementary stream into access units: a
+    * unit starts at each PICTURE start code (00 00 01 00), widened
+    * backwards over any immediately preceding sequence (B3) / GOP (B8) /
+    * extension (B5) / user-data (B2) headers — the shape
+    * [[Mpeg1.decodeAccessUnitRef]] expects. `marks` are (es offset,
+    * 90 kHz PTS) pairs in es order; each unit takes the latest mark at
+    * or before its start. Shared by the program-stream and
+    * transport-stream demuxers.
+    */
+  private[pipeline] def splitVideo(e: Array[Byte],
+      marks: collection.Seq[(Int, Long)]): Option[PsVideo] = {
+    if (e.isEmpty) return None
+    val auStarts = ArrayBuffer.empty[Int]
+    var pending = -1
+    var i = 0
+    while (i + 3 < e.length) {
+      if (e(i) == 0 && e(i + 1) == 0 && e(i + 2) == 1) {
+        val code = e(i + 3) & 0xff
+        if (code == 0xb3 || code == 0xb8 || code == 0xb5 || code == 0xb2) {
+          if (pending < 0) pending = i
+        } else if (code == 0x00) {
+          auStarts += (if (pending >= 0) pending else i)
+          pending = -1
+        } else pending = -1 // slice or other code: headers consumed
+        i += 4
+      } else i += 1
+    }
+    if (auStarts.isEmpty) return None
+    val units = Array.tabulate(auStarts.length) { k =>
+      val s = auStarts(k)
+      val until = if (k + 1 < auStarts.length) auStarts(k + 1) else e.length
+      // tsMs from the latest PES mark at or before the unit start
+      val pts = marks.reverseIterator.collectFirst {
+        case (off, t) if off <= s => t
+      }.getOrElse(-90L)
+      (s, until - s, pts / 90)
+    }
+    Some(PsVideo(e, units))
   }
 
   /** Write-side twin (the fixture/roundtrip path): wrap encoded access

@@ -336,15 +336,17 @@ object Multimodal {
     require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     implicit val enc = Encoders.product[FrameFeatures]
     blobs.mapPartitions(_.flatMap { b =>
-      // two containers feed the same walk: MP4 tracks (samples are
-      // slices of the blob) and 11172-1 PROGRAM STREAMS — the shape of a
-      // real `.mpg` file — whose access units are slices of the PES-
-      // reassembled elementary stream (always MPEG-1/2 video by
-      // container contract, so codec = "mpg1")
+      // three containers feed the same walk: MP4 tracks (samples are
+      // slices of the blob), 11172-1 PROGRAM STREAMS — the shape of a
+      // real `.mpg` file — and 13818-1 TRANSPORT STREAMS (`.ts`
+      // broadcast captures), the latter two yielding access units as
+      // slices of the PES-reassembled elementary stream (always
+      // MPEG-1/2 video by container contract, so codec = "mpg1")
       val demuxed: Option[(Array[Byte], Array[(Int, Int, Long)], String)] =
         demuxSamples(b.blob) match {
           case Some((samples, codec)) => Some((b.blob, samples, codec))
           case None => Mpeg1Ps.demuxVideo(b.blob)
+            .orElse(Mpeg2Ts.demuxVideo(b.blob))
             .map(ps => (ps.es, ps.units, "mpg1"))
         }
       demuxed match {

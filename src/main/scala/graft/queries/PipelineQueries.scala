@@ -832,17 +832,20 @@ object PipelineQueries {
       // both containers cross the MPEG-2 decode under the hash gate.
       // Docs 6–7 are 4:2:2 I/P/B (eight-block macroblocks,
       // coded_block_pattern_1, half-width FULL-height chroma) — one per
-      // container.
+      // container. Doc 8 rides a 13818-1 TRANSPORT STREAM (PAT → PMT →
+      // PES reassembly across 188-byte packets), the `.ts` broadcast
+      // shape — the THIRD container under the same hash gate.
       import org.apache.spark.sql.Encoders
-      val blobs = s.createDataset((1L to 7L).map { id =>
+      val blobs = s.createDataset((1L to 8L).map { id =>
         val aus =
-          if (id <= 5L) Mpeg2Writer.ipbfPictures(32, 16,
-            gray = 100 + id.toInt, delta = 4 * id.toInt + 8)
+          if (id <= 5L || id == 8L) Mpeg2Writer.ipbfPictures(32, 16,
+            gray = 100 + id.toInt,
+            delta = if (id == 8L) 2 * id.toInt + 8 else 4 * id.toInt + 8)
           else Mpeg2Writer.ipb422Pictures(32, 16,
             gray = 100 + id.toInt, delta = 2 * id.toInt + 8)
         Multimodal.Blob(id,
-          if (id == 6L) Multimodal.muxMp4("mp2v", aus)
-          else if (id <= 3L) Multimodal.muxMp4("mp2v", aus)
+          if (id == 8L) Mpeg2Ts.mux(aus)
+          else if (id <= 3L || id == 6L) Multimodal.muxMp4("mp2v", aus)
           else Mpeg1Ps.mux(aus))
       })(Encoders.product[Multimodal.Blob])
       Multimodal.videoFrameFeatures(blobs, everyNth = 1).toDF()
@@ -2018,7 +2021,9 @@ object PipelineQueries {
         |  (6, 0, TRUE, 32, 16, 106), (6, 1, TRUE, 32, 16, 126),
         |  (6, 2, TRUE, 32, 16, 116),
         |  (7, 0, TRUE, 32, 16, 107), (7, 1, TRUE, 32, 16, 129),
-        |  (7, 2, TRUE, 32, 16, 118))
+        |  (7, 2, TRUE, 32, 16, 118),
+        |  (8, 0, TRUE, 32, 16, 108), (8, 1, TRUE, 32, 16, 132),
+        |  (8, 2, TRUE, 32, 16, 120), (8, 3, TRUE, 32, 16, 132))
         |  AS t(doc_id, frame_idx, ok, width, height, mean_luma)""".stripMargin,
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts,

@@ -1,0 +1,111 @@
+package graft
+
+import graft.pipeline.{Mpeg1, Mpeg1Ps, Mpeg2Ts, Mpeg2Writer, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 13818-1 TRANSPORT STREAM container: mux/demux round trips, the
+  * PSI (PAT → PMT) video-PID route vs the PES-sniff fallback, packet
+  * chunking with adaptation-field stuffing, and end-to-end pixel decode
+  * through `videoFrameFeatures`.
+  */
+class Mpeg2TsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def aus: Seq[Array[Byte]] =
+    Mpeg2Writer.ipbfPictures(32, 16, gray = 96, delta = 20)
+
+  test("container sniffing: TS is recognised, others are not") {
+    val ts = Mpeg2Ts.mux(aus)
+    assert(Mpeg2Ts.isTransportStream(ts))
+    assert(ts.length % 188 == 0, "whole packets only")
+    assert(!Mpeg2Ts.isTransportStream(Mpeg1Ps.mux(aus)))
+    assert(!Mpeg2Ts.isTransportStream(Multimodal.muxMp4("mp2v", aus)))
+    assert(!Mpeg2Ts.isTransportStream(
+      Array.fill(400)('G'.toByte))) // 0x47 text but not at packet 1's sync
+    assert(Mpeg1Ps.demuxVideo(ts).isEmpty, "PS demux must not claim a TS")
+  }
+
+  test("MPEG-2 PSI CRC-32: published check value") {
+    val v = "123456789".getBytes("US-ASCII")
+    assert(Mpeg2Ts.crc32(v, 0, v.length) == 0x0376e6e7L,
+      "CRC-32/MPEG-2 of '123456789'")
+  }
+
+  test("mux → demux: access units byte-exact, PTS carried") {
+    // a 128×64 picture (32 macroblocks) makes every access unit span
+    // several 184-byte packet payloads, so reassembly across PUSI=0
+    // packets and the stuffed tail packet are genuinely exercised
+    val in = Mpeg2Writer.ipbfPictures(128, 64, gray = 96, delta = 20)
+    assert(in.exists(_.length > 184), "fixture must cross packet boundaries")
+    val ts = Mpeg2Ts.mux(in, fps = 25)
+    val got = Mpeg2Ts.demuxVideo(ts).get
+    assert(got.units.length == in.length)
+    for ((((off, len, tsMs), orig), k) <- got.units.zip(in).zipWithIndex) {
+      assert(got.es.slice(off, off + len).toSeq == orig.toSeq,
+        s"unit $k bytes")
+      assert(tsMs == (90000L * (k + 1) / 25 + 90000L) / 90, s"unit $k pts")
+    }
+  }
+
+  test("PSI route: PMT selects the video PID over an earlier decoy PES") {
+    val real = Mpeg2Ts.mux(aus, videoPid = 0x300)
+    // decoy packet on PID 0x200 whose payload LOOKS like a video PES
+    // start; inserted after PAT+PMT, BEFORE every real video packet. A
+    // first-PES sniffer would lock onto it; the PAT→PMT route must not.
+    val decoy = new Array[Byte](188)
+    java.util.Arrays.fill(decoy, 0xff.toByte)
+    decoy(0) = 0x47
+    decoy(1) = (0x40 | 0x02).toByte
+    decoy(2) = 0x00.toByte
+    decoy(3) = 0x10.toByte
+    decoy(4) = 0; decoy(5) = 0; decoy(6) = 1; decoy(7) = 0xe0.toByte
+    decoy(8) = 0; decoy(9) = 0; decoy(10) = 0x80.toByte
+    decoy(11) = 0x00; decoy(12) = 0x00
+    val mixed = real.take(2 * 188) ++ decoy ++ real.drop(2 * 188)
+    val got = Mpeg2Ts.demuxVideo(mixed).get
+    assert(got.units.length == aus.length)
+    assert(got.es.slice(got.units(0)._1,
+      got.units(0)._1 + got.units(0)._2).toSeq == aus.head.toSeq)
+  }
+
+  test("PAT-less capture: the PES-sniff fallback still finds the video") {
+    val ts = Mpeg2Ts.mux(aus, videoPid = 0x0123)
+    val headless = ts.drop(2 * 188) // strip PAT + PMT packets
+    assert(Mpeg2Ts.isTransportStream(headless))
+    val got = Mpeg2Ts.demuxVideo(headless).get
+    assert(got.units.length == aus.length)
+    assert(got.es.slice(got.units(1)._1,
+      got.units(1)._1 + got.units(1)._2).toSeq == aus(1).toSeq)
+  }
+
+  test("end-to-end: .ts blob → videoFrameFeatures real pixels") {
+    import org.apache.spark.sql.Encoders
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(41L, Mpeg2Ts.mux(aus))))(
+      Encoders.product[Multimodal.Blob])
+    val out = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(out.length == 4 && out.forall(_.ok))
+    assert(out.map(_.mean_luma).toSeq == Seq(96.0, 116.0, 106.0, 116.0))
+    assert(out.forall(f => f.width == 32 && f.height == 16))
+  }
+
+  test("stream-context carry across TS access units (direct decode)") {
+    val got = Mpeg2Ts.demuxVideo(Mpeg2Ts.mux(aus)).get
+    var ctx: Option[Mpeg1.StreamCtx] = None
+    val frames = got.units.map { case (off, len, _) =>
+      val (c, f) = Mpeg1.decodeAccessUnitRef(ctx, got.es.slice(off, off + len))
+      ctx = c
+      f
+    }
+    assert(frames.forall(_.isDefined))
+    assert(frames(1).get.y.forall(_ == 116), "P decodes against the TS-carried I")
+  }
+}
