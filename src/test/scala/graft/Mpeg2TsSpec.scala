@@ -97,6 +97,53 @@ class Mpeg2TsSpec extends AnyFunSuite {
     assert(out.forall(f => f.width == 32 && f.height == 16))
   }
 
+  test("container invariance: MP4, PS and TS yield identical frame features") {
+    import org.apache.spark.sql.Encoders
+    val a = aus
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, Multimodal.muxMp4("mp2v", a)),
+      Multimodal.Blob(2L, Mpeg1Ps.mux(a)),
+      Multimodal.Blob(3L, Mpeg2Ts.mux(a))))(
+      Encoders.product[Multimodal.Blob])
+    val rows = Multimodal.videoFrameFeatures(blobs, everyNth = 1).collect()
+      .groupBy(_.doc_id)
+      .map { case (id, fs) =>
+        id -> fs.sortBy(_.frame_idx)
+          .map(f => (f.frame_idx, f.ok, f.width, f.height, f.mean_luma)).toSeq
+      }
+    assert(rows(1L) == rows(2L) && rows(2L) == rows(3L),
+      "the same access units must decode identically from every container")
+    assert(rows(1L).length == 4 && rows(1L).forall(_._2))
+  }
+
+  test("closed-form grid: encode → TS → decode exact over (gray, delta)") {
+    for {
+      gray <- Seq(0, 37, 96, 151, 193)
+      delta <- Seq(11, 20, 31)
+      if gray + 2 * delta <= 255
+    } {
+      val in = Mpeg2Writer.ipbfPictures(32, 16, gray, delta)
+      val got = Mpeg2Ts.demuxVideo(Mpeg2Ts.mux(in)).get
+      var ctx: Option[Mpeg1.StreamCtx] = None
+      val frames = got.units.map { case (off, len, _) =>
+        val (c, f) = Mpeg1.decodeAccessUnitRef(ctx, got.es.slice(off, off + len))
+        ctx = c
+        f
+      }
+      assert(frames.forall(_.isDefined), s"($gray, $delta) all decode")
+      assert(frames(0).get.y.forall(_ == gray), s"I ($gray, $delta)")
+      assert(frames(1).get.y.forall(_ == gray + delta), s"P ($gray, $delta)")
+      val bWant = (2 * gray + delta + 1) >> 1
+      assert(frames(2).get.y.forall(_ == bWant), s"B ($gray, $delta)")
+      val fy = frames(3).get.y
+      for (line <- 0 until 16) {
+        val want = if (line % 2 == 0) gray else gray + 2 * delta
+        assert((0 until 32).forall(c => fy(line * 32 + c) == want),
+          s"field I ($gray, $delta) line $line")
+      }
+    }
+  }
+
   test("stream-context carry across TS access units (direct decode)") {
     val got = Mpeg2Ts.demuxVideo(Mpeg2Ts.mux(aus)).get
     var ctx: Option[Mpeg1.StreamCtx] = None
