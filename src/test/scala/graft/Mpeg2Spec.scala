@@ -794,6 +794,50 @@ class Mpeg2Spec extends AnyFunSuite {
     assert(out.map(_.mean_luma).toSeq == Seq(96.0, 116.0, 106.0, 116.0))
   }
 
+  test("4:2:2 chroma quant matrix download dequantises CHROMA blocks only") {
+    // quant_matrix_extension loads ONLY chroma_intra (flat 32). The same
+    // B.14 (0,2) coefficient then dequants to F = 2·2·2·16/32 = 4 on a
+    // LUMA block (sequence header's flat-16 intra matrix) but
+    // F = 2·2·2·32/32 = 8 on a chroma block — and the download PERSISTS
+    // to the next picture (§6.3.11).
+    def picAu(withSeq: Boolean, withExt: Boolean): Array[Byte] = {
+      val w = new BitWriter
+      if (withSeq) { seqHeader(w, 16, 16); seqExtension(w, chroma = 2) }
+      pictureHeader(w, 1)
+      picExtension(w)
+      if (withExt) {
+        startCode(0xb5)(w)
+        w.bits(3, 4) // identifier: Quant Matrix Extension
+        w.put(0).put(0) // no intra / non-intra downloads
+        w.put(1) // load_chroma_intra_quantiser_matrix
+        for (_ <- 0 until 64) w.bits(32, 8)
+        w.put(0) // no chroma non-intra download
+      }
+      startCode(0x01)(w)
+      w.bits(1, 5).put(0) // qs = 2
+      w.b("1").b("1") // inc 1, type intra
+      dcLuma(w, 0); w.b("0100").put(0); w.b("10") // Y0: DC 0 + AC (0,2)
+      for (_ <- 0 until 3) { dcLuma(w, 0); w.b("10") }
+      dcChroma0(w); w.b("0100").put(0); w.b("10") // block 4 Cb top: same AC
+      for (_ <- 0 until 3) { dcChroma0(w); w.b("10") } // blocks 5..7
+      w.bytes
+    }
+    val (c1, f1) = Mpeg1.decodeAccessUnitRef(None,
+      picAu(withSeq = true, withExt = true))
+    val f = f1.get
+    val lumaWant = block(Map((0, 0) -> 1024, (0, 1) -> 4, (7, 7) -> 1))
+    val chromaWant = block(Map((0, 0) -> 1024, (0, 1) -> 8, (7, 7) -> 1))
+    assert(chromaWant != lumaWant, "fixture must discriminate the matrices")
+    assert(y0Of(f) == lumaWant, "luma keeps the sequence-header matrix")
+    val cbTop = for (r <- 0 until 8; c <- 0 until 8) yield f.cb(r * 8 + c)
+    assert(cbTop == chromaWant, "chroma uses the downloaded matrix")
+    // persistence to a following picture without the extension
+    val (_, f2) = Mpeg1.decodeAccessUnitRef(c1,
+      picAu(withSeq = false, withExt = false))
+    val cb2 = for (r <- 0 until 8; c <- 0 until 8) yield f2.get.cb(r * 8 + c)
+    assert(cb2 == chromaWant, "chroma download must persist")
+  }
+
   test("Mpeg2Writer 4:2:2: encode → decode closed-form I/P/B") {
     import graft.pipeline.Mpeg2Writer
     val aus = Mpeg2Writer.ipb422Pictures(32, 16, gray = 106, delta = 20)

@@ -144,6 +144,76 @@ class Mpeg2TsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate transport packets (same continuity_counter) are discarded") {
+    // §2.4.3.3 allows a packet to be sent twice; receivers must drop the
+    // duplicate. Duplicate a mid-PES continuation packet of the large
+    // fixture: the demuxed units must equal the pristine ones.
+    val in = Mpeg2Writer.ipbfPictures(128, 64, gray = 96, delta = 20)
+    val ts = Mpeg2Ts.mux(in)
+    val k = 3 // PAT, PMT, first PUSI video packet, then a continuation
+    assert((ts(k * 188 + 1) & 0x40) == 0, "fixture: packet k is not PUSI")
+    val dup = ts.take((k + 1) * 188) ++
+      ts.slice(k * 188, (k + 1) * 188) ++ ts.drop((k + 1) * 188)
+    val want = Mpeg2Ts.demuxVideo(ts).get
+    val got = Mpeg2Ts.demuxVideo(dup).get
+    assert(got.units.length == want.units.length)
+    for ((((o1, l1, _), (o2, l2, _)), i) <- got.units.zip(want.units).zipWithIndex)
+      assert(got.es.slice(o1, o1 + l1).toSeq == want.es.slice(o2, o2 + l2).toSeq,
+        s"unit $i must survive the duplicate packet")
+  }
+
+  test("PES header spilling past the first packet is skipped, not leaked") {
+    // hand-chunk one PES so the PUSI packet carries only 11 of the 14
+    // header bytes (a large adaptation field squeezes the payload): the
+    // 3 spilled header bytes arrive at the head of the next packet and
+    // must be consumed as header, not written into the elementary stream.
+    val au = aus.head
+    val pes = new java.io.ByteArrayOutputStream()
+    pes.write(Array[Byte](0, 0, 1, 0xe0.toByte, 0, 0))
+    pes.write(0x80); pes.write(0x80); pes.write(5) // PTS-only header
+    pes.write(Array[Byte](0x21, 0x00, 0x01, 0x00, 0x01)) // PTS bytes
+    pes.write(au)
+    val data = pes.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    var cc = 0
+    def pkt(pusi: Boolean, slice: Array[Byte]): Unit = {
+      val pl = new Array[Byte](188)
+      pl(0) = 0x47
+      pl(1) = ((if (pusi) 0x40 else 0) | 0x01).toByte // PID 0x100 high bits
+      pl(2) = 0x00 // PID low byte
+      val c = cc & 0xf; cc += 1
+      if (slice.length >= 184) {
+        pl(3) = (0x10 | c).toByte
+        System.arraycopy(slice, 0, pl, 4, 184)
+      } else {
+        pl(3) = (0x30 | c).toByte
+        val afLen = 183 - slice.length
+        pl(4) = afLen.toByte
+        if (afLen > 0) {
+          pl(5) = 0
+          for (i <- 6 until 5 + afLen) pl(i) = 0xff.toByte
+        }
+        System.arraycopy(slice, 0, pl, 188 - slice.length, slice.length)
+      }
+      out.write(pl)
+    }
+    // first packet: only 11 PES bytes (header spills by 3)
+    pkt(pusi = true, data.take(11))
+    var off = 11
+    while (off < data.length) {
+      val n = math.min(184, data.length - off)
+      pkt(pusi = false, data.slice(off, off + n))
+      off += n
+    }
+    val ts = out.toByteArray
+    assert(Mpeg2Ts.isTransportStream(ts))
+    val got = Mpeg2Ts.demuxVideo(ts).get
+    assert(got.units.length == 1)
+    assert(got.es.slice(got.units(0)._1,
+      got.units(0)._1 + got.units(0)._2).toSeq == au.toSeq,
+      "spilled header bytes must not leak into the elementary stream")
+  }
+
   test("stream-context carry across TS access units (direct decode)") {
     val got = Mpeg2Ts.demuxVideo(Mpeg2Ts.mux(aus)).get
     var ctx: Option[Mpeg1.StreamCtx] = None
