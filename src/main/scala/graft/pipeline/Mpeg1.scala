@@ -51,10 +51,18 @@ object Mpeg1 {
     * defaults — the non-intra default is flat 16). `m2` carries the
     * 13818-2 sequence_extension when one follows the header — the marker
     * that the stream is MPEG-2, whose pictures route to [[Mpeg2]].
+    * `chromaIntraQ`/`chromaNonIntraQ` are the 13818-2 CHROMA matrices a
+    * quant_matrix_extension may download (§6.3.11): None = "same as the
+    * luma pair" — the state after a sequence header (whose downloads
+    * apply to luma and chroma alike) or after a luma-only extension
+    * download (which resets the chroma matrix it shadows). They matter
+    * only in 4:2:2/4:4:4; 4:2:0 uses the luma pair for every block.
     */
   final case class SeqCtx(width: Int, height: Int, intraQ: Array[Int],
       nonIntraQ: Array[Int] = Array.fill(64)(16),
-      m2: Option[Mpeg2.SeqExt] = None)
+      m2: Option[Mpeg2.SeqExt] = None,
+      chromaIntraQ: Option[Array[Int]] = None,
+      chromaNonIntraQ: Option[Array[Int]] = None)
 
   /** Inter-picture decode state carried across access units: the sequence
     * context plus the last TWO decoded reference frames in stream order —

@@ -130,13 +130,14 @@ object Mpeg2 {
 
   /** quant_matrix_extension (§6.2.3.2, identifier 0011) between the
     * picture header at `picOff` and the first slice: freshly downloaded
-    * intra / non-intra matrices in ZIGZAG download order (values 1..255).
-    * The chroma matrices that may follow are parsed PAST for bit
-    * consistency but unused — in 4:2:0 the luma matrices apply to every
-    * block (§6.3.11).
+    * (intra, non-intra, chroma-intra, chroma-non-intra) matrices in
+    * ZIGZAG download order (values 1..255). The chroma pair applies to
+    * chroma blocks in 4:2:2/4:4:4 only — 4:2:0 uses the luma pair for
+    * every block (§6.3.11).
     */
   private[pipeline] def quantMatrixExtensionAfter(bytes: Array[Byte],
-      picOff: Int): (Option[Array[Int]], Option[Array[Int]]) =
+      picOff: Int): (Option[Array[Int]], Option[Array[Int]],
+        Option[Array[Int]], Option[Array[Int]]) =
     startCodes(bytes).dropWhile(_._2 <= picOff)
       .takeWhile(c => !(c._1 >= 0x01 && c._1 <= 0xaf)) // stop at slices
       .collect { case (0xb5, eoff) => eoff }
@@ -151,27 +152,34 @@ object Mpeg2 {
           }
           val intra = if (br.bit() == 1) Some(mat()) else None
           val non = if (br.bit() == 1) Some(mat()) else None
-          if (br.bit() == 1) mat() // chroma intra: unused in 4:2:0
-          if (br.bit() == 1) mat() // chroma non-intra: unused in 4:2:0
-          Some((intra, non))
+          val cIntra = if (br.bit() == 1) Some(mat()) else None
+          val cNon = if (br.bit() == 1) Some(mat()) else None
+          Some((intra, non, cIntra, cNon))
         }
       }
       .collectFirst { case Some(p) => p }
-      .getOrElse((None, None))
+      .getOrElse((None, None, None, None))
 
   /** The carried sequence context with any quant_matrix_extension in
     * this access unit applied. Downloaded matrices PERSIST until the
     * next sequence header or download (§6.3.11) — callers carry the
     * returned context forward, and a later sequence header naturally
-    * resets via [[Mpeg1.parseSequenceHeader]].
+    * resets via [[Mpeg1.parseSequenceHeader]] (a fresh SeqCtx has no
+    * chroma downloads). §6.3.11 shadowing: a luma download replaces the
+    * chroma matrix too (chroma slot resets to "same as luma") unless a
+    * chroma download in the SAME extension re-specialises it.
     */
   def withQuantExtensions(ctx: SeqCtx, bytes: Array[Byte],
       picOff: Int): SeqCtx =
     try {
-      val (i, n) = quantMatrixExtensionAfter(bytes, picOff)
-      if (i.isEmpty && n.isEmpty) ctx
+      val (i, n, ci, cn) = quantMatrixExtensionAfter(bytes, picOff)
+      if (i.isEmpty && n.isEmpty && ci.isEmpty && cn.isEmpty) ctx
       else ctx.copy(intraQ = i.getOrElse(ctx.intraQ),
-        nonIntraQ = n.getOrElse(ctx.nonIntraQ))
+        nonIntraQ = n.getOrElse(ctx.nonIntraQ),
+        chromaIntraQ =
+          ci.orElse(if (i.isDefined) None else ctx.chromaIntraQ),
+        chromaNonIntraQ =
+          cn.orElse(if (n.isDefined) None else ctx.chromaNonIntraQ))
     } catch { case scala.util.control.NonFatal(_) => ctx }
 
   /** quantiser_scale from the 5-bit code (Table 7-6): linear = 2·code;
@@ -372,7 +380,10 @@ object Mpeg2 {
     val dcMult = 8 >> (pic.intraDcPrecision - 8) // 8,4,2,1
     val dcReset = 1 << (pic.intraDcPrecision - 1) // unscaled predictor
     // ctx matrices are stored in ZIGZAG order (download order); re-raster
-    // them once so alternate-scan weights index correctly
+    // them once so alternate-scan weights index correctly. In 4:2:2 the
+    // chroma blocks use the chroma pair when one was downloaded
+    // (§6.3.11); in 4:2:0 only two matrices exist and chroma downloads
+    // are ignored, so the chroma pair aliases the luma pair there.
     val wIntra = new Array[Int](64)
     val wNon = new Array[Int](64)
     var k = 0
@@ -380,6 +391,22 @@ object Mpeg2 {
       wIntra(Zigzag(k)) = ctx.intraQ(k)
       wNon(Zigzag(k)) = ctx.nonIntraQ(k)
       k += 1
+    }
+    val wIntraC = ctx.chromaIntraQ.filter(_ => c422) match {
+      case Some(q) =>
+        val a = new Array[Int](64)
+        var j = 0
+        while (j < 64) { a(Zigzag(j)) = q(j); j += 1 }
+        a
+      case None => wIntra
+    }
+    val wNonC = ctx.chromaNonIntraQ.filter(_ => c422) match {
+      case Some(q) =>
+        val a = new Array[Int](64)
+        var j = 0
+        while (j < 64) { a(Zigzag(j)) = q(j); j += 1 }
+        a
+      case None => wNon
     }
     val mbW = (ctx.width + 15) / 16
     val mbH = (ctx.height + 15) / 16
@@ -566,10 +593,10 @@ object Mpeg2 {
                   mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
               else if (b % 2 == 0)
                 cbPred = decodeBlock2(br, luma = false, cbPred, qs, dcMult,
-                  wIntra, scan, cb, w16 / 2, mc * 8, chromaY(mr, b))
+                  wIntraC, scan, cb, w16 / 2, mc * 8, chromaY(mr, b))
               else
                 crPred = decodeBlock2(br, luma = false, crPred, qs, dcMult,
-                  wIntra, scan, cr, w16 / 2, mc * 8, chromaY(mr, b))
+                  wIntraC, scan, cr, w16 / 2, mc * 8, chromaY(mr, b))
               b += 1
             }
           } else {
@@ -598,10 +625,10 @@ object Mpeg2 {
                   decodeNonIntraBlock2(br, qs, wNon, scan, y, w16,
                     mc * 16 + (b % 2) * 8, lumaY(mr, b), lumaStep)
                 else if (b % 2 == 0)
-                  decodeNonIntraBlock2(br, qs, wNon, scan, cb,
+                  decodeNonIntraBlock2(br, qs, wNonC, scan, cb,
                     w16 / 2, mc * 8, chromaY(mr, b))
                 else
-                  decodeNonIntraBlock2(br, qs, wNon, scan, cr,
+                  decodeNonIntraBlock2(br, qs, wNonC, scan, cr,
                     w16 / 2, mc * 8, chromaY(mr, b))
               }
               b += 1

@@ -134,35 +134,58 @@ object Mpeg2Ts {
       val es = new java.io.ByteArrayOutputStream()
       val marks = ArrayBuffer.empty[(Int, Long)]
       var inPes = false
+      var lastCc = -1 // last continuity_counter seen on the video PID
+      var hdrSkip = 0 // PES header bytes spilling into the NEXT packet
       var p = 0
       while (p + Pkt <= bytes.length) {
-        if ((bytes(p) & 0xff) == 0x47 && pidOf(bytes, p) == videoPid)
-          payloadBounds(bytes, p).foreach { case (off0, end) =>
-            var off = off0
-            if (pusi(bytes, p)) {
-              // new PES packet: 00 00 01 Exx, 16-bit length (0 =
-              // unbounded for video), then the 13818-1 flags-form
-              // header — '10' marker, flags, header_data_length
-              if (off + 9 <= end && bytes(off) == 0 && bytes(off + 1) == 0 &&
-                bytes(off + 2) == 1 && (bytes(off + 3) & 0xf0) == 0xe0 &&
-                (bytes(off + 6) & 0xc0) == 0x80) {
-                val hdrLen = bytes(off + 8) & 0xff
-                if ((bytes(off + 7) & 0x80) != 0 && off + 14 <= end) {
-                  // PTS present: '001x' nibble field at off+9
-                  val pts =
-                    (((bytes(off + 9) >> 1) & 0x7).toLong << 30) |
-                      ((bytes(off + 10) & 0xff).toLong << 22) |
-                      (((bytes(off + 11) & 0xff) >> 1).toLong << 15) |
-                      ((bytes(off + 12) & 0xff).toLong << 7) |
-                      ((bytes(off + 13) & 0xff) >> 1).toLong
-                  marks += ((es.size(), pts))
-                }
-                off = off + 9 + hdrLen
-                inPes = true
-              } else inPes = false // scrambled/odd payload: skip this PES
+        if ((bytes(p) & 0xff) == 0x47 && pidOf(bytes, p) == videoPid) {
+          // §2.4.3.3 duplicate discard: a payload-bearing packet may be
+          // sent twice with the SAME continuity_counter (the counter
+          // increments only per payload); the second copy must be
+          // dropped, else its payload enters the elementary stream twice
+          val cc = bytes(p + 3) & 0xf
+          val hasPayload = ((bytes(p + 3) >> 4) & 1) != 0
+          if (hasPayload && cc == lastCc) { /* duplicate: drop */ }
+          else {
+            if (hasPayload) lastCc = cc
+            payloadBounds(bytes, p).foreach { case (off0, end) =>
+              var off = off0
+              if (pusi(bytes, p)) {
+                hdrSkip = 0
+                // new PES packet: 00 00 01 Exx, 16-bit length (0 =
+                // unbounded for video), then the 13818-1 flags-form
+                // header — '10' marker, flags, header_data_length
+                if (off + 9 <= end && bytes(off) == 0 && bytes(off + 1) == 0 &&
+                  bytes(off + 2) == 1 && (bytes(off + 3) & 0xf0) == 0xe0 &&
+                  (bytes(off + 6) & 0xc0) == 0x80) {
+                  val hdrLen = bytes(off + 8) & 0xff
+                  if ((bytes(off + 7) & 0x80) != 0 && off + 14 <= end) {
+                    // PTS present: '001x' nibble field at off+9
+                    val pts =
+                      (((bytes(off + 9) >> 1) & 0x7).toLong << 30) |
+                        ((bytes(off + 10) & 0xff).toLong << 22) |
+                        (((bytes(off + 11) & 0xff) >> 1).toLong << 15) |
+                        ((bytes(off + 12) & 0xff).toLong << 7) |
+                        ((bytes(off + 13) & 0xff) >> 1).toLong
+                    marks += ((es.size(), pts))
+                  }
+                  off = off + 9 + hdrLen
+                  if (off > end) { // header spills past this packet:
+                    hdrSkip = off - end // consume it from the next ones
+                    off = end
+                  }
+                  inPes = true
+                } else inPes = false // scrambled/odd payload: skip this PES
+              } else if (hdrSkip > 0) {
+                // tail of a spilled PES header: header bytes, not ES data
+                val k = math.min(hdrSkip, end - off)
+                off += k
+                hdrSkip -= k
+              }
+              if (inPes && off < end) es.write(bytes, off, end - off)
             }
-            if (inPes && off < end) es.write(bytes, off, end - off)
           }
+        }
         p += Pkt
       }
       Mpeg1Ps.splitVideo(es.toByteArray, marks)

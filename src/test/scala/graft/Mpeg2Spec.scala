@@ -838,6 +838,33 @@ class Mpeg2Spec extends AnyFunSuite {
     assert(cb2 == chromaWant, "chroma download must persist")
   }
 
+  test("4:2:0 ignores chroma quant matrix downloads (two-matrix format)") {
+    // §6.3.11: in 4:2:0 only the luma pair exists — a downloaded
+    // chroma_intra matrix (flat 32) must NOT change chroma dequant; the
+    // Cb AC (0,2) stays F = 2·2·2·16/32 = 4 from the sequence matrix.
+    val w = new BitWriter
+    seqHeader(w, 16, 16)
+    seqExtension(w) // chroma_format 1: 4:2:0
+    pictureHeader(w, 1)
+    picExtension(w)
+    startCode(0xb5)(w)
+    w.bits(3, 4) // identifier: Quant Matrix Extension
+    w.put(0).put(0) // no intra / non-intra downloads
+    w.put(1) // load_chroma_intra_quantiser_matrix (flat 32)
+    for (_ <- 0 until 64) w.bits(32, 8)
+    w.put(0) // no chroma non-intra download
+    startCode(0x01)(w)
+    w.bits(1, 5).put(0) // qs = 2
+    w.b("1").b("1") // inc 1, type intra
+    for (_ <- 0 until 4) { dcLuma(w, 0); w.b("10") } // Y0..Y3: DC-only
+    dcChroma0(w); w.b("0100").put(0); w.b("10") // Cb: DC 0 + AC (0,2)
+    dcChroma0(w); w.b("10") // Cr: DC-only
+    val (_, f) = Mpeg1.decodeAccessUnitRef(None, w.bytes)
+    val cb = for (r <- 0 until 8; c <- 0 until 8) yield f.get.cb(r * 8 + c)
+    assert(cb == block(Map((0, 0) -> 1024, (0, 1) -> 4, (7, 7) -> 1)),
+      "4:2:0 chroma must keep the luma (sequence-header) matrix")
+  }
+
   test("Mpeg2Writer 4:2:2: encode → decode closed-form I/P/B") {
     import graft.pipeline.Mpeg2Writer
     val aus = Mpeg2Writer.ipb422Pictures(32, 16, gray = 106, delta = 20)

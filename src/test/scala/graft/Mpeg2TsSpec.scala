@@ -144,22 +144,49 @@ class Mpeg2TsSpec extends AnyFunSuite {
     }
   }
 
+  private def videoPackets(ts: Array[Byte], pid: Int,
+      wantPusi: Boolean): Seq[Int] =
+    (0 until ts.length / 188).filter { k =>
+      val p = k * 188
+      (ts(p) & 0xff) == 0x47 &&
+        (((ts(p + 1) & 0x1f) << 8) | (ts(p + 2) & 0xff)) == pid &&
+        ((ts(p + 1) & 0x40) != 0) == wantPusi
+    }
+
+  private def assertDupDiscarded(ts: Array[Byte], k: Int): Unit = {
+    val dup = ts.take((k + 1) * 188) ++
+      ts.slice(k * 188, (k + 1) * 188) ++ ts.drop((k + 1) * 188)
+    val want = Mpeg2Ts.demuxVideo(ts).get
+    val got = Mpeg2Ts.demuxVideo(dup).get
+    assert(got.units.length == want.units.length)
+    for ((((o1, l1, t1), (o2, l2, t2)), i) <-
+        got.units.zip(want.units).zipWithIndex) {
+      assert(got.es.slice(o1, o1 + l1).toSeq == want.es.slice(o2, o2 + l2).toSeq,
+        s"unit $i must survive the duplicate packet")
+      assert(t1 == t2, s"unit $i PTS must survive the duplicate packet")
+    }
+  }
+
   test("duplicate transport packets (same continuity_counter) are discarded") {
     // §2.4.3.3 allows a packet to be sent twice; receivers must drop the
     // duplicate. Duplicate a mid-PES continuation packet of the large
     // fixture: the demuxed units must equal the pristine ones.
     val in = Mpeg2Writer.ipbfPictures(128, 64, gray = 96, delta = 20)
     val ts = Mpeg2Ts.mux(in)
-    val k = 3 // PAT, PMT, first PUSI video packet, then a continuation
-    assert((ts(k * 188 + 1) & 0x40) == 0, "fixture: packet k is not PUSI")
-    val dup = ts.take((k + 1) * 188) ++
-      ts.slice(k * 188, (k + 1) * 188) ++ ts.drop((k + 1) * 188)
-    val want = Mpeg2Ts.demuxVideo(ts).get
-    val got = Mpeg2Ts.demuxVideo(dup).get
-    assert(got.units.length == want.units.length)
-    for ((((o1, l1, _), (o2, l2, _)), i) <- got.units.zip(want.units).zipWithIndex)
-      assert(got.es.slice(o1, o1 + l1).toSeq == want.es.slice(o2, o2 + l2).toSeq,
-        s"unit $i must survive the duplicate packet")
+    val conts = videoPackets(ts, 0x0100, wantPusi = false)
+    assert(conts.nonEmpty, "fixture: some access unit spans >1 packet")
+    assertDupDiscarded(ts, conts.head)
+  }
+
+  test("a duplicated PUSI packet is discarded too") {
+    // the duplicate rule is per continuity_counter, not per payload
+    // class: duplicating the packet that STARTS a PES must not re-open
+    // (and corrupt) the PES header parse or double its payload
+    val in = Mpeg2Writer.ipbfPictures(128, 64, gray = 96, delta = 20)
+    val ts = Mpeg2Ts.mux(in)
+    val pusis = videoPackets(ts, 0x0100, wantPusi = true)
+    assert(pusis.length == in.length, "one PUSI packet per access unit")
+    assertDupDiscarded(ts, pusis(1))
   }
 
   test("PES header spilling past the first packet is skipped, not leaked") {
