@@ -1792,8 +1792,13 @@ object ProcessGraph {
             bands = opt("bands").map(_ => strs("bands")),
             bbox = bboxOpt,
             timeRange = timeRange, properties = props)
+          // temporal_extent prunes twice as well: item-level above and
+          // store-level here — on a time-axis zarr store (cube:dimensions
+          // labels) the extent maps to axis-0 chunk-index ranges, the
+          // temporal twin of the bbox → chunk pushdown
           CubeV(graft.sources.StacLoader.loadCube(
-            org.apache.spark.sql.SparkSession.active, sel, bbox = bboxOpt))
+            org.apache.spark.sql.SparkSession.active, sel, bbox = bboxOpt,
+            timeRange = timeRange))
 
         // ---- scalar ----
         case "add" => ColV(Scalar.add(column("x"), column("y")))

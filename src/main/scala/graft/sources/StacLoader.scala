@@ -27,7 +27,8 @@ object StacLoader {
 
   final case class StacAsset(itemId: String, band: String, href: String,
       datetime: String, west: Double, south: Double, east: Double, north: Double,
-      mediaType: String = "", properties: Map[String, String] = Map.empty)
+      mediaType: String = "", properties: Map[String, String] = Map.empty,
+      timeLabels: Seq[String] = Nil)
 
   /** Parse a STAC Item JSON into its band assets (driver-side; items are
     * kilobytes). Mirrors the reference's asset/band selection
@@ -54,6 +55,21 @@ object StacLoader {
       }.toMap
       case _ => Map.empty
     }
+    // STAC datacube extension (`cube:dimensions`): when the item declares
+    // a TEMPORAL dimension with explicit label `values`, the asset's
+    // zarr axis 0 is a time axis and those labels are its index→datetime
+    // mapping — what temporal_extent pushdown maps onto chunk ranges
+    val timeLabels: Seq[String] =
+      (root \ "properties" \ "cube:dimensions") match {
+        case JObject(dims) => dims.collectFirst {
+          case (_, d) if (d \ "type") == JString("temporal") =>
+            (d \ "values") match {
+              case JArray(vs) => vs.collect { case JString(s) => s }
+              case _ => Nil
+            }
+        }.getOrElse(Nil)
+        case _ => Nil
+      }
     assets.toSeq.flatMap { case (name, a) =>
       val mediaType = (a \ "type") match {
         case JString(t) => t
@@ -74,7 +90,7 @@ object StacLoader {
         }
         val href = (a \ "href").extract[String]
         Some(StacAsset(id, band, href, dt, bbox(0), bbox(1), bbox(2), bbox(3),
-          mediaType, props))
+          mediaType, props, timeLabels))
       }
     }
   }
@@ -121,8 +137,13 @@ object StacLoader {
         a.east >= w && a.west <= e && a.north >= s && a.south <= n })
       .filter(a => timeRange.forall { case (start, end) =>
         // an empty-string bound is open (openEO null extent element):
-        // "" is <= every ISO datetime, so only the end needs a guard
-        a.datetime >= start && (end.isEmpty || a.datetime < end) })
+        // "" is <= every ISO datetime, so only the end needs a guard.
+        // A time-axis asset (cube:dimensions labels) survives when ANY
+        // of its slices falls in the range — the per-slice cut happens
+        // at chunk planning inside loadCube.
+        def in(t: String) = t >= start && (end.isEmpty || t < end)
+        if (a.timeLabels.nonEmpty) a.timeLabels.exists(in) else in(a.datetime)
+      })
       .filter(a => properties.forall { case (prop, preds) =>
         preds.forall { case (op, operand) =>
           propMatches(a.properties.get(prop), op, operand) }
@@ -193,7 +214,8 @@ object StacLoader {
       projection: Option[String] = None,
       resolution: Option[Double] = None,
       resampling: String = "near",
-      bbox: Option[(Double, Double, Double, Double)] = None): DataCube = {
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      timeRange: Option[(String, String)] = None): DataCube = {
     import spark.implicits._
     // the openEO load contract (reference cubes/load.py:26-28): extents
     // that select NO items/assets are a named error, not an empty cube
@@ -243,6 +265,35 @@ object StacLoader {
         val (rr, cr) = rowColRanges(a, meta.shape(0), meta.shape(1))
         grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c"),
           Seq(rr, cr)), meta.shape(0), meta.shape(1))
+      } else if (a.timeLabels.size == meta.shape(0)) {
+        // TIME-AXIS store (STAC datacube extension: a temporal
+        // cube:dimensions entry whose label count matches axis 0). A
+        // temporal_extent maps onto axis-0 chunk-index ranges exactly
+        // like a bbox maps onto row/col ranges — a quarter-time window
+        // of a huge archive plans only its own chunks. The contiguous
+        // index hull feeds planChunks; the isin below is the
+        // authoritative per-slice cut (openEO closed-open interval).
+        val (nr, nc) = (meta.shape(1), meta.shape(2))
+        val (rr, cr) = rowColRanges(a, nr, nc)
+        val sel = a.timeLabels.zipWithIndex.filter { case (l, _) =>
+          timeRange.forall { case (s0, e0) =>
+            l >= s0 && (e0.isEmpty || l < e0) } }
+        val tr =
+          if (sel.isEmpty) Some((1L, 0L)) // inverted: plans zero chunks
+          else Some((sel.map(_._2).min.toLong, sel.map(_._2).max.toLong))
+        val idxToLabel = typedLit(
+          a.timeLabels.zipWithIndex.map { case (l, i) => i -> l }.toMap)
+        val base = ZarrReader.loadArray(spark, dir, Seq("_t", "_r", "_c"),
+          Seq(tr, rr, cr))
+        val cut =
+          if (sel.isEmpty) base
+          else base.filter(col("_t").isin(sel.map(_._2.toLong): _*))
+        cut.select(
+          (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
+          (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
+          to_timestamp(element_at(idxToLabel, col("_t").cast("int"))).as("t"),
+          lit(a.band).as("bands"),
+          col("value"))
       } else {
         val (nr, nc) = (meta.shape(1), meta.shape(2))
         val (rr, cr) = rowColRanges(a, nr, nc)

@@ -1092,4 +1092,79 @@ class StacLoaderSpec extends AnyFunSuite {
     assert(StacLoader.loadCube(spark, assets,
       bbox = Some((50.0, 50.0, 51.0, 51.0))).df.count() == 0)
   }
+
+  /** Rank-3 zarr store with a TIME axis: shape (8,2,3), chunks (2,2,3) →
+    * 4 chunks, each holding two time slices. v(t,r,c) = t·100 + r·10 + c.
+    */
+  def writeZarrTimeFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr_t").toFile
+    val zarray =
+      """{"zarr_format":2,"shape":[8,2,3],"chunks":[2,2,3],"dtype":"<f8",
+        |"compressor":null,"fill_value":0.0,"filters":null,"order":"C"}"""
+        .stripMargin
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, ".zarray").toPath, zarray)
+    for (ct <- 0 until 4) {
+      val bb = java.nio.ByteBuffer.allocate(2 * 2 * 3 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (t <- 0 until 2; r <- 0 until 2; c <- 0 until 3)
+        bb.putDouble((ct * 2 + t) * 100.0 + r * 10.0 + c)
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"$ct.0.0").toPath, bb.array())
+    }
+    dir.getAbsolutePath
+  }
+
+  test("load_stac temporal_extent pushes to time-axis chunk ranges") {
+    import graft.sources.ZarrReader
+    import org.apache.spark.sql.functions.col
+    val dir = writeZarrTimeFixture()
+    val labels = (1 to 8).map(d => f"2023-06-0${d}T00:00:00Z")
+    val zItem =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-time",
+         |"bbox":[10.0,46.0,11.0,47.0],
+         |"properties":{"datetime":"2023-06-01T00:00:00Z",
+         |  "cube:dimensions":{
+         |    "time":{"type":"temporal",
+         |      "values":[${labels.map("\"" + _ + "\"").mkString(",")}]},
+         |    "y":{"type":"spatial","axis":"y"},
+         |    "x":{"type":"spatial","axis":"x"}}},
+         |"assets":{
+         |  "store":{"href":"file://$dir","type":"application/vnd+zarr"}
+         |}}""".stripMargin
+    val assets = StacLoader.parseItem(zItem)
+    assert(assets.head.timeLabels == labels)
+    val full = StacLoader.loadCube(spark, assets)
+    assert(full.df.count() == 8 * 2 * 3)
+    // every slice carries its OWN label as t, not the item datetime
+    assert(full.df.select("t").distinct().count() == 8)
+    // quarter-time window [06-03, 06-05) → labels {03,04} → indices
+    // {2,3} → ONE chunk of the four planned (spec-counted)
+    val meta = ZarrReader.readMeta(dir)
+    assert(ZarrReader.planChunks(meta, Nil).size == 4)
+    assert(ZarrReader.planChunks(meta,
+      Seq(Some((2L, 3L)), None, None)).size == 1)
+    val window = Some(("2023-06-03", "2023-06-05"))
+    val pushed = StacLoader.loadCube(spark, assets, timeRange = window)
+    val trimmed = full.df.filter(
+      col("t") >= "2023-06-03" && col("t") < "2023-06-05")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getTimestamp(2)) ->
+        r.getDouble(4)).toMap
+    assert(key(pushed.df) == key(trimmed))
+    assert(pushed.df.count() == 2 * 2 * 3) // two slices of eight
+    // open start bound; end exclusive at a label boundary
+    val tail = StacLoader.loadCube(spark, assets,
+      timeRange = Some(("", "2023-06-02")))
+    assert(tail.df.count() == 1 * 2 * 3)
+    // a disjoint window loads nothing (inverted slice plans no chunks)
+    assert(StacLoader.loadCube(spark, assets,
+      timeRange = Some(("2024-01-01", "2024-02-01"))).df.count() == 0)
+    // bbox and time prune COMPOSE: one time chunk × the exact row/col cut
+    val both = StacLoader.loadCube(spark, assets, bbox =
+      Some((10.0, 46.0, 10.2, 46.4)), timeRange = window)
+    assert(both.df.count() ==
+      trimmed.filter(col("x").between(10.0, 10.2) &&
+        col("y").between(46.0, 46.4)).count())
+  }
 }
