@@ -256,56 +256,27 @@ object StacLoader {
       tiffPathOf(a).exists(p =>
         scala.util.Try(TiffReader.readMeta(p)).isSuccess))
     val realParts = zarrReal.map { a =>
-      val dir = zarrDirOf(a).get
-      val meta = ZarrReader.readMeta(dir)
-      // rank 2 = (row, col); rank 3 = (band, row, col) — the common
-      // Sentinel layout: axis-0 slices become "<asset-band>_<index>" bands.
-      // Rows map from the bbox's south edge up, matching the fake grid.
-      if (meta.shape.size == 2) {
-        val (rr, cr) = rowColRanges(a, meta.shape(0), meta.shape(1))
-        grid(a, ZarrReader.loadArray(spark, dir, Seq("_r", "_c"),
-          Seq(rr, cr)), meta.shape(0), meta.shape(1))
-      } else if (a.timeLabels.size == meta.shape(0)) {
-        // TIME-AXIS store (STAC datacube extension: a temporal
-        // cube:dimensions entry whose label count matches axis 0). A
-        // temporal_extent maps onto axis-0 chunk-index ranges exactly
-        // like a bbox maps onto row/col ranges — a quarter-time window
-        // of a huge archive plans only its own chunks. The contiguous
-        // index hull feeds planChunks; the isin below is the
-        // authoritative per-slice cut (openEO closed-open interval).
-        val (nr, nc) = (meta.shape(1), meta.shape(2))
-        val (rr, cr) = rowColRanges(a, nr, nc)
-        val sel = a.timeLabels.zipWithIndex.filter { case (l, _) =>
-          timeRange.forall { case (s0, e0) =>
-            l >= s0 && (e0.isEmpty || l < e0) } }
-        val tr =
-          if (sel.isEmpty) Some((1L, 0L)) // inverted: plans zero chunks
-          else Some((sel.map(_._2).min.toLong, sel.map(_._2).max.toLong))
-        val idxToLabel = typedLit(
-          a.timeLabels.zipWithIndex.map { case (l, i) => i -> l }.toMap)
-        val base = ZarrReader.loadArray(spark, dir, Seq("_t", "_r", "_c"),
-          Seq(tr, rr, cr))
-        val cut =
-          if (sel.isEmpty) base
-          else base.filter(col("_t").isin(sel.map(_._2.toLong): _*))
-        cut.select(
-          (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
-          (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
-          to_timestamp(element_at(idxToLabel, col("_t").cast("int"))).as("t"),
-          lit(a.band).as("bands"),
-          col("value"))
-      } else {
-        val (nr, nc) = (meta.shape(1), meta.shape(2))
-        val (rr, cr) = rowColRanges(a, nr, nc)
-        ZarrReader.loadArray(spark, dir, Seq("_b", "_r", "_c"),
-          Seq(None, rr, cr))
-          .select(
-            (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
-            (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
-            to_timestamp(lit(a.datetime)).as("t"),
-            concat(lit(a.band), lit("_"), col("_b")).as("bands"),
-            col("value"))
-      }
+      // zarr assets mount through the DataSourceV2 facade: a
+      // cube-coordinate table (x, y, t, bands, value) whose scan
+      // translates pushed x/y/t/bands predicates into chunk-index
+      // ranges ([[graft.sources.v2.ZarrCubeSource]]). The bbox and
+      // temporal extents below are then plain Catalyst filters, so
+      // pruning arrives via the optimizer — and a graph that filters
+      // AFTER loading (filter_bbox / filter_temporal post load_stac)
+      // prunes chunks the same way, the engine's twin of the
+      // reference's dask lazy slicing (cubes/load.py:245-310). Axis
+      // semantics live in the source: rank 2 = (row, col); rank 3 is a
+      // time axis when the item's cube:dimensions temporal labels match
+      // axis 0 (each slice carries its label as t), else the common
+      // Sentinel (band, row, col) with "<asset-band>_<index>" bands.
+      spark.read.format("graft.sources.v2.ZarrCubeSource")
+        .option("path", zarrDirOf(a).get)
+        .option("west", a.west.toString).option("south", a.south.toString)
+        .option("east", a.east.toString).option("north", a.north.toString)
+        .option("band", a.band)
+        .option("datetime", a.datetime)
+        .option("timeLabels", a.timeLabels.mkString(","))
+        .load()
     } ++ tiffReal.map { a =>
       val path = tiffPathOf(a).get
       val meta = TiffReader.readMeta(path)
@@ -344,8 +315,16 @@ object StacLoader {
     // the index-range pushdown above is deliberately a cell wider than the
     // extent; this filter is the authoritative cut and also covers the
     // fake-grid fallback assets
-    val all = bbox.fold(unioned) { case (w, s, e, n) =>
+    val bboxed = bbox.fold(unioned) { case (w, s, e, n) =>
       unioned.filter(col("x").between(w, e) && col("y").between(s, n))
+    }
+    // temporal trim (openEO closed-open interval, "" = open bound): on a
+    // time-axis zarr asset these predicates push into the scan and prune
+    // axis-0 chunks; on single-datetime assets they are constant checks
+    val all = timeRange.fold(bboxed) { case (s0, e0) =>
+      val lo = if (s0.isEmpty) bboxed
+        else bboxed.filter(col("t") >= to_timestamp(lit(s0)))
+      if (e0.isEmpty) lo else lo.filter(col("t") < to_timestamp(lit(e0)))
     }
     val native = DataCube.fromTable(all, Seq("x", "y", "t", "bands"), "value",
       crs = Some("EPSG:4326"))

@@ -1,0 +1,374 @@
+package graft.sources.v2
+
+import graft.sources.ZarrReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+
+/** DataSourceV2 facade over [[ZarrReader]]: one zarr asset exposed as a
+  * CUBE-COORDINATE table `(x, y, t, bands, value)` whose scan translates
+  * pushed Catalyst filters into chunk-index ranges.
+  *
+  * This is what makes extent pruning arrive via the OPTIMIZER instead of
+  * loader arguments: a graph that loads first and filters later —
+  * `load_stac` → `filter_bbox` → `filter_temporal`, the reference's lazy
+  * xarray-slicing ergonomics (cubes/load.py:245-310) — compiles to a
+  * `Filter` over this scan, Catalyst pushes the x/y/t/bands predicates
+  * down, and `planInputPartitions` plans ONLY the intersecting chunks.
+  * At 100 TB the difference is reading a handful of chunk files versus
+  * the whole store.
+  *
+  * Scan layout: one [[InputPartition]] per intersecting chunk — the same
+  * per-chunk executor fan-out [[ZarrReader.loadArray]] uses, now visible
+  * to Spark as the scan's native partitioning. Pushed filters are also
+  * RETURNED as residuals, so Spark re-applies them exactly: the index
+  * translation may keep a boundary cell (it widens one cell against
+  * float edges) but can never produce a wrong row.
+  *
+  * Axis semantics mirror [[graft.sources.StacLoader.loadCube]]:
+  * rank 2 = (row=y, col=x); rank 3 with `timeLabels` matching axis 0 =
+  * (time, row, col) where each slice carries its label as `t`; any other
+  * rank 3 = (band, row, col) with `bands` = `<band>_<i>`. Column pruning
+  * is supported (`SupportsPushDownRequiredColumns`) — a `value`-only
+  * aggregate never materialises coordinates.
+  */
+class ZarrCubeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrCubeSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ZarrCubeTable(ZarrCubeSource.confFrom(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ZarrCubeSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("t", TimestampType, nullable = false),
+    StructField("bands", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Immutable asset description carried from reader options into every
+    * partition: store path, geo transform corners, band name, the
+    * constant datetime, and (optionally) per-slice time labels.
+    */
+  final case class Conf(path: String, west: Double, south: Double,
+      east: Double, north: Double, band: String, datetimeMicros: Long,
+      labelMicros: Array[Long]) extends Serializable
+
+  private[v2] def confFrom(props: util.Map[String, String]): Conf = {
+    val ci = new CaseInsensitiveStringMap(props) // option case is caller's
+    def req(k: String): String = {
+      val v = ci.get(k)
+      require(v != null && v.nonEmpty, s"ZarrCubeSource: missing option $k")
+      v
+    }
+    val labels = Option(ci.get("timelabels")).filter(_.nonEmpty)
+      .map(_.split(",").map(parseMicros)).getOrElse(Array.empty[Long])
+    Conf(req("path"), req("west").toDouble, req("south").toDouble,
+      req("east").toDouble, req("north").toDouble, req("band"),
+      parseMicros(req("datetime")), labels)
+  }
+
+  /** ISO datetime → epoch micros (UTC). Accepts instants with offset,
+    * bare datetimes and bare dates — the forms STAC items carry.
+    */
+  private[v2] def parseMicros(s: String): Long = {
+    val inst =
+      try java.time.Instant.parse(s)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(s)
+            .atOffset(java.time.ZoneOffset.UTC).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(s).atStartOfDay(
+                java.time.ZoneOffset.UTC).toInstant
+          }
+      }
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** A pushed comparison value → epoch micros; the Filter API hands
+    * TimestampType literals as java.sql.Timestamp (default) or
+    * java.time.Instant (java8 datetime API).
+    */
+  private[v2] def toMicros(v: Any): Option[Long] = v match {
+    case ts: java.sql.Timestamp =>
+      Some(math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case s: String => scala.util.Try(parseMicros(s)).toOption
+    case _ => None
+  }
+
+  private[v2] def toDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case _ => None
+  }
+}
+
+private[v2] class ZarrCubeTable(conf: ZarrCubeSource.Conf)
+    extends Table with SupportsRead {
+  override def name(): String = s"zarr:${conf.path}"
+  override def schema(): StructType = ZarrCubeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrCubeScanBuilder(conf)
+}
+
+/** Accumulates pushed bounds per cube coordinate. Bounds are INCLUSIVE
+  * and conservative (strict comparisons widen to non-strict): pruning
+  * may keep an extra boundary chunk, never drop a matching one — the
+  * residual re-application makes the result exact either way.
+  */
+private[v2] class ZarrCubeScanBuilder(conf: ZarrCubeSource.Conf)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import ZarrCubeSource._
+
+  private var xLo, yLo = Double.NegativeInfinity
+  private var xHi, yHi = Double.PositiveInfinity
+  private var tLo = Long.MinValue
+  private var tHi = Long.MaxValue
+  private var bandSel: Option[Set[String]] = None
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = Schema
+
+  private def acceptOne(f: Filter): Boolean = f match {
+    case GreaterThan("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); true }
+    case GreaterThanOrEqual("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); true }
+    case LessThan("x", v) => toDouble(v).exists { d => xHi = math.min(xHi, d); true }
+    case LessThanOrEqual("x", v) => toDouble(v).exists { d => xHi = math.min(xHi, d); true }
+    case EqualTo("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); xHi = math.min(xHi, d); true }
+    case GreaterThan("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); true }
+    case GreaterThanOrEqual("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); true }
+    case LessThan("y", v) => toDouble(v).exists { d => yHi = math.min(yHi, d); true }
+    case LessThanOrEqual("y", v) => toDouble(v).exists { d => yHi = math.min(yHi, d); true }
+    case EqualTo("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); yHi = math.min(yHi, d); true }
+    // micros are integral, so strict bounds tighten EXACTLY by one µs —
+    // a half-open [start, end) window excludes the end-label's chunk
+    case GreaterThan("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m + 1); true }
+    case GreaterThanOrEqual("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m); true }
+    case LessThan("t", v) => toMicros(v).exists { m => tHi = math.min(tHi, m - 1); true }
+    case LessThanOrEqual("t", v) => toMicros(v).exists { m => tHi = math.min(tHi, m); true }
+    case EqualTo("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m); tHi = math.min(tHi, m); true }
+    case EqualTo("bands", v: String) =>
+      bandSel = Some(bandSel.getOrElse(Set(v)).intersect(Set(v))); true
+    case In("bands", vs) if vs.forall(_.isInstanceOf[String]) =>
+      val s = vs.map(_.asInstanceOf[String]).toSet
+      bandSel = Some(bandSel.fold(s)(_.intersect(s))); true
+    case IsNotNull("x" | "y" | "t" | "bands" | "value") => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(acceptOne)
+    filters // ALL filters stay residual: pruning is advisory, exactness is Spark's
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ZarrCubeScan(conf, required,
+    (xLo, xHi), (yLo, yHi), (tLo, tHi), bandSel, accepted)
+}
+
+private[v2] class ZarrCubeScan(conf: ZarrCubeSource.Conf,
+    required: StructType,
+    xB: (Double, Double), yB: (Double, Double), tB: (Long, Long),
+    bandSel: Option[Set[String]], accepted: Array[Filter])
+    extends Scan with Batch {
+  import ZarrCubeSource._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val ext = Seq(
+      if (xB._1.isNegInfinity && xB._2.isPosInfinity) None
+      else Some(s"x∈[${xB._1},${xB._2}]"),
+      if (yB._1.isNegInfinity && yB._2.isPosInfinity) None
+      else Some(s"y∈[${yB._1},${yB._2}]"),
+      if (tB._1 == Long.MinValue && tB._2 == Long.MaxValue) None
+      else Some(s"t∈[${tB._1},${tB._2}]µs"),
+      bandSel.map(s => s"bands∈{${s.mkString(",")}}")).flatten
+    s"ZarrCubeScan ${conf.path} PushedExtent: " +
+      (if (ext.isEmpty) "(full)" else ext.mkString(", "))
+  }
+
+  /** Coordinate bound → inclusive cell-index range. Cells are POINT
+    * samples at `origin + i·step`, so the exact translation is
+    * ceil/floor; one guard cell each way absorbs float edges, and the
+    * residual filter trims the overshoot.
+    */
+  private def axisRange(lo: Double, hi: Double, origin: Double,
+      span: Double, nCells: Long): Option[(Long, Long)] = {
+    if (lo.isNegInfinity && hi.isPosInfinity) return None
+    if (span <= 0 || nCells <= 0) return None
+    val step = span / nCells
+    val a =
+      if (lo.isNegInfinity) 0L
+      else math.max(0L, math.ceil((lo - origin) / step).toLong - 1)
+    val b =
+      if (hi.isPosInfinity) nCells - 1
+      else math.min(nCells - 1, math.floor((hi - origin) / step).toLong + 1)
+    Some((a, b)) // a > b = empty: planChunks plans nothing
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val meta = ZarrReader.readMeta(conf.path)
+    val rank = meta.shape.size
+    require(rank == 2 || rank == 3,
+      s"ZarrCubeSource: rank-$rank stores unsupported (2 or 3)")
+    val timeAxis = rank == 3 && conf.labelMicros.length == meta.shape(0)
+    val (nr, nc) =
+      if (rank == 2) (meta.shape(0).toLong, meta.shape(1).toLong)
+      else (meta.shape(1).toLong, meta.shape(2).toLong)
+    val rr = axisRange(yB._1, yB._2, conf.south, conf.north - conf.south, nr)
+    val cr = axisRange(xB._1, xB._2, conf.west, conf.east - conf.west, nc)
+    // constant-coordinate predicates can empty the scan outright
+    val constT = !timeAxis &&
+      (conf.datetimeMicros < tB._1 || conf.datetimeMicros > tB._2)
+    val bandAxis = rank == 3 && !timeAxis
+    val constBand = !bandAxis && bandSel.exists(!_.contains(conf.band))
+    if (constT || constBand) return Array.empty
+    val axis0: Option[(Long, Long)] =
+      if (rank == 2) None
+      else if (timeAxis) {
+        // label hull of the pushed [tLo, tHi] window
+        val sel = conf.labelMicros.zipWithIndex
+          .filter { case (m, _) => m >= tB._1 && m <= tB._2 }.map(_._2)
+        if (sel.isEmpty) return Array.empty // no slice in the window
+        Some((sel.min.toLong, sel.max.toLong))
+      } else bandSel match {
+        // band axis: bands values are "<band>_<i>"
+        case Some(names) =>
+          val sel = (0 until meta.shape(0))
+            .filter(i => names.contains(s"${conf.band}_$i"))
+          if (sel.isEmpty) return Array.empty // no matching band slice
+          Some((sel.min.toLong, sel.max.toLong))
+        case None => None
+      }
+    val slices = if (rank == 2) Seq(rr, cr) else Seq(axis0, rr, cr)
+    val selKeys = ZarrReader.planChunks(meta, slices)
+    val present = ZarrReader.chunkKeys(conf.path, meta).toSet
+    require(selKeys.forall(present.contains) || meta.fillValue.isDefined,
+      "ZarrCorrupt: store has missing chunks but no fill_value")
+    val lo = Array.tabulate(rank)(d => slices(d).map(_._1).getOrElse(0L))
+    val hi = Array.tabulate(rank)(d =>
+      slices(d).map(_._2).getOrElse(meta.shape(d) - 1L))
+    selKeys.map(k => ZarrChunkPartition(conf, meta, k.toArray,
+      present.contains(k), timeAxis, lo, hi,
+      required.fieldNames): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrCubeReaderFactory
+}
+
+/** One chunk of one asset: everything the executor-side reader needs. */
+private[v2] final case class ZarrChunkPartition(conf: ZarrCubeSource.Conf,
+    meta: ZarrReader.ZarrMeta, key: Array[Int], isPresent: Boolean,
+    timeAxis: Boolean, sliceLo: Array[Long], sliceHi: Array[Long],
+    columns: Array[String]) extends InputPartition
+
+private[v2] object ZarrCubeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ZarrChunkReader(p.asInstanceOf[ZarrChunkPartition])
+}
+
+/** Decodes its chunk with the [[ZarrReader]] primitives and walks it in
+  * C order, clipping edge padding and the pushed slice bounds — the same
+  * cell loop as `loadArray`, emitting cube-coordinate rows directly.
+  */
+private[v2] class ZarrChunkReader(p: ZarrChunkPartition)
+    extends PartitionReader[InternalRow] {
+  private val m = p.meta
+  private val rank = m.shape.size
+  private val vals: Array[Double] =
+    if (!p.isPresent) Array.fill(m.chunks.product)(m.fillValue.get)
+    else {
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.conf.path, m.keyOf(p.key.toSeq)))
+      if (m.shard.isDefined) ZarrReader.decodeShard(raw, m)
+      else {
+        val u = ZarrReader.unpack(ZarrReader.decodeChunk(raw, m), m.dtype)
+        m.transpose.fold(u)(ZarrReader.untranspose(u, m.chunks, _))
+      }
+    }
+  private val chunkShape = m.chunks.toArray
+  private val strides = {
+    val s = new Array[Int](rank)
+    s(rank - 1) = 1
+    var d = rank - 2
+    while (d >= 0) { s(d) = s(d + 1) * chunkShape(d + 1); d -= 1 }
+    s
+  }
+  private val (nr, nc) =
+    if (rank == 2) (m.shape(0).toLong, m.shape(1).toLong)
+    else (m.shape(1).toLong, m.shape(2).toLong)
+  private val stepX = (p.conf.east - p.conf.west) / nc
+  private val stepY = (p.conf.north - p.conf.south) / nr
+  private val coords = new Array[Long](rank)
+  private var flat = -1
+  private val row = new Array[Any](p.columns.length)
+
+  override def next(): Boolean = {
+    var ok = false
+    while (!ok && flat + 1 < vals.length) {
+      flat += 1
+      ok = true
+      var r = 0
+      while (r < rank && ok) {
+        val local = (flat / strides(r)) % chunkShape(r)
+        val global = p.key(r).toLong * chunkShape(r) + local
+        if (global >= m.shape(r) ||
+          global < p.sliceLo(r) || global > p.sliceHi(r)) ok = false
+        coords(r) = global
+        r += 1
+      }
+    }
+    ok
+  }
+
+  override def get(): InternalRow = {
+    val (ri, ci) = if (rank == 2) (0, 1) else (1, 2)
+    var i = 0
+    while (i < p.columns.length) {
+      row(i) = p.columns(i) match {
+        case "x" => p.conf.west + coords(ci) * stepX
+        case "y" => p.conf.south + coords(ri) * stepY
+        case "t" =>
+          if (p.timeAxis) p.conf.labelMicros(coords(0).toInt)
+          else p.conf.datetimeMicros
+        case "bands" => UTF8String.fromString(
+          if (rank == 3 && !p.timeAxis) s"${p.conf.band}_${coords(0)}"
+          else p.conf.band)
+        case "value" => vals(flat)
+        case other => throw new IllegalArgumentException(
+          s"ZarrCubeSource: unknown column $other")
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(row.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
