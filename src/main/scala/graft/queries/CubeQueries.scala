@@ -65,6 +65,26 @@ object CubeQueries {
         s"file://$fix/zcatalog.json")
       graft.sources.StacLoader.loadCube(s, assets).df
     },
+    "stac_pushdown" -> { (s, _) =>
+      // the FILTER-AFTER-LOAD ordering the DataSourceV2 facade exists
+      // for: load_stac with NO extents, then filter_bbox and
+      // filter_temporal as downstream graph nodes. Catalyst pushes the
+      // x/y/t predicates into the ZarrCubeScan, which plans only the
+      // intersecting chunks (and the five stores whose constant datetime
+      // misses the window plan ZERO partitions) — same rows as extents
+      // given at the loader, the reference's lazy xarray slicing
+      // (cubes/load.py:245-310). The oracle mirrors the za store's
+      // arithmetic under the extent.
+      val fix = StacFixture.ensureZarr()
+      val assets = graft.sources.StacLoader.loadCatalogItems(
+        s"file://$fix/zcatalog.json")
+      val loaded = graft.sources.StacLoader.loadCube(s, assets)
+      val cut = graft.operators.FilterOps.filterTemporal(
+        graft.operators.FilterOps.filterBbox(loaded,
+          west = 0.0, east = 5.0, south = 0.0, north = 7.0),
+        Some("2024-03-01"), Some("2024-03-02"), None)
+      cut.df
+    },
     "zarr_roundtrip" -> { (s, dir) =>
       // save_result's zarr SINK under correctness: a dense lineitem grid
       // is written at query build through the DISTRIBUTED ZarrWriter
@@ -523,6 +543,15 @@ object CubeQueries {
         |       CAST(CASE WHEN r >= 16 AND c >= 12 THEN -5.0
         |                 ELSE 6000 + r*60 + c END AS DOUBLE) AS value
         |FROM UNNEST(range(0, 23)) ur(r), UNNEST(range(0, 19)) uc(c)""".stripMargin,
+    "stac_pushdown" ->
+      // the za store's arithmetic under the pushed extent: x ≤ 5 (cols
+      // 0..5), y ≤ 7 (rows 0..7), t ∈ [2024-03-01, 2024-03-02) keeps
+      // only the first store; the omitted-chunk fill corner (r≥10∧c≥8)
+      // lies outside the extent
+      """SELECT CAST(c AS DOUBLE) AS x, CAST(r AS DOUBLE) AS y,
+        |       TIMESTAMP '2024-03-01 00:00:00' AS t, 'za' AS bands,
+        |       CAST(2000 + r*20 + c AS DOUBLE) AS value
+        |FROM UNNEST(range(0, 8)) ur(r), UNNEST(range(0, 6)) uc(c)""".stripMargin,
     "zarr_roundtrip" ->
       // the parquet truth the zarr write→read chain must reproduce
       """SELECT CAST(l_orderkey % 40 AS BIGINT) AS y,

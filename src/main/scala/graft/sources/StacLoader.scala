@@ -221,35 +221,6 @@ object StacLoader {
     // that select NO items/assets are a named error, not an empty cube
     if (assets.isEmpty) throw new IllegalArgumentException(
       "NoDataAvailable: there is no data available for the given extents")
-    // bbox → conservative inclusive cell-index range along one axis of an
-    // asset's grid (cell i sits at origin + i·step): widened a cell each
-    // way so float edges can't drop a boundary pixel — the exact closed-
-    // bounds filter below trims the overshoot. This is what the chunk/
-    // segment pushdown in ZarrReader/TiffReader consumes: a small-extent
-    // load of a huge store decodes only intersecting chunks, the engine's
-    // twin of the reference's dask lazy slicing (cubes/load.py:245-310).
-    def axisRange(lo: Double, hi: Double, origin: Double, span: Double,
-        nCells: Long): Option[(Long, Long)] = {
-      if (span <= 0 || nCells <= 0) return None
-      val step = span / nCells
-      val a = math.max(0L, math.floor((lo - origin) / step).toLong - 1)
-      val b = math.min(nCells - 1, math.ceil((hi - origin) / step).toLong + 1)
-      Some((a, b)) // a > b = empty: the reader plans zero chunks
-    }
-    def rowColRanges(a: StacAsset, nr: Long, nc: Long) = bbox match {
-      case Some((w, s, e, n)) => (
-        axisRange(s, n, a.south, a.north - a.south, nr),
-        axisRange(w, e, a.west, a.east - a.west, nc))
-      case None => (None, None)
-    }
-    def grid(a: StacAsset, df: org.apache.spark.sql.DataFrame,
-        nr: Int, nc: Int) =
-      df.select(
-        (lit(a.west) + col("_c") * ((a.east - a.west) / nc)).as("x"),
-        (lit(a.south) + col("_r") * ((a.north - a.south) / nr)).as("y"),
-        to_timestamp(lit(a.datetime)).as("t"),
-        lit(a.band).as("bands"),
-        col("value"))
     val (zarrReal, rest) = assets.partition(a =>
       zarrDirOf(a).exists(d => Set(2, 3)(ZarrReader.readMeta(d).shape.size)))
     val (tiffReal, faked) = rest.partition(a =>
@@ -278,20 +249,16 @@ object StacLoader {
         .option("timeLabels", a.timeLabels.mkString(","))
         .load()
     } ++ tiffReal.map { a =>
-      val path = tiffPathOf(a).get
-      val meta = TiffReader.readMeta(path)
-      val (rr, cr) = rowColRanges(a, meta.height, meta.width)
-      if (meta.samplesPerPixel == 1)
-        grid(a, TiffReader.loadArray(spark, path, Seq("_r", "_c"),
-          rowRange = rr, colRange = cr), meta.height, meta.width)
-      else
-        TiffReader.loadArrayBands(spark, path, rowRange = rr, colRange = cr)
-          .select(
-            (lit(a.west) + col("col") * ((a.east - a.west) / meta.width)).as("x"),
-            (lit(a.south) + col("row") * ((a.north - a.south) / meta.height)).as("y"),
-            to_timestamp(lit(a.datetime)).as("t"),
-            concat(lit(a.band), lit("_"), col("band")).as("bands"),
-            col("value"))
+      // GeoTIFF/COG assets mount through the same facade shape
+      // ([[graft.sources.v2.TiffCubeSource]]): pushed x/y predicates
+      // become strip/tile footprints, one scan partition per segment
+      spark.read.format("graft.sources.v2.TiffCubeSource")
+        .option("path", tiffPathOf(a).get)
+        .option("west", a.west.toString).option("south", a.south.toString)
+        .option("east", a.east.toString).option("north", a.north.toString)
+        .option("band", a.band)
+        .option("datetime", a.datetime)
+        .load()
     }
     val fakeParts =
       if (faked.isEmpty) Nil

@@ -1093,6 +1093,37 @@ class StacLoaderSpec extends AnyFunSuite {
       bbox = Some((50.0, 50.0, 51.0, 51.0))).df.count() == 0)
   }
 
+  test("TIFF assets mount through the DSv2 facade; strips prune on filter") {
+    import org.apache.spark.sql.functions.col
+    val path = writeTiffFixture(deflate = false) // 6×4, 2 strips of 2 rows
+    val tItem =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-tiff-v2",
+         |"bbox":[10.0,46.0,11.0,47.0],
+         |"properties":{"datetime":"2023-06-10T10:00:00Z"},
+         |"assets":{
+         |  "B04":{"href":"file://$path",
+         |    "type":"image/tiff; application=geotiff"}
+         |}}""".stripMargin
+    val assets = StacLoader.parseItem(tItem)
+    val cube = StacLoader.loadCube(spark, assets)
+    assert(cube.df.rdd.getNumPartitions == 2, "one scan partition per strip")
+    val rows = cube.df.collect()
+    assert(rows.length == 24)
+    val got = rows.map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert(got((10.0 + c * (1.0 / 6), 46.0 + r * (1.0 / 4))) == r * 10.0 + c)
+    // filter_bbox AFTER the load reaches the scan: rows {0,1} (+1 guard)
+    // stay inside strip 0, so one strip of two is planned
+    val cut = graft.operators.FilterOps.filterBbox(
+      cube, west = 10.0, east = 11.0, south = 46.0, north = 46.2)
+    assert(cut.df.rdd.getNumPartitions == 1,
+      "filter_bbox AFTER load_stac must prune TIFF strips")
+    assert(cut.df.count() == 6) // row 0 only (y = 46.0)
+    assert(cut.df.queryExecution.executedPlan.toString.contains("PushedExtent"))
+    // band mismatch empties the scan without touching the raster
+    assert(cube.df.filter(col("bands") === "NOPE").rdd.getNumPartitions == 0)
+  }
+
   /** Rank-3 zarr store with a TIME axis: shape (8,2,3), chunks (2,2,3) →
     * 4 chunks, each holding two time slices. v(t,r,c) = t·100 + r·10 + c.
     */
