@@ -100,10 +100,43 @@ private[v2] class TiffCubeScanBuilder(conf: ZarrCubeSource.Conf)
 private[v2] class TiffCubeScan(conf: ZarrCubeSource.Conf,
     required: StructType,
     xB: (Double, Double), yB: (Double, Double), tB: (Long, Long),
-    bandSel: Option[Set[String]]) extends Scan with Batch {
+    bandSel: Option[Set[String]])
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pruning row estimate (same role as the zarr scan's): planned
+    * segments × their in-slice pixel footprint × samples per pixel.
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows =
+      try planInputPartitions().map { p =>
+        val tp = p.asInstanceOf[TiffSegmentPartition]
+        val m = tp.meta
+        val within =
+          if (m.planar) tp.seg.index % (m.segments.size / m.samplesPerPixel)
+          else tp.seg.index
+        val r0 = (within / m.tilesAcross).toLong * m.tileHeight
+        val c0 = (within % m.tilesAcross).toLong * m.tileWidth
+        val rN = math.max(0L, math.min(r0 + m.tileHeight - 1,
+          math.min(m.height - 1L, tp.sliceHi(0))) -
+          math.max(r0, tp.sliceLo(0)) + 1)
+        val cN = math.max(0L, math.min(c0 + m.tileWidth - 1,
+          math.min(m.width - 1L, tp.sliceHi(1))) -
+          math.max(c0, tp.sliceLo(1)) + 1)
+        rN * cN * (if (m.planar) 1 else m.samplesPerPixel)
+      }.sum
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    new Statistics {
+      override def numRows(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows)
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows * 8L * (required.size + 1))
+    }
+  }
   override def description(): String = {
     val ext = Seq(
       if (xB._1.isNegInfinity && xB._2.isPosInfinity) None

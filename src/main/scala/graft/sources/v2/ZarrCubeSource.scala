@@ -195,11 +195,39 @@ private[v2] class ZarrCubeScan(conf: ZarrCubeSource.Conf,
     required: StructType,
     xB: (Double, Double), yB: (Double, Double), tB: (Long, Long),
     bandSel: Option[Set[String]], accepted: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   import ZarrCubeSource._
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pruning row estimate from the planned cell count — what lets
+    * Catalyst BROADCAST a small-extent cube side of a join instead of
+    * shuffling the big side (the join-planning payoff of pushdown).
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows =
+      try planInputPartitions().map { p =>
+        val zp = p.asInstanceOf[ZarrChunkPartition]
+        // in-slice cells of this chunk (edge clip approximated by slice)
+        (0 until zp.meta.shape.size).map { d =>
+          val c = zp.meta.chunks(d).toLong
+          val lo = math.max(zp.key(d) * c, zp.sliceLo(d))
+          val hi = math.min(zp.key(d) * c + c - 1,
+            math.min(zp.meta.shape(d) - 1L, zp.sliceHi(d)))
+          math.max(0L, hi - lo + 1)
+        }.product
+      }.sum
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    new Statistics {
+      override def numRows(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows)
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows * 8L * (required.size + 1))
+    }
+  }
   override def description(): String = {
     val ext = Seq(
       if (xB._1.isNegInfinity && xB._2.isPosInfinity) None

@@ -179,6 +179,63 @@ class ZarrCubeSourceSpec extends AnyFunSuite {
     assert(tCut.df.count() == 6)
   }
 
+  test("wire level: a load_stac → filter_bbox GRAPH prunes the scan") {
+    val dir = writeRank2()
+    val item = java.nio.file.Files.createTempFile("graft_v2item", ".json")
+    java.nio.file.Files.writeString(item,
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-g",
+         |"bbox":[10.0,46.0,11.0,47.0],
+         |"properties":{"datetime":"2023-06-10T10:00:00Z"},
+         |"assets":{"store":{"href":"file://$dir",
+         |  "type":"application/vnd+zarr"}}}""".stripMargin)
+    val cat = java.nio.file.Files.createTempFile("graft_v2cat", ".json")
+    java.nio.file.Files.writeString(cat,
+      s"""{"id":"c","links":[{"rel":"item","href":"$item"}]}""")
+    val g =
+      s"""{"process_graph": {
+         |  "ld": {"process_id": "load_stac",
+         |         "arguments": {"url": "file://$cat"}},
+         |  "bb": {"process_id": "filter_bbox",
+         |         "arguments": {"data": {"from_node": "ld"},
+         |                       "extent": [10.0, 10.2, 46.0, 46.2]},
+         |         "result": true}}}""".stripMargin
+    val cube = graft.plans.ProcessGraph.execute(spark, g,
+      _ => fail("no collections in this graph"))
+    assert(cube.df.rdd.getNumPartitions == 1,
+      "the openEO wire graph's post-load filter must prune chunks")
+    assert(cube.df.count() == 2) // cols {0,1} × row {0}
+  }
+
+  test("filter_bands after load prunes band-axis chunks (In pushdown)") {
+    val dir = writeRank3()
+    val zItem =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item-fb",
+         |"bbox":[10.0,46.0,11.0,47.0],
+         |"properties":{"datetime":"2023-06-10T10:00:00Z"},
+         |"assets":{"store":{"href":"file://$dir",
+         |  "type":"application/vnd+zarr"}}}""".stripMargin
+    val loaded = StacLoader.loadCube(spark, StacLoader.parseItem(zItem))
+    assert(loaded.df.rdd.getNumPartitions == 4)
+    val cut = graft.operators.FilterOps.filterBands(
+      loaded, Seq("store_1", "store_2"))
+    assert(cut.df.rdd.getNumPartitions == 2,
+      "filter_bands AFTER load_stac must prune band-axis chunks")
+    assert(cut.df.count() == 2 * 6)
+  }
+
+  test("scan reports post-pruning statistics (broadcastable extents)") {
+    val df = read(writeRank2())
+    def rows(d: org.apache.spark.sql.DataFrame): BigInt =
+      d.queryExecution.optimizedPlan.stats.rowCount.getOrElse(
+        BigInt(-1))
+    def size(d: org.apache.spark.sql.DataFrame): BigInt =
+      d.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(rows(df) == 24, "full store: exact planned cell count")
+    val cut = df.filter(col("x") <= 10.2 && col("y") <= 46.2)
+    assert(size(cut) < size(df),
+      "a pruned extent must report smaller stats — the broadcast signal")
+  }
+
   test("parity: DSv2 rank-2 read equals ZarrReader.loadArray transform") {
     val dir = writeRank2()
     val viaV2 = read(dir).collect()
