@@ -402,6 +402,36 @@ object PipelineQueries {
           countDistinct(col("host")).as("n_hosts"),
           sum(col("n_chars")).as("sum_chars"))
     },
+    "domain_heavy_hitters" -> { (s, dir) =>
+      // top-k domains WITHOUT shuffling the key space: the SpaceSaving
+      // sketch ([[graft.functions.SpaceSavingAgg]]) is one map-side-
+      // combinable pass with O(capacity) state — at crawl scale the
+      // domain key space is billions wide and an exact groupBy count
+      // shuffles all of it; the sketch ships one O(capacity) record per
+      // partition. At the gate SFs the distinct-domain count is far
+      // below the 1024 capacity, so nothing ever evicts and the sketch
+      // is EXACT (err 0, counts = groupBy counts) — which is what the
+      // oracle pins. Same id-derived URL synthesis as domain_stats.
+      val tld = when(pmod(col("doc_id"), lit(4L)) === 0L, lit("org"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("co.uk"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("com.au"))
+        .otherwise(lit("bd"))
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
+          .otherwise(lit("http")),
+        lit("://"), col("source"),
+        pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".example"), pmod(col("doc_id"), lit(3L)).cast("string"),
+        lit("."), tld, lit("/docs/"), col("doc_id").cast("string"))
+      Tables.documents(s, dir).withColumn("_u", url)
+        .select(TextAnalysis.urlHost(col("_u")).as("host"))
+        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+        .agg(graft.functions.SpaceSavingAgg.column(
+          col("domain"), capacity = 1024, outK = 10).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("domain"), col("e.count").as("n_docs"),
+          col("e.err").as("err"))
+    },
     "warc_load" -> { (s, _) =>
       // WARC crawl ingest end to end against a deterministic .warc.gz
       // written at query build (WarcFixture — gzip-member-per-record, the
@@ -1438,6 +1468,26 @@ object PipelineQueries {
          |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM p GROUP BY 1, 2""".stripMargin,
+    "domain_heavy_hitters" ->
+      // exact top-10 by the same synthesis — the sketch's no-eviction
+      // regime (distinct domains ≪ capacity) makes it equal groupBy
+      // counts with zero error; tie-break (count desc, domain asc)
+      // matches the aggregator's finish ordering
+      s"""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         |  || '://' || source || CAST(doc_id % 5 AS VARCHAR)
+         |  || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.'
+         |  || (CASE WHEN doc_id % 4 = 0 THEN 'org'
+         |           WHEN doc_id % 4 = 1 THEN 'co.uk'
+         |           WHEN doc_id % 4 = 2 THEN 'com.au' ELSE 'bd' END)
+         |  || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |p AS (SELECT
+         |  regexp_extract(url, '${TextAnalysis.urlHostPattern}', 1) AS host
+         |  FROM u)
+         |SELECT ${TextAnalysis.registeredDomainSql("host")} AS domain,
+         |  count(*) AS n_docs, CAST(0 AS BIGINT) AS err
+         |FROM p GROUP BY 1 ORDER BY n_docs DESC, domain LIMIT 10""".stripMargin,
     "warc_load" -> WarcFixture.oracleSql,
     "warc_extract" ->
       // the page shell is html_extract's, the host mix domain_stats's;
