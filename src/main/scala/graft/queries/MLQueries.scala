@@ -74,6 +74,17 @@ object MLQueries {
     "dedup_stream_multibatch" -> { (s, dir) =>
       StreamingOps.dedupEventsFileMultiBatch(s, s"$dir/events.parquet")
     },
+    // SpaceSaving heavy hitters on the stream: the sketch buffer IS the
+    // streaming state (O(capacity), key-space independent); in the
+    // no-eviction regime the terminal snapshot equals the batch groupBy
+    // top-k, which is the shared oracle. Single- and multi-batch runs
+    // must agree — the sketch is a pure merge across triggers.
+    "heavy_hitters_stream" -> { (s, dir) =>
+      StreamingOps.heavyHittersEventsFile(s, s"$dir/events.parquet")
+    },
+    "heavy_hitters_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.heavyHittersEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
 
     // run_udf: user Python source executed against the cube through the
     // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
@@ -176,6 +187,20 @@ object MLQueries {
       """SELECT DISTINCT user_id, event_type FROM events""",
     "dedup_stream_multibatch" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    // exact top-20 users — the sketch's no-eviction regime (capacity
+    // 8192 ≫ distinct users at every gate SF) makes the streaming
+    // sketch equal groupBy counts with zero error; tie-break (count
+    // desc, key-string asc) matches the aggregator's finish ordering
+    "heavy_hitters_stream" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS n_events,
+        |       CAST(0 AS BIGINT) AS err
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY n_events DESC, user_key LIMIT 20""".stripMargin,
+    "heavy_hitters_stream_multibatch" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS n_events,
+        |       CAST(0 AS BIGINT) AS err
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY n_events DESC, user_key LIMIT 20""".stripMargin,
     // THE batch `sessionize` oracle, shared by reference: the stream must
     // converge on the same terminal per-user session stats, and a future
     // change to the batch oracle must change this row with it

@@ -190,6 +190,57 @@ object StreamingOps {
     sink.select(col("user_id"), col("event_type"))
   }
 
+  /** SpaceSaving heavy hitters over the event stream (complete mode):
+    * the sketch buffer ([[graft.functions.SpaceSavingAgg]]) lives in the
+    * streaming state store and merges incrementally per micro-batch —
+    * top-k frequency tracking with O(capacity) state on an UNBOUNDED
+    * stream, where an exact streaming `groupBy(key).count` would grow
+    * state with the key space forever (and need a watermark eviction
+    * policy that changes the answer). No single-batch guard needed: the
+    * sketch is a pure merge — in the no-eviction regime (capacity ≫
+    * distinct keys, the oracle-gate contract) the terminal snapshot
+    * equals the batch groupBy regardless of batch boundaries.
+    */
+  def heavyHittersEventsFile(spark: SparkSession, eventsPath: String,
+      capacity: Int = 8192, outK: Int = 20,
+      queryName: String = "graft_hh_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+      .filter(col("user_id").isNotNull)
+    val agg = src.agg(graft.functions.SpaceSavingAgg.column(
+      col("user_id").cast("string"), capacity, outK).as("hh"))
+    runToMemory(agg, "complete", queryName)
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("user_key"), col("e.count").as("n_events"),
+        col("e.err").as("err"))
+  }
+
+  /** MULTI-BATCH [[heavyHittersEventsFile]]: one time-ordered shard per
+    * trigger, ≥ `minBatches` non-empty batches asserted — the sketch
+    * state genuinely crosses micro-batch boundaries and the terminal
+    * complete-mode snapshot must still equal the batch answer.
+    */
+  def heavyHittersEventsFileMultiBatch(spark: SparkSession,
+      eventsPath: String, capacity: Int = 8192, outK: Int = 20,
+      shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_hh_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+      .filter(col("user_id").isNotNull)
+    val agg = src.agg(graft.functions.SpaceSavingAgg.column(
+      col("user_id").cast("string"), capacity, outK).as("hh"))
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
+    }
+    sink.select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("user_key"), col("e.count").as("n_events"),
+        col("e.err").as("err"))
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan
