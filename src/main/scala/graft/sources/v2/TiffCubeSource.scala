@@ -238,7 +238,24 @@ private[v2] class TiffSegmentReader(p: TiffSegmentPartition)
   private var flat = -1
   private var r, c = 0L
   private var band = 0
-  private val row = new Array[Any](p.columns.length)
+  // opcodes + band strings precomputed; row object reused (see
+  // ZarrChunkReader — the consumer copies before the next advance)
+  private val ops: Array[Int] = p.columns.map {
+    case "x" => 0
+    case "y" => 1
+    case "t" => 2
+    case "bands" => 3
+    case "value" => 4
+    case other => throw new IllegalArgumentException(
+      s"TiffCubeSource: unknown column $other")
+  }
+  private val bandStrs: Array[UTF8String] =
+    if (spp > 1) Array.tabulate(spp)(i =>
+      UTF8String.fromString(s"${p.conf.band}_$i"))
+    else Array(UTF8String.fromString(p.conf.band))
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      p.columns.length)
 
   override def next(): Boolean = {
     var ok = false
@@ -257,20 +274,17 @@ private[v2] class TiffSegmentReader(p: TiffSegmentPartition)
 
   override def get(): InternalRow = {
     var i = 0
-    while (i < p.columns.length) {
-      row(i) = p.columns(i) match {
-        case "x" => p.conf.west + c * stepX
-        case "y" => p.conf.south + r * stepY
-        case "t" => p.conf.datetimeMicros
-        case "bands" => UTF8String.fromString(
-          if (spp > 1) s"${p.conf.band}_$band" else p.conf.band)
-        case "value" => vals(flat)
-        case other => throw new IllegalArgumentException(
-          s"TiffCubeSource: unknown column $other")
+    while (i < ops.length) {
+      ops(i) match {
+        case 0 => row.update(i, p.conf.west + c * stepX)
+        case 1 => row.update(i, p.conf.south + r * stepY)
+        case 2 => row.update(i, p.conf.datetimeMicros)
+        case 3 => row.update(i, if (spp > 1) bandStrs(band) else bandStrs(0))
+        case _ => row.update(i, vals(flat))
       }
       i += 1
     }
-    InternalRow.fromSeq(row.toIndexedSeq)
+    row
   }
 
   override def close(): Unit = ()

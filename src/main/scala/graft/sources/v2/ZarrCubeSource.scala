@@ -356,7 +356,27 @@ private[v2] class ZarrChunkReader(p: ZarrChunkPartition)
   private val stepY = (p.conf.north - p.conf.south) / nr
   private val coords = new Array[Long](rank)
   private var flat = -1
-  private val row = new Array[Any](p.columns.length)
+  // column opcodes + per-axis-0 band strings precomputed once; the row
+  // object is REUSED across get() calls (the downstream consumer copies
+  // fields into its UnsafeRow before the next advance — the standard
+  // row-based-reader contract)
+  private val ops: Array[Int] = p.columns.map {
+    case "x" => 0
+    case "y" => 1
+    case "t" => 2
+    case "bands" => 3
+    case "value" => 4
+    case other => throw new IllegalArgumentException(
+      s"ZarrCubeSource: unknown column $other")
+  }
+  private val bandStrs: Array[UTF8String] =
+    if (rank == 3 && !p.timeAxis)
+      Array.tabulate(m.shape(0))(i =>
+        UTF8String.fromString(s"${p.conf.band}_$i"))
+    else Array(UTF8String.fromString(p.conf.band))
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      p.columns.length)
 
   override def next(): Boolean = {
     var ok = false
@@ -379,23 +399,21 @@ private[v2] class ZarrChunkReader(p: ZarrChunkPartition)
   override def get(): InternalRow = {
     val (ri, ci) = if (rank == 2) (0, 1) else (1, 2)
     var i = 0
-    while (i < p.columns.length) {
-      row(i) = p.columns(i) match {
-        case "x" => p.conf.west + coords(ci) * stepX
-        case "y" => p.conf.south + coords(ri) * stepY
-        case "t" =>
+    while (i < ops.length) {
+      ops(i) match {
+        case 0 => row.update(i, p.conf.west + coords(ci) * stepX)
+        case 1 => row.update(i, p.conf.south + coords(ri) * stepY)
+        case 2 => row.update(i,
           if (p.timeAxis) p.conf.labelMicros(coords(0).toInt)
-          else p.conf.datetimeMicros
-        case "bands" => UTF8String.fromString(
-          if (rank == 3 && !p.timeAxis) s"${p.conf.band}_${coords(0)}"
-          else p.conf.band)
-        case "value" => vals(flat)
-        case other => throw new IllegalArgumentException(
-          s"ZarrCubeSource: unknown column $other")
+          else p.conf.datetimeMicros)
+        case 3 => row.update(i,
+          if (rank == 3 && !p.timeAxis) bandStrs(coords(0).toInt)
+          else bandStrs(0))
+        case _ => row.update(i, vals(flat))
       }
       i += 1
     }
-    InternalRow.fromSeq(row.toIndexedSeq)
+    row
   }
 
   override def close(): Unit = ()
