@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,5 +87,105 @@ object Joins {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
         payload.map(p => col("_m").getField(p).as(p)): _*)
+  }
+
+  /** Exact floor-division of a BIGINT column by a positive literal width.
+    * `x - pmod(x, w)` is an exact multiple of `w`; the division runs in
+    * decimal because Spark's `/` on longs is DOUBLE division, which
+    * misrounds above 2^53 (epoch-nanos territory). Floors toward -infinity
+    * for negative values, unlike SQL `div`'s truncation toward zero.
+    */
+  private def floorDiv(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+
+  /** Range (point-in-interval) join: each `points` row joins the `intervals`
+    * rows whose half-open `[lo, hi)` contains its `point`, matching on
+    * `keys` equality first. All three bound columns must be BIGINT (cast
+    * timestamps to epoch seconds/micros at the call site).
+    *
+    * Spark plans a bare `p >= lo AND p < hi` predicate as a broadcast
+    * nested loop (or a cartesian when neither side fits) — O(n·m) row
+    * probes that no 100-TB run survives. This is the bucketed form: each
+    * interval is exploded to the bucket ids it covers
+    * (`sequence(⌊lo/w⌋, ⌊(hi-1)/w⌋)`, codegen'd, no UDF), each point maps
+    * to exactly ONE bucket, and the join becomes an equi-join on
+    * `keys :+ bucket` — one shuffle per side, sort-merge or broadcast as
+    * the optimizer sees fit, residual bound-filter after. A point lands in
+    * a single bucket so the output needs no dedup.
+    *
+    * `bucketWidth` trades replication for selectivity: replication per
+    * interval is `span/width + 1`, probe fan-in per point is the intervals
+    * overlapping its bucket. `maxBucketsPerInterval` bounds the explode —
+    * a single degenerate interval spanning the whole axis would otherwise
+    * replicate itself into every bucket (the classic skew cliff); crossing
+    * it raises at executor time with the offending span in the message
+    * rather than silently materializing the blow-up.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, point: String,
+      lo: String, hi: String, keys: Seq[String] = Nil, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096, joinType: String = "inner"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be inner|left, got $joinType")
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.mkString(",")} appear on both sides")
+
+    val firstB = floorDiv(col(lo), bucketWidth)
+    val lastB = floorDiv(col(hi) - lit(1L), bucketWidth)
+    val guarded = when(lastB - firstB >= lit(maxBucketsPerInterval.toLong),
+        raise_error(concat(lit(s"rangeJoin: interval spans > $maxBucketsPerInterval" +
+          s" buckets of width $bucketWidth (["), col(lo), lit(", "), col(hi),
+          lit(")); widen bucketWidth or split the interval"))))
+      .otherwise(sequence(firstB, lastB))
+    val ivals = intervals.filter(col(lo) < col(hi))
+      .withColumn("_b", explode(guarded))
+    val pts = points.withColumn("_b", floorDiv(col(point), bucketWidth))
+
+    val cond = keys.map(k => pts(k) === ivals(k))
+      .fold(pts("_b") === ivals("_b"))(_ && _) &&
+      pts(point) >= ivals(lo) && pts(point) < ivals(hi)
+    val ivalCols = intervals.columns.filterNot(keys.contains).toSeq
+    pts.join(ivals, cond, joinType)
+      .select(points.columns.toSeq.map(pts(_)) ++ ivalCols.map(ivals(_)): _*)
+  }
+
+  /** Interval-overlap join: pairs of (left, right) rows whose half-open
+    * intervals intersect (`lLo < rHi && rLo < lHi`), matching on `keys`
+    * equality first. Same bucketed plan as [[rangeJoin]] — both sides
+    * explode to covered buckets and equi-join on `keys :+ bucket` — but an
+    * overlapping pair shares EVERY bucket their intersection covers, so the
+    * join keeps only the bucket that holds `max(lLo, rLo)`: each pair is
+    * emitted exactly once with no distinct (which would shuffle the joined
+    * payload a second time).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      keys: Seq[String] = Nil, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = right.columns.toSet.intersect(left.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.mkString(",")} appear on both sides")
+
+    def explodeBuckets(df: DataFrame, loC: String, hiC: String): DataFrame = {
+      val firstB = floorDiv(col(loC), bucketWidth)
+      val lastB = floorDiv(col(hiC) - lit(1L), bucketWidth)
+      df.filter(col(loC) < col(hiC)).withColumn("_b",
+        explode(when(lastB - firstB >= lit(maxBucketsPerInterval.toLong),
+            raise_error(concat(
+              lit(s"intervalOverlapJoin: interval spans > $maxBucketsPerInterval" +
+                s" buckets of width $bucketWidth (["), col(loC), lit(", "),
+              col(hiC), lit(")); widen bucketWidth or split the interval"))))
+          .otherwise(sequence(firstB, lastB))))
+    }
+    val l = explodeBuckets(left, lLo, lHi)
+    val r = explodeBuckets(right, rLo, rHi)
+    val cond = keys.map(k => l(k) === r(k)).fold(l("_b") === r("_b"))(_ && _) &&
+      l(lLo) < r(rHi) && r(rLo) < l(lHi) &&
+      l("_b") === floorDiv(greatest(l(lLo), r(rLo)), bucketWidth)
+    val rCols = right.columns.filterNot(keys.contains).toSeq
+    l.join(r, cond)
+      .select(left.columns.toSeq.map(l(_)) ++ rCols.map(r(_)): _*)
   }
 }

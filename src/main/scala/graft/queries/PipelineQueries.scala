@@ -915,6 +915,52 @@ object PipelineQueries {
           payload = Seq("level"))
         .select(col("event_id"), col("event_type"), col("level"))
     },
+    "range_join" -> { (s, dir) =>
+      // point-in-interval join: events fall into per-type maintenance
+      // windows (1-3 days wide, opening every 7th day-of-month). The naive
+      // encoding is an inequality join (BroadcastNestedLoop, O(n·m) probes);
+      // Joins.rangeJoin buckets both sides by day so it plans as an
+      // equi-join on (event_type, bucket) — sort-merge/broadcast at the
+      // optimizer's choice, one shuffle per side, residual bound filter.
+      val ev = Tables.events(s, dir)
+      val dayLo = unix_micros(col("day"))
+      val win = ev.select(col("event_type"),
+          date_trunc("day", col("ts")).as("day")).distinct()
+        .filter(dayofmonth(col("day")) % 7 === 1)
+        .select(col("event_type"), dayLo.as("lo"),
+          (dayLo + (lit(1L) + (dayofmonth(col("day")) % 3).cast("long")) *
+            lit(86400000000L)).as("hi"))
+      val pts = ev.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("p"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      Joins.rangeJoin(pts, win, point = "p", lo = "lo", hi = "hi",
+          keys = Seq("event_type"), bucketWidth = 86400000000L)
+        .groupBy(col("event_type"), col("lo").as("win_start"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("val_cents"))
+    },
+    "interval_overlap_join" -> { (s, dir) =>
+      // interval-interval overlap: per-(user, type) activity spans
+      // [min ts, max ts + 1h), paired across types within a user when they
+      // intersect. Bucketed by week; each overlapping pair is emitted
+      // exactly once (the join keeps only the bucket holding max(lo_a,
+      // lo_b)), so no distinct re-shuffles the joined payload.
+      val spans = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(unix_micros(min(col("ts"))).as("lo"),
+          (unix_micros(max(col("ts"))) + lit(3600000000L)).as("hi"))
+      val a = spans.select(col("user_id"), col("event_type").as("a_type"),
+        col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val b = spans.select(col("user_id"), col("event_type").as("b_type"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+      Joins.intervalOverlapJoin(a, b, lLo = "a_lo", lHi = "a_hi",
+          rLo = "b_lo", rHi = "b_hi", keys = Seq("user_id"),
+          bucketWidth = 7L * 86400000000L)
+        .filter(col("a_type") < col("b_type"))
+        .groupBy(col("a_type"), col("b_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("overlap_us"))
+    },
     "topk_revenue" -> { (s, dir) =>
       val rev = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
@@ -2102,6 +2148,31 @@ object PipelineQueries {
         |SELECT m.event_id, m.event_type, df.level
         |FROM m LEFT JOIN df
         |  ON df.event_type = m.event_type AND df.day = m.mday""".stripMargin,
+    "range_join" ->
+      // plain inequality join (DuckDB plans it as an IEJoin); the Spark
+      // plan is the bucketed equi-join — matching hashes prove equivalence
+      """WITH w AS (
+        |  SELECT event_type, epoch_us(day) AS lo,
+        |         epoch_us(day) + (1 + day(day) % 3) * 86400000000 AS hi
+        |  FROM (SELECT DISTINCT event_type, date_trunc('day', ts) AS day
+        |        FROM events)
+        |  WHERE day(day) % 7 = 1)
+        |SELECT e.event_type, w.lo AS win_start, count(*) AS n_events,
+        |       sum(CAST(round(e.value * 100) AS BIGINT)) AS val_cents
+        |FROM events e JOIN w ON e.event_type = w.event_type
+        |  AND epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+        |GROUP BY 1, 2""".stripMargin,
+    "interval_overlap_join" ->
+      """WITH s AS (SELECT user_id, event_type, epoch_us(min(ts)) AS lo,
+        |                  epoch_us(max(ts)) + 3600000000 AS hi
+        |           FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        |       count(*) AS n_pairs,
+        |       sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_us
+        |FROM s a JOIN s b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |  AND a.lo < b.hi AND b.lo < a.hi
+        |GROUP BY 1, 2""".stripMargin,
     "topk_revenue" ->
       """SELECT l.l_orderkey, o.o_custkey,
         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
