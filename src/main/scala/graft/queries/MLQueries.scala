@@ -85,6 +85,18 @@ object MLQueries {
     "heavy_hitters_stream_multibatch" -> { (s, dir) =>
       StreamingOps.heavyHittersEventsFileMultiBatch(s, s"$dir/events.parquet")
     },
+    // weighted-quantile sketch on the stream: the sketch buffer IS the
+    // streaming state (O(capacity), row-count independent); values
+    // quantize to deci-units so the distinct count is domain-bounded and
+    // the no-compression regime makes the terminal snapshot equal the
+    // exact batch quantiles, which is the shared oracle. Single- and
+    // multi-batch runs must agree — the sketch is a pure merge.
+    "quantiles_stream" -> { (s, dir) =>
+      StreamingOps.quantilesEventsFile(s, s"$dir/events.parquet")
+    },
+    "quantiles_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.quantilesEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
 
     // run_udf: user Python source executed against the cube through the
     // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
@@ -201,6 +213,12 @@ object MLQueries {
         |       CAST(0 AS BIGINT) AS err
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY n_events DESC, user_key LIMIT 20""".stripMargin,
+    // exact global quantiles — the sketch's no-compression regime
+    // (distinct deci-values ≪ capacity 16384 at every gate SF) makes the
+    // streaming snapshot equal the exact rank answer; the rank formula is
+    // the same integer per-mille arithmetic on both engines
+    "quantiles_stream" -> quantilesStreamOracle,
+    "quantiles_stream_multibatch" -> quantilesStreamOracle,
     // THE batch `sessionize` oracle, shared by reference: the stream must
     // converge on the same terminal per-user session stats, and a future
     // change to the batch oracle must change this row with it
@@ -217,4 +235,20 @@ object MLQueries {
         |       arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS last_v
         |FROM events GROUP BY 1""".stripMargin
   )
+
+  /** Exact global quantiles at the sketch's per-mille probes; the rank
+    * `max(1, ceil(pm·n/1000))` is `(pm*n + 999) // 1000` in integer
+    * arithmetic — identical to the aggregator's, so no float divergence.
+    */
+  private lazy val quantilesStreamOracle: String =
+    """WITH x AS (SELECT CAST(round(value * 10) AS BIGINT) AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |t AS (SELECT count(*) AS n FROM x),
+      |c AS (SELECT v, count(*) AS w FROM x GROUP BY 1),
+      |cc AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM c),
+      |qs AS (SELECT CAST(unnest([10, 100, 250, 500, 750, 900, 990]) AS INTEGER) AS pm)
+      |SELECT qs.pm, min(cc.v) AS v, t.n
+      |FROM cc, t, qs
+      |WHERE cc.cw >= greatest(1, (qs.pm * t.n + 999) // 1000)
+      |GROUP BY qs.pm, t.n""".stripMargin
 }

@@ -432,6 +432,25 @@ object PipelineQueries {
         .select(col("e.key").as("domain"), col("e.count").as("n_docs"),
           col("e.err").as("err"))
     },
+    "value_quantiles" -> { (s, dir) =>
+      // per-type value distribution WITHOUT a full sort: the weighted-
+      // quantile sketch ([[graft.functions.QuantileSketchAgg]]) is one
+      // map-side-combinable pass with O(capacity) state — an exact
+      // quantile at 100 TB is a data-sized sort. Values quantize to
+      // deci-units, so the distinct count is bounded by the value DOMAIN
+      // (≤ ~6k at every gate SF, vs capacity 16384): nothing ever
+      // compresses, the state is the exact weighted histogram, and every
+      // probe equals the exact quantile — which is what the oracle pins
+      // with the same integer per-mille rank formula.
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.QuantileSketchAgg.column(
+          round(col("value") * 10).cast("long"), lit(1L),
+          capacity = 16384).as("qp"))
+        .select(col("event_type"), explode(col("qp")).as("e"))
+        .select(col("event_type"), col("e.pm").as("pm"),
+          col("e.v").as("v"), col("e.n").as("n"))
+    },
     "warc_load" -> { (s, _) =>
       // WARC crawl ingest end to end against a deterministic .warc.gz
       // written at query build (WarcFixture — gzip-member-per-record, the
@@ -1534,6 +1553,25 @@ object PipelineQueries {
          |SELECT ${TextAnalysis.registeredDomainSql("host")} AS domain,
          |  count(*) AS n_docs, CAST(0 AS BIGINT) AS err
          |FROM p GROUP BY 1 ORDER BY n_docs DESC, domain LIMIT 10""".stripMargin,
+    "value_quantiles" ->
+      // exact rank definition, shared integer arithmetic: the quantile at
+      // per-mille pm is the smallest v whose cumulative weight reaches
+      // max(1, ceil(pm·n/1000)) — ceil computed as (pm*n + 999) // 1000 in
+      // longs on BOTH engines (a double `ceil(0.1*n)` would diverge from
+      // DuckDB's decimal literals at exact multiples)
+      """WITH x AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, count(*) AS n FROM x GROUP BY 1),
+        |c AS (SELECT event_type, v, count(*) AS w FROM x GROUP BY 1, 2),
+        |cc AS (SELECT event_type, v,
+        |         sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cw
+        |       FROM c),
+        |qs AS (SELECT CAST(unnest([10, 100, 250, 500, 750, 900, 990]) AS INTEGER) AS pm)
+        |SELECT cc.event_type, qs.pm, min(cc.v) AS v, t.n
+        |FROM cc, t, qs
+        |WHERE cc.event_type = t.event_type
+        |  AND cc.cw >= greatest(1, (qs.pm * t.n + 999) // 1000)
+        |GROUP BY cc.event_type, qs.pm, t.n""".stripMargin,
     "warc_load" -> WarcFixture.oracleSql,
     "warc_extract" ->
       // the page shell is html_extract's, the host mix domain_stats's;

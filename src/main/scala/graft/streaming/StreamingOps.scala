@@ -241,6 +241,55 @@ object StreamingOps {
         col("e.err").as("err"))
   }
 
+  /** Weighted-quantile sketch over the event stream (complete mode): the
+    * sketch buffer ([[graft.functions.QuantileSketchAgg]]) lives in the
+    * streaming state store and merges incrementally per micro-batch —
+    * distribution tracking with O(capacity) state on an UNBOUNDED stream,
+    * where an exact streaming quantile would have to retain every value.
+    * Values are quantized to deci-units so the distinct count is bounded
+    * by the value DOMAIN, not the stream length: in that no-compression
+    * regime (the oracle-gate contract) the terminal snapshot equals the
+    * exact batch quantiles regardless of batch boundaries, because the
+    * sketch state is the canonical weighted histogram.
+    */
+  def quantilesEventsFile(spark: SparkSession, eventsPath: String,
+      capacity: Int = 16384,
+      queryName: String = "graft_quant_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+      .filter(col("value").isNotNull)
+    val agg = src.agg(graft.functions.QuantileSketchAgg.column(
+      round(col("value") * 10).cast("long"), lit(1L), capacity).as("qp"))
+    runToMemory(agg, "complete", queryName)
+      .select(explode(col("qp")).as("e"))
+      .select(col("e.pm").as("pm"), col("e.v").as("v"), col("e.n").as("n"))
+  }
+
+  /** MULTI-BATCH [[quantilesEventsFile]]: one time-ordered shard per
+    * trigger, ≥ `minBatches` non-empty batches asserted — the sketch
+    * state genuinely crosses micro-batch boundaries and the terminal
+    * complete-mode snapshot must still equal the batch answer.
+    */
+  def quantilesEventsFileMultiBatch(spark: SparkSession,
+      eventsPath: String, capacity: Int = 16384,
+      shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_quant_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+      .filter(col("value").isNotNull)
+    val agg = src.agg(graft.functions.QuantileSketchAgg.column(
+      round(col("value") * 10).cast("long"), lit(1L), capacity).as("qp"))
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
+    }
+    sink.select(explode(col("qp")).as("e"))
+      .select(col("e.pm").as("pm"), col("e.v").as("v"), col("e.n").as("n"))
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan
