@@ -1381,6 +1381,88 @@ object ProcessGraph {
           CubeV(DataCube(chunked, CubeMetadata(Seq(
             CubeDim(idDim, DimType.Other),
             CubeDim("chunk_id", DimType.Other)), None, c.meta.valueCol)))
+        case "heavy_hitters" =>
+          // SpaceSaving top-k frequency sketch over the cube's values:
+          // terminal node — (rank, key) → count table, O(capacity) state,
+          // no key-space shuffle (functions.SpaceSavingAgg)
+          val c = cube("data")
+          val capacity = args.get("capacity").collect {
+            case NumV(x) => x.toInt }.getOrElse(8192)
+          val k = args.get("k").collect { case NumV(x) => x.toInt }.getOrElse(20)
+          val hh = c.df.filter(col(c.meta.valueCol).isNotNull)
+            .agg(graft.functions.SpaceSavingAgg.column(
+              col(c.meta.valueCol).cast("string"), capacity, k).as("hh"))
+            .select(posexplode(col("hh")).as(Seq("rank", "e")))
+            .select(col("rank"), col("e.key").as("key"),
+              col("e.count").as("count"))
+          CubeV(DataCube(hh, CubeMetadata(Seq(
+            CubeDim("rank", DimType.Other),
+            CubeDim("key", DimType.Other)), None, "count")))
+        case "quantiles_sketch" =>
+          // GK weighted-quantile sketch over the cube's numeric values,
+          // quantized by `scale` (distribution without the data-sized
+          // sort; functions.QuantileSketchAgg): terminal node — the
+          // per-mille probe table (pm) → quantized value
+          val c = cube("data")
+          val capacity = args.get("capacity").collect {
+            case NumV(x) => x.toInt }.getOrElse(16384)
+          val scale = args.get("scale").collect {
+            case NumV(x) => x }.getOrElse(10.0)
+          val probes = opt("permille").map {
+            case ArrV(xs) => xs.map {
+              case NumV(x) => x.toInt
+              case v => throw new IllegalArgumentException(
+                s"quantiles_sketch.permille: not a number ($v)")
+            }
+            case v => throw new IllegalArgumentException(
+              s"quantiles_sketch.permille: not an array ($v)")
+          }.getOrElse(graft.functions.QuantileSketchAgg.DefaultPms)
+          val qp = c.df.filter(col(c.meta.valueCol).isNotNull)
+            .agg(graft.functions.QuantileSketchAgg.column(
+              round(col(c.meta.valueCol) * scale).cast("long"), lit(1L),
+              capacity, probes).as("qp"))
+            .select(explode(col("qp")).as("e"))
+            .select(col("e.pm").as("pm"), col("e.v").as("v"))
+          CubeV(DataCube(qp, CubeMetadata(Seq(
+            CubeDim("pm", DimType.Other)), None, "v")))
+        case "distinct_count" =>
+          // KMV/theta cardinality sketch over the cube's values
+          // (functions.ThetaSketchAgg): terminal node — a one-row
+          // (metric) → estimate table; exact while distinct ≤ k
+          val c = cube("data")
+          val k = args.get("k").collect {
+            case NumV(x) => x.toInt }.getOrElse(16384)
+          val dc = c.df.filter(col(c.meta.valueCol).isNotNull)
+            .agg(graft.functions.ThetaSketchAgg.column(
+              xxhash64(col(c.meta.valueCol).cast("string")), k).as("sk"))
+            .select(lit("distinct").as("metric"),
+              graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk")).as("n"))
+          CubeV(DataCube(dc, CubeMetadata(Seq(
+            CubeDim("metric", DimType.Other)), None, "n")))
+        case "set_overlap" =>
+          // cross-set overlap of two cubes' value sets from KMV/theta
+          // sketches: terminal node — long-form (metric) → value table
+          // (n_a, n_b, n_common, jaccard_ppm); the sketches meet on a
+          // one-row frame, never the data
+          val a = cube("data")
+          val b = cube("right")
+          val k = args.get("k").collect {
+            case NumV(x) => x.toInt }.getOrElse(16384)
+          val skA = a.df.filter(col(a.meta.valueCol).isNotNull)
+            .agg(graft.functions.ThetaSketchAgg.column(
+              xxhash64(col(a.meta.valueCol).cast("string")), k).as("a_sk"))
+          val skB = b.df.filter(col(b.meta.valueCol).isNotNull)
+            .agg(graft.functions.ThetaSketchAgg.column(
+              xxhash64(col(b.meta.valueCol).cast("string")), k).as("b_sk"))
+          val st = skA.crossJoin(skB) // two one-row frames by construction
+            .withColumn("st", graft.functions.ThetaSketchAgg.pairStatsUdf(k)(
+              col("a_sk"), col("b_sk")))
+          val longForm = st.select(explode(map(
+            lit("n_a"), col("st._1"), lit("n_b"), col("st._2"),
+            lit("n_common"), col("st._3"), lit("jaccard_ppm"), col("st._4")))
+            .as(Seq("metric", "v")))
+          CubeV(DataCube(longForm, CubeMetadata(Seq(
+            CubeDim("metric", DimType.Other)), None, "v")))
 
         case "drop_dimension" =>
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))

@@ -97,6 +97,15 @@ object MLQueries {
     "quantiles_stream_multibatch" -> { (s, dir) =>
       StreamingOps.quantilesEventsFileMultiBatch(s, s"$dir/events.parquet")
     },
+    // KMV/theta distinct-count sketch on the stream: O(k) state vs a
+    // key-space-sized dedup store; exact in the no-truncation regime
+    // (distinct users ≪ k at every gate SF), which the oracle pins
+    "distinct_users_stream" -> { (s, dir) =>
+      StreamingOps.distinctUsersEventsFile(s, s"$dir/events.parquet")
+    },
+    "distinct_users_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.distinctUsersEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
 
     // run_udf: user Python source executed against the cube through the
     // subprocess-pipe bridge (UdfOps) — truncation to cents happens INSIDE
@@ -219,6 +228,13 @@ object MLQueries {
     // the same integer per-mille arithmetic on both engines
     "quantiles_stream" -> quantilesStreamOracle,
     "quantiles_stream_multibatch" -> quantilesStreamOracle,
+    // exact distinct count — the sketch's no-truncation regime
+    "distinct_users_stream" ->
+      """SELECT count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin,
+    "distinct_users_stream_multibatch" ->
+      """SELECT count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin,
     // THE batch `sessionize` oracle, shared by reference: the stream must
     // converge on the same terminal per-user session stats, and a future
     // change to the batch oracle must change this row with it

@@ -432,6 +432,35 @@ object PipelineQueries {
         .select(col("e.key").as("domain"), col("e.count").as("n_docs"),
           col("e.err").as("err"))
     },
+    "source_overlap" -> { (s, dir) =>
+      // cross-source content overlap from KMV/theta sketches
+      // ([[graft.functions.ThetaSketchAgg]]): ONE shingle pass builds an
+      // O(k) sketch per source (map-side combinable — the shuffle carries
+      // k hashes per source, never the shingle sets), then intersections
+      // run on the 20-row summary frame. The exact form is a shingle
+      // self-join whose candidate volume is the shared-shingle mass — at
+      // crawl scale that join IS the job. Distinct shingles per source
+      // stay far below k = 16384 at every gate SF (the value domain, not
+      // the corpus, sets it), so the sketch holds the complete hash set
+      // and counts are exact, which is what the oracle pins. The pair
+      // join below is a nested loop BY DESIGN: one row per SOURCE
+      // (cardinality = sources², data-independent), never per document.
+      val k = 16384
+      val sh = Tables.documents(s, dir).select(col("source"),
+        explode(Dedup.shingleArray(col("text"), 3)).as("shingle"))
+      val sk = sh.groupBy(col("source"))
+        .agg(graft.functions.ThetaSketchAgg.column(
+          xxhash64(col("shingle")), k).as("sk"))
+      val a = sk.select(col("source").as("a_source"), col("sk").as("a_sk"))
+      val b = sk.select(col("source").as("b_source"), col("sk").as("b_sk"))
+      a.join(b, col("a_source") < col("b_source"))
+        .withColumn("st", graft.functions.ThetaSketchAgg.pairStatsUdf(k)(
+          col("a_sk"), col("b_sk")))
+        .select(col("a_source"), col("b_source"),
+          col("st._1").as("n_a"), col("st._2").as("n_b"),
+          col("st._3").as("n_common"), col("st._4").as("jaccard_ppm"))
+        .filter(col("n_common") > 0)
+    },
     "value_quantiles" -> { (s, dir) =>
       // per-type value distribution WITHOUT a full sort: the weighted-
       // quantile sketch ([[graft.functions.QuantileSketchAgg]]) is one
@@ -1553,6 +1582,25 @@ object PipelineQueries {
          |SELECT ${TextAnalysis.registeredDomainSql("host")} AS domain,
          |  count(*) AS n_docs, CAST(0 AS BIGINT) AS err
          |FROM p GROUP BY 1 ORDER BY n_docs DESC, domain LIMIT 10""".stripMargin,
+    "source_overlap" ->
+      // exact distinct-shingle overlap (the sketch's no-truncation regime
+      // makes the KMV counts exact); same shingle base as the dedup
+      // family, lifted to (source, shingle)
+      s"""WITH $shingleSqlBase,
+         |ss AS (SELECT DISTINCT d.source, sh.shingle
+         |       FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+         |n AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+         |c AS (SELECT a.source AS a_source, b.source AS b_source,
+         |             count(*) AS n_common
+         |      FROM ss a JOIN ss b
+         |        ON a.shingle = b.shingle AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT c.a_source, c.b_source, na.n AS n_a, nb.n AS n_b,
+         |       c.n_common,
+         |       c.n_common * 1000000 // (na.n + nb.n - c.n_common) AS jaccard_ppm
+         |FROM c
+         |JOIN n na ON na.source = c.a_source
+         |JOIN n nb ON nb.source = c.b_source""".stripMargin,
     "value_quantiles" ->
       // exact rank definition, shared integer arithmetic: the quantile at
       // per-mille pm is the smallest v whose cumulative weight reaches

@@ -290,6 +290,51 @@ object StreamingOps {
       .select(col("e.pm").as("pm"), col("e.v").as("v"), col("e.n").as("n"))
   }
 
+  /** KMV/theta distinct-count sketch over the event stream (complete
+    * mode): the k-minimum-hash buffer ([[graft.functions.ThetaSketchAgg]])
+    * lives in the streaming state store — O(k) state on an UNBOUNDED
+    * stream, where an exact streaming `approx_count_distinct` state (or a
+    * dropDuplicates key store) grows with the key space. In the
+    * no-truncation regime (distinct ≤ k, the oracle-gate contract) the
+    * terminal snapshot is the exact distinct count regardless of batch
+    * boundaries — the sketch is a pure merge.
+    */
+  def distinctUsersEventsFile(spark: SparkSession, eventsPath: String,
+      k: Int = 16384,
+      queryName: String = "graft_theta_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+      .filter(col("user_id").isNotNull)
+    val agg = src.agg(graft.functions.ThetaSketchAgg.column(
+      xxhash64(col("user_id").cast("string")), k).as("sk"))
+    runToMemory(agg, "complete", queryName)
+      .select(graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk"))
+        .as("n_users"))
+  }
+
+  /** MULTI-BATCH [[distinctUsersEventsFile]]: one time-ordered shard per
+    * trigger, ≥ `minBatches` non-empty batches asserted.
+    */
+  def distinctUsersEventsFileMultiBatch(spark: SparkSession,
+      eventsPath: String, k: Int = 16384,
+      shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_theta_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+      .filter(col("user_id").isNotNull)
+    val agg = src.agg(graft.functions.ThetaSketchAgg.column(
+      xxhash64(col("user_id").cast("string")), k).as("sk"))
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
+    }
+    sink.select(graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk"))
+      .as("n_users"))
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan
