@@ -448,9 +448,12 @@ object PipelineQueries {
       val k = 16384
       val sh = Tables.documents(s, dir).select(col("source"),
         explode(Dedup.shingleArray(col("text"), 3)).as("shingle"))
-      val sk = sh.groupBy(col("source"))
+      // materialize the (tiny) sketch frame ONCE — two alias-renamed join
+      // sides over the lazy plan would re-run the corpus shingle pass per
+      // side (alias-differing plans defeat ReuseExchange)
+      val sk = Caching.eager(sh.groupBy(col("source"))
         .agg(graft.functions.ThetaSketchAgg.column(
-          xxhash64(col("shingle")), k).as("sk"))
+          xxhash64(col("shingle")), k).as("sk")))
       val a = sk.select(col("source").as("a_source"), col("sk").as("a_sk"))
       val b = sk.select(col("source").as("b_source"), col("sk").as("b_sk"))
       a.join(b, col("a_source") < col("b_source"))

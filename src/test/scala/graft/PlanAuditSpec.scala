@@ -369,4 +369,46 @@ class PlanAuditSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.CodegenMode)
     assert(codegen.contains("WholeStageCodegen subtree"), codegen.take(500))
   }
+
+  test("sketch aggregations: one data exchange, sketches on the wire, no key-space shuffle") {
+    // value_quantiles: partial sketches combine map-side — the ONLY
+    // hash exchange partitions on the groupBy key (event_type), carrying
+    // one O(capacity) sketch record per (partition, type), never rows
+    val vq = SparkEntry.queries("value_quantiles")(spark, dir)
+    assert(shuffles(vq) == 1, plan(vq))
+    // source_overlap's sketch stage: ONE exchange for the per-source
+    // sketch agg, and NO exchange output carries shingle text (the wire
+    // carries O(k) sketch records). The full query checkpoints this tiny
+    // frame so the corpus pass runs ONCE — the pair join then reads the
+    // checkpoint with ZERO hash exchanges (two 20-row summary frames,
+    // bounded by source-count², never document-count)
+    val sketchStage = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.pipeline.Dedup.shingleArray(col("text"), 3)).as("shingle"))
+      .groupBy(col("source"))
+      .agg(graft.functions.ThetaSketchAgg.column(
+        xxhash64(col("shingle")), 16384).as("sk"))
+    val sp = plan(sketchStage)
+    assert(shuffles(sketchStage) == 1, sp)
+    val exchanges = sp.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("shingle")), sp)
+    val so = SparkEntry.queries("source_overlap")(spark, dir)
+    assert(shuffles(so) == 0, plan(so))
+    // domain_heavy_hitters: global agg — partials merge into one final
+    // sketch through a SinglePartition exchange of sketch records (the
+    // correct shape for a global top-k: capacity bytes per partition,
+    // not the domain key space)
+    val hh = SparkEntry.queries("domain_heavy_hitters")(spark, dir)
+    assert(shuffles(hh) == 0, plan(hh)) // global agg: SinglePartition only
+    assert(plan(hh).contains("Exchange SinglePartition"), plan(hh))
+  }
+
+  test("range joins plan as equi-joins on driver data, never nested-loop") {
+    for (q <- Seq("range_join", "interval_overlap_join")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), s"$q: $p")
+    }
+  }
 }
