@@ -1398,6 +1398,46 @@ object ProcessGraph {
           CubeV(DataCube(hh, CubeMetadata(Seq(
             CubeDim("rank", DimType.Other),
             CubeDim("key", DimType.Other)), None, "count")))
+        case "top_k" =>
+          // bounded-heap top-k rows by VALUE (functions.TopKAgg): the
+          // ranking sibling of heavy_hitters (which ranks by FREQUENCY).
+          // Terminal node — per `group` label (or globally), the k
+          // highest-valued cells identified by `id_dimension`'s numeric
+          // labels; one map-side-combinable pass, O(k) per (group,
+          // partition), vs a full-table shuffle + per-group sort for a
+          // row_number() window
+          val c = cube("data")
+          val k = args.get("k").collect {
+            case NumV(x) => x.toInt }.getOrElse(3)
+          val idDim = str("id_dimension")
+          val groupDim = opt("group").map {
+            case StrV(s) => s
+            case v => throw new IllegalArgumentException(
+              s"top_k.group: not a string ($v)")
+          }
+          val dimNames = c.meta.dims.map(_.name).toSet
+          (groupDim.toSeq :+ idDim).foreach { d =>
+            require(dimNames.contains(d),
+              s"DimensionNotAvailable: top_k dimension '$d' not in cube " +
+                s"(${dimNames.mkString(", ")})")
+          }
+          val idL = col(idDim).cast("long")
+          val grouped = c.df
+            .filter(col(c.meta.valueCol).isNotNull && idL.isNotNull)
+            .groupBy(groupDim.map(col).toSeq: _*)
+            .agg(graft.functions.TopKAgg.column(
+              col(c.meta.valueCol).cast("double"), idL, k).as("top"))
+          val outCols = groupDim.map(col).toSeq ++ Seq(
+            (col("pos") + 1).cast("long").as("rank"),
+            col("e.id").as(idDim), col("e.v").as(c.meta.valueCol))
+          val tk = grouped
+            .select(groupDim.map(col).toSeq :+
+              posexplode(col("top")).as(Seq("pos", "e")): _*)
+            .select(outCols: _*)
+          CubeV(DataCube(tk, CubeMetadata(
+            groupDim.map(g => CubeDim(g, DimType.Other)).toSeq ++ Seq(
+              CubeDim("rank", DimType.Other),
+              CubeDim(idDim, DimType.Other)), None, c.meta.valueCol)))
         case "quantiles_sketch" =>
           // GK weighted-quantile sketch over the cube's numeric values,
           // quantized by `scale` (distribution without the data-sized

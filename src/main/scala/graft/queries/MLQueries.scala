@@ -97,6 +97,29 @@ object MLQueries {
     "quantiles_stream_multibatch" -> { (s, dir) =>
       StreamingOps.quantilesEventsFileMultiBatch(s, s"$dir/events.parquet")
     },
+    // bounded-heap top-k per key on the stream: O(k) state per key vs
+    // retaining every row; exact at ANY batching (total order, pure
+    // merge) — no regime caveat, shares the batch window oracle
+    "topk_stream" -> { (s, dir) =>
+      StreamingOps.topkEventsFile(s, s"$dir/events.parquet")
+    },
+    "topk_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.topkEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
+    // event-time-bounded STREAM-STREAM join (view → clicks within 60
+    // min, same user): both sides buffered in the join state store, the
+    // time bound + watermark making that state evictable on a live feed.
+    // The emitted pair set equals the batch inequality join whenever no
+    // state is evicted before its partner arrives — the 40-day delay
+    // covers the table span, so both runs share the plain-SQL oracle.
+    // The multibatch run is the real evidence: view and click routinely
+    // arrive in DIFFERENT micro-batches, so every pair crosses state.
+    "stream_join_attrib" -> { (s, dir) =>
+      StreamingOps.attributionJoinEventsFile(s, s"$dir/events.parquet")
+    },
+    "stream_join_attrib_multibatch" -> { (s, dir) =>
+      StreamingOps.attributionJoinEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
     // KMV/theta distinct-count sketch on the stream: O(k) state vs a
     // key-space-sized dedup store; exact in the no-truncation regime
     // (distinct users ≪ k at every gate SF), which the oracle pins
@@ -228,6 +251,16 @@ object MLQueries {
     // the same integer per-mille arithmetic on both engines
     "quantiles_stream" -> quantilesStreamOracle,
     "quantiles_stream_multibatch" -> quantilesStreamOracle,
+    // exact top-k per type — the aggregator is exact at any batching
+    // (total order, pure merge), so both runs share the batch window
+    // oracle verbatim
+    "topk_stream" -> PipelineQueries.oracles("topk_per_type"),
+    "topk_stream_multibatch" -> PipelineQueries.oracles("topk_per_type"),
+    // exact attribution pairs — the 40-day watermark delay exceeds the
+    // table span, so no join state is evicted mid-run and the emitted
+    // pair set equals the batch inequality join on both runs
+    "stream_join_attrib" -> attributionOracle,
+    "stream_join_attrib_multibatch" -> attributionOracle,
     // exact distinct count — the sketch's no-truncation regime
     "distinct_users_stream" ->
       """SELECT count(DISTINCT user_id) AS n_users
@@ -251,6 +284,20 @@ object MLQueries {
         |       arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS last_v
         |FROM events GROUP BY 1""".stripMargin
   )
+
+  /** The batch form of the stream-stream attribution join: every (view,
+    * later click within 60 min, same user) pair. DuckDB plans the
+    * inequality join directly; the streaming side must emit exactly this
+    * pair set.
+    */
+  private lazy val attributionOracle: String =
+    """SELECT v.event_id AS view_id, c.event_id AS click_id,
+      |       v.user_id AS user_id
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 60 MINUTE
+      |WHERE v.user_id IS NOT NULL""".stripMargin
 
   /** Exact global quantiles at the sketch's per-mille probes; the rank
     * `max(1, ceil(pm·n/1000))` is `(pm*n + 999) // 1000` in integer

@@ -483,6 +483,25 @@ object PipelineQueries {
         .select(col("event_type"), col("e.pm").as("pm"),
           col("e.v").as("v"), col("e.n").as("n"))
     },
+    "topk_per_type" -> { (s, dir) =>
+      // top-k rows per key WITHOUT a per-group sort: the bounded-heap
+      // aggregator ([[graft.functions.TopKAgg]]) is one map-side-
+      // combinable pass retaining ≤ k rows per (group, partition) — the
+      // row_number() window this replaces shuffles the FULL table on the
+      // group key and sorts every group for an answer of size k·groups.
+      // EXACT (not a sketch): unique event ids make (value desc, id asc)
+      // a total order, so top-k selection is associative and the result
+      // is partitioning-independent — the oracle is the plain window.
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.column(
+          col("value"), col("event_id"), k = 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("e.id").as("event_id"), col("e.v").as("value"))
+    },
     "warc_load" -> { (s, _) =>
       // WARC crawl ingest end to end against a deterministic .warc.gz
       // written at query build (WarcFixture — gzip-member-per-record, the
@@ -1623,6 +1642,17 @@ object PipelineQueries {
         |WHERE cc.event_type = t.event_type
         |  AND cc.cw >= greatest(1, (qs.pm * t.n + 999) // 1000)
         |GROUP BY cc.event_type, qs.pm, t.n""".stripMargin,
+    "topk_per_type" ->
+      // the aggregator's exact contract IS the window answer: rank rows
+      // per type by (value desc, event_id asc) — a total order, ids
+      // unique — and keep the first 3
+      """SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value DESC, event_id) AS rank
+        |      FROM events
+        |      WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        |WHERE rank <= 3""".stripMargin,
     "warc_load" -> WarcFixture.oracleSql,
     "warc_extract" ->
       // the page shell is html_extract's, the host mix domain_stats's;

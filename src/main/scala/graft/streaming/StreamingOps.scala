@@ -335,6 +335,137 @@ object StreamingOps {
       .as("n_users"))
   }
 
+  /** Bounded-heap top-k rows per key on the stream (complete mode): the
+    * [[graft.functions.TopKAgg]] buffer IS the streaming state — O(k)
+    * per key on an UNBOUNDED stream, where an exact streaming top-k
+    * would have to retain every row. Unlike the sketch twins this needs
+    * NO regime caveat: unique ids make (value desc, id asc) a total
+    * order, top-k selection over a total order is a pure merge, so the
+    * terminal snapshot equals the batch window answer under ANY batch
+    * boundaries.
+    */
+  def topkEventsFile(spark: SparkSession, eventsPath: String, k: Int = 3,
+      queryName: String = "graft_topk_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+    val agg = src.groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.column(col("value"), col("event_id"), k)
+        .as("top"))
+    runToMemory(agg, "complete", queryName)
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("event_id"), col("e.v").as("value"))
+  }
+
+  /** MULTI-BATCH [[topkEventsFile]]: one time-ordered shard per trigger,
+    * ≥ `minBatches` non-empty batches asserted — the heap state genuinely
+    * crosses micro-batch boundaries and the terminal complete-mode
+    * snapshot must still equal the batch answer (exact at ANY batching —
+    * total order, pure merge).
+    */
+  def topkEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
+      k: Int = 3, shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_topk_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+    val agg = src.groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.column(col("value"), col("event_id"), k)
+        .as("top"))
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
+    }
+    sink.select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("event_id"), col("e.v").as("value"))
+  }
+
+  /** Event-time-bounded STREAM-STREAM JOIN plan: views joined to the
+    * clicks that follow them within `windowMinutes` for the same user —
+    * the attribution shape every ingest pipeline needs (impression ×
+    * conversion, request × response, write × ack). Both sides carry a
+    * watermark and the join condition bounds click_ts to a FINITE window
+    * after view_ts, so Spark can evict a buffered row once the other
+    * side's watermark passes its window — state is bounded by
+    * (delay + window) of stream time, not by stream length. An inner
+    * join's emitted pair set is EXACT under any micro-batching as long
+    * as no state is evicted before its partner arrives, i.e. whenever
+    * the watermark delay covers the source's disorder; `joinType`
+    * "leftOuter" additionally emits unmatched views, but only once the
+    * watermark passes their window (specs exercise that regime —
+    * tail-of-stream views are still buffered when a finite run ends).
+    */
+  def attributionJoinPlan(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+      .select(col("view_id"), col("click_id"), col("user_id"))
+  }
+
+  /** [[attributionJoinPlan]] driven to completion over a parquet-backed
+    * event stream (both sides file-stream sources over the same table)
+    * for the `stream_join_attrib` oracle row: the emitted pair set must
+    * equal the batch inequality join. The 40-day delay exceeds the
+    * table's 30-day span, so no state is evicted mid-run and the inner
+    * join is exact by construction.
+    */
+  def attributionJoinEventsFile(spark: SparkSession, eventsPath: String,
+      windowMinutes: Int = 60, queryName: String = "graft_ssjoin")
+      : DataFrame = {
+    val views = eventsFileStream(spark, eventsPath)
+      .filter(col("event_type") === "view")
+    val clicks = eventsFileStream(spark, eventsPath)
+      .filter(col("event_type") === "click")
+    val joined = attributionJoinPlan(views, clicks, windowMinutes, "40 days")
+    runToMemory(joined, "append", queryName)
+  }
+
+  /** MULTI-BATCH [[attributionJoinEventsFile]]: both sides consume the
+    * time-ordered shards one file per trigger, so a view and its clicks
+    * routinely arrive in DIFFERENT micro-batches and every emitted pair
+    * crosses the join's buffered state — the evidence class the
+    * single-batch row cannot provide. ≥ `minBatches` non-empty batches
+    * asserted; same oracle (the pair set is batching-independent while
+    * nothing is evicted).
+    */
+  def attributionJoinEventsFileMultiBatch(spark: SparkSession,
+      eventsPath: String, windowMinutes: Int = 60, shards: Int = 5,
+      minBatches: Int = 5, queryName: String = "graft_ssjoin_mb")
+      : DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    def src(): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+    val joined = attributionJoinPlan(
+      src().filter(col("event_type") === "view"),
+      src().filter(col("event_type") === "click"),
+      windowMinutes, "40 days")
+    withStatePartitions(spark, 8) {
+      runToMemory(joined, "append", queryName, requireMinBatches = minBatches)
+    }
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan

@@ -130,4 +130,50 @@ class GraphSketchSpec extends AnyFunSuite {
       "jaccard_ppm" -> nc * 1000000L / (sa.size + sb.size - nc))
     assert(got == want)
   }
+
+  test("top_k node == row_number window answer, grouped and global") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 600).map { i =>
+      (s"g${i % 5}", i.toLong, rnd.nextInt(50).toDouble) // heavy value ties
+    }
+    val cube = DataCube.fromTable(rows.toDF("grp", "id", "value"),
+      Seq("grp", "id"), "value")
+    def windowTop(k: Int, grouped: Boolean): Set[(String, Long, Long, Double)] =
+      rows.groupBy(r => if (grouped) r._1 else "").toSeq.flatMap {
+        case (g, rs) =>
+          rs.sortBy { case (_, id, v) => (-v, id) }.take(k).zipWithIndex
+            .map { case ((_, id, v), i) => (g, i + 1L, id, v) }
+      }.toSet
+    val grouped =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "t": {"process_id": "top_k",
+        |        "arguments": {"data": {"from_node": "l"}, "k": 4,
+        |                      "group": "grp", "id_dimension": "id"},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotG = ProcessGraph.execute(spark, grouped, _ => cube).df
+      .select(col("grp"), col("rank"), col("id"), col("value"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(gotG == windowTop(4, grouped = true))
+    val global =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "t": {"process_id": "top_k",
+        |        "arguments": {"data": {"from_node": "l"}, "k": 7,
+        |                      "id_dimension": "id"},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotAll = ProcessGraph.execute(spark, global, _ => cube).df
+      .select(lit("").as("g"), col("rank"), col("id"), col("value"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(gotAll == windowTop(7, grouped = false))
+    // unknown dimension → the openEO DimensionNotAvailable wire error
+    val bad = global.replace(""""id_dimension": "id"""",
+      """"id_dimension": "nope"""")
+    val e = intercept[Exception] {
+      ProcessGraph.execute(spark, bad, _ => cube).df.collect()
+    }
+    assert(e.getMessage.contains("DimensionNotAvailable"))
+  }
 }

@@ -403,6 +403,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan(hh).contains("Exchange SinglePartition"), plan(hh))
   }
 
+  test("topk_per_type: map-side combine, one exchange of O(k) heaps") {
+    // the bounded-heap aggregator must keep the row_number()-window
+    // shape OUT of the plan: no Window, no per-group Sort of data rows —
+    // one partial (map-side) ObjectHashAggregate per partition, ONE hash
+    // exchange on the group key carrying ≤ k-entry heaps, final merge
+    val tk = SparkEntry.queries("topk_per_type")(spark, dir)
+    val p = plan(tk)
+    assert(shuffles(tk) == 1, p)
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_topkagg") || p.contains("partial_TopKAgg")
+      || p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
   test("range joins plan as equi-joins on driver data, never nested-loop") {
     for (q <- Seq("range_join", "interval_overlap_join")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))

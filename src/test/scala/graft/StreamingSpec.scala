@@ -264,6 +264,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(keysStream.toSet == keysBatch)
   }
 
+  test("top-k stream runners (single + multi-batch) match the batch row") {
+    // the heap state is exact at ANY batching (total order, pure merge),
+    // so both delivery shapes must equal the registered batch aggregator
+    // row bit-for-bit
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.PipelineQueries.queries("topk_per_type")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    val single = StreamingOps
+      .topkEventsFile(spark, s"$dir/events.parquet",
+        queryName = "spec_topk_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(single == batch)
+    val multi = StreamingOps
+      .topkEventsFileMultiBatch(spark, s"$dir/events.parquet",
+        queryName = "spec_topk_stream_mb")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(multi == batch)
+  }
+
+  test("stream-stream attribution join emits exactly the batch pair set") {
+    // inner event-time-bounded join: with the watermark delay covering the
+    // table span nothing is evicted before its partner arrives, so the
+    // emitted pairs equal the batch inequality join — including in the
+    // multi-batch run, where view and click routinely arrive in DIFFERENT
+    // micro-batches and every pair must cross the join's buffered state
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val batch = v.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("view_id"), col("click_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val single = StreamingOps
+      .attributionJoinEventsFile(spark, s"$dir/events.parquet",
+        queryName = "spec_ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(single == batch)
+    val multi = StreamingOps
+      .attributionJoinEventsFileMultiBatch(spark, s"$dir/events.parquet",
+        queryName = "spec_ssjoin_mb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi == batch)
+  }
+
+  test("leftOuter attribution join emits unmatched views after watermark") {
+    // synthetic two-batch feed: user 1's view gets a click inside the
+    // window; user 2's view never matches. The unmatched view may only be
+    // emitted once the click-side watermark passes its window — advanced
+    // here by a late third-batch click far in the future.
+    import org.apache.spark.sql.streaming.OutputMode
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val joined = StreamingOps.attributionJoinPlan(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      windowMinutes = 60, watermarkDelay = "10 minutes",
+      joinType = "leftOuter")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_ssjoin_outer").start()
+    try {
+      views.addData((100L, 1L, ts(0)), (200L, 2L, ts(0)))
+      clicks.addData((101L, 1L, ts(30)))
+      q.processAllAvailable()
+      // watermark passes view_ts + 60min on both sides → user 2's view flushes
+      views.addData((300L, 9L, ts(500)))
+      clicks.addData((301L, 9L, ts(500)))
+      q.processAllAvailable()
+      views.addData((998L, 8L, ts(900)))
+      clicks.addData((999L, 8L, ts(900)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("spec_ssjoin_outer")
+      .select(col("view_id"), col("click_id"), col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got.contains((100L, 101L, 1L)), s"matched pair missing: $got")
+    assert(got.contains((200L, -1L, 2L)),
+      s"unmatched view not emitted after watermark passed its window: $got")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
