@@ -112,6 +112,66 @@ object CubeDimOps {
     cube.df.select(col(dimension).as("label")).distinct().orderBy(col("label"))
   }
 
+  /** openEO `flatten_dimensions` (openeo-processes spec proposal; NOT in
+    * the reference's export surface — a beyond-reference spec process):
+    * combine several dimensions into ONE, whose labels are the source
+    * labels joined by `labelSeparator` in the order given. On the
+    * relational cube this is a pure projection — zero shuffles, zero
+    * actions; `concat` (not `concat_ws`) so a null source label yields a
+    * null flattened label instead of silently dropping a component (which
+    * would make the label un-round-trippable).
+    */
+  def flattenDimensions(cube: DataCube, dimensions: Seq[String],
+      target: String, labelSeparator: String = "~"): DataCube = {
+    require(dimensions.nonEmpty, "flatten_dimensions: `dimensions` is empty")
+    dimensions.foreach(cube.requireDim)
+    val remaining = cube.meta.dimNames.filterNot(dimensions.contains)
+    require(!remaining.contains(target) && target != cube.meta.valueCol,
+      s"DimensionExists: '$target'")
+    val pieces = dimensions.map(d => col(d).cast("string"))
+    val label = concat(pieces.head +: pieces.tail.flatMap(p =>
+      Seq(lit(labelSeparator), p)): _*)
+    DataCube(
+      dimensions.foldLeft(cube.df.withColumn(target, label))((d, c) => d.drop(c)),
+      cube.meta.copy(dims =
+        cube.meta.dims.filterNot(d => dimensions.contains(d.name)) :+
+          CubeDim(target, DimType.Other)))
+  }
+
+  /** openEO `unflatten_dimension` (spec proposal, the inverse of
+    * [[flattenDimensions]]): split one dimension's labels on
+    * `labelSeparator` into several dimensions. A label that does not split
+    * into exactly `targets.size` parts fails the JOB loudly through a
+    * distributed raise_error guard (same discipline as the merge/filter
+    * wire errors) — never a silent null dimension.
+    */
+  def unflattenDimension(cube: DataCube, dimension: String,
+      targets: Seq[String], labelSeparator: String = "~"): DataCube = {
+    cube.requireDim(dimension)
+    require(targets.nonEmpty, "unflatten_dimension: `targets` is empty")
+    val remaining = cube.meta.dimNames.filterNot(_ == dimension)
+    targets.foreach { t =>
+      require(!remaining.contains(t) && t != cube.meta.valueCol,
+        s"DimensionExists: '$t'")
+    }
+    val parts = split(col(dimension).cast("string"),
+      java.util.regex.Pattern.quote(labelSeparator), -1)
+    val outCols = targets.zipWithIndex.map { case (t, i) =>
+      when(size(parts) === targets.size, element_at(parts, i + 1))
+        .otherwise(raise_error(concat(
+          lit(s"unflatten_dimension: label '"), col(dimension).cast("string"),
+          lit(s"' does not split into ${targets.size} parts on " +
+            s"'$labelSeparator'"))).cast("string"))
+        .as(t)
+    }
+    val kept = cube.df.columns.toSeq.filterNot(_ == dimension).map(col)
+    DataCube(
+      cube.df.select(kept ++ outCols: _*),
+      cube.meta.copy(dims =
+        cube.meta.dims.filterNot(_.name == dimension) ++
+          targets.map(t => CubeDim(t, DimType.Other))))
+  }
+
   /** Drop labels (along every non-spatial dim) whose cells are all nodata
     * (reference: cubes/general.py:42-56). Implemented as a windowed
     * valid-count per label — one shuffle per trimmed dim, no driver loop.

@@ -178,4 +178,53 @@ object SpatialOps {
       .agg(reducer(data.value).as(data.meta.valueCol))
     data.copy(df = out)
   }
+
+  /** openEO `aggregate_spatial_window` (openeo-processes spec proposal;
+    * NOT in the reference's export surface — a beyond-reference spec
+    * process): reduce over non-overlapping windows of `sizeX` × `sizeY`
+    * PIXELS. Pixel indices come from each axis's sorted distinct labels —
+    * a metadata-sized frame (the axis, never the fact rows) indexed with a
+    * single-partition row_number (the [[ResampleOps.axisBrackets]]
+    * discipline) and broadcast back onto the facts, so the whole operator
+    * is two broadcast joins + ONE keyed aggregation shuffle at any cube
+    * size. The output window label is its first (upper-left) cell's
+    * coordinate. `boundary="trim"` drops windows not fully covered by the
+    * axis (openEO: "trim: clip the data"); `"pad"` keeps partial windows —
+    * on a relational cube absent cells carry no rows, which openEO's
+    * null-padding also hands every nodata-ignoring reducer.
+    */
+  def aggregateSpatialWindow(cube: DataCube, reducer: Column => Column,
+      sizeX: Int, sizeY: Int, boundary: String = "pad"): DataCube = {
+    import org.apache.spark.sql.expressions.Window
+    require(sizeX > 0 && sizeY > 0,
+      s"aggregate_spatial_window: size must be positive ($sizeX, $sizeY)")
+    require(boundary == "pad" || boundary == "trim",
+      s"aggregate_spatial_window: boundary must be pad|trim ($boundary)")
+    val (xd, yd) = xy(cube)
+    val others = cube.meta.dimNames.filterNot(d => d == xd || d == yd)
+
+    // axis label → (window's first label, window completeness): metadata
+    // frame, single-partition index is fine at axis scale
+    def windowed(d: String, size: Int): DataFrame = {
+      val idxW = Window.orderBy(col(d))
+      val grpW = Window.partitionBy(col(s"_w_$d"))
+      cube.df.select(col(d)).distinct()
+        .withColumn(s"_w_$d", floor((row_number().over(idxW) - 1) / size))
+        .withColumn(s"_lbl_$d", min(col(d)).over(grpW))
+        .withColumn(s"_full_$d", count(lit(1)).over(grpW) === size)
+        .drop(s"_w_$d")
+    }
+
+    val joined = cube.df
+      .join(broadcast(windowed(xd, sizeX)), Seq(xd))
+      .join(broadcast(windowed(yd, sizeY)), Seq(yd))
+    val trimmed =
+      if (boundary == "trim") joined.filter(col(s"_full_$xd") && col(s"_full_$yd"))
+      else joined
+    val out = trimmed
+      .groupBy((col(s"_lbl_$xd").as(xd) +: col(s"_lbl_$yd").as(yd) +:
+        others.map(col)): _*)
+      .agg(reducer(cube.value).as(cube.meta.valueCol))
+    cube.copy(df = out)
+  }
 }

@@ -1508,6 +1508,40 @@ object ProcessGraph {
           CubeV(CubeDimOps.dropDimension(cube("data"), str("name")))
         case "rename_dimension" =>
           CubeV(CubeDimOps.renameDimension(cube("data"), str("source"), str("target")))
+        case "flatten_dimensions" =>
+          // openEO spec proposal (beyond the reference's exports): combine
+          // dimensions into one, labels joined by label_separator
+          CubeV(CubeDimOps.flattenDimensions(cube("data"), strs("dimensions"),
+            str("target_dimension"),
+            opt("label_separator").map {
+              case StrV(s) => s
+              case v => throw new IllegalArgumentException(
+                s"flatten_dimensions.label_separator: not a string ($v)")
+            }.getOrElse("~")))
+        case "unflatten_dimension" =>
+          // openEO spec proposal: split a dimension's labels back out
+          CubeV(CubeDimOps.unflattenDimension(cube("data"), str("dimension"),
+            strs("target_dimensions"),
+            opt("label_separator").map {
+              case StrV(s) => s
+              case v => throw new IllegalArgumentException(
+                s"unflatten_dimension.label_separator: not a string ($v)")
+            }.getOrElse("~")))
+        case "aggregate_spatial_window" =>
+          // openEO spec proposal: reduce over non-overlapping pixel
+          // windows; size = [x, y], boundary pad|trim
+          val size = args.get("size") match {
+            case Some(ArrV(Seq(NumV(sx), NumV(sy)))) => (sx.toInt, sy.toInt)
+            case v => throw new IllegalArgumentException(
+              s"aggregate_spatial_window.size: need [x, y] numbers ($v)")
+          }
+          CubeV(SpatialOps.aggregateSpatialWindow(cube("data"),
+            reducerCallback("reducer"), size._1, size._2,
+            opt("boundary").map {
+              case StrV(s) => s
+              case v => throw new IllegalArgumentException(
+                s"aggregate_spatial_window.boundary: not a string ($v)")
+            }.getOrElse("pad")))
         case "save_result" =>
           // The terminal node every canonical openeo graph ends with.
           // Backend-defined in the reference (absent from its process

@@ -384,6 +384,37 @@ object CubeQueries {
         count(lit(1)).as("n"), count(col("value")).as("nv"))
     },
 
+    // ---- beyond-reference openEO spec processes (proposals) ----
+    "flatten_dims" -> { (s, dir) =>
+      // flatten_dimensions: (t, band) → one "tb" dimension whose labels
+      // are "<shipdate>~<returnflag>"; reduce per flattened label
+      val c = Tables.lineitemCube(s, dir)
+      val flat = CubeDimOps.flattenDimensions(c, Seq("t", "band"), "tb")
+      flat.df.groupBy(col("tb"))
+        .agg(sum(col("value")).cast("bigint").as("sum_qty"))
+    },
+    "unflatten_dims" -> { (s, dir) =>
+      // round trip: flatten (t, band) → "tb", then unflatten back out —
+      // exercises the split guard and label fidelity in one row
+      val c = Tables.lineitemCube(s, dir)
+      val flat = CubeDimOps.flattenDimensions(c, Seq("t", "band"), "tb")
+      val back = CubeDimOps.unflattenDimension(flat, "tb", Seq("t2", "band2"))
+      back.df.groupBy(col("t2"), col("band2"))
+        .agg(sum(col("value")).cast("bigint").as("sum_qty"))
+    },
+    "aggregate_spatial_window" -> { (s, dir) =>
+      // 4×3-PIXEL windows over the part/supp integer grid, boundary=trim:
+      // windows not fully covered by the axis drop; labels = the window's
+      // first cell coordinate
+      val c = Tables.lineitemCube(s, dir,
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+      val w = SpatialOps.aggregateSpatialWindow(c, v => Reducers.sumR(v),
+        sizeX = 4, sizeY = 3, boundary = "trim")
+      w.df.select(col("x").cast("bigint").as("x"),
+        col("y").cast("bigint").as("y"),
+        col("value").cast("bigint").as("sum_qty"))
+    },
+
     // ---- spatial binning resample (§2.10) ----
     "resample_spatial_agg" -> { (s, dir) =>
       val c = Tables.lineitemCube(s, dir,
@@ -761,6 +792,35 @@ object CubeQueries {
         |       count(CASE WHEN l_quantity < 3 THEN 1 END) AS nv
         |FROM lineitem GROUP BY 1
         |HAVING count(CASE WHEN l_quantity < 3 THEN 1 END) > 0""".stripMargin,
+    "flatten_dims" ->
+      """SELECT CAST(l_shipdate AS VARCHAR) || '~' || l_returnflag AS tb,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "unflatten_dims" ->
+      """SELECT CAST(l_shipdate AS VARCHAR) AS t2, l_returnflag AS band2,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "aggregate_spatial_window" ->
+      // the same pixel-window construction in SQL: per-axis dense index
+      // over the sorted distinct labels, window id = index // size,
+      // window label = min(label), trim = only complete windows
+      """WITH xi AS (SELECT x, (row_number() OVER (ORDER BY x) - 1) // 4 AS w
+        |  FROM (SELECT DISTINCT l_partkey AS x FROM lineitem)),
+        |xg AS (SELECT w, min(x) AS xlbl, count(*) = 4 AS xfull
+        |  FROM xi GROUP BY 1),
+        |xm AS (SELECT xi.x, xg.xlbl, xg.xfull FROM xi JOIN xg USING (w)),
+        |yi AS (SELECT y, (row_number() OVER (ORDER BY y) - 1) // 3 AS w
+        |  FROM (SELECT DISTINCT l_suppkey AS y FROM lineitem)),
+        |yg AS (SELECT w, min(y) AS ylbl, count(*) = 3 AS yfull
+        |  FROM yi GROUP BY 1),
+        |ym AS (SELECT yi.y, yg.ylbl, yg.yfull FROM yi JOIN yg USING (w))
+        |SELECT CAST(xm.xlbl AS BIGINT) AS x, CAST(ym.ylbl AS BIGINT) AS y,
+        |       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l
+        |JOIN xm ON l.l_partkey = xm.x
+        |JOIN ym ON l.l_suppkey = ym.y
+        |WHERE xm.xfull AND ym.yfull
+        |GROUP BY 1, 2""".stripMargin,
     "resample_spatial_agg" ->
       """SELECT CAST(floor(l_partkey/50)*50 AS BIGINT) AS x,
         |       CAST(floor(l_suppkey/4)*4 AS BIGINT) AS y,

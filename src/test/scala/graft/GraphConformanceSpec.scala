@@ -375,4 +375,90 @@ class GraphConformanceSpec extends AnyFunSuite {
         (nir(x, y, 0) + nir(x, y, 2)) / 2.0) < 1e-12, s"fill ($y,$x)")
     }
   }
+
+  test("spec proposals: flatten_dimensions ↔ unflatten_dimension round-trip") {
+    // labels join with the separator in the given order, and split back
+    // out exactly; a bad label fails the job loudly
+    val g =
+      """{"process_graph": {
+        |  "load": {"process_id": "load_collection", "arguments": {"id": "c", "bands": ["B04"]}},
+        |  "flat": {"process_id": "flatten_dimensions", "arguments": {
+        |    "data": {"from_node": "load"},
+        |    "dimensions": ["bands", "y", "x"], "target_dimension": "byx"},
+        |    "result": true}
+        |}}""".stripMargin
+    val flat = run(g)
+    assert(flat.meta.dimNames == Seq("t", "byx"))
+    val labels = flat.df.select(col("byx")).distinct()
+      .as[String].collect().toSet
+    assert(labels == (for (y <- 0 to 1; x <- 0 to 1)
+      yield s"B04~$y.0~$x.0").toSet, labels)
+    val g2 =
+      """{"process_graph": {
+        |  "load": {"process_id": "load_collection", "arguments": {"id": "c", "bands": ["B04"]}},
+        |  "flat": {"process_id": "flatten_dimensions", "arguments": {
+        |    "data": {"from_node": "load"},
+        |    "dimensions": ["bands", "y", "x"], "target_dimension": "byx"}},
+        |  "back": {"process_id": "unflatten_dimension", "arguments": {
+        |    "data": {"from_node": "flat"}, "dimension": "byx",
+        |    "target_dimensions": ["b2", "y2", "x2"]},
+        |    "result": true}
+        |}}""".stripMargin
+    val back = run(g2)
+    assert(back.meta.dimNames == Seq("t", "b2", "y2", "x2"))
+    val got = back.df
+      .select(col("y2"), col("x2"), col("t").cast("string"), col("value"))
+      .as[(String, String, String, Double)].collect().toSet
+    val want = (for ((d, ti) <- dates.zipWithIndex; y <- 0 to 1; x <- 0 to 1)
+      yield (s"$y.0", s"$x.0", d, red(x, y, ti))).toSet
+    assert(got == want)
+    // a label that does not split → loud failure, not a null dimension
+    val bad = graft.operators.CubeDimOps.unflattenDimension(
+      flat, "byx", Seq("a", "b"))
+    val e = intercept[Exception] { bad.df.collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("spec proposal: aggregate_spatial_window pad vs trim, sum reducer") {
+    // 5×3 integer grid, 2×2-pixel windows: x windows {0,1},{2,3},{4-partial},
+    // y windows {0,1},{2-partial} — trim keeps only the 2 complete windows,
+    // pad keeps all 6, labels = the window's first cell coordinate
+    val rows = for (x <- 0 to 4; y <- 0 to 2) yield
+      (x.toDouble, y.toDouble, (10 * x + y).toDouble)
+    val c = DataCube.fromTable(rows.toDF("x", "y", "value"),
+      Seq("x", "y"), "value")
+    def g(boundary: String) =
+      s"""{"process_graph": {
+         |  "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "w": {"process_id": "aggregate_spatial_window", "arguments": {
+         |    "data": {"from_node": "load"}, "size": [2, 2],
+         |    "boundary": "$boundary",
+         |    "reducer": {"process_graph": {
+         |      "s": {"process_id": "sum", "arguments": {"data": {"from_parameter": "data"}}, "result": true}}}},
+         |    "result": true}
+         |}}""".stripMargin
+    def windowSum(xs: Range, ys: Range): Double =
+      (for (x <- xs; y <- ys) yield 10.0 * x + y).sum
+    val trim = ProcessGraph.execute(spark, g("trim"), _ => c).df
+      .select(col("x").cast("double"), col("y").cast("double"), col("value"))
+      .as[(Double, Double, Double)].collect().toMap2
+    assert(trim == Map(
+      (0.0, 0.0) -> windowSum(0 to 1, 0 to 1),
+      (2.0, 0.0) -> windowSum(2 to 3, 0 to 1)))
+    val pad = ProcessGraph.execute(spark, g("pad"), _ => c).df
+      .select(col("x").cast("double"), col("y").cast("double"), col("value"))
+      .as[(Double, Double, Double)].collect().toMap2
+    assert(pad == Map(
+      (0.0, 0.0) -> windowSum(0 to 1, 0 to 1),
+      (0.0, 2.0) -> windowSum(0 to 1, 2 to 2),
+      (2.0, 0.0) -> windowSum(2 to 3, 0 to 1),
+      (2.0, 2.0) -> windowSum(2 to 3, 2 to 2),
+      (4.0, 0.0) -> windowSum(4 to 4, 0 to 1),
+      (4.0, 2.0) -> windowSum(4 to 4, 2 to 2)))
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Double, Double, Double)]) {
+    def toMap2: Map[(Double, Double), Double] =
+      rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
 }
