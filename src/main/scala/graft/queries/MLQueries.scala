@@ -120,6 +120,16 @@ object MLQueries {
     "stream_join_attrib_multibatch" -> { (s, dir) =>
       StreamingOps.attributionJoinEventsFileMultiBatch(s, s"$dir/events.parquet")
     },
+    // STREAM-STATIC enrichment: the event stream broadcast-joined to the
+    // customer → nation dimension chain per micro-batch (stateless join,
+    // dimensions never buffered) with a stateful per-(nation, type)
+    // aggregate on top — exact at any batching, shared batch oracle
+    "stream_enrich" -> { (s, dir) =>
+      StreamingOps.enrichEventsFile(s, s"$dir/events.parquet", dir)
+    },
+    "stream_enrich_multibatch" -> { (s, dir) =>
+      StreamingOps.enrichEventsFileMultiBatch(s, s"$dir/events.parquet", dir)
+    },
     // KMV/theta distinct-count sketch on the stream: O(k) state vs a
     // key-space-sized dedup store; exact in the no-truncation regime
     // (distinct users ≪ k at every gate SF), which the oracle pins
@@ -261,6 +271,10 @@ object MLQueries {
     // pair set equals the batch inequality join on both runs
     "stream_join_attrib" -> attributionOracle,
     "stream_join_attrib_multibatch" -> attributionOracle,
+    // exact enrichment totals — count/sum are pure merges, so the
+    // complete-mode snapshot equals the batch join at any batching
+    "stream_enrich" -> enrichOracle,
+    "stream_enrich_multibatch" -> enrichOracle,
     // exact distinct count — the sketch's no-truncation regime
     "distinct_users_stream" ->
       """SELECT count(DISTINCT user_id) AS n_users
@@ -284,6 +298,18 @@ object MLQueries {
         |       arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS last_v
         |FROM events GROUP BY 1""".stripMargin
   )
+
+  /** The batch form of the stream-static enrichment: events joined to
+    * customer → nation, revenue cents per (nation, event_type).
+    */
+  private lazy val enrichOracle: String =
+    """SELECT n.n_name, e.event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2""".stripMargin
 
   /** The batch form of the stream-stream attribution join: every (view,
     * later click within 60 min, same user) pair. DuckDB plans the

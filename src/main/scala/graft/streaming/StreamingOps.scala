@@ -466,6 +466,62 @@ object StreamingOps {
     }
   }
 
+  /** STREAM-STATIC enrichment — the streaming twin of every ingest
+    * pipeline's "join the feed against the warehouse dimensions" stage:
+    * the event stream joins the static customer → nation chain
+    * (explicitly `broadcast` — dimension tables are broadcast-sized by
+    * definition, and the static side is re-planned per micro-batch, NOT
+    * buffered in any state store) with a stateful aggregate on top
+    * (revenue cents + row count per nation × event type). Only the
+    * aggregate holds state; the join itself is stateless, so this
+    * composes with an unbounded feed at any length.
+    */
+  def enrichEventsFile(spark: SparkSession, eventsPath: String,
+      sfDir: String, queryName: String = "graft_enrich_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+    enrichAggregate(spark, src, sfDir, queryName)
+  }
+
+  /** MULTI-BATCH [[enrichEventsFile]]: one time-ordered shard per trigger
+    * (≥ `minBatches` non-empty batches asserted) — per-(nation, type)
+    * sums genuinely accumulate ACROSS micro-batches while the broadcast
+    * dimensions are re-joined fresh each batch. Exact at any batching
+    * (count/sum are pure merges), so both runs share the batch oracle.
+    */
+  def enrichEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
+      sfDir: String, shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_enrich_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val src = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shardDir))
+    withStatePartitions(spark, 8) {
+      enrichAggregate(spark, src, sfDir, queryName,
+        requireMinBatches = minBatches)
+    }
+  }
+
+  private def enrichAggregate(spark: SparkSession, src: DataFrame,
+      sfDir: String, queryName: String, requireMinBatches: Int = 0)
+      : DataFrame = {
+    val cust = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val nat = broadcast(spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name")))
+    val agg = src
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    runToMemory(agg, "complete", queryName,
+      requireMinBatches = requireMinBatches)
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan

@@ -477,4 +477,40 @@ class CubeCoreSpec extends AnyFunSuite {
       assert(math.abs(rank - wantRank) <= 5, s"p=$p exact=$e approx=$a rank=$rank")
     }
   }
+
+  test("flatten/unflatten dimensions: separators, collisions, null labels") {
+    val c = cube(Seq((1.0, "a", 2.0), (2.0, "b", 3.0)))
+    // custom separator round-trips
+    val flat = CubeDimOps.flattenDimensions(c, Seq("x", "band"), "xb",
+      labelSeparator = "|")
+    assert(flat.meta.dimNames == Seq("xb"))
+    assert(flat.df.select(col("xb")).as[String].collect().toSet ==
+      Set("1.0|a", "2.0|b"))
+    val back = CubeDimOps.unflattenDimension(flat, "xb", Seq("x2", "b2"),
+      labelSeparator = "|")
+    assert(back.df.select(col("x2"), col("b2"), col("value"))
+      .as[(String, String, Double)].collect().toSet ==
+      Set(("1.0", "a", 2.0), ("2.0", "b", 3.0)))
+    // single-dim flatten is a plain relabel-to-string
+    val one = CubeDimOps.flattenDimensions(c, Seq("x"), "xs")
+    assert(one.meta.dimNames == Seq("band", "xs"))
+    // target colliding with a surviving dim or the value column → error
+    intercept[IllegalArgumentException] {
+      CubeDimOps.flattenDimensions(c, Seq("x"), "band")
+    }
+    intercept[IllegalArgumentException] {
+      CubeDimOps.flattenDimensions(c, Seq("x"), "value")
+    }
+    intercept[IllegalArgumentException] {
+      CubeDimOps.unflattenDimension(flat, "xb", Seq("x2", "value"))
+    }
+    // a NULL source label flattens to a NULL label (concat propagates),
+    // never to a silently shorter string
+    val withNull = DataCube.fromTable(
+      Seq((Option.empty[String], "a", 1.0), (Some("k"), "b", 2.0))
+        .toDF("x", "band", "value"), Seq("x", "band"), "value")
+    val fn = CubeDimOps.flattenDimensions(withNull, Seq("x", "band"), "xb")
+    assert(fn.df.select(col("xb")).as[Option[String]].collect().toSet ==
+      Set(None, Some("k~b")))
+  }
 }

@@ -323,6 +323,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi == batch)
   }
 
+  test("stream-static enrichment matches the batch dimension join") {
+    // the broadcast dims are re-planned per micro-batch; the stateful
+    // aggregate on top is a pure merge, so single- and multi-batch runs
+    // must both equal the batch join exactly
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val batch = ev.join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(batch.nonEmpty)
+    val single = StreamingOps
+      .enrichEventsFile(spark, s"$dir/events.parquet", dir,
+        queryName = "spec_enrich_stream")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(single == batch)
+    val multi = StreamingOps
+      .enrichEventsFileMultiBatch(spark, s"$dir/events.parquet", dir,
+        queryName = "spec_enrich_stream_mb")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(multi == batch)
+  }
+
   test("leftOuter attribution join emits unmatched views after watermark") {
     // synthetic two-batch feed: user 1's view gets a click inside the
     // window; user 2's view never matches. The unmatched view may only be
