@@ -33,6 +33,45 @@ object MLOps {
       .fit(assembled)
   }
 
+  /** openEO `save_ml_model` (ML proposal; beyond the reference's exports):
+    * persist a fitted model to a directory. The native format is MLlib's
+    * parquet-backed model writer — itself a distributed Spark write, so a
+    * forest of any size persists without driver materialization — plus a
+    * `_graft_features.json` sidecar pinning the FEATURE ORDER (the
+    * VectorAssembler contract is part of the model; a reload that guessed
+    * feature order would silently permute inputs).
+    */
+  def saveModel(model: AnyRef, features: Seq[String], path: String): Unit = {
+    model match {
+      case m: RandomForestRegressionModel => m.write.overwrite().save(path)
+      case other => throw new IllegalArgumentException(
+        s"ModelNotFound: save_ml_model cannot persist ${other.getClass.getName}")
+    }
+    val json = features.map(f => "\"" + f.replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_features.json"), json)
+  }
+
+  /** openEO `load_ml_model`: reload a [[saveModel]] directory. Missing
+    * model or sidecar → the wire-level ModelNotFound (exceptions.py:45).
+    */
+  def loadRegressionModel(path: String)
+      : (RandomForestRegressionModel, Seq[String]) = {
+    val side = java.nio.file.Paths.get(path, "_graft_features.json")
+    require(java.nio.file.Files.exists(side),
+      s"ModelNotFound: no model feature sidecar at $path")
+    val feats = java.nio.file.Files.readString(side).trim
+      .stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .filter(_.trim.nonEmpty)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\""))
+    val model =
+      try RandomForestRegressionModel.load(path)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"ModelNotFound: cannot load model at $path (${e.getMessage})") }
+    (model, feats)
+  }
+
   /** Batch prediction: assemble features, score on executors
     * (reference: random_forest.py:128-161's pixel flattening is unnecessary
     * here — rows are already the flat form).

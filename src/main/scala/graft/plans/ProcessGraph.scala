@@ -1685,6 +1685,22 @@ object ProcessGraph {
             .getOrElse(42L)
           ModelV(MLOps.fitRandomForest(joined, feats, "_target",
             numTrees, maxDepth, seed), feats)
+        case "save_ml_model" =>
+          // openEO ML proposal (beyond the reference's exports): persist a
+          // fitted model + feature-order sidecar; pass-through like
+          // save_result so a graph can save AND keep predicting
+          val mv = args("model") match {
+            case m: ModelV => m
+            case v => throw new IllegalArgumentException(
+              s"ModelNotFound: save_ml_model's `model` is not a model ($v)")
+          }
+          MLOps.saveModel(mv.model, mv.features, str("path"))
+          mv
+        case "load_ml_model" =>
+          // openEO ML proposal: `id` is the backend-storage handle — here
+          // the save_ml_model directory path
+          val (m, f) = MLOps.loadRegressionModel(str("id"))
+          ModelV(m, f)
         case "predict_random_forest" =>
           val (model, feats) = args("model") match {
             case ModelV(m, f) => (m, f)

@@ -18,35 +18,11 @@ object MLQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "ml_random_forest" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey").cast("double").as("f_part"),
-          col("l_suppkey").cast("double").as("f_supp"),
-          col("l_discount").as("f_disc"),
-          col("l_extendedprice").as("f_price"),
-          col("l_quantity"))
-      // Reproducibility is decoupled from parallelism: the model trains on a
-      // DETERMINISTIC modulus sample (1-in-10 order keys — training-set size
-      // is a model hyperparameter, not "the whole corpus"; at larger scale
-      // you raise the modulus). Only this small sample is partition-pinned:
-      // MLlib's bootstrap sampling seeds per PARTITION INDEX, so a fixed
-      // hash-partitioning + in-partition order makes the seeded model
-      // bit-reproducible across core counts — which is what lets the frozen
-      // VALUES oracle below hash-check this query. The full table is never
-      // repartitioned.
-      val train = li
-        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
-        .repartition(4, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
-      val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
-      val model = MLOps.fitRandomForest(train, feats, "l_quantity",
-        numTrees = 10, maxDepth = 5)
-      val head = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(200)
-      MLOps.predictRandomForest(model, head, feats)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("prediction"), 4).as("pred_qty"))
-    },
+    "ml_random_forest" -> { (s, dir) => rfQuery(s, dir, roundTrip = false) },
+    // save_ml_model → load_ml_model through MLlib's parquet model format
+    // (+ the feature-order sidecar) must change NOTHING: the reloaded
+    // model's predictions hash against the SAME frozen oracle
+    "ml_model_roundtrip" -> { (s, dir) => rfQuery(s, dir, roundTrip = true) },
     "streaming_window" -> { (s, dir) =>
       StreamingOps.windowedEventAggregate(s, s"$dir/events.parquet")
     },
@@ -208,7 +184,12 @@ object MLQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  // the reloaded model must predict IDENTICALLY — one frozen oracle,
+  // two queries
+  lazy val oracles: Map[String, String] =
+    oracles0 + ("ml_model_roundtrip" -> oracles0("ml_random_forest"))
+
+  private val oracles0: Map[String, String] = Map(
     // ml_random_forest: FROZEN oracle — the seeded, partition-pinned model's
     // predictions, frozen at BOTH gate scales and dispatched by lineitem's
     // row count (sf0.01 = 60k rows for the driver gate, sf0.1 = 600k for
@@ -298,6 +279,49 @@ object MLQueries {
         |       arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS last_v
         |FROM events GROUP BY 1""".stripMargin
   )
+
+  /** The shared random-forest body behind `ml_random_forest` and
+    * `ml_model_roundtrip`. Reproducibility is decoupled from parallelism:
+    * the model trains on a DETERMINISTIC modulus sample (1-in-10 order
+    * keys — training-set size is a model hyperparameter, not "the whole
+    * corpus"; at larger scale you raise the modulus). Only this small
+    * sample is partition-pinned: MLlib's bootstrap sampling seeds per
+    * PARTITION INDEX, so a fixed hash-partitioning + in-partition order
+    * makes the seeded model bit-reproducible across core counts — which is
+    * what lets the frozen VALUES oracle hash-check these queries. The full
+    * table is never repartitioned. With `roundTrip`, the fitted model
+    * passes through save_ml_model → load_ml_model (MLlib parquet format +
+    * feature sidecar) before predicting — persistence must be lossless.
+    */
+  private def rfQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+      roundTrip: Boolean): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("double").as("f_part"),
+        col("l_suppkey").cast("double").as("f_supp"),
+        col("l_discount").as("f_disc"),
+        col("l_extendedprice").as("f_price"),
+        col("l_quantity"))
+    val train = li
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .repartition(4, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+    val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
+    val fitted = MLOps.fitRandomForest(train, feats, "l_quantity",
+      numTrees = 10, maxDepth = 5)
+    val (model, mfeats) =
+      if (!roundTrip) (fitted, feats)
+      else {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_rf_model").toString
+        MLOps.saveModel(fitted, feats, tmp)
+        MLOps.loadRegressionModel(tmp)
+      }
+    val head = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(200)
+    MLOps.predictRandomForest(model, head, mfeats)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("prediction"), 4).as("pred_qty"))
+  }
 
   /** The batch form of the stream-static enrichment: events joined to
     * customer → nation, revenue cents per (nation, event_type).

@@ -150,6 +150,61 @@ class GraphTailSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("save_ml_model → load_ml_model: persistence is prediction-lossless") {
+    val (pred, tgt) = rfCubes
+    val dir = java.nio.file.Files.createTempDirectory("graft_gml").toString
+    val colls = Map("p" -> pred, "t" -> tgt)
+    // graph 1: fit and PERSIST (save_ml_model is the result node — a
+    // pass-through, so the returned value is still the model)
+    val gSave =
+      s"""{"process_graph": {
+         |  "p": {"process_id": "load_collection", "arguments": {"id": "p"}},
+         |  "t": {"process_id": "load_collection", "arguments": {"id": "t"}},
+         |  "m": {"process_id": "fit_regr_random_forest",
+         |        "arguments": {"predictors": {"from_node": "p"},
+         |                      "target": {"from_node": "t"},
+         |                      "num_trees": 10, "max_depth": 4, "seed": 7}},
+         |  "s": {"process_id": "save_ml_model",
+         |        "arguments": {"model": {"from_node": "m"}, "path": "$dir"},
+         |        "result": true}}}""".stripMargin
+    ProcessGraph.executeValue(spark, gSave, colls(_)) match {
+      case graft.plans.ProcessGraph.ModelV(_, feats) =>
+        assert(feats == Seq("f1", "f2"))
+      case v => fail(s"save_ml_model did not return the model: $v")
+    }
+    // graph 2: RELOAD in a fresh graph and predict — must equal the
+    // direct fit's predictions exactly
+    val gLoad =
+      s"""{"process_graph": {
+         |  "p": {"process_id": "load_collection", "arguments": {"id": "p"}},
+         |  "m": {"process_id": "load_ml_model", "arguments": {"id": "$dir"}},
+         |  "s": {"process_id": "predict_random_forest",
+         |        "arguments": {"data": {"from_node": "p"},
+         |                      "model": {"from_node": "m"}},
+         |        "result": true}}}""".stripMargin
+    val got = runCube(gLoad, colls).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val feats = Seq("f1", "f2")
+    val wide = pred.df.groupBy(col("i")).pivot("bands", feats)
+      .agg(first(col("value")))
+    val joined = wide.join(tgt.df.select(col("i"),
+      col("value").as("_target")), Seq("i"))
+    val model = MLOps.fitRandomForest(joined, feats, "_target",
+      numTrees = 10, maxDepth = 4, seed = 7L)
+    val direct = MLOps.predictRandomForest(model, wide, feats).collect()
+      .map(r => r.getLong(r.fieldIndex("i")) ->
+        r.getDouble(r.fieldIndex("prediction"))).toMap
+    assert(got == direct)
+    // a missing path is the wire-level ModelNotFound
+    val e = intercept[Exception] {
+      ProcessGraph.executeValue(spark,
+        """{"process_graph": {"m": {"process_id": "load_ml_model",
+          |  "arguments": {"id": "/tmp/graft_no_such_model"},
+          |  "result": true}}}""".stripMargin, colls(_))
+    }
+    assert(e.getMessage.contains("ModelNotFound"), e.getMessage)
+  }
+
   // ---- cube-to-cube resample ----
 
   private def gridCube(xs: Seq[Double], ys: Seq[Double],
