@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
@@ -33,6 +34,49 @@ object MLOps {
       .fit(assembled)
   }
 
+  /** openEO `fit_class_random_forest` (ML proposal; beyond the reference's
+    * exports — the reference only ships the regressor): MLlib's
+    * distributed RandomForestClassifier over an integer class column
+    * (0..k−1). Same reproducibility contract as [[fitRandomForest]]: a
+    * seeded model over a partition-pinned training frame is
+    * bit-reproducible across core counts.
+    */
+  def fitClassRandomForest(df: DataFrame, featureCols: Seq[String],
+      targetCol: String, numTrees: Int = 100, maxDepth: Int = 8,
+      seed: Long = 42L): RandomForestClassificationModel = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+      .withColumn(targetCol, col(targetCol).cast("double"))
+    new RandomForestClassifier()
+      .setNumTrees(numTrees)
+      .setMaxDepth(maxDepth)
+      .setFeatureSubsetStrategy("sqrt")
+      .setSeed(seed)
+      .setLabelCol(targetCol)
+      .setFeaturesCol("features")
+      .fit(assembled)
+  }
+
+  /** Score either forest kind: the prediction column is the regressed
+    * value or the predicted class index (openEO has ONE
+    * predict_random_forest over any ml-model).
+    */
+  def predictForest(model: AnyRef, df: DataFrame,
+      featureCols: Seq[String]): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    val scored = model match {
+      case m: RandomForestRegressionModel => m.transform(assembled)
+      case m: RandomForestClassificationModel =>
+        m.transform(assembled).drop("rawPrediction", "probability")
+      case other => throw new IllegalArgumentException(
+        s"ModelNotFound: cannot predict with ${other.getClass.getName}")
+    }
+    scored.drop("features")
+  }
+
   /** openEO `save_ml_model` (ML proposal; beyond the reference's exports):
     * persist a fitted model to a directory. The native format is MLlib's
     * parquet-backed model writer — itself a distributed Spark write, so a
@@ -42,32 +86,41 @@ object MLOps {
     * feature order would silently permute inputs).
     */
   def saveModel(model: AnyRef, features: Seq[String], path: String): Unit = {
-    model match {
-      case m: RandomForestRegressionModel => m.write.overwrite().save(path)
+    val kind = model match {
+      case m: RandomForestRegressionModel =>
+        m.write.overwrite().save(path); "regression"
+      case m: RandomForestClassificationModel =>
+        m.write.overwrite().save(path); "classification"
       case other => throw new IllegalArgumentException(
         s"ModelNotFound: save_ml_model cannot persist ${other.getClass.getName}")
     }
-    val json = features.map(f => "\"" + f.replace("\"", "\\\"") + "\"")
+    val feats = features.map(f => "\"" + f.replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_features.json"), json)
+      java.nio.file.Paths.get(path, "_graft_features.json"),
+      s"""{"kind":"$kind","features":$feats}""")
   }
 
-  /** openEO `load_ml_model`: reload a [[saveModel]] directory. Missing
-    * model or sidecar → the wire-level ModelNotFound (exceptions.py:45).
+  /** openEO `load_ml_model`: reload a [[saveModel]] directory (either
+    * forest kind — the sidecar records which). Missing model or sidecar →
+    * the wire-level ModelNotFound (exceptions.py:45).
     */
-  def loadRegressionModel(path: String)
-      : (RandomForestRegressionModel, Seq[String]) = {
+  def loadModel(path: String): (AnyRef, Seq[String]) = {
     val side = java.nio.file.Paths.get(path, "_graft_features.json")
     require(java.nio.file.Files.exists(side),
       s"ModelNotFound: no model feature sidecar at $path")
-    val feats = java.nio.file.Files.readString(side).trim
-      .stripPrefix("[").stripSuffix("]").split(",").toSeq
-      .filter(_.trim.nonEmpty)
+    val txt = java.nio.file.Files.readString(side)
+    val kind =
+      if (txt.contains("\"kind\":\"classification\"")) "classification"
+      else "regression"
+    val featsPart = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+    val feats = featsPart.split(",").toSeq.filter(_.trim.nonEmpty)
       .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\""))
     val model =
-      try RandomForestRegressionModel.load(path)
-      catch { case e: Exception => throw new IllegalArgumentException(
+      try {
+        if (kind == "classification") RandomForestClassificationModel.load(path)
+        else RandomForestRegressionModel.load(path)
+      } catch { case e: Exception => throw new IllegalArgumentException(
         s"ModelNotFound: cannot load model at $path (${e.getMessage})") }
     (model, feats)
   }

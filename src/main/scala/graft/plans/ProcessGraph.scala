@@ -1685,6 +1685,31 @@ object ProcessGraph {
             .getOrElse(42L)
           ModelV(MLOps.fitRandomForest(joined, feats, "_target",
             numTrees, maxDepth, seed), feats)
+        case "fit_class_random_forest" =>
+          // openEO ML proposal (beyond the reference's exports — the
+          // reference ships only the regressor): target labels are class
+          // indices 0..k−1; same band pivot and reproducibility contract
+          // as fit_regr_random_forest
+          val pred = cube("predictors"); val tgt = cube("target")
+          val bandDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse("bands")
+          pred.requireDim(bandDim)
+          val series = pred.meta.dimNames.filterNot(_ == bandDim)
+          val feats = pred.df.select(col(bandDim).cast("string"))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+          val wide = pred.df.groupBy(series.map(col): _*)
+            .pivot(bandDim, feats).agg(first(col(pred.meta.valueCol)))
+          val joined = wide.join(
+            tgt.df.select((series.map(col) :+
+              col(tgt.meta.valueCol).as("_target")): _*), series)
+          val numTrees = opt("num_trees").map(_.asInstanceOf[NumV].v.toInt)
+            .getOrElse(100)
+          val maxDepth = opt("max_depth").map(_.asInstanceOf[NumV].v.toInt)
+            .getOrElse(8)
+          val seed = opt("seed").map(_.asInstanceOf[NumV].v.toLong)
+            .getOrElse(42L)
+          ModelV(MLOps.fitClassRandomForest(joined, feats, "_target",
+            numTrees, maxDepth, seed), feats)
         case "save_ml_model" =>
           // openEO ML proposal (beyond the reference's exports): persist a
           // fitted model + feature-order sidecar; pass-through like
@@ -1699,7 +1724,7 @@ object ProcessGraph {
         case "load_ml_model" =>
           // openEO ML proposal: `id` is the backend-storage handle — here
           // the save_ml_model directory path
-          val (m, f) = MLOps.loadRegressionModel(str("id"))
+          val (m, f) = MLOps.loadModel(str("id"))
           ModelV(m, f)
         case "predict_random_forest" =>
           val (model, feats) = args("model") match {
@@ -1715,9 +1740,7 @@ object ProcessGraph {
           val series = d.meta.dimNames.filterNot(_ == bandDim)
           val wide = d.df.groupBy(series.map(col): _*)
             .pivot(bandDim, feats).agg(first(col(d.meta.valueCol)))
-          val scored = MLOps.predictRandomForest(
-            model.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel],
-            wide, feats)
+          val scored = MLOps.predictForest(model, wide, feats)
           CubeV(DataCube.fromTable(
             scored.withColumn("value", col("prediction")), series, "value"))
 

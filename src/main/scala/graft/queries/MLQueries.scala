@@ -23,6 +23,36 @@ object MLQueries {
     // (+ the feature-order sidecar) must change NOTHING: the reloaded
     // model's predictions hash against the SAME frozen oracle
     "ml_model_roundtrip" -> { (s, dir) => rfQuery(s, dir, roundTrip = true) },
+    // classification twin (openEO fit_class_random_forest proposal):
+    // 3-class returnflag target, same pinned-training reproducibility
+    // contract, frozen dual-SF oracle; the model round-trips save → load
+    // before predicting so classifier persistence is gate-checked too
+    "ml_class_forest" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").cast("double").as("f_part"),
+          col("l_suppkey").cast("double").as("f_supp"),
+          col("l_discount").as("f_disc"),
+          col("l_extendedprice").as("f_price"),
+          when(col("l_returnflag") === "R", 0L)
+            .when(col("l_returnflag") === "A", 1L)
+            .otherwise(2L).as("cls"))
+      val train = li
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .repartition(4, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
+      val fitted = MLOps.fitClassRandomForest(train, feats, "cls",
+        numTrees = 10, maxDepth = 5)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_rfc_model").toString
+      MLOps.saveModel(fitted, feats, tmp)
+      val (model, mfeats) = MLOps.loadModel(tmp)
+      val head = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(200)
+      MLOps.predictForest(model, head, mfeats)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("prediction").cast("bigint").as("pred_class"))
+    },
     "streaming_window" -> { (s, dir) =>
       StreamingOps.windowedEventAggregate(s, s"$dir/events.parquet")
     },
@@ -208,6 +238,15 @@ object MLQueries {
         |UNION ALL
         |SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, p AS pred_qty
         |FROM v01 WHERE (SELECT c FROM n) >= 300000""".stripMargin,
+    "ml_class_forest" ->
+      """WITH n AS (SELECT count(*) AS c FROM lineitem),
+        |v001(k, ln, p) AS (VALUES (0, 1, 0), (0, 2, 0), (0, 4, 0), (1, 3, 1), (1, 7, 0), (1, 7, 0), (2, 2, 1), (2, 4, 2), (2, 6, 0), (2, 6, 2), (2, 7, 0), (3, 2, 0), (3, 4, 2), (3, 6, 0), (3, 7, 0), (4, 2, 2), (4, 4, 2), (4, 5, 0), (4, 6, 0), (4, 6, 2), (5, 2, 2), (5, 2, 2), (5, 3, 0), (5, 5, 2), (6, 5, 2), (6, 5, 2), (6, 6, 1), (6, 6, 2), (7, 1, 0), (7, 2, 1), (7, 3, 2), (7, 4, 0), (7, 4, 2), (8, 2, 0), (8, 4, 1), (8, 6, 2), (9, 2, 2), (9, 3, 2), (9, 4, 2), (9, 5, 0), (10, 1, 0), (10, 4, 2), (11, 2, 2), (11, 2, 2), (11, 4, 2), (12, 5, 0), (12, 7, 2), (13, 2, 0), (13, 5, 2), (13, 7, 1), (14, 3, 0), (14, 3, 1), (14, 5, 2), (14, 6, 2), (15, 3, 2), (15, 5, 0), (15, 6, 0), (16, 5, 2), (17, 1, 0), (17, 5, 0), (17, 5, 2), (17, 7, 2), (18, 1, 1), (18, 3, 1), (18, 7, 0), (19, 1, 1), (19, 1, 2), (19, 2, 0), (19, 2, 0), (19, 3, 0), (19, 4, 0), (20, 1, 1), (20, 2, 0), (20, 2, 2), (20, 4, 0), (20, 6, 2), (20, 7, 0), (21, 3, 0), (21, 3, 1), (21, 3, 2), (21, 4, 0), (21, 7, 1), (22, 3, 1), (22, 5, 0), (22, 5, 0), (22, 6, 1), (23, 2, 2), (23, 7, 0), (24, 1, 0), (24, 1, 1), (25, 4, 0), (25, 7, 1), (26, 1, 1), (26, 3, 0), (26, 4, 1), (26, 6, 0), (26, 6, 2), (27, 1, 0), (27, 3, 2), (27, 7, 0), (27, 7, 1), (28, 1, 0), (28, 6, 2), (29, 1, 1), (29, 2, 2), (29, 4, 2), (29, 5, 1), (29, 5, 2), (29, 7, 1), (30, 3, 1), (30, 5, 2), (30, 7, 1), (31, 4, 1), (31, 5, 1), (32, 4, 0), (33, 5, 1), (34, 1, 0), (34, 2, 1), (34, 2, 1), (34, 3, 0), (34, 6, 1), (35, 1, 2), (35, 6, 2), (35, 7, 1), (36, 1, 0), (36, 1, 2), (36, 5, 1), (36, 7, 0), (37, 3, 0), (37, 3, 2), (37, 6, 2), (38, 2, 0), (38, 2, 1), (38, 7, 0), (39, 7, 0), (41, 2, 1), (41, 2, 2), (41, 5, 2), (41, 5, 2), (41, 7, 2), (41, 7, 2), (42, 1, 2), (42, 2, 0), (42, 4, 0), (42, 4, 1), (42, 5, 2), (42, 7, 0), (43, 1, 1), (43, 1, 2), (43, 2, 0), (43, 5, 0), (43, 6, 1), (44, 3, 2), (44, 5, 0), (44, 5, 2), (45, 4, 1), (45, 6, 0), (45, 6, 0), (45, 7, 0), (45, 7, 2), (46, 2, 0), (46, 3, 2), (46, 4, 1), (46, 4, 2), (46, 5, 0), (47, 2, 0), (47, 3, 0), (47, 3, 0), (47, 3, 2), (47, 5, 1), (47, 6, 2), (48, 4, 0), (48, 4, 1), (48, 5, 2), (48, 7, 1), (49, 4, 0), (50, 3, 1), (50, 3, 2), (50, 4, 1), (50, 6, 0), (50, 6, 2), (50, 7, 2), (51, 3, 0), (51, 4, 0), (51, 6, 1), (51, 7, 0), (51, 7, 1), (52, 1, 1), (52, 2, 0), (52, 6, 1), (53, 2, 0), (53, 4, 0), (53, 7, 0), (53, 7, 0), (54, 2, 0), (54, 2, 1), (54, 5, 2), (55, 2, 0), (55, 3, 1), (55, 4, 2)),
+        |v01(k, ln, p) AS (VALUES (0, 3, 0), (0, 4, 2), (0, 5, 0), (0, 5, 0), (0, 7, 0), (0, 7, 2), (1, 3, 0), (1, 4, 0), (1, 4, 0), (1, 4, 2), (1, 4, 2), (1, 5, 0), (2, 1, 0), (2, 3, 0), (2, 5, 0), (2, 5, 1), (3, 2, 0), (3, 2, 0), (3, 3, 2), (3, 4, 2), (3, 5, 0), (4, 5, 2), (4, 7, 2), (5, 3, 0), (5, 4, 0), (5, 4, 0), (5, 4, 2), (5, 6, 2), (6, 1, 0), (6, 3, 0), (6, 4, 0), (6, 6, 2), (6, 7, 2), (7, 3, 0), (7, 5, 0), (7, 6, 0), (8, 1, 0), (8, 2, 0), (8, 2, 2), (8, 4, 2), (8, 7, 0), (8, 7, 0), (9, 2, 0), (9, 5, 0), (10, 6, 0), (10, 6, 0), (11, 1, 0), (11, 2, 2), (11, 7, 0), (12, 2, 0), (12, 3, 0), (12, 5, 1), (12, 7, 0), (13, 3, 2), (13, 4, 0), (13, 6, 0), (13, 6, 0), (13, 7, 2), (14, 3, 0), (14, 5, 2), (14, 6, 2), (15, 2, 2), (15, 3, 2), (15, 4, 2), (15, 7, 2), (16, 3, 0), (16, 3, 0), (18, 5, 2), (19, 1, 2), (19, 1, 2), (19, 6, 2), (19, 6, 2), (20, 2, 1), (20, 2, 2), (21, 4, 2), (22, 2, 1), (22, 6, 0), (22, 7, 0), (23, 5, 0), (24, 1, 0), (24, 5, 0), (24, 6, 0), (25, 3, 0), (25, 4, 0), (25, 6, 0), (25, 6, 0), (25, 6, 2), (25, 7, 0), (25, 7, 2), (26, 1, 0), (26, 3, 2), (26, 4, 0), (26, 6, 2), (27, 3, 0), (27, 4, 1), (27, 6, 0), (27, 7, 2), (27, 7, 2), (28, 3, 0), (28, 4, 2), (28, 4, 2), (29, 1, 2), (29, 6, 2), (30, 1, 0), (30, 1, 0), (30, 1, 0), (30, 2, 2), (30, 3, 0), (30, 4, 0), (30, 4, 2), (30, 6, 0), (31, 1, 0), (31, 1, 2), (31, 4, 0), (31, 4, 2), (32, 5, 2), (32, 6, 0), (32, 6, 0), (33, 1, 0), (33, 2, 0), (33, 3, 1), (33, 4, 2), (33, 5, 2), (33, 6, 0), (34, 1, 0), (34, 2, 0), (34, 2, 2), (34, 3, 0), (34, 4, 1), (34, 4, 2), (34, 5, 0), (34, 7, 0), (35, 1, 2), (36, 3, 0), (36, 5, 2), (37, 4, 0), (37, 5, 0), (37, 5, 2), (37, 7, 0), (38, 1, 0), (38, 1, 2), (38, 3, 2), (38, 4, 0), (38, 7, 0), (39, 1, 0), (39, 1, 2), (39, 2, 0), (39, 4, 0), (39, 4, 2), (39, 4, 2), (39, 5, 0), (39, 7, 0), (40, 2, 0), (40, 4, 1), (40, 5, 2), (41, 7, 0), (42, 1, 0), (42, 3, 0), (42, 5, 0), (42, 7, 0), (43, 1, 0), (43, 5, 1), (43, 7, 0), (44, 4, 0), (44, 5, 0), (44, 6, 0), (44, 7, 1), (45, 2, 0), (45, 3, 2), (45, 4, 1), (45, 7, 0), (45, 7, 2), (46, 3, 0), (46, 4, 0), (47, 2, 0), (47, 3, 1), (47, 5, 0), (48, 1, 0), (48, 1, 2), (48, 2, 2), (48, 3, 2), (48, 4, 1), (48, 6, 1), (49, 2, 0), (49, 2, 0), (49, 6, 0), (50, 2, 1), (50, 3, 2), (50, 4, 0), (50, 4, 1), (50, 5, 0), (50, 6, 2), (51, 1, 0), (51, 1, 2), (51, 2, 0), (51, 4, 0), (51, 6, 2), (52, 1, 0), (52, 1, 2), (53, 1, 0))
+        |SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, CAST(p AS BIGINT) AS pred_class
+        |FROM v001 WHERE (SELECT c FROM n) < 300000
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT) AS l_orderkey, CAST(ln AS INT) AS l_linenumber, CAST(p AS BIGINT) AS pred_class
+        |FROM v01 WHERE (SELECT c FROM n) >= 300000""".stripMargin,
     "run_udf" ->
       // python int() truncates toward zero; events values are positive, so
       // floor(value*100) over the same parquet doubles is the same integer
@@ -315,10 +354,10 @@ object MLQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_rf_model").toString
         MLOps.saveModel(fitted, feats, tmp)
-        MLOps.loadRegressionModel(tmp)
+        MLOps.loadModel(tmp)
       }
     val head = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(200)
-    MLOps.predictRandomForest(model, head, mfeats)
+    MLOps.predictForest(model, head, mfeats)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("prediction"), 4).as("pred_qty"))
   }

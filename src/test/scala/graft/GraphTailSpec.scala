@@ -150,6 +150,50 @@ class GraphTailSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("fit_class_random_forest: graph ≡ direct classifier, class output") {
+    val (pred, tgt0) = rfCubes
+    // integer class target: 3 classes from the regression target's range
+    val tgt = tgt0.withDf(_.withColumn("value",
+      (col("value") % 3).cast("double")))
+    val g =
+      """{"process_graph": {
+        |  "p": {"process_id": "load_collection", "arguments": {"id": "p"}},
+        |  "t": {"process_id": "load_collection", "arguments": {"id": "t"}},
+        |  "m": {"process_id": "fit_class_random_forest",
+        |        "arguments": {"predictors": {"from_node": "p"},
+        |                      "target": {"from_node": "t"},
+        |                      "num_trees": 10, "max_depth": 4, "seed": 7}},
+        |  "s": {"process_id": "predict_random_forest",
+        |        "arguments": {"data": {"from_node": "p"},
+        |                      "model": {"from_node": "m"}},
+        |        "result": true}}}""".stripMargin
+    val colls = Map("p" -> pred, "t" -> tgt)
+    val got = runCube(g, colls).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val feats = Seq("f1", "f2")
+    val wide = pred.df.groupBy(col("i")).pivot("bands", feats)
+      .agg(first(col("value")))
+    val joined = wide.join(tgt.df.select(col("i"),
+      col("value").as("_target")), Seq("i"))
+    val model = MLOps.fitClassRandomForest(joined, feats, "_target",
+      numTrees = 10, maxDepth = 4, seed = 7L)
+    val direct = MLOps.predictForest(model, wide, feats).collect()
+      .map(r => r.getLong(r.fieldIndex("i")) ->
+        r.getDouble(r.fieldIndex("prediction"))).toMap
+    assert(got == direct)
+    // predictions are class indices
+    assert(got.values.toSet.subsetOf(Set(0.0, 1.0, 2.0)), got.values.toSet)
+    // classifier persistence: save → load round-trips the kind sidecar
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfc").toString
+    MLOps.saveModel(model, feats, dir)
+    val (reloaded, rfeats) = MLOps.loadModel(dir)
+    assert(rfeats == feats)
+    val again = MLOps.predictForest(reloaded, wide, feats).collect()
+      .map(r => r.getLong(r.fieldIndex("i")) ->
+        r.getDouble(r.fieldIndex("prediction"))).toMap
+    assert(again == got)
+  }
+
   test("save_ml_model → load_ml_model: persistence is prediction-lossless") {
     val (pred, tgt) = rfCubes
     val dir = java.nio.file.Files.createTempDirectory("graft_gml").toString
