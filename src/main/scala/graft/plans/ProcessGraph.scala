@@ -1868,6 +1868,12 @@ object ProcessGraph {
           val pts = VectorOps.bufferPoints(
             df.filter(col("geom_type") === "Point"), "geometry", dist)
           TableV(pts.unionByName(df.filter(col("geom_type") =!= "Point")))
+        case "vector_to_regular_points" =>
+          // openEO spec proposal (beyond the reference's exports): regular
+          // distance-spaced sample points inside each polygon; points
+          // pass through
+          TableV(VectorOps.vectorToRegularPoints(table("data"), "geometry",
+            num("distance")))
         case "vector_reproject" =>
           TableV(VectorOps.reprojectVector(table("data"), "geometry",
             str("source"), str("projection")))

@@ -152,6 +152,18 @@ object SpatialQueries {
         round(aggregate(transform(col("geometry"), _.getField("x")),
           lit(0.0), _ + _), 6).as("sum_x"))
     },
+    "vector_regular_points" -> { (s, dir) =>
+      // openEO vector_to_regular_points proposal: the fixture polygon
+      // sampled at 0.7 spacing (grid anchored at its bbox min), the two
+      // point features passing through; px/py rounded identically on
+      // both engines
+      val vc = VectorOps.loadGeoJson(s, geojson, Seq("class"))
+      val pts = VectorOps.vectorToRegularPoints(vc, "geometry", 0.7)
+      pts.select(col("geom_id"), col("geom_type"), col("class"),
+        col("point_id"),
+        round(element_at(col("geometry"), 1).getField("x"), 6).as("px"),
+        round(element_at(col("geometry"), 1).getField("y"), 6).as("py"))
+    },
     "text_date_fns" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       o.select(col("o_orderkey"),
@@ -296,6 +308,23 @@ object SpatialQueries {
         s"""SELECT * FROM (VALUES
            |  $bufferedRows
            |) t(geom_id, geom_type, class, n_vertices, sum_x)""".stripMargin,
+      "vector_regular_points" -> {
+        // the SAME ray-cast arithmetic as the Spark predicate, generated
+        // from the SAME ring constants (incl. the GeoJSON closing vertex —
+        // its degenerate edge contributes 0 crossings in both engines)
+        val gjRing: Geo.Ring = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0),
+          (0.0, 3.0), (0.0, 0.0))
+        s"""WITH gi AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, 5) t(i)),
+           |gj AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 4) t(j)),
+           |pts AS (SELECT i, j, 0.0 + i*0.7 AS px, 0.0 + j*0.7 AS py
+           |        FROM gi CROSS JOIN gj)
+           |SELECT CAST(2 AS BIGINT) AS geom_id, 'Point' AS geom_type,
+           |       'c' AS class, i*5 + j AS point_id,
+           |       round(px, 6) AS px, round(py, 6) AS py
+           |FROM pts WHERE ${Geo.pointInPolygonSql("px", "py", gjRing)}
+           |UNION ALL SELECT CAST(0 AS BIGINT), 'Point', 'a', CAST(0 AS BIGINT), 3.2, 4.1
+           |UNION ALL SELECT CAST(1 AS BIGINT), 'Point', 'b', CAST(0 AS BIGINT), 10.25, -2.5""".stripMargin
+      },
       "text_date_fns" ->
         """SELECT o_orderkey,
           |  starts_with(o_orderpriority, '1') AS p_begins,

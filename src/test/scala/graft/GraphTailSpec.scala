@@ -446,6 +446,35 @@ class GraphTailSpec extends AnyFunSuite {
       |     [[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0], [0.0, 0.0]]]}}
       |]}""".stripMargin
 
+  test("vector_to_regular_points node ≡ VectorOps twin; spacing honored") {
+    val arg = geojson.replaceAll("\\s+", " ")
+    val g =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_geojson",
+         |        "arguments": {"data": $arg, "properties": ["class"]}},
+         |  "p": {"process_id": "vector_to_regular_points",
+         |        "arguments": {"data": {"from_node": "l"},
+         |                      "distance": 1.0},
+         |        "result": true}}}""".stripMargin
+    val got = runValue(g) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    val vc = VectorOps.loadGeoJson(spark, geojson, Seq("class"))
+    val direct = VectorOps.vectorToRegularPoints(vc, "geometry", 1.0)
+    assert(got == rows(direct))
+    // the 4×3 polygon at spacing 1.0: grid 5×4, edge rows/cols at x=4 /
+    // y=3 fall OUT by the ray-cast (right/top edges are exterior), x=0 /
+    // y=0 fall IN — 4×3=12 interior points + the 2 point features
+    val polyPts = direct.filter(col("geom_id") === 2)
+      .select(element_at(col("geometry"), 1).getField("x"),
+        element_at(col("geometry"), 1).getField("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(polyPts == (for (x <- 0 to 3; y <- 0 to 2)
+      yield (x.toDouble, y.toDouble)).toSet, polyPts)
+    assert(direct.filter(col("geom_type") =!= "Point").count() == 0)
+  }
+
   test("load_geojson → vector_buffer → vector_reproject ≡ VectorOps chain") {
     val arg = geojson.replaceAll("\\s+", " ")
     val g =
