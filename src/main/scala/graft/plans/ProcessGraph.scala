@@ -1881,6 +1881,22 @@ object ProcessGraph {
           TableV(VectorOps.loadGeoJson(
             org.apache.spark.sql.SparkSession.active, str("data"),
             opt("properties").map(_ => strs("properties")).getOrElse(Nil)))
+        case "load_uploaded_files" =>
+          // openEO core process (beyond the reference's exports): read a
+          // user's uploaded file LIST in one format and union them — each
+          // path goes through the same per-format loader as load_url, so
+          // parquet stays a lazy distributed scan
+          val paths = strs("paths")
+          require(paths.nonEmpty, "load_uploaded_files: empty `paths`")
+          val fmt = str("format")
+          val dfs = paths.map { p =>
+            val uri =
+              if (p.contains("://")) p
+              else java.nio.file.Paths.get(p).toUri.toString
+            graft.sources.UrlLoader.loadUrl(
+              org.apache.spark.sql.SparkSession.active, uri, fmt)
+          }
+          TableV(dfs.reduce(_ unionByName _))
         case "load_vector_cube" =>
           TableV(VectorOps.loadVectorCube(
             org.apache.spark.sql.SparkSession.active,

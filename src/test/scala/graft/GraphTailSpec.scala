@@ -446,6 +446,33 @@ class GraphTailSpec extends AnyFunSuite {
       |     [[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0], [0.0, 0.0]]]}}
       |]}""".stripMargin
 
+  test("load_uploaded_files unions the path list through the format loader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upl")
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    a.coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    b.coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    def onePart(d: String): String =
+      new java.io.File(d).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getPath
+    val g =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_uploaded_files",
+         |        "arguments": {"paths": ["${onePart(s"$dir/a")}",
+         |                                "${onePart(s"$dir/b")}"],
+         |                      "format": "Parquet"},
+         |        "result": true}}}""".stripMargin
+    val got = runValue(g) match {
+      case TableV(df) => df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      case v => fail(s"expected TableV, got $v")
+    }
+    assert(got == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    // unknown format is the wire-level FormatUnsuitable
+    val bad = g.replace("\"Parquet\"", "\"Shapefile\"")
+    val e = intercept[Exception] { runValue(bad) }
+    assert(e.getMessage.contains("FormatUnsuitable"), e.getMessage)
+  }
+
   test("vector_to_regular_points node ≡ VectorOps twin; spacing honored") {
     val arg = geojson.replaceAll("\\s+", " ")
     val g =
