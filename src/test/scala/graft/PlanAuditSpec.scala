@@ -417,6 +417,18 @@ class PlanAuditSpec extends AnyFunSuite {
       || p.toLowerCase.contains("partial_topkagg"), p)
   }
 
+  test("aggregate_spatial_window: broadcast axis maps, one agg exchange") {
+    // the pixel-window maps are metadata-sized axis frames — they must
+    // reach the facts as BROADCAST joins, leaving the keyed aggregation's
+    // exchange as the only FACT-table shuffle (the axis frames' own tiny
+    // distinct/index exchanges carry axis labels, never fact rows)
+    val asw = SparkEntry.queries("aggregate_spatial_window")(spark, dir)
+    val p = plan(asw)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(_lbl_x".r.findAllIn(p).length == 1, p)
+  }
+
   test("range joins plan as equi-joins on driver data, never nested-loop") {
     for (q <- Seq("range_join", "interval_overlap_join")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
