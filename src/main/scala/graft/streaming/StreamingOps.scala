@@ -351,7 +351,12 @@ object StreamingOps {
     val agg = src.groupBy(col("event_type"))
       .agg(graft.functions.TopKAgg.column(col("value"), col("event_id"), k)
         .as("top"))
-    runToMemory(agg, "complete", queryName)
+    // keyed state: dial the store count to the key space, not the
+    // session's 32 shuffle partitions (one store commit per partition
+    // per batch)
+    withStatePartitions(spark, 8) {
+      runToMemory(agg, "complete", queryName)
+    }
       .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
         col("e.id").as("event_id"), col("e.v").as("value"))
@@ -435,7 +440,13 @@ object StreamingOps {
     val clicks = eventsFileStream(spark, eventsPath)
       .filter(col("event_type") === "click")
     val joined = attributionJoinPlan(views, clicks, windowMinutes, "40 days")
-    runToMemory(joined, "append", queryName)
+    // the join keeps FOUR state stores per partition (two sides × keys +
+    // buffers): at the session's 32 shuffle partitions a single batch
+    // inits/commits 128 stores for a key space that fits in a handful —
+    // dial the state partitioning down like the multibatch runners do
+    withStatePartitions(spark, 8) {
+      runToMemory(joined, "append", queryName)
+    }
   }
 
   /** MULTI-BATCH [[attributionJoinEventsFile]]: both sides consume the
@@ -499,10 +510,8 @@ object StreamingOps {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(shardDir))
-    withStatePartitions(spark, 8) {
-      enrichAggregate(spark, src, sfDir, queryName,
-        requireMinBatches = minBatches)
-    }
+    enrichAggregate(spark, src, sfDir, queryName,
+      requireMinBatches = minBatches)
   }
 
   private def enrichAggregate(spark: SparkSession, src: DataFrame,
@@ -518,8 +527,12 @@ object StreamingOps {
       .groupBy(col("n_name"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
-    runToMemory(agg, "complete", queryName,
-      requireMinBatches = requireMinBatches)
+    // keyed state (nation × type): size the store count to the key
+    // space, single- and multi-batch alike
+    withStatePartitions(spark, 8) {
+      runToMemory(agg, "complete", queryName,
+        requireMinBatches = requireMinBatches)
+    }
   }
 
   /** Tumbling-window aggregation over a parquet-backed event stream,
