@@ -262,7 +262,7 @@ object MLQueries {
     "dedup_stream_multibatch" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
     // exact top-20 users — the sketch's no-eviction regime (capacity
-    // 8192 ≫ distinct users at every gate SF) makes the streaming
+    // 65536 ≫ distinct users at every gate SF and at sf1) makes the streaming
     // sketch equal groupBy counts with zero error; tie-break (count
     // desc, key-string asc) matches the aggregator's finish ordering
     "heavy_hitters_stream" ->

@@ -202,7 +202,7 @@ object StreamingOps {
     * equals the batch groupBy regardless of batch boundaries.
     */
   def heavyHittersEventsFile(spark: SparkSession, eventsPath: String,
-      capacity: Int = 8192, outK: Int = 20,
+      capacity: Int = 65536, outK: Int = 20,
       queryName: String = "graft_hh_stream"): DataFrame = {
     val src = eventsFileStream(spark, eventsPath)
       .filter(col("user_id").isNotNull)
@@ -220,7 +220,7 @@ object StreamingOps {
     * complete-mode snapshot must still equal the batch answer.
     */
   def heavyHittersEventsFileMultiBatch(spark: SparkSession,
-      eventsPath: String, capacity: Int = 8192, outK: Int = 20,
+      eventsPath: String, capacity: Int = 65536, outK: Int = 20,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_hh_stream_mb"): DataFrame = {
     graft.core.SparkTuning.tune(spark)
@@ -300,7 +300,7 @@ object StreamingOps {
     * boundaries — the sketch is a pure merge.
     */
   def distinctUsersEventsFile(spark: SparkSession, eventsPath: String,
-      k: Int = 16384,
+      k: Int = 65536,
       queryName: String = "graft_theta_stream"): DataFrame = {
     val src = eventsFileStream(spark, eventsPath)
       .filter(col("user_id").isNotNull)
@@ -315,7 +315,7 @@ object StreamingOps {
     * trigger, ≥ `minBatches` non-empty batches asserted.
     */
   def distinctUsersEventsFileMultiBatch(spark: SparkSession,
-      eventsPath: String, k: Int = 16384,
+      eventsPath: String, k: Int = 65536,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_theta_stream_mb"): DataFrame = {
     graft.core.SparkTuning.tune(spark)
