@@ -17,7 +17,7 @@ def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     # big oracles (array-heavy ANN/semdedup mirrors at sf1) otherwise grow
     # unbounded and get OOM-killed; cap the heap and spill to disk instead
-    con.execute("SET memory_limit='40GB'")
+    con.execute("SET memory_limit='80GB'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in TABLES:
         con.execute(
