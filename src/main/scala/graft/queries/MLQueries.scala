@@ -112,6 +112,16 @@ object MLQueries {
     "topk_stream_multibatch" -> { (s, dir) =>
       StreamingOps.topkEventsFileMultiBatch(s, s"$dir/events.parquet")
     },
+    // CDC upsert view on the stream: latest change per (user_id,
+    // event_type) held as max_by state — O(keys) state on an unbounded
+    // change log, exact at ANY batching ((ts, event_id) is a total
+    // order, pure merge); shares the batch cdc_latest oracle
+    "cdc_latest_stream" -> { (s, dir) =>
+      StreamingOps.cdcLatestEventsFile(s, s"$dir/events.parquet")
+    },
+    "cdc_latest_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.cdcLatestEventsFileMultiBatch(s, s"$dir/events.parquet")
+    },
     // event-time-bounded STREAM-STREAM join (view → clicks within 60
     // min, same user): both sides buffered in the join state store, the
     // time bound + watermark making that state evictable on a live feed.
@@ -286,6 +296,8 @@ object MLQueries {
     // oracle verbatim
     "topk_stream" -> PipelineQueries.oracles("topk_per_type"),
     "topk_stream_multibatch" -> PipelineQueries.oracles("topk_per_type"),
+    "cdc_latest_stream" -> PipelineQueries.oracles("cdc_latest"),
+    "cdc_latest_stream_multibatch" -> PipelineQueries.oracles("cdc_latest"),
     // exact attribution pairs — the 40-day watermark delay exceeds the
     // table span, so no join state is evicted mid-run and the emitted
     // pair set equals the batch inequality join on both runs

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.{Caching, Joins}
+import graft.core.{Caching, Joins, Scd}
 import graft.pipeline._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -984,6 +984,35 @@ object PipelineQueries {
           daily, keys = Seq("event_type"), leftTime = "ts", rightTime = "day",
           payload = Seq("level"))
         .select(col("event_id"), col("event_type"), col("level"))
+    },
+    "cdc_latest" -> { (s, dir) =>
+      // CDC upsert compaction: the latest change per (user_id, event_type)
+      // via max_by over the (ts, event_id) total order — a declarative
+      // aggregate, so the map side reduces each partition to one candidate
+      // row per key before the exchange; the row_number() window encoding
+      // would shuffle and sort the WHOLE log to keep one row per key.
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      Scd.latestByKey(ev, keys = Seq("user_id", "event_type"),
+          timeCol = "ts", seqCol = "event_id",
+          payload = Seq("event_id", "cents"))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("cents").as("last_cents"))
+    },
+    "scd2_intervals" -> { (s, dir) =>
+      // SCD type-2 layout: each user's 'view' events become versioned
+      // dimension rows valid over [valid_from, valid_to) — one window
+      // shuffle, lead() over the per-key sorted run, NULL valid_to for the
+      // open version. The interval table is what rangeJoin/asofJoin
+      // point-in-time enrichment consumes.
+      val ch = Tables.events(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vf"),
+          col("event_id"),
+          round(col("value") * 100).cast("bigint").as("level_cents"))
+      Scd.scd2(ch, keys = Seq("user_id"), timeCol = "vf", seqCol = "event_id")
+        .select(col("user_id"), col("level_cents"),
+          col("valid_from"), col("valid_to"))
     },
     "range_join" -> { (s, dir) =>
       // point-in-interval join: events fall into per-type maintenance
@@ -2267,6 +2296,25 @@ object PipelineQueries {
         |SELECT m.event_id, m.event_type, df.level
         |FROM m LEFT JOIN df
         |  ON df.event_type = m.event_type AND df.day = m.mday""".stripMargin,
+    "cdc_latest" ->
+      // row_number() window form (portable); the Spark plan is the
+      // map-side-combinable max_by aggregate — matching hashes prove them
+      // equivalent
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |       CAST(round(value * 100) AS BIGINT) AS last_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "scd2_intervals" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS vf, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS level_cents
+        |           FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, level_cents, vf AS valid_from,
+        |        lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id)
+        |          AS valid_to
+        |      FROM c)
+        |SELECT user_id, level_cents, valid_from, valid_to FROM v
+        |WHERE valid_to IS NULL OR valid_from < valid_to""".stripMargin,
     "range_join" ->
       // plain inequality join (DuckDB plans it as an IEJoin); the Spark
       // plan is the bucketed equi-join — matching hashes prove equivalence

@@ -390,6 +390,62 @@ object StreamingOps {
         col("e.id").as("event_id"), col("e.v").as("value"))
   }
 
+  private def cdcLatestAgg(src: DataFrame): DataFrame =
+    src.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id").as("last_event_id"),
+          round(col("value") * 100).cast("bigint").as("last_cents")),
+        struct(col("ts"), col("event_id"))).as("_r"))
+
+  private def cdcLatestOut(sink: DataFrame): DataFrame =
+    sink.select(col("user_id"), col("event_type"),
+      col("_r.last_event_id").as("last_event_id"),
+      col("_r.last_cents").as("last_cents"))
+
+  /** CDC upsert view maintained INCREMENTALLY on the stream: the latest
+    * change per (user_id, event_type), kept current across micro-batches
+    * by a `max_by` aggregate in the state store — O(keys) state on an
+    * unbounded change log, one candidate row per key per batch crossing
+    * the exchange (the batch [[graft.core.Scd.latestByKey]] argument,
+    * applied to streaming state). `(ts, event_id)` is a total order per
+    * key, so the terminal complete-mode snapshot is EXACT at any
+    * batching — max over a total order is a pure merge; no regime caveat.
+    * Shares the batch `cdc_latest` driver oracle.
+    */
+  def cdcLatestEventsFile(spark: SparkSession, eventsPath: String,
+      queryName: String = "graft_cdc_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+      .filter(col("event_id").isNotNull)
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(cdcLatestAgg(src), "complete", queryName)
+    }
+    cdcLatestOut(sink)
+  }
+
+  /** MULTI-BATCH [[cdcLatestEventsFile]]: one time-ordered shard per
+    * trigger, ≥ `minBatches` non-empty batches asserted — a key's winning
+    * row routinely arrives several batches after its first row, so the
+    * upsert state genuinely crosses micro-batch boundaries and must still
+    * equal the batch compaction.
+    */
+  def cdcLatestEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
+      shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_cdc_stream_mb"): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(shardDir)
+      .filter(col("event_id").isNotNull)
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(cdcLatestAgg(src), "complete", queryName,
+        requireMinBatches = minBatches)
+    }
+    cdcLatestOut(sink)
+  }
+
   /** Event-time-bounded STREAM-STREAM JOIN plan: views joined to the
     * clicks that follow them within `windowMinutes` for the same user —
     * the attribution shape every ingest pipeline needs (impression ×

@@ -290,6 +290,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi == batch)
   }
 
+  test("CDC upsert stream runners (single + multi-batch) match the batch row") {
+    // latest-per-key state is exact at ANY batching ((ts, event_id) is a
+    // total order, max over it a pure merge) — both delivery shapes must
+    // equal the registered batch compaction bit-for-bit; in the multi-batch
+    // run a key's winning row routinely lands several batches after its
+    // first, so the upsert state genuinely crosses batch boundaries
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val batch = graft.queries.PipelineQueries.queries("cdc_latest")(spark, dir)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty)
+    val single = StreamingOps
+      .cdcLatestEventsFile(spark, s"$dir/events.parquet",
+        queryName = "spec_cdc_stream")
+      .collect().map(key).toSet
+    assert(single == batch)
+    val multi = StreamingOps
+      .cdcLatestEventsFileMultiBatch(spark, s"$dir/events.parquet",
+        queryName = "spec_cdc_stream_mb")
+      .collect().map(key).toSet
+    assert(multi == batch)
+  }
+
   test("stream-stream attribution join emits exactly the batch pair set") {
     // inner event-time-bounded join: with the watermark delay covering the
     // table span nothing is evicted before its partner arrives, so the
