@@ -147,6 +147,65 @@ object VectorOps {
     points.unionByName(polys)
   }
 
+  /** vector_to_random_points (openEO spec proposal): up to `count` seeded
+    * pseudo-random sample points inside each polygon; point features pass
+    * through. Rejection sampling with a FIXED candidate budget
+    * (`count × oversample` bbox-uniform candidates per polygon, accepted
+    * in candidate order until `count`) so the result is a pure function of
+    * `(idCol, seed)` — deterministic across partitionings, re-runs, and
+    * engines. Coordinates derive from md5 (the library's portable-hash
+    * convention, [[graft.pipeline.Sampling.hashBucket]]): 16 hash bits per
+    * axis per candidate, scaled into the polygon's bbox with the same
+    * double arithmetic the DuckDB oracle mirrors.
+    *
+    * The whole sample is array arithmetic ON the scan — candidate
+    * generation, ray-cast acceptance, and the take-`count` truncation run
+    * inside `transform`/`filter`/`slice` with ZERO shuffles and no driver
+    * geometry loop, so a 100M-polygon table samples in one embarrassingly
+    * parallel pass. A polygon whose acceptance never reaches `count`
+    * (thin sliver vs its bbox) yields the points it has, like the
+    * proposal's "fewer if not enough".
+    */
+  def vectorToRandomPoints(df: DataFrame, geomCol: String, count: Int,
+      oversample: Int = 8, seed: String = "rp",
+      idCol: String = "geom_id"): DataFrame = {
+    require(count > 0, s"vector_to_random_points: count $count")
+    require(oversample > 0, s"vector_to_random_points: oversample $oversample")
+    val others = df.columns.toSeq.filterNot(c =>
+      c == geomCol || c == "geom_type")
+    val outCols = (others.map(col) :+ col("geom_type")) :+ col(geomCol)
+
+    val points = df.filter(col("geom_type") === "Point")
+      .withColumn("point_id", lit(0L))
+      .select(outCols :+ col("point_id"): _*)
+
+    val g = col(geomCol)
+    val xs = transform(g, p => p.getField("x"))
+    val ys = transform(g, p => p.getField("y"))
+    val (x0, x1) = (array_min(xs), array_max(xs))
+    val (y0, y1) = (array_min(ys), array_max(ys))
+    def h16(k: Column, axis: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        k.cast("string"), lit(s":$axis:$seed"))), 1, 4), 16, 10).cast("long")
+    val m = count.toLong * oversample
+    val cand = transform(sequence(lit(0L), lit(m - 1)), k => struct(
+      (x0 + (h16(k, "x").cast("double") / lit(65536.0)) * (x1 - x0)).as("x"),
+      (y0 + (h16(k, "y").cast("double") / lit(65536.0)) * (y1 - y0)).as("y")))
+    val taken = slice(filter(cand, p =>
+      SpatialOps.pointInRing(p.getField("x"), p.getField("y"), g)), 1, count)
+    val polys = df.filter(col("geom_type") === "Polygon")
+      .withColumn("_taken", taken)
+      .select(others.map(col) :+
+        posexplode(col("_taken")).as(Seq("_pos", "_p")): _*)
+      .withColumn("point_id", col("_pos").cast("long"))
+      .withColumn(geomCol, array(struct(col("_p.x").as("x"),
+        col("_p.y").as("y"))))
+      .withColumn("geom_type", lit("Point"))
+      .select(outCols :+ col("point_id"): _*)
+
+    points.unionByName(polys)
+  }
+
   /** vector_reproject EPSG:4326 → EPSG:3857 over every vertex
     * (reference: cubes/geometries.py:149-170). Vertex-wise Column
     * arithmetic; metadata CRS update is the caller's.

@@ -1874,6 +1874,13 @@ object ProcessGraph {
           // pass through
           TableV(VectorOps.vectorToRegularPoints(table("data"), "geometry",
             num("distance")))
+        case "vector_to_random_points" =>
+          // openEO spec proposal (beyond the reference's exports): up to
+          // `geometry_count` seeded pseudo-random points per polygon
+          // (md5-derived, deterministic); points pass through
+          TableV(VectorOps.vectorToRandomPoints(table("data"), "geometry",
+            num("geometry_count").toInt,
+            seed = opt("seed").map(_ => str("seed")).getOrElse("rp")))
         case "vector_reproject" =>
           TableV(VectorOps.reprojectVector(table("data"), "geometry",
             str("source"), str("projection")))

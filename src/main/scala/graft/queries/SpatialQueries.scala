@@ -46,6 +46,16 @@ object SpatialQueries {
       |  [[[0.0,0.0],[4.0,0.0],[4.0,3.0],[0.0,3.0],[0.0,0.0]]]},
       | "properties":{"class":"c"}}]}""".stripMargin
 
+  // vector_random_points fixture: a triangle covering exactly half its
+  // 6x6 bbox, so bbox-uniform candidates reject ~50% of the time
+  private val randomPtsGeojson =
+    """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","geometry":{"type":"Point","coordinates":[1.5,1.5]},
+      | "properties":{"class":"p"}},
+      |{"type":"Feature","geometry":{"type":"Polygon","coordinates":
+      |  [[[0.0,0.0],[6.0,0.0],[0.0,6.0],[0.0,0.0]]]},
+      | "properties":{"class":"t"}}]}""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mask_polygon" -> { (s, dir) =>
       val masked = SpatialOps.maskPolygon(gridCube(s, dir), ring)
@@ -161,6 +171,19 @@ object SpatialQueries {
       val pts = VectorOps.vectorToRegularPoints(vc, "geometry", 0.7)
       pts.select(col("geom_id"), col("geom_type"), col("class"),
         col("point_id"),
+        round(element_at(col("geometry"), 1).getField("x"), 6).as("px"),
+        round(element_at(col("geometry"), 1).getField("y"), 6).as("py"))
+    },
+    "vector_random_points" -> { (s, dir) =>
+      // openEO vector_to_random_points proposal: 12 seeded md5-derived
+      // points inside a TRIANGLE (half its bbox, so the rejection path
+      // genuinely bites: ~half the 96 candidates drop), the point feature
+      // passing through; the oracle replays the same hash fold, bbox
+      // scaling, and ray-cast in SQL
+      val vc = VectorOps.loadGeoJson(s, randomPtsGeojson, Seq("class"))
+      val pts = VectorOps.vectorToRandomPoints(vc, "geometry",
+        count = 12, oversample = 8, seed = "rp")
+      pts.select(col("geom_id"), col("class"), col("point_id"),
         round(element_at(col("geometry"), 1).getField("x"), 6).as("px"),
         round(element_at(col("geometry"), 1).getField("y"), 6).as("py"))
     },
@@ -324,6 +347,33 @@ object SpatialQueries {
            |FROM pts WHERE ${Geo.pointInPolygonSql("px", "py", gjRing)}
            |UNION ALL SELECT CAST(0 AS BIGINT), 'Point', 'a', CAST(0 AS BIGINT), 3.2, 4.1
            |UNION ALL SELECT CAST(1 AS BIGINT), 'Point', 'b', CAST(0 AS BIGINT), 10.25, -2.5""".stripMargin
+      },
+      "vector_random_points" -> {
+        // the SAME md5 16-bit fold (Sampling.hashBucket's portable-hash
+        // convention), bbox scaling in the SAME double-op order, and the
+        // SAME ray-cast arithmetic as the Spark plan
+        val triRing: Geo.Ring = Seq((0.0, 0.0), (6.0, 0.0), (0.0, 6.0),
+          (0.0, 0.0))
+        def h16(axis: String): String = {
+          val h = s"md5('1:' || k || ':$axis:rp')"
+          (0 until 4).map { i =>
+            s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (3 - i))}"
+          }.mkString("(", " + ", ")")
+        }
+        s"""WITH ks AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(0, 95) t(k)),
+           |c AS (SELECT k,
+           |        0.0 + (${h16("x")} / 65536.0) * (6.0 - 0.0) AS px,
+           |        0.0 + (${h16("y")} / 65536.0) * (6.0 - 0.0) AS py
+           |      FROM ks),
+           |a AS (SELECT k, px, py FROM c
+           |      WHERE ${Geo.pointInPolygonSql("px", "py", triRing)}),
+           |r AS (SELECT row_number() OVER (ORDER BY k) - 1 AS point_id,
+           |             px, py FROM a)
+           |SELECT CAST(1 AS BIGINT) AS geom_id, 't' AS class,
+           |       CAST(point_id AS BIGINT) AS point_id,
+           |       round(px, 6) AS px, round(py, 6) AS py
+           |FROM r WHERE point_id < 12
+           |UNION ALL SELECT CAST(0 AS BIGINT), 'p', CAST(0 AS BIGINT), 1.5, 1.5""".stripMargin
       },
       "text_date_fns" ->
         """SELECT o_orderkey,

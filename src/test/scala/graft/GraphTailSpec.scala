@@ -502,6 +502,46 @@ class GraphTailSpec extends AnyFunSuite {
     assert(direct.filter(col("geom_type") =!= "Point").count() == 0)
   }
 
+  test("vector_to_random_points node ≡ VectorOps twin; all points interior") {
+    val arg = geojson.replaceAll("\\s+", " ")
+    val g =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_geojson",
+         |        "arguments": {"data": $arg, "properties": ["class"]}},
+         |  "p": {"process_id": "vector_to_random_points",
+         |        "arguments": {"data": {"from_node": "l"},
+         |                      "geometry_count": 5, "seed": "gts"},
+         |        "result": true}}}""".stripMargin
+    val got = runValue(g) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    val vc = VectorOps.loadGeoJson(spark, geojson, Seq("class"))
+    val direct = VectorOps.vectorToRandomPoints(vc, "geometry", 5, seed = "gts")
+    assert(got == rows(direct))
+    // deterministic: a re-plan over a repartitioned input is bit-identical
+    assert(rows(VectorOps.vectorToRandomPoints(vc.repartition(7), "geometry",
+      5, seed = "gts")) == rows(direct))
+    // exactly 5 per polygon here (the 4×3 rect IS its bbox — no rejection),
+    // every one strictly interior to the rect by construction of the hash
+    // scaling, ids 0..4 in candidate order
+    val polyPts = direct.filter(col("geom_id") === 2)
+      .select(col("point_id"),
+        element_at(col("geometry"), 1).getField("x"),
+        element_at(col("geometry"), 1).getField("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(polyPts.map(_._1).sorted.toSeq == (0L to 4L))
+    polyPts.foreach { case (_, x, y) =>
+      assert(x >= 0.0 && x < 4.0 && y >= 0.0 && y < 3.0, s"($x, $y)")
+    }
+    // point features pass through untouched
+    assert(rows(direct.filter(col("geom_type") === "Point")
+      .filter(col("geom_id") < 2)) ==
+      rows(vc.filter(col("geom_type") === "Point")
+        .withColumn("point_id", lit(0L))
+        .select(direct.columns.map(col).toSeq: _*)))
+  }
+
   test("load_geojson → vector_buffer → vector_reproject ≡ VectorOps chain") {
     val arg = geojson.replaceAll("\\s+", " ")
     val g =

@@ -244,4 +244,38 @@ class SpatialSpec extends AnyFunSuite {
     // warp to the same CRS is the identity (no-op, no UDF in the plan)
     assert(ResampleOps.warpCube(c, "EPSG:4326").df eq c.df)
   }
+
+  test("vectorToRandomPoints: rejection, interior-only, under-fill, no shuffle") {
+    // triangle = half its 6x6 bbox: with oversample=1 the fixed candidate
+    // budget genuinely under-fills (≈ half of 50 accepted), every accepted
+    // point must satisfy the SAME ray-cast the plan uses, and the whole
+    // sample is array arithmetic on the scan — zero exchanges
+    val tri = Seq((0.0, 0.0), (6.0, 0.0), (0.0, 6.0), (0.0, 0.0))
+    val df = Seq((1L, "Polygon", tri)).toDF("geom_id", "geom_type", "_g")
+      .withColumn("geometry", org.apache.spark.sql.functions.transform(
+        col("_g"), p => struct(p.getField("_1").as("x"),
+          p.getField("_2").as("y")))).drop("_g")
+    val out = graft.operators.VectorOps.vectorToRandomPoints(
+      df, "geometry", count = 50, oversample = 1, seed = "sv")
+    val pts = out.select(col("point_id"),
+        element_at(col("geometry"), 1).getField("x"),
+        element_at(col("geometry"), 1).getField("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pts.nonEmpty && pts.length < 50, s"got ${pts.length}")
+    // host-side replication of SpatialOps.pointInRing's crossing parity
+    def inside(px: Double, py: Double): Boolean = {
+      val n = tri.length
+      val crossings = (0 until n).count { i =>
+        val (ax, ay) = tri(i); val (bx, by) = tri((i + 1) % n)
+        val straddles = (ay > py) != (by > py)
+        straddles && px < (bx - ax) * (py - ay) / (by - ay) + ax
+      }
+      crossings % 2 == 1
+    }
+    pts.foreach { case (_, x, y) => assert(inside(x, y), s"($x, $y)") }
+    // point_ids are the accepted-candidate order, dense from 0
+    assert(pts.map(_._1).sorted.toSeq == (0L until pts.length.toLong))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in plan:\n$plan")
+  }
 }
