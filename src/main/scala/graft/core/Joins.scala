@@ -54,11 +54,26 @@ object Joins {
     *
     * `payload` names must not collide with left columns.
     */
+  /** Internal helper-column names must not pre-exist on an input:
+    * `withColumn` would silently REPLACE the user's column and the final
+    * projection would emit internal values under the user's name.
+    */
+  private def requireNoInternal(df: DataFrame, names: Seq[String],
+      op: String): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input columns ${clash.mkString(",")} collide with internal " +
+        "helper names; rename them first")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       direction: String = "backward", strict: Boolean = false): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    val internal = Seq("_t", "_p", "_tag", "_side", "_m")
+    requireNoInternal(left, internal, "asofJoin")
+    requireNoInternal(right, internal, "asofJoin")
     val leftCols = left.columns.toSeq
     require(payload.forall(p => !leftCols.contains(p)),
       s"payload columns ${payload.mkString(",")} collide with left columns")
@@ -127,6 +142,8 @@ object Joins {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(joinType == "inner" || joinType == "left",
       s"joinType must be inner|left, got $joinType")
+    requireNoInternal(points, Seq("_b"), "rangeJoin")
+    requireNoInternal(intervals, Seq("_b"), "rangeJoin")
     val overlap = intervals.columns.toSet.intersect(points.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"non-key columns ${overlap.mkString(",")} appear on both sides")
@@ -164,6 +181,8 @@ object Joins {
       keys: Seq[String] = Nil, bucketWidth: Long,
       maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    requireNoInternal(left, Seq("_b"), "intervalOverlapJoin")
+    requireNoInternal(right, Seq("_b"), "intervalOverlapJoin")
     val overlap = right.columns.toSet.intersect(left.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"non-key columns ${overlap.mkString(",")} appear on both sides")

@@ -26,24 +26,31 @@ import scala.collection.mutable
   * While a set's distinct count stays ≤ k — the correctness-gate regime
   * the driver oracle pins — the sketch IS the complete distinct hash set:
   * cardinalities and intersections are EXACT (up to 64-bit hash
-  * collisions, ~n²/2⁶⁵). Beyond k it degrades to the standard estimators:
-  * distinct ≈ (k−1)/θ and |A∩B| ≈ |{h ∈ A∩B : h < θ}|/θ with θ =
-  * min(θ_A, θ_B), relative error O(1/√k) — spec-measured.
+  * collisions, ~n²/2⁶⁵). The sketch retains k+1 minima so "exactly k
+  * distinct" (k entries, complete) is distinguishable from "k retained
+  * of more" (k+1 entries, the last being θ) — without that extra slot
+  * the ≤ k exactness contract would silently break AT k. Beyond k it
+  * degrades to the standard estimators: distinct ≈ k/θ (θ = the true
+  * (k+1)-th minimum, exclusive) and |A∩B| ≈ |{h ∈ A∩B : h < θ}|/θ with
+  * θ = min(θ_A, θ_B), relative error O(1/√k) — spec-measured.
   */
 class ThetaSketchAgg(k: Int)
     extends Aggregator[Long, mutable.HashSet[Long], Array[Long]] {
   require(k >= 16, s"ThetaSketch: k ($k) must be >= 16")
 
   // the buffer over-collects to 4k distinct hashes and trims back to the
-  // k smallest in one sort — amortized O(1) per insert, 4k longs of state,
-  // and a plain HashSet stays kryo-round-trippable (an ordered set's
-  // comparator does not survive generic kryo decode)
+  // k+1 smallest in one sort — amortized O(1) per insert, 4k longs of
+  // state, and a plain HashSet stays kryo-round-trippable (an ordered
+  // set's comparator does not survive generic kryo decode). k+1, not k:
+  // any value discarded here already has k+1 smaller values, so it can
+  // never be among the final k+1 minima — the retained set always
+  // contains the TRUE (k+1)-th minimum, which is what θ must be.
   private val trimAt = 4 * k
 
   private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
     if (b.size <= trimAt) b
     else {
-      val kept = b.toArray.sorted.take(k)
+      val kept = b.toArray.sorted.take(k + 1)
       b.clear()
       b ++= kept
     }
@@ -60,7 +67,7 @@ class ThetaSketchAgg(k: Int)
   }
 
   override def finish(b: mutable.HashSet[Long]): Array[Long] =
-    b.toArray.sorted.take(k)
+    b.toArray.sorted.take(k + 1)
 
   override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
     Encoders.kryo[mutable.HashSet[Long]]
@@ -70,35 +77,41 @@ class ThetaSketchAgg(k: Int)
 
 object ThetaSketchAgg {
 
-  /** Column form: the sorted sign-flipped k-minimum-hash array of `hash`
-    * (a 64-bit hash column, e.g. `xxhash64(key)`).
+  /** Column form: the sorted sign-flipped minimum-hash array of `hash`
+    * (a 64-bit hash column, e.g. `xxhash64(key)`) — ≤ k entries when the
+    * set's distinct count is ≤ k (complete), k+1 entries when filled
+    * (the last entry is θ, the true (k+1)-th minimum, not a member).
     */
   def column(hash: Column, k: Int): Column =
     udaf(new ThetaSketchAgg(k)).apply(hash)
 
   /** θ of a sketch in flipped-signed space: the exclusive upper bound on
-    * retained hashes. A non-full sketch saw its whole set → θ = +∞
+    * retained hashes — the (k+1)-th minimum when the sketch filled. A
+    * sketch with ≤ k entries saw its whole set → θ = +∞
     * (Long.MaxValue flipped-domain sentinel).
     */
   private def thetaF(s: Array[Long], k: Int): Long =
-    if (s.length < k) Long.MaxValue else s(s.length - 1)
+    if (s.length <= k) Long.MaxValue else s(k)
 
   /** Fraction of the unsigned 64-bit hash space below flipped θ. */
   private def thetaFrac(tF: Long): Double =
     if (tF == Long.MaxValue) 1.0
     else (tF ^ Long.MinValue).toDouble / math.pow(2.0, 64)
 
-  /** Estimated distinct count: exact size when the sketch never filled,
-    * else the classic KMV estimator (k−1)/θ.
+  /** Estimated distinct count: exact size when the set stayed ≤ k
+    * distinct (the sketch is complete — including EXACTLY k, which the
+    * k+1-th slot disambiguates), else the theta estimator k/θ (k values
+    * retained strictly below the exclusive θ).
     */
   def estimate(s: Array[Long], k: Int): Long =
-    if (s.length < k) s.length.toLong
-    else math.rint((k - 1).toDouble / thetaFrac(s(s.length - 1))).toLong
+    if (s.length <= k) s.length.toLong
+    else math.rint(k.toDouble / thetaFrac(s(k))).toLong
 
   /** (|A|, |B|, |A∩B|) estimates from two sketches built with the same k.
     * Exact (collision-negligible) when neither sketch filled; otherwise
-    * the theta intersection: common hashes below θ = min(θ_A, θ_B),
-    * scaled by 1/θ.
+    * the theta intersection: common hashes strictly below θ =
+    * min(θ_A, θ_B) (a filled sketch's own θ entry is excluded — it is a
+    * bound, not a member), scaled by 1/θ.
     */
   def pairStats(a: Array[Long], b: Array[Long], k: Int): (Long, Long, Long) = {
     val tF = math.min(thetaF(a, k), thetaF(b, k))

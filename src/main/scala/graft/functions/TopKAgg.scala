@@ -60,8 +60,15 @@ class TopKAgg(k: Int)
 
   override def reduce(b: mutable.ArrayBuffer[(Double, Long)],
       in: (Double, Long)): mutable.ArrayBuffer[(Double, Long)] = {
-    b += in
-    compact(b, if (b.size > cap) k else cap)
+    // NaN is unrankable (neither > nor == any value): admitting one makes
+    // beats() intransitive — sortWith may throw or order
+    // partitioning-dependently, breaking the exactness contract. NaN rows
+    // drop here, the same contract as the callers' null pre-filters.
+    if (!in._1.isNaN) {
+      b += in
+      compact(b, if (b.size > cap) k else cap)
+    }
+    b
   }
 
   override def merge(a: mutable.ArrayBuffer[(Double, Long)],

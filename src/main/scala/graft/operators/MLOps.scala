@@ -85,6 +85,19 @@ object MLOps {
     * VectorAssembler contract is part of the model; a reload that guessed
     * feature order would silently permute inputs).
     */
+  /** The sidecar travels on the SAME filesystem the MLlib writer targets
+    * (Hadoop FS by `path` scheme) — a java.nio local write would succeed
+    * for `/tmp` paths and silently strand hdfs://-or-object-store models
+    * without their feature order.
+    */
+  private def sidecarPath(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hconf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_features.json")
+    (p.getFileSystem(hconf), p)
+  }
+
   def saveModel(model: AnyRef, features: Seq[String], path: String): Unit = {
     val kind = model match {
       case m: RandomForestRegressionModel =>
@@ -94,11 +107,16 @@ object MLOps {
       case other => throw new IllegalArgumentException(
         s"ModelNotFound: save_ml_model cannot persist ${other.getClass.getName}")
     }
-    val feats = features.map(f => "\"" + f.replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_features.json"),
-      s"""{"kind":"$kind","features":$feats}""")
+    // real JSON via json4s (feature names are arbitrary strings — commas,
+    // quotes, unicode all round-trip; a hand-rolled join would split them)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val doc = JObject("kind" -> JString(kind),
+      "features" -> JArray(features.map(JString(_)).toList))
+    val (fs, side) = sidecarPath(path)
+    val out = fs.create(side, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** openEO `load_ml_model`: reload a [[saveModel]] directory (either
@@ -106,16 +124,19 @@ object MLOps {
     * the wire-level ModelNotFound (exceptions.py:45).
     */
   def loadModel(path: String): (AnyRef, Seq[String]) = {
-    val side = java.nio.file.Paths.get(path, "_graft_features.json")
-    require(java.nio.file.Files.exists(side),
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val (fs, side) = sidecarPath(path)
+    require(fs.exists(side),
       s"ModelNotFound: no model feature sidecar at $path")
-    val txt = java.nio.file.Files.readString(side)
-    val kind =
-      if (txt.contains("\"kind\":\"classification\"")) "classification"
-      else "regression"
-    val featsPart = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
-    val feats = featsPart.split(",").toSeq.filter(_.trim.nonEmpty)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\""))
+    val in = fs.open(side)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val root = JsonMethods.parse(txt)
+    val kind = (root \ "kind").extract[String]
+    val feats = (root \ "features").extract[Seq[String]]
     val model =
       try {
         if (kind == "classification") RandomForestClassificationModel.load(path)

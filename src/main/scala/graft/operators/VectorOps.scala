@@ -117,6 +117,10 @@ object VectorOps {
   def vectorToRegularPoints(df: DataFrame, geomCol: String,
       distance: Double): DataFrame = {
     require(distance > 0, s"vector_to_regular_points: distance $distance")
+    val clash = Seq("_i", "_j", "_px", "_py", "point_id")
+      .filter(df.columns.contains)
+    require(clash.isEmpty, "vector_to_regular_points: input columns " +
+      s"${clash.mkString(",")} collide with internal/output names")
     val others = df.columns.toSeq.filterNot(c =>
       c == geomCol || c == "geom_type")
     val outCols = (others.map(col) :+ col("geom_type")) :+ col(geomCol)
@@ -171,6 +175,10 @@ object VectorOps {
       idCol: String = "geom_id"): DataFrame = {
     require(count > 0, s"vector_to_random_points: count $count")
     require(oversample > 0, s"vector_to_random_points: oversample $oversample")
+    val clash = Seq("_taken", "_pos", "_p", "point_id")
+      .filter(df.columns.contains)
+    require(clash.isEmpty, "vector_to_random_points: input columns " +
+      s"${clash.mkString(",")} collide with internal/output names")
     val others = df.columns.toSeq.filterNot(c =>
       c == geomCol || c == "geom_type")
     val outCols = (others.map(col) :+ col("geom_type")) :+ col(geomCol)

@@ -140,9 +140,16 @@ object StacLoader {
         // "" is <= every ISO datetime, so only the end needs a guard.
         // A time-axis asset (cube:dimensions labels) survives when ANY
         // of its slices falls in the range — the per-slice cut happens
-        // at chunk planning inside loadCube.
+        // at chunk planning inside loadCube. Label-based selection must
+        // match the EMISSION path: only zarr assets mount with a time
+        // axis, so only they may be selected by their labels — a GeoTIFF
+        // emits its single item datetime, and selecting it by labels the
+        // rows never carry would survive here and then be silently
+        // emptied by loadCube's authoritative temporal trim.
         def in(t: String) = t >= start && (end.isEmpty || t < end)
-        if (a.timeLabels.nonEmpty) a.timeLabels.exists(in) else in(a.datetime)
+        if (a.timeLabels.nonEmpty && a.mediaType.contains("zarr"))
+          a.timeLabels.exists(in)
+        else in(a.datetime)
       })
       .filter(a => properties.forall { case (prop, preds) =>
         preds.forall { case (op, operand) =>

@@ -49,51 +49,8 @@ private[v2] class TiffCubeTable(conf: ZarrCubeSource.Conf)
 }
 
 private[v2] class TiffCubeScanBuilder(conf: ZarrCubeSource.Conf)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-  import ZarrCubeSource._
-
-  private var xLo, yLo = Double.NegativeInfinity
-  private var xHi, yHi = Double.PositiveInfinity
-  private var tLo = Long.MinValue
-  private var tHi = Long.MaxValue
-  private var bandSel: Option[Set[String]] = None
-  private var accepted: Array[Filter] = Array.empty
-  private var required: StructType = Schema
-
-  private def acceptOne(f: Filter): Boolean = f match {
-    case GreaterThan("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); true }
-    case GreaterThanOrEqual("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); true }
-    case LessThan("x", v) => toDouble(v).exists { d => xHi = math.min(xHi, d); true }
-    case LessThanOrEqual("x", v) => toDouble(v).exists { d => xHi = math.min(xHi, d); true }
-    case EqualTo("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); xHi = math.min(xHi, d); true }
-    case GreaterThan("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); true }
-    case GreaterThanOrEqual("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); true }
-    case LessThan("y", v) => toDouble(v).exists { d => yHi = math.min(yHi, d); true }
-    case LessThanOrEqual("y", v) => toDouble(v).exists { d => yHi = math.min(yHi, d); true }
-    case EqualTo("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); yHi = math.min(yHi, d); true }
-    case GreaterThan("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m + 1); true }
-    case GreaterThanOrEqual("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m); true }
-    case LessThan("t", v) => toMicros(v).exists { m => tHi = math.min(tHi, m - 1); true }
-    case LessThanOrEqual("t", v) => toMicros(v).exists { m => tHi = math.min(tHi, m); true }
-    case EqualTo("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m); tHi = math.min(tHi, m); true }
-    case EqualTo("bands", v: String) =>
-      bandSel = Some(bandSel.getOrElse(Set(v)).intersect(Set(v))); true
-    case In("bands", vs) if vs.forall(_.isInstanceOf[String]) =>
-      val s = vs.map(_.asInstanceOf[String]).toSet
-      bandSel = Some(bandSel.fold(s)(_.intersect(s))); true
-    case IsNotNull("x" | "y" | "t" | "bands" | "value") => true
-    case _ => false
-  }
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(acceptOne)
-    filters // all residual: exactness is Spark's, pruning is ours
-  }
-  override def pushedFilters(): Array[Filter] = accepted
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new TiffCubeScan(conf, required,
+    extends CubeExtentScanBuilder {
+  override protected def buildScan(): Scan = new TiffCubeScan(conf, required,
     (xLo, xHi), (yLo, yHi), (tLo, tHi), bandSel)
 }
 
@@ -111,7 +68,7 @@ private[v2] class TiffCubeScan(conf: ZarrCubeSource.Conf,
     */
   override def estimateStatistics(): Statistics = {
     val rows =
-      try planInputPartitions().map { p =>
+      try plannedPartitions.map { p =>
         val tp = p.asInstanceOf[TiffSegmentPartition]
         val m = tp.meta
         val within =
@@ -128,52 +85,30 @@ private[v2] class TiffCubeScan(conf: ZarrCubeSource.Conf,
         rN * cN * (if (m.planar) 1 else m.samplesPerPixel)
       }.sum
       catch { case scala.util.control.NonFatal(_) => -1L }
-    new Statistics {
-      override def numRows(): java.util.OptionalLong =
-        if (rows < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(rows)
-      override def sizeInBytes(): java.util.OptionalLong =
-        if (rows < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(rows * 8L * (required.size + 1))
-    }
+    CubeScanUtil.statsOf(rows, required.size)
   }
-  override def description(): String = {
-    val ext = Seq(
-      if (xB._1.isNegInfinity && xB._2.isPosInfinity) None
-      else Some(s"x∈[${xB._1},${xB._2}]"),
-      if (yB._1.isNegInfinity && yB._2.isPosInfinity) None
-      else Some(s"y∈[${yB._1},${yB._2}]"),
-      if (tB._1 == Long.MinValue && tB._2 == Long.MaxValue) None
-      else Some(s"t∈[${tB._1},${tB._2}]µs"),
-      bandSel.map(s => s"bands∈{${s.mkString(",")}}")).flatten
-    s"TiffCubeScan ${conf.path} PushedExtent: " +
-      (if (ext.isEmpty) "(full)" else ext.mkString(", "))
-  }
+  override def description(): String =
+    s"TiffCubeScan ${conf.path} " + CubeScanUtil.describeExtent(xB, yB, tB, bandSel)
 
-  private def axisRange(lo: Double, hi: Double, origin: Double,
-      span: Double, nCells: Long): Option[(Long, Long)] = {
-    if (lo.isNegInfinity && hi.isPosInfinity) return None
-    if (span <= 0 || nCells <= 0) return None
-    val step = span / nCells
-    val a =
-      if (lo.isNegInfinity) 0L
-      else math.max(0L, math.ceil((lo - origin) / step).toLong - 1)
-    val b =
-      if (hi.isPosInfinity) nCells - 1
-      else math.min(nCells - 1, math.floor((hi - origin) / step).toLong + 1)
-    Some((a, b))
-  }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  /** Planned once per Scan — same statistics-probe caching rationale as
+    * [[ZarrCubeScan]]: estimateStatistics and execution share one plan,
+    * one metadata read, one segment walk.
+    */
+  private lazy val plannedPartitions: Array[InputPartition] = computePartitions()
+
+  private def computePartitions(): Array[InputPartition] = {
     val meta = TiffReader.readMeta(conf.path)
     if (conf.datetimeMicros < tB._1 || conf.datetimeMicros > tB._2)
       return Array.empty // constant t outside the pushed window
     val multi = meta.samplesPerPixel > 1
     if (!multi && bandSel.exists(!_.contains(conf.band)))
       return Array.empty // single band, name mismatch
-    val rr = axisRange(yB._1, yB._2, conf.south, conf.north - conf.south,
+    val rr = CubeScanUtil.axisRange(yB._1, yB._2, conf.south, conf.north - conf.south,
       meta.height.toLong)
-    val cr = axisRange(xB._1, xB._2, conf.west, conf.east - conf.west,
+    val cr = CubeScanUtil.axisRange(xB._1, xB._2, conf.west, conf.east - conf.west,
       meta.width.toLong)
     var segs = TiffReader.planSegments(meta, rr, cr)
     // planar rasters: the band-major segment table lets a bands

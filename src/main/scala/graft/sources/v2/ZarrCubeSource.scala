@@ -133,61 +133,13 @@ private[v2] class ZarrCubeTable(conf: ZarrCubeSource.Conf)
     new ZarrCubeScanBuilder(conf)
 }
 
-/** Accumulates pushed bounds per cube coordinate. Bounds are INCLUSIVE
-  * and conservative (strict comparisons widen to non-strict): pruning
-  * may keep an extra boundary chunk, never drop a matching one — the
-  * residual re-application makes the result exact either way.
+/** Pushdown state accumulation lives in [[CubeExtentScanBuilder]] (one
+  * definition shared with the TIFF facade); this binds it to the zarr
+  * scan.
   */
 private[v2] class ZarrCubeScanBuilder(conf: ZarrCubeSource.Conf)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-  import ZarrCubeSource._
-
-  private var xLo, yLo = Double.NegativeInfinity
-  private var xHi, yHi = Double.PositiveInfinity
-  private var tLo = Long.MinValue
-  private var tHi = Long.MaxValue
-  private var bandSel: Option[Set[String]] = None
-  private var accepted: Array[Filter] = Array.empty
-  private var required: StructType = Schema
-
-  private def acceptOne(f: Filter): Boolean = f match {
-    case GreaterThan("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); true }
-    case GreaterThanOrEqual("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); true }
-    case LessThan("x", v) => toDouble(v).exists { d => xHi = math.min(xHi, d); true }
-    case LessThanOrEqual("x", v) => toDouble(v).exists { d => xHi = math.min(xHi, d); true }
-    case EqualTo("x", v) => toDouble(v).exists { d => xLo = math.max(xLo, d); xHi = math.min(xHi, d); true }
-    case GreaterThan("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); true }
-    case GreaterThanOrEqual("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); true }
-    case LessThan("y", v) => toDouble(v).exists { d => yHi = math.min(yHi, d); true }
-    case LessThanOrEqual("y", v) => toDouble(v).exists { d => yHi = math.min(yHi, d); true }
-    case EqualTo("y", v) => toDouble(v).exists { d => yLo = math.max(yLo, d); yHi = math.min(yHi, d); true }
-    // micros are integral, so strict bounds tighten EXACTLY by one µs —
-    // a half-open [start, end) window excludes the end-label's chunk
-    case GreaterThan("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m + 1); true }
-    case GreaterThanOrEqual("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m); true }
-    case LessThan("t", v) => toMicros(v).exists { m => tHi = math.min(tHi, m - 1); true }
-    case LessThanOrEqual("t", v) => toMicros(v).exists { m => tHi = math.min(tHi, m); true }
-    case EqualTo("t", v) => toMicros(v).exists { m => tLo = math.max(tLo, m); tHi = math.min(tHi, m); true }
-    case EqualTo("bands", v: String) =>
-      bandSel = Some(bandSel.getOrElse(Set(v)).intersect(Set(v))); true
-    case In("bands", vs) if vs.forall(_.isInstanceOf[String]) =>
-      val s = vs.map(_.asInstanceOf[String]).toSet
-      bandSel = Some(bandSel.fold(s)(_.intersect(s))); true
-    case IsNotNull("x" | "y" | "t" | "bands" | "value") => true
-    case _ => false
-  }
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(acceptOne)
-    filters // ALL filters stay residual: pruning is advisory, exactness is Spark's
-  }
-  override def pushedFilters(): Array[Filter] = accepted
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan = new ZarrCubeScan(conf, required,
+    extends CubeExtentScanBuilder {
+  override protected def buildScan(): Scan = new ZarrCubeScan(conf, required,
     (xLo, xHi), (yLo, yHi), (tLo, tHi), bandSel, accepted)
 }
 
@@ -207,7 +159,7 @@ private[v2] class ZarrCubeScan(conf: ZarrCubeSource.Conf,
     */
   override def estimateStatistics(): Statistics = {
     val rows =
-      try planInputPartitions().map { p =>
+      try plannedPartitions.map { p =>
         val zp = p.asInstanceOf[ZarrChunkPartition]
         // in-slice cells of this chunk (edge clip approximated by slice)
         (0 until zp.meta.shape.size).map { d =>
@@ -219,48 +171,22 @@ private[v2] class ZarrCubeScan(conf: ZarrCubeSource.Conf,
         }.product
       }.sum
       catch { case scala.util.control.NonFatal(_) => -1L }
-    new Statistics {
-      override def numRows(): java.util.OptionalLong =
-        if (rows < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(rows)
-      override def sizeInBytes(): java.util.OptionalLong =
-        if (rows < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(rows * 8L * (required.size + 1))
-    }
+    CubeScanUtil.statsOf(rows, required.size)
   }
-  override def description(): String = {
-    val ext = Seq(
-      if (xB._1.isNegInfinity && xB._2.isPosInfinity) None
-      else Some(s"x∈[${xB._1},${xB._2}]"),
-      if (yB._1.isNegInfinity && yB._2.isPosInfinity) None
-      else Some(s"y∈[${yB._1},${yB._2}]"),
-      if (tB._1 == Long.MinValue && tB._2 == Long.MaxValue) None
-      else Some(s"t∈[${tB._1},${tB._2}]µs"),
-      bandSel.map(s => s"bands∈{${s.mkString(",")}}")).flatten
-    s"ZarrCubeScan ${conf.path} PushedExtent: " +
-      (if (ext.isEmpty) "(full)" else ext.mkString(", "))
-  }
+  override def description(): String =
+    s"ZarrCubeScan ${conf.path} " + CubeScanUtil.describeExtent(xB, yB, tB, bandSel)
 
-  /** Coordinate bound → inclusive cell-index range. Cells are POINT
-    * samples at `origin + i·step`, so the exact translation is
-    * ceil/floor; one guard cell each way absorbs float edges, and the
-    * residual filter trims the overshoot.
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  /** Planned once per Scan: the optimizer probes estimateStatistics and
+    * execution calls planInputPartitions on the same instance — without
+    * the cache each probe re-reads store metadata and re-walks the whole
+    * chunk directory (seconds of driver I/O on a 10⁵-chunk archive).
     */
-  private def axisRange(lo: Double, hi: Double, origin: Double,
-      span: Double, nCells: Long): Option[(Long, Long)] = {
-    if (lo.isNegInfinity && hi.isPosInfinity) return None
-    if (span <= 0 || nCells <= 0) return None
-    val step = span / nCells
-    val a =
-      if (lo.isNegInfinity) 0L
-      else math.max(0L, math.ceil((lo - origin) / step).toLong - 1)
-    val b =
-      if (hi.isPosInfinity) nCells - 1
-      else math.min(nCells - 1, math.floor((hi - origin) / step).toLong + 1)
-    Some((a, b)) // a > b = empty: planChunks plans nothing
-  }
+  private lazy val plannedPartitions: Array[InputPartition] = computePartitions()
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def computePartitions(): Array[InputPartition] = {
     val meta = ZarrReader.readMeta(conf.path)
     val rank = meta.shape.size
     require(rank == 2 || rank == 3,
@@ -269,8 +195,8 @@ private[v2] class ZarrCubeScan(conf: ZarrCubeSource.Conf,
     val (nr, nc) =
       if (rank == 2) (meta.shape(0).toLong, meta.shape(1).toLong)
       else (meta.shape(1).toLong, meta.shape(2).toLong)
-    val rr = axisRange(yB._1, yB._2, conf.south, conf.north - conf.south, nr)
-    val cr = axisRange(xB._1, xB._2, conf.west, conf.east - conf.west, nc)
+    val rr = CubeScanUtil.axisRange(yB._1, yB._2, conf.south, conf.north - conf.south, nr)
+    val cr = CubeScanUtil.axisRange(xB._1, xB._2, conf.west, conf.east - conf.west, nc)
     // constant-coordinate predicates can empty the scan outright
     val constT = !timeAxis &&
       (conf.datetimeMicros < tB._1 || conf.datetimeMicros > tB._2)

@@ -114,6 +114,26 @@ object StreamingOps {
     dir.getPath
   })
 
+  /** The ONE multi-batch source definition: time-ordered shards consumed
+    * one file per trigger. Every *MultiBatch runner goes through here so
+    * tuning, the nanos flag, and ts normalization stay in lock-step —
+    * nine hand-copied preambles are exactly the setup-drift class behind
+    * the r8–r9 NTZ regression. `normalizeTs` is an identity today (the
+    * shard write runs post-normalization) but keeps the contract explicit
+    * should the shard layout ever change.
+    */
+  private def shardedEventsStream(spark: SparkSession, eventsPath: String,
+      shards: Int): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
+    val schema = spark.read.parquet(shardDir).schema
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shardDir))
+  }
+
   /** MULTI-BATCH [[sessionizeStream]] oracle run — the evidence class the
     * single-batch [[sessionizeEventsFile]] row cannot provide: per-user
     * state genuinely crosses micro-batch boundaries (one shard per
@@ -146,13 +166,7 @@ object StreamingOps {
       gapSeconds: Long = 1800L, shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_sess_stream_mb"): DataFrame = {
     import spark.implicits._
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val typed = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val typed = shardedEventsStream(spark, eventsPath, shards)
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
     val out = sessionizeStream(typed, gapSeconds * 1000000L,
       watermarkDelay = "40 days")
@@ -174,13 +188,7 @@ object StreamingOps {
   def dedupEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_dedup_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val stream = shardedEventsStream(spark, eventsPath, shards)
     val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts",
       watermarkDelay = "40 days")
     val sink = withStatePartitions(spark, 8) {
@@ -223,13 +231,7 @@ object StreamingOps {
       eventsPath: String, capacity: Int = 65536, outK: Int = 20,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_hh_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.SpaceSavingAgg.column(
       col("user_id").cast("string"), capacity, outK).as("hh"))
@@ -273,13 +275,7 @@ object StreamingOps {
       eventsPath: String, capacity: Int = 16384,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_quant_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("value").isNotNull)
     val agg = src.agg(graft.functions.QuantileSketchAgg.column(
       round(col("value") * 10).cast("long"), lit(1L), capacity).as("qp"))
@@ -318,13 +314,7 @@ object StreamingOps {
       eventsPath: String, k: Int = 65536,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_theta_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.ThetaSketchAgg.column(
       xxhash64(col("user_id").cast("string")), k).as("sk"))
@@ -371,13 +361,7 @@ object StreamingOps {
   def topkEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
       k: Int = 3, shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_topk_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("value").isNotNull && col("event_id").isNotNull)
     val agg = src.groupBy(col("event_type"))
       .agg(graft.functions.TopKAgg.column(col("value"), col("event_id"), k)
@@ -431,13 +415,7 @@ object StreamingOps {
   def cdcLatestEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
       shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_cdc_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("event_id").isNotNull)
     val sink = withStatePartitions(spark, 8) {
       runToMemory(cdcLatestAgg(src), "complete", queryName,
@@ -517,13 +495,7 @@ object StreamingOps {
       eventsPath: String, windowMinutes: Int = 60, shards: Int = 5,
       minBatches: Int = 5, queryName: String = "graft_ssjoin_mb")
       : DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    def src(): DataFrame = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(shardDir)
+    def src(): DataFrame = shardedEventsStream(spark, eventsPath, shards)
     val joined = attributionJoinPlan(
       src().filter(col("event_type") === "view"),
       src().filter(col("event_type") === "click"),
@@ -558,14 +530,7 @@ object StreamingOps {
   def enrichEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
       sfDir: String, shards: Int = 5, minBatches: Int = 5,
       queryName: String = "graft_enrich_stream_mb"): DataFrame = {
-    graft.core.SparkTuning.tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
-    val src = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(shardDir))
+    val src = shardedEventsStream(spark, eventsPath, shards)
     enrichAggregate(spark, src, sfDir, queryName,
       requireMinBatches = minBatches)
   }

@@ -72,6 +72,35 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(got.length <= 4)
   }
 
+  test("a key trimmed in one merge and re-appearing from another keeps the bracket") {
+    // the mergeable-summaries floor: a key dropped by an overflow trim may
+    // re-enter from a later partial — its count/err must absorb the floor
+    // so true ∈ [count−err, count] still holds (re-entering from zero
+    // UNDERestimates and silently breaks the bracket)
+    val agg = new graft.functions.SpaceSavingAgg(2, 2)
+    def partial(items: (String, Int)*): graft.functions.SsBuffer =
+      items.foldLeft(agg.zero) { case (b, (k, n)) =>
+        (1 to n).foldLeft(b)((bb, _) => agg.reduce(bb, k))
+      }
+    val p1 = partial("K" -> 5, "A" -> 9)
+    val p2 = partial("B" -> 10, "C" -> 8)
+    val m = agg.merge(p1, p2) // overflow trim: K and C drop, floor rises
+    assert(m.floor >= 8, s"trim must raise the floor, got ${m.floor}")
+    val p3 = partial("K" -> 10, "D" -> 1)
+    val out = agg.merge(m, p3)
+    val trueCounts = Map("K" -> 15L, "A" -> 9L, "B" -> 10L, "C" -> 8L, "D" -> 1L)
+    out.m.foreach { case (k, (c, e)) =>
+      val t = trueCounts(k)
+      assert(c >= t, s"$k: count $c must over-estimate true $t")
+      assert(c - e <= t, s"$k: count−err ${c - e} must lower-bound true $t")
+    }
+    // absent keys are bounded by the sketch floor
+    trueCounts.foreach { case (k, t) =>
+      if (!out.m.contains(k)) assert(t <= out.floor,
+        s"absent $k true $t exceeds floor ${out.floor}")
+    }
+  }
+
   test("merge trims to capacity while keeping the heaviest entries") {
     val sess = spark
     import sess.implicits._

@@ -101,6 +101,27 @@ class StacLoaderSpec extends AnyFunSuite {
       timeRange = Some(("2024-01-01", ""))).isEmpty)
   }
 
+  test("temporal labels only select assets that MOUNT with a time axis") {
+    // a GeoTIFF item may (mis)declare cube:dimensions temporal labels, but
+    // its rows carry the single item datetime — selecting it by a label
+    // the cube never emits would survive filterAssets and then be
+    // silently emptied by loadCube's authoritative temporal trim
+    val tiff = StacLoader.StacAsset("i-t", "B02", "file:///tmp/x.tif",
+      "2024-01-01T00:00:00Z", 0, 0, 1, 1,
+      "image/tiff; application=geotiff", Map.empty,
+      timeLabels = Seq("2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"))
+    val zarr = tiff.copy(itemId = "i-z", mediaType = "application/vnd+zarr")
+    // range hits only the SECOND label: the zarr asset (time axis) stays,
+    // the tiff (datetime outside the range) must drop
+    val sel = StacLoader.filterAssets(Seq(tiff, zarr),
+      timeRange = Some(("2024-01-15", "2024-02-15")))
+    assert(sel.map(_.itemId) == Seq("i-z"))
+    // a range covering the tiff's actual datetime keeps both
+    val sel2 = StacLoader.filterAssets(Seq(tiff, zarr),
+      timeRange = Some(("2023-12-01", "2024-01-15")))
+    assert(sel2.map(_.itemId).toSet == Set("i-t", "i-z"))
+  }
+
   test("zarr assets join the catalog; property filters prune like the API") {
     val assets = StacLoader.parseItem(item) ++ StacLoader.parseItem(zarrItem)
     // zarr stores are raster assets (named by asset key, no eo:bands)

@@ -43,6 +43,30 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(nc == a.toSet.intersect(b.toSet).size)
   }
 
+  test("EXACTLY k distinct is still the exact regime (boundary pin)") {
+    // the ≤ k contract must hold AT k: the k+1-th retained slot is what
+    // distinguishes "complete with k members" from "k retained of more" —
+    // without it this estimate falls into the hash-dependent θ branch
+    val rnd = new scala.util.Random(11)
+    val k = 64 // >= 16 floor
+    val a = Seq.fill(k * 3)(rnd.nextLong()).distinct.take(k)
+    assert(a.size == k)
+    for (chunks <- Seq(1, 3, 7)) {
+      val s = sketch(a, k, chunks)
+      assert(s.length == k)
+      assert(ThetaSketchAgg.estimate(s, k) == k.toLong)
+    }
+    // and one past k genuinely fills: k+1 entries, estimator branch
+    val b = a :+ Iterator.continually(rnd.nextLong())
+      .dropWhile(a.contains).next()
+    val sb = sketch(b, k, 2)
+    assert(sb.length == k + 1)
+    // exact pair arithmetic at the boundary too
+    val (na, nb, nc) = ThetaSketchAgg.pairStats(sketch(a, k, 2),
+      sketch(a.take(k / 2), k, 1), k)
+    assert(na == k.toLong && nb == (k / 2).toLong && nc == (k / 2).toLong)
+  }
+
   test("state is canonical under any partitioning, even truncated") {
     val rnd = new scala.util.Random(9)
     val data = Seq.fill(50000)(rnd.nextLong())

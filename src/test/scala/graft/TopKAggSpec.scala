@@ -98,6 +98,18 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("NaN values drop instead of poisoning the comparator") {
+    // NaN makes (v desc, id asc) intransitive — admitted into the buffer
+    // it can throw from sortWith or rank partitioning-dependently; the
+    // contract is the same as the callers' null filters: unrankable rows
+    // are not ranked
+    val clean = corpus(200)
+    val dirty = clean ++ (1000 until 1040).map(i => ("g1", i.toLong, Double.NaN))
+    for (parts <- Seq(1, 5)) {
+      assert(aggAnswer(dirty, 3, parts) == windowAnswer(clean, 3))
+    }
+  }
+
   test("rejects k <= 0") {
     intercept[IllegalArgumentException] { new TopKAgg(0) }
   }
