@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analysis for crawl curation — PageRank over a (src, dst)
+  * edge table. Crawl pipelines rank the host/domain graph to set frontier
+  * priorities and per-domain quality priors (the public technique behind
+  * Common Crawl's host-level ranking); the input here is any edge frame,
+  * typically the doc→outlink domain pairs a crawl extraction emits.
+  *
+  * Scale design (the 100-TB shape):
+  *  - Out-degrees are joined onto the edge table ONCE, and that frame is
+  *    persisted and re-read by every iteration — the per-iteration work is
+  *    exactly one shuffle-join of the (node, rank) table against the edge
+  *    table on `src` plus one aggregation by `dst`. Nothing else moves.
+  *  - The rank table is O(nodes), always the small side; the edge table is
+  *    O(edges) and never re-derived. k iterations cost k·(join + agg), the
+  *    canonical Pregel-free dataflow encoding of PageRank.
+  *  - Dangling nodes (no outlinks) simply leak their mass, the common
+  *    dataflow simplification; ranks remain a deterministic function of
+  *    the graph.
+  *  - All mass arithmetic is INTEGER: ranks live in units of 1e-12
+  *    (`unit = 1e12`), each edge ships `rank*85 DIV (100*outdeg)` and the
+  *    per-node inflow is a bigint sum — exact, association-order-free,
+  *    reproducible bit-for-bit by any engine with 64-bit integer division
+  *    (this is what lets the DuckDB oracle unroll the same iterations and
+  *    hash-match). Truncation loses < outdeg·1e-12 of mass per node per
+  *    iteration — noise at any graph size, and identically computed
+  *    everywhere.
+  *
+  * Extends the §2-beyond-reference pipeline family (the reference has no
+  * graph process). Formulation: Page et al. 1999, damping 0.85 as
+  * `rank' = (1-d)/N + d·Σ_in rank/outdeg`, teleport and damping in the
+  * same integer units.
+  */
+object LinkGraph {
+
+  val Unit_ : Long = 1000000000000L // 1e12 rank units = mass 1.0
+
+  /** `iters` synchronous PageRank iterations over `edges` (columns
+    * `src`, `dst`; parallel edges count once each, the multigraph
+    * convention). Returns (node, rank_units) for every node that appears
+    * as a src or dst — rank_units in 1e-12 units of probability mass.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"pageRank: negative iterations ($iters)")
+    val cols = edges.columns.toSet
+    require(cols.contains("src") && cols.contains("dst"),
+      s"pageRank: edge frame needs (src, dst), got ${edges.columns.mkString(",")}")
+
+    // nodes and degree-annotated edges are read by EVERY iteration —
+    // persist both (bounded: O(nodes) and O(edges); spill, not evict)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one-row count frame: broadcast, never collected on the driver
+    val n = nodes.agg(count(lit(1)).as("_n"))
+
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val ej = edges.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Unit_} DIV _n").as("rank_units"))
+    for (_ <- 0 until iters) {
+      val inflow = ej.join(ranks, ej("src") === ranks("node"))
+        .select(col("dst"),
+          expr("rank_units * 85 DIV (100 * _deg)").as("_c"))
+        .groupBy("dst").agg(sum(col("_c")).as("_in"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (expr(s"(${Unit_} * 15) DIV (100 * _n)") +
+            coalesce(col("_in"), lit(0L))).as("rank_units"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the lexical-search
+  * primitive a curation pipeline uses for targeted corpus probes
+  * (contamination lookups, topic quota audits, eval-set neighborhood
+  * pulls) without standing up an external search service.
+  *
+  * Scale design (the 100-TB shape):
+  *  - The query-term filter is applied to the token ARRAY inside the scan
+  *    projection (a higher-order `filter` before `explode`), so the only
+  *    rows that ever reach an exchange are (doc, query-term) postings —
+  *    the corpus's full token stream never shuffles. With q query terms
+  *    the exchanged volume is O(docs-containing-q-terms), not O(tokens).
+  *  - Corpus statistics (N, total token count) reduce to ONE row in a
+  *    single scan and ride a broadcast nested-loop join; per-term document
+  *    frequencies reduce to q rows and ride a broadcast hash join. No
+  *    stats table is ever shuffled.
+  *  - Scoring arithmetic happens in integer micro-units
+  *    (`round(score*1e6)` per (doc, term), bigint-summed per doc) so the
+  *    per-doc total is exact and association-order-free — the property
+  *    that lets a DuckDB oracle reproduce the hash bit-for-bit, and that
+  *    makes the result independent of partitioning at any scale.
+  *  - The final top-k is a global `orderBy … limit k`: Spark plans it as
+  *    per-partition TakeOrdered partials (k rows per partition on the
+  *    wire), never a full sort.
+  *
+  * Reference provenance: the reference corpus-curation stack has no
+  * retrieval process; this extends the §2-beyond-reference pipeline
+  * family (SURVEY.md "training-data pipeline"). BM25 constants and shape
+  * follow Robertson & Zaragoza 2009 (the Okapi BM25 formulation with
+  * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`, k1=1.2, b=0.75).
+  */
+object Retrieval {
+
+  /** Per-document BM25 scores for `queryTerms`, in exact integer
+    * micro-units (`score_units` = sum over matched terms of
+    * `round(1e6 * idf * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)))`).
+    *
+    * @param docs corpus with `idCol` and a text column `textCol`
+    * @return (idCol, score_units) for every document matching ≥1 term,
+    *         ordered by (score_units desc, id asc), truncated to `k`
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(queryTerms.map(_.trim.toLowerCase).distinct.size == queryTerms.size,
+      "bm25TopK: query terms must be distinct after normalization")
+    val id = col(idCol)
+    val qArr = array(queryTerms.map(t => lit(t.trim.toLowerCase)): _*)
+
+    // one corpus scan → (doc, query-term) postings; the HOF filter runs
+    // before explode, so non-query tokens die inside the scan stage
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tf = docs
+      .select(id, explode(filter(toks, t => array_contains(qArr, t))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+
+    // second corpus scan for (N, Σdl): a one-row frame, broadcast below.
+    // (A single-scan variant could carry dl through the postings, but the
+    // stats must cover docs with NO query term too, so the full-corpus
+    // reduce is irreducible; it is a count+sum, map-side combined.)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
+
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"))
+
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_tok").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    scored
+      .select(id, round(idf * tfn * lit(1e6)).cast("long").as("_u"))
+      .groupBy(id).agg(sum(col("_u")).as("score_units"))
+      .orderBy(col("score_units").desc, id.asc)
+      .limit(k)
+  }
+}

@@ -1073,6 +1073,39 @@ object PipelineQueries {
         .select(col("l_orderkey"), col("o_custkey"), col("rev_cents"))
         .orderBy(col("rev_cents").desc, col("l_orderkey").asc)
         .limit(10)
+    },
+    "bm25_topk" -> { (s, dir) =>
+      // BM25 lexical retrieval over the corpus ([[Retrieval.bm25TopK]]):
+      // the curation-side search primitive (contamination lookups, topic
+      // probes). Query-term filtering happens inside the scan projection
+      // (HOF filter before explode), stats ride broadcast one-row/q-row
+      // frames, scores are exact integer micro-units, and the top-k is a
+      // TakeOrdered, never a full sort.
+      Retrieval.bm25TopK(Tables.read(s, dir, "documents"),
+        Seq("vector", "merge", "scan", "window"), k = 20)
+    },
+    "link_pagerank" -> { (s, dir) =>
+      // PageRank over a doc→domain outlink graph ([[LinkGraph.pageRank]],
+      // 3 synchronous iterations, damping 0.85, exact integer-unit mass).
+      // The corpus carries no hyperlinks, so the edges are id-derived like
+      // domain_stats' URLs: each doc's site node is (source, doc_id%1000)
+      // and it emits 3 outlinks into a 21k-node universe — edges (and the
+      // populated node set, until the universe fills) grow with the
+      // corpus; most outlink targets are dangling, like a real crawl
+      // frontier. The oracle unrolls the same 3 iterations in the same
+      // integer arithmetic.
+      val d = Tables.read(s, dir, "documents")
+      val srcNode = concat(col("source"), lit("_"),
+        pmod(col("doc_id"), lit(1000L)).cast("string"))
+      val dsts = (1 to 3).map { j =>
+        concat(lit("src"),
+          pmod(col("doc_id") * 7 + lit(j.toLong), lit(20L)).cast("string"),
+          lit("_"),
+          pmod(col("doc_id") * 31 + lit(j.toLong), lit(1000L)).cast("string"))
+      }
+      val edges = d.select(srcNode.as("src"),
+        explode(array(dsts: _*)).as("dst"))
+      LinkGraph.pageRank(edges, iters = 3)
     }
   )
 
@@ -2346,6 +2379,68 @@ object PipelineQueries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2
         |ORDER BY rev_cents DESC, l.l_orderkey ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "bm25_topk" ->
+      // same token law as token_count; double sub-expressions written in
+      // the same shape/order as the Spark plan (IEEE ops fold identically),
+      // per-(doc,term) micro-units bigint-summed so the total is exact
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('vector', 'merge', 'scan', 'window')
+        |       GROUP BY 1, 2),
+        |dl AS (SELECT doc_id,
+        |         CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |         END AS dl
+        |       FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |              END) AS BIGINT) AS total_tok
+        |       FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |           * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75)
+        |              + 0.75 * (dl.dl / (CAST(st.total_tok AS DOUBLE) / st.n_docs)))))
+        |           * 1000000.0) AS BIGINT) AS u
+        |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, CAST(sum(u) AS BIGINT) AS score_units
+        |FROM sc GROUP BY 1
+        |ORDER BY score_units DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+    "link_pagerank" ->
+      // the same id-derived edge synthesis, 3 unrolled iterations in the
+      // same exact integer arithmetic (DIV == // for the all-positive
+      // ranks), teleport (U*15) DIV (100*N), inflow sum per dst
+      """WITH e AS (SELECT source || '_' || CAST(doc_id % 1000 AS VARCHAR) AS src,
+        |         'src' || CAST((doc_id * 7 + j) % 20 AS VARCHAR) || '_'
+        |           || CAST((doc_id * 31 + j) % 1000 AS VARCHAR) AS dst
+        |       FROM documents, (VALUES (1), (2), (3)) AS js(j)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+        |i1 AS (SELECT e.dst AS node, CAST(sum(r0.r * 85 // (100 * deg.d)) AS BIGINT) AS s
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.node = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
+        |         + COALESCE(i1.s, 0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.node = nodes.node),
+        |i2 AS (SELECT e.dst AS node, CAST(sum(r1.r * 85 // (100 * deg.d)) AS BIGINT) AS s
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.node = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
+        |         + COALESCE(i2.s, 0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.node = nodes.node),
+        |i3 AS (SELECT e.dst AS node, CAST(sum(r2.r * 85 // (100 * deg.d)) AS BIGINT) AS s
+        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.node = e.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
+        |         + COALESCE(i3.s, 0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.node = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3""".stripMargin
   )
 }

@@ -1,0 +1,190 @@
+package graft
+
+import graft.pipeline.{LinkGraph, Retrieval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 retrieval (pipeline.Retrieval) and link-graph PageRank
+  * (pipeline.LinkGraph): exact integer-unit arithmetic against
+  * hand-unrolled references, tie-break determinism, degenerate inputs,
+  * and the plan contracts that make both viable at 100 TB — BM25's top-k
+  * must be a TakeOrdered (never a global sort) with broadcast stats, and
+  * PageRank's per-iteration work must be equi-joins (never a cartesian
+  * against the edge table).
+  */
+class RetrievalGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.core.SparkTuning.tune(s)
+    s
+  }
+
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  private val corpus = Seq(
+    (0L, "spark query engine for big data query plans"),
+    (1L, "query query query optimizer"),
+    (2L, "distributed data shuffle and join"),
+    (3L, "   "), // blank: dl 0, no postings
+    (4L, "the join order and the join strategy"),
+    (5L, "query engine")
+  )
+
+  /** Reference BM25 in plain Scala — same formula, same unit rounding. */
+  private def bm25Ref(docs: Seq[(Long, String)], terms: Seq[String],
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_ => t.trim.nonEmpty)
+    val n = docs.size.toLong
+    val totalTok = docs.map(d => toks(d._2).size.toLong).sum
+    val avgdl = totalTok.toDouble / n
+    val df = terms.map { q =>
+      q -> docs.count(d => toks(d._2).contains(q)).toLong
+    }.toMap
+    docs.flatMap { case (id, text) =>
+      val tk = toks(text)
+      val dl = tk.size.toLong
+      val units = terms.flatMap { q =>
+        val tf = tk.count(_ == q).toLong
+        if (tf == 0 || df(q) == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(q) + 0.5) / (df(q) + 0.5))
+          val tfn = (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+          Some(math.round(idf * tfn * 1e6))
+        }
+      }
+      if (units.isEmpty) None else Some(id -> units.sum)
+    }.toMap
+  }
+
+  test("bm25 matches the hand formula in exact micro-units") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 10)
+      .as[(Long, Long)].collect().toMap
+    val want = bm25Ref(corpus, Seq("query", "join"))
+    assert(got == want)
+    assert(!got.contains(3L)) // blank doc never scores
+  }
+
+  test("bm25 ranks high-tf rare terms above common terms, ties by id") {
+    val docs = corpus.toDF("doc_id", "text")
+    val rows = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 10)
+      .as[(Long, Long)].collect()
+    // ordering law: non-increasing score, id ascending within equal scores
+    rows.sliding(2).foreach {
+      case Array((ida, sa), (idb, sb)) =>
+        assert(sa > sb || (sa == sb && ida < idb))
+      case _ =>
+    }
+    // doc 1 (tf=3 of 'query' in a 4-token doc) must outrank doc 0 (tf=2)
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) > byId(0L))
+  }
+
+  test("bm25 k truncates AFTER the deterministic total order") {
+    val docs = corpus.toDF("doc_id", "text")
+    val all = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 10)
+      .as[(Long, Long)].collect()
+    val two = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 2)
+      .as[(Long, Long)].collect()
+    assert(two.toSeq == all.take(2).toSeq)
+  }
+
+  test("bm25 rejects empty and duplicate queries") {
+    val docs = corpus.toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, Nil, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, Seq("query", "Query"), k = 5)
+    }
+  }
+
+  test("bm25 plan: TakeOrdered top-k, broadcast stats, no cartesian") {
+    val docs = corpus.toDF("doc_id", "text")
+    val plan = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 3)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian leaked:\n$s")
+    // the one-row stats frame and the q-row df frame ride broadcasts
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"stats must broadcast:\n$s")
+  }
+
+  // ---- PageRank ----
+
+  /** Hand-unrolled integer PageRank, same arithmetic as the engine. */
+  private def prRef(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> LinkGraph.Unit_ / n).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) * 85 / (100 * deg(s)) }.sum
+      }
+      r = nodes.map(x =>
+        x -> (LinkGraph.Unit_ * 15 / (100 * n) + in.getOrElse(x, 0L))).toMap
+    }
+    r
+  }
+
+  private val graph = Seq(
+    "a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a", "c" -> "b",
+    "d" -> "a", // d is a source (rank floor), e below is dangling
+    "a" -> "e",
+    "b" -> "a" // parallel edge: counts twice (multigraph convention)
+  )
+
+  test("pagerank matches the hand-unrolled integer iterations") {
+    for (iters <- Seq(0, 1, 3)) {
+      val got = LinkGraph.pageRank(graph.toDF("src", "dst"), iters)
+        .as[(String, Long)].collect().toMap
+      assert(got == prRef(graph, iters), s"iters=$iters")
+    }
+  }
+
+  test("pagerank: dangling mass leaks, sources sit at the teleport floor") {
+    val r = LinkGraph.pageRank(graph.toDF("src", "dst"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("a", "b", "c", "d", "e"))
+    // d receives nothing: exactly the teleport term
+    assert(r("d") == LinkGraph.Unit_ * 15 / (100 * 5))
+    // hub a outranks everyone
+    assert(r("a") == r.values.max)
+    // total mass ≤ 1.0 (dangling leak + truncation only ever lose mass)
+    assert(r.values.sum <= LinkGraph.Unit_)
+  }
+
+  test("pagerank plan: equi-joins only, no cartesian against edges") {
+    val plan = LinkGraph.pageRank(graph.toDF("src", "dst"), 2)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s"cartesian leaked:\n$s")
+    // the only nested-loop joins are the broadcast one-row count frames
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    val crossish = "CartesianProduct".r.findAllIn(s).size
+    assert(crossish == 0 && bnl >= 1, s"unexpected join shapes:\n$s")
+  }
+
+  test("pagerank validates its input contract") {
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq(("a", "b")).toDF("from", "to"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(graph.toDF("src", "dst"), -1)
+    }
+  }
+}
