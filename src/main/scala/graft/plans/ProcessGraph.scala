@@ -1277,6 +1277,44 @@ object ProcessGraph {
             case NumV(x) => x.toInt }.getOrElse(16)
           CubeV(c.withDf(df => graft.pipeline.Similarity.semDedupSurvivors(
             df, idDim, c.meta.valueCol, th, cents)))
+        case "bm25" =>
+          // BM25 lexical retrieval over a text-valued cube
+          // (pipeline.Retrieval.bm25TopK): terminal node — the cube
+          // becomes the (id) → score_units top-k table, exact integer
+          // micro-unit scores, TakeOrdered top-k
+          val c = cube("data")
+          val idDim = opt("dimension").map(_.asInstanceOf[StrV].v)
+            .getOrElse(c.meta.dimNames.head)
+          c.requireDim(idDim)
+          val terms = args.get("query") match {
+            case Some(ArrV(xs)) => xs.map {
+              case StrV(t) => t
+              case v => throw new IllegalArgumentException(
+                s"bm25.query: not a string ($v)")
+            }
+            case other => throw new IllegalArgumentException(
+              s"bm25.query: required string array (got $other)")
+          }
+          val k = args.get("k").collect { case NumV(x) => x.toInt }.getOrElse(10)
+          val top = graft.pipeline.Retrieval.bm25TopK(
+            c.df.select(col(idDim), col(c.meta.valueCol).as("_text")),
+            terms, k, idCol = idDim, textCol = "_text")
+          CubeV(DataCube(top, CubeMetadata(
+            Seq(CubeDim(idDim, DimType.Other)), None, "score_units")))
+        case "page_rank" =>
+          // PageRank over an edge-list cube (first dim = src node, value =
+          // dst node; pipeline.LinkGraph.pageRank): terminal node — the
+          // cube becomes the node → rank_units table, exact integer-unit
+          // mass, damping 0.85
+          val c = cube("data")
+          val iters = args.get("iterations").collect {
+            case NumV(x) => x.toInt }.getOrElse(3)
+          val edges = c.df.select(
+            col(c.meta.dimNames.head).cast("string").as("src"),
+            col(c.meta.valueCol).cast("string").as("dst"))
+          val ranks = graft.pipeline.LinkGraph.pageRank(edges, iters)
+          CubeV(DataCube(ranks, CubeMetadata(
+            Seq(CubeDim("node", DimType.Other)), None, "rank_units")))
         case "ann_topk" =>
           // approximate top-k neighbors of a `queries` cube against a
           // `corpus` cube (both embedding-valued): terminal node — the

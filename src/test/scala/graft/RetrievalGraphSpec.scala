@@ -187,4 +187,62 @@ class RetrievalGraphSpec extends AnyFunSuite {
       LinkGraph.pageRank(graph.toDF("src", "dst"), -1)
     }
   }
+
+  // ---- graph-registry arms (the evidence rows RegistryCompletenessSpec
+  //      requires: graph node == direct-call twin) ----
+
+  test("bm25 graph node == Retrieval.bm25TopK twin") {
+    import graft.core.DataCube
+    import graft.plans.ProcessGraph
+    val cube = DataCube.fromTable(corpus.toDF("doc_id", "text"),
+      Seq("doc_id"), "text")
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "b": {"process_id": "bm25",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "query": ["query", "join"], "k": 4},
+        |        "result": true}
+        |}}""".stripMargin
+    val got = ProcessGraph.execute(spark, g, _ => cube).df
+      .as[(Long, Long)].collect().toSeq
+    val want = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+      Seq("query", "join"), k = 4).as[(Long, Long)].collect().toSeq
+    assert(got == want && got.size == 4)
+  }
+
+  test("bm25 graph node rejects a missing or malformed query") {
+    import graft.core.DataCube
+    import graft.plans.ProcessGraph
+    val cube = DataCube.fromTable(corpus.toDF("doc_id", "text"),
+      Seq("doc_id"), "text")
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "b": {"process_id": "bm25",
+        |        "arguments": {"data": {"from_node": "l"}},
+        |        "result": true}
+        |}}""".stripMargin
+    val e = intercept[Exception] {
+      ProcessGraph.execute(spark, g, _ => cube).df.collect()
+    }
+    assert(e.getMessage.contains("bm25.query"))
+  }
+
+  test("page_rank graph node == LinkGraph.pageRank twin") {
+    import graft.core.DataCube
+    import graft.plans.ProcessGraph
+    val cube = DataCube.fromTable(graph.toDF("src", "dst"),
+      Seq("src"), "dst")
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "p": {"process_id": "page_rank",
+        |        "arguments": {"data": {"from_node": "l"}, "iterations": 2},
+        |        "result": true}
+        |}}""".stripMargin
+    val got = ProcessGraph.execute(spark, g, _ => cube).df
+      .as[(String, Long)].collect().toMap
+    assert(got == prRef(graph, 2))
+  }
 }
