@@ -169,6 +169,30 @@ object TextAnalysis {
       graft.functions.HtmlExtract(ColumnBridge.expression(html)))
   }
 
+  /** Unicode NFC via the codegen'd [[graft.functions.NfcNormalize]]
+    * expression (ASCII rows never leave UTF8String; Spark has no built-in
+    * normalizer and a UDF would break whole-stage codegen).
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.NfcNormalize(ColumnBridge.expression(text)))
+  }
+
+  /** Model-ready text canonicalization — the normalization pass a
+    * training pipeline runs before hashing/dedup/tokenization so equal
+    * text has ONE byte representation: NFC (composed accents), control
+    * (Cc) and format (Cf — zero-width spaces, BiDi marks, soft hyphens)
+    * removal, whitespace collapse, trim. One scan-stage Column tree
+    * (expression + two codegen'd regex passes), zero shuffles; the
+    * DuckDB oracle mirrors each step in the same order
+    * (`nfc_normalize` + the same RE2-compatible classes).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\p{Cc}\\p{Cf}]", ""),
+      "\\s+", " "))
+
   /** Reference form of [[htmlExtract]]: the [[htmlRules]] regexp_replace
     * chain, verbatim — 15 sequential regex passes (~15× the string traffic
     * of the expression). Kept as the spec-pinned semantics definition and

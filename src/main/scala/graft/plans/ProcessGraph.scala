@@ -1068,6 +1068,13 @@ object ProcessGraph {
           val c = cube("data")
           CubeV(c.withDf(_.withColumn(c.meta.valueCol,
             graft.pipeline.TextAnalysis.redactPii(col(c.meta.valueCol)))))
+        case "normalize_text" =>
+          // model-ready canonicalization (NFC + Cc/Cf strip + whitespace
+          // collapse + trim; TextAnalysis.normalizeText) — one codegen'd
+          // scan-stage pass, cube shape preserved
+          val c = cube("data")
+          CubeV(c.withDf(_.withColumn(c.meta.valueCol,
+            graft.pipeline.TextAnalysis.normalizeText(col(c.meta.valueCol)))))
         case "exact_dedup" =>
           // first doc per identical text survives: one md5 groupBy for the
           // survivor id set, then a semi join (AQE broadcasts it when small)

@@ -1084,6 +1084,52 @@ object PipelineQueries {
       Retrieval.bm25TopK(Tables.read(s, dir, "documents"),
         Seq("vector", "merge", "scan", "window"), k = 20)
     },
+    "text_normalize" -> { (s, dir) =>
+      // model-ready canonicalization (TextAnalysis.normalizeText: NFC +
+      // Cc/Cf strip + whitespace collapse + trim) over the corpus. The
+      // synthetic text is pure ASCII, so each doc gets a deterministic
+      // dirty suffix — a decomposed accent (e + U+0301), a BEL control,
+      // a zero-width space splitting a word, stray whitespace — and the
+      // md5 of the normalized result proves composition, stripping, and
+      // collapse all happened (the oracle builds the same suffix from
+      // chr() codes and mirrors each step in order).
+      val dirty = concat(col("text"),
+        lit("  fiance\u0301\u0007 ze\u200Bro \t "))
+      val norm = TextAnalysis.normalizeText(dirty)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), md5(norm.cast("binary")).as("norm_md5"),
+          length(norm).as("n_norm"))
+    },
+    "domain_quota_sample" -> { (s, dir) =>
+      // per-domain quota sampling: keep the 5 lowest-id docs per
+      // registered domain — the crawl-curation domain cap — WITHOUT the
+      // row_number() full-table window (shuffle + per-group sort of every
+      // row): functions.TopKAgg keeps ≤5 candidates per (domain,
+      // partition) on the map side, so the wire carries O(domains·k)
+      // rows. value = -doc_id ranks the smallest ids highest (ids < 2^53
+      // are exact in double). Same id-derived URL synthesis as
+      // domain_stats.
+      val tld = when(pmod(col("doc_id"), lit(4L)) === 0L, lit("org"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("co.uk"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("com.au"))
+        .otherwise(lit("bd"))
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
+          .otherwise(lit("http")),
+        lit("://"), col("source"),
+        pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".example"), pmod(col("doc_id"), lit(3L)).cast("string"),
+        lit("."), tld, lit("/docs/"), col("doc_id").cast("string"))
+      Tables.read(s, dir, "documents").withColumn("_u", url)
+        .select(col("doc_id"), TextAnalysis.urlHost(col("_u")).as("host"))
+        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+        .groupBy(col("domain"))
+        .agg(graft.functions.TopKAgg.column(
+          -col("doc_id").cast("double"), col("doc_id"), 5).as("top"))
+        .select(col("domain"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("domain"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.id").as("doc_id"))
+    },
     "link_pagerank" -> { (s, dir) =>
       // PageRank over a doc→domain outlink graph ([[LinkGraph.pageRank]],
       // 3 synchronous iterations, damping 0.85, exact integer-unit mass).
@@ -2411,6 +2457,38 @@ object PipelineQueries {
         |FROM sc GROUP BY 1
         |ORDER BY score_units DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+    "text_normalize" ->
+      // the same dirty suffix from chr() codes (769 = U+0301 combining
+      // acute, 7 = BEL, 8203 = U+200B ZWSP, 9 = tab), the same step order:
+      // nfc_normalize → Cc/Cf strip → whitespace collapse → trim
+      """SELECT doc_id, md5(n) AS norm_md5, length(n) AS n_norm
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || '  fiance' || chr(769) || chr(7)
+        |      || ' ze' || chr(8203) || 'ro ' || chr(9) || ' '),
+        |    '[\p{Cc}\p{Cf}]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents)""".stripMargin,
+    "domain_quota_sample" ->
+      // the row_number() window form (portable); the Spark plan is the
+      // bounded-heap aggregate — matching hashes prove them equivalent
+      s"""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         |  || '://' || source || CAST(doc_id % 5 AS VARCHAR)
+         |  || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.'
+         |  || (CASE WHEN doc_id % 4 = 0 THEN 'org'
+         |           WHEN doc_id % 4 = 1 THEN 'co.uk'
+         |           WHEN doc_id % 4 = 2 THEN 'com.au' ELSE 'bd' END)
+         |  || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |  regexp_extract(url, '${TextAnalysis.urlHostPattern}', 1) AS host
+         |  FROM u),
+         |d AS (SELECT doc_id,
+         |  ${TextAnalysis.registeredDomainSql("host")} AS domain FROM p),
+         |r AS (SELECT domain, doc_id, row_number() OVER (
+         |        PARTITION BY domain ORDER BY doc_id) AS rank FROM d)
+         |SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id
+         |FROM r WHERE rank <= 5""".stripMargin,
     "link_pagerank" ->
       // the same id-derived edge synthesis, 3 unrolled iterations in the
       // same exact integer arithmetic (DIV == // for the all-positive
