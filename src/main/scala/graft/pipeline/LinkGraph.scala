@@ -40,26 +40,37 @@ object LinkGraph {
   val Unit_ : Long = 1000000000000L // 1e12 rank units = mass 1.0
 
   /** `iters` synchronous PageRank iterations over `edges` (columns
-    * `src`, `dst`; parallel edges count once each, the multigraph
-    * convention). Returns (node, rank_units) for every node that appears
-    * as a src or dst — rank_units in 1e-12 units of probability mass.
+    * `src`, `dst`; extra columns are projected away; parallel edges count
+    * once each, the multigraph convention). Returns (node, rank_units)
+    * for every node that appears as a src or dst — rank_units in 1e-12
+    * units of probability mass.
+    *
+    * `materialize = true` (default) eagerly checkpoints the result and
+    * releases the node/edge caches before returning (the
+    * [[graft.core.Caching]] scope discipline — nothing leaks into the
+    * caller's session); pass `false` to get the full lazy plan for plan
+    * audits (the caches then live until the session drops them).
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int,
+               materialize: Boolean = true): DataFrame = {
     require(iters >= 0, s"pageRank: negative iterations ($iters)")
     val cols = edges.columns.toSet
     require(cols.contains("src") && cols.contains("dst"),
       s"pageRank: edge frame needs (src, dst), got ${edges.columns.mkString(",")}")
+    // project away extra payload columns so they can't collide with the
+    // internal helper names (_n/_deg/_c/_in/node/rank_units)
+    val e = edges.select(col("src"), col("dst"))
 
     // nodes and degree-annotated edges are read by EVERY iteration —
     // persist both (bounded: O(nodes) and O(edges); spill, not evict)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one-row count frame: broadcast, never collected on the driver
     val n = nodes.agg(count(lit(1)).as("_n"))
 
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("_deg"))
-    val ej = edges.join(outdeg, "src")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val ej = e.join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.crossJoin(broadcast(n))
@@ -75,6 +86,12 @@ object LinkGraph {
           (expr(s"(${Unit_} * 15) DIV (100 * _n)") +
             coalesce(col("_in"), lit(0L))).as("rank_units"))
     }
-    ranks
+    if (!materialize) ranks
+    else {
+      val out = graft.core.Caching.eager(ranks)
+      nodes.unpersist(blocking = false)
+      ej.unpersist(blocking = false)
+      out
+    }
   }
 }

@@ -49,6 +49,11 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     require(queryTerms.map(_.trim.toLowerCase).distinct.size == queryTerms.size,
       "bm25TopK: query terms must be distinct after normalization")
+    val internal = Set("term", "tf", "df", "dl", "n_docs", "total_tok",
+      "score_units", "_u")
+    require(!internal.contains(idCol),
+      s"bm25TopK: id column '$idCol' collides with an internal helper " +
+        "name; rename it first")
     val id = col(idCol)
     val qArr = array(queryTerms.map(t => lit(t.trim.toLowerCase)): _*)
 

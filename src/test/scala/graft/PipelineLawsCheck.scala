@@ -248,4 +248,119 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
           st.getDouble(2) == r.getDouble(3) && st.getDouble(3) == r.getDouble(4)
       }
     }
+
+  // ---- round-16 retrieval / normalization laws ----
+
+  private val uniPool: Seq[Char] = Seq(
+    'a', 'b', 'z', 'Q', '0', '9', ' ', ' ', '\t', '\n',
+    '\u0301', // combining acute
+    '\u030a', // combining ring
+    '\u00e9', // precomposed e-acute
+    '\u212b', // Angstrom sign (NFC singleton)
+    '\u1100', '\u1161', '\u11a8', // Hangul Jamo L V T
+    '\u200b', '\u00ad', '\u200e', // Cf: ZWSP, soft hyphen, LTR mark
+    '\u00a0', // NBSP (Zs)
+    '\u0007', // BEL (Cc)
+    '\u4e2d' // CJK
+  )
+
+  val genUniText: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    cs <- Gen.listOfN(n, Gen.oneOf(uniPool))
+  } yield cs.mkString
+
+  private def jvmChain(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      .replaceAll("[\\p{Cc}\\p{Cf}]", "").replaceAll("\\s+", " ").trim
+
+  property("nfc expression == java.text.Normalizer on arbitrary unicode") =
+    forAll(Gen.listOfN(6, genUniText)) { texts =>
+      import spark.implicits._
+      texts.isEmpty || {
+        // repartition defeats local-relation folding: the EXPRESSION runs
+        val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+          .toDF("id", "t").repartition(2)
+          .select(col("id"), TextAnalysis.nfc(col("t")).as("n"),
+            TextAnalysis.normalizeText(col("t")).as("c"))
+          .as[(Int, String, String)].collect()
+        rows.forall { case (i, n, c) =>
+          n == java.text.Normalizer.normalize(
+            texts(i), java.text.Normalizer.Form.NFC) &&
+            c == jvmChain(texts(i))
+        }
+      }
+    }
+
+  val genCorpusDocs: Gen[List[String]] = {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "query", "join",
+      "scan", "merge")
+    for {
+      nd <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nd, for {
+        nw <- Gen.choose(0, 10)
+        ws <- Gen.listOfN(nw, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs
+  }
+
+  property("bm25 == in-JVM reference on random corpora") =
+    forAll(genCorpusDocs, Gen.someOf(Seq("query", "join", "gamma"))) {
+      (docs, qRaw) =>
+        import spark.implicits._
+        val terms = qRaw.toSeq
+        terms.isEmpty || {
+          val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text")
+          val got = Retrieval.bm25TopK(df, terms, k = 100)
+            .as[(Long, Long)].collect().toMap
+          got == bm25JvmRef(docs, terms)
+        }
+    }
+
+  /** In-JVM BM25 twin: same formula, same unit rounding. */
+  private def bm25JvmRef(docs: Seq[String], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    def toks(t: String): Seq[String] =
+      if (t.trim.isEmpty) Nil else t.trim.toLowerCase.split("\\s+").toSeq
+    val n = docs.size.toLong
+    val totalTok = docs.map(d => toks(d).size.toLong).sum
+    val avgdl = totalTok.toDouble / n
+    val dfm = terms.map(q => q -> docs.count(d => toks(d).contains(q)).toLong).toMap
+    docs.zipWithIndex.flatMap { case (text, i) =>
+      val tk = toks(text)
+      val units = terms.flatMap { q =>
+        val tf = tk.count(_ == q).toLong
+        if (tf == 0 || dfm(q) == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfm(q) + 0.5) / (dfm(q) + 0.5))
+          val tfn = (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * (tk.size.toLong / avgdl)))
+          Some(math.round(idf * tfn * 1e6))
+        }
+      }
+      if (units.isEmpty) None else Some(i.toLong -> units.sum)
+    }.toMap
+  }
+
+  property("pagerank == hand-unrolled integer iterations on random graphs") =
+    forAll(genEdges, Gen.choose(0, 3)) { (edgesL, iters) =>
+      import spark.implicits._
+      edgesL.isEmpty || {
+        val edges = edgesL.map { case (a, b) => (s"n$a", s"n$b") }
+        val got = LinkGraph.pageRank(edges.toDF("src", "dst"), iters)
+          .as[(String, Long)].collect().toMap
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val nn = nodes.size.toLong
+        val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+        var r = nodes.map(_ -> LinkGraph.Unit_ / nn).toMap
+        for (_ <- 0 until iters) {
+          val in = edges.groupBy(_._2).map { case (d, es) =>
+            d -> es.map { case (s, _) => r(s) * 85 / (100 * deg(s)) }.sum
+          }
+          r = nodes.map(x =>
+            x -> (LinkGraph.Unit_ * 15 / (100 * nn) + in.getOrElse(x, 0L))).toMap
+        }
+        got == r
+      }
+    }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.pipeline.{LinkGraph, Retrieval}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.execution.SparkPlan
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -169,7 +170,10 @@ class RetrievalGraphSpec extends AnyFunSuite {
   }
 
   test("pagerank plan: equi-joins only, no cartesian against edges") {
-    val plan = LinkGraph.pageRank(graph.toDF("src", "dst"), 2)
+    // materialize = false: the audit needs the full lazy plan, not the
+    // checkpointed scan the default returns
+    val plan = LinkGraph.pageRank(graph.toDF("src", "dst"), 2,
+        materialize = false)
       .queryExecution.executedPlan
     val s = plan.toString
     assert(!s.contains("CartesianProduct"), s"cartesian leaked:\n$s")
@@ -185,6 +189,21 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       LinkGraph.pageRank(graph.toDF("src", "dst"), -1)
+    }
+  }
+
+  test("pagerank projects away payload columns that shadow helper names") {
+    val withPayload = graph.toDF("src", "dst")
+      .withColumn("_deg", lit(999L)).withColumn("node", lit("x"))
+    val got = LinkGraph.pageRank(withPayload, 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == prRef(graph, 2))
+  }
+
+  test("bm25 rejects an id column that shadows an internal helper name") {
+    val docs = corpus.toDF("dl", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, Seq("query"), k = 5, idCol = "dl")
     }
   }
 
