@@ -154,4 +154,45 @@ object Sampling {
       .filter(col("_rn") <= col("_quota"))
       .drop("_rn", "_quota")
   }
+
+  /** EXACT-k uniform sample without replacement: the k corpus rows with
+    * the smallest (hashBucket, id) — deterministic bottom-k-by-hash, the
+    * published distributed-sampling trick. Unlike the row_number() window
+    * encoding (full-table shuffle + global sort), the bounded-heap
+    * [[graft.functions.TopKAgg]] ships ≤ k candidates per partition —
+    * O(k·partitions) on the wire at ANY corpus size, one map-side
+    * combinable pass. Returns (rank, idCol), rank 1..k in selection order.
+    */
+  def uniformSampleK(df: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    // TopKAgg keeps the HIGHEST values with id-asc tie-break, so negating
+    // the bucket yields exactly (bucket asc, id asc) lexicographic order
+    df.agg(graft.functions.TopKAgg.column(
+        -hashBucket(col(idCol), salt).cast("double"), col(idCol), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as(idCol))
+  }
+
+  /** EXACT-k WEIGHTED sample without replacement (Efraimidis-Spirakis
+    * 2006, public): key_i = ln(u_i)/w_i with u_i = (hashBucket+1)/2¹⁶ a
+    * deterministic uniform in (0, 1], keep the k largest keys —
+    * equivalent to keeping the largest u^(1/w), so inclusion probability
+    * tracks weight mass. Same bounded-heap shape as [[uniformSampleK]]
+    * (O(k·partitions) on the wire, no window). Rows with NULL or
+    * non-positive weight are excluded (they carry no sampling mass).
+    * Division by 2¹⁶ is exact in binary, so both engines feed ln() the
+    * identical double and the selection reproduces cross-engine.
+    */
+  def weightedSampleK(df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String): DataFrame = {
+    val u = (hashBucket(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(65536.0)
+    val key = log(u) / weight.cast("double")
+    df.filter(weight.isNotNull && weight > 0)
+      .agg(graft.functions.TopKAgg.column(key, col(idCol), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as(idCol))
+  }
 }

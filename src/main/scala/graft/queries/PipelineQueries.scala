@@ -792,6 +792,19 @@ object PipelineQueries {
           "source", tau = 0.5, targetFrac = 0.5, salt = "mx1")
         .select(col("doc_id"), col("source"))
     },
+    "uniform_sample_k" -> { (s, dir) =>
+      // exact-k uniform sample via bottom-k-by-hash through the bounded
+      // heap (O(k·partitions) on the wire); the oracle is the row_number()
+      // window form — matching hashes prove heap ≡ window
+      Sampling.uniformSampleK(Tables.documents(s, dir), "doc_id",
+        k = 25, salt = "u16")
+    },
+    "weighted_sample_k" -> { (s, dir) =>
+      // Efraimidis-Spirakis weighted-without-replacement sample (weight =
+      // n_chars): key = ln(u)/w, top-k keys through the same bounded heap
+      Sampling.weightedSampleK(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), k = 25, salt = "w16")
+    },
     "embed_outliers" -> { (s, dir) =>
       // curation pass: flag vectors far from every IVF centroid (same
       // stride-16 quantizer as the other embedding ops)
@@ -1480,6 +1493,25 @@ object PipelineQueries {
          |      FROM b)
          |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
          |WHERE rn <= quota""".stripMargin,
+    "uniform_sample_k" ->
+      s"""WITH b AS (SELECT doc_id, ${bucketSql("u16")} AS bucket FROM documents),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY bucket, doc_id) AS rank FROM b)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM r
+         |WHERE rank <= 25""".stripMargin,
+    "weighted_sample_k" ->
+      // ES keys in the same double shape: ln((bucket+1)/2^16)/w — the /2^16
+      // is exact in binary, so ln() sees the identical double on both
+      // engines
+      s"""WITH b AS (SELECT doc_id, n_chars, ${bucketSql("w16")} AS bucket
+         |           FROM documents),
+         |k AS (SELECT doc_id,
+         |        ln((bucket + 1) / 65536.0) / n_chars AS key
+         |      FROM b WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM k)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM r
+         |WHERE rank <= 25""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_clusters" ->
       // recursive closure over the SAME pair SQL: min reachable id per node

@@ -363,4 +363,41 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
         got == r
       }
     }
+
+  property("bottom-k samplers (heap) == in-JVM sort-take reference") =
+    forAll(Gen.listOfN(40, Gen.choose(0L, 100000L)), Gen.choose(1, 12)) {
+      (idsRaw, k) =>
+        import spark.implicits._
+        val ids = idsRaw.distinct
+        ids.isEmpty || {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def bucket(id: Long, salt: String): Long = {
+            val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            java.lang.Long.parseLong(hex.take(4), 16)
+          }
+          // weights: deterministic positive function of the id, with a
+          // couple of zero-weight rows that must be EXCLUDED
+          def w(id: Long): Long = if (id % 7 == 0) 0L else (id % 13) + 1
+          val df = ids.map(i => (i, w(i))).toDF("id", "wt")
+
+          val uGot = Sampling.uniformSampleK(df, "id", k, "su")
+            .as[(Long, Long)].collect().toSeq
+          val uWant = ids.map(i => (bucket(i, "su"), i)).sorted.take(k)
+            .zipWithIndex.map { case ((_, i), p) => ((p + 1).toLong, i) }
+
+          val wGot = Sampling.weightedSampleK(df, "id", col("wt"), k, "sw")
+            .as[(Long, Long)].collect().toSeq
+          val wWant = ids.filter(w(_) > 0)
+            .map { i =>
+              val u = (bucket(i, "sw") + 1L).toDouble / 65536.0
+              // StrictMath.log IS the function Spark's log() evaluates
+              (StrictMath.log(u) / w(i).toDouble, i)
+            }
+            .sortBy { case (key, i) => (-key, i) }.take(k)
+            .zipWithIndex.map { case ((_, i), p) => ((p + 1).toLong, i) }
+
+          uGot == uWant && wGot == wWant
+        }
+    }
 }
