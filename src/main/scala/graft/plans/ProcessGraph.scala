@@ -1933,6 +1933,12 @@ object ProcessGraph {
           TableV(VectorOps.loadGeoJson(
             org.apache.spark.sql.SparkSession.active, str("data"),
             opt("properties").map(_ => strs("properties")).getOrElse(Nil)))
+        case "load_result" =>
+          // openEO core process: reload a previous save_result parquet
+          // sink as a cube, metadata from the _graft_cube.json sidecar
+          // (CubeIO.loadResult; ResultNotFound on a missing store/sidecar)
+          CubeV(graft.sources.CubeIO.loadResult(
+            org.apache.spark.sql.SparkSession.active, str("id")))
         case "load_uploaded_files" =>
           // openEO core process (beyond the reference's exports): read a
           // user's uploaded file LIST in one format and union them — each

@@ -20,6 +20,10 @@ object CubeIO {
         val w = cube.df.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(path)
+        // metadata sidecar so load_result reconstructs the CUBE (dims in
+        // order, types, CRS, value column), not just a bare table — the
+        // same travels-with-the-data discipline as the ML feature sidecar
+        writeCubeSidecar(cube.df.sparkSession, path, cube.meta)
       case "csv" =>
         val w = cube.df.write.mode("overwrite").option("header", "true")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -73,6 +77,95 @@ object CubeIO {
         r.getDouble(2).toFloat
     }
     TiffWriter.write(path, nx.toInt, ny.toInt, grid)
+  }
+
+  /** The cube-metadata sidecar's filesystem-correct path: same Hadoop FS
+    * as the data (object stores and HDFS included), like the ML sidecar.
+    */
+  private def sidecarFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_cube.json")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def dimTypeName(t: DimType): String = t match {
+    case DimType.Spatial => "spatial"
+    case DimType.Temporal => "temporal"
+    case DimType.Bands => "bands"
+    case DimType.Other => "other"
+  }
+
+  private def dimTypeOf(s: String): DimType = s match {
+    case "spatial" => DimType.Spatial
+    case "temporal" => DimType.Temporal
+    case "bands" => DimType.Bands
+    case _ => DimType.Other
+  }
+
+  /** Write the `_graft_cube.json` metadata sidecar beside a parquet sink:
+    * ordered dims with types, optional CRS, value column. Label sets are
+    * NOT persisted — they are implicit in the data (the canonical source)
+    * and a materialized copy could go stale against a rewritten store.
+    */
+  def writeCubeSidecar(spark: SparkSession, path: String,
+      meta: CubeMetadata): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val doc = JObject(
+      "dims" -> JArray(meta.dims.map(d => JObject(
+        "name" -> JString(d.name),
+        "type" -> JString(dimTypeName(d.dimType)))).toList),
+      "crs" -> meta.crs.map(JString(_)).getOrElse(JNull),
+      "value_col" -> JString(meta.valueCol))
+    val (fs, side) = sidecarFs(spark, path)
+    val out = fs.create(side, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** openEO `load_result`: reload a [[saveResult]] parquet sink as a CUBE,
+    * metadata reconstructed from the sidecar — the lifecycle closure that
+    * lets one graph end in save_result and the next begin from it. The
+    * read stays a lazy distributed parquet scan (partition-pruned when the
+    * sink was partitioned). Missing store or sidecar → the wire-level
+    * ResultNotFound; a sidecar naming columns the data lacks →
+    * loud error, never a silently mis-shaped cube.
+    */
+  def loadResult(spark: SparkSession, path: String): DataCube = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val (fs, side) = sidecarFs(spark, path)
+    require(fs.exists(side),
+      s"ResultNotFound: no saved result at $path (missing _graft_cube.json " +
+        "— only the parquet sink is reloadable as a cube; rasters reload " +
+        "through load_stac)")
+    val in = fs.open(side)
+    val doc = try JsonMethods.parse(
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    val dims = (doc \ "dims") match {
+      case JArray(ds) => ds.map { d =>
+        val name = (d \ "name") match {
+          case JString(s) => s
+          case v => throw new IllegalArgumentException(
+            s"ResultNotFound: malformed cube sidecar at $path ($v)")
+        }
+        val t = (d \ "type") match { case JString(s) => s; case _ => "other" }
+        CubeDim(name, dimTypeOf(t))
+      }
+      case v => throw new IllegalArgumentException(
+        s"ResultNotFound: malformed cube sidecar at $path ($v)")
+    }
+    val crs = (doc \ "crs") match { case JString(s) => Some(s); case _ => None }
+    val valueCol = (doc \ "value_col") match {
+      case JString(s) => s
+      case _ => "value"
+    }
+    val df = spark.read.parquet(path)
+    val missing = (dims.map(_.name) :+ valueCol).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"ResultNotFound: sidecar names columns ${missing.mkString(",")} " +
+        s"absent from the parquet store at $path")
+    DataCube(df, CubeMetadata(dims, crs, valueCol))
   }
 
   /** create_data_cube: empty cube (reference: cubes/general.py:38-39). */

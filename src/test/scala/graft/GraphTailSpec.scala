@@ -700,4 +700,58 @@ class GraphTailSpec extends AnyFunSuite {
     val direct = graft.sources.StacLoader.loadCube(spark, sel)
     assert(got == rows(direct.df) && got.nonEmpty)
   }
+
+  test("load_result reloads a save_result parquet sink as the SAME cube") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_load_result").toString
+    val path = s"$dir/res"
+    val cube = seriesCube.copy(meta = seriesCube.meta.copy(
+      crs = Some("EPSG:4326")))
+    // save through the GRAPH (save_result with options.path), reload
+    // through the GRAPH (load_result) in a fresh execution
+    val saveG =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+         |  "s": {"process_id": "save_result",
+         |        "arguments": {"data": {"from_node": "l"},
+         |                      "format": "parquet",
+         |                      "options": "{\\"path\\": \\"$path\\"}"},
+         |        "result": true}
+         |}}""".stripMargin
+    runCube(saveG, Map("c" -> cube))
+    val loadG =
+      s"""{"process_graph": {
+         |  "r": {"process_id": "load_result", "arguments": {"id": "$path"},
+         |        "result": true}
+         |}}""".stripMargin
+    val back = runCube(loadG, Map.empty)
+    assert(back.meta.dimNames == cube.meta.dimNames)
+    assert(back.meta.dims.map(_.dimType) == cube.meta.dims.map(_.dimType))
+    assert(back.meta.crs == cube.meta.crs)
+    assert(back.meta.valueCol == cube.meta.valueCol)
+    assert(rows(back.df) == rows(cube.df))
+  }
+
+  test("load_result: missing store or sidecar is a wire-level ResultNotFound") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_load_result_miss").toString
+    val g =
+      s"""{"process_graph": {
+         |  "r": {"process_id": "load_result",
+         |        "arguments": {"id": "$dir/nothing_here"},
+         |        "result": true}
+         |}}""".stripMargin
+    val e = intercept[Exception] { runCube(g, Map.empty) }
+    assert(e.getMessage.contains("ResultNotFound"))
+    // a bare parquet table WITHOUT the cube sidecar must also refuse
+    val bare = s"$dir/bare"
+    seriesCube.df.write.parquet(bare)
+    val g2 =
+      s"""{"process_graph": {
+         |  "r": {"process_id": "load_result", "arguments": {"id": "$bare"},
+         |        "result": true}
+         |}}""".stripMargin
+    val e2 = intercept[Exception] { runCube(g2, Map.empty) }
+    assert(e2.getMessage.contains("ResultNotFound"))
+  }
 }
