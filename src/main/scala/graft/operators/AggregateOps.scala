@@ -102,4 +102,77 @@ object AggregateOps {
       .agg(reducer(cube.value).as(cube.meta.valueCol))
     DataCube(out, cube.meta)
   }
+
+  /** Climatology key of a timestamp — the YEAR-COLLAPSING twin of
+    * [[periodBin]] (which keeps years apart): every January of every year
+    * maps to the same label. openEO climatological_normal frequencies:
+    * `day` (day-of-year 1..366), `month` (1..12), `season` (djf/mam/jja/
+    * son), `climatology-period` (one bin).
+    */
+  def climoKey(t: Column, frequency: String): Column = frequency match {
+    case "day" => dayofyear(t).cast("long")
+    case "month" => month(t).cast("long")
+    case "season" =>
+      val idx = floor(pmod(month(t), lit(12)) / 3) // 0=DJF 1=MAM 2=JJA 3=SON
+      when(idx === 0, "djf").when(idx === 1, "mam")
+        .when(idx === 2, "jja").otherwise("son")
+    case "climatology-period" => lit("climatology-period")
+    case f => throw new IllegalArgumentException(
+      s"climatological_normal: unknown frequency '$f' " +
+        "(day, month, season, climatology-period)")
+  }
+
+  /** openEO proposal `climatological_normal` (beyond the reference's
+    * exports): the arithmetic mean per climatology key — the multi-year
+    * baseline an anomaly subtracts. `climatologyPeriod` optionally bounds
+    * the years that define the normal (`[from, to)` on the temporal dim),
+    * matching the spec's climatology_period argument; data outside it
+    * never contributes. One keyed aggregation shuffle; the output's
+    * temporal dimension carries the climatology labels.
+    */
+  def climatologicalNormal(cube: DataCube, frequency: String,
+      dimension: Option[String] = None,
+      climatologyPeriod: Option[(String, String)] = None): DataCube = {
+    val dim = dimension.getOrElse(cube.temporalDim)
+    cube.requireDim(dim)
+    val others = cube.meta.dimNames.filterNot(_ == dim)
+    val bounded = climatologyPeriod.fold(cube.df) { case (from, to) =>
+      cube.df.filter(col(dim) >= lit(from).cast("timestamp") &&
+        col(dim) < lit(to).cast("timestamp"))
+    }
+    val out = bounded
+      .withColumn("_climo", climoKey(col(dim), frequency))
+      .groupBy((col("_climo").alias(dim) +: others.map(col)): _*)
+      .agg(avg(cube.value).as(cube.meta.valueCol))
+    DataCube(out, cube.meta)
+  }
+
+  /** openEO proposal `anomaly`: data minus its climatological normal —
+    * each cell's deviation from the multi-year baseline for its period.
+    * `normals` is a [[climatologicalNormal]] output over the SAME
+    * frequency and shared dims; it is metadata-sized (≤ 366 keys × other
+    * labels), so the join is a broadcast onto the fact scan — the cube
+    * itself never shuffles.
+    */
+  def anomaly(cube: DataCube, normals: DataCube, frequency: String,
+      dimension: Option[String] = None): DataCube = {
+    val dim = dimension.getOrElse(cube.temporalDim)
+    cube.requireDim(dim)
+    require(normals.meta.has(dim),
+      s"anomaly: normals lack dimension '$dim' " +
+        s"(${normals.meta.dimNames.mkString(",")})")
+    val shared = cube.meta.dimNames.filterNot(_ == dim)
+      .filter(normals.meta.has)
+    val nDf = normals.df.select(
+      (col(dim).as("_nk") +: shared.map(col) :+
+        col(normals.meta.valueCol).as("_normal")): _*)
+    val joined = cube.df
+      .withColumn("_nk", climoKey(col(dim), frequency))
+      .join(graft.core.Joins.maybeBroadcast(nDf), ("_nk" +: shared).toSeq)
+    val out = joined
+      .withColumn(cube.meta.valueCol, cube.value - col("_normal"))
+      .drop("_nk", "_normal")
+      .select((cube.meta.dimNames :+ cube.meta.valueCol).map(col): _*)
+    cube.withDf(_ => out)
+  }
 }

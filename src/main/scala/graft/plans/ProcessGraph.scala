@@ -954,6 +954,26 @@ object ProcessGraph {
         case "aggregate_temporal_period" =>
           CubeV(AggregateOps.aggregateTemporalPeriod(cube("data"),
             str("period"), reducerCallback("reducer")))
+        case "climatological_normal" =>
+          // openEO proposal (beyond the reference): year-collapsing mean
+          // per climatology key; optional climatology_period = [from, to)
+          val cp = opt("climatology_period").map { _ =>
+            args("climatology_period") match {
+              case ArrV(Seq(StrV(from), StrV(to))) => (from, to)
+              case v => throw new IllegalArgumentException(
+                s"climatological_normal.climatology_period: " +
+                  s"need [from, to] strings (got $v)")
+            }
+          }
+          CubeV(AggregateOps.climatologicalNormal(cube("data"),
+            str("frequency"),
+            opt("dimension").map(_.asInstanceOf[StrV].v), cp))
+        case "anomaly" =>
+          // openEO proposal: data minus its climatological normal; the
+          // normals cube broadcasts onto the fact scan
+          CubeV(AggregateOps.anomaly(cube("data"), cube("normals"),
+            str("frequency"),
+            opt("dimension").map(_.asInstanceOf[StrV].v)))
         case "apply_neighborhood" =>
           // size/overlap arrive as raw JSON: the openeo list-of-
           // {dimension,value} form or a plain {dim: value} object

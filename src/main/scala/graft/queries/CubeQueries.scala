@@ -329,6 +329,27 @@ object CubeQueries {
       agg.df.select(col("t").cast("date").as("week"), col("band"),
         col("value").cast("bigint").as("sum_cents"))
     },
+    "climatology_normal" -> { (s, dir) =>
+      // openEO proposal climatological_normal (frequency=month): the
+      // year-collapsing mean per (month, band) — exact because the cube
+      // is quantized to integer cents first (integer-valued double sums
+      // are associative; avg = one exact sum / one count on both engines)
+      val c = Tables.eventsCube(s, dir)
+      val n = AggregateOps.climatologicalNormal(
+        ApplyOps.apply(c, cents), "month")
+      n.df.select(col("t").as("m"), col("band"),
+        round(col("value"), 6).as("normal_cents"))
+    },
+    "climatology_anomaly" -> { (s, dir) =>
+      // openEO proposal anomaly: per-event deviation from its (month,
+      // band) normal; the metadata-sized normals broadcast onto the fact
+      // scan — the events table never shuffles
+      val c = ApplyOps.apply(Tables.eventsCube(s, dir), cents)
+      val n = AggregateOps.climatologicalNormal(c, "month")
+      val a = AggregateOps.anomaly(c, n, "month")
+      a.df.select(unix_micros(col("t")).as("t_us"), col("band"),
+        round(col("value"), 6).as("anom_cents"))
+    },
     "aggregate_temporal" -> { (s, dir) =>
       val c = Tables.eventsCube(s, dir)
       val centsCube = ApplyOps.apply(c, cents)
@@ -732,6 +753,17 @@ object CubeQueries {
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type AS band,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "climatology_normal" ->
+      """SELECT month(ts) AS m, event_type AS band,
+        |       round(avg(CAST(round(value*100) AS BIGINT)), 6) AS normal_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "climatology_anomaly" ->
+      """WITH n AS (SELECT month(ts) AS m, event_type AS band,
+        |             avg(CAST(round(value*100) AS BIGINT)) AS nv
+        |           FROM events GROUP BY 1, 2)
+        |SELECT epoch_us(e.ts) AS t_us, e.event_type AS band,
+        |       round(CAST(round(e.value*100) AS BIGINT) - n.nv, 6) AS anom_cents
+        |FROM events e JOIN n ON month(e.ts) = n.m AND e.event_type = n.band""".stripMargin,
     "aggregate_temporal" ->
       """WITH iv(s, e, lab) AS (VALUES
         |  (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08', 'w1'),

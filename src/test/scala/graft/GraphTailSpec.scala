@@ -754,4 +754,75 @@ class GraphTailSpec extends AnyFunSuite {
     val e2 = intercept[Exception] { runCube(g2, Map.empty) }
     assert(e2.getMessage.contains("ResultNotFound"))
   }
+
+  test("climatological_normal + anomaly graph nodes == operator twins") {
+    val df = Seq(
+      ("2023-01-05 00:00:00", "B1", 10.0), ("2024-01-15 00:00:00", "B1", 20.0),
+      ("2023-07-01 00:00:00", "B1", 40.0), ("2024-07-09 00:00:00", "B1", 44.0),
+      ("2023-01-20 00:00:00", "B2", 6.0), ("2024-02-02 00:00:00", "B2", 8.0)
+    ).toDF("ts", "band", "value")
+      .select(col("ts").cast("timestamp").as("t"), col("band"), col("value"))
+    val cube = DataCube.fromTable(df, Seq("t", "band"), "value")
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "climatological_normal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "frequency": "month"},
+        |        "result": true}
+        |}}""".stripMargin
+    val got = runCube(g, Map("c" -> cube))
+    val want = AggregateOps.climatologicalNormal(cube, "month")
+    assert(rows(got.df) == rows(want.df) && rows(got.df).nonEmpty)
+    // January collapses ACROSS years: (10 + 20) / 2
+    val jan = got.df.filter(col("t") === 1L && col("band") === "B1")
+      .select(col("value")).as[Double].head()
+    assert(jan == 15.0)
+
+    val ga =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "climatological_normal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "frequency": "month"}},
+        |  "a": {"process_id": "anomaly",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "normals": {"from_node": "n"},
+        |                      "frequency": "month"},
+        |        "result": true}
+        |}}""".stripMargin
+    val gotA = runCube(ga, Map("c" -> cube))
+    val wantA = AggregateOps.anomaly(cube, want, "month")
+    assert(rows(gotA.df) == rows(wantA.df))
+    // the two January-B1 cells deviate symmetrically from their normal
+    val janA = gotA.df.filter(month(col("t")) === 1 && col("band") === "B1")
+      .select(col("value")).as[Double].collect().sorted.toSeq
+    assert(janA == Seq(-5.0, 5.0))
+    // anomalies of the normal's own inputs sum to zero per key
+    val sums = gotA.df.groupBy(month(col("t")), col("band"))
+      .agg(sum(col("value")).as("s")).select(col("s")).as[Double].collect()
+    assert(sums.forall(_ == 0.0))
+  }
+
+  test("climatological_normal: climatology_period bounds the defining years") {
+    val df = Seq(
+      ("2020-03-01 00:00:00", "B1", 100.0), // outside the period: excluded
+      ("2023-03-01 00:00:00", "B1", 10.0),
+      ("2024-03-01 00:00:00", "B1", 20.0)
+    ).toDF("ts", "band", "value")
+      .select(col("ts").cast("timestamp").as("t"), col("band"), col("value"))
+    val cube = DataCube.fromTable(df, Seq("t", "band"), "value")
+    val g =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "climatological_normal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "frequency": "month",
+        |                      "climatology_period": ["2023-01-01", "2025-01-01"]},
+        |        "result": true}
+        |}}""".stripMargin
+    val got = runCube(g, Map("c" -> cube)).df
+      .select(col("value")).as[Double].collect().toSeq
+    assert(got == Seq(15.0))
+  }
 }
