@@ -437,4 +437,31 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), s"$q: $p")
     }
   }
+
+  test("climatology_anomaly: normals broadcast onto the fact scan, no window") {
+    // the normals are metadata-sized (periods x bands): they must reach
+    // the events as a BROADCAST join — the fact table itself never
+    // shuffles for the subtraction (its only exchange computes the
+    // normals), and no Window sneaks in
+    val a = SparkEntry.queries("climatology_anomaly")(spark, dir)
+    val p = plan(a)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sampling/quota queries: bounded heap, never a row_number window") {
+    for (q <- Seq("uniform_sample_k", "weighted_sample_k",
+        "domain_quota_sample")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, s"$q:\n$p")
+    }
+  }
+
+  test("text_normalize: pure scan-stage tree, zero shuffles") {
+    val df = SparkEntry.queries("text_normalize")(spark, dir)
+    assert(shuffles(df) == 0, plan(df))
+  }
 }
