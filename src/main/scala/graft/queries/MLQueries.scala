@@ -146,6 +146,15 @@ object MLQueries {
     "stream_enrich_multibatch" -> { (s, dir) =>
       StreamingOps.enrichEventsFileMultiBatch(s, s"$dir/events.parquet", dir)
     },
+    // streaming climatological anomaly: STATIC normals (batch-computed
+    // baseline) broadcast onto the live stream — stateless, exactly-once
+    // per event at any batching, shared batch oracle
+    "anomaly_stream" -> { (s, dir) =>
+      StreamingOps.anomalyEventsFile(s, s"$dir/events.parquet", dir)
+    },
+    "anomaly_stream_multibatch" -> { (s, dir) =>
+      StreamingOps.anomalyEventsFileMultiBatch(s, s"$dir/events.parquet", dir)
+    },
     // KMV/theta distinct-count sketch on the stream: O(k) state vs a
     // key-space-sized dedup store; exact in the no-truncation regime
     // (distinct users ≪ k at every gate SF), which the oracle pins
@@ -307,6 +316,9 @@ object MLQueries {
     // complete-mode snapshot equals the batch join at any batching
     "stream_enrich" -> enrichOracle,
     "stream_enrich_multibatch" -> enrichOracle,
+    // exact anomalies — stateless broadcast map, the batch oracle verbatim
+    "anomaly_stream" -> CubeQueries.oracles("climatology_anomaly"),
+    "anomaly_stream_multibatch" -> CubeQueries.oracles("climatology_anomaly"),
     // exact distinct count — the sketch's no-truncation regime
     "distinct_users_stream" ->
       """SELECT count(DISTINCT user_id) AS n_users

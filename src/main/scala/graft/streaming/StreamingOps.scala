@@ -556,6 +556,54 @@ object StreamingOps {
     }
   }
 
+  /** Streaming climatological anomaly: per-event deviation from STATIC
+    * normals (climatology is historical by nature — the baseline is
+    * computed batch over the archive; the live stream only consumes it).
+    * The metadata-sized normals broadcast-join every micro-batch —
+    * STATELESS, nothing enters a state store — so each event emits its
+    * anomaly exactly once at ANY batching (append mode), and the result
+    * equals the batch `climatology_anomaly` row for row.
+    */
+  def anomalyEventsFile(spark: SparkSession, eventsPath: String,
+      sfDir: String, queryName: String = "graft_anomaly_stream"): DataFrame = {
+    val src = eventsFileStream(spark, eventsPath)
+    anomalyMap(spark, src, sfDir, queryName)
+  }
+
+  /** MULTI-BATCH [[anomalyEventsFile]]: one time-ordered shard per
+    * trigger; the normals re-broadcast fresh each batch, emission stays
+    * exactly-once per event (stateless map), so both runs share the
+    * batch oracle.
+    */
+  def anomalyEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
+      sfDir: String, shards: Int = 5, minBatches: Int = 5,
+      queryName: String = "graft_anomaly_stream_mb"): DataFrame = {
+    val src = shardedEventsStream(spark, eventsPath, shards)
+    anomalyMap(spark, src, sfDir, queryName, requireMinBatches = minBatches)
+  }
+
+  private def anomalyMap(spark: SparkSession, src: DataFrame,
+      sfDir: String, queryName: String, requireMinBatches: Int = 0)
+      : DataFrame = {
+    // the static baseline: per-(month, band) mean of integer cents over
+    // the archive — exact on any engine (one exact sum / one count)
+    val normals = broadcast(graft.sources.Tables.events(spark, sfDir)
+      .select(month(col("ts")).cast("long").as("_m"),
+        col("event_type").as("_b"),
+        round(col("value") * 100).cast("long").as("_c"))
+      .groupBy(col("_m"), col("_b")).agg(avg(col("_c")).as("_nv")))
+    val out = src
+      .withColumn("_m", month(col("ts")).cast("long"))
+      .withColumn("_b", col("event_type"))
+      .join(normals, Seq("_m", "_b"))
+      .select(unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("band"),
+        round(round(col("value") * 100).cast("long") - col("_nv"), 6)
+          .as("anom_cents"))
+    runToMemory(out, "append", queryName,
+      requireMinBatches = requireMinBatches)
+  }
+
   /** Tumbling-window aggregation over a parquet-backed event stream,
     * driven to completion synchronously (file source + memory sink) so
     * batch harnesses can verify the result. In production the same plan
