@@ -825,4 +825,28 @@ class GraphTailSpec extends AnyFunSuite {
       .select(col("value")).as[Double].collect().toSeq
     assert(got == Seq(15.0))
   }
+
+  test("climatology wire errors: bad frequency, normals lacking the dim") {
+    val df = Seq(("2024-01-01 00:00:00", "B1", 1.0))
+      .toDF("ts", "band", "value")
+      .select(col("ts").cast("timestamp").as("t"), col("band"), col("value"))
+    val cube = DataCube.fromTable(df, Seq("t", "band"), "value")
+    val bad =
+      """{"process_graph": {
+        |  "l": {"process_id": "load_collection", "arguments": {"id": "c"}},
+        |  "n": {"process_id": "climatological_normal",
+        |        "arguments": {"data": {"from_node": "l"},
+        |                      "frequency": "fortnight"},
+        |        "result": true}
+        |}}""".stripMargin
+    val e = intercept[Exception] { runCube(bad, Map("c" -> cube)) }
+    assert(e.getMessage.contains("unknown frequency"))
+    // anomaly against normals that lack the temporal dim must refuse
+    val noDim = DataCube.fromTable(
+      Seq(("B1", 1.0)).toDF("band", "value"), Seq("band"), "value")
+    val e2 = intercept[Exception] {
+      AggregateOps.anomaly(cube, noDim, "month")
+    }
+    assert(e2.getMessage.contains("normals lack dimension"))
+  }
 }
