@@ -161,6 +161,14 @@ object AggregateOps {
     require(normals.meta.has(dim),
       s"anomaly: normals lack dimension '$dim' " +
         s"(${normals.meta.dimNames.mkString(",")})")
+    // a normals dim ABSENT from the data would be silently projected away
+    // below, collapsing several normal rows onto one join key and
+    // duplicating every matching fact row — refuse instead
+    val extra = normals.meta.dimNames.filterNot(d =>
+      d == dim || cube.meta.has(d))
+    require(extra.isEmpty,
+      s"anomaly: normals carry dimensions ${extra.mkString(",")} absent " +
+        "from the data cube; reduce them first")
     val shared = cube.meta.dimNames.filterNot(_ == dim)
       .filter(normals.meta.has)
     val nDf = normals.df.select(

@@ -848,5 +848,15 @@ class GraphTailSpec extends AnyFunSuite {
       AggregateOps.anomaly(cube, noDim, "month")
     }
     assert(e2.getMessage.contains("normals lack dimension"))
+    // normals with an EXTRA dim would collapse several normal rows onto
+    // one join key and duplicate fact rows — must refuse, not duplicate
+    val extraDim = DataCube.fromTable(
+      Seq((1L, "B1", "r1", 1.0), (1L, "B1", "r2", 2.0))
+        .toDF("t", "band", "region", "value"),
+      Seq("t", "band", "region"), "value")
+    val e3 = intercept[Exception] {
+      AggregateOps.anomaly(cube, extraDim, "month")
+    }
+    assert(e3.getMessage.contains("absent"))
   }
 }
