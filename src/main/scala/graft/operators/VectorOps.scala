@@ -264,6 +264,80 @@ object VectorOps {
   /** Vector filter_bbox: keep non-empty geometries whose envelope
     * intersects the bbox (reference: cubes/_filter.py:241-281).
     */
+  /** Even-odd point-in-ring against a DATA-SIDE ring column (the constant
+    * form lives in [[graft.geo.Geo.pointInPolygon]]). Rings are stored
+    * CLOSED (GeoJSON keeps the repeated last vertex), so consecutive
+    * pairs cover every edge without a wraparound; degenerate edges
+    * (equal y) contribute zero crossings by the straddle guard.
+    */
+  private def pointInRingCol(px: Column, py: Column, ring: Column): Column = {
+    val crossings = aggregate(
+      sequence(lit(1), greatest(size(ring) - 1, lit(1))), lit(0),
+      (acc, i) => {
+        val a = element_at(ring, i)
+        val b = element_at(ring, i + 1)
+        val (ax, ay) = (a.getField("x"), a.getField("y"))
+        val (bx, by) = (b.getField("x"), b.getField("y"))
+        val straddles = (ay > py) =!= (by > py)
+        val xAtY = (bx - ax) * (py - ay) / (by - ay) + ax
+        acc + when(straddles && px < xAtY, 1).otherwise(0)
+      })
+    size(ring) >= 3 && crossings % 2 === 1
+  }
+
+  /** openEO `filter_vector` proposal: keep geometries that INTERSECT the
+    * filter polygon. The test is the classical three-case decomposition,
+    * all as Column arithmetic on the scan (zero shuffles, no geometry
+    * library, no driver loop):
+    *
+    *   1. any geometry vertex inside the filter ring (covers points and
+    *      "geometry inside filter");
+    *   2. any filter vertex inside the geometry ring ("filter inside
+    *      geometry" — a row polygon enclosing the whole filter);
+    *   3. any geometry edge PROPERLY crossing any filter edge (overlap
+    *      with no contained vertices).
+    *
+    * Boundary-touching contact (shared vertices, collinear edge overlap)
+    * is implementation-defined, like the even-odd maskers — choose filter
+    * polygons off the data's vertices when that matters.
+    */
+  def filterVector(df: DataFrame, geomCol: String,
+      filterRing: graft.geo.Geo.Ring): DataFrame = {
+    require(filterRing.size >= 3,
+      s"GeometryInvalid: filter ring needs >= 3 vertices (${filterRing.size})")
+    val g = col(geomCol)
+    // (1) any data vertex inside the (constant) filter ring
+    val vertexInFilter = exists(g, v =>
+      graft.geo.Geo.pointInPolygon(v.getField("x"), v.getField("y"),
+        filterRing))
+    // (2) any (constant) filter vertex inside the data ring
+    val filterVertexInG = filterRing.map { case (fx, fy) =>
+      pointInRingCol(lit(fx), lit(fy), g)
+    }.reduce(_ || _)
+    // (3) any data edge properly crossing any (constant) filter edge:
+    // orient(p,q,r) sign products strictly negative on both sides
+    val fEdges = filterRing.zip(filterRing.tail :+ filterRing.head)
+    def orientC(px: Column, py: Column, qx: Column, qy: Column,
+        rx: Column, ry: Column): Column =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val edgeCross = exists(sequence(lit(1), greatest(size(g) - 1, lit(1))),
+      i => {
+        val a = element_at(g, i)
+        val b = element_at(g, i + 1)
+        val (ax, ay) = (a.getField("x"), a.getField("y"))
+        val (bx, by) = (b.getField("x"), b.getField("y"))
+        fEdges.map { case ((cx, cy), (dx, dy)) =>
+          val o1 = orientC(lit(cx), lit(cy), lit(dx), lit(dy), ax, ay)
+          val o2 = orientC(lit(cx), lit(cy), lit(dx), lit(dy), bx, by)
+          val o3 = orientC(ax, ay, bx, by, lit(cx), lit(cy))
+          val o4 = orientC(ax, ay, bx, by, lit(dx), lit(dy))
+          o1 * o2 < 0 && o3 * o4 < 0
+        }.reduce(_ || _)
+      })
+    df.filter(size(g) > 0 &&
+      (vertexInFilter || filterVertexInG || (size(g) >= 2 && edgeCross)))
+  }
+
   def filterBboxVector(df: DataFrame, geomCol: String, west: Double,
       east: Double, south: Double, north: Double): DataFrame = {
     val xs = transform(col(geomCol), _.getField("x"))

@@ -1031,6 +1031,11 @@ object ProcessGraph {
         case "filter_spatial" =>
           CubeV(SpatialOps.filterSpatial(cube("data"),
             rings(str("geometries")).head._2))
+        case "filter_vector" =>
+          // openEO proposal: keep vector-cube geometries intersecting the
+          // filter polygon (three-case Column test, VectorOps.filterVector)
+          TableV(VectorOps.filterVector(table("data"), "geometry",
+            rings(str("geometries")).head._2))
         case "apply_polygon" =>
           CubeV(SpatialOps.applyPolygon(cube("data"),
             rings(str("polygons")).head._2, scalarCallback("process")))

@@ -46,6 +46,11 @@ object SpatialQueries {
       |  [[[0.0,0.0],[4.0,0.0],[4.0,3.0],[0.0,3.0],[0.0,0.0]]]},
       | "properties":{"class":"c"}}]}""".stripMargin
 
+  // filter_vector fixture: a diamond that contains point `a`, misses
+  // point `b`, and pokes a vertex into the square `c`
+  private val filterDiamond: Geo.Ring =
+    Seq((3.0, 2.0), (6.0, 4.0), (3.0, 6.0), (0.0, 4.0))
+
   // vector_random_points fixture: a triangle covering exactly half its
   // 6x6 bbox, so bbox-uniform candidates reject ~50% of the time
   private val randomPtsGeojson =
@@ -150,6 +155,18 @@ object SpatialQueries {
       pts.select(col("c_custkey"),
         round(Geo.lonToMercatorX(col("lon")), 2).as("mx"),
         round(Geo.latToMercatorY(col("lat")), 2).as("my"))
+    },
+    "filter_vector" -> { (s, dir) =>
+      // openEO filter_vector proposal: geometries intersecting a diamond
+      // — the point feature lands inside it (case 1: vertex-in-filter),
+      // the square encloses a diamond vertex (case 2: filter-vertex-in-
+      // geometry), the far point drops. The oracle is the driver-side
+      // replay of the same three-case double arithmetic (the vector-
+      // fixture protocol).
+      val vc = VectorOps.loadGeoJson(s, geojson, Seq("class"))
+      VectorOps.filterVector(vc, "geometry", filterDiamond)
+        .select(col("geom_id"), col("geom_type"), col("class"),
+          size(col("geometry")).as("n_vertices"))
     },
     "vector_geojson_buffer" -> { (s, dir) =>
       val vc = VectorOps.loadGeoJson(s, geojson, Seq("class"))
@@ -331,6 +348,54 @@ object SpatialQueries {
         s"""SELECT * FROM (VALUES
            |  $bufferedRows
            |) t(geom_id, geom_type, class, n_vertices, sum_x)""".stripMargin,
+      "filter_vector" -> {
+        // driver-side replay of filterVector's three-case test with the
+        // IDENTICAL double arithmetic and edge sets (constant filter ring
+        // wraps; the stored GeoJSON rings are closed, so geometry edges
+        // are consecutive pairs without wraparound)
+        val fixture = Seq(
+          (0L, "Point", "a", Seq((3.2, 4.1))),
+          (1L, "Point", "b", Seq((10.25, -2.5))),
+          (2L, "Polygon", "c",
+            Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0), (0.0, 0.0))))
+        def pipWrap(px: Double, py: Double, ring: Geo.Ring): Boolean = {
+          val edges = ring.zip(ring.tail :+ ring.head)
+          edges.count { case ((x1, y1), (x2, y2)) =>
+            ((y1 > py) != (y2 > py)) &&
+              px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+          } % 2 == 1
+        }
+        def pipClosed(px: Double, py: Double,
+            g: Seq[(Double, Double)]): Boolean =
+          g.size >= 3 && g.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+            ((y1 > py) != (y2 > py)) &&
+              px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+          } % 2 == 1
+        def orient(px: Double, py: Double, qx: Double, qy: Double,
+            rx: Double, ry: Double): Double =
+          (qx - px) * (ry - py) - (qy - py) * (rx - px)
+        val fEdges = filterDiamond.zip(filterDiamond.tail :+ filterDiamond.head)
+        def intersects(g: Seq[(Double, Double)]): Boolean = {
+          val c1 = g.exists { case (x, y) => pipWrap(x, y, filterDiamond) }
+          val c2 = filterDiamond.exists { case (fx, fy) => pipClosed(fx, fy, g) }
+          val c3 = g.size >= 2 && g.sliding(2).exists {
+            case Seq((ax, ay), (bx, by)) => fEdges.exists {
+              case ((cx, cy), (dx, dy)) =>
+                orient(cx, cy, dx, dy, ax, ay) *
+                  orient(cx, cy, dx, dy, bx, by) < 0 &&
+                orient(ax, ay, bx, by, cx, cy) *
+                  orient(ax, ay, bx, by, dx, dy) < 0
+            }
+          }
+          g.nonEmpty && (c1 || c2 || c3)
+        }
+        val rows = fixture.filter(f => intersects(f._4)).map {
+          case (id, t, c, g) => s"($id, '$t', '$c', ${g.size})"
+        }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) t(geom_id, geom_type, class, n_vertices)""".stripMargin
+      },
       "vector_regular_points" -> {
         // the SAME ray-cast arithmetic as the Spark predicate, generated
         // from the SAME ring constants (incl. the GeoJSON closing vertex —

@@ -278,4 +278,44 @@ class SpatialSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"shuffle in plan:\n$plan")
   }
+
+  test("filterVector: the three intersection cases, disjoint drop, points") {
+    def ring(vs: (Double, Double)*): Seq[(Double, Double)] = vs.toSeq
+    // stored rings are CLOSED (GeoJSON convention)
+    val rows = Seq(
+      // 0: point inside the filter square (case 1)
+      (0L, ring((1.0, 1.0))),
+      // 1: point outside
+      (1L, ring((9.0, 9.0))),
+      // 2: polygon fully containing the filter (case 2 only: no vertex of
+      //    the geometry is inside the filter, no edges cross)
+      (2L, ring((-10.0, -10.0), (10.0, -10.0), (10.0, 10.0),
+        (-10.0, 10.0), (-10.0, -10.0))),
+      // 3: thin horizontal sliver crossing the filter left-to-right —
+      //    NO vertex of either polygon inside the other (case 3 only)
+      (3L, ring((-5.0, 0.9), (5.0, 0.9), (5.0, 1.1), (-5.0, 1.1),
+        (-5.0, 0.9))),
+      // 4: disjoint polygon
+      (4L, ring((20.0, 20.0), (22.0, 20.0), (22.0, 22.0), (20.0, 22.0),
+        (20.0, 20.0))),
+      // 5: geometry fully inside the filter (case 1)
+      (5L, ring((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)))
+    )
+    val df = rows.map { case (id, g) =>
+      (id, g.map { case (x, y) => (x, y) })
+    }.toDF("geom_id", "_raw")
+      .select(col("geom_id"), expr(
+        "transform(_raw, p -> named_struct('x', p._1, 'y', p._2))")
+        .as("geometry"))
+    // filter polygon: unit-ish square (0,0)-(2,2), OPEN ring (no closing
+    // vertex — the constant form wraps)
+    val filter = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val kept = VectorOps.filterVector(df, "geometry", filter)
+      .select(col("geom_id")).as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 5L))
+    // degenerate filter refused
+    intercept[IllegalArgumentException] {
+      VectorOps.filterVector(df, "geometry", Seq((0.0, 0.0), (1.0, 1.0)))
+    }
+  }
 }
