@@ -90,4 +90,81 @@ object Retrieval {
       .orderBy(col("score_units").desc, id.asc)
       .limit(k)
   }
+
+  /** BATCH retrieval: top-k BM25 hits for EVERY query in a query table —
+    * the production decontamination/eval-lookup shape, where thousands of
+    * probe queries run against the corpus at once. ONE corpus scan serves
+    * all queries:
+    *
+    *  - `queries` (queryIdCol, term) is collected once (it is the PROBE
+    *    set — thousands of rows, not corpus-sized; a loud gate refuses
+    *    beyond `maxTerms` distinct terms) and its distinct term set rides
+    *    the scan projection exactly like the single-query path, so only
+    *    union-of-query-terms postings ever shuffle;
+    *  - per-(doc, term) scores compute once and fan out to the queries
+    *    containing the term via a broadcast join (scores are
+    *    query-independent in BM25 — the fan-out is pure reuse);
+    *  - per-query top-k runs as ONE bounded-heap pass
+    *    ([[graft.functions.TopKAgg]] keyed by query): ≤ k rows per
+    *    (query, partition) on the wire, never a global sort.
+    *
+    * Returns (queryIdCol, rank, idCol, score_units), rank 1..k per query
+    * by (score desc, id asc).
+    */
+  def bm25BatchTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", queryTermCol: String = "term",
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75,
+      maxTerms: Int = 1 << 20): DataFrame = {
+    val internal = Set("term", "tf", "df", "dl", "n_docs", "total_tok",
+      "score_units", "_u")
+    require(!internal.contains(idCol) && !internal.contains(queryIdCol),
+      s"bm25BatchTopK: id columns ($idCol, $queryIdCol) must not collide " +
+        "with internal helper names")
+    val qt = queries.select(col(queryIdCol),
+      lower(trim(col(queryTermCol))).as("term")).distinct()
+    val terms = qt.select(col("term")).distinct()
+      .limit(maxTerms + 1).collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "bm25BatchTopK: empty query table")
+    require(terms.size <= maxTerms,
+      s"bm25BatchTopK: query table exceeds $maxTerms distinct terms — " +
+        "shard the probe set")
+
+    val id = col(idCol)
+    val qArr = array(terms.map(lit): _*)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tf = docs
+      .select(id, explode(filter(toks, t => array_contains(qArr, t))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"))
+
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_tok").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    scored
+      .select(id, col("term"),
+        round(idf * tfn * lit(1e6)).cast("long").as("_u"))
+      .join(broadcast(qt), "term") // fan scores out to their queries
+      .groupBy(col(queryIdCol), id).agg(sum(col("_u")).as("score_units"))
+      // per-query top-k WITHOUT a window: the bounded heap ranks by
+      // (units desc, doc asc); doc ids pack losslessly into the double
+      // rank value's tie-break id slot
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.TopKAgg.column(
+        col("score_units").cast("double"), id.cast("long"), k).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col(queryIdCol), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as(idCol),
+        col("e.v").cast("long").as("score_units"))
+  }
 }

@@ -1143,6 +1143,20 @@ object PipelineQueries {
         .select(col("domain"), (col("pos") + 1).cast("long").as("rank"),
           col("e.id").as("doc_id"))
     },
+    "bm25_batch_topk" -> { (s, dir) =>
+      // BATCH retrieval ([[Retrieval.bm25BatchTopK]]): three probe
+      // queries served by ONE corpus scan — per-(doc, term) scores
+      // compute once and fan out to their queries via a broadcast join;
+      // per-query top-k is a bounded-heap pass, never a window
+      import s.implicits._
+      val queries = Seq(
+        (1L, "vector"), (1L, "merge"),
+        (2L, "scan"), (2L, "window"),
+        (3L, "hash"), (3L, "join"), (3L, "batch")
+      ).toDF("query_id", "term")
+      Retrieval.bm25BatchTopK(Tables.read(s, dir, "documents"),
+        queries, k = 10)
+    },
     "link_pagerank" -> { (s, dir) =>
       // PageRank over a doc→domain outlink graph ([[LinkGraph.pageRank]],
       // 3 synchronous iterations, damping 0.85, exact integer-unit mass).
@@ -2521,6 +2535,45 @@ object PipelineQueries {
          |        PARTITION BY domain ORDER BY doc_id) AS rank FROM d)
          |SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id
          |FROM r WHERE rank <= 5""".stripMargin,
+    "bm25_batch_topk" ->
+      // same per-(doc,term) micro-unit shape as bm25_topk; the window
+      // form ranks per query — matching hashes prove heap ≡ window
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'vector'), (1, 'merge'),
+        |  (2, 'scan'), (2, 'window'),
+        |  (3, 'hash'), (3, 'join'), (3, 'batch')),
+        |tok AS (SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY 1, 2),
+        |dl AS (SELECT doc_id,
+        |         CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |         END AS dl
+        |       FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |              END) AS BIGINT) AS total_tok
+        |       FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         CAST(round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |           * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75)
+        |              + 0.75 * (dl.dl / (CAST(st.total_tok AS DOUBLE) / st.n_docs)))))
+        |           * 1000000.0) AS BIGINT) AS u
+        |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |qs AS (SELECT q.query_id, sc.doc_id,
+        |         CAST(sum(sc.u) AS BIGINT) AS score_units
+        |       FROM sc JOIN q USING (term) GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_units, row_number() OVER (
+        |        PARTITION BY query_id
+        |        ORDER BY score_units DESC, doc_id) AS rank FROM qs)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(rank AS BIGINT) AS rank, doc_id, score_units
+        |FROM r WHERE rank <= 10""".stripMargin,
     "link_pagerank" ->
       // the same id-derived edge synthesis, 3 unrolled iterations in the
       // same exact integer arithmetic (DIV == // for the all-positive

@@ -264,4 +264,29 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == prRef(graph, 2))
   }
+
+  test("bm25 batch == independent single-query runs; refusals") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq((1L, "query"), (1L, "join"), (2L, "engine"))
+      .toDF("query_id", "term")
+    val batch = Retrieval.bm25BatchTopK(docs, queries, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      }
+    val singles = Map(
+      1L -> Retrieval.bm25TopK(docs, Seq("query", "join"), k = 10),
+      2L -> Retrieval.bm25TopK(docs, Seq("engine"), k = 10)
+    ).map { case (q, df) => q -> df.as[(Long, Long)].collect().toSeq }
+    assert(batch == singles)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25BatchTopK(docs, queries.limit(0), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25BatchTopK(docs, queries, k = 5, idCol = "tf")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25BatchTopK(docs, queries, k = 5, maxTerms = 2)
+    }
+  }
 }
