@@ -4,7 +4,7 @@ import graft.pipeline._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Property tests for the training-data-pipeline operators: the two
   * connected-components execution paths agree on arbitrary graphs, hash
@@ -399,5 +399,71 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
 
           uGot == uWant && wGot == wWant
         }
+    }
+
+  val genPoly: Gen[Seq[(Double, Double)]] = for {
+    n <- Gen.choose(3, 6)
+    cx <- Gen.choose(-8.0, 8.0)
+    cy <- Gen.choose(-8.0, 8.0)
+    r <- Gen.choose(0.5, 5.0)
+  } yield {
+    // star-shaped polygon around (cx, cy): vertices at increasing angles
+    // (simple, non-self-intersecting), quantized to .25 steps so shared
+    // coordinates stay representable and boundary cases stay OFF-vertex
+    (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n
+      (math.rint((cx + r * math.cos(a)) * 4) / 4,
+        math.rint((cy + r * math.sin(a)) * 4) / 4)
+    }
+  }
+
+  property("filter_vector == in-JVM three-case replay on random polygons") =
+    forAll(Gen.listOfN(6, genPoly), genPoly) { (geoms, filterRing) =>
+      import spark.implicits._
+      (filterRing.distinct.size >= 3 &&
+          geoms.forall(_.distinct.size >= 3)) ==> {
+        // stored geometries are CLOSED rings (GeoJSON convention)
+        val closed = geoms.map(g => g :+ g.head)
+        val df = closed.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+          .toDF("geom_id", "_raw")
+          .select(col("geom_id"), expr(
+            "transform(_raw, p -> named_struct('x', p._1, 'y', p._2))")
+            .as("geometry"))
+        val got = graft.operators.VectorOps
+          .filterVector(df, "geometry", filterRing)
+          .select(col("geom_id")).as[Long].collect().toSet
+        def pipWrap(px: Double, py: Double, ring: Seq[(Double, Double)]) = {
+          val edges = ring.zip(ring.tail :+ ring.head)
+          edges.count { case ((x1, y1), (x2, y2)) =>
+            ((y1 > py) != (y2 > py)) &&
+              px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+          } % 2 == 1
+        }
+        def pipClosed(px: Double, py: Double, g: Seq[(Double, Double)]) =
+          g.size >= 3 && g.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+            ((y1 > py) != (y2 > py)) &&
+              px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+          } % 2 == 1
+        def orient(px: Double, py: Double, qx: Double, qy: Double,
+            rx: Double, ry: Double): Double =
+          (qx - px) * (ry - py) - (qy - py) * (rx - px)
+        val fEdges = filterRing.zip(filterRing.tail :+ filterRing.head)
+        val want = closed.zipWithIndex.collect {
+          case (g, i) if {
+            val c1 = g.exists { case (x, y) => pipWrap(x, y, filterRing) }
+            val c2 = filterRing.exists { case (fx, fy) => pipClosed(fx, fy, g) }
+            val c3 = g.sliding(2).exists { case Seq((ax, ay), (bx, by)) =>
+              fEdges.exists { case ((cx, cy), (dx, dy)) =>
+                orient(cx, cy, dx, dy, ax, ay) *
+                  orient(cx, cy, dx, dy, bx, by) < 0 &&
+                orient(ax, ay, bx, by, cx, cy) *
+                  orient(ax, ay, bx, by, dx, dy) < 0
+              }
+            }
+            c1 || c2 || c3
+          } => i.toLong
+        }.toSet
+        got == want
+      }
     }
 }
