@@ -154,7 +154,9 @@ object Retrieval {
     scored
       .select(id, col("term"),
         round(idf * tfn * lit(1e6)).cast("long").as("_u"))
-      .join(broadcast(qt), "term") // fan scores out to their queries
+      // fan scores out to their queries; size-gated hint — an enormous
+      // probe table falls back to the optimizer's join choice
+      .join(graft.core.Joins.maybeBroadcast(qt), "term")
       .groupBy(col(queryIdCol), id).agg(sum(col("_u")).as("score_units"))
       // per-query top-k WITHOUT a window: the bounded heap ranks by
       // (units desc, doc asc); doc ids pack losslessly into the double
