@@ -859,4 +859,25 @@ class GraphTailSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("absent"))
   }
+
+  test("filter_vector graph node == VectorOps.filterVector twin") {
+    val arg = geojson.replaceAll("\\s+", " ")
+    val g =
+      s"""{"process_graph": {
+         |  "l": {"process_id": "load_geojson",
+         |        "arguments": {"data": $arg, "properties": ["class"]}},
+         |  "f": {"process_id": "filter_vector",
+         |        "arguments": {"data": {"from_node": "l"},
+         |          "geometries": {"type": "Polygon", "coordinates":
+         |            [[[3.0,2.0],[6.0,4.0],[3.0,6.0],[0.0,4.0],[3.0,2.0]]]}},
+         |        "result": true}}}""".stripMargin
+    val got = runValue(g) match {
+      case TableV(df) => rows(df)
+      case v => fail(s"expected TableV, got $v")
+    }
+    val vc = VectorOps.loadGeoJson(spark, geojson, Seq("class"))
+    val want = VectorOps.filterVector(vc, "geometry",
+      Seq((3.0, 2.0), (6.0, 4.0), (3.0, 6.0), (0.0, 4.0), (3.0, 2.0)))
+    assert(got == rows(want) && got.nonEmpty)
+  }
 }
