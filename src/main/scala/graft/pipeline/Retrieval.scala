@@ -131,11 +131,25 @@ object Retrieval {
         "shard the probe set")
 
     val id = col(idCol)
-    val qArr = array(terms.map(lit): _*)
     val toks = TextAnalysis.tokens(col(textCol))
-    val tf = docs
-      .select(id, explode(filter(toks, t => array_contains(qArr, t))).as("term"))
-      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    // scan-side pruning strategy by probe size: small term sets inline as
+    // an array literal (the HOF filter runs before explode — nothing but
+    // matching postings leaves the scan); large ones would bloat the plan
+    // as a literal, so the token stream explodes and a BROADCAST left-semi
+    // join prunes it before the aggregation's exchange — same wire
+    // property (only matching postings shuffle), plan stays handle-sized
+    val literalGate = 4096
+    val tf0 =
+      if (terms.size <= literalGate) {
+        val qArr = array(terms.map(lit): _*)
+        docs.select(id,
+          explode(filter(toks, t => array_contains(qArr, t))).as("term"))
+      } else {
+        val termFrame = qt.select(col("term")).distinct()
+        docs.select(id, explode(toks).as("term"))
+          .join(broadcast(termFrame), Seq("term"), "left_semi")
+      }
+    val tf = tf0.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))

@@ -289,4 +289,23 @@ class RetrievalGraphSpec extends AnyFunSuite {
       Retrieval.bm25BatchTopK(docs, queries, k = 5, maxTerms = 2)
     }
   }
+
+  test("bm25 batch: the broadcast-semi-join path == the literal path") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq((1L, "query"), (1L, "join"), (2L, "engine"))
+      .toDF("query_id", "term")
+    // force the semi-join branch by shrinking the literal gate via a
+    // probe set larger than it? the gate is internal — instead compare
+    // against a probe set padded with absent terms so terms.size > 4096
+    val pad = (0 until 4200).map(i => (9L, s"zzpad$i"))
+    val big = (Seq((1L, "query"), (1L, "join"), (2L, "engine")) ++ pad)
+      .toDF("query_id", "term")
+    val small = Retrieval.bm25BatchTopK(docs, queries, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val padded = Retrieval.bm25BatchTopK(docs, big, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // absent pad terms contribute nothing: query 9 has no hits, queries
+    // 1 and 2 score identically through EITHER pruning path
+    assert(padded == small)
+  }
 }
