@@ -174,9 +174,14 @@ object AggregateOps {
     val nDf = normals.df.select(
       (col(dim).as("_nk") +: shared.map(col) :+
         col(normals.meta.valueCol).as("_normal")): _*)
+    // LEFT join: a fact row whose climatology key is missing from the
+    // normals (e.g. a month outside the climatology_period the normals
+    // were built with) must SURVIVE with a null anomaly — an inner join
+    // would silently shrink the cube, the openEO no-data contract is null
     val joined = cube.df
       .withColumn("_nk", climoKey(col(dim), frequency))
-      .join(graft.core.Joins.maybeBroadcast(nDf), ("_nk" +: shared).toSeq)
+      .join(graft.core.Joins.maybeBroadcast(nDf),
+        ("_nk" +: shared).toSeq, "left")
     val out = joined
       .withColumn(cube.meta.valueCol, cube.value - col("_normal"))
       .drop("_nk", "_normal")

@@ -270,9 +270,19 @@ object VectorOps {
     * pairs cover every edge without a wraparound; degenerate edges
     * (equal y) contribute zero crossings by the straddle guard.
     */
+  /** Edge-index domain [1, size-1] that is empty (not clamped-to-1) for
+    * degenerate rings, so `element_at(ring, i+1)` can never index out of
+    * bounds under ANSI mode no matter how the optimizer reorders the
+    * surrounding conjuncts — correctness must not hinge on `&&`
+    * short-circuit evaluation order.
+    */
+  private def edgeIdxs(ring: Column): Column =
+    when(size(ring) >= 2, sequence(lit(1), size(ring) - 1))
+      .otherwise(array().cast("array<int>"))
+
   private def pointInRingCol(px: Column, py: Column, ring: Column): Column = {
     val crossings = aggregate(
-      sequence(lit(1), greatest(size(ring) - 1, lit(1))), lit(0),
+      edgeIdxs(ring), lit(0),
       (acc, i) => {
         val a = element_at(ring, i)
         val b = element_at(ring, i + 1)
@@ -286,20 +296,27 @@ object VectorOps {
   }
 
   /** openEO `filter_vector` proposal: keep geometries that INTERSECT the
-    * filter polygon. The test is the classical three-case decomposition,
-    * all as Column arithmetic on the scan (zero shuffles, no geometry
-    * library, no driver loop):
+    * filter polygon — CLOSED-set semantics, matching a JTS/GEOS
+    * `intersects` (the proposal says "intersect", and boundary contact
+    * counts). The test is a five-case decomposition, all as Column
+    * arithmetic on the scan (zero shuffles, no geometry library, no
+    * driver loop):
     *
     *   1. any geometry vertex inside the filter ring (covers points and
     *      "geometry inside filter");
     *   2. any filter vertex inside the geometry ring ("filter inside
     *      geometry" — a row polygon enclosing the whole filter);
     *   3. any geometry edge PROPERLY crossing any filter edge (overlap
-    *      with no contained vertices).
+    *      with no contained vertices);
+    *   4. any geometry vertex ON a filter edge (orientation exactly 0 +
+    *      bbox containment — shared vertices, points on the boundary);
+    *   5. any filter vertex ON a geometry edge (the symmetric touch).
     *
-    * Boundary-touching contact (shared vertices, collinear edge overlap)
-    * is implementation-defined, like the even-odd maskers — choose filter
-    * polygons off the data's vertices when that matters.
+    * Cases 4+5 make boundary contact closed: two collinear segments that
+    * overlap in more than a point always contain an endpoint of one
+    * within the other, so vertex-on-edge tests cover every collinear-
+    * overlap and vertex-touch configuration. Interior containment (1, 2)
+    * stays even-odd, consistent with the maskers.
     */
   def filterVector(df: DataFrame, geomCol: String,
       filterRing: graft.geo.Geo.Ring): DataFrame = {
@@ -320,7 +337,7 @@ object VectorOps {
     def orientC(px: Column, py: Column, qx: Column, qy: Column,
         rx: Column, ry: Column): Column =
       (qx - px) * (ry - py) - (qy - py) * (rx - px)
-    val edgeCross = exists(sequence(lit(1), greatest(size(g) - 1, lit(1))),
+    val edgeCross = exists(edgeIdxs(g),
       i => {
         val a = element_at(g, i)
         val b = element_at(g, i + 1)
@@ -334,8 +351,32 @@ object VectorOps {
           o1 * o2 < 0 && o3 * o4 < 0
         }.reduce(_ || _)
       })
+    // (4) any data vertex ON a (constant) filter edge: collinear
+    // (orientation exactly 0) and inside the edge's bbox — the bbox
+    // bounds are Scala-side constants
+    val vertexOnFilterEdge = exists(g, v => {
+      val (vx, vy) = (v.getField("x"), v.getField("y"))
+      fEdges.map { case ((cx, cy), (dx, dy)) =>
+        orientC(lit(cx), lit(cy), lit(dx), lit(dy), vx, vy) === 0 &&
+          vx >= lit(math.min(cx, dx)) && vx <= lit(math.max(cx, dx)) &&
+          vy >= lit(math.min(cy, dy)) && vy <= lit(math.max(cy, dy))
+      }.reduce(_ || _)
+    })
+    // (5) any (constant) filter vertex ON a data edge
+    val filterVertexOnEdge = exists(edgeIdxs(g), i => {
+      val a = element_at(g, i)
+      val b = element_at(g, i + 1)
+      val (ax, ay) = (a.getField("x"), a.getField("y"))
+      val (bx, by) = (b.getField("x"), b.getField("y"))
+      filterRing.map { case (fx, fy) =>
+        orientC(ax, ay, bx, by, lit(fx), lit(fy)) === 0 &&
+          lit(fx) >= least(ax, bx) && lit(fx) <= greatest(ax, bx) &&
+          lit(fy) >= least(ay, by) && lit(fy) <= greatest(ay, by)
+      }.reduce(_ || _)
+    })
     df.filter(size(g) > 0 &&
-      (vertexInFilter || filterVertexInG || (size(g) >= 2 && edgeCross)))
+      (vertexInFilter || filterVertexInG || vertexOnFilterEdge ||
+        filterVertexOnEdge || edgeCross))
   }
 
   def filterBboxVector(df: DataFrame, geomCol: String, west: Double,

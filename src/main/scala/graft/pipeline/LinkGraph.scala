@@ -50,9 +50,22 @@ object LinkGraph {
     * [[graft.core.Caching]] scope discipline — nothing leaks into the
     * caller's session); pass `false` to get the full lazy plan for plan
     * audits (the caches then live until the session drops them).
+    *
+    * Deep iteration: the rank plan unrolls per iteration, so Catalyst
+    * analysis cost grows with `iters`; on the materialized path a LAZY
+    * lineage truncation ([[graft.core.Caching.deferred]]) every
+    * `checkpointEvery` iterations caps plan depth at O(checkpointEvery)
+    * without adding driver actions — the single final action computes
+    * through the chained checkpoint placeholders, so k=50 costs the same
+    * analysis as k=10 five times, not a 50-deep plan. The audit path
+    * (`materialize = false`) stays fully lazy by design: plan audits need
+    * the un-truncated tree, and run at small k.
     */
   def pageRank(edges: DataFrame, iters: Int,
-               materialize: Boolean = true): DataFrame = {
+               materialize: Boolean = true,
+               checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery > 0,
+      s"pageRank: checkpointEvery must be positive ($checkpointEvery)")
     require(iters >= 0, s"pageRank: negative iterations ($iters)")
     val cols = edges.columns.toSet
     require(cols.contains("src") && cols.contains("dst"),
@@ -75,7 +88,8 @@ object LinkGraph {
 
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Unit_} DIV _n").as("rank_units"))
-    for (_ <- 0 until iters) {
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    for (i <- 0 until iters) {
       val inflow = ej.join(ranks, ej("src") === ranks("node"))
         .select(col("dst"),
           expr("rank_units * 85 DIV (100 * _deg)").as("_c"))
@@ -85,10 +99,16 @@ object LinkGraph {
         .select(col("node"),
           (expr(s"(${Unit_} * 15) DIV (100 * _n)") +
             coalesce(col("_in"), lit(0L))).as("rank_units"))
+      if (materialize && (i + 1) % checkpointEvery == 0 && i + 1 < iters) {
+        val (cp, release) = graft.core.Caching.deferred(ranks)
+        ranks = cp
+        releases += release
+      }
     }
     if (!materialize) ranks
     else {
       val out = graft.core.Caching.eager(ranks)
+      releases.foreach(_.apply())
       nodes.unpersist(blocking = false)
       ej.unpersist(blocking = false)
       out

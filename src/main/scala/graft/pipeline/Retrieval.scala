@@ -57,27 +57,32 @@ object Retrieval {
     val id = col(idCol)
     val qArr = array(queryTerms.map(t => lit(t.trim.toLowerCase)): _*)
 
-    // one corpus scan → (doc, query-term) postings; the HOF filter runs
-    // before explode, so non-query tokens die inside the scan stage
+    // one corpus scan → (doc, query-term) postings, with the document
+    // length CARRIED THROUGH the projection (dl is functionally dependent
+    // on the doc id, so `first(dl)` inside the map-side-combinable tf agg
+    // reconstructs it for free) — no corpus-keyed (id, dl) join exists in
+    // the plan at all; the only corpus-keyed exchange is the postings agg
+    // itself. The HOF filter runs before explode, so non-query tokens die
+    // inside the scan stage.
     val toks = TextAnalysis.tokens(col(textCol))
     val tf = docs
-      .select(id, explode(filter(toks, t => array_contains(qArr, t))).as("term"))
-      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+      .select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
+        explode(filter(toks, t => array_contains(qArr, t))).as("term"))
+      .groupBy(id, col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
     // second corpus scan for (N, Σdl): a one-row frame, broadcast below.
-    // (A single-scan variant could carry dl through the postings, but the
-    // stats must cover docs with NO query term too, so the full-corpus
-    // reduce is irreducible; it is a count+sum, map-side combined.)
+    // (The stats must cover docs with NO query term too, so this
+    // full-corpus reduce is irreducible; it is a count+sum, map-side
+    // combined, and shuffles exactly one row.)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
 
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"))
 
     val scored = tf
       .join(broadcast(df_), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
     val avgdl = col("total_tok").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
@@ -121,6 +126,16 @@ object Retrieval {
     require(!internal.contains(idCol) && !internal.contains(queryIdCol),
       s"bm25BatchTopK: id columns ($idCol, $queryIdCol) must not collide " +
         "with internal helper names")
+    // the per-query heap packs doc ids into a long slot, so the id column
+    // must be integral — fail as loudly as the name checks above rather
+    // than leaking an ANSI cast error (or a silent type change) from deep
+    // inside the plan
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"bm25BatchTopK: id column '$idCol' must be an integral type " +
+        s"(doc ids ride the top-k heap as longs); got $idType — " +
+        "project a long surrogate id first")
     val qt = queries.select(col(queryIdCol),
       lower(trim(col(queryTermCol))).as("term")).distinct()
     val terms = qt.select(col("term")).distinct()
@@ -139,26 +154,30 @@ object Retrieval {
     // join prunes it before the aggregation's exchange — same wire
     // property (only matching postings shuffle), plan stays handle-sized
     val literalGate = 4096
+    // dl rides the postings projection in BOTH arms (`first(dl)` in the
+    // map-side-combinable tf agg reconstructs it per doc), so no
+    // corpus-keyed (id, dl) join exists anywhere in the plan — same
+    // single-scan shape as the small-q path in [[bm25TopK]]
     val tf0 =
       if (terms.size <= literalGate) {
         val qArr = array(terms.map(lit): _*)
-        docs.select(id,
+        docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
           explode(filter(toks, t => array_contains(qArr, t))).as("term"))
       } else {
         val termFrame = qt.select(col("term")).distinct()
-        docs.select(id, explode(toks).as("term"))
+        docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
+            explode(toks).as("term"))
           .join(broadcast(termFrame), Seq("term"), "left_semi")
       }
-    val tf = tf0.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val tf = tf0.groupBy(id, col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"))
 
     val scored = tf
       .join(broadcast(df_), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
     val avgdl = col("total_tok").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +

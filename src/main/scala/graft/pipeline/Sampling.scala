@@ -18,9 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, 65536): first 4 hex nibbles of md5("<id>:<salt>"). */
+  /** Uniform bucket in [0, 65536): first 4 hex nibbles of md5("<id>:<salt>").
+    * Coarse by design — use ONLY for threshold/quota samplers, where a
+    * 1/65536 rate granularity is the contract. Exact-k selection needs
+    * [[hashRank]]: with 16-bit buckets, any corpus past ~65k rows stuffs
+    * thousands of rows into bucket 0 and bottom-k degenerates into
+    * "smallest ids in the lowest buckets" — id-correlated, not uniform.
+    */
   def hashBucket(id: Column, salt: String): Column =
     conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4),
+      16, 10).cast("long")
+
+  /** Fine-grained uniform rank in [0, 2⁵²): first 13 hex nibbles of
+    * md5("<id>:<salt>"). 52 bits keeps the value EXACT in a double's
+    * 53-bit mantissa, so it can ride through double-keyed heaps
+    * ([[graft.functions.TopKAgg]]) and /2⁵² division without rounding —
+    * collision odds stay negligible (~n²/2⁵³) even at 100-TB corpus
+    * cardinalities, which is what makes exact-k selection actually
+    * uniform at scale.
+    */
+  def hashRank(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 13),
       16, 10).cast("long")
 
   /** Deterministic split assignment: `fracs` are (name, fraction) in
@@ -166,28 +184,35 @@ object Sampling {
   def uniformSampleK(df: DataFrame, idCol: String, k: Int,
       salt: String): DataFrame = {
     // TopKAgg keeps the HIGHEST values with id-asc tie-break, so negating
-    // the bucket yields exactly (bucket asc, id asc) lexicographic order
+    // the rank yields exactly (rank asc, id asc) lexicographic order; the
+    // 52-bit hashRank is exact as a double, and fine enough that ties are
+    // ~impossible — inclusion stays uniform at any corpus size (the 16-bit
+    // bucket version degenerated to id-order past ~65k rows)
     df.agg(graft.functions.TopKAgg.column(
-        -hashBucket(col(idCol), salt).cast("double"), col(idCol), k).as("top"))
+        -hashRank(col(idCol), salt).cast("double"), col(idCol), k).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "e")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("e.id").as(idCol))
   }
 
   /** EXACT-k WEIGHTED sample without replacement (Efraimidis-Spirakis
-    * 2006, public): key_i = ln(u_i)/w_i with u_i = (hashBucket+1)/2¹⁶ a
+    * 2006, public): key_i = ln(u_i)/w_i with u_i = (hashRank+1)/2⁵² a
     * deterministic uniform in (0, 1], keep the k largest keys —
     * equivalent to keeping the largest u^(1/w), so inclusion probability
     * tracks weight mass. Same bounded-heap shape as [[uniformSampleK]]
     * (O(k·partitions) on the wire, no window). Rows with NULL or
     * non-positive weight are excluded (they carry no sampling mass).
-    * Division by 2¹⁶ is exact in binary, so both engines feed ln() the
-    * identical double and the selection reproduces cross-engine.
+    * The 52-bit rank is exact in a double and division by 2⁵² is exact in
+    * binary, so both engines feed ln() the identical double and the
+    * selection reproduces cross-engine. E-S needs fine-grained per-row
+    * uniforms: the old 16-bit u quantization made every bucket-65535 row
+    * key to ln(1)/w = 0 — the global max regardless of weight — so at
+    * N ≥ 65536·k the "weighted" sample ignored weights entirely.
     */
   def weightedSampleK(df: DataFrame, idCol: String, weight: Column, k: Int,
       salt: String): DataFrame = {
-    val u = (hashBucket(col(idCol), salt) + lit(1L)).cast("double") /
-      lit(65536.0)
+    val u = (hashRank(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(4503599627370496.0) // 2^52
     val key = log(u) / weight.cast("double")
     df.filter(weight.isNotNull && weight > 0)
       .agg(graft.functions.TopKAgg.column(key, col(idCol), k).as("top"))

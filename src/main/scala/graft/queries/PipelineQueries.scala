@@ -1220,6 +1220,17 @@ object PipelineQueries {
     }.mkString(" + ")
   }
 
+  /** DuckDB mirror of `Sampling.hashRank`: fold the first 13 hex nibbles
+    * of md5("<doc_id>:<salt>") into a BIGINT in [0, 2⁵²) — exact in a
+    * double's mantissa, same property the Spark side relies on.
+    */
+  private def rankSql(salt: String): String = {
+    val h = s"md5(doc_id || ':$salt')"
+    (0 until 13).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (12 - i))}"
+    }.mkString(" + ")
+  }
+
   /** The same cumulative cut points `Sampling.splitColumn` computes for the
     * 0.8 / 0.1 / 0.1 split — derived with the identical rounding.
     */
@@ -1508,19 +1519,19 @@ object PipelineQueries {
          |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
          |WHERE rn <= quota""".stripMargin,
     "uniform_sample_k" ->
-      s"""WITH b AS (SELECT doc_id, ${bucketSql("u16")} AS bucket FROM documents),
+      s"""WITH b AS (SELECT doc_id, ${rankSql("u16")} AS hrank FROM documents),
          |r AS (SELECT doc_id,
-         |        row_number() OVER (ORDER BY bucket, doc_id) AS rank FROM b)
+         |        row_number() OVER (ORDER BY hrank, doc_id) AS rank FROM b)
          |SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM r
          |WHERE rank <= 25""".stripMargin,
     "weighted_sample_k" ->
-      // ES keys in the same double shape: ln((bucket+1)/2^16)/w — the /2^16
-      // is exact in binary, so ln() sees the identical double on both
-      // engines
-      s"""WITH b AS (SELECT doc_id, n_chars, ${bucketSql("w16")} AS bucket
+      // ES keys in the same double shape: ln((hrank+1)/2^52)/w — hrank is
+      // exact in a double and /2^52 is exact in binary, so ln() sees the
+      // identical double on both engines
+      s"""WITH b AS (SELECT doc_id, n_chars, ${rankSql("w16")} AS hrank
          |           FROM documents),
          |k AS (SELECT doc_id,
-         |        ln((bucket + 1) / 65536.0) / n_chars AS key
+         |        ln((hrank + 1) / 4503599627370496.0) / n_chars AS key
          |      FROM b WHERE n_chars IS NOT NULL AND n_chars > 0),
          |r AS (SELECT doc_id,
          |        row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM k)
@@ -2450,7 +2461,7 @@ object PipelineQueries {
         |        FROM events)
         |  WHERE day(day) % 7 = 1)
         |SELECT e.event_type, w.lo AS win_start, count(*) AS n_events,
-        |       sum(CAST(round(e.value * 100) AS BIGINT)) AS val_cents
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM events e JOIN w ON e.event_type = w.event_type
         |  AND epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
         |GROUP BY 1, 2""".stripMargin,
@@ -2460,7 +2471,7 @@ object PipelineQueries {
         |           FROM events GROUP BY 1, 2)
         |SELECT a.event_type AS a_type, b.event_type AS b_type,
         |       count(*) AS n_pairs,
-        |       sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_us
+        |       CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS overlap_us
         |FROM s a JOIN s b ON a.user_id = b.user_id
         |  AND a.event_type < b.event_type
         |  AND a.lo < b.hi AND b.lo < a.hi

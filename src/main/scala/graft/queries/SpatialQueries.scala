@@ -375,6 +375,10 @@ object SpatialQueries {
             rx: Double, ry: Double): Double =
           (qx - px) * (ry - py) - (qy - py) * (rx - px)
         val fEdges = filterDiamond.zip(filterDiamond.tail :+ filterDiamond.head)
+        def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+            rx: Double, ry: Double): Boolean =
+          rx >= math.min(px, qx) && rx <= math.max(px, qx) &&
+            ry >= math.min(py, qy) && ry <= math.max(py, qy)
         def intersects(g: Seq[(Double, Double)]): Boolean = {
           val c1 = g.exists { case (x, y) => pipWrap(x, y, filterDiamond) }
           val c2 = filterDiamond.exists { case (fx, fy) => pipClosed(fx, fy, g) }
@@ -387,7 +391,21 @@ object SpatialQueries {
                   orient(ax, ay, bx, by, dx, dy) < 0
             }
           }
-          g.nonEmpty && (c1 || c2 || c3)
+          // closed-set boundary touches (filterVector cases 4 + 5)
+          val c4 = g.exists { case (vx, vy) =>
+            fEdges.exists { case ((cx, cy), (dx, dy)) =>
+              orient(cx, cy, dx, dy, vx, vy) == 0 &&
+                onSeg(cx, cy, dx, dy, vx, vy)
+            }
+          }
+          val c5 = g.size >= 2 && g.sliding(2).exists {
+            case Seq((ax, ay), (bx, by)) => filterDiamond.exists {
+              case (fx, fy) =>
+                orient(ax, ay, bx, by, fx, fy) == 0 &&
+                  onSeg(ax, ay, bx, by, fx, fy)
+            }
+          }
+          g.nonEmpty && (c1 || c2 || c3 || c4 || c5)
         }
         val rows = fixture.filter(f => intersects(f._4)).map {
           case (id, t, c, g) => s"($id, '$t', '$c', ${g.size})"

@@ -151,9 +151,11 @@ object StreamingOps {
   /** Run `body` with the stateful-stream partition count dialed down to
     * `n`: `spark.sql.shuffle.partitions` at query START fixes the state
     * store count, and each micro-batch commits EVERY store — at 32
-    * session partitions a 5-trigger run pays 160 store commits for a
-    * key space that fits comfortably in a handful of stores. Harness-side
-    * only; a production stream sizes this to its key cardinality.
+    * session partitions a multi-trigger run pays 32·batches store commits
+    * for a key space that fits comfortably in a handful of stores (r17:
+    * dialed 8 → 4; the gate-SF key spaces fill 4 stores fine and commit
+    * cost halves again). Harness-side only; a production stream sizes
+    * this to its key cardinality.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -163,14 +165,14 @@ object StreamingOps {
   }
 
   def sessionizeEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      gapSeconds: Long = 1800L, shards: Int = 5, minBatches: Int = 5,
+      gapSeconds: Long = 1800L, shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_sess_stream_mb"): DataFrame = {
     import spark.implicits._
     val typed = shardedEventsStream(spark, eventsPath, shards)
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
     val out = sessionizeStream(typed, gapSeconds * 1000000L,
       watermarkDelay = "40 days")
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(out.toDF(), "update", queryName,
         requireMinBatches = minBatches)
     }
@@ -186,12 +188,12 @@ object StreamingOps {
     * across batches, and ≥ `minBatches` non-empty batches are asserted.
     */
   def dedupEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      shards: Int = 5, minBatches: Int = 5,
+      shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_dedup_stream_mb"): DataFrame = {
     val stream = shardedEventsStream(spark, eventsPath, shards)
     val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts",
       watermarkDelay = "40 days")
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(deduped, "append", queryName,
         requireMinBatches = minBatches)
     }
@@ -229,13 +231,13 @@ object StreamingOps {
     */
   def heavyHittersEventsFileMultiBatch(spark: SparkSession,
       eventsPath: String, capacity: Int = 65536, outK: Int = 20,
-      shards: Int = 5, minBatches: Int = 5,
+      shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_hh_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.SpaceSavingAgg.column(
       col("user_id").cast("string"), capacity, outK).as("hh"))
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(explode(col("hh")).as("e"))
@@ -273,13 +275,13 @@ object StreamingOps {
     */
   def quantilesEventsFileMultiBatch(spark: SparkSession,
       eventsPath: String, capacity: Int = 16384,
-      shards: Int = 5, minBatches: Int = 5,
+      shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_quant_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("value").isNotNull)
     val agg = src.agg(graft.functions.QuantileSketchAgg.column(
       round(col("value") * 10).cast("long"), lit(1L), capacity).as("qp"))
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(explode(col("qp")).as("e"))
@@ -312,13 +314,13 @@ object StreamingOps {
     */
   def distinctUsersEventsFileMultiBatch(spark: SparkSession,
       eventsPath: String, k: Int = 65536,
-      shards: Int = 5, minBatches: Int = 5,
+      shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_theta_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.ThetaSketchAgg.column(
       xxhash64(col("user_id").cast("string")), k).as("sk"))
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk"))
@@ -344,7 +346,7 @@ object StreamingOps {
     // keyed state: dial the store count to the key space, not the
     // session's 32 shuffle partitions (one store commit per partition
     // per batch)
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       runToMemory(agg, "complete", queryName)
     }
       .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -359,14 +361,14 @@ object StreamingOps {
     * total order, pure merge).
     */
   def topkEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      k: Int = 3, shards: Int = 5, minBatches: Int = 5,
+      k: Int = 3, shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_topk_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("value").isNotNull && col("event_id").isNotNull)
     val agg = src.groupBy(col("event_type"))
       .agg(graft.functions.TopKAgg.column(col("value"), col("event_id"), k)
         .as("top"))
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -400,7 +402,7 @@ object StreamingOps {
       queryName: String = "graft_cdc_stream"): DataFrame = {
     val src = eventsFileStream(spark, eventsPath)
       .filter(col("event_id").isNotNull)
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(cdcLatestAgg(src), "complete", queryName)
     }
     cdcLatestOut(sink)
@@ -413,11 +415,11 @@ object StreamingOps {
     * equal the batch compaction.
     */
   def cdcLatestEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      shards: Int = 5, minBatches: Int = 5,
+      shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_cdc_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("event_id").isNotNull)
-    val sink = withStatePartitions(spark, 8) {
+    val sink = withStatePartitions(spark, 4) {
       runToMemory(cdcLatestAgg(src), "complete", queryName,
         requireMinBatches = minBatches)
     }
@@ -478,7 +480,7 @@ object StreamingOps {
     // buffers): at the session's 32 shuffle partitions a single batch
     // inits/commits 128 stores for a key space that fits in a handful —
     // dial the state partitioning down like the multibatch runners do
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       runToMemory(joined, "append", queryName)
     }
   }
@@ -492,15 +494,15 @@ object StreamingOps {
     * nothing is evicted).
     */
   def attributionJoinEventsFileMultiBatch(spark: SparkSession,
-      eventsPath: String, windowMinutes: Int = 60, shards: Int = 5,
-      minBatches: Int = 5, queryName: String = "graft_ssjoin_mb")
+      eventsPath: String, windowMinutes: Int = 60, shards: Int = 3,
+      minBatches: Int = 3, queryName: String = "graft_ssjoin_mb")
       : DataFrame = {
     def src(): DataFrame = shardedEventsStream(spark, eventsPath, shards)
     val joined = attributionJoinPlan(
       src().filter(col("event_type") === "view"),
       src().filter(col("event_type") === "click"),
       windowMinutes, "40 days")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       runToMemory(joined, "append", queryName, requireMinBatches = minBatches)
     }
   }
@@ -528,7 +530,7 @@ object StreamingOps {
     * (count/sum are pure merges), so both runs share the batch oracle.
     */
   def enrichEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      sfDir: String, shards: Int = 5, minBatches: Int = 5,
+      sfDir: String, shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_enrich_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
     enrichAggregate(spark, src, sfDir, queryName,
@@ -550,7 +552,7 @@ object StreamingOps {
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     // keyed state (nation × type): size the store count to the key
     // space, single- and multi-batch alike
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       runToMemory(agg, "complete", queryName,
         requireMinBatches = requireMinBatches)
     }
@@ -576,7 +578,7 @@ object StreamingOps {
     * batch oracle.
     */
   def anomalyEventsFileMultiBatch(spark: SparkSession, eventsPath: String,
-      sfDir: String, shards: Int = 5, minBatches: Int = 5,
+      sfDir: String, shards: Int = 3, minBatches: Int = 3,
       queryName: String = "graft_anomaly_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
     anomalyMap(spark, src, sfDir, queryName, requireMinBatches = minBatches)

@@ -826,6 +826,28 @@ class GraphTailSpec extends AnyFunSuite {
     assert(got == Seq(15.0))
   }
 
+  test("anomaly: keys outside the climatology period survive with null") {
+    // normals bounded to 2023 only — the 2024-07 fact row's month is
+    // absent from them; an inner join would silently drop it, the
+    // contract is null anomaly (openEO no-data)
+    val df = Seq(
+      ("2023-01-05 00:00:00", "B1", 10.0),
+      ("2024-07-09 00:00:00", "B1", 44.0)
+    ).toDF("ts", "band", "value")
+      .select(col("ts").cast("timestamp").as("t"), col("band"), col("value"))
+    val cube = DataCube.fromTable(df, Seq("t", "band"), "value")
+    val normals = AggregateOps.climatologicalNormal(cube, "month",
+      climatologyPeriod = Some(("2023-01-01", "2024-01-01")))
+    val out = AggregateOps.anomaly(cube, normals, "month").df
+    assert(out.count() == 2) // no row dropped
+    val july = out.filter(month(col("t")) === 7)
+      .select(col("value")).collect()
+    assert(july.length == 1 && july.head.isNullAt(0))
+    val jan = out.filter(month(col("t")) === 1)
+      .select(col("value")).as[Double].head()
+    assert(jan == 0.0) // its own normal
+  }
+
   test("climatology wire errors: bad frequency, normals lacking the dim") {
     val df = Seq(("2024-01-01 00:00:00", "B1", 1.0))
       .toDF("ts", "band", "value")

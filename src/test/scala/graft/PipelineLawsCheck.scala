@@ -371,10 +371,12 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
         val ids = idsRaw.distinct
         ids.isEmpty || {
           val md = java.security.MessageDigest.getInstance("MD5")
+          // 52-bit hashRank (13 md5 nibbles) — the fine-grained rank the
+          // samplers use so exact-k selection stays uniform past 65k rows
           def bucket(id: Long, salt: String): Long = {
             val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
-            java.lang.Long.parseLong(hex.take(4), 16)
+            java.lang.Long.parseLong(hex.take(13), 16)
           }
           // weights: deterministic positive function of the id, with a
           // couple of zero-weight rows that must be EXCLUDED
@@ -390,7 +392,7 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
             .as[(Long, Long)].collect().toSeq
           val wWant = ids.filter(w(_) > 0)
             .map { i =>
-              val u = (bucket(i, "sw") + 1L).toDouble / 65536.0
+              val u = (bucket(i, "sw") + 1L).toDouble / 4503599627370496.0
               // StrictMath.log IS the function Spark's log() evaluates
               (StrictMath.log(u) / w(i).toDouble, i)
             }
@@ -448,6 +450,10 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
             rx: Double, ry: Double): Double =
           (qx - px) * (ry - py) - (qy - py) * (rx - px)
         val fEdges = filterRing.zip(filterRing.tail :+ filterRing.head)
+        def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+            rx: Double, ry: Double): Boolean =
+          rx >= math.min(px, qx) && rx <= math.max(px, qx) &&
+            ry >= math.min(py, qy) && ry <= math.max(py, qy)
         val want = closed.zipWithIndex.collect {
           case (g, i) if {
             val c1 = g.exists { case (x, y) => pipWrap(x, y, filterRing) }
@@ -460,7 +466,20 @@ object PipelineLawsCheck extends Properties("PipelineLaws") {
                   orient(ax, ay, bx, by, dx, dy) < 0
               }
             }
-            c1 || c2 || c3
+            // closed-set boundary touches (filterVector cases 4 + 5)
+            val c4 = g.exists { case (vx, vy) =>
+              fEdges.exists { case ((cx, cy), (dx, dy)) =>
+                orient(cx, cy, dx, dy, vx, vy) == 0 &&
+                  onSeg(cx, cy, dx, dy, vx, vy)
+              }
+            }
+            val c5 = g.sliding(2).exists { case Seq((ax, ay), (bx, by)) =>
+              filterRing.exists { case (fx, fy) =>
+                orient(ax, ay, bx, by, fx, fy) == 0 &&
+                  onSeg(ax, ay, bx, by, fx, fy)
+              }
+            }
+            c1 || c2 || c3 || c4 || c5
           } => i.toLong
         }.toSet
         got == want

@@ -464,4 +464,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = SparkEntry.queries("text_normalize")(spark, dir)
     assert(shuffles(df) == 0, plan(df))
   }
+
+  test("bm25: dl rides the postings agg — no corpus-keyed join anywhere") {
+    // the document length is reconstructed by first(dl) inside the
+    // map-side-combinable tf aggregation, so the ONLY corpus-keyed
+    // exchange is the postings agg itself: every join in the plan must be
+    // broadcast (df_ and stats are q-row / 1-row frames), and the r16
+    // corpus-keyed (id, dl) shuffle join must never reappear
+    for (q <- Seq("bm25_topk", "bm25_batch_topk")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("ShuffledHashJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.pipeline.{LinkGraph, Retrieval}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.execution.SparkPlan
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -192,6 +192,16 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: deep iteration with checkpointing == hand-unrolled ref") {
+    // k=12 with a lineage truncation every 5 iterations — the checkpoint
+    // placeholders must be value-transparent, and plan depth stays
+    // O(checkpointEvery) instead of O(iters)
+    val got = LinkGraph.pageRank(graph.toDF("src", "dst"), 12,
+        checkpointEvery = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == prRef(graph, 12))
+  }
+
   test("pagerank projects away payload columns that shadow helper names") {
     val withPayload = graph.toDF("src", "dst")
       .withColumn("_deg", lit(999L)).withColumn("node", lit("x"))
@@ -288,6 +298,14 @@ class RetrievalGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Retrieval.bm25BatchTopK(docs, queries, k = 5, maxTerms = 2)
     }
+    // non-integral id: the heap packs doc ids into a long slot — must
+    // refuse loudly up front, not surface an ANSI cast error mid-plan
+    val strDocs = corpus.toDF("doc_id", "text")
+      .select(concat(lit("d"), col("doc_id")).as("doc_id"), col("text"))
+    val eId = intercept[IllegalArgumentException] {
+      Retrieval.bm25BatchTopK(strDocs, queries, k = 5)
+    }
+    assert(eId.getMessage.contains("integral"))
   }
 
   test("bm25 batch: the broadcast-semi-join path == the literal path") {

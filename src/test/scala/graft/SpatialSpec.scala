@@ -318,4 +318,32 @@ class SpatialSpec extends AnyFunSuite {
       VectorOps.filterVector(df, "geometry", Seq((0.0, 0.0), (1.0, 1.0)))
     }
   }
+
+  test("filterVector: boundary contact is CLOSED (JTS intersects semantics)") {
+    def ring(vs: (Double, Double)*): Seq[(Double, Double)] = vs.toSeq
+    val rows = Seq(
+      // 0: shares ONLY the edge segment x=2, y in [0,2] with the filter —
+      //    no vertex strictly inside either, no proper crossing (case 4/5)
+      (0L, ring((2.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 0.0))),
+      // 1: touches ONLY at the single shared vertex (2,2)
+      (1L, ring((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))),
+      // 2: collinear PARTIAL edge overlap along y=0, x in [1,3] — the
+      //    data edge's endpoint (1,0) lies interior to the filter edge
+      (2L, ring((1.0, 0.0), (3.0, 0.0), (3.0, -2.0), (1.0, -2.0),
+        (1.0, 0.0))),
+      // 3: a POINT exactly on the filter boundary
+      (3L, ring((0.0, 1.0))),
+      // 4: near-touch control — 1e-9 off the boundary, must DROP
+      (4L, ring((2.000000001, 0.0), (4.0, 0.0), (4.0, 2.0),
+        (2.000000001, 2.0), (2.000000001, 0.0)))
+    )
+    val df = rows.toDF("geom_id", "_raw")
+      .select(col("geom_id"), expr(
+        "transform(_raw, p -> named_struct('x', p._1, 'y', p._2))")
+        .as("geometry"))
+    val filter = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val kept = VectorOps.filterVector(df, "geometry", filter)
+      .select(col("geom_id")).as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L))
+  }
 }

@@ -46,6 +46,26 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
             continue
+        # Driver-faithful dtype gate (r16 verdict item 2): the driver's hash
+        # is KIND-sensitive — a value-exact result with a DuckDB HUGEINT
+        # sum (-> pandas float64) vs Spark int64 fails it (r5/r16
+        # incidents), while integer WIDTH differences (int32 vs int64,
+        # 15 registry queries as of r17) pass it. Compare dtype kind
+        # (int/uint collapsed to one class) so this gate matches the
+        # driver exactly: no false green on sum(BIGINT), no false red on
+        # narrow ints.
+        def _kind(dt):
+            k = dt.kind
+            return "i" if k in ("i", "u") else k
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns
+                  if _kind(got[c].dtype) != _kind(want[c].dtype)]
+        if dt_bad:
+            c, dg, dw = dt_bad[0]
+            print(f"FAIL {name}: dtype col={c} spark={dg} oracle={dw}"
+                  f" (wrap the oracle output in CAST(... AS BIGINT)?)")
+            n_fail += 1
+            continue
         got = got.sort_values(by=list(got.columns), ignore_index=True)
         want = want.sort_values(by=list(want.columns), ignore_index=True)
         if len(got) != len(want):
@@ -81,7 +101,35 @@ def main(sf_dir, out_dir, only=None):
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
+def selftest():
+    """The dtype gate must FAIL on a value-exact but HUGEINT-summed oracle
+    (the r5/r16 failure class) and PASS once the sum is CAST to BIGINT."""
+    import os, tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/q")
+        con.execute(f"COPY (SELECT CAST(3 AS BIGINT) AS s) "
+                    f"TO '{d}/q/part.parquet' (FORMAT PARQUET)")
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{d}/q/part.parquet')").fetchdf()
+        bare = con.execute(
+            "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x "
+            "UNION ALL SELECT 2)").fetchdf()
+        cast = con.execute(
+            "SELECT CAST(sum(x) AS BIGINT) AS s FROM "
+            "(SELECT CAST(1 AS BIGINT) AS x UNION ALL SELECT 2)").fetchdf()
+        assert (got["s"] == bare["s"]).all(), "values should be exact"
+        assert str(got["s"].dtype) != str(bare["s"].dtype), \
+            "bare sum(BIGINT) must be flagged (dtype differs)"
+        assert str(got["s"].dtype) == str(cast["s"].dtype), \
+            "CAST(... AS BIGINT) must restore int64"
+    print("selftest: PASS (bare sum flagged, CAST accepted)")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
