@@ -195,6 +195,62 @@ object Sampling {
         col("e.id").as(idCol))
   }
 
+  /** EXACT per-stratum quality gate: keep the `keepPm` per-mille (⌈n·pm/1000⌉,
+    * integer rank arithmetic so any SQL engine reproduces the quota
+    * bit-for-bit) HIGHEST-`score` rows of every stratum, ties broken by id
+    * ascending — the curation pass that keeps "the top 25% by quality per
+    * source/language" (the public FineWeb/CCNet-style percentile filter).
+    * One shuffle by stratum + a per-stratum sort window; intended for
+    * bounded-cardinality strata. For unbounded strata (or to avoid the
+    * sort entirely) use [[scoreThresholdGate]], which replaces the window
+    * with one O(capacity)-state sketch pass.
+    */
+  def scoreQuota(df: DataFrame, idCol: String, score: Column,
+      strataCols: Seq[String], keepPm: Int): DataFrame = {
+    require(keepPm >= 1 && keepPm <= 1000,
+      s"scoreQuota: keepPm must be in [1, 1000], got $keepPm")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+    df.withColumn("_rn",
+        row_number().over(w.orderBy(score.desc, col(idCol).asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+      // rn ≤ ⌈n·pm/1000⌉ rewritten division-free as (rn−1)·1000 < n·pm —
+      // pure long arithmetic (Spark's Column `/` is double division), so
+      // the quota boundary is bit-identical in any SQL oracle
+      .filter((col("_rn") - 1) * 1000L < col("_n") * keepPm.toLong)
+      .drop("_rn", "_n")
+  }
+
+  /** Sketch-THRESHOLD quality gate — the 100-TB shape of [[scoreQuota]]:
+    * per-stratum keep-threshold = the (1000−keepPm) per-mille quantile of
+    * the QUANTIZED score from ONE mergeable
+    * [[graft.functions.QuantileSketchAgg]] pass (O(capacity) state per
+    * partition, O(capacity) bytes per partition on the wire — no
+    * stratum-wide sort, no data-sized shuffle), broadcast back onto the
+    * scan as a `score >= threshold` filter.
+    *
+    * Exactness: the threshold is EXACT whenever each stratum's distinct
+    * quantized score values stay ≤ capacity — for a per-mille-quantized
+    * score (≤ 1001 distinct values) this holds at ANY corpus size, which
+    * is what lets a SQL oracle reproduce the gate bit-for-bit at every
+    * scale. Boundary semantics differ from the quota form by design:
+    * every row TYING the threshold value survives, so the kept fraction
+    * can exceed keepPm/1000 by the boundary tie mass (a threshold gate,
+    * not an exact quota).
+    */
+  def scoreThresholdGate(df: DataFrame, scoreQ: Column,
+      strataCols: Seq[String], keepPm: Int, capacity: Int = 2048): DataFrame = {
+    require(keepPm >= 1 && keepPm <= 1000,
+      s"scoreThresholdGate: keepPm must be in [1, 1000], got $keepPm")
+    val thr = df
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchAgg.column(
+        scoreQ, lit(1L), capacity, Seq(1000 - keepPm)).as("_qp"))
+      .select(strataCols.map(col) :+
+        element_at(col("_qp"), 1).getField("v").as("_thr"): _*)
+    df.join(broadcast(thr), strataCols).filter(scoreQ >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** EXACT-k WEIGHTED sample without replacement (Efraimidis-Spirakis
     * 2006, public): key_i = ln(u_i)/w_i with u_i = (hashRank+1)/2⁵² a
     * deterministic uniform in (0, 1], keep the k largest keys —

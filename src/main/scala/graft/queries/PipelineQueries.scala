@@ -799,6 +799,26 @@ object PipelineQueries {
       Sampling.uniformSampleK(Tables.documents(s, dir), "doc_id",
         k = 25, salt = "u16")
     },
+    "quality_quota_gate" -> { (s, dir) =>
+      // FineWeb/CCNet-style curation gate: keep the top 25% by quality
+      // score per source, exact integer quota, ties by doc_id
+      val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000)
+          .cast("long").as("q_milli"))
+      Sampling.scoreQuota(q, "doc_id", col("q_milli"), Seq("source"),
+        keepPm = 250)
+    },
+    "quality_threshold_gate" -> { (s, dir) =>
+      // the 100-TB shape of the same gate: per-source threshold from ONE
+      // mergeable quantile-sketch pass (exact here — the per-mille score
+      // domain ≤ 1001 distinct values ≤ capacity at ANY corpus size),
+      // broadcast back as a scan filter; boundary ties all survive
+      val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000)
+          .cast("long").as("q_milli"))
+      Sampling.scoreThresholdGate(q, col("q_milli"), Seq("source"),
+        keepPm = 250)
+    },
     "weighted_sample_k" -> { (s, dir) =>
       // Efraimidis-Spirakis weighted-without-replacement sample (weight =
       // n_chars): key = ln(u)/w, top-k keys through the same bounded heap
@@ -1231,6 +1251,28 @@ object PipelineQueries {
     }.mkString(" + ")
   }
 
+  /** Shared CTE prefix: per-document per-mille-quantized quality score —
+    * the text_quality mirror's arithmetic verbatim (same double shapes,
+    * so both engines fold identically), then ×1000 rounded to BIGINT.
+    */
+  private val qualityMilliCte: String =
+    """WITH t AS (SELECT doc_id, source, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, source, text, toks,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+      |    len(list_filter(toks, w -> w IN ('the','a','an','of','to','in','and',
+      |      'is','on','for','with','by','at','or'))) AS stop_hits
+      |  FROM t),
+      |q AS (SELECT doc_id, source,
+      |  CAST(round((least(n_tok / 50.0, 1.0) * 0.4
+      |  + (CASE WHEN n_tok = 0 THEN 0.5
+      |          WHEN len(regexp_replace(trim(text), '\s+', '', 'g')) / CAST(n_tok AS DOUBLE)
+      |               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+      |  + least((CASE WHEN len(toks) = 0 THEN 0.0
+      |           ELSE stop_hits / CAST(len(toks) AS DOUBLE) END) * 5.0, 1.0) * 0.3
+      |  ) * 1000) AS BIGINT) AS q_milli
+      |  FROM c),""".stripMargin
+
   /** The same cumulative cut points `Sampling.splitColumn` computes for the
     * 0.8 / 0.1 / 0.1 split — derived with the identical rounding.
     */
@@ -1524,6 +1566,34 @@ object PipelineQueries {
          |        row_number() OVER (ORDER BY hrank, doc_id) AS rank FROM b)
          |SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM r
          |WHERE rank <= 25""".stripMargin,
+    "quality_quota_gate" ->
+      // the same quality arithmetic as text_quality's mirror, per-mille
+      // quantized; quota boundary in the division-free integer form
+      s"""$qualityMilliCte
+         |r AS (SELECT doc_id, source, q_milli,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY q_milli DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM q)
+         |SELECT doc_id, source, q_milli FROM r
+         |WHERE (rk - 1) * 1000 < n * 250""".stripMargin,
+    "quality_threshold_gate" ->
+      // threshold = smallest value whose ascending cumulative count
+      // reaches rank max(1, ceil(750·n/1000)) — the sketch's exact-regime
+      // rank arithmetic, integer on both engines
+      s"""$qualityMilliCte
+         |r AS (SELECT doc_id, source, q_milli,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY q_milli, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM q),
+         |thr AS (SELECT source,
+         |          max(CASE WHEN rk = greatest(1, (750 * n + 999) // 1000)
+         |              THEN q_milli END) AS t
+         |        FROM r GROUP BY source)
+         |SELECT q.doc_id, q.source, q.q_milli
+         |FROM q JOIN thr ON q.source = thr.source
+         |WHERE q.q_milli >= thr.t""".stripMargin,
     "weighted_sample_k" ->
       // ES keys in the same double shape: ln((hrank+1)/2^52)/w — hrank is
       // exact in a double and /2^52 is exact in binary, so ln() sees the

@@ -46,10 +46,23 @@ object StreamingOps {
       requireSingleBatch: Boolean = false, requireMinBatches: Int = 0)
       : DataFrame = {
     val spark = df.sparkSession
+    // Checkpoint on tmpfs when the box has one: every micro-batch fsyncs
+    // the offset log, the commit log, and one state-store delta PER
+    // state partition into this directory — on the default disk-backed
+    // temp dir those fsyncs ARE the harness floor for small batches.
+    // Harness-side only (the memory sink is already a test surface); a
+    // production stream puts its checkpoint on durable storage, where
+    // the commit latency is the price of exactly-once.
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm" else sys.props("java.io.tmpdir")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckptBase), s"graft_ckpt_$queryName").toFile
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", ckpt.getPath)
       .start()
     try {
       q.processAllAvailable()
@@ -67,6 +80,13 @@ object StreamingOps {
             "triggers?)")
     } finally {
       q.stop()
+      // tmpfs is RAM — a leaked checkpoint would hold memory, not disk
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(ckpt)
     }
     spark.table(queryName)
   }

@@ -1519,4 +1519,46 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty, s"expression/HOF mismatch: ${bad.take(3).mkString("; ")}")
   }
+
+  test("score gates: exact quota == in-JVM replay; threshold ⊇ quota with ties") {
+    import graft.pipeline.Sampling
+    // scores engineered with ties near the 25% boundary: stratum A has
+    // five rows at score 90 (ids 1-4 plus id 10 via 100-i) — the quota
+    // keeps exactly ⌈16·250/1000⌉ = 4 (scores 95..92), the threshold gate
+    // cuts at the rank-12 ascending value 91 and keeps 5
+    val rows = (1L to 16L).map(i =>
+        (i, "A", if (i <= 4) 90L else 100L - i)) ++
+      (17L to 22L).map(i => (i, "B", i))
+    val df = rows.toDF("id", "grp", "sc")
+    val quota = Sampling.scoreQuota(df, "id", col("sc"), Seq("grp"), 250)
+      .select(col("grp"), col("id")).as[(String, Long)].collect().toSet
+    // in-JVM replay: per group keep rows with (rn-1)*1000 < n*250 under
+    // (score desc, id asc)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (-r._3, r._1))
+      sorted.zipWithIndex.collect {
+        case ((id, _, _), i) if i.toLong * 1000 < rs.size.toLong * 250 =>
+          (g, id)
+      }
+    }.toSet
+    assert(quota == want)
+    assert(quota.count(_._1 == "A") == 4 && quota.count(_._1 == "B") == 2)
+
+    val gate = Sampling.scoreThresholdGate(df, col("sc"), Seq("grp"), 250)
+      .select(col("grp"), col("id")).as[(String, Long)].collect().toSet
+    // the threshold is the rank-⌈750·n/1000⌉ ascending value; every row
+    // tying it survives, so the gate is a superset of the quota set here
+    assert(quota.subsetOf(gate), s"quota=$quota gate=$gate")
+    // stratum A: threshold = rank ⌈750·16/1000⌉ = 12 ascending = 91 →
+    // ids 5-9 (scores 95..91) survive; the five 90-ties sit below the cut
+    assert(gate.count(_._1 == "A") == 5)
+    assert(gate.count(_._1 == "B") == 2)
+    // keepPm validation
+    intercept[IllegalArgumentException] {
+      Sampling.scoreQuota(df, "id", col("sc"), Seq("grp"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.scoreThresholdGate(df, col("sc"), Seq("grp"), 1001)
+    }
+  }
 }

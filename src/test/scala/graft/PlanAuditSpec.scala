@@ -465,6 +465,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) == 0, plan(df))
   }
 
+  test("quality_threshold_gate: sketch agg + broadcast threshold, no window") {
+    // the scale path must never sort a stratum: ONE hash exchange (the
+    // per-source sketch agg, O(capacity) records), thresholds broadcast
+    // back onto the scan — no Window, no shuffled join
+    val df = SparkEntry.queries("quality_threshold_gate")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(df) == 1, p)
+  }
+
   test("bm25: dl rides the postings agg — no corpus-keyed join anywhere") {
     // the document length is reconstructed by first(dl) inside the
     // map-side-combinable tf aggregation, so the ONLY corpus-keyed
