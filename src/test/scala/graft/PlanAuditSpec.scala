@@ -468,8 +468,15 @@ class PlanAuditSpec extends AnyFunSuite {
   test("quality_threshold_gate: sketch agg + broadcast threshold, no window") {
     // the scale path must never sort a stratum: ONE hash exchange (the
     // per-source sketch agg, O(capacity) records), thresholds broadcast
-    // back onto the scan — no Window, no shuffled join
-    val df = SparkEntry.queries("quality_threshold_gate")(spark, dir)
+    // back onto the scan — no Window, no shuffled join. Audited on the
+    // LAZY stored-score shape (cacheScored = false); the driver row's
+    // default caches the scored projection, whose audited plan would be
+    // the checkpoint scan
+    val scored = Tables.documents(spark, dir).select(col("doc_id"),
+      col("source"), (col("doc_id") % 997).as("q_milli"))
+    val df = graft.pipeline.Sampling.scoreThresholdGate(
+      scored, col("q_milli"), Seq("source"), keepPm = 250,
+      cacheScored = false)
     val p = plan(df)
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
