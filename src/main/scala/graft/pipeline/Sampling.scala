@@ -125,7 +125,10 @@ object Sampling {
   def stratifiedExact(df: DataFrame, idCol: String, strataCols: Seq[String],
       frac: Double, salt: String): DataFrame = {
     val w = Window.partitionBy(strataCols.map(col): _*)
-    val b = hashBucket(col(idCol), salt)
+    // 52-bit hashRank, not the 16-bit bucket: the quota boundary must cut
+    // a hash-uniform ORDER, and a 16-bit order degenerates to id-order
+    // within tied buckets once a stratum exceeds ~65k rows
+    val b = hashRank(col(idCol), salt)
     df.withColumn("_rn", row_number().over(w.orderBy(b, col(idCol))))
       .withColumn("_n", count(lit(1)).over(w))
       .filter(col("_rn") <= ceil(col("_n") * frac))
@@ -168,7 +171,7 @@ object Sampling {
     val w = Window.partitionBy(col(sourceCol))
     df.join(graft.core.Joins.maybeBroadcast(quotas), Seq(sourceCol))
       .withColumn("_rn",
-        row_number().over(w.orderBy(hashBucket(col(idCol), salt), col(idCol))))
+        row_number().over(w.orderBy(hashRank(col(idCol), salt), col(idCol))))
       .filter(col("_rn") <= col("_quota"))
       .drop("_rn", "_quota")
   }

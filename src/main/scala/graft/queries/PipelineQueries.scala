@@ -1502,7 +1502,7 @@ object PipelineQueries {
          |         CAST(floor(CAST(ntot AS DOUBLE) * 0.5 *
          |           (CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE)) + 0.5) AS BIGINT)) AS quota
          |       FROM w2, t2),
-         |b2 AS (SELECT doc_id, source, ${bucketSql("sel1")} AS bucket FROM sel),
+         |b2 AS (SELECT doc_id, source, ${rankSql("sel1")} AS bucket FROM sel),
          |r2 AS (SELECT doc_id, source,
          |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
          |       FROM b2)
@@ -1554,7 +1554,7 @@ object PipelineQueries {
          |        CAST(floor(CAST(ntot AS DOUBLE) * 0.5 *
          |          (CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE)) + 0.5) AS BIGINT)) AS quota
          |      FROM w, t),
-         |b AS (SELECT doc_id, source, ${bucketSql("mx1")} AS bucket FROM documents),
+         |b AS (SELECT doc_id, source, ${rankSql("mx1")} AS bucket FROM documents),
          |r AS (SELECT doc_id, source,
          |        row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
          |      FROM b)
@@ -2019,7 +2019,7 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
     "stratified_sample" ->
-      s"""WITH b AS (SELECT doc_id, lang, source, ${bucketSql("s7")} AS bucket
+      s"""WITH b AS (SELECT doc_id, lang, source, ${rankSql("s7")} AS bucket
          |           FROM documents),
          |r AS (SELECT doc_id, lang, source,
          |        row_number() OVER (PARTITION BY lang, source
