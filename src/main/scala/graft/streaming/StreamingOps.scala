@@ -20,11 +20,22 @@ object StreamingOps {
     * One definition — the r8–r9 NTZ regression came from this exact
     * setup logic drifting between call sites.
     */
+  /** Footer-derived schemas, memoized per path: the source parquet cannot
+    * change under a running JVM (the RasterFixture discipline), and every
+    * runner invocation — 4 bench reps × ~20 rows — otherwise re-reads the
+    * footer just to learn an unchanged schema.
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def cachedSchema(spark: SparkSession, path: String) =
+    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
   private def eventsFileStream(spark: SparkSession, eventsPath: String)
       : DataFrame = {
     graft.core.SparkTuning.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
+    val schema = cachedSchema(spark, eventsPath)
     val dir = new java.io.File(eventsPath).getParent
     val fileName = new java.io.File(eventsPath).getName
     graft.sources.Tables.normalizeTs(
@@ -147,7 +158,7 @@ object StreamingOps {
     graft.core.SparkTuning.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val shardDir = writeTimeOrderedShards(spark, eventsPath, shards)
-    val schema = spark.read.parquet(shardDir).schema
+    val schema = cachedSchema(spark, shardDir)
     graft.sources.Tables.normalizeTs(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
