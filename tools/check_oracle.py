@@ -7,7 +7,7 @@ the DuckDB result of outDir/oracle_sql.json[name] executed against views over
 the same sf parquet tables. Columns sorted by name, rows sorted by all
 columns, exact value compare (tiny float tolerance reported separately).
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -16,8 +16,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     # big oracles (array-heavy ANN/semdedup mirrors at sf1) otherwise grow
-    # unbounded and get OOM-killed; cap the heap and spill to disk instead
-    con.execute("SET memory_limit='80GB'")
+    # unbounded and get OOM-killed; cap the heap and spill to disk instead.
+    # ORACLE_MEM overrides for solo runs of the recursive-closure mirrors
+    # (dedup_clusters/dedup_survivors at sf1 spill past the default + this
+    # box's free disk when run inside the full sequence).
+    mem = os.environ.get("ORACLE_MEM", "80GB")
+    con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in TABLES:
         con.execute(
