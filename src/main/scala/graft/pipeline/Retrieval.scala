@@ -65,11 +65,16 @@ object Retrieval {
     // itself. The HOF filter runs before explode, so non-query tokens die
     // inside the scan stage.
     val toks = TextAnalysis.tokens(col(textCol))
-    val tf = docs
+    // the postings frame is read TWICE below (df_ and the scoring join);
+    // materialize it once ([[graft.core.Caching.eager]]) or Spark
+    // recomputes the whole scan subtree — including the tokenizing
+    // regexes — per consumer. Postings are O(docs-containing-q-terms),
+    // the small derived frame caching is for.
+    val tf = graft.core.Caching.eager(docs
       .select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
         explode(filter(toks, t => array_contains(qArr, t))).as("term"))
       .groupBy(id, col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
 
     // second corpus scan for (N, Σdl): a one-row frame, broadcast below.
     // (The stats must cover docs with NO query term too, so this
@@ -169,8 +174,9 @@ object Retrieval {
             explode(toks).as("term"))
           .join(broadcast(termFrame), Seq("term"), "left_semi")
       }
-    val tf = tf0.groupBy(id, col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // materialized once, read twice (df_ + scoring) — see bm25TopK
+    val tf = graft.core.Caching.eager(tf0.groupBy(id, col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
