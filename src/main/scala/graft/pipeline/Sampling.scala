@@ -67,6 +67,21 @@ object Sampling {
       salt: String): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < math.round(frac * 65536))
 
+  /** Fine-rate proportional sample: [[sampleByHash]] on the 52-bit grid.
+    * The 16-bit grid quantizes the keep-rate to multiples of 1/65536 —
+    * unusable for the rates a 100-TB corpus actually needs (keeping 1e-6
+    * of a trillion rows rounds to either 0 or 15× the intent). Here the
+    * cut is `round(frac·2⁵²)`, so any practical rate is representable to
+    * ~2e-16 relative error, still a pure codegen'd scan filter: one scan,
+    * zero shuffles, membership a pure function of (id, salt).
+    */
+  def sampleByHashFine(df: DataFrame, idCol: String, frac: Double,
+      salt: String): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"sampleByHashFine: frac=$frac")
+    df.filter(hashRank(col(idCol), salt) <
+      math.round(frac * 4503599627370496.0))
+  }
+
   /** Sequence packing: lay documents end-to-end in id order and cut the
     * stream into fixed `budget`-token bins — the contiguous-fill packing a
     * training pipeline runs to batch variable-length documents into

@@ -799,6 +799,13 @@ object PipelineQueries {
       Sampling.uniformSampleK(Tables.documents(s, dir), "doc_id",
         k = 25, salt = "u16")
     },
+    "fine_rate_sample" -> { (s, dir) =>
+      // off-grid keep rate (0.0073 is not a multiple of 1/65536): the
+      // 52-bit cut keeps it representable; pure scan filter, zero shuffles
+      Sampling.sampleByHashFine(Tables.documents(s, dir), "doc_id",
+          frac = 0.0073, salt = "fr1")
+        .select(col("doc_id"), col("source"))
+    },
     "quality_quota_gate" -> { (s, dir) =>
       // FineWeb/CCNet-style curation gate: keep the top 25% by quality
       // score per source, exact integer quota, ties by doc_id
@@ -1566,6 +1573,12 @@ object PipelineQueries {
          |        row_number() OVER (ORDER BY hrank, doc_id) AS rank FROM b)
          |SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM r
          |WHERE rank <= 25""".stripMargin,
+    "fine_rate_sample" ->
+      // the identical 52-bit cut, injected as the SAME Scala-computed
+      // long literal the engine filters on — no float in the SQL
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, ${rankSql("fr1")} AS hrank FROM documents)
+         |WHERE hrank < ${math.round(0.0073 * 4503599627370496.0)}""".stripMargin,
     "quality_quota_gate" ->
       // the same quality arithmetic as text_quality's mirror, per-mille
       // quantized; quota boundary in the division-free integer form

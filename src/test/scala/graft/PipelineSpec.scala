@@ -1520,6 +1520,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"expression/HOF mismatch: ${bad.take(3).mkString("; ")}")
   }
 
+  test("fine-rate sample == in-JVM md5 replay; sub-1/65536 rates resolve") {
+    import graft.pipeline.Sampling
+    val ids = (0L until 4000L)
+    val df = ids.toDF("id")
+    val frac = 0.0005 // off the 16-bit grid (0.0005 * 65536 = 32.768)
+    val got = Sampling.sampleByHashFine(df, "id", frac, "f9")
+      .as[Long].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rank(id: Long): Long = {
+      val hex = md.digest(s"$id:f9".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val cut = math.round(frac * 4503599627370496.0)
+    val want = ids.filter(rank(_) < cut).toSet
+    assert(got == want && got.nonEmpty)
+    // a rate BELOW the 16-bit grid's resolution still selects a sane
+    // fraction instead of rounding to zero: 1/200000 of 4000 ids has a
+    // nonzero cut on the 52-bit grid (the old grid rounds it to 0 rows)
+    val tiny = Sampling.sampleByHashFine(df, "id", 1.0 / 200000, "f9")
+    assert(math.round((1.0 / 200000) * 65536) == 0) // the 16-bit cut
+    assert(tiny.count() <= 2) // ~0.02 expected, deterministic small set
+  }
+
   test("score gates: exact quota == in-JVM replay; threshold ⊇ quota with ties") {
     import graft.pipeline.Sampling
     // scores engineered with ties near the 25% boundary: stratum A has
