@@ -71,7 +71,15 @@ object Caching {
     * tight iterative loops call it every round so superseded label tables
     * don't accumulate in the cache. On the local path the checkpoint
     * blocks ARE the data, nothing extra is persisted, and `release()` is
-    * a no-op.
+    * a no-op — the blocks are reference-tracked by the ContextCleaner and
+    * free only when the wrapping Dataset is GC'd, so a long-lived driver
+    * that chains MANY deferred checkpoints (deep iteration with a small
+    * interval) retains each superseded table's MEMORY_AND_DISK blocks
+    * until the next GC cycle. That retention is bounded at
+    * O(iters/interval · table size) and spills to disk, not OOM; callers
+    * for whom that bound is too loose should size the interval up (fewer,
+    * deeper truncations) rather than unpersist a localCheckpoint's blocks,
+    * which are the ONLY copy of its data.
     */
   def deferred(df: DataFrame): (DataFrame, () => Unit) =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {

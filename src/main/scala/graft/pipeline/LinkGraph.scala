@@ -59,7 +59,12 @@ object LinkGraph {
     * through the chained checkpoint placeholders, so k=50 costs the same
     * analysis as k=10 five times, not a 50-deep plan. The audit path
     * (`materialize = false`) stays fully lazy by design: plan audits need
-    * the un-truncated tree, and run at small k.
+    * the un-truncated tree, and run at small k. Retention note: on the
+    * local-checkpoint path the superseded per-boundary rank tables'
+    * blocks are reference-tracked, not explicitly released (see
+    * [[graft.core.Caching.deferred]]) — bounded at O(iters/checkpointEvery
+    * · nodes) and disk-spilling; raise `checkpointEvery` if that bound
+    * matters in a long-lived driver.
     */
   def pageRank(edges: DataFrame, iters: Int,
                materialize: Boolean = true,

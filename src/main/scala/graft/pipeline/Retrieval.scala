@@ -45,7 +45,8 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text",
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               cachePostings: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     require(queryTerms.map(_.trim.toLowerCase).distinct.size == queryTerms.size,
       "bm25TopK: query terms must be distinct after normalization")
@@ -65,24 +66,42 @@ object Retrieval {
     // itself. The HOF filter runs before explode, so non-query tokens die
     // inside the scan stage.
     val toks = TextAnalysis.tokens(col(textCol))
-    // the postings frame is read TWICE below (df_ and the scoring join);
-    // materialize it once ([[graft.core.Caching.eager]]) or Spark
-    // recomputes the whole scan subtree — including the tokenizing
-    // regexes — per consumer. Postings are O(docs-containing-q-terms),
-    // the small derived frame caching is for.
-    val tf = graft.core.Caching.eager(docs
-      .select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
-        explode(filter(toks, t => array_contains(qArr, t))).as("term"))
+    // ONE tokenization pass over the corpus: the scan projects
+    // (id, dl, matched-terms array) — the ONLY frame whose computation
+    // touches text — and BOTH downstream needs derive from it: the
+    // postings (explode + agg) and the corpus stats (count + Σdl; they
+    // must cover docs with NO query term, which is exactly why the
+    // projection, not the postings, is the shared base). Under
+    // `cachePostings` the narrow projection persists LAZILY (row width is
+    // a long + the few matched terms; spills at any scale), the first
+    // consumer populates the blocks, and [[graft.core.Caching.scoped]]
+    // releases everything once the k-row result is materialized — nothing
+    // leaks into the caller's session. History: r16 paid a corpus-keyed
+    // (id, dl) shuffle join; r17 removed it via first(dl) in the postings
+    // agg but re-tokenized the corpus in a SECOND stats scan and eagerly
+    // checkpointed the postings (a blocking job inside the query) — 2×
+    // slower. This shape tokenizes once, joins broadcast-only, and adds
+    // no eager job beyond the single scoped materialization of k rows.
+    // `cachePostings = false` keeps the plan fully lazy (the scan
+    // recomputes per consumer): the shape plan audits inspect, and the
+    // safe choice for explain-only callers.
+    val proj = docs.select(id,
+      TextAnalysis.tokenCount(col(textCol)).as("dl"),
+      filter(toks, t => array_contains(qArr, t)).as("_terms"))
+    val base = if (cachePostings)
+      proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else proj
+    // postings: O(docs-containing-q-terms) rows; read twice below (df_
+    // and the scoring join), cheap to re-derive from the cached base
+    val tf = base
+      .select(id, col("dl"), explode(col("_terms")).as("term"))
       .groupBy(id, col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
-    // second corpus scan for (N, Σdl): a one-row frame, broadcast below.
-    // (The stats must cover docs with NO query term too, so this
-    // full-corpus reduce is irreducible; it is a count+sum, map-side
-    // combined, and shuffles exactly one row.)
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
+    // (N, Σdl) from the SAME projection: a count+sum, map-side combined,
+    // shuffling exactly one row — broadcast below
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
 
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
@@ -94,11 +113,12 @@ object Retrieval {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
-    scored
+    val out = scored
       .select(id, round(idf * tfn * lit(1e6)).cast("long").as("_u"))
       .groupBy(id).agg(sum(col("_u")).as("score_units"))
       .orderBy(col("score_units").desc, id.asc)
       .limit(k)
+    if (cachePostings) graft.core.Caching.scoped(out, base) else out
   }
 
   /** BATCH retrieval: top-k BM25 hits for EVERY query in a query table —
@@ -125,7 +145,8 @@ object Retrieval {
       queryIdCol: String = "query_id", queryTermCol: String = "term",
       idCol: String = "doc_id", textCol: String = "text",
       k1: Double = 1.2, b: Double = 0.75,
-      maxTerms: Int = 1 << 20): DataFrame = {
+      maxTerms: Int = 1 << 20,
+      cachePostings: Boolean = true): DataFrame = {
     val internal = Set("term", "tf", "df", "dl", "n_docs", "total_tok",
       "score_units", "_u")
     require(!internal.contains(idCol) && !internal.contains(queryIdCol),
@@ -162,24 +183,47 @@ object Retrieval {
     // dl rides the postings projection in BOTH arms (`first(dl)` in the
     // map-side-combinable tf agg reconstructs it per doc), so no
     // corpus-keyed (id, dl) join exists anywhere in the plan — same
-    // single-scan shape as the small-q path in [[bm25TopK]]
-    val tf0 =
+    // single-tokenization shape as [[bm25TopK]] (see its cachePostings
+    // note for the r16→r18 history). Small arm: the narrow
+    // (id, dl, matched-terms) projection is the shared, lazily-persisted
+    // base for postings AND stats — ONE tokenize pass total. Large arm:
+    // the matched set can't ride the scan as a literal, so the token
+    // stream explodes through a broadcast semi-join and the stats (which
+    // must cover non-matching docs the semi-join drops) pay a second
+    // tokenize scan; the persisted frame is then the postings agg itself,
+    // read twice by df_ and the scoring join.
+    val (tf, stats, cached) =
       if (terms.size <= literalGate) {
         val qArr = array(terms.map(lit): _*)
-        docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
-          explode(filter(toks, t => array_contains(qArr, t))).as("term"))
+        val proj = docs.select(id,
+          TextAnalysis.tokenCount(col(textCol)).as("dl"),
+          filter(toks, t => array_contains(qArr, t)).as("_terms"))
+        val base = if (cachePostings)
+          proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else proj
+        val tfB = base
+          .select(id, col("dl"), explode(col("_terms")).as("term"))
+          .groupBy(id, col("term"))
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val statsB = base.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
+        (tfB, statsB, if (cachePostings) Some(base) else None)
       } else {
         val termFrame = qt.select(col("term")).distinct()
-        docs.select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
+        val tfPlan = docs
+          .select(id, TextAnalysis.tokenCount(col(textCol)).as("dl"),
             explode(toks).as("term"))
           .join(broadcast(termFrame), Seq("term"), "left_semi")
+          .groupBy(id, col("term"))
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val tfB = if (cachePostings)
+          tfPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else tfPlan
+        val statsB = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
+        (tfB, statsB, if (cachePostings) Some(tfB) else None)
       }
-    // materialized once, read twice (df_ + scoring) — see bm25TopK
-    val tf = graft.core.Caching.eager(tf0.groupBy(id, col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col(textCol))).as("total_tok"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     val scored = tf
@@ -190,7 +234,7 @@ object Retrieval {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
-    scored
+    val out = scored
       .select(id, col("term"),
         round(idf * tfn * lit(1e6)).cast("long").as("_u"))
       // fan scores out to their queries; size-gated hint — an enormous
@@ -207,5 +251,6 @@ object Retrieval {
       .select(col(queryIdCol), (col("pos") + 1).cast("long").as("rank"),
         col("e.id").as(idCol),
         col("e.v").cast("long").as("score_units"))
+    cached.fold(out)(c => graft.core.Caching.scoped(out, c))
   }
 }

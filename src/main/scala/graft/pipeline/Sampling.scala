@@ -192,7 +192,7 @@ object Sampling {
   }
 
   /** EXACT-k uniform sample without replacement: the k corpus rows with
-    * the smallest (hashBucket, id) — deterministic bottom-k-by-hash, the
+    * the smallest (hashRank, id) — deterministic bottom-k-by-hash, the
     * published distributed-sampling trick. Unlike the row_number() window
     * encoding (full-table shuffle + global sort), the bounded-heap
     * [[graft.functions.TopKAgg]] ships ≤ k candidates per partition —
@@ -250,10 +250,12 @@ object Sampling {
     * quantized score values stay ≤ capacity — for a per-mille-quantized
     * score (≤ 1001 distinct values) this holds at ANY corpus size, which
     * is what lets a SQL oracle reproduce the gate bit-for-bit at every
-    * scale. Boundary semantics differ from the quota form by design:
-    * every row TYING the threshold value survives, so the kept fraction
-    * can exceed keepPm/1000 by the boundary tie mass (a threshold gate,
-    * not an exact quota).
+    * scale. Boundary semantics differ from the quota form by design: the
+    * gate keeps every row with ascending rank ≥ max(1, ⌈(1000−keepPm)·n
+    * /1000⌉) — i.e. UP TO ONE ROW beyond [[scoreQuota]]'s ⌈n·keepPm/1000⌉
+    * quota even with fully distinct scores (exactly when
+    * (1000−keepPm)·n/1000 is integral), PLUS every row TYING the
+    * threshold value (a threshold gate, not an exact quota).
     *
     * Two cost regimes, because the gate reads the corpus twice (once for
     * the sketch, once for the filter):

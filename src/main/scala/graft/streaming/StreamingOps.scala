@@ -90,14 +90,14 @@ object StreamingOps {
             "claims did not actually happen (source collapsed into fewer " +
             "triggers?)")
     } finally {
-      q.stop()
-      // tmpfs is RAM — a leaked checkpoint would hold memory, not disk
+      // tmpfs is RAM — a leaked checkpoint would hold memory, not disk,
+      // so the delete must run even when stop() itself throws
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(); ()
       }
-      rm(ckpt)
+      try q.stop() finally rm(ckpt)
     }
     spark.table(queryName)
   }

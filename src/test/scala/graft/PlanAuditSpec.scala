@@ -489,9 +489,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // map-side-combinable tf aggregation, so the ONLY corpus-keyed
     // exchange is the postings agg itself: every join in the plan must be
     // broadcast (df_ and stats are q-row / 1-row frames), and the r16
-    // corpus-keyed (id, dl) shuffle join must never reappear
-    for (q <- Seq("bm25_topk", "bm25_batch_topk")) {
-      val p = plan(SparkEntry.queries(q)(spark, dir))
+    // corpus-keyed (id, dl) shuffle join must never reappear. Audited on
+    // the LAZY shape (cachePostings = false): the driver rows' default
+    // persists the postings and scope-checkpoints the k-row result, whose
+    // audited plan would be the checkpoint scan — a corpus-keyed exchange
+    // upstream of the postings agg would be invisible there (the r17
+    // ADVICE finding).
+    val sess = spark
+    import sess.implicits._
+    val docs = Tables.read(spark, dir, "documents")
+    val probe = Seq((1L, "vector"), (1L, "merge"), (2L, "scan"),
+      (2L, "window")).toDF("query_id", "term")
+    val lazyShapes = Seq(
+      "bm25_topk" -> pipeline.Retrieval.bm25TopK(docs,
+        Seq("vector", "merge", "scan", "window"), k = 20,
+        cachePostings = false),
+      "bm25_batch_topk" -> pipeline.Retrieval.bm25BatchTopK(docs, probe,
+        k = 10, cachePostings = false))
+    for ((q, df) <- lazyShapes) {
+      val p = plan(df)
       assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
       assert(!p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")

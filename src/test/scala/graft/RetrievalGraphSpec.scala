@@ -113,7 +113,11 @@ class RetrievalGraphSpec extends AnyFunSuite {
 
   test("bm25 plan: TakeOrdered top-k, broadcast stats, no cartesian") {
     val docs = corpus.toDF("doc_id", "text")
-    val plan = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 3)
+    // cachePostings = false: the default scope-checkpoints the k-row
+    // result, whose executed plan is just the checkpoint scan — plan
+    // audits inspect the lazy shape
+    val plan = Retrieval.bm25TopK(docs, Seq("query", "join"), k = 3,
+        cachePostings = false)
       .queryExecution.executedPlan
     val s = plan.toString
     assert(s.contains("TakeOrderedAndProject"),
