@@ -29,8 +29,11 @@ object Bench {
     val errShort = errors.take(8).map { case (k, v) =>
       "\"" + k + "\":\"" + esc(v.take(40)) + "\""
     }.mkString("{", ",", "}")
+    // "_"-prefixed rows (the contention canary) are box probes: they ride
+    // the queries map for the record but don't count as registry work
+    val nq = results.count(!_._1.startsWith("_"))
     val prefix =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":${results.size},"nerr":${errors.size},"detail":"${esc(detailRef)}","errors":$errShort,"queries":"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","nq":$nq,"nerr":${errors.size},"detail":"${esc(detailRef)}","errors":$errShort,"queries":"""
     val budget = 1899 - prefix.length - 2 // closing "}}"; total < 1900
     val bySlow = results.sortBy(-_._2)
     val topEntries = scala.collection.mutable.ArrayBuffer[String]()
@@ -71,6 +74,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val only = args.headOption.map(_.split(',').toSet)
+    // Contention canary: one FIXED, trivial, IO-free query measured with
+    // the same rounds/min discipline as the registry. Its plan never
+    // changes across rounds, so its min moves ONLY with box conditions
+    // (CPU contention, GC pressure, scheduler noise) — cross-round bench
+    // comparisons normalize by it instead of adjudicating drift by
+    // anecdote. Underscore prefix: sorts first, excluded from `total`.
+    val canary: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(0L, 1L << 24, 1L, 8)
+        .selectExpr("sum(id % 7) as s", "count(1) as n")
     // The measured action is a noop-format write, not count(): under count()
     // Catalyst prunes every unreferenced aggregate/projection expression, so
     // compute-heavy plans would be under-measured; noop materialises every
@@ -85,7 +97,7 @@ object Bench {
     // a broken run (the correctness gate would catch it too, but the bench
     // record has to be honest on its own).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qseq = (("_canary" -> canary) +: SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     // A query that kills the whole SparkContext (executor OOM in local
@@ -116,7 +128,9 @@ object Bench {
     val results = samples.toSeq.map { case (k, ts) => (k, ts.min, ts.max - ts.min) }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // the canary is a box probe, not registry work — keep `total`
+    // comparable to prior rounds by summing only real queries
+    val total = results.filterNot(_._1.startsWith("_")).map(_._2).sum
     // The driver keeps only the LAST 2000 chars of stdout and json-parses the
     // line it finds there. The full 100+-query min object alone is >2100 chars
     // (names are ~1.4k), so it cannot fit — split the record:
