@@ -134,8 +134,13 @@ object Sampling {
   /** EXACT per-stratum quota: ⌈frac·n⌉ rows of every stratum, chosen by
     * hash order (so membership is still deterministic and re-run-stable
     * while the stratum grows only at the quota boundary). One shuffle by
-    * stratum; intended for bounded-cardinality strata (languages, sources)
-    * — for unbounded strata use [[sampleByHash]].
+    * stratum + a per-stratum sort window; intended for bounded-cardinality
+    * strata (languages, sources) — for unbounded strata use
+    * [[sampleByHash]]. The window is the right shape here because the
+    * quota is PROPORTIONAL (⌈frac·n⌉ rows must survive, so any bounded
+    * buffer would be O(n·frac) anyway); for a FIXED per-stratum k use the
+    * bounded-heap twin [[stratifiedSampleK]], which keeps the whole sort
+    * off the wire.
     */
   def stratifiedExact(df: DataFrame, idCol: String, strataCols: Seq[String],
       frac: Double, salt: String): DataFrame = {
@@ -148,6 +153,40 @@ object Sampling {
       .withColumn("_n", count(lit(1)).over(w))
       .filter(col("_rn") <= ceil(col("_n") * frac))
       .drop("_rn", "_n")
+  }
+
+  /** EXACT-k per-stratum uniform sample — the bounded-heap scale twin of
+    * [[stratifiedExact]] for FIXED per-stratum quotas: the k rows of every
+    * stratum with the smallest ([[hashRank]], id), selected by ONE
+    * `groupBy(strata).agg(TopKAgg)` pass. Where the window form shuffles
+    * and sorts every stratum row, the heap keeps ≤ k candidates per
+    * (stratum, partition) on the map side, so the wire carries
+    * O(strata·k·partitions) heap entries at ANY corpus size — no Window,
+    * no per-stratum sort. Membership is identical to the window form at
+    * quota = k (same (hashRank, id) order), deterministic and
+    * re-run-stable. `idCol` must be integral (ids ride the heap's long
+    * slot). Returns (strataCols…, rank, idCol), rank 1..k per stratum.
+    */
+  def stratifiedSampleK(df: DataFrame, idCol: String,
+      strataCols: Seq[String], k: Int, salt: String): DataFrame = {
+    require(k > 0, s"stratifiedSampleK: k must be positive ($k)")
+    require(strataCols.nonEmpty, "stratifiedSampleK: no strata columns")
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"stratifiedSampleK: id column '$idCol' must be integral (ids ride " +
+        s"the bounded heap as longs); got $idType")
+    // TopKAgg keeps the HIGHEST values with id-asc tie-break; negating the
+    // 52-bit rank (exact in a double) yields (hashRank asc, id asc) — the
+    // same selection order as stratifiedExact's window
+    df.groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopKAgg.column(
+        -hashRank(col(idCol), salt).cast("double"),
+        col(idCol).cast("long"), k).as("top"))
+      .select(strataCols.map(col) :+
+        posexplode(col("top")).as(Seq("pos", "e")): _*)
+      .select(strataCols.map(col) :+
+        ((col("pos") + 1).cast("long").as("rank")) :+
+        col("e.id").as(idCol): _*)
   }
 
   /** Temperature-based source mixing (the multilingual-pretraining
@@ -219,9 +258,13 @@ object Sampling {
     * ascending — the curation pass that keeps "the top 25% by quality per
     * source/language" (the public FineWeb/CCNet-style percentile filter).
     * One shuffle by stratum + a per-stratum sort window; intended for
-    * bounded-cardinality strata. For unbounded strata (or to avoid the
-    * sort entirely) use [[scoreThresholdGate]], which replaces the window
-    * with one O(capacity)-state sketch pass.
+    * bounded-cardinality strata. The window is the right shape because
+    * the quota is PROPORTIONAL (⌈n·pm/1000⌉ survivors — any bounded
+    * buffer would be O(n) anyway). Scale twins: for a FIXED top-k per
+    * stratum use the bounded-heap [[scoreQuotaK]] (no Window, no
+    * stratum sort); for unbounded strata at a proportional rate use
+    * [[scoreThresholdGate]], which replaces the window with one
+    * O(capacity)-state sketch pass.
     */
   def scoreQuota(df: DataFrame, idCol: String, score: Column,
       strataCols: Seq[String], keepPm: Int): DataFrame = {
@@ -236,6 +279,39 @@ object Sampling {
       // the quota boundary is bit-identical in any SQL oracle
       .filter((col("_rn") - 1) * 1000L < col("_n") * keepPm.toLong)
       .drop("_rn", "_n")
+  }
+
+  /** FIXED top-k quality gate — the bounded-heap scale twin of
+    * [[scoreQuota]] for ABSOLUTE per-stratum quotas ("the k best docs per
+    * source", the curation shape when the budget is a row count, not a
+    * fraction): the k HIGHEST-`score` rows of every stratum, ties by id
+    * ascending, via ONE `groupBy(strata).agg(TopKAgg)` pass — ≤ k
+    * candidates per (stratum, partition) on the wire, no Window, no
+    * stratum sort. Selection order is identical to [[scoreQuota]]'s
+    * (score desc, id asc) whenever `score` is exact in a double
+    * (integral quantized scores — per-mille/micro-unit — always are).
+    * `idCol` must be integral (ids ride the heap's long slot). Returns
+    * (strataCols…, rank, idCol, score), rank 1..k per stratum; `score`
+    * is the heap's double — cast it back at the call site when the
+    * input was integral.
+    */
+  def scoreQuotaK(df: DataFrame, idCol: String, score: Column,
+      strataCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"scoreQuotaK: k must be positive ($k)")
+    require(strataCols.nonEmpty, "scoreQuotaK: no strata columns")
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"scoreQuotaK: id column '$idCol' must be integral (ids ride the " +
+        s"bounded heap as longs); got $idType")
+    df.groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopKAgg.column(
+        score.cast("double"), col(idCol).cast("long"), k).as("top"))
+      .select(strataCols.map(col) :+
+        posexplode(col("top")).as(Seq("pos", "e")): _*)
+      .select(strataCols.map(col) :+
+        ((col("pos") + 1).cast("long").as("rank")) :+
+        col("e.id").as(idCol) :+
+        col("e.v").as("score"): _*)
   }
 
   /** Sketch-THRESHOLD quality gate — the 100-TB shape of [[scoreQuota]]:

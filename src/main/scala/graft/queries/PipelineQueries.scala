@@ -826,6 +826,27 @@ object PipelineQueries {
       Sampling.scoreThresholdGate(q, col("q_milli"), Seq("source"),
         keepPm = 250)
     },
+    "stratified_sample_k" -> { (s, dir) =>
+      // FIXED per-stratum quota through the bounded heap
+      // ([[Sampling.stratifiedSampleK]]): 20 hash-chosen docs per source,
+      // O(strata·k·partitions) on the wire, no Window. The oracle is the
+      // row_number() window form — matching hashes prove heap ≡ window.
+      Sampling.stratifiedSampleK(Tables.documents(s, dir), "doc_id",
+        Seq("source"), k = 20, salt = "sk18")
+    },
+    "quality_topk_gate" -> { (s, dir) =>
+      // absolute-budget curation gate ([[Sampling.scoreQuotaK]]): the 15
+      // highest-quality docs per source, score in exact per-mille units
+      // (ties by doc_id), through the same bounded heap — the fixed-k
+      // twin of quality_quota_gate's proportional window
+      val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000)
+          .cast("long").as("q_milli"))
+      Sampling.scoreQuotaK(q, "doc_id", col("q_milli"), Seq("source"),
+          k = 15)
+        .select(col("source"), col("rank"), col("doc_id"),
+          col("score").cast("long").as("q_milli"))
+    },
     "weighted_sample_k" -> { (s, dir) =>
       // Efraimidis-Spirakis weighted-without-replacement sample (weight =
       // n_chars): key = ln(u)/w, top-k keys through the same bounded heap
@@ -1607,6 +1628,23 @@ object PipelineQueries {
          |SELECT q.doc_id, q.source, q.q_milli
          |FROM q JOIN thr ON q.source = thr.source
          |WHERE q.q_milli >= thr.t""".stripMargin,
+    "stratified_sample_k" ->
+      s"""WITH b AS (SELECT doc_id, source, ${rankSql("sk18")} AS hrank
+         |           FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY hrank, doc_id) AS rank
+         |      FROM b)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r
+         |WHERE rank <= 20""".stripMargin,
+    "quality_topk_gate" ->
+      s"""$qualityMilliCte
+         |r AS (SELECT doc_id, source, q_milli,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY q_milli DESC, doc_id) AS rank
+         |      FROM q)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, q_milli
+         |FROM r WHERE rank <= 15""".stripMargin,
     "weighted_sample_k" ->
       // ES keys in the same double shape: ln((hrank+1)/2^52)/w — hrank is
       // exact in a double and /2^52 is exact in binary, so ln() sees the

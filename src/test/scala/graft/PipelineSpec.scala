@@ -241,6 +241,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("stratifiedSampleK: heap selection == the window form at quota k") {
+    val rows = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val heap = Sampling.stratifiedSampleK(rows, "id", Seq("lang"), 7, "s7")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: per-stratum (hashRank, id) order through the window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hashRank(col("id"), "s7"), col("id"))
+    val win = rows.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7).select("lang", "rank", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(heap == win)
+    // quota exceeding a stratum returns the whole stratum, still ranked
+    val all = Sampling.stratifiedSampleK(rows, "id", Seq("lang"), 500, "s7")
+    assert(all.count() == 300)
+    // non-integral ids refuse loudly (they cannot ride the heap's id slot)
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleK(rows.withColumn("id", col("id").cast("string")),
+        "id", Seq("lang"), 5, "s7")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
+  test("scoreQuotaK: top-k by (score desc, id asc) per stratum, exact ties") {
+    val rows = Seq(
+      (1L, "a", 900L), (2L, "a", 900L), (3L, "a", 100L), (4L, "a", 500L),
+      (5L, "b", 300L), (6L, "b", 300L), (7L, "b", 300L))
+      .toDF("id", "grp", "sc")
+    val out = Sampling.scoreQuotaK(rows, "id", col("sc"), Seq("grp"), 2)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // grp a: the two 900s, id asc breaks the tie; grp b: all tie at 300 —
+    // ids 5, 6 win
+    assert(out.toSeq == Seq(
+      ("a", 1L, 1L, 900.0), ("a", 2L, 2L, 900.0),
+      ("b", 1L, 5L, 300.0), ("b", 2L, 6L, 300.0)))
+  }
+
   test("decontamination: leaked eval doc scores 1.0, fresh doc scores low") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -452,7 +452,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("sampling/quota queries: bounded heap, never a row_number window") {
     for (q <- Seq("uniform_sample_k", "weighted_sample_k",
-        "domain_quota_sample")) {
+        "domain_quota_sample", "stratified_sample_k", "quality_topk_gate")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val p = plan(df)
       assert(!p.contains("Window"), s"$q:\n$p")
