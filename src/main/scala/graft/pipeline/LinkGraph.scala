@@ -68,10 +68,43 @@ object LinkGraph {
     */
   def pageRank(edges: DataFrame, iters: Int,
                materialize: Boolean = true,
-               checkpointEvery: Int = 10): DataFrame = {
+               checkpointEvery: Int = 10,
+               tolUnits: Option[Long] = None): DataFrame =
+    pageRankRun(edges, iters, materialize, checkpointEvery, tolUnits)._1
+
+  /** [[pageRank]] plus the number of iterations actually executed —
+    * observable evidence for the convergence contract (specs assert the
+    * early stop really happened AND that its result equals the fixed-k
+    * run).
+    *
+    * Convergence (`tolUnits`): at each truncation boundary the rank
+    * table is EAGERLY materialized (the boundary block is the natural
+    * test point — it is about to be checkpointed anyway; the delta adds
+    * one O(nodes) equi-join over two already-materialized tables) and
+    * the L1 delta in integer units against the PREVIOUS boundary's table
+    * is computed. Delta ≤ tolUnits stops the loop. `tolUnits = Some(0)`
+    * is the exactness regime: zero L1 change across a whole
+    * checkpointEvery-block of integer-arithmetic iterations means the
+    * iteration hit its exact fixed point, so the early-stopped result
+    * is BIT-IDENTICAL to running all `iters` — that is what lets the
+    * fixed-k DuckDB oracle keep gating a converged run. Positive
+    * tolerances trade that exactness for earlier cutoff (the usual
+    * production choice; the result is then within the tail-sum of
+    * per-block deltas of the fixed-k answer). Requires `materialize`
+    * (the check needs actions; the audit path stays single-plan lazy).
+    */
+  def pageRankRun(edges: DataFrame, iters: Int,
+               materialize: Boolean = true,
+               checkpointEvery: Int = 10,
+               tolUnits: Option[Long] = None): (DataFrame, Int) = {
     require(checkpointEvery > 0,
       s"pageRank: checkpointEvery must be positive ($checkpointEvery)")
     require(iters >= 0, s"pageRank: negative iterations ($iters)")
+    require(tolUnits.isEmpty || materialize,
+      "pageRank: tolUnits needs materialize = true (convergence testing " +
+        "runs actions; the lazy audit path cannot)")
+    require(tolUnits.forall(_ >= 0),
+      s"pageRank: negative tolerance (${tolUnits.get})")
     val cols = edges.columns.toSet
     require(cols.contains("src") && cols.contains("dst"),
       s"pageRank: edge frame needs (src, dst), got ${edges.columns.mkString(",")}")
@@ -94,7 +127,10 @@ object LinkGraph {
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Unit_} DIV _n").as("rank_units"))
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    for (i <- 0 until iters) {
+    var prevBoundary: Option[DataFrame] = None
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
       val inflow = ej.join(ranks, ej("src") === ranks("node"))
         .select(col("dst"),
           expr("rank_units * 85 DIV (100 * _deg)").as("_c"))
@@ -104,19 +140,37 @@ object LinkGraph {
         .select(col("node"),
           (expr(s"(${Unit_} * 15) DIV (100 * _n)") +
             coalesce(col("_in"), lit(0L))).as("rank_units"))
-      if (materialize && (i + 1) % checkpointEvery == 0 && i + 1 < iters) {
-        val (cp, release) = graft.core.Caching.deferred(ranks)
-        ranks = cp
-        releases += release
+      i += 1
+      if (materialize && i % checkpointEvery == 0 && i < iters) {
+        if (tolUnits.isDefined) {
+          // convergence boundary: materialize NOW (the same point the
+          // lazy path would truncate at) and L1-diff against the last
+          // boundary — an equi-join of two checkpointed O(nodes) tables
+          val cp = graft.core.Caching.eager(ranks)
+          ranks = cp
+          prevBoundary.foreach { pb =>
+            val d = cp.select(col("node"), col("rank_units").as("_a"))
+              .join(pb.select(col("node"), col("rank_units").as("_b")),
+                "node")
+              .agg(coalesce(sum(abs(col("_a") - col("_b"))), lit(0L)))
+              .first().getLong(0)
+            if (d <= tolUnits.get) converged = true
+          }
+          prevBoundary = Some(cp)
+        } else {
+          val (cp, release) = graft.core.Caching.deferred(ranks)
+          ranks = cp
+          releases += release
+        }
       }
     }
-    if (!materialize) ranks
+    if (!materialize) (ranks, i)
     else {
       val out = graft.core.Caching.eager(ranks)
       releases.foreach(_.apply())
       nodes.unpersist(blocking = false)
       ej.unpersist(blocking = false)
-      out
+      (out, i)
     }
   }
 }

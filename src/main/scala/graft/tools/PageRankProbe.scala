@@ -10,17 +10,20 @@ import org.apache.spark.sql.functions._
   * lineage truncation keeps cost near-linear in k instead of paying
   * Catalyst analysis on an O(k)-deep unrolled plan.
   *
-  * `runMain graft.tools.PageRankProbe <iters> [checkpointEvery] [sfDir]`
-  * (checkpointEvery 0 = the pre-r17 no-truncation shape, for the
-  * comparison row). RUNONE_REPS repeats the timing like RunOne.
+  * `runMain graft.tools.PageRankProbe <iters> [checkpointEvery] [sfDir]
+  * [tolUnits]` (checkpointEvery 0 = the pre-r17 no-truncation shape, for
+  * the comparison row; tolUnits engages the r18 convergence cutoff and
+  * prints the iterations actually run). RUNONE_REPS repeats the timing
+  * like RunOne.
   */
 object PageRankProbe {
   def main(args: Array[String]): Unit = {
     val iters = args.headOption.map(_.toInt).getOrElse(
-      sys.error("usage: PageRankProbe <iters> [checkpointEvery] [sfDir]"))
+      sys.error("usage: PageRankProbe <iters> [checkpointEvery] [sfDir] [tolUnits]"))
     val every = args.lift(1).map(_.toInt).getOrElse(10)
     val sfDir = args.lift(2).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val tol = args.lift(3).map(_.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,10 +46,12 @@ object PageRankProbe {
     val reps = sys.env.get("RUNONE_REPS").map(_.toInt).getOrElse(1)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val out = graft.pipeline.LinkGraph.pageRank(edges, iters,
-        checkpointEvery = if (every > 0) every else Int.MaxValue)
+      val (out, ran) = graft.pipeline.LinkGraph.pageRankRun(edges, iters,
+        checkpointEvery = if (every > 0) every else Int.MaxValue,
+        tolUnits = tol)
       val agg = out.agg(count(lit(1)), sum(col("rank_units"))).first()
-      println(f"PRPROBE rep=$i iters=$iters every=$every " +
+      println(f"PRPROBE rep=$i iters=$iters ran=$ran every=$every " +
+        f"tol=${tol.getOrElse(-1L)} " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s nodes=${agg.getLong(0)} " +
         f"mass=${agg.getLong(1)}")
     }

@@ -206,6 +206,33 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got == prRef(graph, 12))
   }
 
+  test("pagerank tolerance termination: early stop == fixed-k, fewer iters") {
+    // tol = 0 is the exactness regime: a zero L1 delta across a whole
+    // checkpointEvery block of INTEGER iterations means the exact fixed
+    // point was hit, so the early-stopped table must be bit-identical to
+    // the full fixed-k run — and the run must actually stop early. A DAG
+    // reaches its exact fixed point in depth+1 iterations (a CYCLIC graph
+    // only decays geometrically — ~170 integer-unit iterations to lock,
+    // which is exactly the case the cutoff exists to spare).
+    val dag = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"),
+      ("d", "b")).toDF("src", "dst")
+    val (full, ranFull) = LinkGraph.pageRankRun(dag, 60, checkpointEvery = 5)
+    val (early, ranEarly) = LinkGraph.pageRankRun(dag, 60,
+      checkpointEvery = 5, tolUnits = Some(0L))
+    assert(ranFull == 60)
+    assert(ranEarly < 60, s"never converged within 60 iterations")
+    assert(early.as[(String, Long)].collect().toMap ==
+      full.as[(String, Long)].collect().toMap)
+    val e = graph.toDF("src", "dst")
+    // convergence testing needs actions: the lazy audit path refuses
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(e, 10, materialize = false, tolUnits = Some(0L))
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(e, 10, tolUnits = Some(-1L))
+    }
+  }
+
   test("pagerank projects away payload columns that shadow helper names") {
     val withPayload = graph.toDF("src", "dst")
       .withColumn("_deg", lit(999L)).withColumn("node", lit("x"))
