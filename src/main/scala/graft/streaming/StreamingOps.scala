@@ -184,9 +184,16 @@ object StreamingOps {
     * store count, and each micro-batch commits EVERY store — at 32
     * session partitions a multi-trigger run pays 32·batches store commits
     * for a key space that fits comfortably in a handful of stores (r17:
-    * dialed 8 → 4; the gate-SF key spaces fill 4 stores fine and commit
-    * cost halves again). Harness-side only; a production stream sizes
-    * this to its key cardinality.
+    * 8 → 4; r18: 4 → 2 — subset A/B with matched contention canary showed
+    * −11%, all 21 rows hash-green, and the multibatch floors assert the
+    * state-crossing evidence regardless of store count). r18 also A/B'd
+    * `RocksDBStateStoreProvider` for these runners: +35% (22.2 s vs
+    * 16.4 s on the 6-row multibatch subset, same canary) — JNI + per-
+    * commit file churn dominates when each store holds kilobytes, so the
+    * default HDFS-backed provider stays. RocksDB is the right choice only
+    * when per-store state outgrows executor memory (multi-GB key spaces),
+    * which these harness runs never approach. Harness-side only; a
+    * production stream sizes both knobs to its key cardinality.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -203,7 +210,7 @@ object StreamingOps {
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
     val out = sessionizeStream(typed, gapSeconds * 1000000L,
       watermarkDelay = "40 days")
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(out.toDF(), "update", queryName,
         requireMinBatches = minBatches)
     }
@@ -224,7 +231,7 @@ object StreamingOps {
     val stream = shardedEventsStream(spark, eventsPath, shards)
     val deduped = dedupStream(stream, Seq("user_id", "event_type"), "ts",
       watermarkDelay = "40 days")
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(deduped, "append", queryName,
         requireMinBatches = minBatches)
     }
@@ -268,7 +275,7 @@ object StreamingOps {
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.SpaceSavingAgg.column(
       col("user_id").cast("string"), capacity, outK).as("hh"))
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(explode(col("hh")).as("e"))
@@ -312,7 +319,7 @@ object StreamingOps {
       .filter(col("value").isNotNull)
     val agg = src.agg(graft.functions.QuantileSketchAgg.column(
       round(col("value") * 10).cast("long"), lit(1L), capacity).as("qp"))
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(explode(col("qp")).as("e"))
@@ -351,7 +358,7 @@ object StreamingOps {
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.ThetaSketchAgg.column(
       xxhash64(col("user_id").cast("string")), k).as("sk"))
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk"))
@@ -377,7 +384,7 @@ object StreamingOps {
     // keyed state: dial the store count to the key space, not the
     // session's 32 shuffle partitions (one store commit per partition
     // per batch)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       runToMemory(agg, "complete", queryName)
     }
       .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -399,7 +406,7 @@ object StreamingOps {
     val agg = src.groupBy(col("event_type"))
       .agg(graft.functions.TopKAgg.column(col("value"), col("event_id"), k)
         .as("top"))
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(agg, "complete", queryName, requireMinBatches = minBatches)
     }
     sink.select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -433,7 +440,7 @@ object StreamingOps {
       queryName: String = "graft_cdc_stream"): DataFrame = {
     val src = eventsFileStream(spark, eventsPath)
       .filter(col("event_id").isNotNull)
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(cdcLatestAgg(src), "complete", queryName)
     }
     cdcLatestOut(sink)
@@ -450,7 +457,7 @@ object StreamingOps {
       queryName: String = "graft_cdc_stream_mb"): DataFrame = {
     val src = shardedEventsStream(spark, eventsPath, shards)
       .filter(col("event_id").isNotNull)
-    val sink = withStatePartitions(spark, 4) {
+    val sink = withStatePartitions(spark, 2) {
       runToMemory(cdcLatestAgg(src), "complete", queryName,
         requireMinBatches = minBatches)
     }
@@ -511,7 +518,7 @@ object StreamingOps {
     // buffers): at the session's 32 shuffle partitions a single batch
     // inits/commits 128 stores for a key space that fits in a handful —
     // dial the state partitioning down like the multibatch runners do
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       runToMemory(joined, "append", queryName)
     }
   }
@@ -533,7 +540,7 @@ object StreamingOps {
       src().filter(col("event_type") === "view"),
       src().filter(col("event_type") === "click"),
       windowMinutes, "40 days")
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       runToMemory(joined, "append", queryName, requireMinBatches = minBatches)
     }
   }
@@ -583,7 +590,7 @@ object StreamingOps {
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     // keyed state (nation × type): size the store count to the key
     // space, single- and multi-batch alike
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       runToMemory(agg, "complete", queryName,
         requireMinBatches = requireMinBatches)
     }
