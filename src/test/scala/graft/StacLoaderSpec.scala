@@ -1219,4 +1219,103 @@ class StacLoaderSpec extends AnyFunSuite {
       trimmed.filter(col("x").between(10.0, 10.2) &&
         col("y").between(46.0, 46.4)).count())
   }
+
+  // ---- HTTP API search over the injectable transport (recorded
+  // fixtures — no network; pins the SEARCH-PARAMETER PUSHDOWN of
+  // cubes/load.py:111-161 on the actual HTTP code path) ----
+
+  /** Canned request→response transport that records every URL asked. */
+  private class FixtureTransport(fixtures: Map[String, String])
+      extends graft.sources.StacHttp.StacTransport {
+    val requests = scala.collection.mutable.ArrayBuffer.empty[String]
+    def get(url: String): String = {
+      requests += url
+      fixtures.getOrElse(url,
+        throw new IllegalStateException(s"unexpected request: $url"))
+    }
+  }
+
+  private def featurePage(items: Seq[String], next: Option[String]): String = {
+    val links = next.map(n =>
+      s"""{"rel":"next","href":"$n"}""").getOrElse("")
+    s"""{"type":"FeatureCollection",
+       |"features":[${items.mkString(",")}],
+       |"links":[$links]}""".stripMargin
+  }
+
+  test("HTTP search: collection URL → parent catalog + pushed parameters") {
+    import graft.sources.StacHttp
+    val (root, coll) = StacHttp.parentCatalog(
+      "https://stac.example/api/v1/collections/sentinel-2-l2a")
+    assert(root == "https://stac.example/api/v1")
+    assert(coll.contains("sentinel-2-l2a"))
+    // a catalog root passes through with no collection filter
+    assert(StacHttp.parentCatalog("https://stac.example/api/v1") ==
+      ("https://stac.example/api/v1", None))
+
+    val url = StacHttp.searchUrl("https://stac.example/api/v1",
+      Seq("sentinel-2-l2a"),
+      bbox = Some((3.0, 43.0, 18.0, 51.0)),
+      timeRange = Some(("2023-06-01T00:00:00Z", "2023-07-01T00:00:00Z")),
+      properties = Map("eo:cloud_cover" -> Seq(("lt", "50")),
+        "platform" -> Seq(("eq", "sentinel-2a"))),
+      limit = 100)
+    // every openEO load filter must be IN the request — server-side
+    // pruning is the point of the search pushdown
+    assert(url.startsWith("https://stac.example/api/v1/search?"), url)
+    assert(url.contains("collections=sentinel-2-l2a"), url)
+    assert(url.contains("bbox=3.0,43.0,18.0,51.0"), url)
+    assert(url.contains("datetime=" + java.net.URLEncoder.encode(
+      "2023-06-01T00:00:00Z/2023-07-01T00:00:00Z", "UTF-8")), url)
+    // the query extension rides as url-encoded JSON, numerics unquoted —
+    // the exact structure the reference forwards as query_params["query"]
+    val q = """{"eo:cloud_cover":{"lt":50},"platform":{"eq":"sentinel-2a"}}"""
+    assert(url.contains("query=" + java.net.URLEncoder.encode(q, "UTF-8")), url)
+    assert(url.contains("limit=100"), url)
+    // open temporal bounds map to STAC's ".."
+    val open = StacHttp.searchUrl("https://x", Nil, None,
+      Some(("", "2024-01-01")), Map.empty, 10)
+    assert(open.contains("datetime=" +
+      java.net.URLEncoder.encode("../2024-01-01", "UTF-8")), open)
+  }
+
+  test("HTTP search: paged item fetch parses assets and follows rel=next") {
+    import graft.sources.StacHttp
+    val page1Url = StacHttp.searchUrl("https://stac.example/api",
+      Seq("s2"), Some((10.0, 46.0, 11.0, 47.0)),
+      Some(("2023-06-01", "2023-07-01")),
+      Map("eo:cloud_cover" -> Seq(("lt", "50"))), 1)
+    val page2Url = "https://stac.example/api/search?page=2"
+    val t = new FixtureTransport(Map(
+      page1Url -> featurePage(Seq(item), Some(page2Url)),
+      page2Url -> featurePage(Seq(zarrItem), None)))
+    val assets = StacHttp.searchItems(t,
+      "https://stac.example/api/collections/s2",
+      bbox = Some((10.0, 46.0, 11.0, 47.0)),
+      timeRange = Some(("2023-06-01", "2023-07-01")),
+      properties = Map("eo:cloud_cover" -> Seq(("lt", "50"))),
+      limit = 1)
+    // both pages fetched, in order, nothing else
+    assert(t.requests.toSeq == Seq(page1Url, page2Url))
+    // same parse as the static-catalog path: item-1 contributes its two
+    // eo:bands raster assets (thumbnail dropped), item-z its zarr store
+    assert(assets.map(a => (a.itemId, a.band)).sorted ==
+      Seq(("item-1", "B02"), ("item-1", "B04"), ("item-z", "store")))
+    assert(assets.forall(_.west == 10.0))
+    // the parsed rows compose with the client-side authoritative cut
+    val pruned = StacLoader.filterAssets(assets,
+      properties = Map("eo:cloud_cover" -> Seq(("lt", "20"))))
+    assert(pruned.map(_.itemId).distinct == Seq("item-1"))
+    // the page cap refuses loudly instead of truncating silently
+    val loop = new FixtureTransport(Map(
+      page1Url -> featurePage(Seq(item), Some(page1Url))))
+    val ex = intercept[IllegalArgumentException] {
+      StacHttp.searchItems(loop, "https://stac.example/api/collections/s2",
+        bbox = Some((10.0, 46.0, 11.0, 47.0)),
+        timeRange = Some(("2023-06-01", "2023-07-01")),
+        properties = Map("eo:cloud_cover" -> Seq(("lt", "50"))),
+        limit = 1, maxPages = 3)
+    }
+    assert(ex.getMessage.contains("pages"))
+  }
 }
