@@ -168,9 +168,14 @@ object Bench {
     // field in the JSON — a registry silently shrinking from 113 to 108
     // measured queries is how a 5-query regression survived two rounds.
     // stderr only: stdout stays one parseable line.
-    if (errors.nonEmpty)
+    if (errors.nonEmpty) {
+      // registry counts only — the canary would skew the human check
+      // this line exists for (registry-size drift must be unmissable)
+      val regDeclared = qseq.count(!_._1.startsWith("_"))
+      val regMeasured = results.count(!_._1.startsWith("_"))
       System.err.println(
-        s"[bench] ******** ${errors.size}/${qseq.size} QUERIES ERRORED " +
-          s"(measured only ${results.size}): ${errors.keys.mkString(", ")} ********")
+        s"[bench] ******** ${errors.size}/$regDeclared QUERIES ERRORED " +
+          s"(measured only $regMeasured): ${errors.keys.mkString(", ")} ********")
+    }
   }
 }

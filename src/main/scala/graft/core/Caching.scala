@@ -32,11 +32,12 @@ object Caching {
     * `cache* = false` flag (the lazy plan recomputes from source and is
     * always safe).
     */
-  def scoped(out: DataFrame, cached: DataFrame): DataFrame = {
-    val cp = eager(out)
-    cached.unpersist(blocking = false)
-    cp
-  }
+  def scoped(out: DataFrame, cached: DataFrame): DataFrame =
+    // unpersist in finally: if the eager job throws (bad input, executor
+    // OOM) the intermediate must still leave the CacheManager, or every
+    // caught-and-retried failure leaks corpus-sized blocks into the
+    // long-lived session — the exact leak this helper exists to prevent
+    try eager(out) finally cached.unpersist(blocking = false)
 
   /** Eagerly materialize `df` with the cluster-safe checkpoint choice —
     * the single entry point for eager materialization everywhere in the

@@ -78,20 +78,26 @@ object LinkGraph {
     * run).
     *
     * Convergence (`tolUnits`): at each truncation boundary the rank
-    * table is EAGERLY materialized (the boundary block is the natural
-    * test point — it is about to be checkpointed anyway; the delta adds
-    * one O(nodes) equi-join over two already-materialized tables) and
-    * the L1 delta in integer units against the PREVIOUS boundary's table
-    * is computed. Delta ≤ tolUnits stops the loop. `tolUnits = Some(0)`
-    * is the exactness regime: zero L1 change across a whole
-    * checkpointEvery-block of integer-arithmetic iterations means the
-    * iteration hit its exact fixed point, so the early-stopped result
-    * is BIT-IDENTICAL to running all `iters` — that is what lets the
-    * fixed-k DuckDB oracle keep gating a converged run. Positive
-    * tolerances trade that exactness for earlier cutoff (the usual
-    * production choice; the result is then within the tail-sum of
-    * per-block deltas of the fixed-k answer). Requires `materialize`
-    * (the check needs actions; the audit path stays single-plan lazy).
+    * table is EAGERLY materialized (the same point the lazy path would
+    * truncate at), ONE further iteration is computed and materialized,
+    * and the L1 delta in integer units BETWEEN THOSE CONSECUTIVE
+    * iterations is tested — an O(nodes) equi-join of two checkpointed
+    * tables. The consecutive-iteration delta is the sound test: a
+    * cross-block delta (boundary vs previous boundary) would also read
+    * zero on a limit CYCLE whose period divides checkpointEvery, which
+    * truncating integer iteration can in principle enter — a
+    * single-step delta of zero proves `f(r) = r`, a genuine fixed
+    * point, after which every further iteration returns the identical
+    * table. `tolUnits = Some(0)` is therefore the exactness regime: the
+    * early-stopped result is BIT-IDENTICAL to running all `iters` —
+    * what lets the fixed-k DuckDB oracle keep gating a converged run.
+    * Positive tolerances trade that exactness for earlier cutoff (the
+    * usual production choice). The confirmation iteration is never
+    * wasted — it becomes the continuation state (and counts in the
+    * returned iteration tally). Requires `materialize` (the check needs
+    * actions; the audit path stays single-plan lazy) and
+    * `checkpointEvery < iters` (otherwise no boundary is ever reached
+    * and the requested cutoff would be silently inert).
     */
   def pageRankRun(edges: DataFrame, iters: Int,
                materialize: Boolean = true,
@@ -105,6 +111,10 @@ object LinkGraph {
         "runs actions; the lazy audit path cannot)")
     require(tolUnits.forall(_ >= 0),
       s"pageRank: negative tolerance (${tolUnits.get})")
+    require(tolUnits.isEmpty || checkpointEvery < iters,
+      s"pageRank: tolUnits is tested at truncation boundaries, and " +
+        s"checkpointEvery=$checkpointEvery >= iters=$iters reaches none — " +
+        "lower checkpointEvery or drop the tolerance")
     val cols = edges.columns.toSet
     require(cols.contains("src") && cols.contains("dst"),
       s"pageRank: edge frame needs (src, dst), got ${edges.columns.mkString(",")}")
@@ -124,39 +134,45 @@ object LinkGraph {
     val ej = e.join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"${Unit_} DIV _n").as("rank_units"))
-    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    var prevBoundary: Option[DataFrame] = None
-    var converged = false
-    var i = 0
-    while (i < iters && !converged) {
-      val inflow = ej.join(ranks, ej("src") === ranks("node"))
+    // one synchronous iteration: rank' = teleport + damped inflow
+    def step(r: DataFrame): DataFrame = {
+      val inflow = ej.join(r, ej("src") === r("node"))
         .select(col("dst"),
           expr("rank_units * 85 DIV (100 * _deg)").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_in"))
-      ranks = nodes.crossJoin(broadcast(n))
+      nodes.crossJoin(broadcast(n))
         .join(inflow, nodes("node") === inflow("dst"), "left")
         .select(col("node"),
           (expr(s"(${Unit_} * 15) DIV (100 * _n)") +
             coalesce(col("_in"), lit(0L))).as("rank_units"))
+    }
+
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Unit_} DIV _n").as("rank_units"))
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
+      ranks = step(ranks)
       i += 1
       if (materialize && i % checkpointEvery == 0 && i < iters) {
         if (tolUnits.isDefined) {
-          // convergence boundary: materialize NOW (the same point the
-          // lazy path would truncate at) and L1-diff against the last
-          // boundary — an equi-join of two checkpointed O(nodes) tables
+          // convergence boundary: materialize iteration i, run ONE
+          // confirmation iteration (materialized too — it is the
+          // continuation state, never wasted), and test the
+          // CONSECUTIVE-iteration L1 delta. A zero single-step delta
+          // proves f(r) = r — cross-block deltas would also read zero
+          // on a limit cycle whose period divides checkpointEvery.
           val cp = graft.core.Caching.eager(ranks)
-          ranks = cp
-          prevBoundary.foreach { pb =>
-            val d = cp.select(col("node"), col("rank_units").as("_a"))
-              .join(pb.select(col("node"), col("rank_units").as("_b")),
-                "node")
-              .agg(coalesce(sum(abs(col("_a") - col("_b"))), lit(0L)))
-              .first().getLong(0)
-            if (d <= tolUnits.get) converged = true
-          }
-          prevBoundary = Some(cp)
+          val nextCp = graft.core.Caching.eager(step(cp))
+          i += 1
+          ranks = nextCp
+          val d = nextCp.select(col("node"), col("rank_units").as("_a"))
+            .join(cp.select(col("node"), col("rank_units").as("_b")),
+              "node")
+            .agg(coalesce(sum(abs(col("_a") - col("_b"))), lit(0L)))
+            .first().getLong(0)
+          if (d <= tolUnits.get) converged = true
         } else {
           val (cp, release) = graft.core.Caching.deferred(ranks)
           ranks = cp

@@ -35,6 +35,69 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** ONE tokenization pass over the corpus, shared by the single- and
+    * batch-query paths: the scan projects (id, dl, matched-terms array) —
+    * the ONLY frame whose computation touches text — and BOTH downstream
+    * needs derive from it: the postings (explode + map-side-combinable
+    * agg, with dl reconstructed per doc by `first(dl)` so no corpus-keyed
+    * (id, dl) join exists anywhere in the plan) and the corpus stats
+    * (count + Σdl; they must cover docs with NO query term, which is
+    * exactly why the projection, not the postings, is the shared base).
+    *
+    * Under `cache` the narrow projection persists LAZILY (row width is a
+    * long + the few matched terms; spills at any scale): the first
+    * consumer populates the blocks, every other pass reuses them, and the
+    * caller scope-releases via the returned handle once its result is
+    * materialized — nothing leaks into the session. History: r16 paid a
+    * corpus-keyed (id, dl) shuffle join; r17 removed it via first(dl) but
+    * re-tokenized the corpus in a SECOND stats scan and eagerly
+    * checkpointed the postings (a blocking job inside the query) — 2×
+    * slower; r18 is this shape — tokenize once, broadcast-only joins, no
+    * eager job beyond the caller's single scoped materialization.
+    * `cache = false` keeps the plan fully lazy (the scan recomputes per
+    * consumer): the shape plan audits inspect, and the safe choice for
+    * explain-only callers.
+    *
+    * @return (postings agg (id, term, tf, dl), one-row stats
+    *         (n_docs, total_tok), the persisted base to scope-release)
+    */
+  private def tokenizedPostings(docs: DataFrame, id: Column,
+      textCol: String, qArr: Column, cache: Boolean)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val proj = docs.select(id,
+      TextAnalysis.tokenCount(col(textCol)).as("dl"),
+      filter(toks, t => array_contains(qArr, t)).as("_terms"))
+    val base = if (cache)
+      proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else proj
+    // postings: O(docs-containing-q-terms) rows; read twice downstream
+    // (df_ and the scoring join), cheap to re-derive from the cached base
+    val tf = base
+      .select(id, col("dl"), explode(col("_terms")).as("term"))
+      .groupBy(id, col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // (N, Σdl) from the SAME projection: a count+sum, map-side combined,
+    // shuffling exactly one row — broadcast by the caller
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
+    (tf, stats, if (cache) Some(base) else None)
+  }
+
+  /** The exact integer micro-unit BM25 term score over a frame carrying
+    * (tf, dl, df, n_docs, total_tok):
+    * `round(1e6 · idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`.
+    */
+  private def unitScore(k1: Double, b: Double): Column = {
+    val avgdl = col("total_tok").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    round(idf * tfn * lit(1e6)).cast("long")
+  }
+
   /** Per-document BM25 scores for `queryTerms`, in exact integer
     * micro-units (`score_units` = sum over matched terms of
     * `round(1e6 * idf * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)))`).
@@ -58,67 +121,20 @@ object Retrieval {
     val id = col(idCol)
     val qArr = array(queryTerms.map(t => lit(t.trim.toLowerCase)): _*)
 
-    // one corpus scan → (doc, query-term) postings, with the document
-    // length CARRIED THROUGH the projection (dl is functionally dependent
-    // on the doc id, so `first(dl)` inside the map-side-combinable tf agg
-    // reconstructs it for free) — no corpus-keyed (id, dl) join exists in
-    // the plan at all; the only corpus-keyed exchange is the postings agg
-    // itself. The HOF filter runs before explode, so non-query tokens die
-    // inside the scan stage.
-    val toks = TextAnalysis.tokens(col(textCol))
-    // ONE tokenization pass over the corpus: the scan projects
-    // (id, dl, matched-terms array) — the ONLY frame whose computation
-    // touches text — and BOTH downstream needs derive from it: the
-    // postings (explode + agg) and the corpus stats (count + Σdl; they
-    // must cover docs with NO query term, which is exactly why the
-    // projection, not the postings, is the shared base). Under
-    // `cachePostings` the narrow projection persists LAZILY (row width is
-    // a long + the few matched terms; spills at any scale), the first
-    // consumer populates the blocks, and [[graft.core.Caching.scoped]]
-    // releases everything once the k-row result is materialized — nothing
-    // leaks into the caller's session. History: r16 paid a corpus-keyed
-    // (id, dl) shuffle join; r17 removed it via first(dl) in the postings
-    // agg but re-tokenized the corpus in a SECOND stats scan and eagerly
-    // checkpointed the postings (a blocking job inside the query) — 2×
-    // slower. This shape tokenizes once, joins broadcast-only, and adds
-    // no eager job beyond the single scoped materialization of k rows.
-    // `cachePostings = false` keeps the plan fully lazy (the scan
-    // recomputes per consumer): the shape plan audits inspect, and the
-    // safe choice for explain-only callers.
-    val proj = docs.select(id,
-      TextAnalysis.tokenCount(col(textCol)).as("dl"),
-      filter(toks, t => array_contains(qArr, t)).as("_terms"))
-    val base = if (cachePostings)
-      proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else proj
-    // postings: O(docs-containing-q-terms) rows; read twice below (df_
-    // and the scoring join), cheap to re-derive from the cached base
-    val tf = base
-      .select(id, col("dl"), explode(col("_terms")).as("term"))
-      .groupBy(id, col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-
-    // (N, Σdl) from the SAME projection: a count+sum, map-side combined,
-    // shuffling exactly one row — broadcast below
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
-
+    // the HOF filter runs inside the scan projection, before explode, so
+    // non-query tokens die in the scan stage — see [[tokenizedPostings]]
+    // for the full single-scan shape and its history
+    val (tf, stats, cached) =
+      tokenizedPostings(docs, id, textCol, qArr, cachePostings)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-
-    val scored = tf
+    val out = tf
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(stats))
-    val avgdl = col("total_tok").cast("double") / col("n_docs")
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfn = (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
-    val out = scored
-      .select(id, round(idf * tfn * lit(1e6)).cast("long").as("_u"))
+      .select(id, unitScore(k1, b).as("_u"))
       .groupBy(id).agg(sum(col("_u")).as("score_units"))
       .orderBy(col("score_units").desc, id.asc)
       .limit(k)
-    if (cachePostings) graft.core.Caching.scoped(out, base) else out
+    cached.fold(out)(c => graft.core.Caching.scoped(out, c))
   }
 
   /** BATCH retrieval: top-k BM25 hits for EVERY query in a query table —
@@ -194,20 +210,8 @@ object Retrieval {
     // read twice by df_ and the scoring join.
     val (tf, stats, cached) =
       if (terms.size <= literalGate) {
-        val qArr = array(terms.map(lit): _*)
-        val proj = docs.select(id,
-          TextAnalysis.tokenCount(col(textCol)).as("dl"),
-          filter(toks, t => array_contains(qArr, t)).as("_terms"))
-        val base = if (cachePostings)
-          proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else proj
-        val tfB = base
-          .select(id, col("dl"), explode(col("_terms")).as("term"))
-          .groupBy(id, col("term"))
-          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-        val statsB = base.agg(
-          count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
-        (tfB, statsB, if (cachePostings) Some(base) else None)
+        tokenizedPostings(docs, id, textCol, array(terms.map(lit): _*),
+          cachePostings)
       } else {
         val termFrame = qt.select(col("term")).distinct()
         val tfPlan = docs
@@ -226,17 +230,10 @@ object Retrieval {
       }
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
-    val scored = tf
+    val out = tf
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(stats))
-    val avgdl = col("total_tok").cast("double") / col("n_docs")
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfn = (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
-    val out = scored
-      .select(id, col("term"),
-        round(idf * tfn * lit(1e6)).cast("long").as("_u"))
+      .select(id, col("term"), unitScore(k1, b).as("_u"))
       // fan scores out to their queries; size-gated hint — an enormous
       // probe table falls back to the optimizer's join choice
       .join(graft.core.Joins.maybeBroadcast(qt), "term")

@@ -169,24 +169,12 @@ object Sampling {
     */
   def stratifiedSampleK(df: DataFrame, idCol: String,
       strataCols: Seq[String], k: Int, salt: String): DataFrame = {
-    require(k > 0, s"stratifiedSampleK: k must be positive ($k)")
     require(strataCols.nonEmpty, "stratifiedSampleK: no strata columns")
-    val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
-      s"stratifiedSampleK: id column '$idCol' must be integral (ids ride " +
-        s"the bounded heap as longs); got $idType")
-    // TopKAgg keeps the HIGHEST values with id-asc tie-break; negating the
-    // 52-bit rank (exact in a double) yields (hashRank asc, id asc) — the
-    // same selection order as stratifiedExact's window
-    df.groupBy(strataCols.map(col): _*)
-      .agg(graft.functions.TopKAgg.column(
-        -hashRank(col(idCol), salt).cast("double"),
-        col(idCol).cast("long"), k).as("top"))
-      .select(strataCols.map(col) :+
-        posexplode(col("top")).as(Seq("pos", "e")): _*)
-      .select(strataCols.map(col) :+
-        ((col("pos") + 1).cast("long").as("rank")) :+
-        col("e.id").as(idCol): _*)
+    // negating the 52-bit rank (exact in a double) yields
+    // (hashRank asc, id asc) — the same selection order as
+    // stratifiedExact's window
+    heapRanked(df, "stratifiedSampleK", strataCols,
+      -hashRank(col(idCol), salt).cast("double"), idCol, k)
   }
 
   /** Temperature-based source mixing (the multilingual-pretraining
@@ -230,6 +218,38 @@ object Sampling {
       .drop("_rn", "_quota")
   }
 
+  /** Shared bounded-heap rank/unpack shape behind every exact-k sampler
+    * ([[uniformSampleK]], [[weightedSampleK]], [[stratifiedSampleK]],
+    * [[scoreQuotaK]]): ONE [[graft.functions.TopKAgg]] pass — global, or
+    * grouped by `strataCols` — whose ≤k-entry heaps unpack to one row per
+    * selection, (strataCols…, rank, idCol[, score]), rank 1..k by
+    * (value desc, id asc). The heap packs ids into its long tie-break
+    * slot, so `idCol` must be integral — gated loudly here, one message
+    * for every caller, instead of an analysis error from inside the
+    * aggregator.
+    */
+  private def heapRanked(df: DataFrame, fn: String, strataCols: Seq[String],
+      value: Column, idCol: String, k: Int,
+      withScore: Boolean = false): DataFrame = {
+    require(k > 0, s"$fn: k must be positive ($k)")
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"$fn: id column '$idCol' must be integral (ids ride the bounded " +
+        s"heap as longs); got $idType")
+    val heap = graft.functions.TopKAgg.column(value,
+      col(idCol).cast("long"), k).as("top")
+    val agged =
+      if (strataCols.isEmpty) df.agg(heap)
+      else df.groupBy(strataCols.map(col): _*).agg(heap)
+    val out = strataCols.map(col) ++
+      Seq((col("pos") + 1).cast("long").as("rank"), col("e.id").as(idCol)) ++
+      (if (withScore) Seq(col("e.v").as("score")) else Nil)
+    agged
+      .select(strataCols.map(col) :+
+        posexplode(col("top")).as(Seq("pos", "e")): _*)
+      .select(out: _*)
+  }
+
   /** EXACT-k uniform sample without replacement: the k corpus rows with
     * the smallest (hashRank, id) — deterministic bottom-k-by-hash, the
     * published distributed-sampling trick. Unlike the row_number() window
@@ -239,18 +259,14 @@ object Sampling {
     * combinable pass. Returns (rank, idCol), rank 1..k in selection order.
     */
   def uniformSampleK(df: DataFrame, idCol: String, k: Int,
-      salt: String): DataFrame = {
+      salt: String): DataFrame =
     // TopKAgg keeps the HIGHEST values with id-asc tie-break, so negating
     // the rank yields exactly (rank asc, id asc) lexicographic order; the
     // 52-bit hashRank is exact as a double, and fine enough that ties are
     // ~impossible — inclusion stays uniform at any corpus size (the 16-bit
     // bucket version degenerated to id-order past ~65k rows)
-    df.agg(graft.functions.TopKAgg.column(
-        -hashRank(col(idCol), salt).cast("double"), col(idCol), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "e")))
-      .select((col("pos") + 1).cast("long").as("rank"),
-        col("e.id").as(idCol))
-  }
+    heapRanked(df, "uniformSampleK", Nil,
+      -hashRank(col(idCol), salt).cast("double"), idCol, k)
 
   /** EXACT per-stratum quality gate: keep the `keepPm` per-mille (⌈n·pm/1000⌉,
     * integer rank arithmetic so any SQL engine reproduces the quota
@@ -297,21 +313,9 @@ object Sampling {
     */
   def scoreQuotaK(df: DataFrame, idCol: String, score: Column,
       strataCols: Seq[String], k: Int): DataFrame = {
-    require(k > 0, s"scoreQuotaK: k must be positive ($k)")
     require(strataCols.nonEmpty, "scoreQuotaK: no strata columns")
-    val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
-      s"scoreQuotaK: id column '$idCol' must be integral (ids ride the " +
-        s"bounded heap as longs); got $idType")
-    df.groupBy(strataCols.map(col): _*)
-      .agg(graft.functions.TopKAgg.column(
-        score.cast("double"), col(idCol).cast("long"), k).as("top"))
-      .select(strataCols.map(col) :+
-        posexplode(col("top")).as(Seq("pos", "e")): _*)
-      .select(strataCols.map(col) :+
-        ((col("pos") + 1).cast("long").as("rank")) :+
-        col("e.id").as(idCol) :+
-        col("e.v").as("score"): _*)
+    heapRanked(df, "scoreQuotaK", strataCols, score.cast("double"), idCol, k,
+      withScore = true)
   }
 
   /** Sketch-THRESHOLD quality gate — the 100-TB shape of [[scoreQuota]]:
@@ -390,10 +394,7 @@ object Sampling {
     val u = (hashRank(col(idCol), salt) + lit(1L)).cast("double") /
       lit(4503599627370496.0) // 2^52
     val key = log(u) / weight.cast("double")
-    df.filter(weight.isNotNull && weight > 0)
-      .agg(graft.functions.TopKAgg.column(key, col(idCol), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "e")))
-      .select((col("pos") + 1).cast("long").as("rank"),
-        col("e.id").as(idCol))
+    heapRanked(df.filter(weight.isNotNull && weight > 0),
+      "weightedSampleK", Nil, key, idCol, k)
   }
 }

@@ -70,15 +70,19 @@ object StacHttp {
     * `query_params["query"]` (load.py:153-154): per property, an object of
     * `{op: operand}` with numeric operands left unquoted.
     */
-  private[sources] def queryJson(
+  private[graft] def queryJson(
       properties: Map[String, Seq[(String, String)]]): String =
     properties.toSeq.sortBy(_._1).map { case (prop, preds) =>
       val body = preds.map { case (op, operand) =>
-        val v = operand.toDoubleOption match {
-          case Some(_) => operand
-          case None => "\"" + operand.replace("\\", "\\\\")
-            .replace("\"", "\\\"") + "\""
-        }
+        // strict JSON-number syntax, NOT toDoubleOption: the Java parser
+        // also accepts "Infinity", "NaN" and trailing d/f suffixes
+        // ("7d"), which emitted unquoted would be invalid JSON the
+        // server rejects or silently drops
+        val isJsonNumber =
+          operand.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
+        val v = if (isJsonNumber) operand
+        else "\"" + operand.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\""
         s""""$op":$v"""
       }.mkString(",")
       s""""$prop":{$body}"""
@@ -147,11 +151,16 @@ object StacHttp {
         }
         case _ => ()
       }
+      // servers may return RELATIVE next hrefs ("/search?page=2") —
+      // resolve against the page we just fetched or the live transport's
+      // URI builder throws mid-pagination
+      val cur = next.get
       next = (page \ "links") match {
         case JArray(ls) => ls.collectFirst {
           case l if (l \ "rel") == JString("next") =>
             (l \ "href") match { case JString(h) => h; case _ => "" }
         }.filter(_.nonEmpty)
+          .map(h => java.net.URI.create(cur).resolve(h).toString)
         case _ => None
       }
     }

@@ -1277,6 +1277,15 @@ class StacLoaderSpec extends AnyFunSuite {
       Some(("", "2024-01-01")), Map.empty, 10)
     assert(open.contains("datetime=" +
       java.net.URLEncoder.encode("../2024-01-01", "UTF-8")), open)
+    // strict JSON-number gate: Java's double parser accepts "7d" /
+    // "Infinity" / "NaN", which unquoted would be invalid JSON — they
+    // must emit as strings; real numbers stay bare
+    assert(StacHttp.queryJson(Map("p" -> Seq(("eq", "7d")))) ==
+      """{"p":{"eq":"7d"}}""")
+    assert(StacHttp.queryJson(Map("p" -> Seq(("eq", "Infinity")))) ==
+      """{"p":{"eq":"Infinity"}}""")
+    assert(StacHttp.queryJson(Map("p" -> Seq(("lt", "50"),
+      ("gte", "1.5e-3")))) == """{"p":{"lt":50,"gte":1.5e-3}}""")
   }
 
   test("HTTP search: paged item fetch parses assets and follows rel=next") {
@@ -1285,9 +1294,12 @@ class StacLoaderSpec extends AnyFunSuite {
       Seq("s2"), Some((10.0, 46.0, 11.0, 47.0)),
       Some(("2023-06-01", "2023-07-01")),
       Map("eo:cloud_cover" -> Seq(("lt", "50"))), 1)
+    // rel=next as a RELATIVE href (servers may return those): the walker
+    // must resolve it against the page it just fetched before the live
+    // transport's URI builder sees it
     val page2Url = "https://stac.example/api/search?page=2"
     val t = new FixtureTransport(Map(
-      page1Url -> featurePage(Seq(item), Some(page2Url)),
+      page1Url -> featurePage(Seq(item), Some("/api/search?page=2")),
       page2Url -> featurePage(Seq(zarrItem), None)))
     val assets = StacHttp.searchItems(t,
       "https://stac.example/api/collections/s2",
