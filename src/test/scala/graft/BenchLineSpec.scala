@@ -29,6 +29,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert((j \ "queries" \ names.last) != JNothing)
   }
 
+  test("underscore probes ride the queries map but never count as registry work") {
+    // the _canary is a box probe: it must appear in the record (so
+    // cross-round normalization can read it) while nq counts only real
+    // queries — a phantom extra query is exactly the registry-count
+    // drift this line exists to make unmissable
+    val l = line(Seq(("_canary", 0.2), ("real_query_a", 1.0),
+      ("real_query_b", 2.0)))
+    val j = parsed(l)
+    assert((j \ "nq") == JInt(2), l)
+    assert((j \ "queries" \ "_canary") != JNothing, l)
+  }
+
   test("the budget holds at 400 queries and under mass failure") {
     val big = (0 until 400).map(i => (f"synthetic_query_name_$i%03d", i * 0.01))
     val l = line(big)
