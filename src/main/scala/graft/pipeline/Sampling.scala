@@ -226,7 +226,13 @@ object Sampling {
     * (value desc, id asc). The heap packs ids into its long tie-break
     * slot, so `idCol` must be integral — gated loudly here, one message
     * for every caller, instead of an analysis error from inside the
-    * aggregator.
+    * aggregator. Unrankable rows (null id or null/NaN value — e.g. a
+    * null score in [[scoreQuotaK]]) are EXCLUDED before the heap, the
+    * [[graft.functions.TopKAgg]] null contract: they carry no rankable
+    * mass, the same convention as [[weightedSampleK]]'s null-weight
+    * exclusion. (The window forms instead park null scores at the worst
+    * ranks — identical output whenever the quota stays within the
+    * non-null rows, which integral quantized scores always satisfy.)
     */
   private def heapRanked(df: DataFrame, fn: String, strataCols: Seq[String],
       value: Column, idCol: String, k: Int,
@@ -236,11 +242,12 @@ object Sampling {
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
       s"$fn: id column '$idCol' must be integral (ids ride the bounded " +
         s"heap as longs); got $idType")
+    val ranked = df.filter(col(idCol).isNotNull && value.isNotNull)
     val heap = graft.functions.TopKAgg.column(value,
       col(idCol).cast("long"), k).as("top")
     val agged =
-      if (strataCols.isEmpty) df.agg(heap)
-      else df.groupBy(strataCols.map(col): _*).agg(heap)
+      if (strataCols.isEmpty) ranked.agg(heap)
+      else ranked.groupBy(strataCols.map(col): _*).agg(heap)
     val out = strataCols.map(col) ++
       Seq((col("pos") + 1).cast("long").as("rank"), col("e.id").as(idCol)) ++
       (if (withScore) Seq(col("e.v").as("score")) else Nil)

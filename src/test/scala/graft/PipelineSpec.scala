@@ -279,6 +279,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("a", 1L, 1L, 900.0), ("a", 2L, 2L, 900.0),
       ("b", 1L, 5L, 300.0), ("b", 2L, 6L, 300.0)))
+    // unrankable rows (null id / null score) are excluded before the
+    // heap (the TopKAgg null contract) — never silently ranked as 0
+    val withNulls = Seq(
+      (Some(1L), "a", Some(900L)), (None, "a", Some(999L)),
+      (Some(3L), "a", None), (Some(4L), "a", Some(500L)))
+      .toDF("id", "grp", "sc")
+    val kept = Sampling.scoreQuotaK(withNulls, "id", col("sc"), Seq("grp"), 9)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept == Set(1L, 4L))
   }
 
   test("decontamination: leaked eval doc scores 1.0, fresh doc scores low") {
