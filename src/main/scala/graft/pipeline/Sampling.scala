@@ -227,12 +227,18 @@ object Sampling {
     * slot, so `idCol` must be integral — gated loudly here, one message
     * for every caller, instead of an analysis error from inside the
     * aggregator. Unrankable rows (null id or null/NaN value — e.g. a
-    * null score in [[scoreQuotaK]]) are EXCLUDED before the heap, the
-    * [[graft.functions.TopKAgg]] null contract: they carry no rankable
-    * mass, the same convention as [[weightedSampleK]]'s null-weight
-    * exclusion. (The window forms instead park null scores at the worst
-    * ranks — identical output whenever the quota stays within the
-    * non-null rows, which integral quantized scores always satisfy.)
+    * null score in [[scoreQuotaK]]) carry no rankable mass and are
+    * dropped, the [[graft.functions.TopKAgg]] null contract — the same
+    * convention as [[weightedSampleK]]'s null-weight exclusion. (The
+    * window forms instead park null scores at the worst ranks —
+    * identical output whenever the quota stays within the non-null
+    * rows, which integral quantized scores always satisfy.) The drop is
+    * encoded by mapping the row's heap value to NaN — which `reduce()`
+    * already discards — NOT by a pre-filter: a Filter re-evaluates
+    * `value`, and when the value is an expensive inline expression
+    * (tokenizing regexes) that doubles the scan cost (measured 2× on
+    * quality_topk_gate at 10× gate data); `coalesce(value, NaN)`
+    * evaluates it exactly once.
     */
   private def heapRanked(df: DataFrame, fn: String, strataCols: Seq[String],
       value: Column, idCol: String, k: Int,
@@ -242,12 +248,13 @@ object Sampling {
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
       s"$fn: id column '$idCol' must be integral (ids ride the bounded " +
         s"heap as longs); got $idType")
-    val ranked = df.filter(col(idCol).isNotNull && value.isNotNull)
-    val heap = graft.functions.TopKAgg.column(value,
-      col(idCol).cast("long"), k).as("top")
+    val safeV = when(col(idCol).isNull, lit(Double.NaN))
+      .otherwise(coalesce(value.cast("double"), lit(Double.NaN)))
+    val heap = graft.functions.TopKAgg.column(safeV,
+      coalesce(col(idCol).cast("long"), lit(0L)), k).as("top")
     val agged =
-      if (strataCols.isEmpty) ranked.agg(heap)
-      else ranked.groupBy(strataCols.map(col): _*).agg(heap)
+      if (strataCols.isEmpty) df.agg(heap)
+      else df.groupBy(strataCols.map(col): _*).agg(heap)
     val out = strataCols.map(col) ++
       Seq((col("pos") + 1).cast("long").as("rank"), col("e.id").as(idCol)) ++
       (if (withScore) Seq(col("e.v").as("score")) else Nil)
