@@ -97,7 +97,9 @@ object Bench {
     // a broken run (the correctness gate would catch it too, but the bench
     // record has to be honest on its own).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val qseq = (("_canary" -> canary) +: SparkEntry.queries.toSeq.sortBy(_._1))
+    // the canary rides EVERY run, including `only`-filtered subset A/Bs —
+    // those are the exact use case it normalizes, and it's IO-free cheap
+    val qseq = ("_canary" -> canary) +: SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     // A query that kills the whole SparkContext (executor OOM in local

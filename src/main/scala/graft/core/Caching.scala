@@ -55,9 +55,11 @@ object Caching {
   def eager(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       df.persist()
-      val cp = df.checkpoint(eager = true)
-      df.unpersist(blocking = false)
-      cp
+      // unpersist in finally: a checkpoint job that throws must not leave
+      // the persist registered in the CacheManager — the same failure-path
+      // leak class [[scoped]] guards against for its own intermediate
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
     } else df.localCheckpoint(eager = true)
 
   /** Lazy variant of [[eager]] — truncates lineage without forcing a job,

@@ -407,8 +407,15 @@ object Sampling {
       salt: String): DataFrame = {
     val u = (hashRank(col(idCol), salt) + lit(1L)).cast("double") /
       lit(4503599627370496.0) // 2^52
-    val key = log(u) / weight.cast("double")
-    heapRanked(df.filter(weight.isNotNull && weight > 0),
-      "weightedSampleK", Nil, key, idCol, k)
+    // the weight gate rides INSIDE the heap value (`when(weight > 0, …)`
+    // → null → NaN, which TopKAgg.reduce discards), not a pre-filter:
+    // Catalyst does not CSE across Filter and Aggregate, so a pre-filter
+    // re-evaluates `weight` — free for a stored column but 2× the scan
+    // for an expensive inline weight (the class heapRanked's NaN
+    // convention exists for). The gate itself is semantically REQUIRED:
+    // a negative weight would flip the E-S key sign and wrongly top the
+    // heap.
+    val key = when(weight.cast("double") > 0, log(u) / weight.cast("double"))
+    heapRanked(df, "weightedSampleK", Nil, key, idCol, k)
   }
 }

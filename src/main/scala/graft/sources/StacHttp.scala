@@ -81,8 +81,15 @@ object StacHttp {
         val isJsonNumber =
           operand.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
         val v = if (isJsonNumber) operand
-        else "\"" + operand.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\""
+        else "\"" + operand.flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          // control chars (a newline/tab in a property operand) must be
+          // \u-escaped or the query URL carries invalid JSON the server
+          // rejects or misparses
+          case c if c < 0x20 => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
         s""""$op":$v"""
       }.mkString(",")
       s""""$prop":{$body}"""
@@ -158,9 +165,18 @@ object StacHttp {
       next = (page \ "links") match {
         case JArray(ls) => ls.collectFirst {
           case l if (l \ "rel") == JString("next") =>
-            (l \ "href") match { case JString(h) => h; case _ => "" }
-        }.filter(_.nonEmpty)
-          .map(h => java.net.URI.create(cur).resolve(h).toString)
+            // a rel=next object with a missing/non-string href is a
+            // protocol violation — fail loudly (the module's convention,
+            // like the maxPages gate) rather than silently truncate the
+            // pagination
+            (l \ "href") match {
+              case JString(h) if h.nonEmpty => h
+              case other => throw new IllegalArgumentException(
+                s"OpenEOException: STAC search page $cur has a rel=next " +
+                  s"link without a string href (got $other) — refusing to " +
+                  "silently truncate pagination")
+            }
+        }.map(h => java.net.URI.create(cur).resolve(h).toString)
         case _ => None
       }
     }
