@@ -76,6 +76,127 @@ object Dedup {
     keyed.join(corpusHits, Seq("_k"), "left_anti").drop("_k")
   }
 
+  /** Standing MinHash-LSH corpus index for INCREMENTAL near-dup probes —
+    * the tables a continuous-ingest pipeline materializes ONCE over the
+    * existing corpus and every arriving shard probes: the band-bucket
+    * table `(id, band, bkey)`, the distinct-shingle table `(id, shingle)`
+    * and the per-doc shingle counts. On a lake deployment `bands` is
+    * written bucketed by (band, bkey) and `shingles`/`counts` by id
+    * ([[graft.core.Layout.writeBucketed]]) so shard probes co-locate
+    * without reshuffling the corpus; here the frames stay lazy and the
+    * caller decides persistence. Parameters ride along so a probe can
+    * only ever run against an index built with ITS OWN shingling/banding
+    * scheme (a mismatch would silently produce garbage candidates).
+    */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame,
+      counts: DataFrame, idCol: String, shingleLen: Int, k: Int,
+      rowsPerBand: Int)
+
+  /** Build the [[MinhashIndex]] over `corpus` — one corpus pass (the same
+    * shingle → wide-signature → band chain [[minhashNearDups]] runs),
+    * done ONCE per corpus generation, amortized over every shard probe.
+    */
+  def minhashIndex(corpus: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4): MinhashIndex = {
+    val sh = shingles(corpus, idCol, text, shingleLen)
+    val bands = lshBandKeysWide(minhashSignaturesWide(sh, idCol, k), idCol,
+      k, rowsPerBand)
+    MinhashIndex(bands, sh,
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")),
+      idCol, shingleLen, k, rowsPerBand)
+  }
+
+  /** INCREMENTAL NEAR-dup — the LSH twin of [[incrementalNew]]'s exact
+    * anti-join, the continuous-ingest question that one answers wrong:
+    * "which docs of this arriving shard are NEAR-dups (Jaccard ≥
+    * threshold) of the standing corpus", WITHOUT reshuffling the corpus.
+    * Returns one row per matched (shard doc, corpus doc) pair:
+    * `(id_new, id_corpus, jaccard)`.
+    *
+    * Scale shape — every exchange is SHARD-sized, never corpus-sized:
+    *  1. The shard is shingled/signed/banded with the index's own scheme
+    *     (both sides persisted — shard-sized).
+    *  2. A Bloom filter over the shard's (band, bkey) keys — one
+    *     combinable aggregate over the SMALL side, ~1.2 MB per million
+    *     band keys — is broadcast into the index's band-table scan; only
+    *     corpus band rows the bloom admits (true bucket collisions plus
+    *     ~fpp noise) survive to the equi-join, exactly the
+    *     [[incrementalNew]] runtime-filter trick. No false negatives, so
+    *     the candidate set is exact; false positives die in the join.
+    *  3. Candidate pairs = shard×corpus docs sharing a band bucket — the
+    *     standard LSH guarantee, volume tracks matches, never all-pairs.
+    *  4. Exact-Jaccard verification reads corpus shingles through a
+    *     semi-join on the CANDIDATE corpus ids (broadcast when small) —
+    *     the index's shingle table is scanned-and-filtered, not
+    *     shuffled; counts come precomputed from the index.
+    *
+    * A shard doc present in the corpus under the SAME id is not its own
+    * near-dup (self-pairs are dropped). `materialize = true` (default)
+    * eagerly checkpoints the result and releases the shard-side caches —
+    * the [[graft.core.Caching]] scope discipline; pass `false` for the
+    * fully lazy plan (plan audits; caches then live with the session).
+    */
+  def incrementalNearNew(newDocs: DataFrame, index: MinhashIndex,
+      text: Column, threshold: Double = 0.5,
+      expectedShardBands: Long = 1L << 20, fpp: Double = 0.01,
+      materialize: Boolean = true): DataFrame = {
+    require(threshold > 0,
+      s"incrementalNearNew: threshold must be positive ($threshold) — " +
+        "zero would ask for the all-pairs cross product LSH exists to avoid")
+    val idCol = index.idCol
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sSh = shingles(newDocs, idCol, text, index.shingleLen).persist(lvl)
+    val sBands = lshBandKeysWide(minhashSignaturesWide(sSh, idCol, index.k),
+      idCol, index.k, index.rowsPerBand).persist(lvl)
+    // bloom over the shard's band keys (an action — the shard pipeline
+    // materializes here, into its own cache)
+    val keyed = sBands.select(concat_ws(":", col("band"), col("bkey")).as("_bk"))
+    val bloom = keyed.stat.bloomFilter("_bk", expectedShardBands, fpp)
+    val blmBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // the corpus band scan, runtime-filtered by the broadcast bloom —
+    // the codegen'd probe stays inside the scan's whole-stage span
+    val cBandHits = index.bands.filter(call_function("graft_bloom_probe",
+      lit(blmBytes), concat_ws(":", col("band"), col("bkey"))))
+    val pairs = sBands.select(col("band"), col("bkey"), col(idCol).as("id_new"))
+      .join(cBandHits.select(col("band"), col("bkey"),
+        col(idCol).as("id_corpus")), Seq("band", "bkey"))
+      .filter(col("id_new") =!= col("id_corpus"))
+      .select("id_new", "id_corpus").distinct()
+    // exact verification on candidates only: corpus shingles arrive
+    // through a semi-join on candidate ids (broadcast when small), so
+    // the corpus-sized table is filtered at the scan, never shuffled
+    val candIds = pairs.select(col("id_corpus").as(idCol)).distinct()
+    val cShCand = index.shingles.join(graft.core.Joins.maybeBroadcast(candIds),
+      Seq(idCol), "left_semi")
+    val inter = pairs
+      .join(sSh.select(col(idCol).as("id_new"), col("shingle")), Seq("id_new"))
+      .join(cShCand.select(col(idCol).as("id_corpus"), col("shingle")),
+        Seq("id_corpus", "shingle"))
+      .groupBy("id_new", "id_corpus").agg(count(lit(1)).as("n_inter"))
+    val nNew = sSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
+    // inner joins throughout: a pair with zero shared shingles has
+    // jaccard 0 < threshold and cannot surface (threshold is positive)
+    val out = inter
+      .join(nNew.select(col(idCol).as("id_new"), col("n_new")), Seq("id_new"))
+      .join(index.counts.select(col(idCol).as("id_corpus"),
+        col("n_sh").as("n_c")), Seq("id_corpus"))
+      .withColumn("jaccard", col("n_inter") /
+        (col("n_new") + col("n_c") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+    if (!materialize) out
+    else
+      try graft.core.Caching.eager(out)
+      finally {
+        sSh.unpersist(blocking = false)
+        sBands.unpersist(blocking = false)
+      }
+  }
+
   /** CCNet-style LINE-level dedup (Wenzek et al. 2020, public): split each
     * document into lines/sentences on `sep`, hash every non-empty line
     * (case/whitespace-normalized), and keep each distinct line's FIRST

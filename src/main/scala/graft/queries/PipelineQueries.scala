@@ -254,6 +254,20 @@ object PipelineQueries {
           TextAnalysis.fingerprint(col("text")), expectedNewKeys = 1L << 16)
         .select(col("doc_id"))
     },
+    "dedup_incremental_near" -> { (s, dir) =>
+      // continuous-ingest NEAR-dup ([[Dedup.incrementalNearNew]]): every
+      // 10th doc plays the incoming shard, probing the standing corpus
+      // MinHash index through a bloom-filtered band join — shard-sized
+      // exchanges only. The oracle is the FULL-corpus LSH pair SQL
+      // restricted to shard×corpus pairs: hash equality proves the
+      // incremental probe finds exactly the pairs the O(corpus²-work)
+      // batch pass would.
+      val docs = Tables.documents(s, dir)
+      val idx = Dedup.minhashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", col("text"))
+      Dedup.incrementalNearNew(docs.filter(col("doc_id") % 10 === 0), idx,
+        col("text"), threshold = 0.5)
+    },
     "dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
         shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
@@ -1215,20 +1229,42 @@ object PipelineQueries {
       // corpus; most outlink targets are dangling, like a real crawl
       // frontier. The oracle unrolls the same 3 iterations in the same
       // integer arithmetic.
-      val d = Tables.read(s, dir, "documents")
-      val srcNode = concat(col("source"), lit("_"),
-        pmod(col("doc_id"), lit(1000L)).cast("string"))
-      val dsts = (1 to 3).map { j =>
-        concat(lit("src"),
-          pmod(col("doc_id") * 7 + lit(j.toLong), lit(20L)).cast("string"),
-          lit("_"),
-          pmod(col("doc_id") * 31 + lit(j.toLong), lit(1000L)).cast("string"))
-      }
-      val edges = d.select(srcNode.as("src"),
-        explode(array(dsts: _*)).as("dst"))
-      LinkGraph.pageRank(edges, iters = 3)
+      LinkGraph.pageRank(pagerankEdges(Tables.read(s, dir, "documents")),
+        iters = 3)
+    },
+    "link_pagerank_converged" -> { (s, dir) =>
+      // convergence-gated twin of link_pagerank: the SAME edge synthesis
+      // at iters=20 with tolUnits=Some(0) — tol=0 stops ONLY at an exact
+      // integer fixed point (f(r)=r, [[LinkGraph.pageRankRun]]), so the
+      // result is BIT-IDENTICAL to the full 20-iteration unroll the
+      // oracle runs, while the run itself stops early (this synthetic
+      // graph is bipartite — every dst is dangling — so source ranks
+      // lock after one iteration and the fixed point lands by i=3; the
+      // first boundary confirms it at i=6; RetrievalGraphSpec asserts
+      // the tally). The hash match is the production guarantee: the
+      // early-stop path changes nothing.
+      LinkGraph.pageRank(pagerankEdges(Tables.read(s, dir, "documents")),
+        iters = 20, checkpointEvery = 5, tolUnits = Some(0L))
     }
   )
+
+  /** The id-derived doc→domain outlink graph shared by the `link_pagerank`
+    * queries: each doc's site node is (source, doc_id%1000) and emits 3
+    * outlinks into a 21k-node universe; most targets are dangling, like a
+    * real crawl frontier. Edges (and the populated node set, until the
+    * universe fills) grow with the corpus.
+    */
+  private[graft] def pagerankEdges(d: DataFrame): DataFrame = {
+    val srcNode = concat(col("source"), lit("_"),
+      pmod(col("doc_id"), lit(1000L)).cast("string"))
+    val dsts = (1 to 3).map { j =>
+      concat(lit("src"),
+        pmod(col("doc_id") * 7 + lit(j.toLong), lit(20L)).cast("string"),
+        lit("_"),
+        pmod(col("doc_id") * 31 + lit(j.toLong), lit(1000L)).cast("string"))
+    }
+    d.select(srcNode.as("src"), explode(array(dsts: _*)).as("dst"))
+  }
 
   /** MinHash pair SQL, shared by the pair oracle and the clusters oracle
     * (which wraps it as a CTE under a recursive closure).
@@ -1638,6 +1674,14 @@ object PipelineQueries {
          |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r
          |WHERE rank <= 20""".stripMargin,
     "quality_topk_gate" ->
+      // null-score divergence note: the heap form DROPS null/NaN-score
+      // rows (TopKAgg's NaN convention), while this window oracle ranks
+      // them LAST (DuckDB DESC = NULLS LAST) — identical output only
+      // while every stratum has ≥ k non-null scores. q_milli here is
+      // never null (qualityScore is total on non-null text), so the
+      // forms agree; if a future scoring column can be null, a stratum
+      // thinner than k surfaces as a row-count mismatch HERE, not a bug
+      // in the heap.
       s"""$qualityMilliCte
          |r AS (SELECT doc_id, source, q_milli,
          |        row_number() OVER (PARTITION BY source
@@ -1659,6 +1703,15 @@ object PipelineQueries {
          |SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM r
          |WHERE rank <= 25""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_incremental_near" ->
+      // the full-corpus pair SQL restricted to shard×corpus pairs (XOR on
+      // shard membership also excludes shard-internal pairs, which the
+      // incremental probe by definition does not report)
+      s"""WITH prs AS ($minhashPairsSql)
+         |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new,
+         |       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_corpus,
+         |       jaccard
+         |FROM prs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin,
     "dedup_clusters" ->
       // recursive closure over the SAME pair SQL: min reachable id per node
       s"""WITH RECURSIVE prs AS ($minhashPairsSql),
@@ -2706,36 +2759,37 @@ object PipelineQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id,
         |       CAST(rank AS BIGINT) AS rank, doc_id, score_units
         |FROM r WHERE rank <= 10""".stripMargin,
-    "link_pagerank" ->
-      // the same id-derived edge synthesis, 3 unrolled iterations in the
-      // same exact integer arithmetic (DIV == // for the all-positive
-      // ranks), teleport (U*15) DIV (100*N), inflow sum per dst
-      """WITH e AS (SELECT source || '_' || CAST(doc_id % 1000 AS VARCHAR) AS src,
-        |         'src' || CAST((doc_id * 7 + j) % 20 AS VARCHAR) || '_'
-        |           || CAST((doc_id * 31 + j) % 1000 AS VARCHAR) AS dst
-        |       FROM documents, (VALUES (1), (2), (3)) AS js(j)),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
-        |i1 AS (SELECT e.dst AS node, CAST(sum(r0.r * 85 // (100 * deg.d)) AS BIGINT) AS s
-        |       FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.node = e.src
-        |       GROUP BY 1),
-        |r1 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
-        |         + COALESCE(i1.s, 0) AS r
-        |       FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.node = nodes.node),
-        |i2 AS (SELECT e.dst AS node, CAST(sum(r1.r * 85 // (100 * deg.d)) AS BIGINT) AS s
-        |       FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.node = e.src
-        |       GROUP BY 1),
-        |r2 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
-        |         + COALESCE(i2.s, 0) AS r
-        |       FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.node = nodes.node),
-        |i3 AS (SELECT e.dst AS node, CAST(sum(r2.r * 85 // (100 * deg.d)) AS BIGINT) AS s
-        |       FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.node = e.src
-        |       GROUP BY 1),
-        |r3 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
-        |         + COALESCE(i3.s, 0) AS r
-        |       FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.node = nodes.node)
-        |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3""".stripMargin
+    "link_pagerank" -> pagerankUnrolledSql(3),
+    // the converged run's hash must equal the FULL fixed-k unroll — that
+    // equality IS the claim tol=0 makes (early stop changes nothing)
+    "link_pagerank_converged" -> pagerankUnrolledSql(20)
   )
+
+  /** The link_pagerank oracle, unrolled to `iters` iterations: the same
+    * id-derived edge synthesis, every step in the same exact integer
+    * arithmetic (DuckDB `//` == Spark `DIV` for the all-positive ranks),
+    * teleport (U*15) DIV (100*N), inflow sum per dst. Generated rather
+    * than hand-written so the fixed-3 gate and the 20-iteration
+    * convergence gate share one definition.
+    */
+  private def pagerankUnrolledSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""i$k AS (SELECT e.dst AS node, CAST(sum(r${k - 1}.r * 85 // (100 * deg.d)) AS BIGINT) AS s
+         |       FROM e JOIN deg ON deg.src = e.src JOIN r${k - 1} ON r${k - 1}.node = e.src
+         |       GROUP BY 1),
+         |r$k AS (SELECT nodes.node, (1000000000000 * 15) // (100 * nn.n)
+         |         + COALESCE(i$k.s, 0) AS r
+         |       FROM nodes CROSS JOIN nn LEFT JOIN i$k ON i$k.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT source || '_' || CAST(doc_id % 1000 AS VARCHAR) AS src,
+       |         'src' || CAST((doc_id * 7 + j) % 20 AS VARCHAR) || '_'
+       |           || CAST((doc_id * 31 + j) % 1000 AS VARCHAR) AS dst
+       |       FROM documents, (VALUES (1), (2), (3)) AS js(j)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+       |""".stripMargin + steps +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_units FROM r$iters"
+  }
 }

@@ -61,6 +61,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("incremental NEAR-dup: shard probe == full-corpus LSH restricted " +
+      "to shard×corpus pairs") {
+    // corpus with internal near-dups (1≈2) and shard docs that are
+    // near-dups of corpus docs (10≈1/2, 12≈4), plus a shard-internal
+    // near-dup pair (10≈11) the probe must NOT report — only
+    // shard×corpus pairs are its contract
+    def d(s: String) = s
+    val corpus = Seq(
+      (1L, d("the quick brown fox jumps over the lazy dog tonight")),
+      (2L, d("the quick brown fox jumps over the lazy dog today")),
+      (3L, d("completely different content about spark engines here")),
+      (4L, d("structured streaming state stores commit logs watermark")))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, d("the quick brown fox jumps over the lazy dog tonight")),
+      (11L, d("the quick brown fox jumps over the lazy dog tonight yes")),
+      (12L, d("structured streaming state stores commit logs watermarks")),
+      (13L, d("nothing like anything else in any corpus at all")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", col("text"))
+    val got = Dedup.incrementalNearNew(shard, idx, col("text"))
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    // the reference: run the FULL batch pipeline over shard ∪ corpus and
+    // keep only the cross pairs — the equivalence the driver row's
+    // oracle gates at corpus scale
+    val allPairs: Set[(Long, Long)] = Dedup.minhashNearDups(
+        shard.union(corpus), "doc_id", col("text"), cacheShingles = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = allPairs
+      .filter { case (a, b) => (a >= 10L) != (b >= 10L) }
+      .map { case (a, b) => if (a >= 10L) (a, b) else (b, a) }
+    assert(got == want)
+    assert(got.nonEmpty) // the gate bites: real near-dups exist
+    assert(!got.exists { case (a, b) => a == b })
+    // a saturated bloom must stay EXACT (degrades to the plain band join)
+    val gotSat = Dedup.incrementalNearNew(shard, idx, col("text"),
+      expectedShardBands = 1, fpp = 0.5)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(gotSat == want)
+    // a shard doc present in the corpus under the SAME id is not its own
+    // near-dup — the self-pair is dropped, true near-dups still surface
+    val gotSelf = Dedup.incrementalNearNew(
+      corpus.filter(col("doc_id") === 1L), idx, col("text"))
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(!gotSelf.contains((1L, 1L)) && gotSelf.contains((1L, 2L)))
+  }
+
   test("fuzzy join == brute-force R-S jaccard, hot shingles notwithstanding") {
     // every doc shares a hot boilerplate prefix (the stop-word-class keys
     // the prefix filter must suffix-exclude); uniqueness lives in the tail

@@ -177,6 +177,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("incremental NEAR-dup: bloom probe gates the index band scan; " +
+      "no cartesian anywhere") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = pipeline.Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", col("text"))
+    val near = pipeline.Dedup.incrementalNearNew(
+      docs.filter(col("doc_id") % 10 === 0), idx, col("text"),
+      materialize = false)
+    val p = plan(near)
+    // the shard's bloom filters the CORPUS index's band rows before the
+    // candidate join — at 100 TB the standing band table contributes
+    // only bloom-admitted rows (true bucket collisions + ~fpp noise) to
+    // the exchange, never the full index
+    assert(p.contains("graft_bloom_probe"), p)
+    // banded LSH + equi-joins throughout: candidate volume tracks
+    // matches; nothing degenerates to all-pairs
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // verification reads corpus shingles through a semi-join on
+    // candidate ids — broadcast, so the corpus-sized shingle table is
+    // filtered at the scan rather than shuffled
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("fuzzy join: set arrays never shuffle — exchanges carry census + prefix only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val fj = pipeline.Dedup.jaccardJoin(

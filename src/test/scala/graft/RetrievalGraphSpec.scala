@@ -233,6 +233,25 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank convergence: the driver's link_pagerank_converged graph " +
+      "actually stops early") {
+    // the REAL query shape (PipelineQueries.pagerankEdges over the real
+    // documents table): bipartite — every dst is dangling — so source
+    // ranks lock after iteration 1 and the exact fixed point lands by
+    // i=3; the first boundary (checkpointEvery=5) confirms it with one
+    // extra iteration → tally 6. The driver row's hash match against the
+    // 20-iteration unrolled oracle proves the early stop changed
+    // NOTHING; this tally proves it actually STOPPED (without it, a
+    // convergence path that never fires would pass the hash gate
+    // silently).
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val (_, ran) = LinkGraph.pageRankRun(
+      graft.queries.PipelineQueries.pagerankEdges(docs),
+      iters = 20, checkpointEvery = 5, tolUnits = Some(0L))
+    assert(ran == 6, s"expected convergence at iteration 6, ran $ran")
+  }
+
   test("pagerank projects away payload columns that shadow helper names") {
     val withPayload = graph.toDF("src", "dst")
       .withColumn("_deg", lit(999L)).withColumn("node", lit("x"))

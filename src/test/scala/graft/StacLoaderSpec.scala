@@ -1330,4 +1330,68 @@ class StacLoaderSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("pages"))
   }
+
+  test("HTTP search: the LIVE JDK transport drives a loopback server " +
+      "end-to-end (redirect, paging, Accept, non-2xx gate)") {
+    import graft.sources.StacHttp
+    // the one code path the fixture specs can't reach:
+    // HttpStacTransport itself (redirect following, status gate, header,
+    // body read) — exercised against a real socket via the JDK's own
+    // in-process HttpServer, zero external network
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val accepts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: String, headers: (String, String)*): Unit = {
+      headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    try {
+      server.createContext("/api/search",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          accepts += String.valueOf(ex.getRequestHeaders.getFirst("Accept"))
+          val q = String.valueOf(ex.getRequestURI.getRawQuery)
+          if (q.contains("page=2")) respond(ex, 200,
+            featurePage(Seq(zarrItem), None),
+            "Content-Type" -> "application/geo+json")
+          else respond(ex, 200,
+            // RELATIVE rel=next — the walker resolves it against the
+            // page URL before the live transport sees it
+            featurePage(Seq(item), Some("/api/search?page=2")),
+            "Content-Type" -> "application/geo+json")
+        })
+      // a legacy root that 302-redirects /old/search to the real API —
+      // Redirect.NORMAL must follow it transparently
+      server.createContext("/old/search",
+        (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, 302, "",
+          "Location" -> s"/api/search?${ex.getRequestURI.getRawQuery}"))
+      server.createContext("/gone",
+        (ex: com.sun.net.httpserver.HttpExchange) =>
+          respond(ex, 404, "not here"))
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val live = new StacHttp.HttpStacTransport
+
+      val assets = StacHttp.searchItems(live, s"$base/old/collections/s2",
+        bbox = Some((10.0, 46.0, 11.0, 47.0)),
+        timeRange = Some(("2023-06-01", "2023-07-01")),
+        properties = Map("eo:cloud_cover" -> Seq(("lt", "50"))),
+        limit = 1)
+      // page 1 arrived THROUGH the redirect, page 2 through the resolved
+      // relative next; both parsed by the same parseItem path
+      assert(assets.map(a => (a.itemId, a.band)).sorted ==
+        Seq(("item-1", "B02"), ("item-1", "B04"), ("item-z", "store")))
+      // the Accept header the transport promises actually hit the wire
+      assert(accepts.nonEmpty && accepts.forall(_ == "application/geo+json"),
+        accepts.mkString(","))
+      // non-2xx fails loudly with the status in the message
+      val err = intercept[IllegalArgumentException] {
+        live.get(s"$base/gone")
+      }
+      assert(err.getMessage.contains("404"), err.getMessage)
+    } finally server.stop(0)
+  }
 }
