@@ -69,14 +69,30 @@ object StreamingOps {
       if (shm.isDirectory && shm.canWrite) "/dev/shm" else sys.props("java.io.tmpdir")
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(ckptBase), s"graft_ckpt_$queryName").toFile
-    val q = df.writeStream
+    // Trigger.AvailableNow is the DEFAULT for these run-to-completion
+    // harness streams (r19 A/B, matched canary 0.196/0.189: family
+    // −3.8%, null-stream floor 0.44 → 0.37 s — the self-terminating
+    // trigger skips the processAllAvailable() wake-poll + stop()
+    // handshake; SCALE.md "streaming harness floor"). File sources
+    // implement admission control, so maxFilesPerTrigger (the
+    // multi-batch shard pacing) is still honored per micro-batch — all
+    // 21 rows hash-green under it with the requireMinBatches floors
+    // intact. SPARK_GRAFT_STREAM_TRIGGER=default restores the legacy
+    // continuous trigger for A/Bs. Production streams are unaffected:
+    // this helper IS the harness sink; a live stream picks its own
+    // trigger.
+    val availableNow = !sys.env.get("SPARK_GRAFT_STREAM_TRIGGER")
+      .exists(_.equalsIgnoreCase("default"))
+    val writer = df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .option("checkpointLocation", ckpt.getPath)
-      .start()
+    val q = (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
     try {
-      q.processAllAvailable()
+      if (availableNow) q.awaitTermination() else q.processAllAvailable()
       val fed = q.recentProgress.count(_.numInputRows > 0)
       if (requireSingleBatch)
         require(fed <= 1,
@@ -100,6 +116,37 @@ object StreamingOps {
       try q.stop() finally rm(ckpt)
     }
     spark.table(queryName)
+  }
+
+  /** Degenerate stream for the harness-floor measurement
+    * ([[graft.tools.StreamFloor]]): four constant rows through the FULL
+    * [[runToMemory]] machinery — tmpfs checkpoint, offset/commit logs,
+    * micro-batch planning, memory sink, stop — under a stateless
+    * projection, so its wall time IS the per-stream start/stop floor
+    * with zero real work inside. Measurement plumbing, not an operator;
+    * the tiny source parquet is written once per JVM.
+    */
+  private val floorSrcDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def floorProbe(spark: SparkSession,
+      queryName: String): DataFrame = {
+    graft.core.SparkTuning.tune(spark)
+    val dir = synchronized {
+      val cur = floorSrcDir.get()
+      if (cur != null) cur
+      else {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_floor_src").toString
+        spark.range(0L, 4L, 1L, 1).write.mode("overwrite").parquet(d)
+        floorSrcDir.set(d)
+        d
+      }
+    }
+    val schema = cachedSchema(spark, dir)
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir).select(col("id")),
+      "append", queryName)
   }
 
   /** Split the events parquet into `shards` TIME-ORDERED single-file
