@@ -25,6 +25,20 @@ object SparkTuning {
     if (!cur.contains(excluded)) {
       spark.conf.set(key, if (cur.isEmpty) excluded else s"$cur,$excluded")
     }
+    // Floor AQE's post-shuffle coalescing at the session's core count.
+    // AQE merges partitions by BYTES (parallelismFirst still bottoms out at
+    // minPartitionSize = 1 MB), so a stage whose rows are small but whose
+    // per-row compute is heavy — candidate-pair verification joins, packed
+    // band tables — collapses to ONE task and serializes the work
+    // (measured: fuzzy_join's verify stage ran 2.7 s on 1 task at cpus=8
+    // over a 0.5 MB shuffle read). The floor is derived from
+    // defaultParallelism, never a constant: on a real cluster partition
+    // counts exceed it anyway, so it only bites where coalescing would
+    // leave cores idle. Respect an explicit user/session setting.
+    val minPN = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    if (spark.conf.getOption(minPN).isEmpty) {
+      spark.conf.set(minPN, spark.sparkContext.defaultParallelism.toString)
+    }
     // engine-native codegen'd functions (see graft.functions.DotProduct)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",

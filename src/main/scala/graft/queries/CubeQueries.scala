@@ -416,8 +416,10 @@ object CubeQueries {
     },
     "unflatten_dims" -> { (s, dir) =>
       // round trip: flatten (t, band) → "tb", then unflatten back out —
-      // exercises the split guard and label fidelity in one row
-      val c = Tables.lineitemCube(s, dir)
+      // exercises the split guard and label fidelity in one row.
+      // rebalance: the per-row concat/split string work IS the heavy stage
+      // (measured −0.66 s interleaved A/B, r19)
+      val c = Tables.lineitemCube(s, dir, rebalance = true)
       val flat = CubeDimOps.flattenDimensions(c, Seq("t", "band"), "tb")
       val back = CubeDimOps.unflattenDimension(flat, "tb", Seq("t2", "band2"))
       back.df.groupBy(col("t2"), col("band2"))
@@ -470,7 +472,7 @@ object CubeQueries {
       // method="near" (the openeo default): value at the cell nearest each
       // 50×4 bin center, deterministic (dist, x, y, value) tie-break
       val c = Tables.lineitemCube(s, dir,
-        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"), rebalance = true)
       val r = ResampleOps.resampleSpatialNear(c, 50, 4)
       r.df.select(col("x").cast("bigint").as("x"),
         col("y").cast("bigint").as("y"),
@@ -480,7 +482,7 @@ object CubeQueries {
       // q1/q3 binning methods (reference: resample.py:23-36) via the
       // quantile reducer over the same 50×4 cells as resample_spatial_agg
       val c = Tables.lineitemCube(s, dir,
-        Seq("l_partkey" -> "x", "l_suppkey" -> "y"))
+        Seq("l_partkey" -> "x", "l_suppkey" -> "y"), rebalance = true)
       val r = ResampleOps.resampleSpatialAgg(c, 50, 4,
         v => Reducers.quantilesR(v, Seq(0.25, 0.75)))
       r.df.select(col("x").cast("bigint").as("x"), col("y").cast("bigint").as("y"),

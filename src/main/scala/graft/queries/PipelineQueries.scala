@@ -271,7 +271,10 @@ object PipelineQueries {
         corpusMinhashIndex(s, dir), col("text"), threshold = 0.5)
     },
     "dedup_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
+      // raw scan: the minhash chain persists its shingle table — the heavy
+      // stages read the CACHE, so a scan rebalance only taxes the build
+      // (interleaved A/B r19: raw 2.66 vs rebalanced 2.84 s)
+      Dedup.minhashNearDups(Tables.read(s, dir, "documents"), "doc_id", col("text"),
         shingleLen = 3, k = 32, rowsPerBand = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     },
@@ -297,11 +300,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", col("text"),
+      // raw scan: same cache-build argument as dedup_minhash_lsh (A/B r19:
+      // raw 2.81 vs rebalanced 3.03 s)
+      Dedup.simhashNearDups(Tables.read(s, dir, "documents"), "doc_id", col("text"),
         blockCols = Seq("lang", "source"), maxHamming = 8)
     },
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardNearDups(Tables.documents(s, dir), "doc_id", col("text"),
+      // raw scan: same cache-build argument (A/B r19: 0.95 vs 1.11 s)
+      Dedup.ngramJaccardNearDups(Tables.read(s, dir, "documents"), "doc_id", col("text"),
         blockCols = Seq("lang", "source"), shingleLen = 3, threshold = 0.015)
     },
     "dedup_embed_cosine" -> { (s, dir) =>
@@ -724,7 +730,7 @@ object PipelineQueries {
     "decontaminate" -> { (s, dir) =>
       // benchmark decontamination: 1-in-50 of the corpus plays the eval
       // set; the rest is the training corpus it must be checked against
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.read(s, dir, "documents") // raw: cache-build argument (A/B r19)
       Dedup.ngramContainment(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), "doc_id", col("text"), n = 3)
@@ -1158,7 +1164,7 @@ object PipelineQueries {
       // (HOF filter before explode), stats ride broadcast one-row/q-row
       // frames, scores are exact integer micro-units, and the top-k is a
       // TakeOrdered, never a full sort.
-      Retrieval.bm25TopK(Tables.read(s, dir, "documents"),
+      Retrieval.bm25TopK(Tables.documents(s, dir),
         Seq("vector", "merge", "scan", "window"), k = 20)
     },
     "text_normalize" -> { (s, dir) =>
@@ -1173,7 +1179,7 @@ object PipelineQueries {
       val dirty = concat(col("text"),
         lit("  fiance\u0301\u0007 ze\u200Bro \t "))
       val norm = TextAnalysis.normalizeText(dirty)
-      Tables.read(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), md5(norm.cast("binary")).as("norm_md5"),
           length(norm).as("n_norm"))
     },
@@ -1197,7 +1203,7 @@ object PipelineQueries {
         pmod(col("doc_id"), lit(5L)).cast("string"),
         lit(".example"), pmod(col("doc_id"), lit(3L)).cast("string"),
         lit("."), tld, lit("/docs/"), col("doc_id").cast("string"))
-      Tables.read(s, dir, "documents").withColumn("_u", url)
+      Tables.documents(s, dir).withColumn("_u", url)
         .select(col("doc_id"), TextAnalysis.urlHost(col("_u")).as("host"))
         .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
         .groupBy(col("domain"))
@@ -1218,7 +1224,7 @@ object PipelineQueries {
         (2L, "scan"), (2L, "window"),
         (3L, "hash"), (3L, "join"), (3L, "batch")
       ).toDF("query_id", "term")
-      Retrieval.bm25BatchTopK(Tables.read(s, dir, "documents"),
+      Retrieval.bm25BatchTopK(Tables.documents(s, dir),
         queries, k = 10)
     },
     "link_pagerank" -> { (s, dir) =>

@@ -164,12 +164,12 @@ class TablesSchemaSpec extends AnyFunSuite {
     ("orders", Tables.orders,
       "o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
-    ("lineitem", Tables.lineitem,
+    ("lineitem", (sp, d) => Tables.lineitem(sp, d),
       "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, " +
         "l_linenumber int, l_quantity double, l_extendedprice double, " +
         "l_discount double, l_tax double, l_returnflag string, " +
         "l_linestatus string, l_shipdate timestamp"),
-    ("events", Tables.events,
+    ("events", (sp, d) => Tables.events(sp, d),
       "event_id bigint, ts timestamp, user_id bigint, event_type string, " +
         "value double, props string"),
     ("documents", Tables.documents,
