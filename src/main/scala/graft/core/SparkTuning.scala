@@ -25,19 +25,25 @@ object SparkTuning {
     if (!cur.contains(excluded)) {
       spark.conf.set(key, if (cur.isEmpty) excluded else s"$cur,$excluded")
     }
-    // Floor AQE's post-shuffle coalescing at the session's core count.
-    // AQE merges partitions by BYTES (parallelismFirst still bottoms out at
-    // minPartitionSize = 1 MB), so a stage whose rows are small but whose
-    // per-row compute is heavy — candidate-pair verification joins, packed
-    // band tables — collapses to ONE task and serializes the work
-    // (measured: fuzzy_join's verify stage ran 2.7 s on 1 task at cpus=8
-    // over a 0.5 MB shuffle read). The floor is derived from
-    // defaultParallelism, never a constant: on a real cluster partition
-    // counts exceed it anyway, so it only bites where coalescing would
-    // leave cores idle. Respect an explicit user/session setting.
-    val minPN = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
-    if (spark.conf.getOption(minPN).isEmpty) {
-      spark.conf.set(minPN, spark.sparkContext.defaultParallelism.toString)
+    // Keep AQE's post-shuffle coalescing from serializing compute-heavy,
+    // tiny-byte stages. With parallelismFirst (the default) the coalescer
+    // targets max(totalBytes / defaultParallelism, minPartitionSize), so
+    // any stage under cores × 1 MB total collapses toward ONE task — and a
+    // stage whose rows are few but whose per-row compute is heavy
+    // (candidate-pair verification over shingle-set arrays, band tables)
+    // serializes: fuzzy_join's verify stage ran 3.0 s on 1 task at cpus=8
+    // over a 0.5 MB shuffle read; 64k keeps it at 8 tasks / 0.32 s.
+    // Scale-safe by the same formula: the floor only matters when
+    // totalBytes < cores × 1 MB — metadata-sized stages on a real cluster,
+    // where a few extra tiny tasks cost scheduling milliseconds. (The
+    // deprecated minPartitionNum knob is NOT read by the 4.1 coalescer —
+    // measured no-op.) `spark.graft.aqe.minPartitionSize` overrides the
+    // value; "default" leaves Spark's own setting untouched.
+    val minPS = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    spark.conf.getOption("spark.graft.aqe.minPartitionSize")
+      .getOrElse("64k") match {
+      case "default" => ()
+      case v => spark.conf.set(minPS, v)
     }
     // engine-native codegen'd functions (see graft.functions.DotProduct)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

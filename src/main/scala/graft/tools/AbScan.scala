@@ -31,20 +31,23 @@ object AbScan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val par = spark.sparkContext.defaultParallelism
-    val allArms = Seq( // (tag, rebalance, minPN)
-      ("off/1", "off", "1"),
-      ("reb/1", "auto", "1"),
-      ("off/P", "off", par.toString),
-      ("reb/P", "auto", par.toString))
-    // AB_ARMS=tag,tag narrows the grid (e.g. "off/P,reb/P" to decide only
-    // the rebalance with the AQE floor already adopted)
+    val allArms = Seq( // (tag, rebalance, AQE coalesce minPartitionSize)
+      ("off/1m", "off", "1m"),
+      ("reb/1m", "auto", "1m"),
+      ("off/64k", "off", "64k"),
+      ("reb/64k", "auto", "64k"))
+    // AB_ARMS=tag,tag narrows the grid (e.g. "off/64k,reb/64k" to decide
+    // only the rebalance with the coalesce floor already adopted)
     val arms = sys.env.get("AB_ARMS")
       .map(s => allArms.filter(a => s.split(',').contains(a._1)))
       .getOrElse(allArms)
     def setArm(a: (String, String, String)): Unit = {
       spark.conf.set("spark.graft.scan.rebalance", a._2)
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionNum", a._3)
+      // SparkTuning.tune copies this into the live coalescer conf on the
+      // next table read (and we set it directly too, for stream-only rows)
+      spark.conf.set("spark.graft.aqe.minPartitionSize", a._3)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", a._3)
     }
     val fns = names.map(n => n -> graft.SparkEntry.queries(n))
     // warmup: every (query, arm) once so codegen/JIT and memo frames are hot
