@@ -35,5 +35,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage-codegen class cache (STATIC conf — must be set before the
+  // SparkContext exists, hence here and not in SparkTuning.tune). The
+  // stock 100-entry LRU cannot hold one pass of a many-query session
+  // (~10-20 codegen units per query plan × a 180+-query registry), so
+  // every invocation re-Janino-compiles every stage, serialized behind
+  // CodeGenerator.compile's per-source KeyLock — thread dumps under
+  // graft.Bench showed 32 executor threads parked on that lock while
+  // kilobyte-sized stages waited on fresh compiles. 8192 entries holds
+  // the registry's full working set (~2-3k distinct sources; compiled
+  // classes live in metaspace, ~30 KB each, ≤ ~250 MB worst case). On a
+  // real cluster the same knob belongs in spark-defaults.conf.
+  // SPARK_CODEGEN_CACHE_ENTRIES=100 restores the stock size for A/Bs.
+  s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("SPARK_CODEGEN_CACHE_ENTRIES", "8192")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

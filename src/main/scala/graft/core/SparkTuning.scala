@@ -39,6 +39,22 @@ object SparkTuning {
     // deprecated minPartitionNum knob is NOT read by the 4.1 coalescer —
     // measured no-op.) `spark.graft.aqe.minPartitionSize` overrides the
     // value; "default" leaves Spark's own setting untouched.
+    // Drop the codegen-stage id from generated class names so structurally
+    // identical stages (across queries, reps, and AQE re-plans) hash to the
+    // SAME source text and hit the compiled-class cache instead of paying a
+    // fresh Janino compile per stage id. The id exists only to label class
+    // names for profilers (SPARK-23032); execution is byte-identical.
+    // Pairs with the enlarged static codegen cache set in build.sbt
+    // (spark.sql.codegen.cache.maxEntries) — see the comment there for the
+    // measured compile-lock contention this removes.
+    // `spark.graft.codegen.useIdInClassName` overrides; "default" leaves
+    // Spark's own setting untouched (the minPartitionSize escape-hatch
+    // pattern below).
+    spark.conf.getOption("spark.graft.codegen.useIdInClassName")
+      .getOrElse("false") match {
+      case "default" => ()
+      case v => spark.conf.set("spark.sql.codegen.useIdInClassName", v)
+    }
     val minPS = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     spark.conf.getOption("spark.graft.aqe.minPartitionSize")
       .getOrElse("64k") match {

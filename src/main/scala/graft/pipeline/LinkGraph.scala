@@ -151,27 +151,43 @@ object LinkGraph {
       .select(col("node"), expr(s"${Unit_} DIV _n").as("rank_units"))
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     var converged = false
+    // set when `ranks` already reads its own checkpoint blocks at loop
+    // exit — the final eager() below would then only copy blocks to
+    // blocks, a whole extra pass for nothing
+    var ranksMaterialized = false
     var i = 0
     while (i < iters && !converged) {
       ranks = step(ranks)
+      ranksMaterialized = false
       i += 1
       if (materialize && i % checkpointEvery == 0 && i < iters) {
         if (tolUnits.isDefined) {
-          // convergence boundary: materialize iteration i, run ONE
-          // confirmation iteration (materialized too — it is the
-          // continuation state, never wasted), and test the
-          // CONSECUTIVE-iteration L1 delta. A zero single-step delta
-          // proves f(r) = r — cross-block deltas would also read zero
-          // on a limit cycle whose period divides checkpointEvery.
-          val cp = graft.core.Caching.eager(ranks)
-          val nextCp = graft.core.Caching.eager(step(cp))
+          // Convergence boundary as ONE compute action (optimization
+          // guide §1.2: fewer driver-paced jobs): iteration i and the
+          // confirmation iteration i+1 both persist, and the FIRST job —
+          // the CONSECUTIVE-iteration L1 delta, whose plan reads both —
+          // populates both caches while computing the delta. (The former
+          // shape spent three jobs here: eager-checkpoint i, eager-
+          // checkpoint i+1, then the delta join over the two
+          // checkpoints.) A zero single-step delta proves f(r) = r —
+          // cross-block deltas would also read zero on a limit cycle
+          // whose period divides checkpointEvery. The confirmation
+          // iteration is the continuation state, never wasted: it leaves
+          // the boundary as a checkpoint READ FROM CACHE (one cheap
+          // block-copy job), keeping plan depth O(checkpointEvery)
+          // exactly as before.
+          val cur = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+          val next = step(cur).persist(StorageLevel.MEMORY_AND_DISK)
           i += 1
-          ranks = nextCp
-          val d = nextCp.select(col("node"), col("rank_units").as("_a"))
-            .join(cp.select(col("node"), col("rank_units").as("_b")),
+          val d = next.select(col("node"), col("rank_units").as("_a"))
+            .join(cur.select(col("node"), col("rank_units").as("_b")),
               "node")
             .agg(coalesce(sum(abs(col("_a") - col("_b"))), lit(0L)))
             .first().getLong(0)
+          ranks = graft.core.Caching.eager(next)
+          ranksMaterialized = true
+          cur.unpersist(blocking = false)
+          next.unpersist(blocking = false)
           if (d <= tolUnits.get) converged = true
         } else {
           val (cp, release) = graft.core.Caching.deferred(ranks)
@@ -182,7 +198,8 @@ object LinkGraph {
     }
     if (!materialize) (ranks, i)
     else {
-      val out = graft.core.Caching.eager(ranks)
+      val out =
+        if (ranksMaterialized) ranks else graft.core.Caching.eager(ranks)
       releases.foreach(_.apply())
       nodes.unpersist(blocking = false)
       ej.unpersist(blocking = false)

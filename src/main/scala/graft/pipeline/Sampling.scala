@@ -100,17 +100,36 @@ object Sampling {
     * mirrors it that way) at any partition count.
     */
   def packSequences(df: DataFrame, idCol: String, tok: Column, budget: Int,
-      nBuckets: Int = 256): DataFrame = {
+      nBuckets: Int = 256, cacheBase: Boolean = true): DataFrame = {
     require(budget > 0 && nBuckets > 0)
-    val base = df.select(col(idCol).cast("long").as("_id"),
+    // The packer consumes its (id, n_tok) projection THREE times — the
+    // max-id probe, the bucket-sums collect, and the final windowed plan
+    // — and the caller's sink makes a fourth pass. Without a cache each
+    // pass recomputes the ENTIRE upstream chain (for pipeline_e2e /
+    // graph_pipeline / crawl_e2e that chain is the whole gate + dedup
+    // pipeline — measured 4× upstream execution per invocation,
+    // optimization guide §1.2/§5 "caching is worth it when a frame is
+    // reused AND recomputing is more expensive"). The projection is two
+    // longs per row — the cheapest possible thing to persist — so the
+    // probe populates the cache, the collect and the final plan read it,
+    // and Caching.scoped hands back an eagerly-materialized result that
+    // releases the cache without leaking it into the caller's session.
+    // `cacheBase = false` restores the fully lazy chain (plan audits).
+    val base0 = df.select(col(idCol).cast("long").as("_id"),
       tok.cast("long").as("n_tok"))
+    val base =
+      if (cacheBase)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val maxRow = base.agg(max(col("_id"))).first()
     // an empty corpus (every doc gated away upstream) must pack to an
     // empty frame, not crash the max-id probe with a null-row error —
     // found when an sf1 workload's LM gate rejected all docs (r11)
-    if (maxRow.isNullAt(0))
-      return base.select(col("_id").as(idCol), col("n_tok"),
+    if (maxRow.isNullAt(0)) {
+      val empty = base.select(col("_id").as(idCol), col("n_tok"),
         lit(0L).as("bin"), lit(0L).as("offset_in_bin"))
+      return if (cacheBase) graft.core.Caching.scoped(empty, base) else empty
+    }
     val maxId = maxRow.getLong(0)
     val span = maxId / nBuckets + 1
     val withB = base.withColumn("_b",
@@ -126,9 +145,10 @@ object Sampling {
     val w = Window.partitionBy(col("_b")).orderBy(col("_id"))
     val start = col("_off") + sum(col("n_tok")).over(w) - col("n_tok")
     val bin = floor(start.cast("double") / budget).cast("long")
-    withB.join(broadcast(offDf), "_b")
+    val out = withB.join(broadcast(offDf), "_b")
       .select(col("_id").as(idCol), col("n_tok"), bin.as("bin"),
         (start - bin * budget).as("offset_in_bin"))
+    if (cacheBase) graft.core.Caching.scoped(out, base) else out
   }
 
   /** EXACT per-stratum quota: ⌈frac·n⌉ rows of every stratum, chosen by

@@ -1245,14 +1245,20 @@ object PipelineQueries {
       // at iters=20 with tolUnits=Some(0) — tol=0 stops ONLY at an exact
       // integer fixed point (f(r)=r, [[LinkGraph.pageRankRun]]), so the
       // result is BIT-IDENTICAL to the full 20-iteration unroll the
-      // oracle runs, while the run itself stops early (this synthetic
-      // graph is bipartite — every dst is dangling — so source ranks
-      // lock after one iteration and the fixed point lands by i=3; the
-      // first boundary confirms it at i=6; RetrievalGraphSpec asserts
-      // the tally). The hash match is the production guarantee: the
-      // early-stop path changes nothing.
+      // oracle runs, while the run itself stops early (the id-derived
+      // graph's rank flow settles in a handful of iterations at every
+      // SF: most dsts are dangling and the src namespace overlaps dst
+      // only through the shared "srcN" prefixes, so the exact fixed
+      // point lands by i=4 — measured r4 == r5 at sf0.1 AND sf0.001,
+      // PageRankProbe). checkpointEvery=4 puts the FIRST boundary right
+      // at that depth: one convergence check confirms at i=5 (tally 5,
+      // RetrievalGraphSpec), where the former cpe=5 computed a deeper
+      // chain and confirmed at i=6 — one whole iteration plus its jobs
+      // for nothing (guide §1.2, cut driver-paced jobs). The hash match
+      // against the 20-iteration oracle is the production guarantee:
+      // the early-stop path changes nothing.
       LinkGraph.pageRank(pagerankEdges(Tables.read(s, dir, "documents")),
-        iters = 20, checkpointEvery = 5, tolUnits = Some(0L))
+        iters = 20, checkpointEvery = 4, tolUnits = Some(0L))
     }
   )
 

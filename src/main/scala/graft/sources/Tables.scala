@@ -58,8 +58,12 @@ object Tables {
     * off` restores the raw scans (used by plan audits that pin operator
     * shuffle budgets net of source layout).
     */
+  // keyed by (path, cap): the None sentinel ("file count >= cap, skip
+  // footers") depends on the caller's parallelism, so a later session
+  // with a different core count must not inherit a stale decision
+  // (r19 advisory)
   private val scanMeta =
-    scala.collection.mutable.HashMap[String, Option[(Long, Int)]]()
+    scala.collection.mutable.HashMap[(String, Int), Option[(Long, Int)]]()
 
   private def rebalanced(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
@@ -68,11 +72,24 @@ object Tables {
       spark.conf.getOption("spark.graft.scan.rebalance").contains("off"))
       return df
     val meta = scanMeta.synchronized {
-      scanMeta.getOrElseUpdate(path, parquetMeta(spark, path, cap = par))
+      scanMeta.getOrElseUpdate((path, par), parquetMeta(spark, path, cap = par))
     }
     meta match {
       case Some((rows, groups)) if groups < par && rows >= 2000L =>
-        df.repartition(par)
+        // Size-capped width: repartitioning a small table all the way to
+        // defaultParallelism chops it into confetti — at 32 cores the 5k-row
+        // documents table became 156-row tasks whose per-task+exchange
+        // overhead outweighed the parallelism (the r19 pipeline_e2e
+        // regression, 32c only). Cap the width so each task keeps at least
+        // `rowsPerTask` rows (`spark.graft.scan.rebalance.rowsPerTask`,
+        // default 500 — the 32c interleaved A/B's winner; at 8 cores the cap
+        // is inert for every gate table, reproducing the r19-measured wins).
+        val rowsPerTask = spark.conf
+          .getOption("spark.graft.scan.rebalance.rowsPerTask")
+          .map(_.toLong).getOrElse(500L)
+        val width = math.min(par.toLong,
+          (rows + rowsPerTask - 1) / rowsPerTask).toInt
+        if (width > groups) df.repartition(width) else df
       case _ => df
     }
   }

@@ -43,7 +43,7 @@ object LazyPlanDump {
       docs.filter(col("doc_id") % 10 === 0),
       Dedup.minhashIndex(docsRaw.filter(col("doc_id") % 10 =!= 0),
         "doc_id", col("text")),
-      col("text"), threshold = 0.5).explain("formatted")
+      col("text"), threshold = 0.5, materialize = false).explain("formatted")
 
     spark.stop()
   }
