@@ -109,11 +109,22 @@ object Bench {
     // sf1 capture did exactly that). Abort the loop on a dead context:
     // ONE aggregate marker, the culprit's own error stays first.
     var ctxDead = false
+    // First-invocation wall time per query (the round-0 pass, normally the
+    // warmup): for memo-backed rows (PQ codebooks, the dedup cluster frame,
+    // the crawl gated frame, the standing near-dup index) this is the only
+    // number that includes the once-per-JVM build, so BENCH_DETAIL records
+    // it as `cold` next to the warm min — nobody can misread a warm probe
+    // as the full first-run cost (r19 verdict item 4). Methodology
+    // unchanged: `queries`/`total` are still the min of the recorded
+    // rounds; `cold` is additive bookkeeping.
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (round <- 0 until (warmups + rounds); (name, fn) <- qseq
         if !ctxDead && !errors.contains(name)) {
       val t0 = System.nanoTime()
       try {
         run(fn)
+        if (round == 0)
+          cold(name) = (System.nanoTime() - t0) / 1e9
         if (round >= warmups)
           samples(name) = samples.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
       } catch {
@@ -147,8 +158,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullSp = results.map { case (k, _, d) => "\"" + k + "\":" + sec2(d) }
       .mkString("{", ",", "}")
+    val fullCold = cold.map { case (k, c) => "\"" + k + "\":" + sec2(c) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","errors":$errJson,"spread":$fullSp,"queries":$fullQs}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","runs":$rounds,"warmups":$warmups,"sf":"$sfDir","errors":$errJson,"cold":$fullCold,"spread":$fullSp,"queries":$fullQs}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     // On a write failure the stdout record must NOT advertise the path — a
     // consumer would read a stale or absent file with no signal. detailRef

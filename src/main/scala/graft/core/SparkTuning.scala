@@ -38,7 +38,12 @@ object SparkTuning {
     // where a few extra tiny tasks cost scheduling milliseconds. (The
     // deprecated minPartitionNum knob is NOT read by the 4.1 coalescer —
     // measured no-op.) `spark.graft.aqe.minPartitionSize` overrides the
-    // value; "default" leaves Spark's own setting untouched.
+    // value; "default" leaves Spark's own setting untouched. NOTE: the
+    // native conf is otherwise overwritten on every tune() — a user who
+    // sets spark.sql.adaptive.coalescePartitions.minPartitionSize
+    // directly gets clobbered; the graft conf is the one escape hatch
+    // (r19 advisory, documented trade-off: tune() must win by default or
+    // a stray session default silently re-serializes the verify stages).
     // Drop the codegen-stage id from generated class names so structurally
     // identical stages (across queries, reps, and AQE re-plans) hash to the
     // SAME source text and hit the compiled-class cache instead of paying a

@@ -44,10 +44,7 @@ object MLQueries {
       val feats = Seq("f_part", "f_supp", "f_disc", "f_price")
       val fitted = MLOps.fitClassRandomForest(train, feats, "cls",
         numTrees = 10, maxDepth = 5)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_rfc_model").toString
-      MLOps.saveModel(fitted, feats, tmp)
-      val (model, mfeats) = MLOps.loadModel(tmp)
+      val (model, mfeats) = saveLoadRoundtrip(fitted, feats, "graft_rfc_model")
       val head = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(200)
       MLOps.predictForest(model, head, mfeats)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -376,16 +373,41 @@ object MLQueries {
       numTrees = 10, maxDepth = 5)
     val (model, mfeats) =
       if (!roundTrip) (fitted, feats)
-      else {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_rf_model").toString
-        MLOps.saveModel(fitted, feats, tmp)
-        MLOps.loadModel(tmp)
-      }
+      else saveLoadRoundtrip(fitted, feats, "graft_rf_model")
     val head = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(200)
     MLOps.predictForest(model, head, mfeats)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("prediction"), 4).as("pred_qty"))
+  }
+
+  /** save_ml_model → load_ml_model through a THROWAWAY directory — the
+    * roundtrip queries' persistence gate. The dir lives on tmpfs when the
+    * box has one (the StreamingOps checkpoint rationale: the full
+    * serialize → Hadoop-FS write → reload path still runs, only the
+    * fsync-to-disk latency of a directory nothing ever reads again is
+    * skipped; a production save targets durable storage and pays its
+    * price there), and is deleted as soon as the reload returns — the
+    * loaded model is driver-held, so each bench invocation no longer
+    * leaks a model directory into /tmp.
+    */
+  private def saveLoadRoundtrip(fitted: AnyRef, feats: Seq[String],
+      prefix: String): (AnyRef, Seq[String]) = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val tmp = java.nio.file.Files.createTempDirectory(base, prefix).toString
+    try {
+      MLOps.saveModel(fitted, feats, tmp)
+      MLOps.loadModel(tmp)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
   }
 
   /** The batch form of the stream-static enrichment: events joined to

@@ -12,14 +12,24 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def read(spark: SparkSession, dir: String, name: String,
-      rebalance: Boolean = false): DataFrame = {
+      rebalance: Boolean = false, rowsPerTask: Long = 500L): DataFrame = {
     graft.core.SparkTuning.tune(spark)
     // set BEFORE any read, not just in events(): an INT64 TIMESTAMP(NANOS)
     // column in ANY table would otherwise throw or not depending on
     // whether an events-based query happened to run first in the session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (rebalance) rebalanced(spark, df, s"$dir/$name.parquet") else df
+    // `spark.graft.scan.rebalance`: "off" disables every rebalance,
+    // "force" enables it on every loader (the A/B surface for re-auditing
+    // per-accessor opt-in defaults), anything else honors the call site.
+    val want = spark.conf.getOption("spark.graft.scan.rebalance") match {
+      case Some("off") => false
+      case Some("force") => true
+      case _ => rebalance
+    }
+    if (want)
+      rebalanced(spark, df, s"$dir/$name.parquet", rowsPerTask)
+    else df
   }
 
   /** Row-group-starved scans get one round-robin rebalance after the read
@@ -66,7 +76,7 @@ object Tables {
     scala.collection.mutable.HashMap[(String, Int), Option[(Long, Int)]]()
 
   private def rebalanced(spark: SparkSession, df: DataFrame,
-      path: String): DataFrame = {
+      path: String, rowsPerTaskDefault: Long = 500L): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     if (par <= 1 ||
       spark.conf.getOption("spark.graft.scan.rebalance").contains("off"))
@@ -81,12 +91,14 @@ object Tables {
         // documents table became 156-row tasks whose per-task+exchange
         // overhead outweighed the parallelism (the r19 pipeline_e2e
         // regression, 32c only). Cap the width so each task keeps at least
-        // `rowsPerTask` rows (`spark.graft.scan.rebalance.rowsPerTask`,
-        // default 500 — the 32c interleaved A/B's winner; at 8 cores the cap
-        // is inert for every gate table, reproducing the r19-measured wins).
+        // `rowsPerTask` rows. The default is PER-ACCESSOR, from the r20
+        // interleaved A/B at both core counts: text rows win at 500
+        // (total 9.88 vs 12.98 uncapped at 32c), embedding rows — heavier
+        // per row (corpus-side dot products) — win at 250 at both 8c and
+        // 32c. `spark.graft.scan.rebalance.rowsPerTask` overrides globally.
         val rowsPerTask = spark.conf
           .getOption("spark.graft.scan.rebalance.rowsPerTask")
-          .map(_.toLong).getOrElse(500L)
+          .map(_.toLong).getOrElse(rowsPerTaskDefault)
         val width = math.min(par.toLong,
           (rows + rowsPerTask - 1) / rowsPerTask).toInt
         if (width > groups) df.repartition(width) else df
@@ -187,7 +199,7 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents", rebalance = true)
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "embeddings", rebalance = true)
+    read(spark, dir, "embeddings", rebalance = true, rowsPerTask = 250L)
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")

@@ -49,7 +49,11 @@ object Profile {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         starts(e.jobId) = (e.time, desc)
-        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+        // first-writer-wins: a stage shared with a later job (AQE reuse,
+        // skipped stages) stays attributed to the job that actually ran
+        // it, instead of silently migrating to the last job that listed
+        // it (r19 advisory — the old overwrite under-reported early jobs)
+        e.stageIds.foreach(sid => stageToJob.getOrElseUpdate(sid, e.jobId))
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
