@@ -83,6 +83,24 @@ object StreamingOps {
     // trigger.
     val availableNow = !sys.env.get("SPARK_GRAFT_STREAM_TRIGGER")
       .exists(_.equalsIgnoreCase("default"))
+    // Skip the trailing NO-DATA micro-batch (r20 interleaved A/B: family
+    // −7%, stream_join_attrib 2.82 → 1.94 s — the join re-commits FOUR
+    // state stores per partition in that batch for zero rows). The extra
+    // batch exists to advance the watermark so watermark-TRIGGERED
+    // emission/expiry can run after the last data batch; every registry
+    // stream emits per-batch instead (complete/update snapshots, inner
+    // append joins, dropDuplicates' eager append) and sizes its watermark
+    // delay past the data span, so nothing here depends on it — the
+    // oracle gate (182/182 with this set) is the proof. Scoped to this
+    // run-to-completion harness via conf save/restore; a live stream that
+    // wants append-mode watermark emission sets its own trigger loop and
+    // is unaffected. `spark.graft.stream.noDataBatches=default` leaves
+    // Spark's setting alone.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.getOption(ndKey)
+    val ndOverride = !spark.conf
+      .getOption("spark.graft.stream.noDataBatches").contains("default")
+    if (ndOverride) spark.conf.set(ndKey, "false")
     val writer = df.writeStream
       .outputMode(mode)
       .format("memory")
@@ -113,7 +131,13 @@ object StreamingOps {
         if (kids != null) kids.foreach(rm)
         f.delete(); ()
       }
-      try q.stop() finally rm(ckpt)
+      try q.stop() finally {
+        rm(ckpt)
+        if (ndOverride) ndPrev match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None => spark.conf.unset(ndKey)
+        }
+      }
     }
     spark.table(queryName)
   }
@@ -244,8 +268,13 @@ object StreamingOps {
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    // `spark.graft.stream.statePartitions` overrides every call site — the
+    // interleaved A/B surface for auditing the store count at a given core
+    // count (r20: the control arm runs the session's full 32)
+    val eff = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(n)
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, eff.toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -303,8 +332,14 @@ object StreamingOps {
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.SpaceSavingAgg.column(
       col("user_id").cast("string"), capacity, outK).as("hh"))
-    runToMemory(agg, "complete", queryName)
-      .select(explode(col("hh")).as("e"))
+    // keyed state in a handful of stores, single- and multi-batch alike
+    // (one store commit per shuffle partition per batch — at the
+    // session's 32 the single-batch run was paying 16× the commits of
+    // its multibatch twin; r20 interleaved A/B)
+    val sink = withStatePartitions(spark, 2) {
+      runToMemory(agg, "complete", queryName)
+    }
+    sink.select(explode(col("hh")).as("e"))
       .select(col("e.key").as("user_key"), col("e.count").as("n_events"),
         col("e.err").as("err"))
   }
@@ -348,8 +383,10 @@ object StreamingOps {
       .filter(col("value").isNotNull)
     val agg = src.agg(graft.functions.QuantileSketchAgg.column(
       round(col("value") * 10).cast("long"), lit(1L), capacity).as("qp"))
-    runToMemory(agg, "complete", queryName)
-      .select(explode(col("qp")).as("e"))
+    val sink = withStatePartitions(spark, 2) {
+      runToMemory(agg, "complete", queryName)
+    }
+    sink.select(explode(col("qp")).as("e"))
       .select(col("e.pm").as("pm"), col("e.v").as("v"), col("e.n").as("n"))
   }
 
@@ -389,9 +426,11 @@ object StreamingOps {
       .filter(col("user_id").isNotNull)
     val agg = src.agg(graft.functions.ThetaSketchAgg.column(
       xxhash64(col("user_id").cast("string")), k).as("sk"))
-    runToMemory(agg, "complete", queryName)
-      .select(graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk"))
-        .as("n_users"))
+    val sink = withStatePartitions(spark, 2) {
+      runToMemory(agg, "complete", queryName)
+    }
+    sink.select(graft.functions.ThetaSketchAgg.estimateUdf(k)(col("sk"))
+      .as("n_users"))
   }
 
   /** MULTI-BATCH [[distinctUsersEventsFile]]: one time-ordered shard per
@@ -707,8 +746,11 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
     // complete-mode window agg needs no single-batch guard: the sink
-    // always holds the full aggregate
-    runToMemory(agg, "complete", queryName).select(
+    // always holds the full aggregate. Keyed state ((window, band) —
+    // ~120 keys) sized to a handful of stores like every other runner.
+    withStatePartitions(spark, 2) {
+      runToMemory(agg, "complete", queryName)
+    }.select(
       (unix_micros(col("window.start")) / lit(21600000000L)).cast("bigint")
         .as("bucket"),
       col("band"), col("n"), col("sum_cents"))
@@ -734,7 +776,9 @@ object StreamingOps {
     // at 1), so the max-fold is only exact when all data lands in one
     // micro-batch — runToMemory asserts that instead of letting a future
     // multi-file source silently undercount
-    runToMemory(out.toDF(), "update", queryName, requireSingleBatch = true)
+    withStatePartitions(spark, 2) {
+      runToMemory(out.toDF(), "update", queryName, requireSingleBatch = true)
+    }
       .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("longest")).as("longest"))
@@ -754,7 +798,9 @@ object StreamingOps {
     // single-batch REQUIRED: once a key's state expires past the
     // watermark delay, a later batch re-emits it — the key set is only
     // exactly-distinct when all data lands in one micro-batch
-    runToMemory(deduped, "append", queryName, requireSingleBatch = true)
+    withStatePartitions(spark, 2) {
+      runToMemory(deduped, "append", queryName, requireSingleBatch = true)
+    }
       .select(col("user_id"), col("event_type"))
   }
 
