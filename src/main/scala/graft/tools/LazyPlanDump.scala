@@ -38,6 +38,11 @@ object LazyPlanDump {
     Retrieval.bm25TopK(docs, Seq("vector", "merge", "scan", "window"),
       k = 20, cachePostings = false).explain("formatted")
 
+    println("\n===== link_pagerank (lazy form, materialize=false) =====")
+    graft.pipeline.LinkGraph.pageRank(
+      graft.queries.PipelineQueries.pagerankEdges(docsRaw), iters = 3,
+      materialize = false).explain("formatted")
+
     println("\n===== dedup_incremental_near =====")
     Dedup.incrementalNearNew(
       docs.filter(col("doc_id") % 10 === 0),
