@@ -161,6 +161,24 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: scoped AQE bypass restores the session conf and " +
+      "changes nothing observable") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(aqeKey)
+    val scoped = LinkGraph.pageRank(graph.toDF("src", "dst"), 5)
+      .as[(String, Long)].collect().toMap
+    // the materialized run scopes AQE off internally; the caller's
+    // session state must come back exactly as it was
+    assert(spark.conf.getOption(aqeKey) == before, "AQE conf leaked")
+    val kept = try {
+      spark.conf.set("spark.graft.pagerank.aqe", "on")
+      LinkGraph.pageRank(graph.toDF("src", "dst"), 5)
+        .as[(String, Long)].collect().toMap
+    } finally spark.conf.unset("spark.graft.pagerank.aqe")
+    assert(scoped == kept, "AQE arm changed pagerank results")
+    assert(scoped == prRef(graph, 5))
+  }
+
   test("pagerank: dangling mass leaks, sources sit at the teleport floor") {
     val r = LinkGraph.pageRank(graph.toDF("src", "dst"), 3)
       .as[(String, Long)].collect().toMap
