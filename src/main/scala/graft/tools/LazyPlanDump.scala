@@ -19,6 +19,14 @@ object LazyPlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same hook as ExplainDump: EXPLAIN_CONF="k=v;k=v" sets session confs
+    // before planning (e.g. spark.sql.adaptive.enabled=false reproduces
+    // the AQE-scoped executed form of the pagerank rows — F9)
+    sys.env.get("EXPLAIN_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, dir)
     val docsRaw = Tables.read(spark, dir, "documents")
